@@ -1,0 +1,293 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiles an expression [[Node]] into an `org.apache.spark.sql.Column`.
+  *
+  * This replaces the reference's tree-walking row VM
+  * (/root/reference/vm/vm.go:42-176) with Catalyst expressions: every
+  * qlbridge expression becomes a declarative Column, so the whole thing
+  * runs inside whole-stage codegen at full columnar speed — the 100 TB
+  * answer to the reference's ~1 µs/row interpreter.
+  *
+  * Encoded reference semantics (SURVEY §2.8):
+  *  - BETWEEN is EXCLUSIVE on both ends (vm.go:868)
+  *  - LIKE is glob matching; `%` ≙ `*`, `?` matches one char (vm.go:1113-1126)
+  *  - CONTAINS is substring on strings, element-substring on arrays
+  *  - IN: scalar∈array-literal, scalar∈array-column, key∈map
+  *  - INTERSECTS: arrays overlap
+  *  - EXISTS ident: present, non-null — and non-empty for strings
+  *    (empty string counts as Nil, value/value.go:510)
+  *  - string↔number comparison coerces the string side to double
+  *  - time↔string comparison parses datemath ("now-3d") / timestamps,
+  *    compares at second granularity (vm.go:1070-1106)
+  *  - int/int division stays integral (vm.go:1132-1151); `%` truncates
+  *    both operands to long
+  */
+final case class BuildCtx(
+    schema: Option[StructType] = None,
+    vars: Map[String, Any] = Map.empty,
+    includer: String => Option[Node] = _ => None) {
+
+  def fieldType(path: Seq[String]): Option[DataType] = schema.flatMap { st =>
+    st.fields.find(_.name.equalsIgnoreCase(path.mkString("."))) match {
+      case Some(f) => Some(f.dataType)
+      case None =>
+        st.fields.find(_.name.equalsIgnoreCase(path.head)).map { f =>
+          if (path.length == 1) f.dataType
+          else f.dataType match {
+            case MapType(_, vt, _) => vt
+            case s: StructType =>
+              s.fields.find(_.name.equalsIgnoreCase(path.tail.mkString("."))).map(_.dataType)
+                .getOrElse(StringType)
+            case dt => dt
+          }
+        }
+    }
+  }
+}
+
+object ColumnBuilder {
+
+  def build(node: Node, ctx: BuildCtx = BuildCtx()): Column = node match {
+    case IdentityNode(parts) => identity(parts, ctx)
+    case StringNode(v)       => lit(v)
+    case NumberNode(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
+    case BoolNode(v)         => lit(v)
+    case NullNode            => lit(null)
+    case ArrayNode(items)    => array(items.map(build(_, ctx)): _*)
+    case b: BinaryNode       => binary(b, ctx)
+    case BooleanNode(op, args, neg) =>
+      val cols = args.map(a => build(a, ctx).cast(BooleanType))
+      val combined = if (op == "AND") cols.reduce(_ && _) else cols.reduce(_ || _)
+      if (neg) !combined else combined
+    case UnaryNode(op, child) => op match {
+      case "!" | "NOT" => !build(child, ctx).cast(BooleanType)
+      case "-"         => negate(build(child, ctx))
+      case "EXISTS"    => existsCol(child, ctx)
+    }
+    case TriNode("BETWEEN", a, lo, hi, neg) =>
+      val c = betweenExclusive(a, lo, hi, ctx)
+      if (neg) !c else c
+    case t: TriNode => throw BuildException(s"unsupported ternary op ${t.op}")
+    case FuncNode(name, args) => FuncRegistry.build(name, args, ctx)
+    case IncludeNode(name, neg) =>
+      ctx.includer(name) match {
+        case Some(n) =>
+          val c = build(n, ctx).cast(BooleanType)
+          if (neg) !c else c
+        case None => throw BuildException(s"INCLUDE '$name' not resolvable")
+      }
+  }
+
+  // ---- identities ----------------------------------------------------
+
+  private def identity(parts: Seq[String], ctx: BuildCtx): Column = {
+    val name = parts.mkString(".")
+    if (name == "*") return col("*")
+    if (name.startsWith("@")) { // session/global variable
+      val key = name.stripPrefix("@@").stripPrefix("@")
+      return ctx.vars.get(key).orElse(ctx.vars.get(name)) match {
+        case Some(v) => lit(v)
+        case None    => lit(null)
+      }
+    }
+    ctx.schema match {
+      case Some(st) =>
+        if (st.fieldNames.exists(_.equalsIgnoreCase(name))) col(name)
+        else if (parts.length > 1 && st.fieldNames.exists(_.equalsIgnoreCase(parts.head))) {
+          // map/struct traversal: mt.event0 → col("mt")("event0")
+          val base = st.fields.find(_.name.equalsIgnoreCase(parts.head)).get
+          base.dataType match {
+            case _: MapType | _: StructType => col(parts.head).getItem(parts.tail.mkString("."))
+            case _ => col(parts.last) // table.column with single-df context
+          }
+        } else if (parts.length > 1 && st.fieldNames.exists(_.equalsIgnoreCase(parts.last))) {
+          col(parts.last) // alias-qualified t.col resolved to col
+        } else col(name)  // let Catalyst raise the unknown-column error
+      case None => col(name)
+    }
+  }
+
+  // ---- operators -----------------------------------------------------
+
+  private val arithOps = Set("+", "-", "*", "/", "%")
+  private val cmpOps = Set("=", "==", "!=", "<>", ">", ">=", "<", "<=")
+
+  private def binary(b: BinaryNode, ctx: BuildCtx): Column = {
+    val BinaryNode(op, ln, rn, neg) = b
+    def l = build(ln, ctx)
+    def r = build(rn, ctx)
+    val c: Column = op match {
+      case "+" =>
+        (typeOf(ln, ctx), typeOf(rn, ctx)) match {
+          case (Some(StringType), _) | (_, Some(StringType)) => concat(l, r)
+          case _ => l + r
+        }
+      case "-" => l - r
+      case "*" => l * r
+      case "/" =>
+        (typeOf(ln, ctx), typeOf(rn, ctx)) match {
+          // int / int stays integral (vm.go:1132-1151)
+          case (Some(t1), Some(t2)) if integral(t1) && integral(t2) => try_divide(l, r).cast(LongType)
+          case _ => l / r
+        }
+      case "%" => l.cast(LongType) % r.cast(LongType)
+      case o if cmpOps.contains(o) => compare(o, ln, rn, ctx)
+      case "LIKE"       => likeGlob(ln, rn, ctx)
+      case "CONTAINS"   => containsOp(ln, rn, ctx)
+      case "IN"         => inOp(ln, rn, ctx)
+      case "INTERSECTS" => arrays_overlap(l, r)
+      case "IS"         => l.isNull // IS NULL; negated handled below
+      case other        => throw BuildException(s"unsupported binary op $other")
+    }
+    if (neg) { if (op == "IS") build(ln, ctx).isNotNull else !c } else c
+  }
+
+  /** Comparison with the reference's coercion matrix (vm.go:299-775). */
+  private def compare(op: String, ln: Node, rn: Node, ctx: BuildCtx): Column = {
+    val (lt, rt) = (typeOf(ln, ctx), typeOf(rn, ctx))
+    def tsSide(t: Option[DataType]) = t.exists(_.isInstanceOf[TimestampType])
+    def numSide(t: Option[DataType]) = t.exists(numeric)
+    val (l, r) =
+      if (tsSide(lt) || tsSide(rt)) {
+        // compare times at Unix seconds (vm.go:1070-1106); strings go
+        // through datemath/flexible timestamp parsing
+        (toEpochSeconds(ln, ctx), toEpochSeconds(rn, ctx))
+      } else if (numSide(lt) && rt.contains(StringType)) {
+        (build(ln, ctx).cast(DoubleType), build(rn, ctx).cast(DoubleType))
+      } else if (lt.contains(StringType) && numSide(rt)) {
+        (build(ln, ctx).cast(DoubleType), build(rn, ctx).cast(DoubleType))
+      } else (build(ln, ctx), build(rn, ctx))
+    op match {
+      case "=" | "==" => l === r
+      case "!=" | "<>" => l =!= r
+      case ">"  => l > r
+      case ">=" => l >= r
+      case "<"  => l < r
+      case "<=" => l <= r
+    }
+  }
+
+  private def toEpochSeconds(n: Node, ctx: BuildCtx): Column = n match {
+    case StringNode(s) if DateMath.isDateMath(s) => unix_timestamp(DateMath.toColumn(s))
+    case StringNode(s) => unix_timestamp(lit(s).cast(TimestampType))
+    case _ =>
+      typeOf(n, ctx) match {
+        case Some(_: TimestampType) => unix_timestamp(build(n, ctx))
+        case Some(StringType) =>
+          val c = build(n, ctx)
+          unix_timestamp(coalesce(c.cast(TimestampType), DateMath.parseColumn(c)))
+        case _ => build(n, ctx).cast(LongType)
+      }
+  }
+
+  /** Reference LIKE is glob (`*`/`?`), with `%` rewritten to `*`
+    * (vm.go:1113-1126). On arrays, true if any element matches. */
+  private def likeGlob(ln: Node, rn: Node, ctx: BuildCtx): Column = {
+    val l = build(ln, ctx)
+    val pat: Column = rn match {
+      case StringNode(s) => lit(globToRegex(s))
+      case _ =>
+        // non-literal pattern: translate glob chars per-row
+        val r = build(rn, ctx)
+        concat(lit("^"), regexp_replace(regexp_replace(regexp_replace(
+          r, "([.\\\\+^$\\[\\]{}()|])", "\\\\$1"), "[%*]", ".*"), "\\?", "."), lit("$"))
+    }
+    typeOf(ln, ctx) match {
+      case Some(ArrayType(_, _)) => exists(l, e => regexp_like(e.cast(StringType), pat))
+      case _ => regexp_like(l.cast(StringType), pat)
+    }
+  }
+
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' | '%' => sb.append(".*")
+      case '?'       => sb.append('.')
+      case c if ".\\+^$[]{}()|".contains(c) => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+
+  private def containsOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
+    val l = build(ln, ctx); val r = build(rn, ctx)
+    typeOf(ln, ctx) match {
+      case Some(ArrayType(_, _)) => exists(l, e => e.contains(r))
+      case _ => l.contains(r)
+    }
+  }
+
+  private def inOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
+    val l = build(ln, ctx)
+    rn match {
+      case ArrayNode(items) => l.isin(items.map(literalValue): _*)
+      case _ =>
+        typeOf(rn, ctx) match {
+          case Some(ArrayType(_, _))  => array_contains(build(rn, ctx), l)
+          case Some(MapType(_, _, _)) => map_contains_key(build(rn, ctx), l)
+          case _ => array_contains(build(rn, ctx), l)
+        }
+    }
+  }
+
+  private def literalValue(n: Node): Any = n match {
+    case StringNode(s) => s
+    case NumberNode(d, true) => d.toLong
+    case NumberNode(d, false) => d
+    case BoolNode(b) => b
+    case NullNode => null
+    case other => throw BuildException(s"IN list expects literals, got ${other.text}")
+  }
+
+  private def betweenExclusive(a: Node, lo: Node, hi: Node, ctx: BuildCtx): Column =
+    compare(">", a, lo, ctx) && compare("<", a, hi, ctx)
+
+  /** EXISTS: field present and non-nil; empty string counts as Nil
+    * (value/value.go:510). */
+  def existsCol(n: Node, ctx: BuildCtx): Column = {
+    val c = build(n, ctx)
+    typeOf(n, ctx) match {
+      case Some(StringType) => c.isNotNull && c =!= ""
+      case _ => c.isNotNull
+    }
+  }
+
+  private def negate(c: Column): Column = -c
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def numeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Best-effort static type of a node under the build context. */
+  def typeOf(n: Node, ctx: BuildCtx): Option[DataType] = n match {
+    case NumberNode(_, isInt) => Some(if (isInt) LongType else DoubleType)
+    case StringNode(_) => Some(StringType)
+    case BoolNode(_)   => Some(BooleanType)
+    case NullNode      => Some(NullType)
+    case ArrayNode(items) =>
+      items.headOption.flatMap(typeOf(_, ctx)).map(ArrayType(_)).orElse(Some(ArrayType(StringType)))
+    case IdentityNode(parts) => ctx.fieldType(parts)
+    case BinaryNode(op, l, r, _) if arithOps.contains(op) =>
+      (typeOf(l, ctx), typeOf(r, ctx)) match {
+        case (Some(a), Some(b)) if integral(a) && integral(b) && op != "/" => Some(LongType)
+        case (Some(a), Some(b)) if numeric(a) && numeric(b) => Some(DoubleType)
+        case _ => None
+      }
+    case BinaryNode(_, _, _, _) | BooleanNode(_, _, _) | TriNode(_, _, _, _, _) => Some(BooleanType)
+    case UnaryNode("-", c) => typeOf(c, ctx)
+    case UnaryNode(_, _) => Some(BooleanType)
+    case FuncNode(name, args) => FuncRegistry.returnType(name, args, ctx)
+    case IncludeNode(_, _) => Some(BooleanType)
+  }
+}
+
+final case class BuildException(msg: String) extends RuntimeException(msg)

@@ -1,0 +1,194 @@
+package graft.expr
+
+import Lexer._
+
+/** Recursive-descent expression parser with MySQL-style precedence,
+  * covering the qlbridge expression grammar
+  * (/root/reference/expr/parse.go:280-320 behavior): n-ary AND/OR (both
+  * infix and FilterQL function form `AND(a, b, …)`), NOT LIKE/IN/
+  * CONTAINS/INTERSECTS/BETWEEN negation, EXISTS ident, INCLUDE name,
+  * tuple and bracket array literals, dotted identifiers and dotted
+  * function names (`string.uppercase`).
+  */
+final class ExprParser(tokens: Vector[Token]) {
+  private var p = 0
+  private def cur: Token = tokens(p)
+  private def advance(): Token = { val t = tokens(p); p += 1; t }
+  private def expectOp(s: String): Unit =
+    if (cur.kind == TOp && cur.text == s) p += 1
+    else fail(s"expected '$s' but found '${cur.text}'")
+  private def fail(msg: String): Nothing =
+    throw ParseException(s"$msg (at pos ${cur.pos})")
+
+  def pos: Int = p
+  def setPos(np: Int): Unit = { p = np }
+  def current: Token = cur
+  def next(): Token = advance()
+  def atEof: Boolean = cur.kind == TEof
+
+  def parseFull(): Node = {
+    val n = parseExpr()
+    if (!atEof) fail(s"unexpected trailing input '${cur.text}'")
+    n
+  }
+
+  def parseExpr(): Node = parseOr()
+
+  private def parseOr(): Node = {
+    var left = parseAnd()
+    val items = collection.mutable.ArrayBuffer(left)
+    while (cur.isKeyword("OR") || cur.is("||")) { advance(); items += parseAnd() }
+    if (items.size == 1) left else BooleanNode("OR", items.toSeq)
+  }
+
+  private def parseAnd(): Node = {
+    val first = parseNot()
+    val items = collection.mutable.ArrayBuffer(first)
+    while (cur.isKeyword("AND") || cur.is("&&")) { advance(); items += parseNot() }
+    if (items.size == 1) first else BooleanNode("AND", items.toSeq)
+  }
+
+  private def parseNot(): Node =
+    if (cur.isKeyword("NOT") && !tokens(p + 1).is("(")) { advance(); UnaryNode("NOT", parseNot()) }
+    else parseComparison()
+
+  private val cmpOps = Set("==", "=", "!=", "<>", ">", ">=", "<", "<=")
+
+  private def parseComparison(): Node = {
+    val left = parseAdditive()
+    var negated = false
+    if (cur.isKeyword("NOT")) { negated = true; advance() }
+    if (cur.kind == TOp && cmpOps.contains(cur.text)) {
+      if (negated) fail("NOT before comparison operator")
+      val op = advance().text
+      BinaryNode(op, left, parseAdditive())
+    } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("CONTAINS")) { advance(); BinaryNode("CONTAINS", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("INTERSECTS")) { advance(); BinaryNode("INTERSECTS", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("IN")) { advance(); BinaryNode("IN", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("BETWEEN")) {
+      advance()
+      val lo = parseAdditive()
+      if (!cur.isKeyword("AND")) fail("expected AND in BETWEEN")
+      advance()
+      TriNode("BETWEEN", left, lo, parseAdditive(), negated)
+    } else if (cur.isKeyword("IS")) {
+      advance()
+      var neg = false
+      if (cur.isKeyword("NOT")) { neg = true; advance() }
+      if (!cur.isKeyword("NULL")) fail("expected NULL after IS")
+      advance()
+      BinaryNode("IS", left, NullNode, neg)
+    } else {
+      if (negated) fail("dangling NOT")
+      left
+    }
+  }
+
+  private def parseAdditive(): Node = {
+    var left = parseMultiplicative()
+    while (cur.is("+") || cur.is("-")) {
+      val op = advance().text
+      left = BinaryNode(op, left, parseMultiplicative())
+    }
+    left
+  }
+
+  private def parseMultiplicative(): Node = {
+    var left = parseUnary()
+    while (cur.is("*") || cur.is("/") || cur.is("%")) {
+      // '*' only binds as multiplication when something follows it that
+      // can start an operand (protects `SELECT *` handled by SQL parser).
+      val op = advance().text
+      left = BinaryNode(op, left, parseUnary())
+    }
+    left
+  }
+
+  private def parseUnary(): Node = {
+    if (cur.is("!")) { advance(); UnaryNode("!", parseUnary()) }
+    else if (cur.is("-")) { advance(); UnaryNode("-", parseUnary()) }
+    else if (cur.isKeyword("EXISTS")) { advance(); UnaryNode("EXISTS", parseUnary()) }
+    else parsePrimary()
+  }
+
+  private def parsePrimary(): Node = cur.kind match {
+    case TNumber =>
+      val t = advance().text
+      val isInt = !t.exists(c => c == '.' || c == 'e' || c == 'E')
+      NumberNode(t.toDouble, isInt)
+    case TString => StringNode(advance().text)
+    case TIdent =>
+      val t = cur
+      if (t.isKeyword("TRUE")) { advance(); BoolNode(true) }
+      else if (t.isKeyword("FALSE")) { advance(); BoolNode(false) }
+      else if (t.isKeyword("NULL")) { advance(); NullNode }
+      else if (t.isKeyword("INCLUDE")) {
+        advance()
+        if (cur.kind != TIdent) fail("expected identifier after INCLUDE")
+        IncludeNode(advance().text)
+      } else if (t.isKeyword("NOT") && tokens(p + 1).is("(")) {
+        advance(); // FilterQL `NOT ( expr )` / `NOT(expr)`
+        val args = parseParenList()
+        if (args.size != 1) fail("NOT(...) takes one argument")
+        UnaryNode("NOT", args.head)
+      } else if ((t.isKeyword("AND") || t.isKeyword("OR")) && tokens(p + 1).is("(")) {
+        val op = advance().text.toUpperCase // FilterQL n-ary form AND(a, b, …)
+        BooleanNode(op, parseParenList())
+      } else {
+        // dotted name: ident (. ident)* — then func call or identity
+        val parts = collection.mutable.ArrayBuffer(advance().text)
+        while (cur.is(".") && tokens(p + 1).kind == TIdent) {
+          advance(); parts += advance().text
+        }
+        if (cur.is("(")) {
+          val name = parts.mkString(".")
+          FuncNode(name.toLowerCase, parseParenList(allowStar = true))
+        } else IdentityNode(parts.toSeq)
+      }
+    case TOp if cur.text == "(" =>
+      val items = parseParenList()
+      if (items.size == 1) items.head else ArrayNode(items)
+    case TOp if cur.text == "[" =>
+      advance()
+      val items = collection.mutable.ArrayBuffer[Node]()
+      if (!cur.is("]")) {
+        items += parseExpr()
+        while (cur.is(",")) { advance(); items += parseExpr() }
+      }
+      expectOp("]")
+      ArrayNode(items.toSeq)
+    case TOp if cur.text == "*" =>
+      advance(); IdentityNode(Seq("*"))
+    case TOp if cur.text == "@" || cur.text == "@@" =>
+      val prefix = advance().text // session / global var reference
+      if (cur.kind != TIdent) fail("expected identifier after " + prefix)
+      val parts = collection.mutable.ArrayBuffer(prefix + advance().text)
+      while (cur.is(".") && tokens(p + 1).kind == TIdent) { advance(); parts += advance().text }
+      IdentityNode(parts.toSeq)
+    case _ => fail(s"unexpected token '${cur.text}'")
+  }
+
+  private def parseParenList(allowStar: Boolean = false): Seq[Node] = {
+    expectOp("(")
+    val items = collection.mutable.ArrayBuffer[Node]()
+    if (!cur.is(")")) {
+      items += parseExpr()
+      if (cur.isKeyword("AS")) { // CAST(x AS type)
+        advance()
+        if (cur.kind != TIdent) fail("expected type after AS")
+        items += StringNode(advance().text)
+      }
+      while (cur.is(",")) { advance(); items += parseExpr() }
+    }
+    expectOp(")")
+    items.toSeq
+  }
+}
+
+final case class ParseException(msg: String) extends RuntimeException(msg)
+
+object ExprParser {
+  /** Parse one standalone expression (the reference's `expr.MustParse`). */
+  def parse(input: String): Node = new ExprParser(Lexer.lex(input)).parseFull()
+}

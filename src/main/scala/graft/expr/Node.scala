@@ -1,0 +1,67 @@
+package graft.expr
+
+/** Expression AST for the qlbridge expression language.
+  *
+  * Shape mirrors the reference's node taxonomy (see
+  * /root/reference/expr/node.go:170-312: IdentityNode, StringNode,
+  * NumberNode, ValueNode, BinaryNode, BooleanNode, TriNode, UnaryNode,
+  * FuncNode, IncludeNode, ArrayNode, NullNode) — re-expressed as Scala
+  * case classes. Evaluation is NOT a tree-walking VM: `ColumnBuilder`
+  * compiles a Node to an `org.apache.spark.sql.Column`, so every
+  * expression runs inside Catalyst/whole-stage codegen.
+  */
+sealed trait Node {
+  /** Round-trippable text form (used by tests and error messages). */
+  def text: String
+}
+
+/** `user_id`, `t.column`, backtick-quoted identifiers. `parts` keeps the
+  * dotted path: Seq("t","column") or Seq("hits") etc. */
+final case class IdentityNode(parts: Seq[String]) extends Node {
+  def name: String = parts.mkString(".")
+  def text: String = name
+}
+object IdentityNode { def apply(name: String): IdentityNode = IdentityNode(name.split('.').toSeq) }
+
+final case class StringNode(v: String) extends Node { def text = "\"" + v + "\"" }
+final case class NumberNode(d: Double, isInt: Boolean) extends Node {
+  def text: String = if (isInt) d.toLong.toString else d.toString
+}
+final case class BoolNode(v: Boolean) extends Node { def text = v.toString }
+case object NullNode extends Node { def text = "NULL" }
+final case class ArrayNode(items: Seq[Node]) extends Node {
+  def text: String = items.map(_.text).mkString("[", ", ", "]")
+}
+
+/** Binary operator: arithmetic (+ - * / %), comparison (= == != <> > >=
+  * < <=), LIKE / CONTAINS / IN / INTERSECTS. `negated` covers NOT LIKE,
+  * NOT IN, … */
+final case class BinaryNode(op: String, l: Node, r: Node, negated: Boolean = false) extends Node {
+  def text: String = s"${l.text} ${if (negated) "NOT " else ""}$op ${r.text}"
+}
+
+/** N-ary AND / OR (the reference's BooleanNode, expr/node.go). */
+final case class BooleanNode(op: String, args: Seq[Node], negated: Boolean = false) extends Node {
+  def text: String = args.map(_.text).mkString(s"${if (negated) "NOT " else ""}$op (", ", ", ")")
+}
+
+/** `!expr`, `NOT expr`, `-expr`, `EXISTS ident`. */
+final case class UnaryNode(op: String, child: Node) extends Node {
+  def text = s"$op ${child.text}"
+}
+
+/** `x BETWEEN a AND b` — reference semantics are EXCLUSIVE on both ends
+  * (/root/reference/vm/vm.go:868). */
+final case class TriNode(op: String, a: Node, b: Node, c: Node, negated: Boolean = false) extends Node {
+  def text = s"${a.text} ${if (negated) "NOT " else ""}$op ${b.text} AND ${c.text}"
+}
+
+/** Function call; name may be dotted (`string.uppercase`). */
+final case class FuncNode(name: String, args: Seq[Node]) extends Node {
+  def text: String = args.map(_.text).mkString(s"$name(", ", ", ")")
+}
+
+/** `INCLUDE name` — splice of a named stored filter (FilterQL). */
+final case class IncludeNode(name: String, negated: Boolean = false) extends Node {
+  def text = s"${if (negated) "NOT " else ""}INCLUDE $name"
+}
