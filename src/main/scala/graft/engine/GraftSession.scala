@@ -1,0 +1,282 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.expr._
+import graft.rel._
+
+/** The engine's user-facing session: a source registry + session state +
+  * statement dispatch, mirroring the reference's schema registry /
+  * `database/sql` driver surface (/root/reference/schema/registry.go,
+  * exec/sqldriver.go, exec/command.go, exec/ddl.go).
+  *
+  * `sql(text)` accepts the full dialect: SELECT (incl. joins, group by,
+  * having, order, limit/offset, INTO), INSERT/UPDATE/UPSERT/DELETE on
+  * registered mutable tables, SET @var / USE, SHOW/DESCRIBE rewritten as
+  * catalog DataFrames (plan/sql_rewrite.go:49-245 behavior), CREATE
+  * SOURCE/TABLE/VIEW WITH {json}, DROP, transaction no-ops, and
+  * FilterQL FILTER statements.
+  */
+final class GraftSession(val spark: SparkSession) {
+
+  /** name → loader; kept lazy so CREATE SOURCE can register paths before
+    * files exist and schemas refresh on access (schema/schema.go:23). */
+  private val tables = collection.concurrent.TrieMap.empty[String, () => DataFrame]
+  private val sessionVars = collection.concurrent.TrieMap.empty[String, Any]
+  private val namedFilters = collection.concurrent.TrieMap.empty[String, Node]
+
+  // ---- registry (schema.RegisterSourceAsSchema ≙) ---------------------
+
+  def registerTable(name: String, df: DataFrame): Unit =
+    tables.put(name.toLowerCase, () => df)
+  def registerLazy(name: String, load: () => DataFrame): Unit =
+    tables.put(name.toLowerCase, load)
+  def registerParquet(name: String, path: String): Unit =
+    registerLazy(name, () => spark.read.parquet(path))
+  def registerCsv(name: String, path: String): Unit =
+    registerLazy(name, () => spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+  def registerJson(name: String, path: String): Unit =
+    registerLazy(name, () => spark.read.json(path))
+  def dropTable(name: String): Unit = tables.remove(name.toLowerCase)
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+  def table(name: String): DataFrame =
+    tables.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown table '$name'"))()
+
+  /** Named stored filters for FilterQL INCLUDE resolution. */
+  def addFilter(name: String, filterQl: String): Unit = {
+    SqlParser.parse(filterQl) match {
+      case FilterStatement(f, _, _, _) => namedFilters.put(name.toLowerCase, f)
+      case _ => namedFilters.put(name.toLowerCase, ExprParser.parse(filterQl))
+    }
+  }
+  def setVar(name: String, v: Any): Unit = sessionVars.put(name.stripPrefix("@@").stripPrefix("@"), v)
+  def getVar(name: String): Option[Any] = sessionVars.get(name.stripPrefix("@@").stripPrefix("@"))
+
+  private def includer(name: String): Option[Node] = namedFilters.get(name.toLowerCase)
+
+  private def planner = new Planner(table, sessionVars.toMap, includer)
+
+  // ---- statement dispatch (exec/executor.go WalkPlan ≙) ---------------
+
+  def sql(text: String): DataFrame = SqlParser.parse(text) match {
+    case sel: SqlSelect =>
+      val df = planner.plan(sel)
+      sel.into match {
+        case Some(t) => val m = df.cache(); registerTable(t, m); m
+        case None => df
+      }
+    case f: FilterStatement => filterDf(f)
+    case fs: FilterSelect =>
+      val base = fs.from.map(table).getOrElse(emptyDf())
+      val ctx = BuildCtx(Some(base.schema), sessionVars.toMap, includer)
+      var out = base.filter(ColumnBuilder.build(fs.filter, ctx).cast("boolean"))
+      out = out.select(fs.columns.map(c => ColumnBuilder.build(c.expr, ctx).as(c.outputName)): _*)
+      fs.limit.map(out.limit).getOrElse(out)
+    case ins: SqlInsert => runInsert(ins); emptyOk()
+    case up: SqlUpdate => runUpdate(up); emptyOk()
+    case up: SqlUpsert => runUpsert(up); emptyOk()
+    case del: SqlDelete => runDelete(del); emptyOk()
+    case SqlSet(name, v) => setVar(name, literal(v)); emptyOk()
+    case SqlUse(_) => emptyOk()
+    case show: SqlShow => runShow(show)
+    case SqlDescribe(t) => describe(t)
+    case SqlExplain(stmt) => stmt match {
+      case sel: SqlSelect =>
+        val plan = planner.plan(sel).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        spark.createDataFrame(
+          java.util.List.of(Row(plan)), StructType(Seq(StructField("plan", StringType))))
+      case _ => emptyOk()
+    }
+    case c: SqlCreate => runCreate(c); emptyOk()
+    case SqlDrop(_, name, ifExists) =>
+      if (!ifExists && !tables.contains(name.toLowerCase))
+        throw new IllegalArgumentException(s"unknown table '$name'")
+      dropTable(name); emptyOk()
+    case SqlNoop(_) => emptyOk()
+  }
+
+  /** FilterQL match: `FILTER <expr> FROM t` → filtered DataFrame
+    * (vm.Matches over a source, vm/filterqlvm.go:75-106). */
+  def filterDf(f: FilterStatement): DataFrame = {
+    val base = f.from.map(table).getOrElse(
+      throw new IllegalArgumentException("FILTER needs FROM <table> in engine context"))
+    val ctx = BuildCtx(Some(base.schema), sessionVars.toMap, includer)
+    val out = base.filter(ColumnBuilder.build(f.filter, ctx).cast("boolean"))
+    f.limit.map(out.limit).getOrElse(out)
+  }
+
+  /** Single-row FilterQL match against a literal context (vm.Matches). */
+  def matches(filterQl: String, row: Map[String, Any]): Boolean = {
+    val f = SqlParser.parse(filterQl) match {
+      case FilterStatement(n, _, _, _) => n
+      case _ => ExprParser.parse(filterQl)
+    }
+    val fields = row.toSeq.map { case (k, v) => StructField(k, literalType(v)) }
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(row.values.toSeq: _*)), StructType(fields))
+    val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
+    val res = df.select(coalesce(ColumnBuilder.build(f, ctx).cast(BooleanType), lit(false))).head()
+    res.getBoolean(0)
+  }
+
+  // ---- DML on in-mem mutable tables (exec/mutations.go ≙) -------------
+
+  private def runInsert(ins: SqlInsert): Unit = {
+    val target = table(ins.table)
+    val newRows = ins.select match {
+      case Some(sel) => planner.plan(sel).toDF(ins.columns: _*)
+      case None => rowsDf(ins.columns, ins.values, target.schema)
+    }
+    val aligned = alignTo(newRows, target.schema)
+    registerTable(ins.table, target.unionByName(aligned, allowMissingColumns = true))
+  }
+
+  private def runUpdate(up: SqlUpdate): Unit = {
+    val target = table(up.table)
+    val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
+    val cond = up.where.map(w => ColumnBuilder.build(w, ctx).cast(BooleanType)).getOrElse(lit(true))
+    var out = target
+    for ((name, vNode) <- up.set) {
+      val v = ColumnBuilder.build(vNode, ctx)
+      val orig = target.schema.fields.find(_.name.equalsIgnoreCase(name))
+      val typed = orig.map(f => v.cast(f.dataType)).getOrElse(v)
+      out = out.withColumn(name, when(cond, typed).otherwise(col(name)))
+    }
+    registerTable(up.table, out.cache())
+  }
+
+  private def runUpsert(up: SqlUpsert): Unit = {
+    // keyed replace-or-insert on the first column (reference upserts by
+    // table key — schema/datasource.go ConnUpsert)
+    val target = table(up.table)
+    if (up.values.nonEmpty) {
+      val newRows = alignTo(rowsDf(up.columns, up.values, target.schema), target.schema)
+      val keyCol = up.columns.headOption.getOrElse(target.columns.head)
+      val kept = target.join(newRows.select(col(keyCol).as("__k")),
+        col(keyCol) === col("__k"), "left_anti")
+      registerTable(up.table, kept.unionByName(newRows, allowMissingColumns = true).cache())
+    }
+  }
+
+  private def runDelete(del: SqlDelete): Unit = {
+    val target = table(del.table)
+    val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
+    val cond = del.where.map(w => ColumnBuilder.build(w, ctx).cast(BooleanType)).getOrElse(lit(true))
+    registerTable(del.table, target.filter(!coalesce(cond, lit(false))).cache())
+  }
+
+  private def rowsDf(cols: Seq[String], values: Seq[Seq[Node]], target: StructType): DataFrame = {
+    val names = if (cols.nonEmpty) cols else target.fieldNames.toSeq
+    val rows = values.map(vs => Row(vs.map(literal): _*))
+    val fields = names.zipWithIndex.map { case (n, i) =>
+      val dt = target.fields.find(_.name.equalsIgnoreCase(n)).map(_.dataType)
+        .getOrElse(literalType(values.head(i) match { case v => literal(v) }))
+      StructField(n, dt)
+    }
+    // build with inferred literal types then cast to target
+    val litFields = names.zipWithIndex.map { case (n, i) =>
+      StructField(n, literalType(literal(values.head(i))))
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), StructType(litFields))
+    df.select(fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.map(_.toLowerCase).toSet
+    val cols = target.fields.toSeq.map { f =>
+      if (present.contains(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  // ---- SHOW / DESCRIBE as DataFrames (plan/sql_rewrite.go ≙) ----------
+
+  private def runShow(s: SqlShow): DataFrame = s.kind match {
+    case "TABLES" =>
+      var df = seqDf("Table", tableNames)
+      s.like.foreach(p => df = df.filter(regexp_like(col("Table"),
+        lit(ColumnBuilder.globToRegex(p)))))
+      s.where.foreach { w =>
+        val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
+        df = df.filter(ColumnBuilder.build(w, ctx).cast(BooleanType))
+      }
+      df
+    case "DATABASES" => seqDf("Database", Seq("default"))
+    case "VARIABLES" =>
+      val rows = sessionVars.toSeq.sortBy(_._1).map { case (k, v) => Row(k, String.valueOf(v)) }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("Variable_name", StringType), StructField("Value", StringType))))
+    case "COLUMNS" | "FULL COLUMNS" =>
+      describe(s.target.getOrElse(throw new IllegalArgumentException("SHOW COLUMNS needs FROM <table>")))
+    case "CREATE" =>
+      val t = s.target.get
+      val ddl = table(t).schema.fields
+        .map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(s"CREATE TABLE `$t` (\n", ",\n", "\n)")
+      spark.createDataFrame(java.util.List.of(Row(t, ddl)),
+        StructType(Seq(StructField("Table", StringType), StructField("Create Table", StringType))))
+    case other => throw new IllegalArgumentException(s"SHOW $other not supported")
+  }
+
+  private def describe(t: String): DataFrame = {
+    val rows = table(t).schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.sql.toLowerCase, if (f.nullable) "YES" else "NO"))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("Field", StringType), StructField("Type", StringType),
+        StructField("Null", StringType))))
+  }
+
+  private def runCreate(c: SqlCreate): Unit = c.kind match {
+    case "SOURCE" | "SCHEMA" =>
+      // CREATE SOURCE name WITH {"type":"csv","path":"..."} (exec/ddl.go:21-160)
+      val conf = c.withJson.getOrElse("{}")
+      val get = (k: String) =>
+        s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(conf).map(_.group(1))
+      (get("type"), get("path")) match {
+        case (Some("csv"), Some(p)) => registerCsv(c.name, p)
+        case (Some("json"), Some(p)) => registerJson(c.name, p)
+        case (Some("parquet"), Some(p)) => registerParquet(c.name, p)
+        case _ => // registered empty; becomes usable when a writer fills it
+          registerTable(c.name, emptyDf())
+      }
+    case "TABLE" | "VIEW" | "CONTINUOUSVIEW" =>
+      c.select match {
+        case Some(sel) => registerTable(c.name, planner.plan(sel).cache())
+        case None => registerTable(c.name, emptyDf())
+      }
+    case other => throw new IllegalArgumentException(s"CREATE $other not supported")
+  }
+
+  // ---- small utilities ------------------------------------------------
+
+  private def emptyDf(): DataFrame = spark.range(0).toDF("id")
+  private def emptyOk(): DataFrame =
+    spark.createDataFrame(java.util.List.of(Row("ok")),
+      StructType(Seq(StructField("status", StringType))))
+  private def seqDf(colName: String, vals: Seq[String]): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(vals.map(Row(_)): _*),
+      StructType(Seq(StructField(colName, StringType))))
+
+  private def literal(n: Node): Any = n match {
+    case StringNode(s) => s
+    case NumberNode(d, true) => d.toLong
+    case NumberNode(d, false) => d
+    case BoolNode(b) => b
+    case NullNode => null
+    case UnaryNode("-", NumberNode(d, true)) => -d.toLong
+    case UnaryNode("-", NumberNode(d, false)) => -d
+    case other => throw new IllegalArgumentException(s"expected literal, got ${other.text}")
+  }
+
+  private def literalType(v: Any): DataType = v match {
+    case _: java.lang.Long | _: java.lang.Integer => LongType
+    case _: java.lang.Double | _: java.lang.Float => DoubleType
+    case _: java.lang.Boolean => BooleanType
+    case _: java.sql.Timestamp => TimestampType
+    case _ => StringType
+  }
+}

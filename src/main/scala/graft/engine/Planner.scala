@@ -1,0 +1,270 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import graft.expr._
+import graft.rel._
+
+/** Statement → DataFrame planner, mirroring the reference's
+  * PlannerDefault.WalkSelect pipeline (/root/reference/plan/
+  * planner_select.go:27-141): Source(s) → Join → Where → GroupBy →
+  * Having → Order → Projection → Limit — except each stage is a lazy
+  * DataFrame transformation, so Catalyst performs predicate pushdown,
+  * column pruning, join selection (broadcast vs shuffle) and AQE
+  * replanning that the reference hand-rolls (rel/sql_rewrite.go) or
+  * lacks entirely.
+  */
+final class Planner(catalog: String => DataFrame,
+    vars: Map[String, Any] = Map.empty,
+    includer: String => Option[Node] = _ => None) {
+
+  def plan(sel: SqlSelect): DataFrame = {
+    if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
+      val ctx = BuildCtx(None, vars, includer)
+      return applyLimit(catalogFreeRow().select(projCols(sel.columns, ctx): _*), sel)
+    }
+
+    // ---- sources + joins (exec/join.go ≙ df.join) ---------------------
+    var df = source(sel.from.head)
+    for (src <- sel.from.tail) {
+      val right = source(src)
+      val joined = (src.joinType, src.joinOn) match {
+        case (JoinType.Cross, None) => df.crossJoin(right)
+        case (jt, Some(on)) =>
+          val ctx = mkCtx(df, right)
+          df.join(right, ColumnBuilder.build(on, ctx), JoinType.spark(jt))
+        case (jt, None) => df.crossJoin(right)
+      }
+      df = joined
+    }
+    val ctx = mkCtx(df)
+
+    // ---- where (exec/where.go); IN-subqueries → semi/anti joins -------
+    sel.where.foreach { w =>
+      val (subqs, rest) = splitSubqueries(w)
+      for ((left, sub, negated) <- subqs) {
+        val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
+        val subCol = subDf.columns.head
+        val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
+        df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
+          if (negated) "left_anti" else "left_semi")
+      }
+      rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
+    }
+
+    val postWhereCtx = mkCtx(df)
+
+    // ---- projection planning -----------------------------------------
+    val cols = sel.columns
+    val isAgg = sel.groupBy.nonEmpty || cols.exists(c => containsAgg(c.expr))
+
+    if (!isAgg) {
+      var out = df
+      // ORDER BY before projection so sort keys may reference
+      // non-projected columns; Spark preserves sort through select.
+      if (sel.orderBy.nonEmpty && !sel.distinct)
+        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
+          val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
+          if (asc) c.asc else c.desc
+        }: _*)
+      out = out.select(projCols(cols, mkCtx(out)): _*)
+      if (sel.distinct) out = out.distinct()
+      if (sel.distinct && sel.orderBy.nonEmpty)
+        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
+          val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
+          if (asc) c.asc else c.desc
+        }: _*)
+      applyLimit(out, sel)
+    } else {
+      // ---- group by / aggregation (exec/groupby.go) -------------------
+      val keyNodes = sel.groupBy
+      def matchesKey(n: Node): Boolean = keyNodes.exists(k => sameExpr(k, n, cols))
+      val keyCols: Seq[Column] = keyNodes.map { k =>
+        val name = cols.find(c => sameExpr(k, c.expr, cols)).map(_.outputName)
+          .getOrElse(Ast.defaultName(k))
+        ColumnBuilder.build(k, postWhereCtx).as(name)
+      }
+      val aggCols: Seq[Column] = cols.flatMap { c =>
+        if (containsAgg(c.expr)) Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
+        else if (matchesKey(c.expr)) None // already a key
+        else Some(first(ColumnBuilder.build(c.expr, postWhereCtx)).as(c.outputName)) // group passthrough
+      }
+      // HAVING / ORDER BY aggregates not in the select list
+      val extraAggNodes = (sel.having.toSeq ++ sel.orderBy.map(_._1))
+        .flatMap(collectAggs)
+        .filterNot(a => cols.exists(c => c.expr.text == a.text))
+        .distinct
+      val extraCols = extraAggNodes.zipWithIndex.map { case (n, i) =>
+        ColumnBuilder.build(n, postWhereCtx).as(s"__agg_$i")
+      }
+      val aggAll = aggCols ++ extraCols
+      var out =
+        if (keyCols.isEmpty) df.agg(aggAll.head, aggAll.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+
+      // substitution map: agg/select expr text → output column name
+      val subst: Map[String, String] =
+        cols.map(c => c.expr.text -> c.outputName).toMap ++
+        cols.flatMap(c => c.alias.map(a => a -> a)).toMap ++
+        extraAggNodes.zipWithIndex.map { case (n, i) => n.text -> s"__agg_$i" }.toMap ++
+        keyNodes.map(k => k.text -> cols.find(c => sameExpr(k, c.expr, cols))
+          .map(_.outputName).getOrElse(Ast.defaultName(k))).toMap
+
+      val outCtx = mkCtx(out)
+      sel.having.foreach { h =>
+        out = out.filter(ColumnBuilder.build(substitute(h, subst), outCtx).cast("boolean"))
+      }
+      if (sel.orderBy.nonEmpty)
+        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
+          val c = ColumnBuilder.build(substitute(n, subst), mkCtx(out))
+          if (asc) c.asc else c.desc
+        }: _*)
+      // final projection in select order, dropping hidden agg columns
+      val finalNames = cols.map { c =>
+        if (!containsAgg(c.expr) && matchesKey(c.expr))
+          keyNodes.find(k => sameExpr(k, c.expr, cols)).map(k =>
+            cols.find(cc => sameExpr(k, cc.expr, cols)).map(_.outputName)
+              .getOrElse(Ast.defaultName(k))).getOrElse(c.outputName)
+        else c.outputName
+      }
+      out = out.select(finalNames.map(col): _*)
+      if (sel.distinct) out = out.distinct()
+      applyLimit(out, sel)
+    }
+  }
+
+  // ---- helpers --------------------------------------------------------
+
+  private var oneRow: DataFrame = _
+  private def catalogFreeRow(): DataFrame = {
+    if (oneRow == null) oneRow = org.apache.spark.sql.SparkSession.active.range(1).toDF("__r")
+    oneRow
+  }
+
+  private def source(src: FromSource): DataFrame = {
+    val df = src match {
+      case TableSource(name, alias, _, _) =>
+        val d = catalog(name)
+        alias.map(d.alias).getOrElse(d.alias(name))
+      case SubquerySource(sub, alias, _, _) =>
+        new Planner(catalog, vars, includer).plan(sub).alias(alias)
+    }
+    aliasSchemas.put(src.aliasName, df.schema)
+    df
+  }
+
+  /** alias → schema for every source seen by this planner, so qualified
+    * identities (`u.email`) keep their types for coercion decisions even
+    * after the join flattens the plan. */
+  private val aliasSchemas = collection.mutable.LinkedHashMap[String, StructType]()
+
+  /** Build context whose synthetic schema carries both bare and
+    * alias-qualified field names so identity resolution and type-aware
+    * coercion work across joins. */
+  private def mkCtx(dfs: DataFrame*): BuildCtx = {
+    val fields = collection.mutable.ArrayBuffer[StructField]()
+    val seen = collection.mutable.HashSet[String]()
+    for (df <- dfs; f <- df.schema.fields)
+      if (seen.add(f.name.toLowerCase)) fields += f
+    for ((a, st) <- aliasSchemas; f <- st.fields)
+      if (seen.add(s"$a.${f.name}".toLowerCase)) fields += StructField(s"$a.${f.name}", f.dataType)
+    BuildCtx(Some(StructType(fields.toSeq)), vars, includer)
+  }
+
+  private def projCols(cols: Seq[SelectColumn], ctx: BuildCtx): Seq[Column] =
+    cols.map { c =>
+      c.expr match {
+        case IdentityNode(Seq("*")) => col("*")
+        case _ =>
+          val base = ColumnBuilder.build(c.expr, ctx)
+          val guarded = c.guard match {
+            case Some(g) => when(ColumnBuilder.build(g, ctx).cast("boolean"), base)
+            case None => base
+          }
+          guarded.as(c.outputName)
+      }
+    }
+
+  private def applyLimit(df: DataFrame, sel: SqlSelect): DataFrame = {
+    var out = df
+    sel.offset.foreach(o => out = out.offset(o))
+    sel.limit.foreach(l => out = out.limit(l))
+    out
+  }
+
+  /** Split top-level AND conjuncts into IN-subquery terms and the rest. */
+  private def splitSubqueries(w: Node): (Seq[(Node, SubqueryNode, Boolean)], Option[Node]) = {
+    val conjuncts = w match {
+      case BooleanNode("AND", args, false) => args
+      case other => Seq(other)
+    }
+    val subqs = collection.mutable.ArrayBuffer[(Node, SubqueryNode, Boolean)]()
+    val rest = collection.mutable.ArrayBuffer[Node]()
+    conjuncts.foreach {
+      case BinaryNode("IN", l, s: SubqueryNode, neg) => subqs += ((l, s, neg))
+      case other => rest += other
+    }
+    val restNode = rest.size match {
+      case 0 => None
+      case 1 => Some(rest.head)
+      case _ => Some(BooleanNode("AND", rest.toSeq))
+    }
+    (subqs.toSeq, restNode)
+  }
+
+  private def parseSub(s: SubqueryNode): SqlSelect =
+    new SqlParser(s.tokens).parseStatement() match {
+      case sel: SqlSelect => sel
+      case other => throw BuildException("subquery must be a SELECT")
+    }
+
+  private def containsAgg(n: Node): Boolean = n match {
+    case FuncNode(name, args) => FuncRegistry.isAgg(name) || args.exists(containsAgg)
+    case BinaryNode(_, l, r, _) => containsAgg(l) || containsAgg(r)
+    case BooleanNode(_, args, _) => args.exists(containsAgg)
+    case UnaryNode(_, c) => containsAgg(c)
+    case TriNode(_, a, b, c, _) => containsAgg(a) || containsAgg(b) || containsAgg(c)
+    case _ => false
+  }
+
+  private def collectAggs(n: Node): Seq[Node] = n match {
+    case f @ FuncNode(name, _) if FuncRegistry.isAgg(name) => Seq(f)
+    case FuncNode(_, args) => args.flatMap(collectAggs)
+    case BinaryNode(_, l, r, _) => collectAggs(l) ++ collectAggs(r)
+    case BooleanNode(_, args, _) => args.flatMap(collectAggs)
+    case UnaryNode(_, c) => collectAggs(c)
+    case TriNode(_, a, b, c, _) => collectAggs(a) ++ collectAggs(b) ++ collectAggs(c)
+    case _ => Nil
+  }
+
+  /** Two expressions denote the same key if their text matches, or one
+    * is an identity naming the other's alias. */
+  private def sameExpr(a: Node, b: Node, cols: Seq[SelectColumn]): Boolean =
+    a.text == b.text ||
+      (a match { case IdentityNode(p) => cols.exists(c => c.alias.contains(p.mkString(".")) && c.expr.text == b.text); case _ => false }) ||
+      (b match { case IdentityNode(p) => cols.exists(c => c.alias.contains(p.mkString(".")) && c.expr.text == a.text); case _ => false })
+
+  /** ORDER BY may name a select alias — swap in the aliased expression. */
+  private def resolveAlias(n: Node, cols: Seq[SelectColumn]): Node = n match {
+    case IdentityNode(parts) =>
+      cols.find(_.alias.contains(parts.mkString("."))).map(_.expr).getOrElse(n)
+    case _ => n
+  }
+
+  /** Replace subtrees whose text appears in the substitution map with a
+    * column reference to the aggregated output. */
+  private def substitute(n: Node, subst: Map[String, String]): Node =
+    subst.get(n.text) match {
+      case Some(name) => IdentityNode(Seq(name))
+      case None => n match {
+        case BinaryNode(op, l, r, neg) => BinaryNode(op, substitute(l, subst), substitute(r, subst), neg)
+        case BooleanNode(op, args, neg) => BooleanNode(op, args.map(substitute(_, subst)), neg)
+        case UnaryNode(op, c) => UnaryNode(op, substitute(c, subst))
+        case TriNode(op, a, b, c, neg) =>
+          TriNode(op, substitute(a, subst), substitute(b, subst), substitute(c, subst), neg)
+        case FuncNode(name, args) => FuncNode(name, args.map(substitute(_, subst)))
+        case other => other
+      }
+    }
+}

@@ -73,6 +73,8 @@ object ColumnBuilder {
       if (neg) !c else c
     case t: TriNode => throw BuildException(s"unsupported ternary op ${t.op}")
     case FuncNode(name, args) => FuncRegistry.build(name, args, ctx)
+    case s: SubqueryNode =>
+      throw BuildException("subquery expressions are only supported as `x IN (SELECT …)` in WHERE")
     case IncludeNode(name, neg) =>
       ctx.includer(name) match {
         case Some(n) =>
@@ -104,9 +106,7 @@ object ColumnBuilder {
             case _: MapType | _: StructType => col(parts.head).getItem(parts.tail.mkString("."))
             case _ => col(parts.last) // table.column with single-df context
           }
-        } else if (parts.length > 1 && st.fieldNames.exists(_.equalsIgnoreCase(parts.last))) {
-          col(parts.last) // alias-qualified t.col resolved to col
-        } else col(name)  // let Catalyst raise the unknown-column error
+        } else col(name)  // qualified t.col (Spark resolves via alias) or unknown-column error
       case None => col(name)
     }
   }
@@ -148,6 +148,16 @@ object ColumnBuilder {
 
   /** Comparison with the reference's coercion matrix (vm.go:299-775). */
   private def compare(op: String, ln: Node, rn: Node, ctx: BuildCtx): Column = {
+    // reference idiom: `x != NULL` ≙ IS NOT NULL, `x == NULL` ≙ IS NULL
+    (ln, rn) match {
+      case (_, NullNode) =>
+        val l0 = build(ln, ctx)
+        return if (op == "!=" || op == "<>") l0.isNotNull else l0.isNull
+      case (NullNode, _) =>
+        val r0 = build(rn, ctx)
+        return if (op == "!=" || op == "<>") r0.isNotNull else r0.isNull
+      case _ =>
+    }
     val (lt, rt) = (typeOf(ln, ctx), typeOf(rn, ctx))
     def tsSide(t: Option[DataType]) = t.exists(_.isInstanceOf[TimestampType])
     def numSide(t: Option[DataType]) = t.exists(numeric)

@@ -65,7 +65,12 @@ final class ExprParser(tokens: Vector[Token]) {
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
     else if (cur.isKeyword("CONTAINS")) { advance(); BinaryNode("CONTAINS", left, parseAdditive(), negated) }
     else if (cur.isKeyword("INTERSECTS")) { advance(); BinaryNode("INTERSECTS", left, parseAdditive(), negated) }
-    else if (cur.isKeyword("IN")) { advance(); BinaryNode("IN", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("IN")) {
+      advance()
+      if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
+        BinaryNode("IN", left, captureSubquery(), negated)
+      else BinaryNode("IN", left, parseAdditive(), negated)
+    }
     else if (cur.isKeyword("BETWEEN")) {
       advance()
       val lo = parseAdditive()
@@ -167,6 +172,20 @@ final class ExprParser(tokens: Vector[Token]) {
       while (cur.is(".") && tokens(p + 1).kind == TIdent) { advance(); parts += advance().text }
       IdentityNode(parts.toSeq)
     case _ => fail(s"unexpected token '${cur.text}'")
+  }
+
+  /** Capture the balanced token stream of a `(SELECT …)` subquery. */
+  private def captureSubquery(): Node = {
+    expectOp("(")
+    val buf = Vector.newBuilder[Token]
+    var depth = 1
+    while (depth > 0 && !atEof) {
+      if (cur.is("(")) depth += 1
+      else if (cur.is(")")) depth -= 1
+      if (depth > 0) buf += advance() else advance()
+    }
+    buf += Token(TEof, "", cur.pos)
+    SubqueryNode(buf.result())
   }
 
   private def parseParenList(allowStar: Boolean = false): Seq[Node] = {

@@ -61,6 +61,14 @@ final case class FuncNode(name: String, args: Seq[Node]) extends Node {
   def text: String = args.map(_.text).mkString(s"$name(", ", ", ")")
 }
 
+/** Captured `(SELECT …)` token stream appearing inside an expression
+  * (e.g. `WHERE x IN (SELECT …)`) — parsed lazily by the SQL layer.
+  * The reference parses this shape but never implemented it
+  * (plan/planner_select.go:95-98); Spark gives it via left_semi. */
+final case class SubqueryNode(tokens: Vector[Lexer.Token]) extends Node {
+  def text: String = "(" + tokens.map(_.text).mkString(" ") + ")"
+}
+
 /** `INCLUDE name` — splice of a named stored filter (FilterQL). */
 final case class IncludeNode(name: String, negated: Boolean = false) extends Node {
   def text = s"${if (negated) "NOT " else ""}INCLUDE $name"

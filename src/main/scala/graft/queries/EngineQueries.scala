@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.GraftSession
+import CoreQueries.Q
+
+/** Queries that exercise the graft SQL/FilterQL ENGINE end-to-end (parse
+  * → plan → DataFrame) against the driver's parquet tables, oracle-checked
+  * by DuckDB. These prove dialect parity, not just DataFrame plumbing:
+  * `==` equality, glob LIKE, exclusive BETWEEN, FilterQL AND(...) — all
+  * through GraftSession.sql.
+  */
+object EngineQueries {
+
+  private def session(s: SparkSession, dir: String): GraftSession = {
+    val gs = new GraftSession(s)
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")
+      .foreach(t => gs.registerLazy(t, () => graft.Tables(s, dir, t)))
+    gs
+  }
+
+  val all: Map[String, Q] = Map(
+    // engine: filter + projection with qlbridge `==` and ORDER/LIMIT
+    "ql_select_where" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_quantity > 45 AND l_returnflag == "R"
+          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
+    // engine: group by + having + agg trio (sum over integer-valued
+    // doubles stays exact — no float-rounding hazard)
+    "ql_groupby" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY l_returnflag
+          |HAVING count(*) > 10 ORDER BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag
+             |HAVING count(*) > 10 ORDER BY l_returnflag""".stripMargin)),
+
+    // engine: join through the dialect (expression keys resolved by alias)
+    "ql_join" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o.o_orderpriority, count(*) AS n
+          |FROM orders o JOIN lineitem l ON o.o_orderkey == l.l_orderkey
+          |WHERE l.l_quantity > 49
+          |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
+      Some("""SELECT o_orderpriority, count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_quantity > 49
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // engine: exclusive BETWEEN (reference semantics) through SQL text
+    "ql_between" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT p_partkey, p_size FROM part WHERE p_size BETWEEN 10 AND 13
+          |ORDER BY p_partkey""".stripMargin),
+      Some("""SELECT p_partkey, p_size FROM part WHERE p_size > 10 AND p_size < 13
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // engine: glob LIKE through SQL text ('%' and '*' both glob)
+    "ql_like" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT s_suppkey, s_name FROM supplier WHERE s_name LIKE "Supplier#00000001%"
+          |ORDER BY s_suppkey""".stripMargin),
+      Some("""SELECT s_suppkey, s_name FROM supplier WHERE s_name LIKE 'Supplier#00000001%'
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // engine: IN-subquery planned as left_semi join
+    "ql_in_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // FilterQL end-to-end: n-ary AND over the events table
+    "ql_filterql" -> Q(
+      (s, d) => {
+        val gs = session(s, d)
+        gs.sql("""FILTER AND(value > 150, event_type == "error") FROM events""")
+          .select("event_id", "event_type", "value").orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type, value FROM events
+             |WHERE value > 150 AND event_type = 'error' ORDER BY event_id""".stripMargin)),
+
+    // engine builtins in projection: string + time + hash families
+    "ql_funcs" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT s_suppkey, string.uppercase(s_name) AS uname,
+          |  hasprefix(s_name, "Supplier") AS is_supp,
+          |  yy(todate("2015-10-25")) AS y2,
+          |  hash.md5(s_name) AS h
+          |FROM supplier ORDER BY s_suppkey""".stripMargin),
+      Some("""SELECT s_suppkey, upper(s_name) AS uname,
+             |  starts_with(s_name, 'Supplier') AS is_supp,
+             |  CAST(15 AS BIGINT) AS y2, md5(s_name) AS h
+             |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+  )
+}

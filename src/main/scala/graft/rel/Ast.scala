@@ -1,0 +1,90 @@
+package graft.rel
+
+import graft.expr.Node
+
+/** Statement ASTs mirroring the reference's rel package
+  * (/root/reference/rel/sql.go:80-316, rel/filter.go:30-46) — the SQL
+  * dialect (SELECT/INSERT/UPDATE/UPSERT/DELETE/SET/USE/SHOW/DESCRIBE/
+  * CREATE/DROP + transaction no-ops) and FilterQL.
+  */
+sealed trait Statement
+
+/** `expr [IF guard] [AS alias]` — guard is the reference's column-level
+  * IF (drops the COLUMN when false, exec/projection.go:158-175). */
+final case class SelectColumn(expr: Node, alias: Option[String], guard: Option[Node]) {
+  def outputName: String = alias.getOrElse(graft.rel.Ast.defaultName(expr))
+}
+
+sealed trait JoinType
+object JoinType {
+  case object Inner extends JoinType
+  case object Left extends JoinType
+  case object Right extends JoinType
+  case object Outer extends JoinType
+  case object Cross extends JoinType
+  def spark(j: JoinType): String = j match {
+    case Inner => "inner"; case Left => "left"; case Right => "right"
+    case Outer => "outer"; case Cross => "cross"
+  }
+}
+
+sealed trait FromSource {
+  def aliasName: String
+  def joinType: JoinType
+  def joinOn: Option[Node]
+}
+final case class TableSource(name: String, alias: Option[String],
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = alias.getOrElse(name)
+}
+final case class SubquerySource(select: SqlSelect, alias: String,
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = alias
+}
+
+final case class SqlSelect(
+    columns: Seq[SelectColumn],
+    from: Seq[FromSource],
+    distinct: Boolean = false,
+    where: Option[Node] = None,
+    groupBy: Seq[Node] = Nil,
+    having: Option[Node] = None,
+    orderBy: Seq[(Node, Boolean)] = Nil, // (expr, ascending)
+    limit: Option[Int] = None,
+    offset: Option[Int] = None,
+    into: Option[String] = None) extends Statement
+
+final case class SqlInsert(table: String, columns: Seq[String],
+    values: Seq[Seq[Node]], select: Option[SqlSelect]) extends Statement
+final case class SqlUpdate(table: String, set: Seq[(String, Node)], where: Option[Node]) extends Statement
+final case class SqlUpsert(table: String, columns: Seq[String],
+    values: Seq[Seq[Node]], set: Seq[(String, Node)]) extends Statement
+final case class SqlDelete(table: String, where: Option[Node], limit: Option[Int]) extends Statement
+
+final case class SqlSet(name: String, value: Node) extends Statement
+final case class SqlUse(db: String) extends Statement
+final case class SqlShow(kind: String, target: Option[String],
+    like: Option[String], where: Option[Node], full: Boolean = false) extends Statement
+final case class SqlDescribe(table: String) extends Statement
+final case class SqlExplain(stmt: Statement) extends Statement
+final case class SqlCreate(kind: String, name: String, ifNotExists: Boolean,
+    columnsDdl: Seq[String], withJson: Option[String], select: Option[SqlSelect]) extends Statement
+final case class SqlDrop(kind: String, name: String, ifExists: Boolean) extends Statement
+/** BEGIN/COMMIT/ROLLBACK — parsed and ignored (exec/command.go:59-61). */
+final case class SqlNoop(keyword: String) extends Statement
+
+/** FilterQL: `FILTER <expr> [FROM t] [LIMIT n] [ALIAS name]` and
+  * `SELECT cols FROM t FILTER <expr>` (rel/filter.go). */
+final case class FilterStatement(filter: Node, from: Option[String],
+    limit: Option[Int], alias: Option[String]) extends Statement
+final case class FilterSelect(columns: Seq[SelectColumn], from: Option[String],
+    filter: Node, limit: Option[Int], alias: Option[String]) extends Statement
+
+object Ast {
+  /** Output column name when no alias given: the expression's text,
+    * matching the reference's behavior of naming by source text. */
+  def defaultName(n: Node): String = n match {
+    case graft.expr.IdentityNode(parts) => parts.last
+    case other => other.text
+  }
+}

@@ -1,0 +1,379 @@
+package graft.rel
+
+import graft.expr._
+import graft.expr.Lexer._
+
+/** Recursive-descent SQL + FilterQL parser over the shared lexer,
+  * covering the reference dialect (/root/reference/rel/parse_sql.go:
+  * SELECT with joins/group/having/order/limit-offset/INTO, INSERT,
+  * UPDATE, UPSERT, DELETE, SET, USE, SHOW, DESCRIBE, EXPLAIN, CREATE,
+  * DROP, transaction no-ops; /root/reference/rel/parse_filterql.go:
+  * FILTER statements). Expressions delegate to [[ExprParser]].
+  */
+final class SqlParser(tokens: Vector[Token]) {
+
+  private val ep = new ExprParser(tokens)
+  private def cur: Token = ep.current
+  private def next(): Token = ep.next()
+  private def kw(s: String): Boolean = cur.isKeyword(s)
+  private def eat(s: String): Boolean = if (kw(s) || cur.is(s)) { next(); true } else false
+  private def expect(s: String): Unit =
+    if (!eat(s)) throw ParseException(s"expected '$s' but found '${cur.text}' at ${cur.pos}")
+  private def ident(): String = {
+    if (cur.kind != TIdent) throw ParseException(s"expected identifier, found '${cur.text}'")
+    next().text
+  }
+
+  private val clauseKeywords = Set(
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "AS", "IF",
+    "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
+    "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET")
+
+  def parseStatement(): Statement = {
+    val st =
+      if (kw("SELECT")) parseSelect()
+      else if (kw("FILTER")) parseFilter()
+      else if (kw("INSERT")) parseInsert()
+      else if (kw("UPSERT")) parseUpsert()
+      else if (kw("UPDATE")) parseUpdate()
+      else if (kw("DELETE")) parseDelete()
+      else if (kw("SET")) parseSet()
+      else if (kw("USE")) { next(); SqlUse(ident()) }
+      else if (kw("SHOW")) parseShow()
+      else if (kw("DESCRIBE") || kw("DESC")) { next(); SqlDescribe(ident()) }
+      else if (kw("EXPLAIN")) { next(); SqlExplain(parseStatement()) }
+      else if (kw("CREATE")) parseCreate()
+      else if (kw("DROP")) parseDrop()
+      else if (kw("BEGIN") || kw("COMMIT") || kw("ROLLBACK")) SqlNoop(next().text.toUpperCase)
+      else if (kw("PREPARE")) throw ParseException("PREPARE not implemented") // parity: exec/executor.go:144-146
+      else throw ParseException(s"unsupported statement start '${cur.text}'")
+    eat(";")
+    st
+  }
+
+  def parseEnd(): Unit =
+    if (!ep.atEof) throw ParseException(s"unexpected trailing input '${cur.text}' at ${cur.pos}")
+
+  // ---- SELECT --------------------------------------------------------
+
+  private def parseSelect(): SqlSelect = {
+    expect("SELECT")
+    val distinct = eat("DISTINCT")
+    val cols = parseSelectColumns()
+    val into = if (eat("INTO")) Some(ident()) else None
+    val from = if (kw("FROM")) parseFrom() else Nil
+    val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
+    val groupBy = if (kw("GROUP")) { next(); expect("BY"); parseExprList() } else Nil
+    val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
+    val orderBy = if (kw("ORDER")) { next(); expect("BY"); parseOrderList() } else Nil
+    val (limit, offset) = parseLimitOffset()
+    SqlSelect(cols, from, distinct, where, groupBy, having, orderBy, limit, offset, into)
+  }
+
+  private def parseSelectColumns(): Seq[SelectColumn] = {
+    val out = collection.mutable.ArrayBuffer[SelectColumn]()
+    var done = false
+    while (!done) {
+      val expr = ep.parseExpr()
+      // column guard: `col IF boolexpr` (rel/sql.go:259 Guard)
+      val guard = if (eat("IF")) Some(ep.parseExpr()) else None
+      val alias =
+        if (eat("AS")) Some(ident())
+        else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase) && !ep.atEof)
+          Some(ident()) // implicit alias
+        else None
+      out += SelectColumn(expr, alias, guard)
+      done = !eat(",")
+    }
+    out.toSeq
+  }
+
+  private def parseFrom(): Seq[FromSource] = {
+    expect("FROM")
+    val out = collection.mutable.ArrayBuffer[FromSource]()
+    out += parseOneSource(JoinType.Inner, None)
+    var more = true
+    while (more) {
+      if (eat(",")) out += parseOneSource(JoinType.Cross, None) // comma join
+      else {
+        var jt: Option[JoinType] = None
+        if (kw("INNER")) { next(); jt = Some(JoinType.Inner) }
+        else if (kw("LEFT")) { next(); eat("OUTER"); jt = Some(JoinType.Left) }
+        else if (kw("RIGHT")) { next(); eat("OUTER"); jt = Some(JoinType.Right) }
+        else if (kw("FULL")) { next(); eat("OUTER"); jt = Some(JoinType.Outer) }
+        else if (kw("OUTER")) { next(); jt = Some(JoinType.Outer) }
+        else if (kw("CROSS")) { next(); jt = Some(JoinType.Cross) }
+        if (kw("JOIN")) {
+          next()
+          val t = jt.getOrElse(JoinType.Inner)
+          val on = { // parse source first, then ON
+            val src = parseOneSource(t, None)
+            val onExpr = if (eat("ON")) Some(ep.parseExpr()) else None
+            out += (src match {
+              case ts: TableSource => ts.copy(joinType = t, joinOn = onExpr)
+              case ss: SubquerySource => ss.copy(joinType = t, joinOn = onExpr)
+            })
+          }
+        } else if (jt.isDefined) throw ParseException("expected JOIN")
+        else more = false
+      }
+    }
+    out.toSeq
+  }
+
+  private def parseOneSource(jt: JoinType, on: Option[Node]): FromSource = {
+    if (cur.is("(")) {
+      next()
+      val sub = parseSelect()
+      expect(")")
+      eat("AS")
+      val alias = ident()
+      SubquerySource(sub, alias, jt, on)
+    } else {
+      val name = ident()
+      val alias =
+        if (eat("AS")) Some(ident())
+        else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
+        else None
+      TableSource(name, alias, jt, on)
+    }
+  }
+
+  /** WHERE expr — also allows `WHERE x IN (SELECT …)` by detecting a
+    * SELECT right after `IN (` (rel/parse_sql.go:1319); represented as
+    * BinaryNode("IN", x, SubqueryNode). */
+  private def parseWhereExpr(): Node = ep.parseExpr()
+
+  private def parseExprList(): Seq[Node] = {
+    val out = collection.mutable.ArrayBuffer[Node]()
+    out += ep.parseExpr()
+    while (eat(",")) out += ep.parseExpr()
+    out.toSeq
+  }
+
+  private def parseOrderList(): Seq[(Node, Boolean)] = {
+    val out = collection.mutable.ArrayBuffer[(Node, Boolean)]()
+    var done = false
+    while (!done) {
+      val e = ep.parseExpr()
+      val asc = if (eat("DESC")) false else { eat("ASC"); true }
+      out += ((e, asc))
+      done = !eat(",")
+    }
+    out.toSeq
+  }
+
+  private def parseLimitOffset(): (Option[Int], Option[Int]) = {
+    if (eat("LIMIT")) {
+      val n1 = intLit()
+      if (eat(",")) (Some(intLit()), Some(n1))             // MySQL LIMIT offset, count
+      else if (eat("OFFSET")) (Some(n1), Some(intLit()))   // LIMIT n OFFSET m
+      else (Some(n1), None)
+    } else (None, None)
+  }
+
+  private def intLit(): Int = {
+    if (cur.kind != TNumber) throw ParseException(s"expected number, found '${cur.text}'")
+    next().text.toDouble.toInt
+  }
+
+  // ---- FilterQL ------------------------------------------------------
+
+  private def parseFilter(): FilterStatement = {
+    expect("FILTER")
+    val filter = if (cur.is("*")) { next(); BoolNode(true) } else ep.parseExpr()
+    var from: Option[String] = None
+    var limit: Option[Int] = None
+    var alias: Option[String] = None
+    var more = true
+    while (more) {
+      if (eat("FROM")) from = Some(ident())
+      else if (eat("LIMIT")) limit = Some(intLit())
+      else if (eat("ALIAS")) alias = Some(ident())
+      else if (eat("WITH")) skipJson()
+      else more = false
+    }
+    FilterStatement(filter, from, limit, alias)
+  }
+
+  // ---- DML -----------------------------------------------------------
+
+  private def parseInsert(): Statement = {
+    expect("INSERT"); expect("INTO")
+    val table = ident()
+    val cols = parseColumnNameList()
+    if (kw("SELECT")) SqlInsert(table, cols, Nil, Some(parseSelect()))
+    else {
+      expect("VALUES")
+      SqlInsert(table, cols, parseValuesRows(), None)
+    }
+  }
+
+  private def parseUpsert(): Statement = {
+    expect("UPSERT")
+    if (eat("INTO")) {
+      val table = ident()
+      val cols = parseColumnNameList()
+      expect("VALUES")
+      SqlUpsert(table, cols, parseValuesRows(), Nil)
+    } else {
+      // UPSERT tbl SET a = 1, b = 2 — alternate reference form
+      val table = ident()
+      expect("SET")
+      SqlUpsert(table, Nil, Nil, parseSetPairs())
+    }
+  }
+
+  private def parseUpdate(): Statement = {
+    expect("UPDATE")
+    val table = ident()
+    expect("SET")
+    val pairs = parseSetPairs()
+    val where = if (eat("WHERE")) Some(ep.parseExpr()) else None
+    SqlUpdate(table, pairs, where)
+  }
+
+  private def parseDelete(): Statement = {
+    expect("DELETE"); expect("FROM")
+    val table = ident()
+    val where = if (eat("WHERE")) Some(ep.parseExpr()) else None
+    val (limit, _) = parseLimitOffset()
+    SqlDelete(table, where, limit)
+  }
+
+  private def parseColumnNameList(): Seq[String] = {
+    if (!cur.is("(")) return Nil
+    next()
+    val out = collection.mutable.ArrayBuffer(ident())
+    while (eat(",")) out += ident()
+    expect(")")
+    out.toSeq
+  }
+
+  private def parseValuesRows(): Seq[Seq[Node]] = {
+    val rows = collection.mutable.ArrayBuffer[Seq[Node]]()
+    var done = false
+    while (!done) {
+      expect("(")
+      val row = collection.mutable.ArrayBuffer(ep.parseExpr())
+      while (eat(",")) row += ep.parseExpr()
+      expect(")")
+      rows += row.toSeq
+      done = !eat(",")
+    }
+    rows.toSeq
+  }
+
+  private def parseSetPairs(): Seq[(String, Node)] = {
+    val out = collection.mutable.ArrayBuffer[(String, Node)]()
+    var done = false
+    while (!done) {
+      val name = ident()
+      expect("=")
+      out += ((name, ep.parseExpr()))
+      done = !eat(",")
+    }
+    out.toSeq
+  }
+
+  // ---- session / schema ----------------------------------------------
+
+  private def parseSet(): Statement = {
+    expect("SET")
+    eat("GLOBAL"); eat("SESSION")
+    val name = {
+      val sb = new StringBuilder
+      if (cur.is("@@")) { next(); sb.append("@@") }
+      else if (cur.is("@")) { next(); sb.append("@") }
+      sb.append(ident())
+      while (cur.is(".")) { next(); sb.append(".").append(ident()) }
+      sb.toString
+    }
+    expect("=")
+    SqlSet(name, ep.parseExpr())
+  }
+
+  private def parseShow(): Statement = {
+    expect("SHOW")
+    val full = eat("FULL")
+    val kind = ident().toUpperCase
+    var target: Option[String] = None
+    if (kind == "COLUMNS" || kind == "INDEX" || kind == "KEYS") {
+      if (eat("FROM") || eat("IN")) target = Some(ident())
+    } else if (kind == "CREATE") {
+      eat("TABLE"); target = Some(ident())
+    }
+    if (eat("FROM") || eat("IN")) target = Some(ident())
+    val like = if (eat("LIKE")) {
+      if (cur.kind != TString) throw ParseException("expected string after LIKE")
+      Some(next().text)
+    } else None
+    val where = if (eat("WHERE")) Some(ep.parseExpr()) else None
+    SqlShow(kind, target, like, where, full)
+  }
+
+  private def parseCreate(): Statement = {
+    expect("CREATE")
+    eat("OR"); eat("REPLACE")
+    val kind = ident().toUpperCase // SOURCE | SCHEMA | TABLE | VIEW | CONTINUOUSVIEW
+    val ifNotExists = if (kw("IF")) { next(); expect("NOT"); expect("EXISTS"); true } else false
+    val name = ident()
+    // optional (col type, …) DDL — kept as raw strings
+    val cols = collection.mutable.ArrayBuffer[String]()
+    if (cur.is("(")) {
+      var depth = 0
+      val sb = new StringBuilder
+      next(); depth = 1
+      while (depth > 0 && !ep.atEof) {
+        if (cur.is("(")) depth += 1
+        else if (cur.is(")")) depth -= 1
+        if (depth > 0) {
+          if (cur.is(",") && depth == 1) { cols += sb.toString.trim; sb.clear() }
+          else sb.append(cur.text).append(' ')
+        }
+        next()
+      }
+      if (sb.nonEmpty) cols += sb.toString.trim
+    }
+    val withJson = if (kw("WITH")) { next(); Some(captureJson()) } else None
+    val select = if (kw("AS")) { next(); Some(parseSelect()) }
+                 else if (kw("SELECT")) Some(parseSelect()) else None
+    SqlCreate(kind, name, ifNotExists, cols.toSeq, withJson, select)
+  }
+
+  private def parseDrop(): Statement = {
+    expect("DROP")
+    val kind = ident().toUpperCase
+    val ifExists = if (kw("IF")) { next(); expect("EXISTS"); true } else false
+    SqlDrop(kind, ident(), ifExists)
+  }
+
+  /** Capture a trailing `{...}` JSON blob as raw text. */
+  private def captureJson(): String = {
+    val sb = new StringBuilder
+    if (!cur.is("{")) throw ParseException("expected { after WITH")
+    var depth = 0
+    do {
+      if (cur.is("{")) depth += 1
+      if (cur.is("}")) depth -= 1
+      sb.append(cur.kind match {
+        case TString => "\"" + cur.text + "\""
+        case _ => cur.text
+      })
+      sb.append(' ')
+      next()
+    } while (depth > 0 && !ep.atEof)
+    sb.toString.trim
+  }
+
+  private def skipJson(): Unit = { captureJson(); () }
+}
+
+object SqlParser {
+  def parse(sql: String): Statement = {
+    val p = new SqlParser(Lexer.lex(sql))
+    val st = p.parseStatement()
+    p.parseEnd()
+    st
+  }
+}

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.GraftSession
+
+/** Golden-output end-to-end SQL suite mirroring the reference's
+  * testutil/testsuite.go:65-152 + exec/sqldriver_test.go join tests,
+  * over the users/orders mock tables (FIXTURES.md §A).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val session: GraftSession = {
+    val s = new GraftSession(spark)
+    val users = spark.createDataFrame(
+      java.util.List.of(
+        Row("9Ip1aKbeZe2njCDM", "aaron@email.com", "fishing", ts("2012-10-17 17:29:39.738"), 82L, """{"name":"aaron"}"""),
+        Row("hT2impsOPUREcVPc", "bob@email.com", "swimming", ts("2009-12-11 19:53:31.547"), 12L, """{"name":"bob"}"""),
+        Row("hT2impsabc345c", "not_an_email_2", null, ts("2009-12-11 19:53:31.547"), 12L, """{"name":"notbob"}""")),
+      StructType(Seq(
+        StructField("user_id", StringType), StructField("email", StringType),
+        StructField("interests", StringType), StructField("reg_date", TimestampType),
+        StructField("referral_count", LongType), StructField("json_data", StringType))))
+    val orders = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "9Ip1aKbeZe2njCDM", 1L, 22.50, ts("2012-12-24 17:29:39.738"), 82L),
+        Row(2L, "9Ip1aKbeZe2njCDM", 2L, 37.50, ts("2013-10-24 17:29:39.738"), 82L),
+        Row(3L, "abcabcabc", 1L, 22.50, ts("2013-10-24 17:29:39.738"), 82L)),
+      StructType(Seq(
+        StructField("order_id", LongType), StructField("user_id", StringType),
+        StructField("item_id", LongType), StructField("price", DoubleType),
+        StructField("order_date", TimestampType), StructField("item_count", LongType))))
+    s.registerTable("users", users)
+    s.registerTable("orders", orders)
+    s
+  }
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(r => (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i)))
+
+  /** TestSelect harness (testutil/harness.go:186-212): exact rows. */
+  private def testSelect(sql: String, expected: Seq[Seq[Any]]): Unit = {
+    val got = rows(session.sql(sql))
+    assert(got == expected, s"\nsql: $sql\ngot:  $got\nwant: $expected")
+  }
+  private def testSelectErr(sql: String): Unit =
+    assertThrows[Exception] { session.sql(sql).collect() }
+
+  test("literal select") {
+    testSelect("SELECT 1", Seq(Seq(1L)))
+    testSelect("SELECT 1 + 1 AS two, 'x' AS s", Seq(Seq(2L, "x")))
+  }
+
+  test("select with func in where") {
+    testSelect(
+      "SELECT user_id, email FROM users WHERE yy(reg_date) > 10 ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM", "aaron@email.com")))
+  }
+
+  test("not-null idiom and exists") {
+    testSelect("SELECT user_id FROM users WHERE interests != NULL ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("hT2impsOPUREcVPc")))
+    testSelect("SELECT user_id FROM users WHERE EXISTS interests ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("hT2impsOPUREcVPc")))
+  }
+
+  test("glob like") {
+    testSelect("SELECT user_id FROM users WHERE email LIKE \"%bob%\"",
+      Seq(Seq("hT2impsOPUREcVPc")))
+    testSelect("SELECT user_id FROM users WHERE email LIKE \"aaron*\"",
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+  }
+
+  test("star plus mixed projection") {
+    val got = session.sql("SELECT *, string.uppercase(user_id) AS uid FROM users WHERE email = \"bob@email.com\"")
+    assert(got.columns.toSeq == Seq("user_id", "email", "interests", "reg_date",
+      "referral_count", "json_data", "uid"))
+    assert(rows(got).head.last == "HT2IMPSOPURECVPC")
+  }
+
+  test("count and aggregates") {
+    testSelect("SELECT COUNT(*) AS cnt FROM users", Seq(Seq(3L)))
+    testSelect("SELECT count(*) AS cnt FROM users WHERE referral_count > 50", Seq(Seq(1L)))
+    // nested funcs inside agg (testsuite.go: AVG(CHAR_LENGTH(CAST(email AS CHAR))))
+    testSelect("SELECT AVG(CHAR_LENGTH(CAST(email AS CHAR))) AS a FROM users",
+      Seq(Seq((15.0 + 13.0 + 14.0) / 3)))
+    testSelect("SELECT sum(referral_count) AS s, avg(referral_count) AS a FROM users",
+      Seq(Seq(106.0, 106.0 / 3)))
+  }
+
+  test("group by with alias and having") {
+    testSelect(
+      "SELECT referral_count AS rc, count(*) AS cnt FROM users GROUP BY referral_count ORDER BY rc",
+      Seq(Seq(12L, 2L), Seq(82L, 1L)))
+    testSelect(
+      "SELECT referral_count AS rc, count(*) AS cnt FROM users GROUP BY referral_count HAVING count(*) > 1",
+      Seq(Seq(12L, 2L)))
+  }
+
+  test("order by asc desc") {
+    testSelect("SELECT user_id FROM users ORDER BY referral_count DESC, user_id ASC",
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+  }
+
+  test("distinct, limit, offset") {
+    testSelect("SELECT DISTINCT item_id FROM orders ORDER BY item_id", Seq(Seq(1L), Seq(2L)))
+    testSelect("SELECT order_id FROM orders ORDER BY order_id LIMIT 2", Seq(Seq(1L), Seq(2L)))
+    testSelect("SELECT order_id FROM orders ORDER BY order_id LIMIT 1 OFFSET 1", Seq(Seq(2L)))
+    testSelect("SELECT order_id FROM orders ORDER BY order_id LIMIT 1, 1", Seq(Seq(2L)))
+  }
+
+  test("column guard IF") {
+    // `col IF boolexpr` nullifies the column where guard is false
+    testSelect(
+      "SELECT user_id, email IF referral_count > 50 FROM users ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM", "aaron@email.com"),
+          Seq("hT2impsOPUREcVPc", null), Seq("hT2impsabc345c", null)))
+  }
+
+  test("inner join drops dangling keys") {
+    // exec/sqldriver_test.go:75-117 — order 3 has no matching user
+    testSelect(
+      """SELECT u.user_id, o.order_id, o.price FROM users u
+        |JOIN orders o ON u.user_id = o.user_id ORDER BY o.order_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L, 22.50), Seq("9Ip1aKbeZe2njCDM", 2L, 37.50)))
+  }
+
+  test("expression join keys") {
+    // exec/sqldriver_test.go:119 — ON lower(t1.x) = lower(t2.x)
+    testSelect(
+      """SELECT o.order_id FROM users u
+        |JOIN orders o ON tolower(u.user_id) = tolower(o.user_id)
+        |ORDER BY o.order_id""".stripMargin,
+      Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("left join keeps unmatched") {
+    testSelect(
+      """SELECT u.user_id, o.order_id FROM users u
+        |LEFT JOIN orders o ON u.user_id = o.user_id
+        |ORDER BY u.user_id, o.order_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L), Seq("9Ip1aKbeZe2njCDM", 2L),
+          Seq("hT2impsOPUREcVPc", null), Seq("hT2impsabc345c", null)))
+  }
+
+  test("subquery in FROM") {
+    testSelect(
+      """SELECT uid, cnt FROM
+        |(SELECT user_id AS uid, count(*) AS cnt FROM orders GROUP BY user_id) x
+        |WHERE cnt > 1""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L)))
+  }
+
+  test("IN subquery becomes semi join") {
+    testSelect(
+      "SELECT user_id FROM users WHERE user_id IN (SELECT user_id FROM orders) ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    testSelect(
+      "SELECT user_id FROM users WHERE user_id NOT IN (SELECT user_id FROM orders) ORDER BY user_id",
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+  }
+
+  test("json builtin over table") {
+    testSelect(
+      "SELECT json.jmespath(json_data, \"name\") AS n FROM users ORDER BY user_id",
+      Seq(Seq("aaron"), Seq("bob"), Seq("notbob")))
+  }
+
+  test("unknown column errors") {
+    testSelectErr("SELECT nosuchcolumn FROM users")
+    testSelectErr("SELECT user_id FROM users WHERE nosuchcolumn > 5")
+  }
+
+  test("session vars") {
+    session.sql("SET @minref = 50")
+    testSelect("SELECT user_id FROM users WHERE referral_count > @minref",
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+  }
+
+  test("show and describe") {
+    val t = rows(session.sql("SHOW TABLES")).map(_.head)
+    assert(t.contains("users") && t.contains("orders"))
+    val liked = rows(session.sql("SHOW TABLES LIKE \"use%\"")).map(_.head)
+    assert(liked == Seq("users"))
+    val d = rows(session.sql("DESCRIBE users"))
+    assert(d.map(_.head).contains("email"))
+    val v = session.sql("SHOW VARIABLES")
+    assert(rows(v).exists(_.head == "minref"))
+  }
+
+  test("ddl and dml lifecycle") {
+    session.sql("CREATE TABLE scratch AS SELECT user_id, referral_count FROM users")
+    assert(rows(session.sql("SELECT count(*) AS c FROM scratch")) == Seq(Seq(3L)))
+    session.sql("INSERT INTO scratch (user_id, referral_count) VALUES ('newbie', 7)")
+    assert(rows(session.sql("SELECT count(*) AS c FROM scratch")) == Seq(Seq(4L)))
+    session.sql("UPDATE scratch SET referral_count = 100 WHERE user_id = 'newbie'")
+    assert(rows(session.sql("SELECT referral_count FROM scratch WHERE user_id = 'newbie'")) ==
+      Seq(Seq(100L)))
+    session.sql("UPSERT INTO scratch (user_id, referral_count) VALUES ('newbie', 8)")
+    assert(rows(session.sql("SELECT referral_count FROM scratch WHERE user_id = 'newbie'")) ==
+      Seq(Seq(8L)))
+    session.sql("DELETE FROM scratch WHERE user_id = 'newbie'")
+    assert(rows(session.sql("SELECT count(*) AS c FROM scratch")) == Seq(Seq(3L)))
+    session.sql("DROP TABLE scratch")
+    testSelectErr("SELECT * FROM scratch")
+    // transaction keywords accepted and ignored
+    session.sql("BEGIN"); session.sql("COMMIT"); session.sql("ROLLBACK")
+  }
+
+  test("filterql") {
+    val f = session.sql("FILTER AND(referral_count > 50, EXISTS email) FROM users")
+    assert(rows(f.select(f("user_id"))) == Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // single-row matches (vm.Matches)
+    assert(session.matches("FILTER AND(x > 5, EXISTS name)", Map("x" -> 10L, "name" -> "a")))
+    assert(!session.matches("FILTER AND(x > 5, EXISTS name)", Map("x" -> 3L, "name" -> "a")))
+    // INCLUDE resolution
+    session.addFilter("bigref", "FILTER referral_count > 50")
+    val inc = session.sql("FILTER AND(INCLUDE bigref, EXISTS interests) FROM users")
+    assert(rows(inc.select(inc("user_id"))) == Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // NOT INCLUDE
+    val notInc = session.sql("FILTER NOT INCLUDE bigref FROM users")
+    assert(notInc.count() == 2)
+  }
+
+  test("select into") {
+    session.sql("SELECT user_id, email INTO snap FROM users WHERE referral_count > 50")
+    assert(rows(session.sql("SELECT count(*) AS c FROM snap")) == Seq(Seq(1L)))
+    session.sql("DROP TABLE snap")
+  }
+
+  test("create source from csv with-config") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val p = dir.resolve("pets.csv")
+    java.nio.file.Files.writeString(p, "name,age\nrex,3\nfido,5\n")
+    session.sql(s"""CREATE SOURCE pets WITH {"type": "csv", "path": "$p"}""")
+    testSelect("SELECT name FROM pets WHERE age > 4", Seq(Seq("fido")))
+    session.sql("DROP SOURCE pets")
+  }
+}
