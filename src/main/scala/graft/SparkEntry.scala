@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, EngineQueries}
+import graft.queries.{CoreQueries, EngineQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
   private def groups: Seq[Map[String, CoreQueries.Q]] = Seq(
     CoreQueries.all,
     EngineQueries.all,
+    PipelineQueries.all,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale deduplication operators for training-data pipelines:
+  * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Everything is pure Column expressions — no UDF serialization cost.
+  * IMPORTANT eval-model caveat: Spark's higher-order array functions
+  * (transform/aggregate/zip_with) are CodegenFallback — interpreted,
+  * with NO common-subexpression elimination. An expression that
+  * references a derived array N times re-evaluates it N times per row,
+  * and projection pushdown happily re-inlines derived columns into
+  * every consumer. The operators below therefore (a) build shingles
+  * with O(k) references to the token split, and (b) materialize the
+  * narrow (id, shingles/signature) intermediates with localCheckpoint()
+  * before any stage that references them many times — at cluster scale
+  * the same role is played by persist()/checkpoint() of that projection.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one shuffle on a 128-bit content hash; map-side
+  *    partial aggregation collapses duplicates before the wire.
+  *  - MinHash LSH: per-doc signature is a narrow array (k longs); the
+  *    candidate join shuffles on (band, bandHash) — band width r tunes
+  *    the recall/cost curve; no O(n²) stage anywhere.
+  *  - n-gram Jaccard (exact): the shingle-inverted-index join explodes
+  *    |doc|×n rows — use ONLY for verification/small corpora; LSH is
+  *    the scale path.
+  *  - SimHash: 64-bit fingerprint; candidates bucket on maxHamming+1
+  *    bit-chunks (pigeonhole: hamming <= h => some chunk identical).
+  */
+object Dedup {
+
+  /** Distinct character n-gram shingles of a text column. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n))))
+
+  /** Distinct word k-shingles (k consecutive tokens joined by space).
+    * Built by zipping the token array with its k-1 shifted copies —
+    * exactly k references to the split (the naive index-based transform
+    * re-evaluates the split per element: O(len) regex splits per row).
+    * Texts shorter than k tokens yield one clamped shingle. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val zipped = (2 to k).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), size(toks)),
+        (a, b) => concat(a, lit(" "), b)) // concat null-propagates: ragged tail drops below
+    }
+    val full = filter(zipped, x => x.isNotNull)
+    array_distinct(when(size(toks) < k, array(concat_ws(" ", toks))).otherwise(full))
+  }
+
+  /** Exact duplicates: groups rows by md5 of the (normalized) text.
+    * Returns (content_hash, n_dups, keep_id) for groups of size > 1. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast(BinaryType)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact pairwise n-gram Jaccard via a shingle inverted index:
+    * explode → join on shingle → count shared → jaccard.
+    * Uses WORD k-shingles: with a natural-language vocabulary these are
+    * near-unique, so inverted-index buckets stay small; char n-grams
+    * would put every document in the same buckets (quadratic blow-up).
+    * O(sum |doc|) index size; the pair aggregation shuffles on the pair
+    * key. Quadratic only within identical-shingle buckets. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    // materialize the shingle arrays once (see class doc eval caveat)
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .localCheckpoint()
+    val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+    val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast(DoubleType) / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature: k minima of seeded xxhash64 over the shingles. */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(i, s))))
+
+  /** MinHash + LSH banding candidates, verified with exact Jaccard.
+    * numHashes = bands * rowsPerBand. Returns pairs with true jaccard ≥
+    * threshold among LSH candidates. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    // two materialization points: (1) the shingle array before the k
+    // signature aggregates reference it, (2) the signature before the
+    // band hashes slice it — otherwise projection pushdown re-inlines
+    // the shingling into all k×bands interpreted expressions
+    // (observed ~1000x slowdown). See class doc.
+    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint()
+    val base = shingled.select(col("id"), col("sh"), minHashSignature(col("sh"), k).as("sig"))
+      .localCheckpoint()
+    // band hash per (band index, slice of signature)
+    val banded = base.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    candidates
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from a precomputed array of feature hashes —
+    * majority vote per bit, packed into one long. Works on longs only,
+    * so the (heavier) feature hashing happens exactly once upstream. */
+  def simHashOfHashes(hashes: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(63)),
+      b => when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + call_function("shiftright", h, b).bitwiseAND(lit(1L))) * 2
+          >= size(hashes), lit(1L)).otherwise(lit(0L)))
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc.bitwiseOR(call_function("shiftleft", element_at(bits, b + 1), b)))
+  }
+
+  /** 64-bit SimHash over word BIGRAMS. Bigrams, not unigrams: with a
+    * small vocabulary every document contains nearly every word, so
+    * unigram simhashes collapse to one bucket; bigram features keep the
+    * fingerprint discriminative. NOTE: when applying to a DataFrame,
+    * prefer the two-stage shape in [[simHashPairs]] (hash features once
+    * behind an exchange) — inlining this expression repeats the string
+    * hashing 64x after projection collapse. */
+  def simHash(text: Column): Column =
+    simHashOfHashes(transform(wordShingles(text, 2), t => xxhash64(t)))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming:
+    * candidates bucket on maxHamming+1 bit-chunks of the fingerprint
+    * (pigeonhole: hamming <= h over h+1 chunks => some chunk identical),
+    * then verify with bit_count(xor). More chunks = fewer bits each =
+    * more crowded buckets: h=7 gives 8-bit chunks (256 buckets/chunk),
+    * fine to ~10^5 docs; for larger corpora lower h or add a second
+    * blocking key (e.g. length band).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val numChunks = maxHamming + 1
+    val chunkBits = 64 / numChunks
+    // stage 1: hash the bigram features ONCE per doc and materialize, so
+    // the 64 interpreted bit votes of stage 2 fold over longs, not over
+    // a re-inlined string-hashing chain (see class doc)
+    val hashed = df.select(col(idCol).as("id"),
+      transform(wordShingles(col(textCol), 2), t => xxhash64(t)).as("hs"))
+      .localCheckpoint()
+    val base = hashed.select(col("id"), simHashOfHashes(col("hs")).as("sim"))
+      .localCheckpoint()
+    val chunked = base.select(col("id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(numChunks - 1)),
+        c => call_function("shiftright", col("sim"), c * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+    val l = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs by cosine similarity within a
+    * blocking key (at scale: replace the blocking column with an LSH
+    * bucket from Similarity.hyperplaneBucket). */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val l = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+}

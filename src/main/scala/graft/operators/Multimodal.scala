@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schemas, partition-preserving mapPartitions,
+  * batch shapes, deterministic output) is REAL and tested; the actual
+  * media decoding is STUBBED behind [[MediaDecoder]] because no
+  * image/audio libraries exist in this container — swap [[StubDecoder]]
+  * for a JNI/javacv-backed implementation in production. The stub is
+  * deterministic (derived from the byte content) so pipelines are
+  * reproducible and testable.
+  *
+  * Scale notes: media bytes dominate row size — keep them in their own
+  * column so Parquet column pruning skips them unless the stage needs
+  * pixels; decode runs mapPartitions (one JVM-side pass, no per-row
+  * driver involvement); feature vectors are narrow arrays that shuffle
+  * cheaply for the downstream ANN/dedup joins.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque bytes. */
+  case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
+  case class DecodedFrame(index: Int, width: Int, height: Int, pixels: Array[Byte])
+
+  /** The integration point for real codecs. */
+  trait MediaDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): DecodedFrame
+    def resize(frame: DecodedFrame, w: Int, h: Int): DecodedFrame
+  }
+
+  /** STUB: deterministic fake decode — dimensions/pixels derived from a
+    * rolling hash of the input bytes. Replace with a real codec (e.g.
+    * javacv) outside this container. */
+  object StubDecoder extends MediaDecoder {
+    private def h64(bytes: Array[Byte]): Long = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      h
+    }
+    def decode(bytes: Array[Byte]): DecodedFrame = {
+      val h = h64(bytes)
+      val w = (math.abs(h) % 1920 + 1).toInt
+      val ht = (math.abs(h >> 16) % 1080 + 1).toInt
+      DecodedFrame(0, w, ht, bytes.take(16))
+    }
+    def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame =
+      f.copy(width = w, height = h, pixels = f.pixels)
+  }
+
+  /** Attach media metadata columns from the binary payload — header
+    * sniffing is cheap Column logic (magic bytes), no decode needed, so
+    * it pushes down to the scan. */
+  def withSniffedFormat(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val head = base64(expr(s"substring($binCol, 1, 4)"))
+    df.withColumn("format",
+      when(head.startsWith("iVBO"), "png")          // \x89PNG
+        .when(head.startsWith("/9j/"), "jpeg")      // \xFF\xD8\xFF
+        .when(head.startsWith("R0lG"), "gif")       // GIF8
+        .when(head.startsWith("UklG"), "webm/riff") // RIFF
+        .otherwise("unknown"))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("pixel_head", BinaryType)))
+
+  /** Decode stage: mapPartitions over (id, bytes) rows. Partitioning is
+    * preserved; each partition decodes in one pass. */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    val enc = Encoders.row(decodedSchema)
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = decoder.decode(r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(r.getLong(0), f.width, f.height, f.pixels)
+        }
+      }(enc)
+  }
+
+  /** Deterministic fake feature extraction: a dim-length Float vector
+    * from seeded hashes of the bytes — REAL plumbing (schema, batching,
+    * normalization) with a stub kernel. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame =
+    df.select(col(idCol),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (call_function("shiftright", xxhash64(i, col(binCol)), lit(32)).cast(DoubleType) / 1e9))
+        .cast(ArrayType(FloatType)).as("features"))
+
+  /** Frame sampling for "video" payloads: n evenly spaced byte-slices
+    * stand in for decoded frames (stub kernel, real explode shape). */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
+    val len = length(col(binCol))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => expr(s"substring($binCol, 1, 8)"))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame_bytes")
+  }
+}

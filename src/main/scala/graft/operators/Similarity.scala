@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`): brute-force cosine top-k as the correctness
+  * baseline, and a random-hyperplane LSH bucketed variant as the scale
+  * path (bucket join instead of an O(n·q) scan).
+  *
+  * All vector math is `zip_with`/`aggregate`/`transform` Column
+  * expressions — codegen-friendly, no UDF.
+  */
+object Similarity {
+
+  /** dot(a, b) over array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def litVec(q: Seq[Float]): Column = array(q.map(x => lit(x.toDouble)): _*)
+
+  /** Brute-force cosine top-k against a literal query vector.
+    * At 100 TB this is one pass over the embeddings (no shuffle until
+    * the final TakeOrdered heap) — still the right baseline for recall
+    * measurement. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame =
+    df.select(col(idCol),
+        round(cosine(col(vecCol).cast(ArrayType(DoubleType)), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane component h_{p,i}: a unit-
+    * free ±value derived from xxhash64(p, i) — identical across runs and
+    * engines, so buckets are reproducible. */
+  private def planeComponent(p: Int, i: Column): Column =
+    (call_function("shiftright", xxhash64(lit(p), i), lit(32)).cast(DoubleType) / 1e9)
+
+  /** Sign-of-projection LSH bucket id from nPlanes hyperplanes. */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      when(aggregate(dims, lit(0.0),
+        (acc, i) => acc + element_at(vec, i + 1) *
+          (call_function("shiftright", xxhash64(p, i), lit(32)).cast(DoubleType) / 1e9)) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+      (acc, p) => acc.bitwiseOR(call_function("shiftleft", element_at(signs, p + 1), p)))
+  }
+
+  /** LSH-bucketed ANN: search only the query's bucket. Trades recall
+    * for a ~2^nPlanes-fold candidate reduction; at scale the bucket id
+    * becomes the shuffle/partition key so each query touches one
+    * partition group. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nPlanes: Int): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val withBucket = df.select(col(idCol), v.as("v"),
+      hyperplaneBucket(v, nPlanes).as("bucket"))
+    val qRow = df.sparkSession.range(1)
+      .select(hyperplaneBucket(litVec(query), nPlanes).as("qbucket"))
+    withBucket.join(broadcast(qRow), col("bucket") === col("qbucket"))
+      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** For each vector, its nearest neighbor (by cosine) within a blocking
+    * key — the bulk variant of top-k used for near-dup mining. */
+  def nearestNeighborWithinBlock(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val l = df.select(col(blockCol).as("blk"), col(idCol).as("id"), v.as("v_a"))
+    val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), v.as("v_b"))
+    val pairs = l.join(r, Seq("blk")).filter(col("id") =!= col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("id_b").as("neighbor_id"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language identification (n-gram/stopword heuristic) and
+  * document fingerprinting. Pure Column expressions throughout — these
+  * run per-document inside codegen at scan speed, the shape you want
+  * when scoring 100 TB of raw text.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast(LongType)
+
+  /** BPE-ish subword count: word-boundary pieces + digits + punctuation
+    * as separate tokens (a cheap proxy for tokenizer cost estimation). */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= "" && t =!= " "))
+      .cast(LongType)
+
+  /** Character count (matches the fixture's n_chars). */
+  def charCount(text: Column): Column = length(text).cast(LongType)
+
+  /** Punctuation ratio: punctuation chars / total chars. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+  }
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> enStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "no"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Stopword ratio against the english list (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    size(array_intersect(array_distinct(toks), array(enStop.map(lit): _*))).cast(DoubleType) /
+      greatest(size(array_distinct(toks)), lit(1)).cast(DoubleType)
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * plausible word length (the usual C4/Gopher-style cheap filters). */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 5000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk + punctOk + wordOk) / 3.0, 4)
+  }
+
+  /** Language ID: argmax of per-language stopword hits over the token
+    * set. Returns "und" when nothing matches. */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(split(lower(trim(text)), "\\s+"))
+    val scored = stopwords.toSeq.map { case (lang, words) =>
+      struct(size(array_intersect(toks, array(words.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set — catches shuffled/reordered near-identical docs. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ",
+      array_sort(array_distinct(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))))
+      .cast(BinaryType))
+
+  /** Rolling-hash shingle fingerprint (winnowing-lite): min xxhash64
+    * over character 8-grams — stable under small edits at the ends. */
+  def rollingMinHash(text: Column): Column =
+    aggregate(Dedup.charShingles(text, 8), lit(Long.MaxValue),
+      (acc, s) => least(acc, xxhash64(s)))
+
+  /** One-stop per-document stats frame. */
+  def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      tokenCount(t).as("n_tokens"),
+      charCount(t).as("n_chars"),
+      round(punctRatio(t), 4).as("punct_ratio"),
+      round(meanWordLen(t), 4).as("mean_word_len"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      qualityScore(t).as("quality"),
+      languageId(t).as("lang_guess"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import CoreQueries.Q
+
+/** Training-data pipeline operators over the documents/embeddings
+  * fixtures: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force + LSH ANN), text analysis and
+  * multimodal plumbing. Oracle-checked in DuckDB where the semantics are
+  * SQL-expressible; the rest are covered by PipelineSpec.
+  */
+object PipelineQueries {
+
+  val all: Map[String, Q] = Map(
+    // exact dedup: one shuffle on content hash
+    "pl_dedup_exact" -> Q(
+      (s, d) => Dedup.exactDuplicates(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+             |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY content_hash""".stripMargin)),
+
+    // exact pairwise 3-gram Jaccard via shingle inverted index
+    "pl_dedup_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(Tables(s, d, "documents"), "doc_id", "text", 3, 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardOracle)),
+
+    // MinHash(128) + LSH(32 bands × 4) candidates verified with exact
+    // Jaccard — same oracle as the exhaustive version: every true pair in
+    // this corpus has j ≥ 0.89, where the deterministic band-collision
+    // miss probability is ≈ (1-0.89⁴)³² < 2e-14: LSH recall is exact.
+    "pl_dedup_minhash" -> Q(
+      (s, d) => Dedup.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(jaccardOracle)),
+
+    // SimHash near-dup pairs (hamming ≤ 7) — xxhash64-based fingerprint
+    // is not reproducible in DuckDB: rows-only gate + PipelineSpec.
+    "pl_dedup_simhash" -> Q(
+      (s, d) => Dedup.simHashPairs(Tables(s, d, "documents"), "doc_id", "text", 7)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // per-document text stats (token count, chars, order-insensitive
+    // fingerprint)
+    "pl_text_stats" -> Q(
+      (s, d) => {
+        val t = Tables(s, d, "documents")
+        t.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.charCount(col("text")).as("n_chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+             |  length(text) AS n_chars,
+             |  md5(array_to_string(list_sort(list_distinct(
+             |    list_filter(string_split(lower(trim(text)), ' '), t -> t != ''))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // quality + language heuristics — formulas involve regex character
+    // classes that differ subtly between engines: rows-only + spec.
+    "pl_text_quality" -> Q(
+      (s, d) => TextAnalysis.documentStats(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      None),
+
+    // per-vector nearest neighbor within its label block (bulk near-dup
+    // mining shape; float values only ORDER, never compared)
+    "pl_emb_nn" -> Q(
+      (s, d) => Similarity.nearestNeighborWithinBlock(
+        Tables(s, d, "embeddings"), "vec_id", "embedding", "label").orderBy("id"),
+      Some("""WITH pairs AS (
+             |  SELECT a.vec_id AS id, b.vec_id AS id_b,
+             |    list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id != b.vec_id)
+             |SELECT id, id_b AS neighbor_id FROM (
+             |  SELECT id, id_b, row_number() OVER (PARTITION BY id ORDER BY cos DESC, id_b) AS rn
+             |  FROM pairs) WHERE rn = 1 ORDER BY id""".stripMargin)),
+
+    // brute-force cosine top-20 against the vec_id=0 embedding
+    "pl_emb_topk" -> Q(
+      (s, d) => {
+        val s2 = s
+        val emb = Tables(s2, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 20)
+      },
+      Some("""SELECT b.vec_id,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+             |FROM embeddings a, embeddings b WHERE a.vec_id = 0
+             |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin)),
+
+    // LSH-bucketed ANN — bucket assignment is xxhash64-derived, not
+    // DuckDB-reproducible: rows-only gate + recall spec.
+    "pl_emb_ann_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nPlanes = 4)
+      },
+      None),
+
+    // multimodal plumbing: binary payload column (text bytes stand in
+    // for media), stub decode via mapPartitions, deterministic features
+    "pl_multimodal_decode" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        Multimodal.decodeImages(docs, "doc_id", "media")
+          .select("doc_id", "width", "height").orderBy("doc_id")
+      },
+      None),
+
+    "pl_multimodal_features" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+        Multimodal.extractFeatures(docs, "doc_id", "media", dim = 8)
+          .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"),
+            size(col("features")).as("dim"))
+          .orderBy("doc_id")
+      },
+      None),
+  )
+
+  // NOTE: must be a def — `all` above references it during object init.
+  private def jaccardOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+      |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+      |  FROM documents
+      |), inv AS (
+      |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) AS jaccard
+      |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      |GROUP BY a.doc_id, b.doc_id
+      |HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+}

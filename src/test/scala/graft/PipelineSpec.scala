@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Specs for the training-data pipeline operators not covered by the
+  * DuckDB oracle gate (LSH recall, SimHash, language-ID, quality,
+  * multimodal plumbing), plus cross-checks between the approximate and
+  * exact variants on the sf0.001 fixtures.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+  private def emb = Tables(spark, dir, "embeddings")
+
+  test("minhash LSH recall equals exact jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash finds the near-duplicate pairs with small hamming distance") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simHashPairs(docs, "doc_id", "text", 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash(hamming<=7) should recover the vast majority of j>=0.9 pairs
+    val recall = if (exact.isEmpty) 1.0 else (exact & sim).size.toDouble / exact.size
+    assert(recall >= 0.95, s"simhash recall $recall too low; exact=$exact sim=$sim")
+    // and stay discriminative — not a near-complete pair graph
+    assert(sim.size <= exact.size * 5 + 10, s"simhash degenerate: ${sim.size} pairs")
+  }
+
+  test("lsh ANN returns a subset of brute-force candidates with same scores") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, 4).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must carry the exact same cosine the brute force computed
+    lsh.foreach { r =>
+      val id = r.getLong(0)
+      brute.get(id).foreach(c => assert(c == r.getDouble(1)))
+    }
+    // the query's own bucket always contains the query vector itself (cos=1)
+    assert(lsh.map(_.getLong(0)).contains(1L))
+  }
+
+  test("language id on unambiguous samples") {
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, "the cat and the dog is in a house of it"),
+      org.apache.spark.sql.Row(2L, "der hund und die katze ist ein tier mit fell"),
+      org.apache.spark.sql.Row(3L, "le chat et la maison est une belle chose que"),
+      org.apache.spark.sql.Row(4L, "el gato y la casa es una cosa que no"),
+      org.apache.spark.sql.Row(5L, "qqq www eee rrr")),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val got = df.select(col("id"), TextAnalysis.languageId(col("text")).as("lang"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("document stats are sane and deterministic") {
+    val stats = TextAnalysis.documentStats(docs, "doc_id", "text").orderBy("doc_id")
+    val first = stats.head()
+    assert(first.getAs[Long]("n_tokens") > 0)
+    assert(first.getAs[Long]("n_chars") == docs.orderBy("doc_id").head().getAs[Long]("n_chars"))
+    val q = first.getAs[Double]("quality")
+    assert(q >= 0.0 && q <= 1.0)
+    // fingerprint ignores word order
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("b a c"), org.apache.spark.sql.Row("c b a")),
+      StructType(Seq(StructField("text", StringType))))
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal decode plumbing: schema, determinism, partition count") {
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+      .repartition(3)
+    val decoded = Multimodal.decodeImages(media, "doc_id", "media")
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("doc_id", "width", "height", "pixel_head"))
+    assert(decoded.rdd.getNumPartitions == 3) // mapPartitions preserves partitioning
+    val twice = Multimodal.decodeImages(media, "doc_id", "media")
+    assert(decoded.orderBy("doc_id").collect().toSeq ==
+      twice.orderBy("doc_id").collect().toSeq) // stub is deterministic
+    val f = Multimodal.extractFeatures(media, "doc_id", "media", 16).head()
+    assert(f.getSeq[Float](1).length == 16)
+    val frames = Multimodal.sampleFrames(media, "doc_id", "media", 4)
+    assert(frames.filter(col("doc_id") === 0).count() == 4)
+    val sniffed = Multimodal.withSniffedFormat(media, "media")
+    assert(sniffed.schema.fieldNames.contains("format"))
+  }
+
+  test("word shingles edge cases") {
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("one"), org.apache.spark.sql.Row("one two"),
+      org.apache.spark.sql.Row("one two three four")),
+      StructType(Seq(StructField("text", StringType))))
+    val sh = df.select(Dedup.wordShingles(col("text"), 3).as("s")).collect()
+      .map(_.getSeq[String](0).toSeq)
+    assert(sh(0) == Seq("one"))
+    assert(sh(1) == Seq("one two"))
+    assert(sh(2) == Seq("one two three", "two three four"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+/** Structured Streaming specs: the windowed aggregation must match the
+  * equivalent batch computation once the bounded stream drains, and
+  * sessionization state must accumulate per user.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+  /** The file-stream source requires a directory: stage the events
+    * parquet file into a temp dir. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("windowed streaming counts equal the batch computation") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    // append mode emits only watermark-finalized windows: compare the
+    // subset whose end precedes max(ts) - 30min watermark horizon
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - (40 * 60 * 1000))
+    val streamed = EventStream.runWindowedBatch(spark, dir, "win_smoke")
+      .filter(col("win_start") <= horizon)
+      .orderBy("win_start", "event_type")
+    val batch = events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+      .filter(col("win_start") <= horizon)
+      .orderBy("win_start", "event_type")
+    val s = streamed.collect().toSeq
+    val b = batch.collect().toSeq
+    assert(s.nonEmpty)
+    assert(s == b, s"stream/batch divergence: ${s.diff(b).take(3)} vs ${b.diff(s).take(3)}")
+  }
+
+  test("sessionization accumulates per-user state") {
+    import spark.implicits._
+    val events = EventStream.readEvents(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(events)
+      .writeStream.outputMode("update").format("memory").queryName("sess_smoke").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_smoke")
+    // last snapshot per user must equal the batch per-user aggregate
+    val lastSnap = out.groupBy("user_id").agg(max("n_events").as("n_events"))
+    val batch = Tables(spark, "/root/testdata/sf0.001", "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val joined = lastSnap.join(batch, "user_id")
+      .filter(col("n_events") =!= col("n"))
+    assert(joined.count() == 0, s"state mismatch for users: ${joined.collect().mkString}")
+  }
+}
