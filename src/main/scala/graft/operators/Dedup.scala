@@ -105,7 +105,9 @@ object Dedup {
     // (observed ~1000x slowdown). See class doc.
     val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
       .localCheckpoint()
-    val base = shingled.select(col("id"), col("sh"), minHashSignature(col("sh"), k).as("sig"))
+    val base = shingled.select(col("id"), col("sh"),
+      graft.functions.VectorExpressions.minhash_sig(
+        transform(col("sh"), s => xxhash64(s)), k).as("sig"))
       .localCheckpoint()
     // band hash per (band index, slice of signature)
     val banded = base.select(col("id"), col("sh"),
@@ -146,7 +148,8 @@ object Dedup {
     * behind an exchange) — inlining this expression repeats the string
     * hashing 64x after projection collapse. */
   def simHash(text: Column): Column =
-    simHashOfHashes(transform(wordShingles(text, 2), t => xxhash64(t)))
+    graft.functions.VectorExpressions.simhash64(
+      transform(wordShingles(text, 2), t => xxhash64(t)))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming:
     * candidates bucket on maxHamming+1 bit-chunks of the fingerprint
@@ -166,7 +169,8 @@ object Dedup {
     val hashed = df.select(col(idCol).as("id"),
       transform(wordShingles(col(textCol), 2), t => xxhash64(t)).as("hs"))
       .localCheckpoint()
-    val base = hashed.select(col("id"), simHashOfHashes(col("hs")).as("sim"))
+    val base = hashed.select(col("id"),
+      graft.functions.VectorExpressions.simhash64(col("hs")).as("sim"))
       .localCheckpoint()
     val chunked = base.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(numChunks - 1)),

@@ -14,16 +14,19 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** dot(a, b) over array columns. */
+  /** dot(a, b) over array columns — custom Catalyst expression (the
+    * zip_with+aggregate formulation is interpreted per element and
+    * ~50x slower; see graft.functions.VectorExpressions). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
-  /** L2 norm. */
+  /** L2 norm (pure-Column; used rarely, outside hot loops). */
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity of two array columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two array columns (custom expression). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   private def litVec(q: Seq[Float]): Column = array(q.map(x => lit(x.toDouble)): _*)
 
@@ -44,17 +47,10 @@ object Similarity {
   private def planeComponent(p: Int, i: Column): Column =
     (call_function("shiftright", xxhash64(lit(p), i), lit(32)).cast(DoubleType) / 1e9)
 
-  /** Sign-of-projection LSH bucket id from nPlanes hyperplanes. */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val signs = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(aggregate(dims, lit(0.0),
-        (acc, i) => acc + element_at(vec, i + 1) *
-          (call_function("shiftright", xxhash64(p, i), lit(32)).cast(DoubleType) / 1e9)) >= 0,
-        lit(1L)).otherwise(lit(0L)))
-    aggregate(sequence(lit(0), lit(nPlanes - 1)), lit(0L),
-      (acc, p) => acc.bitwiseOR(call_function("shiftleft", element_at(signs, p + 1), p)))
-  }
+  /** Sign-of-projection LSH bucket id from nPlanes deterministic
+    * hyperplanes (custom Catalyst expression — see VectorExpressions). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    graft.functions.VectorExpressions.hyperplane_bucket(vec, nPlanes)
 
   /** LSH-bucketed ANN: search only the query's bucket. Trades recall
     * for a ~2^nPlanes-fold candidate reduction; at scale the bucket id
