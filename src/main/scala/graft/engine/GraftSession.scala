@@ -38,6 +38,12 @@ final class GraftSession(val spark: SparkSession) {
     registerLazy(name, () => spark.read.option("header", "true").option("inferSchema", "true").csv(path))
   def registerJson(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.json(path))
+  /** JDBC-backed source — the Spark-native equivalent of the reference's
+    * SQLite full-pushdown source (datasource/sqlite/sqlrewrite.go):
+    * Spark's JDBC relation pushes filters/projections itself. */
+  def registerJdbc(name: String, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    registerLazy(name, () => spark.read.jdbc(url, table, props))
   def dropTable(name: String): Unit = tables.remove(name.toLowerCase)
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
   def table(name: String): DataFrame =
@@ -67,6 +73,7 @@ final class GraftSession(val spark: SparkSession) {
         case Some(t) => val m = df.cache(); registerTable(t, m); m
         case None => df
       }
+    case sop: SqlSetOp => planner.planStatement(sop)
     case f: FilterStatement => filterDf(f)
     case fs: FilterSelect =>
       val base = fs.from.map(table).getOrElse(emptyDf())

@@ -19,6 +19,31 @@ final class Planner(catalog: String => DataFrame,
     vars: Map[String, Any] = Map.empty,
     includer: String => Option[Node] = _ => None) {
 
+  /** Plan a SELECT or a set-operation chain. */
+  def planStatement(st: Statement): DataFrame = st match {
+    case s: SqlSelect => plan(s)
+    case SqlSetOp(op, all, l, r, orderBy, limit) =>
+      val ld = planStatement(l); val rd = planStatement(r)
+      var out = (op, all) match {
+        case ("UNION", true)      => ld.union(rd)
+        case ("UNION", false)     => ld.union(rd).distinct()
+        case ("INTERSECT", true)  => ld.intersectAll(rd)
+        case ("INTERSECT", false) => ld.intersect(rd)
+        case ("EXCEPT", true)     => ld.exceptAll(rd)
+        case ("EXCEPT", false)    => ld.except(rd)
+        case other                => throw BuildException(s"unknown set op $other")
+      }
+      if (orderBy.nonEmpty) {
+        val ctx = BuildCtx(Some(out.schema), vars, includer)
+        out = out.orderBy(orderBy.map { case (n, asc) =>
+          val c = ColumnBuilder.build(n, ctx)
+          if (asc) c.asc else c.desc
+        }: _*)
+      }
+      limit.map(out.limit).getOrElse(out)
+    case other => throw BuildException(s"not a plannable statement: $other")
+  }
+
   def plan(sel: SqlSelect): DataFrame = {
     if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
       val ctx = BuildCtx(None, vars, includer)

@@ -90,6 +90,18 @@ object EngineQueries {
       Some("""SELECT event_id, event_type, value FROM events
              |WHERE value > 150 AND event_type = 'error' ORDER BY event_id""".stripMargin)),
 
+    // engine set operations (beyond the reference dialect)
+    "ql_union" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+          |UNION
+          |SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+             |UNION
+             |SELECT c_custkey FROM customer WHERE c_acctbal > 9900
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine builtins in projection: string + time + hash families
     "ql_funcs" -> Q(
       (s, d) => session(s, d).sql(

@@ -54,6 +54,12 @@ final case class SqlSelect(
     offset: Option[Int] = None,
     into: Option[String] = None) extends Statement
 
+/** UNION / INTERSECT / EXCEPT [ALL] chain — beyond the reference (its
+  * dialect has no set ops, SURVEY §2.7); trailing ORDER BY/LIMIT of the
+  * right-most SELECT applies to the whole result. */
+final case class SqlSetOp(op: String, all: Boolean, left: Statement, right: Statement,
+    orderBy: Seq[(graft.expr.Node, Boolean)] = Nil, limit: Option[Int] = None) extends Statement
+
 final case class SqlInsert(table: String, columns: Seq[String],
     values: Seq[Seq[Node]], select: Option[SqlSelect]) extends Statement
 final case class SqlUpdate(table: String, set: Seq[(String, Node)], where: Option[Node]) extends Statement

@@ -27,11 +27,12 @@ final class SqlParser(tokens: Vector[Token]) {
   private val clauseKeywords = Set(
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
-    "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET")
+    "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
+    "UNION", "INTERSECT", "EXCEPT", "ALL")
 
   def parseStatement(): Statement = {
     val st =
-      if (kw("SELECT")) parseSelect()
+      if (kw("SELECT")) parseSelectChain()
       else if (kw("FILTER")) parseFilter()
       else if (kw("INSERT")) parseInsert()
       else if (kw("UPSERT")) parseUpsert()
@@ -55,6 +56,24 @@ final class SqlParser(tokens: Vector[Token]) {
     if (!ep.atEof) throw ParseException(s"unexpected trailing input '${cur.text}' at ${cur.pos}")
 
   // ---- SELECT --------------------------------------------------------
+
+  /** SELECT possibly chained with UNION / INTERSECT / EXCEPT [ALL]. */
+  private def parseSelectChain(): Statement = {
+    var left: Statement = parseSelect()
+    while (kw("UNION") || kw("INTERSECT") || kw("EXCEPT")) {
+      val op = next().text.toUpperCase
+      val all = eat("ALL")
+      val right = parseSelect()
+      // hoist the right-most select's ORDER BY / LIMIT onto the set op
+      val (r2, ob, lim) = right match {
+        case s: SqlSelect if s.orderBy.nonEmpty || s.limit.isDefined =>
+          (s.copy(orderBy = Nil, limit = None), s.orderBy, s.limit)
+        case s => (s, Nil, None)
+      }
+      left = SqlSetOp(op, all, left, r2, ob, lim)
+    }
+    left
+  }
 
   private def parseSelect(): SqlSelect = {
     expect("SELECT")

@@ -228,6 +228,30 @@ class EngineSpec extends AnyFunSuite {
     assert(notInc.count() == 2)
   }
 
+  test("set operations") {
+    testSelect(
+      """SELECT user_id FROM users WHERE referral_count > 50
+        |UNION
+        |SELECT user_id FROM orders WHERE price > 30
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    testSelect(
+      """SELECT user_id FROM users
+        |INTERSECT
+        |SELECT user_id FROM orders ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    testSelect(
+      """SELECT user_id FROM users
+        |EXCEPT
+        |SELECT user_id FROM orders ORDER BY user_id""".stripMargin,
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    testSelect(
+      """SELECT item_id FROM orders
+        |UNION ALL
+        |SELECT item_id FROM orders ORDER BY item_id LIMIT 3""".stripMargin,
+      Seq(Seq(1L), Seq(1L), Seq(1L)))
+  }
+
   test("select into") {
     session.sql("SELECT user_id, email INTO snap FROM users WHERE referral_count > 50")
     assert(rows(session.sql("SELECT count(*) AS c FROM snap")) == Seq(Seq(1L)))

@@ -220,6 +220,53 @@ class ExprSpec extends AnyFunSuite {
     check("json.jmespath('{\"a\":{\"b\":2}}', \"a.b\")", "2")
   }
 
+  test("remaining url/useragent builtins") {
+    assert(eval("domains(\"www.google.com/blog\", \"http://www.lytics.io\")")
+      .asInstanceOf[collection.Seq[String]].toSet == Set("google.com", "lytics.io"))
+    assert(eval("hosts(\"www.google.com/blog\", \"http://www.lytics.io\")")
+      .asInstanceOf[collection.Seq[String]].toSet == Set("www.google.com", "www.lytics.io"))
+    assert(eval("qsl(\"http://x.com/?a=1&a=2&b=3\", \"a\")")
+      .asInstanceOf[collection.Seq[String]] == Seq("1", "2"))
+    check("qs2(\"http://x.com/?u=a%20b\", \"u\")", "a%20b")
+    check("url.matchqs(\"http://x.com/p?a=1&b=2&c=3\", \"a\", \"c\")", "http://x.com/p?a=1&c=3")
+    check("useragent(\"Mozilla/5.0 (Windows NT 10.0) Chrome/91.0\", \"browser\")", "Chrome")
+    check("useragent(\"Mozilla/5.0 (Windows NT 10.0) Chrome/91.0\", \"os\")", "Windows")
+    assert(eval("useragent.map(\"Mozilla/5.0 (Macintosh; Mac OS X) Safari/605\")")
+      .asInstanceOf[collection.Map[String, String]]("os") == "Mac OS")
+    assert(eval("uuid()").asInstanceOf[String].length == 36)
+  }
+
+  test("remaining map/time builtins") {
+    assert(eval("map(\"k\", 5)").asInstanceOf[collection.Map[String, Long]].toMap == Map("k" -> 5L))
+    assert(eval("maptime(\"ev\", \"2015-12-18 00:00:00\")")
+      .asInstanceOf[collection.Map[String, java.sql.Timestamp]]("ev") ==
+        java.sql.Timestamp.valueOf("2015-12-18 00:00:00"))
+    assert(eval("mapinvert(map(\"k\", \"v\"))")
+      .asInstanceOf[collection.Map[String, String]].toMap == Map("v" -> "k"))
+    check("yymm(\"2015-12-18\")", "1512")
+    check("hourofweek(\"2015-12-18 02:00:00\")", 122L) // Friday(5)*24+2
+    check("unixtrunc(\"2009-11-10 23:00:00\")", "1257894000")
+    check("unixtrunc(\"2009-11-10 23:00:00\", \"ms\")", "1257894000000")
+    check("todatein(\"2016-02-03 22:00:00\", \"America/Los_Angeles\")",
+      java.sql.Timestamp.valueOf("2016-02-04 06:00:00")) // PST = UTC-8
+  }
+
+  test("match builtin collects prefixed fields") {
+    // match("bval") over the fixture row → {t: true, f: false} stripped keys
+    val m = eval("match(\"bval\")").asInstanceOf[collection.Map[String, String]].toMap
+    assert(m == Map("t" -> "true", "f" -> "false"))
+  }
+
+  test("user-registered function (expr.FuncAdd parity)") {
+    FuncRegistry.add("email_is_valid", returnType =
+      Some(org.apache.spark.sql.types.BooleanType))(a =>
+      org.apache.spark.sql.functions.regexp_like(
+        a.head.cast(org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.functions.lit("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")))
+    check("email_is_valid(email)", true)
+    check("email_is_valid(\"not_an_email\")", false)
+  }
+
   test("parse errors") {
     assertThrows[ParseException](ExprParser.parse("5 +"))
     assertThrows[ParseException](ExprParser.parse("AND AND"))
