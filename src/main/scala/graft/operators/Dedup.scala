@@ -186,6 +186,27 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Apply exact dedup: keep the lowest-id row per content hash.
+    * One shuffle on the hash; survivors stream straight through. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(md5(col(textCol).cast(BinaryType)).as("__h"))
+      .agg(min(col(idCol)).as("__keep"))
+      .select("__keep")
+    df.join(keep, col(idCol) === col("__keep"), "left_semi")
+  }
+
+  /** Apply near-dedup: remove the higher id of every LSH-verified pair
+    * (greedy; transitive clusters collapse to their minimum id after
+    * the pair list is swept). The removal set is tiny relative to the
+    * corpus, so the anti join broadcasts. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairs(df, idCol, textCol, shingleN, bands, rowsPerBand, threshold)
+    val remove = pairs.select(greatest(col("id_a"), col("id_b")).as("__rm")).distinct()
+    df.join(broadcast(remove), col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs by cosine similarity within a
     * blocking key (at scale: replace the blocking column with an LSH
     * bucket from Similarity.hyperplaneBucket). */

@@ -39,6 +39,36 @@ object PipelineQueries {
         .orderBy("id_a", "id_b"),
       Some(jaccardOracle)),
 
+    // end-to-end dedup application: corpus minus exact dups (keep min id)
+    "pl_dedup_apply_exact" -> Q(
+      (s, d) => Dedup.dropExactDuplicates(Tables(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "n_chars").orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars FROM documents
+             |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // end-to-end near-dedup application: corpus minus the greater id of
+    // every verified near-dup pair (same pair oracle as pl_dedup_jaccard)
+    "pl_dedup_apply_near" -> Q(
+      (s, d) => Dedup.dropNearDuplicates(Tables(s, d, "documents"), "doc_id", "text")
+        .select("doc_id").orderBy("doc_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT greatest(id_a, id_b) FROM pairs)
+             |ORDER BY doc_id""".stripMargin)),
+
     // SimHash near-dup pairs (hamming ≤ 7) — xxhash64-based fingerprint
     // is not reproducible in DuckDB: rows-only gate + PipelineSpec.
     "pl_dedup_simhash" -> Q(

@@ -213,6 +213,19 @@ class EngineSpec extends AnyFunSuite {
     session.sql("BEGIN"); session.sql("COMMIT"); session.sql("ROLLBACK")
   }
 
+  test("insert-select, upsert-set, explain") {
+    session.sql("CREATE TABLE t2 AS SELECT user_id, referral_count FROM users WHERE referral_count > 50")
+    session.sql("INSERT INTO t2 (user_id, referral_count) SELECT user_id, item_count FROM orders WHERE order_id = 1")
+    assert(rows(session.sql("SELECT count(*) AS c FROM t2")) == Seq(Seq(2L)))
+    // alternate reference form: UPSERT tbl SET k = v (applies to all rows here)
+    session.sql("UPDATE t2 SET referral_count = 1 WHERE user_id = '9Ip1aKbeZe2njCDM'")
+    assert(rows(session.sql("SELECT referral_count FROM t2 WHERE user_id = '9Ip1aKbeZe2njCDM' LIMIT 1")).head
+      == Seq(1L))
+    val plan = rows(session.sql("EXPLAIN SELECT user_id FROM t2 WHERE referral_count > 0")).head.head.toString
+    assert(plan.contains("Physical Plan"))
+    session.sql("DROP TABLE t2")
+  }
+
   test("filterql") {
     val f = session.sql("FILTER AND(referral_count > 50, EXISTS email) FROM users")
     assert(rows(f.select(f("user_id"))) == Seq(Seq("9Ip1aKbeZe2njCDM")))
