@@ -57,9 +57,20 @@ final class SqlParser(tokens: Vector[Token]) {
 
   // ---- SELECT --------------------------------------------------------
 
-  /** SELECT possibly chained with UNION / INTERSECT / EXCEPT [ALL]. */
+  /** SELECT possibly chained with UNION / INTERSECT / EXCEPT [ALL];
+    * or the FilterQL select form `SELECT cols FROM t FILTER expr`
+    * (rel/filter.go:30-33 FilterSelect). */
   private def parseSelectChain(): Statement = {
     var left: Statement = parseSelect()
+    if (kw("FILTER")) {
+      next()
+      val filter = if (cur.is("*")) { next(); BoolNode(true) } else ep.parseExpr()
+      val (limit, _) = parseLimitOffset()
+      val alias = if (eat("ALIAS")) Some(ident()) else None
+      val sel = left.asInstanceOf[SqlSelect]
+      val from = sel.from.headOption.collect { case TableSource(n, _, _, _) => n }
+      return FilterSelect(sel.columns, from, filter, limit.orElse(sel.limit), alias)
+    }
     while (kw("UNION") || kw("INTERSECT") || kw("EXCEPT")) {
       val op = next().text.toUpperCase
       val all = eat("ALL")

@@ -239,6 +239,23 @@ class EngineSpec extends AnyFunSuite {
     // NOT INCLUDE
     val notInc = session.sql("FILTER NOT INCLUDE bigref FROM users")
     assert(notInc.count() == 2)
+    // FilterQL select form: SELECT cols FROM t FILTER expr (rel/filter.go:30-33)
+    testSelect(
+      "SELECT user_id, email FROM users FILTER AND(referral_count > 50, EXISTS email)",
+      Seq(Seq("9Ip1aKbeZe2njCDM", "aaron@email.com")))
+  }
+
+  test("expression text round-trips through the parser") {
+    // rel/parse_sql_test.go parity: AST.text must re-parse to an equal AST
+    for (e <- Seq(
+      "a + 5 > b", "NOT (x AND y)", "AND (a, b, c)",
+      "user_id LIKE \"ab*\"", "x NOT IN (\"a\", \"b\")",
+      "5 BETWEEN 1 AND 10", "EXISTS email", "tolower(email) == \"x\"",
+      "a.b + map(\"k\", 1)")) {
+      val once = graft.expr.ExprParser.parse(e)
+      val twice = graft.expr.ExprParser.parse(once.text)
+      assert(once == twice, s"round-trip changed: $e -> ${once.text} -> ${twice.text}")
+    }
   }
 
   test("set operations") {
