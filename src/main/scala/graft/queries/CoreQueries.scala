@@ -422,6 +422,49 @@ object CoreQueries {
       Some("""SELECT a.r_name AS ra, b.r_name AS rb
              |FROM region a CROSS JOIN region b ORDER BY ra, rb""".stripMargin)),
 
+    // Analytic window functions (lag/lead/rank) — pipeline staples.
+    "q30_window_analytics" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_orderkey", 1).over(w).as("prev_order"),
+            lead("o_orderkey", 1).over(w).as("next_order"),
+            rank().over(w).cast("long").as("rnk"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  lag(o_orderkey, 1) OVER w AS prev_order,
+             |  lead(o_orderkey, 1) OVER w AS next_order,
+             |  rank() OVER w AS rnk
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ROLLUP grouping sets (beyond the reference, SURVEY §2.4).
+    "q31_rollup" -> Q(
+      (s, d) => t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice),4) AS rev
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Exact percentiles (median / p90) per group.
+    "q32_percentile" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+             r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9),4) AS p90
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Tumbling time-window aggregation over the events table (batch shape
     // of the Structured Streaming query in graft.streaming).
     "q29_time_window" -> Q(

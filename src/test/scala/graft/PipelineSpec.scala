@@ -100,6 +100,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(sniffed.schema.fieldNames.contains("format"))
   }
 
+  test("salted join equals plain join") {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val o = Tables(spark, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(o, "l_orderkey").count()
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", 8).count()
+    assert(plain == salted, s"salted join changed row count: $plain vs $salted")
+  }
+
   test("word shingles edge cases") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row("one"), org.apache.spark.sql.Row("one two"),
