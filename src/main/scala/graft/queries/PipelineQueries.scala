@@ -139,6 +139,42 @@ object PipelineQueries {
       },
       None),
 
+    // as-of join: each click gets the latest prior signup value per user
+    // (tagged-union + window composition, no range-join explosion)
+    "pl_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select("user_id", "ts", "value")
+        graft.operators.EventOps.asofJoin(clicks, signups, "user_id", "ts", "ts", "value")
+          .select(col("event_id"), col("user_id"), round(col("asof_value"), 4).as("asof_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, l.user_id, round(r.value, 4) AS asof_value
+             |FROM (SELECT * FROM events WHERE event_type='click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='signup') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // gap-based sessionization (30-minute inactivity gap)
+    "pl_sessionize" -> Q(
+      (s, d) => graft.operators.EventOps.gapSessionIds(
+          Tables(s, d, "events"), "user_id", "ts", 30)
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id"),
+      Some("""WITH g AS (
+             |  SELECT event_id, user_id, ts,
+             |    CASE WHEN epoch(ts)::BIGINT - epoch(lag(ts)
+             |      OVER (PARTITION BY user_id ORDER BY ts))::BIGINT > 1800
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  CAST(1 + sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |FROM g ORDER BY event_id""".stripMargin)),
+
     // multimodal plumbing: binary payload column (text bytes stand in
     // for media), stub decode via mapPartitions, deterministic features
     "pl_multimodal_decode" -> Q(
