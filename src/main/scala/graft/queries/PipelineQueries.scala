@@ -114,6 +114,20 @@ object PipelineQueries {
              |  SELECT id, id_b, row_number() OVER (PARTITION BY id ORDER BY cos DESC, id_b) AS rn
              |  FROM pairs) WHERE rn = 1 ORDER BY id""".stripMargin)),
 
+    // embedding-cosine near-dup pairs within label blocks (float math is
+    // identical element-order double accumulation in both engines, so
+    // the threshold filter is deterministic)
+    "pl_emb_cosine_pairs" -> Q(
+      (s, d) => Dedup.embeddingCosinePairs(
+          Tables(s, d, "embeddings"), "vec_id", "embedding", "label", 0.25)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // brute-force cosine top-20 against the vec_id=0 embedding
     "pl_emb_topk" -> Q(
       (s, d) => {
