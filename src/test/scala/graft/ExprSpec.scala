@@ -267,6 +267,22 @@ class ExprSpec extends AnyFunSuite {
     check("email_is_valid(\"not_an_email\")", false)
   }
 
+  test("arithmetic edge parity") {
+    check("\"a\" + \"b\"", "ab")        // string + string concatenates
+    check("9.5 % 4", 1L)                // % truncates operands to int (vm.go:976-978)
+    check("-int5", -5L)
+    check("int5 + NULL", null)          // null propagation
+  }
+
+  test("approx distinct tracks exact within tolerance") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val exact = docs.select(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("source"))).head().getLong(0)
+    val approx = docs.select(org.apache.spark.sql.functions.approx_count_distinct(
+      org.apache.spark.sql.functions.col("source"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"approx=$approx exact=$exact")
+  }
+
   test("parse errors") {
     assertThrows[ParseException](ExprParser.parse("5 +"))
     assertThrows[ParseException](ExprParser.parse("AND AND"))
