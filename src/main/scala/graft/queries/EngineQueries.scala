@@ -80,6 +80,35 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // scalar builtin families through the dialect: array/string/cast
+    "ql_scalar_funcs" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT p_partkey,
+          |  len(split(p_name, " ")) AS n_words,
+          |  array.index(split(p_name, " "), 0) AS first_word,
+          |  string.substr(p_type, 0, 5) AS type5,
+          |  char_length(p_brand) AS blen,
+          |  toint(tostring(p_size)) AS sz,
+          |  oneof(NULL, p_brand) AS brand
+          |FROM part ORDER BY p_partkey""".stripMargin),
+      Some("""SELECT p_partkey,
+             |  len(string_split(p_name, ' ')) AS n_words,
+             |  string_split(p_name, ' ')[1] AS first_word,
+             |  substr(p_type, 1, 5) AS type5,
+             |  CAST(length(p_brand) AS BIGINT) AS blen,
+             |  CAST(p_size AS BIGINT) AS sz,
+             |  p_brand AS brand
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // column guard through the dialect (`col IF boolexpr`)
+    "ql_column_guard" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name IF c_acctbal > 5000 AS rich_name
+          |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal > 5000 THEN c_name END AS rich_name
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // FilterQL end-to-end: n-ary AND over the events table
     "ql_filterql" -> Q(
       (s, d) => {
