@@ -93,9 +93,35 @@ object PipelineQueries {
              |    list_filter(string_split(lower(trim(text)), ' '), t -> t != ''))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // quality + language heuristics — formulas involve regex character
-    // classes that differ subtly between engines: rows-only + spec.
+    // quality metrics fully oracle-gated (ASCII corpus: \p{Punct} and
+    // [[:punct:]] agree); language-ID stays spec-covered (argmax over
+    // per-language stopword lists isn't worth replicating in SQL)
     "pl_text_quality" -> Q(
+      (s, d) => {
+        val t = col("text")
+        Tables(s, d, "documents").select(col("doc_id"),
+          round(TextAnalysis.punctRatio(t), 4).as("punct_ratio"),
+          round(TextAnalysis.meanWordLen(t), 4).as("mean_word_len"),
+          round(TextAnalysis.stopwordRatio(t), 4).as("stopword_ratio"),
+          TextAnalysis.qualityScore(t).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / greatest(length(text), 1), 4) AS punct_ratio,
+             |  round(list_avg(list_transform(string_split(trim(text), ' '), t -> length(t))), 4) AS mean_word_len,
+             |  round(len(list_intersect(list_distinct(string_split(lower(trim(text)), ' ')),
+             |      ['the','a','of','and','to','in','is','it','that','for']))::DOUBLE
+             |    / greatest(len(list_distinct(string_split(lower(trim(text)), ' '))), 1), 4) AS stopword_ratio,
+             |  round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             |    + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |        / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             |    + (CASE WHEN list_avg(list_transform(string_split(trim(text), ' '), t -> length(t)))
+             |        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // full per-document stats frame incl. language ID (spec-covered)
+    "pl_text_docstats" -> Q(
       (s, d) => TextAnalysis.documentStats(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
       None),
