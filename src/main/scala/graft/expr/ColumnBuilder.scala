@@ -123,7 +123,12 @@ object ColumnBuilder {
     val c: Column = op match {
       case "+" =>
         (typeOf(ln, ctx), typeOf(rn, ctx)) match {
-          case (Some(StringType), _) | (_, Some(StringType)) => concat(l, r)
+          // string + string concatenates; string + number coerces numeric
+          case (Some(StringType), Some(StringType)) => concat(l, r)
+          case (Some(StringType), Some(t)) if t.isInstanceOf[NumericType] =>
+            l.cast(DoubleType) + r
+          case (Some(t), Some(StringType)) if t.isInstanceOf[NumericType] =>
+            l + r.cast(DoubleType)
           case _ => l + r
         }
       case "-" => l - r

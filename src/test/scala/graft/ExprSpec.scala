@@ -267,6 +267,17 @@ class ExprSpec extends AnyFunSuite {
     check("email_is_valid(\"not_an_email\")", false)
   }
 
+  test("coercion corner cases") {
+    check("10 > \"9\"", true)        // numeric compare, not lexicographic
+    check("\"10\" == 10", true)
+    check("\"2\" < 10", true)        // "2" < "10" would be false as strings
+    check("empty IS NULL", true)
+    check("user_id IS NOT NULL", true)
+    check("str5 + 1", 6.0)           // string+number coerces numeric
+    check("tobool(\"1\")", true)     // "1"/"0" accepted like Go strconv.ParseBool
+    check("toint(3.7)", 3L)          // truncation toward zero
+  }
+
   test("arithmetic edge parity") {
     check("\"a\" + \"b\"", "ab")        // string + string concatenates
     check("9.5 % 4", 1L)                // % truncates operands to int (vm.go:976-978)
