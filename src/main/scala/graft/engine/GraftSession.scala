@@ -115,6 +115,20 @@ final class GraftSession(val spark: SparkSession) {
     f.limit.map(out.limit).getOrElse(out)
   }
 
+  /** Single-row expression evaluation against a literal context — the
+    * reference's `vm.Eval(ctx, ast)` embedding surface (vm/vm.go:42-44).
+    * Returns null when the expression can't evaluate (missing field ≈
+    * null semantics, SURVEY §7 divergence note). */
+  def eval(exprText: String, row: Map[String, Any]): Any = {
+    val node = ExprParser.parse(exprText)
+    val fields = row.toSeq.map { case (k, v) => StructField(k, literalType(v)) }
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(row.values.toSeq: _*)), StructType(fields))
+    val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
+    val r = df.select(ColumnBuilder.build(node, ctx).as("r")).head()
+    if (r.isNullAt(0)) null else r.get(0)
+  }
+
   /** Single-row FilterQL match against a literal context (vm.Matches). */
   def matches(filterQl: String, row: Map[String, Any]): Boolean = {
     val f = SqlParser.parse(filterQl) match {
@@ -226,6 +240,10 @@ final class GraftSession(val spark: SparkSession) {
         .map(f => s"  `${f.name}` ${f.dataType.sql}").mkString(s"CREATE TABLE `$t` (\n", ",\n", "\n)")
       spark.createDataFrame(java.util.List.of(Row(t, ddl)),
         StructType(Seq(StructField("Table", StringType), StructField("Create Table", StringType))))
+    case "INDEX" | "KEYS" | "INDEXES" =>
+      // accept-and-empty: no secondary indexes in this engine
+      spark.createDataFrame(java.util.List.of[Row](),
+        StructType(Seq(StructField("Table", StringType), StructField("Key_name", StringType))))
     case other => throw new IllegalArgumentException(s"SHOW $other not supported")
   }
 

@@ -282,6 +282,15 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq(1L), Seq(1L), Seq(1L)))
   }
 
+  test("single-row expression eval (vm.Eval embedding)") {
+    assert(session.eval("a + 5 > b", Map("a" -> 10L, "b" -> 12L)) == true)
+    assert(session.eval("tolower(name)", Map("name" -> "AARON")) == "aaron")
+    assert(session.eval("x * 2 + 1", Map("x" -> 4L)) == 9L)
+    // missing field: analysis error (ref: could-not-evaluate, row fails)
+    assert(scala.util.Try(session.eval("missing_field > 5", Map("x" -> 1L))).isFailure)
+    assert(rows(session.sql("SHOW INDEX FROM users")).isEmpty)
+  }
+
   test("select into") {
     session.sql("SELECT user_id, email INTO snap FROM users WHERE referral_count > 50")
     assert(rows(session.sql("SELECT count(*) AS c FROM snap")) == Seq(Seq(1L)))
