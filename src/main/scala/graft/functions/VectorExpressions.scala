@@ -163,6 +163,144 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): HyperplaneBucket = copy(child = c)
   }
 
+  /** Distinct hashed word n-gram shingles in one pass: tokenize on
+    * whitespace, slide an n-token window, 64-bit-hash each shingle.
+    * Replaces the split/zip_with/transform Column chain (interpreted,
+    * re-evaluated per reference after projection collapse) with a single
+    * compiled kernel — the shingling stage of every dedup operator.
+    * Texts shorter than n tokens yield one clamped shingle (all tokens),
+    * matching the DuckDB oracle's range(1, greatest(len-1, 2)) shape. */
+  case class WordShingleHashes(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.toString.trim.split("\\s+")
+      val out = new java.util.ArrayList[Long]()
+      val seen = new java.util.HashSet[java.lang.Long]()
+      @inline def hashOf(sb: CharSequence): Long = {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < sb.length) { h = 31 * h + sb.charAt(i); i += 1 }
+        mix64(h)
+      }
+      if (toks.length < n) {
+        out.add(hashOf(toks.mkString(" ")))
+      } else {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          val h = hashOf(sb)
+          if (seen.add(h)) out.add(h)
+          i += 1
+        }
+      }
+      val arr = new Array[Long](out.size())
+      var i = 0
+      while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+      ArrayData.toArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+      copy(child = c)
+  }
+
+  /** Like [[WordShingleHashes]] but the hash is the first 60 bits of the
+    * shingle's MD5 — reproducible in ANY engine (DuckDB:
+    * ('0x' || substr(md5(g),1,15))::BIGINT), so fingerprints built on it
+    * (SimHash) can be oracle-checked cross-engine. */
+  case class WordShingleMd5(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    private def md5_60(s: String): Long = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = top 60 bits, big-endian hex order
+      var h = 0L
+      var i = 0
+      while (i < 8) {
+        val b = d(i) & 0xff
+        if (i < 7) h = (h << 8) | b
+        else h = (h << 4) | (b >>> 4) // 15th hex char = high nibble of byte 7
+        i += 1
+      }
+      h
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.toString.trim.split("\\s+")
+      val out = new java.util.ArrayList[Long]()
+      val seen = new java.util.HashSet[java.lang.Long]()
+      if (toks.length < n) {
+        out.add(md5_60(toks.mkString(" ")))
+      } else {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= toks.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+          val h = md5_60(sb.toString)
+          if (seen.add(h)) out.add(h)
+          i += 1
+        }
+      }
+      val arr = new Array[Long](out.size())
+      var i = 0
+      while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+      ArrayData.toArrayData(arr)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingleMd5 =
+      copy(child = c)
+  }
+
+  /** |a ∩ b| for two array<long> columns — one hash-set probe instead of
+    * array_intersect + size (which materializes the intersection). */
+  case class IntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+      val set = new java.util.HashSet[java.lang.Long]()
+      var i = 0
+      while (i < a.numElements()) { set.add(a.getLong(i)); i += 1 }
+      var c = 0
+      i = 0
+      while (i < b.numElements()) { if (set.remove(b.getLong(i))) c += 1; i += 1 }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+      copy(l, r)
+  }
+
+  /** L2-normalized copy of a numeric array (as array<double>). Lets the
+    * pair stage of bulk-NN use a plain dot product (1/3 the flops of a
+    * fused cosine, amortizing the normalization over O(n²)/n pairs). */
+  case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private def elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val isF = elemIsFloat
+      val out = new Array[Double](n)
+      var ss = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = x; ss += x * x; i += 1
+      }
+      val norm = math.sqrt(ss)
+      if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -175,6 +313,14 @@ object VectorExpressions {
       exprs => MinHashSignature(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hyperplane_bucket",
       exprs => HyperplaneBucket(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_shingles",
+      exprs => WordShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_shingles_md5",
+      exprs => WordShingleMd5(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_intersect_count",
+      exprs => IntersectCount(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2_normalize",
+      exprs => L2Normalize(exprs.head), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -187,4 +333,12 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_minhash", c, org.apache.spark.sql.functions.lit(k)) }
   def hyperplane_bucket(c: Column, nPlanes: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_hyperplane_bucket", c, org.apache.spark.sql.functions.lit(nPlanes)) }
+  def word_shingle_hashes(c: Column, n: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_word_shingles", c, org.apache.spark.sql.functions.lit(n)) }
+  def word_shingle_md5(c: Column, n: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_word_shingles_md5", c, org.apache.spark.sql.functions.lit(n)) }
+  def intersect_count(a: Column, b: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_intersect_count", a, b) }
+  def l2_normalize(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_l2_normalize", c) }
 }
