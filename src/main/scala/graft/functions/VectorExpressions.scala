@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,8 +21,26 @@ import org.apache.spark.sql.types._
   */
 object VectorExpressions {
 
+  // ---- input type guards (ADVICE r2: misuse must fail at analysis
+  // time, not read garbage via getLong/getDouble on UnsafeArrayData) ----
+  private def isLongArray(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  /** float or double elements (the embedding fixtures are array<float>;
+    * literals/casts produce array<double>). */
+  private def isNumericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true; case _ => false
+  }
+  private def check(ok: Boolean, expr: String, want: String, got: Seq[DataType]): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$expr expects $want, got ${got.map(_.catalogString).mkString(", ")}")
+
   /** Majority-vote 64-bit simhash over an array<long> of feature hashes. */
-  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(child.dataType), "simhash64", "array<bigint>", Seq(child.dataType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -45,6 +64,9 @@ object VectorExpressions {
   /** Cosine similarity between two numeric arrays (float or double). */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(left.dataType) && isNumericArray(right.dataType),
+        "cosine", "two array<float|double>", Seq(left.dataType, right.dataType))
     override def dataType: DataType = DoubleType
     private def elemIsFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
@@ -72,6 +94,9 @@ object VectorExpressions {
   /** Dot product between two numeric arrays (float or double). */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(left.dataType) && isNumericArray(right.dataType),
+        "dot", "two array<float|double>", Seq(left.dataType, right.dataType))
     override def dataType: DataType = DoubleType
     private def elemIsFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
@@ -108,6 +133,8 @@ object VectorExpressions {
     * row (the pure-Column formulation runs k interpreted aggregates). */
   case class MinHashSignature(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(child.dataType), "minhash", "array<bigint>", Seq(child.dataType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -134,6 +161,9 @@ object VectorExpressions {
     * to [-1, 1]) — reproducible across runs and engines. */
   case class HyperplaneBucket(child: Expression, nPlanes: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(child.dataType), "hyperplane_bucket",
+        "array<float|double>", Seq(child.dataType))
     override def dataType: DataType = LongType
     private def elemIsFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true
@@ -172,6 +202,8 @@ object VectorExpressions {
     * matching the DuckDB oracle's range(1, greatest(len-1, 2)) shape. */
   case class WordShingleHashes(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "word_shingles", "string", Seq(child.dataType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val toks = v.toString.trim.split("\\s+")
@@ -212,11 +244,17 @@ object VectorExpressions {
     * (SimHash) can be oracle-checked cross-engine. */
   case class WordShingleMd5(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "word_shingles_md5", "string", Seq(child.dataType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+    // per-thread digest: one expression instance may be evaluated from
+    // several task threads concurrently (the hazard Stateful/freshCopy
+    // exists for) — a shared instance would interleave reset/digest
+    @transient private lazy val md =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
     private def md5_60(s: String): Long = {
-      md.reset()
-      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // first 15 hex chars = top 60 bits, big-endian hex order
       var h = 0L
       var i = 0
@@ -259,6 +297,9 @@ object VectorExpressions {
     * array_intersect + size (which materializes the intersection). */
   case class IntersectCount(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isLongArray(left.dataType) && isLongArray(right.dataType),
+        "intersect_count", "two array<bigint>", Seq(left.dataType, right.dataType))
     override def dataType: DataType = IntegerType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
@@ -277,7 +318,11 @@ object VectorExpressions {
   /** L2-normalized copy of a numeric array (as array<double>). Lets the
     * pair stage of bulk-NN use a plain dot product (1/3 the flops of a
     * fused cosine, amortizing the normalization over O(n²)/n pairs). */
-  case class L2Normalize(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class L2Normalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(child.dataType), "l2_normalize",
+        "array<float|double>", Seq(child.dataType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
     private def elemIsFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true

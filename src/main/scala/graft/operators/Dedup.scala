@@ -3,21 +3,28 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+import graft.functions.VectorExpressions
 
 /** Large-scale deduplication operators for training-data pipelines:
   * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
   *
-  * Everything is pure Column expressions — no UDF serialization cost.
-  * IMPORTANT eval-model caveat: Spark's higher-order array functions
-  * (transform/aggregate/zip_with) are CodegenFallback — interpreted,
-  * with NO common-subexpression elimination. An expression that
-  * references a derived array N times re-evaluates it N times per row,
-  * and projection pushdown happily re-inlines derived columns into
-  * every consumer. The operators below therefore (a) build shingles
-  * with O(k) references to the token split, and (b) materialize the
-  * narrow (id, shingles/signature) intermediates with localCheckpoint()
-  * before any stage that references them many times — at cluster scale
-  * the same role is played by persist()/checkpoint() of that projection.
+  * The shingling / signature / intersection hot paths run as compiled
+  * Catalyst kernels (graft.functions.VectorExpressions) — one tight JVM
+  * loop per row. Spark's higher-order array functions
+  * (transform/aggregate/zip_with) are CodegenFallback — interpreted with
+  * NO common-subexpression elimination — so the pure-Column formulations
+  * (kept below for reference/tests) cost dozens of interpreted `eval`
+  * dispatches per element and re-evaluate derived arrays once per
+  * consumer after projection collapse.
+  *
+  * Materialization: stages that are referenced many times downstream
+  * (the signature before band slicing, the fingerprint before chunk
+  * bucketing) are persisted with MEMORY_AND_DISK — same
+  * projection-collapse barrier as a checkpoint, but fault-tolerant: a
+  * lost executor recomputes from lineage instead of killing the job
+  * (at 100 TB, with large persisted stages, substitute a reliable
+  * `checkpoint()` dir if recompute lineage itself is too expensive).
   *
   * Scale design (100 TB):
   *  - exact dedup: one shuffle on a 128-bit content hash; map-side
@@ -39,11 +46,12 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => text.substr(i, lit(n))))
 
-  /** Distinct word k-shingles (k consecutive tokens joined by space).
-    * Built by zipping the token array with its k-1 shifted copies —
-    * exactly k references to the split (the naive index-based transform
-    * re-evaluates the split per element: O(len) regex splits per row).
-    * Texts shorter than k tokens yield one clamped shingle. */
+  /** Distinct word k-shingles as STRINGS (k consecutive tokens joined by
+    * space) — pure-Column reference formulation, used by tests to
+    * cross-check the compiled kernels. Hot paths use
+    * [[VectorExpressions.word_shingle_hashes]] instead (hashed shingles,
+    * one compiled pass). Texts shorter than k tokens yield one clamped
+    * shingle. */
   def wordShingles(text: Column, k: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val zipped = (2 to k).foldLeft(toks) { (acc, j) =>
@@ -62,18 +70,24 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** Exact pairwise n-gram Jaccard via a shingle inverted index:
-    * explode → join on shingle → count shared → jaccard.
-    * Uses WORD k-shingles: with a natural-language vocabulary these are
-    * near-unique, so inverted-index buckets stay small; char n-grams
-    * would put every document in the same buckets (quadratic blow-up).
+    * compiled shingle-hash kernel → explode → join on the 64-bit hash →
+    * count shared → jaccard. Uses WORD k-shingles: with a natural-
+    * language vocabulary these are near-unique, so inverted-index
+    * buckets stay small; char n-grams would put every document in the
+    * same buckets (quadratic blow-up). Joining on the long hash instead
+    * of the shingle string keeps the exploded index narrow (8 bytes/key)
+    * — jaccard over distinct 64-bit hashes equals jaccard over distinct
+    * shingles up to a ~2^-64 per-pair collision probability.
     * O(sum |doc|) index size; the pair aggregation shuffles on the pair
     * key. Quadratic only within identical-shingle buckets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // materialize the shingle arrays once (see class doc eval caveat)
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    // materialize the hashed-shingle arrays once: the explode below
+    // reads `sh` twice (size + generator) and both join sides scan it
+    val sh = df.select(col(idCol).as("id"),
+        VectorExpressions.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
     val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
     val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
@@ -86,7 +100,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature: k minima of seeded xxhash64 over the shingles. */
+  /** MinHash signature — pure-Column reference formulation (k
+    * interpreted aggregates; hot paths use the compiled
+    * [[VectorExpressions.minhash_sig]] kernel, one pass over the
+    * features per row). */
   def minHashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       i => aggregate(shingles, lit(Long.MaxValue),
@@ -94,21 +111,21 @@ object Dedup {
 
   /** MinHash + LSH banding candidates, verified with exact Jaccard.
     * numHashes = bands * rowsPerBand. Returns pairs with true jaccard ≥
-    * threshold among LSH candidates. */
+    * threshold among LSH candidates.
+    *
+    * Pipeline (all kernels compiled): word_shingle_hashes → minhash_sig
+    * → band hashes → shuffle on (band, bandHash) → intersect_count
+    * verification. The signature stage is persisted because the band
+    * transform references it `bands` times — without the barrier,
+    * projection collapse would re-run the whole minhash per band. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    // two materialization points: (1) the shingle array before the k
-    // signature aggregates reference it, (2) the signature before the
-    // band hashes slice it — otherwise projection pushdown re-inlines
-    // the shingling into all k×bands interpreted expressions
-    // (observed ~1000x slowdown). See class doc.
-    val shingled = df.select(col(idCol).as("id"), wordShingles(col(textCol), shingleN).as("sh"))
-      .localCheckpoint()
-    val base = shingled.select(col("id"), col("sh"),
-      graft.functions.VectorExpressions.minhash_sig(
-        transform(col("sh"), s => xxhash64(s)), k).as("sig"))
-      .localCheckpoint()
+    val base = df.select(col(idCol).as("id"),
+        VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        VectorExpressions.minhash_sig(col("sh"), k).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // band hash per (band index, slice of signature)
     val banded = base.select(col("id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -120,7 +137,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b").distinct()
     candidates
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("shared", VectorExpressions.intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
@@ -128,8 +145,8 @@ object Dedup {
   }
 
   /** 64-bit SimHash from a precomputed array of feature hashes —
-    * majority vote per bit, packed into one long. Works on longs only,
-    * so the (heavier) feature hashing happens exactly once upstream. */
+    * pure-Column reference formulation of the majority vote (hot paths
+    * use the compiled [[VectorExpressions.simhash64]]). */
   def simHashOfHashes(hashes: Column): Column = {
     val bits = transform(sequence(lit(0), lit(63)),
       b => when(
@@ -143,13 +160,12 @@ object Dedup {
   /** 64-bit SimHash over word BIGRAMS. Bigrams, not unigrams: with a
     * small vocabulary every document contains nearly every word, so
     * unigram simhashes collapse to one bucket; bigram features keep the
-    * fingerprint discriminative. NOTE: when applying to a DataFrame,
-    * prefer the two-stage shape in [[simHashPairs]] (hash features once
-    * behind an exchange) — inlining this expression repeats the string
-    * hashing 64x after projection collapse. */
+    * fingerprint discriminative. Features are hashed with the first 60
+    * bits of MD5 ([[VectorExpressions.word_shingle_md5]]) so the
+    * fingerprint is reproducible in ANY engine — the DuckDB oracle
+    * recomputes it as ('0x'||substr(md5(g),1,15))::BIGINT. */
   def simHash(text: Column): Column =
-    graft.functions.VectorExpressions.simhash64(
-      transform(wordShingles(text, 2), t => xxhash64(t)))
+    VectorExpressions.simhash64(VectorExpressions.word_shingle_md5(text, 2))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming:
     * candidates bucket on maxHamming+1 bit-chunks of the fingerprint
@@ -163,15 +179,11 @@ object Dedup {
       maxHamming: Int): DataFrame = {
     val numChunks = maxHamming + 1
     val chunkBits = 64 / numChunks
-    // stage 1: hash the bigram features ONCE per doc and materialize, so
-    // the 64 interpreted bit votes of stage 2 fold over longs, not over
-    // a re-inlined string-hashing chain (see class doc)
-    val hashed = df.select(col(idCol).as("id"),
-      transform(wordShingles(col(textCol), 2), t => xxhash64(t)).as("hs"))
-      .localCheckpoint()
-    val base = hashed.select(col("id"),
-      graft.functions.VectorExpressions.simhash64(col("hs")).as("sim"))
-      .localCheckpoint()
+    // fingerprint once per doc (compiled md5-shingle + vote kernels),
+    // persisted because the chunk transform references it numChunks
+    // times — see class doc
+    val base = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = base.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(numChunks - 1)),
         c => call_function("shiftright", col("sim"), c * chunkBits)

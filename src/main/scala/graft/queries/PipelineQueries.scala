@@ -69,12 +69,36 @@ object PipelineQueries {
              |WHERE doc_id NOT IN (SELECT greatest(id_a, id_b) FROM pairs)
              |ORDER BY doc_id""".stripMargin)),
 
-    // SimHash near-dup pairs (hamming ≤ 7) — xxhash64-based fingerprint
-    // is not reproducible in DuckDB: rows-only gate + PipelineSpec.
+    // SimHash near-dup pairs (hamming ≤ 7). The fingerprint's feature
+    // hash is the first 60 bits of MD5 (VectorExpressions.WordShingleMd5)
+    // precisely so DuckDB can recompute the identical simhash: bits
+    // 60-63 of the majority vote are always 0 (every feature < 2^60),
+    // and the chunk-bucketed candidate generation is exact by
+    // pigeonhole, so the all-pairs oracle below matches exactly.
     "pl_dedup_simhash" -> Q(
       (s, d) => Dedup.simHashPairs(Tables(s, d, "documents"), "doc_id", "text", 7)
         .orderBy("id_a", "id_b"),
-      None),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')), 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' '))) AS grams
+             |  FROM documents
+             |), hx AS (
+             |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS x
+             |  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+             |), bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN 2 * sum((x >> b) & 1) >= count(*) THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit
+             |  FROM hx CROSS JOIN range(0, 60) AS r(b)
+             |  GROUP BY doc_id, b
+             |), sim AS (
+             |  SELECT doc_id, sum(bit)::BIGINT AS s FROM bits GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  bit_count(xor(a.s, b.s))::INT AS hamming
+             |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.s, b.s)) <= 7
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // per-document text stats (token count, chars, order-insensitive
     // fingerprint)

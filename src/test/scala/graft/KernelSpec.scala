@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExpressions._
+import graft.functions.{VectorExpressions => VE}
+import graft.operators.Dedup
+
+/** Unit tests for the compiled Catalyst kernels — each verified against
+  * an independent formulation (pure-Column chain, JDK md5, or driver-
+  * side Scala) so a silent bit-fiddling mistake can't change every
+  * fingerprint downstream undetected (ADVICE r2).
+  */
+class KernelSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkTestSession.get
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog the quick brown fox",
+    "one two", "one", "", "  spaced   out   words  here ")
+
+  private def textDf = spark.createDataFrame(
+    java.util.Arrays.asList(texts.map(Row(_)): _*),
+    StructType(Seq(StructField("text", StringType))))
+
+  test("WordShingleMd5 matches parseLong(md5Hex.substring(0,15), 16) per shingle") {
+    // independent: JDK MessageDigest hex string, first 15 hex chars
+    def md5_60ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def shinglesRef(text: String, n: Int): Seq[Long] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams =
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      grams.map(md5_60ref).distinct
+    }
+    for (n <- Seq(2, 3)) {
+      val got = textDf.select(VE.word_shingle_md5(col("text"), n).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      val want = texts.map(shinglesRef(_, n))
+      assert(got.toSeq == want, s"n=$n")
+    }
+  }
+
+  test("WordShingleHashes agrees with the pure-Column wordShingles formulation") {
+    // same shingle SET semantics: identical sizes, and identical overlap
+    // counts between every text pair (hash is injective on this corpus)
+    for (n <- Seq(2, 3)) {
+      val kernel = textDf.select(VE.word_shingle_hashes(col("text"), n).as("h"))
+        .collect().map(_.getSeq[Long](0).toSet)
+      val column = textDf.select(Dedup.wordShingles(col("text"), n).as("s"))
+        .collect().map(_.getSeq[String](0).toSet)
+      for (i <- texts.indices) {
+        assert(kernel(i).size == column(i).size, s"n=$n text=$i size")
+        for (j <- texts.indices if j > i) {
+          assert((kernel(i) & kernel(j)).size == (column(i) & column(j)).size,
+            s"n=$n overlap($i,$j)")
+        }
+      }
+    }
+  }
+
+  test("IntersectCount equals size(array_intersect) on long arrays") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L)),
+      Row(Seq(1L, 2L), Seq(3L, 4L)),
+      Row(Seq.empty[Long], Seq(1L)),
+      Row(Seq(7L, 7L, 8L), Seq(7L, 8L, 8L, 9L))),
+      StructType(Seq(StructField("a", ArrayType(LongType)), StructField("b", ArrayType(LongType)))))
+    val got = df.select(
+      VE.intersect_count(col("a"), col("b")).as("k"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("SimHash64 matches a driver-side majority vote") {
+    def simRef(hs: Seq[Long]): Long = {
+      var sim = 0L
+      for (b <- 0 until 64)
+        if (2 * hs.count(h => ((h >>> b) & 1L) == 1L) >= hs.length) sim |= (1L << b)
+      sim
+    }
+    val arrays = Seq(Seq(0x0FL, 0xF0L, 0x0EL), Seq(Long.MaxValue, -1L, 0L), Seq(42L))
+    val df = spark.createDataFrame(java.util.Arrays.asList(arrays.map(Row(_)): _*),
+      StructType(Seq(StructField("hs", ArrayType(LongType)))))
+    val got = df.select(VE.simhash64(col("hs"))).collect().map(_.getLong(0))
+    assert(got.toSeq == arrays.map(simRef))
+  }
+
+  test("L2Normalize: unit norm, zero vector unchanged, float input") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(Seq(3.0, 4.0)), Row(Seq(0.0, 0.0)), Row(Seq(1.0, 1.0, 1.0, 1.0))),
+      StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+    val rows = df.select(VE.l2_normalize(col("v")).as("n")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    assert(rows(0) == Seq(0.6, 0.8))
+    assert(rows(1) == Seq(0.0, 0.0))
+    assert(math.abs(rows(2).map(x => x * x).sum - 1.0) < 1e-12)
+    // float input path
+    val f = spark.createDataFrame(java.util.List.of(Row(Seq(3.0f, 4.0f))),
+      StructType(Seq(StructField("v", ArrayType(FloatType)))))
+    assert(f.select(VE.l2_normalize(col("v"))).head().getSeq[Double](0).toSeq == Seq(0.6, 0.8))
+  }
+
+  test("kernels reject wrong input types at analysis time") {
+    val df = spark.createDataFrame(java.util.List.of(Row(Seq(1, 2), "x")),
+      StructType(Seq(StructField("ia", ArrayType(IntegerType)), StructField("s", StringType))))
+    // array<int> into a long-array kernel: analysis error, not garbage
+    intercept[Exception] { df.select(VE.simhash64(col("ia"))).collect() }
+    intercept[Exception] { df.select(VE.intersect_count(col("ia"), col("ia"))).collect() }
+    intercept[Exception] { df.select(VE.l2_normalize(col("s"))).collect() }
+    intercept[Exception] { df.select(VE.word_shingle_md5(col("ia"), 2)).collect() }
+  }
+
+  test("simHash column equals DuckDB-reproducible md5 formulation on fixtures") {
+    // recompute the full fingerprint driver-side from raw text
+    def md5_60ref(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def simRef(text: String): Long = {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams = if (toks.length < 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      val hs = grams.map(md5_60ref).distinct
+      var sim = 0L
+      for (b <- 0 until 64)
+        if (2 * hs.count(h => ((h >>> b) & 1L) == 1L) >= hs.length) sim |= (1L << b)
+      sim
+    }
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val got = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> simRef(r.getString(1))).toMap
+    assert(got == raw)
+  }
+}
