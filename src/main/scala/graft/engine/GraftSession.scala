@@ -117,10 +117,19 @@ final class GraftSession(val spark: SparkSession) {
 
   /** Single-row expression evaluation against a literal context — the
     * reference's `vm.Eval(ctx, ast)` embedding surface (vm/vm.go:42-44).
-    * Returns null when the expression can't evaluate (missing field ≈
-    * null semantics, SURVEY §7 divergence note). */
+    * Evaluated ON THE DRIVER by [[graft.expr.LocalEval]] (no Spark job —
+    * the reference's ~789 ns path, BASELINE.md); expressions using
+    * builtins outside LocalEval's subset fall back to a one-row Spark
+    * DataFrame. Returns null when the expression can't evaluate
+    * (missing field ≈ null semantics, SURVEY §7 divergence note). */
   def eval(exprText: String, row: Map[String, Any]): Any = {
     val node = ExprParser.parse(exprText)
+    val resolved = resolveIncludes(node)
+    try LocalEval.eval(resolved, row).orNull
+    catch { case _: LocalEval.Unsupported => evalViaSpark(resolved, row) }
+  }
+
+  private def evalViaSpark(node: Node, row: Map[String, Any]): Any = {
     val fields = row.toSeq.map { case (k, v) => StructField(k, literalType(v)) }
     val df = spark.createDataFrame(
       java.util.List.of(Row(row.values.toSeq: _*)), StructType(fields))
@@ -129,18 +138,51 @@ final class GraftSession(val spark: SparkSession) {
     if (r.isNullAt(0)) null else r.get(0)
   }
 
-  /** Single-row FilterQL match against a literal context (vm.Matches). */
+  /** Inline INCLUDE references ahead of evaluation (expr/include.go
+    * InlineIncludes ≙) so LocalEval needs no resolver. */
+  private def resolveIncludes(n: Node): Node = n match {
+    case IncludeNode(name, neg) =>
+      val inner = includer(name).map(resolveIncludes)
+        .getOrElse(throw BuildException(s"INCLUDE '$name' not resolvable"))
+      if (neg) UnaryNode("NOT", inner) else inner
+    case BinaryNode(op, l, r, neg) => BinaryNode(op, resolveIncludes(l), resolveIncludes(r), neg)
+    case BooleanNode(op, args, neg) => BooleanNode(op, args.map(resolveIncludes), neg)
+    case UnaryNode(op, c) => UnaryNode(op, resolveIncludes(c))
+    case TriNode(op, a, b, c, neg) =>
+      TriNode(op, resolveIncludes(a), resolveIncludes(b), resolveIncludes(c), neg)
+    case FuncNode(name, args) => FuncNode(name, args.map(resolveIncludes))
+    case ArrayNode(items) => ArrayNode(items.map(resolveIncludes))
+    case other => other
+  }
+
+  /** Single-row FilterQL match against a literal context (vm.Matches) —
+    * driver-side via LocalEval, Spark fallback for exotic builtins. */
   def matches(filterQl: String, row: Map[String, Any]): Boolean = {
     val f = SqlParser.parse(filterQl) match {
       case FilterStatement(n, _, _, _) => n
       case _ => ExprParser.parse(filterQl)
     }
-    val fields = row.toSeq.map { case (k, v) => StructField(k, literalType(v)) }
-    val df = spark.createDataFrame(
-      java.util.List.of(Row(row.values.toSeq: _*)), StructType(fields))
-    val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
-    val res = df.select(coalesce(ColumnBuilder.build(f, ctx).cast(BooleanType), lit(false))).head()
-    res.getBoolean(0)
+    val resolved = resolveIncludes(f)
+    try LocalEval.eval(resolved, row).contains(true)
+    catch { case _: LocalEval.Unsupported =>
+      val fields = row.toSeq.map { case (k, v) => StructField(k, literalType(v)) }
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(row.values.toSeq: _*)), StructType(fields))
+      val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
+      val res = df.select(coalesce(ColumnBuilder.build(resolved, ctx).cast(BooleanType), lit(false))).head()
+      res.getBoolean(0)
+    }
+  }
+
+  /** Datemath boundary of a filter over a literal context — the next
+    * instant the filter's truth value may flip
+    * (/root/reference/vm/datemath.go DateConverter ≙). */
+  def dateBoundary(filterText: String, row: Map[String, Any]): DateMath.BoundaryResult = {
+    val f = SqlParser.parse(filterText) match {
+      case FilterStatement(n, _, _, _) => n
+      case _ => ExprParser.parse(filterText)
+    }
+    DateMath.boundary(resolveIncludes(f), row)
   }
 
   // ---- DML on in-mem mutable tables (exec/mutations.go ≙) -------------

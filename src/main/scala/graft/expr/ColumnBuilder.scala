@@ -57,7 +57,13 @@ object ColumnBuilder {
     case NumberNode(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
     case BoolNode(v)         => lit(v)
     case NullNode            => lit(null)
-    case ArrayNode(items)    => array(items.map(build(_, ctx)): _*)
+    case ArrayNode(items) =>
+      // heterogeneous literal lists (["a", 3, 4.5] — the reference's
+      // SliceValue) become array<string>; ANSI would otherwise pick a
+      // numeric common type and error casting the string elements
+      val ts = items.map(typeOf(_, ctx))
+      if (ts.distinct.size <= 1) array(items.map(build(_, ctx)): _*)
+      else array(items.map(build(_, ctx).cast(StringType)): _*)
     case b: BinaryNode       => binary(b, ctx)
     case BooleanNode(op, args, neg) =>
       val cols = args.map(a => build(a, ctx).cast(BooleanType))
@@ -120,15 +126,27 @@ object ColumnBuilder {
     val BinaryNode(op, ln, rn, neg) = b
     def l = build(ln, ctx)
     def r = build(rn, ctx)
+    // number-vs-array: the reference compares the scalar against each
+    // element numerically for ANY operator reaching the number path —
+    // even `5.5 + ["hello"]` evaluates to a bool (vm.go:398-417)
+    if (arithOps.contains(op) || cmpOps.contains(op)) {
+      (typeOf(ln, ctx), typeOf(rn, ctx)) match {
+        case (Some(t), Some(ArrayType(_, _))) if numeric(t) =>
+          val anyEq = coalesce(
+            exists(r, e => e.try_cast(DoubleType) === l.try_cast(DoubleType)), lit(false))
+          return if (neg) !anyEq else anyEq
+        case _ =>
+      }
+    }
     val c: Column = op match {
       case "+" =>
         (typeOf(ln, ctx), typeOf(rn, ctx)) match {
           // string + string concatenates; string + number coerces numeric
           case (Some(StringType), Some(StringType)) => concat(l, r)
           case (Some(StringType), Some(t)) if t.isInstanceOf[NumericType] =>
-            l.cast(DoubleType) + r
+            l.try_cast(DoubleType) + r // unparseable string → null, not ANSI error
           case (Some(t), Some(StringType)) if t.isInstanceOf[NumericType] =>
-            l + r.cast(DoubleType)
+            l + r.try_cast(DoubleType)
           case _ => l + r
         }
       case "-" => l - r
@@ -148,7 +166,14 @@ object ColumnBuilder {
       case "IS"         => l.isNull // IS NULL; negated handled below
       case other        => throw BuildException(s"unsupported binary op $other")
     }
-    if (neg) { if (op == "IS") build(ln, ctx).isNotNull else !c } else c
+    if (neg) {
+      if (op == "IS") build(ln, ctx).isNotNull
+      // NOT IN with an unevaluable side is TRUE in the reference
+      // (vm_test.go: `userid NOT IN ("abc")` with missing userid)
+      else if (op == "IN") !coalesce(c, lit(false))
+      else !c
+    } else if (op == "IN") coalesce(c, lit(false))
+    else c
   }
 
   /** Comparison with the reference's coercion matrix (vm.go:299-775). */
@@ -166,15 +191,23 @@ object ColumnBuilder {
     val (lt, rt) = (typeOf(ln, ctx), typeOf(rn, ctx))
     def tsSide(t: Option[DataType]) = t.exists(_.isInstanceOf[TimestampType])
     def numSide(t: Option[DataType]) = t.exists(numeric)
+    def boolSide(t: Option[DataType]) = t.contains(BooleanType)
+    // unparseable coercions yield null (reference: could-not-evaluate),
+    // never an ANSI runtime error — hence try_cast throughout
     val (l, r) =
       if (tsSide(lt) || tsSide(rt)) {
         // compare times at Unix seconds (vm.go:1070-1106); strings go
         // through datemath/flexible timestamp parsing
         (toEpochSeconds(ln, ctx), toEpochSeconds(rn, ctx))
       } else if (numSide(lt) && rt.contains(StringType)) {
-        (build(ln, ctx).cast(DoubleType), build(rn, ctx).cast(DoubleType))
+        (build(ln, ctx).try_cast(DoubleType), build(rn, ctx).try_cast(DoubleType))
       } else if (lt.contains(StringType) && numSide(rt)) {
-        (build(ln, ctx).cast(DoubleType), build(rn, ctx).cast(DoubleType))
+        (build(ln, ctx).try_cast(DoubleType), build(rn, ctx).try_cast(DoubleType))
+      } else if (boolSide(lt) && rt.contains(StringType)) {
+        // bool vs string: coerce the string side; non-boolish → null
+        (build(ln, ctx), build(rn, ctx).try_cast(BooleanType))
+      } else if (lt.contains(StringType) && boolSide(rt)) {
+        (build(ln, ctx).try_cast(BooleanType), build(rn, ctx))
       } else (build(ln, ctx), build(rn, ctx))
     op match {
       case "=" | "==" => l === r
@@ -188,74 +221,112 @@ object ColumnBuilder {
 
   private def toEpochSeconds(n: Node, ctx: BuildCtx): Column = n match {
     case StringNode(s) if DateMath.isDateMath(s) => unix_timestamp(DateMath.toColumn(s))
-    case StringNode(s) => unix_timestamp(lit(s).cast(TimestampType))
+    // flexible literal parse: "12/18/2015" etc. (araddon/dateparse shapes)
+    case StringNode(s) => unix_timestamp(graft.functions.Builtins.flexibleTs(lit(s)))
     case _ =>
       typeOf(n, ctx) match {
         case Some(_: TimestampType) => unix_timestamp(build(n, ctx))
         case Some(StringType) =>
           val c = build(n, ctx)
-          unix_timestamp(coalesce(c.cast(TimestampType), DateMath.parseColumn(c)))
+          unix_timestamp(coalesce(c.try_cast(TimestampType), DateMath.parseColumn(c)))
         case _ => build(n, ctx).cast(LongType)
       }
   }
 
   /** Reference LIKE is glob (`*`/`?`), with `%` rewritten to `*`
-    * (vm.go:1113-1126). On arrays, true if any element matches. */
+    * (vm.go:1113-1126). On an array LHS, true if any element matches;
+    * on an array RHS, true if any pattern matches (vm.go:1055-1060).
+    * An unevaluable side yields false, like the reference's nil path. */
   private def likeGlob(ln: Node, rn: Node, ctx: BuildCtx): Column = {
     val l = build(ln, ctx)
+    typeOf(rn, ctx) match {
+      case Some(ArrayType(_, _)) =>
+        return coalesce(
+          exists(build(rn, ctx), p => regexp_like(l.cast(StringType), dynGlobPattern(p))),
+          lit(false))
+      case Some(MapType(_, _, _)) =>
+        throw BuildException("LIKE pattern must be a string or array of patterns")
+      case _ =>
+    }
     val pat: Column = rn match {
       case StringNode(s) => lit(globToRegex(s))
-      case _ =>
-        // non-literal pattern: translate glob chars per-row
-        val r = build(rn, ctx)
-        concat(lit("^"), regexp_replace(regexp_replace(regexp_replace(
-          r, "([.\\\\+^$\\[\\]{}()|])", "\\\\$1"), "[%*]", ".*"), "\\?", "."), lit("$"))
+      case _ => dynGlobPattern(build(rn, ctx)) // non-literal pattern: translate per-row
     }
-    typeOf(ln, ctx) match {
+    val c = typeOf(ln, ctx) match {
       case Some(ArrayType(_, _)) => exists(l, e => regexp_like(e.cast(StringType), pat))
       case _ => regexp_like(l.cast(StringType), pat)
     }
+    coalesce(c, lit(false))
   }
+
+  /** Column-valued glob → anchored regex (for non-literal patterns). */
+  private def dynGlobPattern(r: Column): Column =
+    concat(lit("^"), regexp_replace(regexp_replace(regexp_replace(
+      r, "([.\\\\+^$\\[\\]{}()|])", "\\\\$1"), "[%*]", ".*"), "\\?", "."), lit("$"))
 
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
-    glob.foreach {
-      case '*' | '%' => sb.append(".*")
-      case '?'       => sb.append('.')
-      case c if ".\\+^$[]{}()|".contains(c) => sb.append('\\').append(c)
-      case c => sb.append(c)
+    var i = 0
+    while (i < glob.length) {
+      val c = glob.charAt(i)
+      if (c == '\\' && i + 1 < glob.length) {
+        // `\*` is a LITERAL star, not a wildcard (mb0/glob escapes)
+        val nx = glob.charAt(i + 1)
+        if (".\\+^$[]{}()|*?".contains(nx)) sb.append('\\')
+        sb.append(nx)
+        i += 2
+      } else {
+        c match {
+          case '*' | '%' => sb.append(".*")
+          case '?'       => sb.append('.')
+          case x if ".\\+^$[]{}()|".contains(x) => sb.append('\\').append(x)
+          case x => sb.append(x)
+        }
+        i += 1
+      }
     }
     sb.append('$').toString
   }
 
   private def containsOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
     val l = build(ln, ctx); val r = build(rn, ctx)
-    typeOf(ln, ctx) match {
-      case Some(ArrayType(_, _)) => exists(l, e => e.contains(r))
-      case _ => l.contains(r)
+    val c = (typeOf(ln, ctx), typeOf(rn, ctx)) match {
+      // array LHS: any element contains the value (numeric elements
+      // compare via their string form — `[1,2,3,5] contains int5`)
+      case (Some(ArrayType(_, _)), _) =>
+        exists(l, e => e.cast(StringType).contains(r.cast(StringType)))
+      // array RHS: any of the values is a substring (vm.go slice rhs)
+      case (_, Some(ArrayType(_, _))) =>
+        exists(r, p => l.cast(StringType).contains(p.cast(StringType)))
+      case _ => l.cast(StringType).contains(r.cast(StringType))
     }
+    // unevaluable side ⇒ false, like the reference's nil path
+    coalesce(c, lit(false))
   }
 
   private def inOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
     val l = build(ln, ctx)
     rn match {
-      case ArrayNode(items) => l.isin(items.map(literalValue): _*)
+      case ArrayNode(items) =>
+        // mixed-type lists compare per element: numeric LHS coerces each
+        // value numerically (non-coercible skipped), string LHS compares
+        // by string form (vm.go:370-383, 398-417, 488-496) — `isin`
+        // would force one common type and ANSI-error on "a" vs 10
+        val lIsNum = typeOf(ln, ctx).exists(numeric)
+        items.map { it =>
+          val iv = build(it, ctx)
+          if (lIsNum) l.try_cast(DoubleType) === iv.try_cast(DoubleType)
+          else l.cast(StringType) === iv.cast(StringType)
+        }.reduce(_ || _)
       case _ =>
         typeOf(rn, ctx) match {
           case Some(ArrayType(_, _))  => array_contains(build(rn, ctx), l)
           case Some(MapType(_, _, _)) => map_contains_key(build(rn, ctx), l)
+          // string IN string is plain equality (vm.go:1061-1065)
+          case Some(StringType) => l.cast(StringType) === build(rn, ctx)
           case _ => array_contains(build(rn, ctx), l)
         }
     }
-  }
-
-  private def literalValue(n: Node): Any = n match {
-    case StringNode(s) => s
-    case NumberNode(d, true) => d.toLong
-    case NumberNode(d, false) => d
-    case BoolNode(b) => b
-    case NullNode => null
-    case other => throw BuildException(s"IN list expects literals, got ${other.text}")
   }
 
   private def betweenExclusive(a: Node, lo: Node, hi: Node, ctx: BuildCtx): Column =
@@ -293,6 +364,10 @@ object ColumnBuilder {
     case IdentityNode(parts) => ctx.fieldType(parts)
     case BinaryNode(op, l, r, _) if arithOps.contains(op) =>
       (typeOf(l, ctx), typeOf(r, ctx)) match {
+        // string + string concatenates → string (chained "a" + b + "c")
+        case (Some(StringType), Some(StringType)) if op == "+" => Some(StringType)
+        case (Some(StringType), Some(b)) if numeric(b) && op == "+" => Some(DoubleType)
+        case (Some(a), Some(StringType)) if numeric(a) && op == "+" => Some(DoubleType)
         case (Some(a), Some(b)) if integral(a) && integral(b) && op != "/" => Some(LongType)
         case (Some(a), Some(b)) if numeric(a) && numeric(b) => Some(DoubleType)
         case _ => None

@@ -44,7 +44,7 @@ object DateMath {
     val unit = regexp_extract(c, "^now[+-]\\d+([smhdwMy])", 1)
     when(isNow, current_timestamp())
       .when(unit =!= "", current_timestamp() + interval0(unit, n))
-      .otherwise(c.cast(TimestampType))
+      .otherwise(c.try_cast(TimestampType)) // unparseable → null, not ANSI error
   }
 
   private def interval(unit: String, n: Column): Column = unit match {
@@ -76,5 +76,101 @@ object DateMath {
     case "w" => "week"
     case "M" => "month"
     case "y" => "year"
+  }
+
+  // ---- driver-side evaluation + boundary analysis ---------------------
+
+  /** Driver-side datemath evaluation (lytics/datemath EvalAnchor ≙):
+    * epoch millis of "now±N[u](/u)" anchored at `nowMs`, UTC. */
+  def evalMillis(s: String, nowMs: Long = System.currentTimeMillis()): Option[Long] = {
+    val t = s.trim
+    Full.findFirstMatchIn(t).map { m =>
+      var zdt = java.time.Instant.ofEpochMilli(nowMs).atZone(java.time.ZoneOffset.UTC)
+      for (o <- Off.findAllMatchIn(Option(m.group(1)).getOrElse(""))) {
+        val n = o.group(2).toLong * (if (o.group(1) == "-") -1 else 1)
+        zdt = o.group(3) match {
+          case "s" => zdt.plusSeconds(n)
+          case "m" => zdt.plusMinutes(n)
+          case "h" => zdt.plusHours(n)
+          case "d" => zdt.plusDays(n)
+          case "w" => zdt.plusWeeks(n)
+          case "M" => zdt.plusMonths(n)
+          case "y" => zdt.plusYears(n)
+        }
+      }
+      val out = Option(m.group(3)).map(_.stripPrefix("/")) match {
+        case Some("s") => zdt.withNano(0)
+        case Some("m") => zdt.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+        case Some("h") => zdt.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        case Some("d") => zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        case Some("w") => zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+          .`with`(java.time.temporal.TemporalAdjusters.previousOrSame(java.time.DayOfWeek.MONDAY))
+        case Some("M") => zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS).withDayOfMonth(1)
+        case Some("y") => zdt.truncatedTo(java.time.temporal.ChronoUnit.DAYS).withDayOfYear(1)
+        case _ => zdt
+      }
+      out.toInstant.toEpochMilli
+    }
+  }
+
+  /** Result of [[DateMath.boundary]] — mirrors the reference's
+    * DateConverter (/root/reference/vm/datemath.go:21-199). */
+  final case class BoundaryResult(
+      hasDateMath: Boolean,
+      timeStrings: Seq[String],
+      /** earliest epoch-millis instant at which the expression's truth
+        * value can POSSIBLY flip; None when no boundary exists. */
+      boundaryMs: Option[Long])
+
+  /** Inspect a boolean expression for datemath terms and compute the
+    * first instant its truth value may flip (re-evaluation scheduling,
+    * not windowing — vm/datemath.go:21-115).
+    *
+    * For `ident <op> "now±N"`: Ct = ident's time, Rt = anchor-evaluated
+    * datemath, boundary Bt = now + (Ct − Rt) when the relation can flip;
+    * `==`/`!=` never yield boundaries. The string side may be on the
+    * left (`"now-1d" > x`) — the comparison is normalized first. */
+  def boundary(node: Node, ctx: Map[String, Any],
+      nowMs: Long = System.currentTimeMillis()): BoundaryResult = {
+    val times = collection.mutable.ArrayBuffer.empty[String]
+    var bt: Option[Long] = None
+    def addBoundary(ms: Long): Unit =
+      bt = Some(bt.fold(ms)(math.min(_, ms)))
+    def flip(op: String): String = op match {
+      case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="; case o => o
+    }
+    def addValue(ctMs: Long, op: String, dm: String): Unit =
+      evalMillis(dm, nowMs).foreach { rt =>
+        op match {
+          case ">" | ">=" => if (rt < ctMs) addBoundary(nowMs + (ctMs - rt))
+          case "<" | "<=" => if (ctMs >= rt) addBoundary(nowMs + (ctMs - rt))
+          case _ => // ==/!= unsupported for boundaries
+        }
+      }
+    def evalTimeMs(n: Node): Option[Long] =
+      LocalEval.eval(n, ctx).flatMap {
+        case ts: java.sql.Timestamp => Some(ts.getTime)
+        case _ => None
+      }
+    def walk(n: Node): Unit = n match {
+      case BinaryNode(op, l, r, _) =>
+        (l, r) match {
+          case (StringNode(s), other) if s.toLowerCase.startsWith("now") =>
+            times += s
+            evalTimeMs(other).foreach(ct => addValue(ct, flip(op), s))
+          case (other, StringNode(s)) if s.toLowerCase.startsWith("now") =>
+            times += s
+            evalTimeMs(other).foreach(ct => addValue(ct, op, s))
+          case _ => walk(l); walk(r)
+        }
+      case BooleanNode(_, args, _) => args.foreach(walk)
+      case UnaryNode(_, c) => walk(c)
+      case TriNode(_, a, b, c, _) => walk(a); walk(b); walk(c)
+      case FuncNode(_, args) => args.foreach(walk)
+      case ArrayNode(items) => items.foreach(walk)
+      case _ =>
+    }
+    walk(node)
+    BoundaryResult(times.nonEmpty, times.toSeq, bt)
   }
 }

@@ -35,16 +35,37 @@ final class ExprParser(tokens: Vector[Token]) {
   def parseExpr(): Node = parseOr()
 
   private def parseOr(): Node = {
-    var left = parseAnd()
-    val items = collection.mutable.ArrayBuffer(left)
-    while (cur.isKeyword("OR") || cur.is("||")) { advance(); items += parseAnd() }
-    if (items.size == 1) left else BooleanNode("OR", items.toSeq)
+    val first = parseAnd()
+    val items = collection.mutable.ArrayBuffer(first)
+    var done = false
+    while (!done && (cur.isKeyword("OR") || cur.is("||"))) {
+      val save = p
+      advance()
+      parseAnd() match {
+        case ArrayNode(_) if tokens(save).isKeyword("OR") => p = save; done = true
+        case operand => items += operand
+      }
+    }
+    if (items.size == 1) first else BooleanNode("OR", items.toSeq)
   }
 
+  /** An infix AND/OR whose operand parses to a bare multi-expression
+    * paren group (`AND ( a  b )`) is really the reference's PREFIX
+    * boolean-DSL form starting a new list item — rewind and let the
+    * enclosing list parse it (the reference separates such items by
+    * newline; our lexer drops whitespace, so detect by shape). */
   private def parseAnd(): Node = {
     val first = parseNot()
     val items = collection.mutable.ArrayBuffer(first)
-    while (cur.isKeyword("AND") || cur.is("&&")) { advance(); items += parseNot() }
+    var done = false
+    while (!done && (cur.isKeyword("AND") || cur.is("&&"))) {
+      val save = p
+      advance()
+      parseNot() match {
+        case ArrayNode(_) if tokens(save).isKeyword("AND") => p = save; done = true
+        case operand => items += operand
+      }
+    }
     if (items.size == 1) first else BooleanNode("AND", items.toSeq)
   }
 
@@ -188,17 +209,22 @@ final class ExprParser(tokens: Vector[Token]) {
     SubqueryNode(buf.result())
   }
 
+  /** Parenthesized list. Commas are OPTIONAL separators — the reference
+    * parser accepts newline/space-separated args in the boolean DSL
+    * (`AND ( a \n b )`) and even `IN ("a","b" 4.5)`. */
   private def parseParenList(allowStar: Boolean = false): Seq[Node] = {
     expectOp("(")
     val items = collection.mutable.ArrayBuffer[Node]()
-    if (!cur.is(")")) {
+    var first = true
+    while (!cur.is(")") && !atEof) {
+      if (!first && cur.is(",")) advance()
       items += parseExpr()
-      if (cur.isKeyword("AS")) { // CAST(x AS type)
+      if (first && cur.isKeyword("AS")) { // CAST(x AS type)
         advance()
         if (cur.kind != TIdent) fail("expected type after AS")
         items += StringNode(advance().text)
       }
-      while (cur.is(",")) { advance(); items += parseExpr() }
+      first = false
     }
     expectOp(")")
     items.toSeq

@@ -40,8 +40,9 @@ object Builtins {
     add("min", isAgg = true)(a => min(a.head))
     add("max", isAgg = true)(a => max(a.head))
 
-    // ---- logical (expr/builtins/logic.go, float-coercing) ------------
-    def num(c: Column) = c.cast(DoubleType)
+    // ---- logical (expr/builtins/logic.go, float-coercing; unparseable
+    // input → null result, the reference's could-not-evaluate) ---------
+    def num(c: Column) = c.try_cast(DoubleType)
     add("eq", returnType = Some(BooleanType))(a => num(a(0)) === num(a(1)))
     add("ne", returnType = Some(BooleanType))(a => num(a(0)) =!= num(a(1)))
     add("gt", returnType = Some(BooleanType))(a => num(a(0)) > num(a(1)))
@@ -74,7 +75,9 @@ object Builtins {
     addRaw("todate", returnType = Some(TimestampType)) { (ctx, args) =>
       args match {
         case Seq(StringNode(layout), v) => // todate("01/02/2006", field) — Go layout
-          to_timestamp(build(v, ctx), goLayoutToJava(layout))
+          try_to_timestamp(build(v, ctx), lit(goLayoutToJava(layout)))
+        case Seq(StringNode(s)) if DateMath.isDateMath(s) => // todate("now+3d")
+          DateMath.toColumn(s)
         case Seq(v) => flexibleTs(build(v, ctx))
         case _ => throw BuildException("todate expects 1 or 2 args")
       }
@@ -131,12 +134,12 @@ object Builtins {
 
     // ---- cast/coerce (expr/builtins/cast.go) -------------------------
     add("tostring", returnType = Some(StringType))(a => a.head.cast(StringType))
-    add("tobool", returnType = Some(BooleanType))(a => a.head.cast(BooleanType))
+    add("tobool", returnType = Some(BooleanType))(a => a.head.try_cast(BooleanType))
     // toint("$1.50") strips currency/commas (value/coerce.go:389-412)
     add("toint", returnType = Some(LongType))(a =>
-      regexp_replace(a.head.cast(StringType), "[$£€¥,\\s]", "").cast(DoubleType).cast(LongType))
+      regexp_replace(a.head.cast(StringType), "[$£€¥,\\s]", "").try_cast(DoubleType).cast(LongType))
     add("tonumber", returnType = Some(DoubleType))(a =>
-      regexp_replace(a.head.cast(StringType), "[$£€¥,\\s]", "").cast(DoubleType))
+      regexp_replace(a.head.cast(StringType), "[$£€¥,\\s]", "").try_cast(DoubleType))
     add("unsign", returnType = Some(LongType))(a => abs(a.head.cast(LongType)))
     addRaw("cast") { (ctx, args) =>
       val target = args(1) match {
@@ -149,7 +152,10 @@ object Builtins {
     add("char_length", returnType = Some(LongType))(a => length(a.head.cast(StringType)).cast(LongType))
 
     // ---- string (expr/builtins/string.go) ----------------------------
-    add("contains", returnType = Some(BooleanType))(a => a(0).cast(StringType).contains(a(1)))
+    // missing/null operand ⇒ false, matching the reference's builtin
+    // (`contains(key,"-")` over a row without `key` is false, not error)
+    add("contains", returnType = Some(BooleanType))(a =>
+      coalesce(a(0).cast(StringType).contains(a(1)), lit(false)))
     add("tolower", returnType = Some(StringType))(a => lower(a.head.cast(StringType)))
     add("string.lowercase", returnType = Some(StringType))(a => lower(a.head.cast(StringType)))
     add("string.uppercase", returnType = Some(StringType))(a => upper(a.head.cast(StringType)))
@@ -363,13 +369,13 @@ object Builtins {
     * layouts; numbers are epoch seconds/millis. */
   def flexibleTs(c: Column): Column =
     coalesce(
-      c.cast(TimestampType),
-      to_timestamp(c, "MM/dd/yyyy HH:mm:ss"),
-      to_timestamp(c, "MM/dd/yyyy"),
-      to_timestamp(c, "dd/MM/yyyy"),
-      to_timestamp(c, "yyyy/MM/dd"),
-      to_timestamp(c, "MMM d, yyyy"),
-      to_timestamp(c, "MMMM d, yyyy"))
+      c.try_cast(TimestampType), // try_*: unparseable → null, not ANSI error
+      try_to_timestamp(c, lit("MM/dd/yyyy HH:mm:ss")),
+      try_to_timestamp(c, lit("MM/dd/yyyy")),
+      try_to_timestamp(c, lit("dd/MM/yyyy")),
+      try_to_timestamp(c, lit("yyyy/MM/dd")),
+      try_to_timestamp(c, lit("MMM d, yyyy")),
+      try_to_timestamp(c, lit("MMMM d, yyyy")))
 
   /** "25m" → 1500.0 etc.; bare numbers pass through as seconds. */
   private def durationSeconds(c: Column): Column = {
@@ -383,7 +389,7 @@ object Builtins {
       .when(unit === "w", n * 604800)
       .when(unit === "M", n * 2592000)
       .when(unit === "y", n * 31536000)
-      .otherwise(s.cast(DoubleType))
+      .otherwise(s.try_cast(DoubleType))
   }
 
   private def castTo(c: Column, target: String): Column = target.toLowerCase match {

@@ -46,16 +46,20 @@ object VectorExpressions {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val counts = new Array[Int](64)
+      var nf = 0 // non-null feature count (null slots skipped, not read as 0)
       var i = 0
       while (i < n) {
-        val h = arr.getLong(i)
-        var b = 0
-        while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        if (!arr.isNullAt(i)) {
+          nf += 1
+          val h = arr.getLong(i)
+          var b = 0
+          while (b < 64) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        }
         i += 1
       }
       var sim = 0L
       var b = 0
-      while (b < 64) { if (counts(b) * 2 >= n) sim |= (1L << b); b += 1 }
+      while (b < 64) { if (counts(b) * 2 >= nf) sim |= (1L << b); b += 1 }
       java.lang.Long.valueOf(sim)
     }
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
@@ -142,12 +146,14 @@ object VectorExpressions {
       val sig = Array.fill(k)(Long.MaxValue)
       var i = 0
       while (i < n) {
-        val h = arr.getLong(i)
-        var j = 0
-        while (j < k) {
-          val m = mix64(h ^ (j * 0xC2B2AE3D27D4EB4FL))
-          if (m < sig(j)) sig(j) = m
-          j += 1
+        if (!arr.isNullAt(i)) { // skip null slots, don't read them as 0
+          val h = arr.getLong(i)
+          var j = 0
+          while (j < k) {
+            val m = mix64(h ^ (j * 0xC2B2AE3D27D4EB4FL))
+            if (m < sig(j)) sig(j) = m
+            j += 1
+          }
         }
         i += 1
       }
@@ -198,8 +204,9 @@ object VectorExpressions {
     * Replaces the split/zip_with/transform Column chain (interpreted,
     * re-evaluated per reference after projection collapse) with a single
     * compiled kernel — the shingling stage of every dedup operator.
-    * Texts shorter than n tokens yield one clamped shingle (all tokens),
-    * matching the DuckDB oracle's range(1, greatest(len-1, 2)) shape. */
+    * Clamping rule (shared by every oracle regardless of n): a text with
+    * fewer than n tokens yields exactly one shingle containing all its
+    * tokens. */
   case class WordShingleHashes(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -305,10 +312,11 @@ object VectorExpressions {
       val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
       val set = new java.util.HashSet[java.lang.Long]()
       var i = 0
-      while (i < a.numElements()) { set.add(a.getLong(i)); i += 1 }
+      // null slots skipped, not read as 0 (SQL-surface arrays may carry nulls)
+      while (i < a.numElements()) { if (!a.isNullAt(i)) set.add(a.getLong(i)); i += 1 }
       var c = 0
       i = 0
-      while (i < b.numElements()) { if (set.remove(b.getLong(i))) c += 1; i += 1 }
+      while (i < b.numElements()) { if (!b.isNullAt(i) && set.remove(b.getLong(i))) c += 1; i += 1 }
       java.lang.Integer.valueOf(c)
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =

@@ -70,15 +70,21 @@ object Similarity {
   }
 
   /** For each vector, its nearest neighbor (by cosine) within a blocking
-    * key — the bulk variant of top-k used for near-dup mining. */
+    * key — the bulk variant of top-k used for near-dup mining.
+    *
+    * Normalizes each vector ONCE per row (compiled
+    * [[graft.functions.VectorExpressions.L2Normalize]] kernel) before
+    * the block self-join, so the O(pairs) stage is a plain dot product —
+    * 1/3 the flops of a fused cosine, and the normalization cost is
+    * amortized over every pair the row participates in. */
   def nearestNeighborWithinBlock(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = col(vecCol).cast(ArrayType(DoubleType))
-    val l = df.select(col(blockCol).as("blk"), col(idCol).as("id"), v.as("v_a"))
-    val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), v.as("v_b"))
+    val vn = graft.functions.VectorExpressions.l2_normalize(col(vecCol))
+    val l = df.select(col(blockCol).as("blk"), col(idCol).as("id"), vn.as("v_a"))
+    val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), vn.as("v_b"))
     val pairs = l.join(r, Seq("blk")).filter(col("id") =!= col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("id_b").as("neighbor_id"))

@@ -131,6 +131,38 @@ object EngineQueries {
              |SELECT c_custkey FROM customer WHERE c_acctbal > 9900
              |ORDER BY o_custkey""".stripMargin)),
 
+    // url/email builtin family through the dialect — synthesized inputs
+    // so every function's output is reproducible in DuckDB string ops
+    // (reference family: expr/builtins/url_email.go:20-857)
+    "ql_url_email" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey,
+          |  email(tolower(c_name) + "@ex-mail.com") AS em,
+          |  emaildomain(tolower(c_name) + "@ex-mail.com") AS edom,
+          |  emailname(c_name + " <u@ex-mail.com>") AS ename,
+          |  host("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b") AS h,
+          |  domain("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b") AS dom,
+          |  path("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b") AS p,
+          |  qs("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b", "ref") AS ref,
+          |  qs2("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b", "msg") AS msg_raw,
+          |  urlmain("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b") AS mainurl,
+          |  urlminusqs("http://www." + tolower(c_mktsegment) + ".example.com/seg/" + tostring(c_custkey) + "?ref=" + tostring(c_nationkey) + "&msg=a%20b", "ref") AS minus,
+          |  urldecode("a%20b%2Bc") AS decoded
+          |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey,
+             |  lower(c_name) || '@ex-mail.com' AS em,
+             |  'ex-mail.com' AS edom,
+             |  c_name AS ename,
+             |  'www.' || lower(c_mktsegment) || '.example.com' AS h,
+             |  'example.com' AS dom,
+             |  '/seg/' || CAST(c_custkey AS VARCHAR) AS p,
+             |  CAST(c_nationkey AS VARCHAR) AS ref,
+             |  'a%20b' AS msg_raw,
+             |  'http://www.' || lower(c_mktsegment) || '.example.com/seg/' || CAST(c_custkey AS VARCHAR) AS mainurl,
+             |  'http://www.' || lower(c_mktsegment) || '.example.com/seg/' || CAST(c_custkey AS VARCHAR) || '?msg=a%20b' AS minus,
+             |  'a b+c' AS decoded
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // engine builtins in projection: string + time + hash families
     "ql_funcs" -> Q(
       (s, d) => session(s, d).sql(

@@ -108,6 +108,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain == salted, s"salted join changed row count: $plain vs $salted")
   }
 
+  test("corpus invariant: single-space oracle tokenization is safe") {
+    // Every DuckDB oracle tokenizes with string_split(trim(text), ' ')
+    // while the Spark kernels split on \s+ — identical only while the
+    // corpus contains no whitespace runs and no non-space whitespace.
+    // If a fixture regen breaks this, switch the oracles to
+    // regexp_split_to_array(trim(text), '\s+') (ADVICE r3).
+    val bad = docs.filter(col("text").rlike("\\s\\s|[\\t\\n\\r\\u000B\\f]")).count()
+    assert(bad == 0, s"$bad documents contain whitespace runs/tabs: " +
+      "single-space oracle tokenization no longer matches \\s+")
+  }
+
+  test("dedup pair mining releases its large intermediates") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count()
+    // only the tiny pair-list result may stay cached (+1); the large
+    // per-document shingle stage must have been unpersisted (ADVICE r3)
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked stage caches: $before -> $after persistent RDDs")
+    Dedup.releaseAll()
+  }
+
   test("word shingles edge cases") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row("one"), org.apache.spark.sql.Row("one two"),
