@@ -259,23 +259,38 @@ final class GraftSession(val spark: SparkSession) {
 
   // ---- SHOW / DESCRIBE as DataFrames (plan/sql_rewrite.go ≙) ----------
 
+  /** Apply SHOW's optional `LIKE 'glob'` (against `keyCol`) and
+    * `WHERE expr` filters — every SHOW form is filterable, mirroring the
+    * reference's rewrite-to-SELECT scheme (plan/sql_rewrite.go:49-245). */
+  private def applyLikeWhere(df0: DataFrame, keyCol: String, s: SqlShow): DataFrame = {
+    var df = df0
+    s.like.foreach(p => df = df.filter(regexp_like(col(keyCol),
+      lit(ColumnBuilder.globToRegex(p)))))
+    s.where.foreach { w =>
+      val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
+      df = df.filter(ColumnBuilder.build(w, ctx).cast(BooleanType))
+    }
+    df
+  }
+
   private def runShow(s: SqlShow): DataFrame = s.kind match {
     case "TABLES" =>
-      var df = seqDf("Table", tableNames)
-      s.like.foreach(p => df = df.filter(regexp_like(col("Table"),
-        lit(ColumnBuilder.globToRegex(p)))))
-      s.where.foreach { w =>
-        val ctx = BuildCtx(Some(df.schema), sessionVars.toMap, includer)
-        df = df.filter(ColumnBuilder.build(w, ctx).cast(BooleanType))
-      }
-      df
-    case "DATABASES" => seqDf("Database", Seq("default"))
-    case "VARIABLES" =>
+      val df =
+        if (s.full) // SHOW FULL TABLES → (Table, Table_Type) (schema.go:33)
+          spark.createDataFrame(
+            java.util.Arrays.asList(tableNames.map(t => Row(t, "BASE TABLE")): _*),
+            StructType(Seq(StructField("Table", StringType), StructField("Table_Type", StringType))))
+        else seqDf("Table", tableNames)
+      applyLikeWhere(df, "Table", s)
+    case "DATABASES" => applyLikeWhere(seqDf("Database", Seq("default")), "Database", s)
+    case "VARIABLES" | "GLOBAL VARIABLES" | "SESSION VARIABLES" =>
       val rows = sessionVars.toSeq.sortBy(_._1).map { case (k, v) => Row(k, String.valueOf(v)) }
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("Variable_name", StringType), StructField("Value", StringType))))
-    case "COLUMNS" | "FULL COLUMNS" =>
-      describe(s.target.getOrElse(throw new IllegalArgumentException("SHOW COLUMNS needs FROM <table>")))
+      applyLikeWhere(df, "Variable_name", s)
+    case "COLUMNS" =>
+      val t = s.target.getOrElse(throw new IllegalArgumentException("SHOW COLUMNS needs FROM <table>"))
+      applyLikeWhere(describeDf(t, full = s.full), "Field", s)
     case "CREATE" =>
       val t = s.target.get
       val ddl = table(t).schema.fields
@@ -289,12 +304,26 @@ final class GraftSession(val spark: SparkSession) {
     case other => throw new IllegalArgumentException(s"SHOW $other not supported")
   }
 
-  private def describe(t: String): DataFrame = {
-    val rows = table(t).schema.fields.toSeq.map(f =>
-      Row(f.name, f.dataType.sql.toLowerCase, if (f.nullable) "YES" else "NO"))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
-      StructType(Seq(StructField("Field", StringType), StructField("Type", StringType),
-        StructField("Null", StringType))))
+  private def describe(t: String): DataFrame = describeDf(t, full = false)
+
+  /** MySQL-shaped DESCRIBE: (Field, Type, Null, Key, Default, Extra) —
+    * schema.DescribeCols (/root/reference/schema/schema.go:31); FULL adds
+    * Collation/Privileges/Comment (DescribeFullCols, schema.go:29). */
+  private def describeDf(t: String, full: Boolean): DataFrame = {
+    val fields = table(t).schema.fields.toSeq
+    if (full) {
+      val rows = fields.map(f => Row(f.name, f.dataType.sql.toLowerCase, null,
+        if (f.nullable) "YES" else "NO", "", null, "", "select", ""))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq("Field", "Type", "Collation", "Null", "Key", "Default",
+          "Extra", "Privileges", "Comment").map(StructField(_, StringType))))
+    } else {
+      val rows = fields.map(f => Row(f.name, f.dataType.sql.toLowerCase,
+        if (f.nullable) "YES" else "NO", "", null, ""))
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq("Field", "Type", "Null", "Key", "Default", "Extra")
+          .map(StructField(_, StringType))))
+    }
   }
 
   private def runCreate(c: SqlCreate): Unit = c.kind match {

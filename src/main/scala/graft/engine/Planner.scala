@@ -93,13 +93,42 @@ final class Planner(catalog: String => DataFrame,
           val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
           if (asc) c.asc else c.desc
         }: _*)
-      out = out.select(projCols(cols, mkCtx(out)): _*)
-      if (sel.distinct) out = out.distinct()
-      if (sel.distinct && sel.orderBy.nonEmpty)
-        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
-          val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
-          if (asc) c.asc else c.desc
-        }: _*)
+      if (!sel.distinct) {
+        out = out.select(projCols(cols, mkCtx(out)): _*)
+      } else {
+        // DISTINCT + ORDER BY whose keys are NOT in the select list:
+        // carry each missing key as a hidden column, dedupe on the
+        // selected columns only, sort, then drop the hidden keys
+        // (r3 verdict #6 — the old rebuild-after-distinct failed analysis)
+        val ctxPre = mkCtx(out)
+        def selectedName(n: Node): Option[String] =
+          cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)
+        val hasStar = cols.exists(_.expr == IdentityNode(Seq("*")))
+        val resolved = sel.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
+        val missing = resolved.filter { case (n, _) => selectedName(n).isEmpty && !hasStar }
+        if (missing.isEmpty) {
+          out = out.select(projCols(cols, ctxPre): _*).distinct()
+          if (sel.orderBy.nonEmpty)
+            out = out.orderBy(resolved.map { case (n, asc) =>
+              val c = ColumnBuilder.build(n, mkCtx(out))
+              if (asc) c.asc else c.desc
+            }: _*)
+        } else {
+          val hidden = missing.zipWithIndex.map { case ((n, _), i) =>
+            n.text -> ColumnBuilder.build(n, ctxPre).as(s"__sort_$i")
+          }
+          val hiddenName = hidden.zipWithIndex.map { case ((t, _), i) => t -> s"__sort_$i" }.toMap
+          out = out.select(projCols(cols, ctxPre) ++ hidden.map(_._2): _*)
+          out = out.dropDuplicates(cols.map(_.outputName))
+          out = out.orderBy(resolved.map { case (n, asc) =>
+            val c = hiddenName.get(n.text).map(col)
+              .orElse(selectedName(n).map(col))
+              .getOrElse(ColumnBuilder.build(n, mkCtx(out)))
+            if (asc) c.asc else c.desc
+          }: _*)
+          out = out.select(cols.map(c => col(c.outputName)): _*)
+        }
+      }
       applyLimit(out, sel)
     } else {
       // ---- group by / aggregation (exec/groupby.go) -------------------

@@ -192,8 +192,11 @@ object PipelineQueries {
              |FROM embeddings a, embeddings b WHERE a.vec_id = 0
              |ORDER BY cos DESC, b.vec_id LIMIT 20""".stripMargin)),
 
-    // LSH-bucketed ANN — bucket assignment is xxhash64-derived, not
-    // DuckDB-reproducible: rows-only gate + recall spec.
+    // LSH-bucketed ANN. The hyperplane components are deterministic
+    // splitmix64 (VectorExpressions.HyperplaneBucket), so DuckDB can
+    // recompute the exact bucket: the oracle replays the splitmix64
+    // finalizer with 32-bit-limb mod-2^64 multiplication (HUGEINT alone
+    // would overflow at 2^64×2^64).
     "pl_emb_ann_lsh" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -201,7 +204,57 @@ object PipelineQueries {
           .head().getSeq[Float](0)
         Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nPlanes = 4)
       },
-      None),
+      Some("""WITH emb AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding)::BIGINT AS n FROM embeddings
+             |), t0 AS (
+             |  SELECT vec_id, p.range AS p, unnest(range(0, n)) AS i, v, n
+             |  FROM emb, range(0,4) p
+             |), t AS (
+             |  SELECT vec_id, p, i, v[i + 1] AS x,
+             |    ((p * n + i)::UBIGINT + 11400714819323198485::UBIGINT) AS z0
+             |  FROM t0
+             |), a1 AS (
+             |  SELECT vec_id, p, i, x, xor(z0, z0 >> 30) AS a FROM t
+             |), m1 AS (
+             |  SELECT vec_id, p, i, x,
+             |    ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT))::HUGEINT
+             |      + ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT >> 32)
+             |           + (a >> 32) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
+             |        * 4294967296::HUGEINT)
+             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z1
+             |  FROM a1
+             |), a2 AS (
+             |  SELECT vec_id, p, i, x, xor(z1, z1 >> 27) AS a FROM m1
+             |), m2 AS (
+             |  SELECT vec_id, p, i, x,
+             |    ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT))::HUGEINT
+             |      + ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT >> 32)
+             |           + (a >> 32) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
+             |        * 4294967296::HUGEINT)
+             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z2
+             |  FROM a2
+             |), m3 AS (
+             |  SELECT vec_id, p, i, x, xor(z2, z2 >> 31) AS zf FROM m2
+             |), comps AS (
+             |  SELECT vec_id, p, i, x,
+             |    CASE WHEN zf >= 9223372036854775808::UBIGINT
+             |         THEN (zf::HUGEINT - 18446744073709551616::HUGEINT)::DOUBLE
+             |         ELSE zf::DOUBLE END / 9223372036854775807.0 AS c
+             |  FROM m3
+             |), dots AS (
+             |  SELECT vec_id, p, sum(x * c) AS dotv FROM comps GROUP BY vec_id, p
+             |), buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN dotv >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+             |  FROM dots GROUP BY vec_id
+             |)
+             |SELECT e.vec_id, round(list_cosine_similarity(q.v, e.v), 4) AS cos
+             |FROM emb e
+             |JOIN buckets b ON e.vec_id = b.vec_id
+             |JOIN buckets qb ON qb.vec_id = 0
+             |JOIN emb q ON q.vec_id = 0
+             |WHERE b.bucket = qb.bucket
+             |ORDER BY cos DESC, e.vec_id
+             |LIMIT 10""".stripMargin)),
 
     // as-of join: each click gets the latest prior signup value per user
     // (tagged-union + window composition, no range-join explosion)

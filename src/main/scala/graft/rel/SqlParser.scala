@@ -47,6 +47,9 @@ final class SqlParser(tokens: Vector[Token]) {
       else if (kw("DROP")) parseDrop()
       else if (kw("BEGIN") || kw("COMMIT") || kw("ROLLBACK")) SqlNoop(next().text.toUpperCase)
       else if (kw("PREPARE")) throw ParseException("PREPARE not implemented") // parity: exec/executor.go:144-146
+      // parity: reference parses ALTER but its executor returns
+      // ErrNotImplemented (exec/ddl.go:150-159, rel/sql.go:1972)
+      else if (kw("ALTER")) throw ParseException("ALTER not implemented")
       else throw ParseException(s"unsupported statement start '${cur.text}'")
     eat(";")
     st

@@ -188,10 +188,42 @@ class EngineSpec extends AnyFunSuite {
     assert(t.contains("users") && t.contains("orders"))
     val liked = rows(session.sql("SHOW TABLES LIKE \"use%\"")).map(_.head)
     assert(liked == Seq("users"))
-    val d = rows(session.sql("DESCRIBE users"))
-    assert(d.map(_.head).contains("email"))
+    // MySQL DESCRIBE shape: Field/Type/Null/Key/Default/Extra (schema.go:31)
+    val desc = session.sql("DESCRIBE users")
+    assert(desc.columns.toSeq == Seq("Field", "Type", "Null", "Key", "Default", "Extra"))
+    assert(rows(desc).map(_.head).contains("email"))
+    val fullCols = session.sql("SHOW FULL COLUMNS FROM users")
+    assert(fullCols.columns.toSeq == Seq("Field", "Type", "Collation", "Null",
+      "Key", "Default", "Extra", "Privileges", "Comment"))
+    // SHOW COLUMNS is LIKE/WHERE-filterable (plan/sql_rewrite.go:95-113)
+    val emailCol = rows(session.sql("SHOW COLUMNS FROM users LIKE \"ema%\""))
+    assert(emailCol.map(_.head) == Seq("email"))
+    val whereCol = rows(session.sql("SHOW COLUMNS FROM users WHERE Field == \"user_id\""))
+    assert(whereCol.map(_.head) == Seq("user_id"))
     val v = session.sql("SHOW VARIABLES")
     assert(rows(v).exists(_.head == "minref"))
+    assert(rows(session.sql("SHOW VARIABLES LIKE \"minre%\"")).map(_.head) == Seq("minref"))
+    val ft = rows(session.sql("SHOW FULL TABLES"))
+    assert(ft.exists(r => r.head == "users" && r(1) == "BASE TABLE"))
+  }
+
+  test("ALTER accept-and-error parity (exec/ddl.go:150-159)") {
+    val e = intercept[Exception](session.sql("ALTER TABLE users ADD COLUMN x varchar(10)"))
+    assert(e.getMessage.contains("not implemented"), e.getMessage)
+    assert(!e.getMessage.contains("unsupported statement start"))
+  }
+
+  test("DISTINCT with ORDER BY key not in the select list") {
+    // referral_count is not projected: carry hidden, dedupe, sort, drop
+    val df = session.sql(
+      "SELECT DISTINCT email FROM users WHERE EXISTS email ORDER BY referral_count DESC")
+    assert(df.columns.toSeq == Seq("email"))
+    val got = rows(df).map(_.head)
+    assert(got.nonEmpty && got.toSet.size == got.size)
+    // still works when the key IS selected
+    val df2 = session.sql("SELECT DISTINCT referral_count FROM users ORDER BY referral_count")
+    val vals = rows(df2).map(_.head.asInstanceOf[Long])
+    assert(vals == vals.sorted)
   }
 
   test("ddl and dml lifecycle") {
