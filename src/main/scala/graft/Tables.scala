@@ -16,6 +16,10 @@ object Tables {
       // events.ts is TIMESTAMP(NANOS) which Spark's vectorized parquet
       // reader rejects; read nanos as long, convert to micros precision
       // (matches what the DuckDB oracle computes after date_trunc/year/…).
+      // NOTE: this mutates SESSION conf — harmless for the other fixture
+      // tables (none carry nanos timestamps, so the flag never changes
+      // their schemas), but a caller mixing in external nanos parquet
+      // would see those columns arrive as raw longs too.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       raw.withColumn("ts",

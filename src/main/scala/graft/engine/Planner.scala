@@ -142,7 +142,10 @@ final class Planner(catalog: String => DataFrame,
       val aggCols: Seq[Column] = cols.flatMap { c =>
         if (containsAgg(c.expr)) Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
         else if (matchesKey(c.expr)) None // already a key
-        else Some(first(ColumnBuilder.build(c.expr, postWhereCtx)).as(c.outputName)) // group passthrough
+        // group passthrough: the reference keeps the LAST value seen per
+        // group (exec/groupby.go:338-348) — `last`, not `first`. Either
+        // is row-order-dependent; parity is about matching the quirk.
+        else Some(last(ColumnBuilder.build(c.expr, postWhereCtx)).as(c.outputName))
       }
       // HAVING / ORDER BY aggregates not in the select list
       val extraAggNodes = (sel.having.toSeq ++ sel.orderBy.map(_._1))

@@ -306,7 +306,13 @@ object ColumnBuilder {
 
   private def inOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
     val l = build(ln, ctx)
+    val lIsMap = typeOf(ln, ctx).exists(_.isInstanceOf[MapType])
     rn match {
+      case ArrayNode(items) if lIsMap =>
+        // map IN (v1, v2, …): any of the values is a key
+        items.map(it => map_contains_key(l, build(it, ctx))).reduce(_ || _)
+      case _ if lIsMap =>
+        map_contains_key(l, build(rn, ctx))
       case ArrayNode(items) =>
         // mixed-type lists compare per element: numeric LHS coerces each
         // value numerically (non-coercible skipped), string LHS compares

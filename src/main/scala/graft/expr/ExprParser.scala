@@ -218,11 +218,13 @@ final class ExprParser(tokens: Vector[Token]) {
     var first = true
     while (!cur.is(")") && !atEof) {
       if (!first && cur.is(",")) advance()
-      items += parseExpr()
-      if (first && cur.isKeyword("AS")) { // CAST(x AS type)
-        advance()
-        if (cur.kind != TIdent) fail("expected type after AS")
-        items += StringNode(advance().text)
+      if (!cur.is(")")) { // tolerate a trailing comma before ')'
+        items += parseExpr()
+        if (first && cur.isKeyword("AS")) { // CAST(x AS type)
+          advance()
+          if (cur.kind != TIdent) fail("expected type after AS")
+          items += StringNode(advance().text)
+        }
       }
       first = false
     }

@@ -69,8 +69,11 @@ object LocalEval {
     lookup(ctx, full).orElse {
       if (parts.length > 1) lookup(ctx, parts.head).flatMap {
         case m: collection.Map[_, _] =>
-          m.asInstanceOf[collection.Map[String, Any]].get(parts.tail.mkString("."))
-            .filter(_ != null)
+          val mm = m.asInstanceOf[collection.Map[String, Any]]
+          val key = parts.tail.mkString(".")
+          mm.get(key).orElse(mm.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(key) => v
+          }).filter(_ != null)
         case _ => None
       } else None
     }
@@ -144,6 +147,10 @@ object LocalEval {
       case "INTERSECTS" =>
         for { l <- eval(ln, ctx); r <- eval(rn, ctx) } yield (l, r) match {
           case (a: Seq[_], b2: Seq[_]) => a.map(asStr).toSet.intersect(b2.map(asStr).toSet).nonEmpty
+          // map INTERSECTS slice: any of the values is a key
+          case (m: collection.Map[_, _], b2: Seq[_]) =>
+            val mm = m.asInstanceOf[collection.Map[String, Any]]
+            b2.exists(k => mm.contains(asStr(k)))
           case _ => false
         }
       case other => throw Unsupported(s"binary $other")
@@ -204,8 +211,17 @@ object LocalEval {
     }
     val lv = eval(ln, ctx); val rv = eval(rn, ctx)
     (lv, rv) match {
+      // missing side: `x != v` is TRUE, every other comparison FALSE
+      // (vm.go nil handling: NE → true; EQ/GT/GE/LT/LE/LIKE → false)
+      case (None, _) | (_, None) =>
+        Some(op == "!=" || op == "<>")
       case (Some(l), Some(arr: Seq[_])) if asNum(l).isDefined => // any-element equality
         Some(arr.exists(e => asNum(e).contains(asNum(l).get)))
+      // slice-of-times vs date literal: any element satisfies
+      // (`transactions < "now-1h"`); empty slice → false
+      case (Some(l: Seq[_]), Some(r)) if isDateLiteral(rn) || isTimeish(r) =>
+        asEpochSec(r).map(b =>
+          l.exists(el => asEpochSec(el).exists(a => cmpNum(op, a.toDouble, b.toDouble))))
       case (Some(l), Some(r)) if isTimeish(l) || isTimeish(r) ||
           isDateLiteral(ln) || isDateLiteral(rn) =>
         for { a <- asEpochSec(l); b <- asEpochSec(r) } yield cmpNum(op, a.toDouble, b.toDouble)
@@ -265,14 +281,23 @@ object LocalEval {
   private def inOp(ln: Node, rn: Node, ctx: Ctx): Option[Boolean] = {
     val lv = eval(ln, ctx)
     val rv = eval(rn, ctx)
-    for { l <- lv; r <- rv } yield r match {
-      case m: collection.Map[_, _] =>
+    for { l <- lv; r <- rv } yield (l, r) match {
+      // slice IN slice is a synonym of INTERSECTS (reference #14564)
+      case (ls: Seq[_], rs: Seq[_]) =>
+        ls.map(asStr).toSet.intersect(rs.map(asStr).toSet).nonEmpty
+      // map IN slice/scalar: any of the values is a key
+      case (m: collection.Map[_, _], rs: Seq[_]) =>
+        val mm = m.asInstanceOf[collection.Map[String, Any]]
+        rs.exists(k => mm.contains(asStr(k)))
+      case (m: collection.Map[_, _], k) =>
+        m.asInstanceOf[collection.Map[String, Any]].contains(asStr(k))
+      case (_, m: collection.Map[_, _]) =>
         m.asInstanceOf[collection.Map[String, Any]].contains(asStr(l))
-      case arr: Seq[_] =>
+      case (_, arr: Seq[_]) =>
         if (asNum(l).isDefined && !l.isInstanceOf[String])
           arr.exists(e => asNum(e).contains(asNum(l).get))
         else arr.exists(e => asStr(e) == asStr(l))
-      case s: String => asStr(l) == s // string IN string = equality
+      case (_, s: String) => asStr(l) == s // string IN string = equality
       case _ => false
     }
   }

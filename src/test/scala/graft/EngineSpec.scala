@@ -207,6 +207,26 @@ class EngineSpec extends AnyFunSuite {
     assert(ft.exists(r => r.head == "users" && r(1) == "BASE TABLE"))
   }
 
+  test("jdbc source pushes filters to the database (sqlite source parity)") {
+    // the reference's SQLite source rewrites statements for full pushdown
+    // (datasource/sqlite/sqlrewrite.go); Spark's JDBC relation does the
+    // same via DataSource pushdown. Derby ships with Spark — use its
+    // in-memory mode as the stand-in database.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people(id INT, name VARCHAR(32), age INT)")
+      st.execute("INSERT INTO people VALUES (1, 'ann', 41), (2, 'bo', 22), (3, 'cy', 35)")
+    } finally conn.close()
+    session.registerJdbc("people", "jdbc:derby:memory:graftdb", "people")
+    val df = session.sql("SELECT name FROM people WHERE age > 30 ORDER BY name")
+    assert(rows(df).map(_.head) == Seq("ann", "cy"))
+    // pushdown gate: the WHERE must reach the JDBC scan, not a Spark filter
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.toUpperCase.contains("AGE"), plan)
+  }
+
   test("ALTER accept-and-error parity (exec/ddl.go:150-159)") {
     val e = intercept[Exception](session.sql("ALTER TABLE users ADD COLUMN x varchar(10)"))
     assert(e.getMessage.contains("not implemented"), e.getMessage)
@@ -318,8 +338,11 @@ class EngineSpec extends AnyFunSuite {
     assert(session.eval("a + 5 > b", Map("a" -> 10L, "b" -> 12L)) == true)
     assert(session.eval("tolower(name)", Map("name" -> "AARON")) == "aaron")
     assert(session.eval("x * 2 + 1", Map("x" -> 4L)) == 9L)
-    // missing field: could-not-evaluate → null (vm.Eval ok=false)
-    assert(session.eval("missing_field > 5", Map("x" -> 1L)) == null)
+    // missing field: comparisons are false, except != which is true
+    // (vm.go nil handling, lines ~340-342 / ~476-480)
+    assert(session.eval("missing_field > 5", Map("x" -> 1L)) == false)
+    assert(session.eval("missing_field != 5", Map("x" -> 1L)) == true)
+    assert(session.eval("missing_field + 5", Map("x" -> 1L)) == null)
     assert(rows(session.sql("SHOW INDEX FROM users")).isEmpty)
   }
 
