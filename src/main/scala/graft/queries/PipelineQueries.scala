@@ -144,11 +144,48 @@ object PipelineQueries {
              |        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // full per-document stats frame incl. language ID (spec-covered)
+    // full per-document stats frame incl. language ID. The argmax over
+    // per-language stopword hits is replayed in SQL: Spark's
+    // array_max(array(struct(hits, lang))) breaks hit ties by the LARGER
+    // language code, so the CASE tests languages in descending
+    // lexicographic order (zh > fr > es > en > de).
     "pl_text_docstats" -> Q(
       (s, d) => TextAnalysis.documentStats(Tables(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH base AS (
+             |  SELECT doc_id, text,
+             |    string_split(trim(text), ' ') AS toks,
+             |    list_distinct(string_split(lower(trim(text)), ' ')) AS ltoks
+             |  FROM documents
+             |), hits AS (
+             |  SELECT doc_id, text, toks, ltoks,
+             |    len(list_intersect(ltoks, ['the','a','of','and','to','in','is','it','that','for'])) AS h_en,
+             |    len(list_intersect(ltoks, ['der','die','das','und','ist','ein','zu','mit','von','nicht'])) AS h_de,
+             |    len(list_intersect(ltoks, ['le','la','les','et','est','un','une','de','que','pas'])) AS h_fr,
+             |    len(list_intersect(ltoks, ['el','la','los','y','es','un','una','de','que','no'])) AS h_es,
+             |    len(list_intersect(ltoks, ['的','是','了','在','我','有','和','就','不','人'])) AS h_zh
+             |  FROM base
+             |)
+             |SELECT doc_id,
+             |  len(toks)::BIGINT AS n_tokens,
+             |  length(text)::BIGINT AS n_chars,
+             |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |    / greatest(length(text), 1), 4) AS punct_ratio,
+             |  round(list_avg(list_transform(toks, t -> length(t))), 4) AS mean_word_len,
+             |  round(h_en::DOUBLE / greatest(len(ltoks), 1), 4) AS stopword_ratio,
+             |  round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             |    + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |        / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             |    + (CASE WHEN list_avg(list_transform(toks, t -> length(t)))
+             |        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality,
+             |  CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+             |       WHEN h_zh = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'zh'
+             |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+             |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+             |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+             |       ELSE 'de' END AS lang_guess,
+             |  md5(array_to_string(list_sort(list_filter(ltoks, t -> t != '')), ' ')) AS fingerprint
+             |FROM hits ORDER BY doc_id""".stripMargin)),
 
     // per-vector nearest neighbor within its label block (bulk near-dup
     // mining shape; float values only ORDER, never compared)

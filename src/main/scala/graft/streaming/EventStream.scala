@@ -74,6 +74,19 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the unbounded form of
+    * [[graft.operators.Dedup.dropExactDuplicates]]: drop re-seen content
+    * (by 128-bit hash) within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` keeps ONE state entry per distinct
+    * hash and evicts it once the watermark passes, so state is bounded
+    * by (horizon × distinct-docs-per-horizon), not stream length — the
+    * property that makes this run forever on a 100 TB/day feed. */
+  def dedupContent(stream: DataFrame, tsCol: String, textCol: String,
+      horizon: String = "30 minutes"): DataFrame =
+    stream.withWatermark(tsCol, horizon)
+      .withColumn("content_hash", md5(col(textCol).cast(BinaryType)))
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Run a bounded smoke of the streaming pipeline: consume every
     * available file, return the materialized windowed counts. */
   def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {

@@ -63,4 +63,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull"), p)
     assert(p.contains("GreaterThan(l_quantity") || p.contains("EqualTo(l_returnflag"), p)
   }
+
+  test("embedding pair stages normalize BELOW the join (once per row)") {
+    // the whole point of the L2Normalize kernel: O(rows) normalization,
+    // O(pairs) plain dot. If projection collapse ever pushed
+    // graft_l2_normalize above the join it would run per pair again.
+    for (q <- Seq("pl_emb_nn", "pl_emb_cosine_pairs")) {
+      // kernels print by Catalyst prettyName = lowercased class name
+      val p = plan(q).toLowerCase
+      val joinAt = p.indexOf("join")
+      val normAt = p.indexOf("l2normalize")
+      assert(normAt >= 0, s"$q: L2Normalize kernel missing from plan:\n$p")
+      assert(joinAt >= 0, s"$q: no join in plan:\n$p")
+      // executedPlan prints parents first: the join line precedes its
+      // children, so the normalization must appear AFTER (= below) it
+      assert(normAt > joinAt, s"$q: L2Normalize above the join:\n$p")
+      assert(p.contains("dotproduct"), s"$q: pair stage is not a plain dot:\n$p")
+      assert(!p.contains("cosinesimilarity"), s"$q: fused cosine survived in the pair stage:\n$p")
+      assert(!p.contains("cartesianproduct"), s"$q: cartesian product:\n$p")
+    }
+  }
+
+  test("url/email projection prunes the customer scan") {
+    val p = plan("ql_url_email")
+    // only the four referenced columns should be read
+    assert(p.contains("c_custkey") && p.contains("c_mktsegment"), p)
+    assert(!p.contains("c_acctbal") && !p.contains("c_address"),
+      "unpruned column in scan:\n" + p)
+  }
 }

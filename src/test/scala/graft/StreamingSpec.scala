@@ -43,6 +43,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"stream/batch divergence: ${s.diff(b).take(3)} vs ${b.diff(s).take(3)}")
   }
 
+  test("streaming exact dedup drops re-seen content within the watermark") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val out = EventStream.dedupContent(mem.toDF().toDF("ts", "text"), "ts", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_smoke").start()
+    mem.addData((ts(0), "aaa"), (ts(0), "bbb"), (ts(1), "aaa")) // dup in batch
+    q.processAllAvailable()
+    mem.addData((ts(5), "aaa"), (ts(5), "ccc")) // dup across batches, inside horizon
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_smoke").select("text").collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("aaa", "bbb", "ccc"), got)
+  }
+
   test("sessionization accumulates per-user state") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, dir)
