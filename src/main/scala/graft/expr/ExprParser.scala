@@ -141,8 +141,12 @@ final class ExprParser(tokens: Vector[Token]) {
   private def parsePrimary(): Node = cur.kind match {
     case TNumber =>
       val t = advance().text
-      val isInt = !t.exists(c => c == '.' || c == 'e' || c == 'E')
-      NumberNode(t.toDouble, isInt)
+      if (t.startsWith("0x") || t.startsWith("0X"))
+        NumberNode(java.lang.Long.parseLong(t.drop(2), 16).toDouble, isInt = true)
+      else {
+        val isInt = !t.exists(c => c == '.' || c == 'e' || c == 'E')
+        NumberNode(t.toDouble, isInt)
+      }
     case TString => StringNode(advance().text)
     case TIdent =>
       val t = cur

@@ -156,17 +156,28 @@ object Dedup {
         VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
       .select(col("id"), col("sh"),
         VectorExpressions.minhash_sig(col("sh"), k).as("sig"))) { base =>
-      // band hash per (band index, slice of signature)
-      val banded = base.select(col("id"), col("sh"),
+      // band hash per (band index, slice of signature). The banded rows
+      // are NARROW — (id, band, bh) only: replicating the shingle array
+      // through the ×bands explode would multiply the candidate shuffle
+      // by the document payload (the 100 TB killer). Shingles are
+      // re-joined from the persisted base only for the few candidates.
+      val banded = base.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      val l = banded.select(col("band"), col("bh"), col("id").as("id_a"), col("sh").as("sh_a"))
-      val r = banded.select(col("band"), col("bh"), col("id").as("id_b"), col("sh").as("sh_b"))
-      val candidates = l.join(r, Seq("band", "bh"))
+      val l = banded.select(col("band"), col("bh"), col("id").as("id_a"))
+      val r = banded.select(col("band"), col("bh"), col("id").as("id_b"))
+      val candPairs = l.join(r, Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b").distinct()
-      candidates
+        .select("id_a", "id_b").distinct()
+      // verification: fetch both shingle sets from the cached base; the
+      // pair list is small relative to the corpus, so both fetch joins
+      // broadcast the pair side and stream the corpus
+      val aSide = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(broadcast(candPairs), "id_a")
+      val withSh = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        .join(broadcast(aSide), "id_b")
+      withSh
         .withColumn("shared", VectorExpressions.intersect_count(col("sh_a"), col("sh_b")))
         .withColumn("jaccard", col("shared").cast(DoubleType) /
           (size(col("sh_a")) + size(col("sh_b")) - col("shared")))

@@ -13,6 +13,20 @@ class LexerSpec extends AnyFunSuite {
   test("comments are skipped") {
     assert(texts("a -- trailing comment\n+ b") == Vector("a", "+", "b", ""))
     assert(texts("a /* block */ + b") == Vector("a", "+", "b", ""))
+    // all four reference comment forms (lex/lexer_test.go TestLexCommentTypes)
+    assert(texts("a # hash comment\n+ b") == Vector("a", "+", "b", ""))
+    assert(texts("a // slashes comment\n+ b") == Vector("a", "+", "b", ""))
+    assert(texts("/*\nmulti\nline\n*/ SELECT x") == Vector("SELECT", "x", ""))
+    // '#' inside a string is NOT a comment
+    assert(texts("\"Supplier#01%\"") == Vector("Supplier#01%", ""))
+  }
+
+  test("hex integer literals (lex/lexer_test.go TestLexNumber)") {
+    assert(texts("0x1A2B") == Vector("0x1A2B", ""))
+    assert(kinds("0x1A2B").head == TNumber)
+    // parses to the right value through the expression parser
+    val n = graft.expr.ExprParser.parse("0x1A2B")
+    assert(n == graft.expr.NumberNode(0x1A2B.toDouble, isInt = true))
   }
 
   test("quoted strings with escapes and doubling") {
