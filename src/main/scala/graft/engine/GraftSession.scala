@@ -47,8 +47,12 @@ final class GraftSession(val spark: SparkSession) {
   def dropTable(name: String): Unit = tables.remove(name.toLowerCase)
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
   def table(name: String): DataFrame =
-    tables.getOrElse(name.toLowerCase,
-      throw new IllegalArgumentException(s"unknown table '$name'"))()
+    tables.get(name.toLowerCase)
+      // schema-qualified `db.table` falls back to the bare table name
+      // (single-namespace registry; the reference resolves the schema
+      // prefix through its registry — schema/registry.go)
+      .orElse(tables.get(name.toLowerCase.split('.').last))
+      .getOrElse(throw new IllegalArgumentException(s"unknown table '$name'"))()
 
   /** Named stored filters for FilterQL INCLUDE resolution. */
   def addFilter(name: String, filterQl: String): Unit = {

@@ -25,7 +25,7 @@ final class SqlParser(tokens: Vector[Token]) {
   }
 
   private val clauseKeywords = Set(
-    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET", "AS", "IF",
+    "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
     "UNION", "INTERSECT", "EXCEPT", "ALL")
@@ -42,7 +42,7 @@ final class SqlParser(tokens: Vector[Token]) {
       else if (kw("USE")) { next(); SqlUse(ident()) }
       else if (kw("SHOW")) parseShow()
       else if (kw("DESCRIBE") || kw("DESC")) { next(); SqlDescribe(ident()) }
-      else if (kw("EXPLAIN")) { next(); SqlExplain(parseStatement()) }
+      else if (kw("EXPLAIN")) { next(); eat("EXTENDED"); SqlExplain(parseStatement()) }
       else if (kw("CREATE")) parseCreate()
       else if (kw("DROP")) parseDrop()
       else if (kw("BEGIN") || kw("COMMIT") || kw("ROLLBACK")) SqlNoop(next().text.toUpperCase)
@@ -98,9 +98,25 @@ final class SqlParser(tokens: Vector[Token]) {
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     val groupBy = if (kw("GROUP")) { next(); expect("BY"); parseExprList() } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
-    val orderBy = if (kw("ORDER")) { next(); expect("BY"); parseOrderList() } else Nil
+    // SORT BY is the reference dialect's synonym for ORDER BY
+    val orderBy = if (kw("ORDER") || kw("SORT")) { next(); expect("BY"); parseOrderList() } else Nil
     val (limit, offset) = parseLimitOffset()
+    consumeWith()
+    if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
     SqlSelect(cols, from, distinct, where, groupBy, having, orderBy, limit, offset, into)
+  }
+
+  /** Optional `WITH key = value, …` statement config
+    * (rel/parse_sql.go:706-814 WITH forms) — accepted, values discarded
+    * (no distributed-execution knobs apply to this engine). */
+  private def consumeWith(): Unit = if (eat("WITH")) {
+    var more = true
+    while (more) {
+      ident()
+      expect("=")
+      next() // one literal token: string/number/bool
+      more = eat(",")
+    }
   }
 
   private def parseSelectColumns(): Seq[SelectColumn] = {
@@ -163,7 +179,9 @@ final class SqlParser(tokens: Vector[Token]) {
       val alias = ident()
       SubquerySource(sub, alias, jt, on)
     } else {
-      val name = ident()
+      // schema-qualified names: `mockcsv.users` (reference schema.table)
+      var name = ident()
+      while (cur.is(".") && { next(); true }) name = name + "." + ident()
       val alias =
         if (eat("AS")) Some(ident())
         else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
@@ -301,7 +319,10 @@ final class SqlParser(tokens: Vector[Token]) {
     val out = collection.mutable.ArrayBuffer[(String, Node)]()
     var done = false
     while (!done) {
-      val name = ident()
+      // `[bracket quoted]` column names (reference UPDATE test shape)
+      val name =
+        if (cur.is("[")) { next(); val n = ident(); expect("]"); n }
+        else ident()
       expect("=")
       out += ((name, ep.parseExpr()))
       done = !eat(",")
@@ -331,10 +352,13 @@ final class SqlParser(tokens: Vector[Token]) {
     val full = eat("FULL")
     val kind = ident().toUpperCase
     var target: Option[String] = None
-    if (kind == "COLUMNS" || kind == "INDEX" || kind == "KEYS") {
+    if (kind == "COLUMNS" || kind == "INDEX" || kind == "INDEXES" || kind == "KEYS") {
       if (eat("FROM") || eat("IN")) target = Some(ident())
     } else if (kind == "CREATE") {
-      eat("TABLE"); target = Some(ident())
+      eat("TABLE")
+      var t = ident()
+      while (eat(".")) t = ident() // `db`.`table` — keep the table part
+      target = Some(t)
     }
     if (eat("FROM") || eat("IN")) target = Some(ident())
     val like = if (eat("LIKE")) {

@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rel.SqlParser
+import graft.expr.ParseException
+
+/** Parse-accept corpus from the reference's SQL parser tests
+  * (/root/reference/rel/parse_sql_test.go): every statement the
+  * reference parses must parse here; its malformed statements must
+  * raise. Parse-only — several reference unknown functions (terms,
+  * todate variants) resolve at build time, not parse time, exactly like
+  * the reference's registry lookup.
+  */
+class ParseAcceptSpec extends AnyFunSuite {
+
+  private def parses(sql: String): Unit = {
+    val p = new SqlParser(graft.expr.Lexer.lex(sql))
+    p.parseStatement()
+    p.parseEnd()
+  }
+  private def fails(sql: String): Unit =
+    assertThrows[Exception] {
+      val p = new SqlParser(graft.expr.Lexer.lex(sql))
+      p.parseStatement()
+      p.parseEnd()
+    }
+
+  private val good = Seq(
+    """SELECT exists(firstname), x FROM user""",
+    """SELECT exists(firstname), x -- lets use the user table
+      |FROM user -- a comment
+      |WHERE x = y;""".stripMargin,
+    """SELECT terms(repository.description) FROM github_member GROUP BY repository.language, author""",
+    """select @@version_comment limit 7""",
+    """select repository.name, respository.language, repository.stargazers
+      |FROM github_fork
+      |WHERE eq(repository.name,"dataux") AND repository.language = "go"
+      |  AND repository.name NOT LIKE "docker"""".stripMargin,
+    """select user_id, email FROM mockcsv.users
+      |WHERE user_id in (select user_id from mockcsv.orders)""".stripMargin,
+    """select avg(char_length(title)) from article""",
+    """select gh.repository.name, gh.id, gp.date
+      |FROM github_fork as gh
+      |INNER JOIN github_push AS gp ON gp.repo_id = gh.repo_id
+      |WHERE gh.repository.language = "go"""".stripMargin,
+    """select u.fname, u.lname, u.userid, b.description
+      |FROM user as u INNER JOIN blog AS b
+      |  ON b.first_name = u.fname AND b.last_name = u.lname""".stripMargin,
+    """SELECT t1.name, t2.salary, t3.price
+      |FROM employee AS t1
+      |INNER JOIN info AS t2 ON t1.name = t2.name
+      |INNER JOIN orders AS t3 ON t3.id = t2.fake_id;""".stripMargin,
+    """SET @@local.sort_buffer_size=10000;""",
+    """SELECT id, name FROM user ALIAS user_query""",
+    """upsert into users (id, str) values (0, 'a')""",
+    """UPDATE users SET name = "was_updated", [deleted] = true WHERE id = "user815"""",
+    """DROP TABLE articles;""",
+    """SELECT id, name FROM user WITH key = "value", keyint = 45, keybool = true, keyfloat = 45.5""",
+    """SHOW FULL TABLES FROM `temp_schema` LIKE '%'""",
+    """SHOW CREATE TABLE `temp_schema`.`users`""",
+    """SELECT form_track_form AS form_track_form, `from` AS `from` FROM user""",
+    """SELECT COUNT(*) AS count FROM providers WHERE (`providers._id` != NULL)""",
+    """select title from article WITH distributed=true, node_ct=10""",
+    """SELECT `appearances`.`G_ph` AS `field` FROM `appearances`
+      |ORDER BY `appearances`.`G_ph` ASC LIMIT 500 OFFSET 0""".stripMargin,
+    """SHOW FULL COLUMNS FROM `tablex` FROM `dbx` LIKE '%';""",
+    """show keys from `appearances` from `baseball`""",
+    """show indexes from `appearances` from `baseball`""",
+    """select url, `_nmob`, `_cc`, `_uida` from events123
+      |WHERE exists(url) LIMIT 500 WITH distributed = true;""".stripMargin,
+    """select `repository.full_name` from `github_public`
+      |ORDER BY `respository.full_name` asc, TOINT(`fieldname`) DESC limit 100;""".stripMargin,
+    """select name from `github_public` limit 0, 100;""",
+    """select `actor.id`, `actor.login` from github_watch where `actor.id` < 1000""",
+    """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""",
+    """USE `myschema`;""",
+    """EXPLAIN EXTENDED SELECT actor FROM github_watch WHERE repository.language = "go"""")
+
+  private val bad = Seq(
+    """SELECT "hello" LIMIT "5x"""", // limit must be an integer
+    """SELECT x FROM user WHERE ex(a,b""", // unbalanced paren
+    """SELECT x FROM user GROUP BY ex(a,b""",
+    """SELECT x FROM user ORDER BY ex(a,;""",
+    """SELECT a, b INTO FROM user;""", // INTO needs a target
+    """SELECT hash(join(, """) // nested unbalanced
+
+  test("reference parser corpus: every valid statement parses") {
+    for (s <- good) {
+      try parses(s)
+      catch {
+        case e: Exception => fail(s"should parse: $s\n  -> ${e.getMessage}")
+      }
+    }
+  }
+
+  test("reference parser corpus: malformed statements raise") {
+    for (s <- bad) fails(s)
+  }
+}
