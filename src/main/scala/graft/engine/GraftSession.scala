@@ -232,7 +232,17 @@ final class GraftSession(val spark: SparkSession) {
     val target = table(del.table)
     val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
     val cond = del.where.map(w => ColumnBuilder.build(w, ctx).cast(BooleanType)).getOrElse(lit(true))
-    registerTable(del.table, target.filter(!coalesce(cond, lit(false))).cache())
+    del.limit match {
+      case Some(n) =>
+        // DELETE … LIMIT n removes at most n matching rows in scan order
+        // (exec/mutations.go DeletionScanner honors Limit)
+        val withId = target.withColumn("__rid", monotonically_increasing_id())
+        val victims = withId.filter(coalesce(cond, lit(false))).limit(n).select("__rid")
+        registerTable(del.table,
+          withId.join(victims, Seq("__rid"), "left_anti").drop("__rid").cache())
+      case None =>
+        registerTable(del.table, target.filter(!coalesce(cond, lit(false))).cache())
+    }
   }
 
   private def rowsDf(cols: Seq[String], values: Seq[Seq[Node]], target: StructType): DataFrame = {

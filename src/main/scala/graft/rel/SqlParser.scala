@@ -350,7 +350,10 @@ final class SqlParser(tokens: Vector[Token]) {
   private def parseShow(): Statement = {
     expect("SHOW")
     val full = eat("FULL")
-    val kind = ident().toUpperCase
+    var kind = ident().toUpperCase
+    // SHOW [GLOBAL|SESSION] VARIABLES (plan/sql_rewrite.go:135-143)
+    if ((kind == "GLOBAL" || kind == "SESSION") && cur.kind == TIdent)
+      kind = kind + " " + ident().toUpperCase
     var target: Option[String] = None
     if (kind == "COLUMNS" || kind == "INDEX" || kind == "INDEXES" || kind == "KEYS") {
       if (eat("FROM") || eat("IN")) target = Some(ident())

@@ -203,6 +203,8 @@ class EngineSpec extends AnyFunSuite {
     val v = session.sql("SHOW VARIABLES")
     assert(rows(v).exists(_.head == "minref"))
     assert(rows(session.sql("SHOW VARIABLES LIKE \"minre%\"")).map(_.head) == Seq("minref"))
+    assert(rows(session.sql("SHOW SESSION VARIABLES")).exists(_.head == "minref"))
+    assert(rows(session.sql("SHOW GLOBAL VARIABLES")).exists(_.head == "minref"))
     val ft = rows(session.sql("SHOW FULL TABLES"))
     assert(ft.exists(r => r.head == "users" && r(1) == "BASE TABLE"))
   }
@@ -259,6 +261,11 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq(8L)))
     session.sql("DELETE FROM scratch WHERE user_id = 'newbie'")
     assert(rows(session.sql("SELECT count(*) AS c FROM scratch")) == Seq(Seq(3L)))
+    // DELETE … LIMIT removes at most n matching rows
+    session.sql("INSERT INTO scratch (user_id, referral_count) VALUES ('d1', 1), ('d2', 2)")
+    session.sql("DELETE FROM scratch WHERE referral_count < 100 LIMIT 1")
+    assert(rows(session.sql("SELECT count(*) AS c FROM scratch")) == Seq(Seq(4L)))
+    session.sql("DELETE FROM scratch WHERE user_id LIKE 'd%'")
     session.sql("DROP TABLE scratch")
     testSelectErr("SELECT * FROM scratch")
     // transaction keywords accepted and ignored

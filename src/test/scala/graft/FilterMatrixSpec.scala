@@ -130,6 +130,16 @@ class FilterMatrixSpec extends AnyFunSuite {
       assert(!session.matches(q, row), s"expected MISS: $q")
   }
 
+  test("INCLUDE resolution and failure (vm TestInclude)") {
+    val s2 = new GraftSession(SparkTestSession.get)
+    s2.addFilter("test", "FILTER x > 5")
+    assert(s2.matches("FILTER AND (x < 9000, INCLUDE test)", Map("x" -> 6L, "y" -> "1")))
+    assert(!s2.matches("FILTER AND (x < 9000, INCLUDE test)", Map("x" -> 4L, "y" -> "1")))
+    // unresolvable INCLUDE is an error, not a silent false
+    assertThrows[Exception](
+      s2.matches("FILTER AND (x < 9000, INCLUDE shouldfail)", Map("x" -> 6L)))
+  }
+
   test("city IN list on the engine path (column-builder parity)") {
     // the same IN-list semantics must hold through the Spark path:
     // register a one-row table and filter it
