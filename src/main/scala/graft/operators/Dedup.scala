@@ -119,10 +119,25 @@ object Dedup {
     viaPersisted(df.select(col(idCol).as("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))) { sh =>
+      // bucket the inverted index ONCE (groupBy on the shingle hash) and
+      // generate ordered pairs inside each bucket — a self-join would
+      // shuffle the exploded index twice; this shuffles it once and
+      // multi-doc buckets are tiny for natural-language shingles
       val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-      val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
-      val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
-      a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
+      val buckets = inv.groupBy("s")
+        .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
+        .filter(size(col("docs")) > 1)
+      val pairs = buckets
+        .select(posexplode(col("docs")).as(Seq("i", "da")), col("docs"))
+        .select(col("da"), explode(
+          slice(col("docs"), col("i") + 2, greatest(size(col("docs")) - col("i") - 1, lit(0))))
+          .as("db"))
+        .select(
+          least(col("da.id"), col("db.id")).as("id_a"),
+          greatest(col("da.id"), col("db.id")).as("id_b"),
+          when(col("da.id") < col("db.id"), col("da.sz")).otherwise(col("db.sz")).as("sz_a"),
+          when(col("da.id") < col("db.id"), col("db.sz")).otherwise(col("da.sz")).as("sz_b"))
+      pairs
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("shared"))
         .withColumn("jaccard",
