@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
   * are CodegenFallback AND interpreted per expression node — a 64-bit
   * simhash vote or a 64-dim cosine written with them costs dozens of
   * interpreted `eval` dispatches per element. These expressions do the
-  * same math in one tight JVM loop (still CodegenFallback at the
-  * expression boundary, but the loop body is compiled Scala), which
-  * benchmarked ~50-100x faster on the dedup/ANN paths. At 100 TB these
-  * kernels sit inside the per-row scan stage, so constant factors here
-  * multiply directly into cluster-hours.
+  * same math in one tight JVM loop, benchmarked ~50-100x faster on the
+  * dedup/ANN paths. The per-PAIR kernels (dot, cosine, l2-normalize,
+  * intersect-count) additionally implement `doGenCode`, so they inline
+  * into whole-stage codegen with no boxed eval boundary — they run
+  * O(candidate-pairs) times, where per-call overhead multiplies
+  * directly into cluster-hours at 100 TB. The per-ROW string/fingerprint
+  * kernels (shingles, minhash, simhash) stay CodegenFallback: their
+  * loop bodies dominate and string codegen buys little.
   */
 object VectorExpressions {
 
@@ -65,13 +68,23 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
   }
 
-  /** Cosine similarity between two numeric arrays (float or double). */
+  /** `a.getDouble(i)`-style accessor for the element type, for codegen. */
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case _ => "getDouble"
+  }
+
+  /** Cosine similarity between two numeric arrays (float or double).
+    * Participates in whole-stage codegen — these run once PER PAIR in
+    * the O(n²)-shaped similarity stages, where the CodegenFallback
+    * boundary (one boxed eval call per row) is measurable. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isNumericArray(left.dataType) && isNumericArray(right.dataType),
         "cosine", "two array<float|double>", Seq(left.dataType, right.dataType))
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // zero vector → null
     private def elemIsFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
@@ -91,13 +104,32 @@ object VectorExpressions {
       val denom = math.sqrt(na) * math.sqrt(nb)
       if (denom == 0.0) null else java.lang.Double.valueOf(dot / denom)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb"); val denom = ctx.freshName("denom")
+        s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = (double) $a.${getter(left)}($i);
+          double y = (double) $b.${getter(right)}($i);
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        double $denom = Math.sqrt($na) * Math.sqrt($nb);
+        if ($denom == 0.0) { ${ev.isNull} = true; }
+        else { ${ev.value} = $dot / $denom; }
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
       copy(l, r)
   }
 
-  /** Dot product between two numeric arrays (float or double). */
+  /** Dot product between two numeric arrays (float or double);
+    * codegen-participating (see [[CosineSimilarity]]). */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isNumericArray(left.dataType) && isNumericArray(right.dataType),
         "dot", "two array<float|double>", Seq(left.dataType, right.dataType))
@@ -120,6 +152,19 @@ object VectorExpressions {
       }
       java.lang.Double.valueOf(dot)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (double) $a.${getter(left)}($i) * (double) $b.${getter(right)}($i);
+        }
+        ${ev.value} = $dot;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
       copy(l, r)
   }
@@ -303,7 +348,7 @@ object VectorExpressions {
   /** |a ∩ b| for two array<long> columns — one hash-set probe instead of
     * array_intersect + size (which materializes the intersection). */
   case class IntersectCount(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isLongArray(left.dataType) && isLongArray(right.dataType),
         "intersect_count", "two array<bigint>", Seq(left.dataType, right.dataType))
@@ -319,6 +364,22 @@ object VectorExpressions {
       while (i < b.numElements()) { if (!b.isNullAt(i) && set.remove(b.getLong(i))) c += 1; i += 1 }
       java.lang.Integer.valueOf(c)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val set = ctx.freshName("set"); val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        s"""
+        java.util.HashSet $set = new java.util.HashSet();
+        for (int $i = 0; $i < $a.numElements(); $i++) {
+          if (!$a.isNullAt($i)) $set.add(java.lang.Long.valueOf($a.getLong($i)));
+        }
+        int $c = 0;
+        for (int $i = 0; $i < $b.numElements(); $i++) {
+          if (!$b.isNullAt($i) && $set.remove(java.lang.Long.valueOf($b.getLong($i)))) $c++;
+        }
+        ${ev.value} = $c;
+        """
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
       copy(l, r)
   }
@@ -327,7 +388,7 @@ object VectorExpressions {
     * pair stage of bulk-NN use a plain dot product (1/3 the flops of a
     * fused cosine, amortizing the normalization over O(n²)/n pairs). */
   case class L2Normalize(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isNumericArray(child.dataType), "l2_normalize",
         "array<float|double>", Seq(child.dataType))
@@ -351,6 +412,24 @@ object VectorExpressions {
       if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
       ArrayData.toArrayData(out)
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val out = ctx.freshName("out"); val ss = ctx.freshName("ss")
+        val norm = ctx.freshName("norm")
+        s"""
+        int $n = $a.numElements();
+        double[] $out = new double[$n];
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = (double) $a.${getter(child)}($i);
+          $out[$i] = x; $ss += x * x;
+        }
+        double $norm = Math.sqrt($ss);
+        if ($norm > 0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        """
+      })
     override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
   }
 
