@@ -142,6 +142,17 @@ final class GraftSession(val spark: SparkSession) {
     if (r.isNullAt(0)) null else r.get(0)
   }
 
+  /** Parse once, evaluate many — the reference's `expr.MustParse` +
+    * `vm.Eval` loop shape (README.md:105-123). The returned closure
+    * runs entirely on the driver via LocalEval; rows that hit an
+    * unsupported builtin fall back to the one-row Spark path. */
+  def compile(exprText: String): Map[String, Any] => Any = {
+    val resolved = resolveIncludes(ExprParser.parse(exprText))
+    row =>
+      try LocalEval.eval(resolved, row).orNull
+      catch { case _: LocalEval.Unsupported => evalViaSpark(resolved, row) }
+  }
+
   /** Inline INCLUDE references ahead of evaluation (expr/include.go
     * InlineIncludes ≙) so LocalEval needs no resolver. */
   private def resolveIncludes(n: Node): Node = n match {

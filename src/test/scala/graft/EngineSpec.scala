@@ -374,6 +374,18 @@ class EngineSpec extends AnyFunSuite {
     // builtins outside the LocalEval subset fall back to the Spark path
     assert(session.eval("hash.md5(name)", Map("name" -> "hello"))
       == "5d41402abc4b2a76b9719d911017c592")
+    // parse-once-eval-many (expr.MustParse + vm.Eval loop): 100k rows
+    // through the compiled closure must be driver-speed (the reference's
+    // ~789 ns/op path — we allow generous CI slack)
+    val f = session.compile("a + 5 > b AND contains(name, \"ar\")")
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 100000) {
+      assert(f(Map("a" -> (i + 10L), "b" -> 12L, "name" -> "aaron")) == true)
+      i += 1
+    }
+    val perOp = (System.nanoTime() - t0) / 100000
+    assert(perOp < 100000, s"compiled eval too slow: $perOp ns/op") // < 0.1 ms/op
   }
 
   test("datemath boundary analyzer (vm/datemath.go DateConverter)") {
