@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorExpressions
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * quota sampling, benchmark decontamination, PII redaction. These sit
+  * beside Dedup/TextAnalysis as the standard screens a 100 TB corpus
+  * passes through before training.
+  *
+  * Everything is deterministic and engine-reproducible (md5-derived
+  * pseudo-randomness, shared shingle formulations), so every operator
+  * is DuckDB-oracle-gateable.
+  */
+object Curation {
+
+  /** Deterministic per-group quota sample: keep at most `k` rows per
+    * group, chosen by a content-independent pseudo-random order (md5 of
+    * the id) — the reproducible form of stratified downsampling used to
+    * balance source mixtures.
+    *
+    * Scale: one shuffle on the group key; the window is a per-group
+    * top-k (rank ≤ k ⇒ WindowGroupLimit prunes eagerly), no global
+    * sort. Deterministic across runs AND engines — no RNG state. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with ANY benchmark
+    * document. This is the screen run before training so eval sets
+    * don't leak into the corpus.
+    *
+    * Scale: the benchmark side is tiny relative to the corpus — its
+    * distinct shingle-hash set broadcasts; the corpus side explodes its
+    * shingles once and semi-joins WITHOUT a shuffle of the corpus
+    * (broadcast hash join), then aggregates hit counts per document.
+    * No pairwise stage anywhere. */
+  def contaminated(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      n: Int, minShared: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(VectorExpressions.word_shingle_hashes(col(benchTextCol), n)).as("s"))
+      .distinct()
+    val corpusShingles = corpus.select(col(idCol),
+        explode(VectorExpressions.word_shingle_hashes(col(textCol), n)).as("s"))
+    corpusShingles.join(broadcast(benchShingles), "s")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
+  // conservative patterns that parse identically in Java regex and RE2
+  // (DuckDB) — the point is reproducible redaction, not perfect recall
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 → `<IP>`, phone-shaped
+    * numbers → `<PHONE>`. Pure Column regexp chain — runs at scan speed
+    * inside codegen; order matters (emails first so their host part is
+    * not half-eaten by the IP pattern). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** The same patterns as detection flags (for routing/reporting). */
+  def piiFlags(text: Column): Column =
+    struct(
+      text.rlike(EmailRe).as("has_email"),
+      text.rlike(Ipv4Re).as("has_ip"),
+      text.rlike(PhoneRe).as("has_phone"))
+}

@@ -329,6 +329,71 @@ object PipelineQueries {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |FROM g ORDER BY event_id""".stripMargin)),
 
+    // deterministic per-source quota sample (md5-ordered, reproducible
+    // in any engine — the stratified downsampling screen)
+    "pl_sample_quota" -> Q(
+      (s, d) => graft.operators.Curation.quotaSample(
+          Tables(s, d, "documents"), "source", "doc_id", 50)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM documents) WHERE rk <= 50 ORDER BY doc_id""".stripMargin)),
+
+    // benchmark decontamination: corpus docs sharing >= 5 word 3-gram
+    // shingles with the "benchmark" slice (doc_id % 10 == 0)
+    "pl_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.operators.Curation.contaminated(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 10 === 0), "text",
+            n = 3, minShared = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), bench AS (
+             |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0
+             |), corp AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0
+             |)
+             |SELECT c.doc_id, count(*) AS shared_shingles
+             |FROM corp c JOIN bench b ON c.g = b.g
+             |GROUP BY c.doc_id HAVING count(*) >= 5
+             |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction: a known PII suffix is appended so the redaction is
+    // exercised on every row; both engines apply identical regexes
+    "pl_pii_redact" -> Q(
+      (s, d) => {
+        val pii = lit(" contact bob.smith@example.com at 192.168.0.1 or 555-123-4567")
+        val aug = concat(col("text"), pii)
+        Tables(s, d, "documents").select(col("doc_id"),
+          md5(graft.operators.Curation.redactPii(aug).cast(BinaryType)).as("redacted_md5"),
+          graft.operators.Curation.piiFlags(aug).getField("has_email").as("has_email"),
+          graft.operators.Curation.piiFlags(aug).getField("has_ip").as("has_ip"),
+          graft.operators.Curation.piiFlags(aug).getField("has_phone").as("has_phone"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(
+             |    text || ' contact bob.smith@example.com at 192.168.0.1 or 555-123-4567',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5,
+             |  regexp_matches(text || ' contact bob.smith@example.com at 192.168.0.1 or 555-123-4567',
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email,
+             |  regexp_matches(text || ' contact bob.smith@example.com at 192.168.0.1 or 555-123-4567',
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b') AS has_ip,
+             |  regexp_matches(text || ' contact bob.smith@example.com at 192.168.0.1 or 555-123-4567',
+             |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b') AS has_phone
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // multimodal plumbing: binary payload column (text bytes stand in
     // for media), stub decode via mapPartitions, deterministic features
     "pl_multimodal_decode" -> Q(

@@ -130,6 +130,49 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("quota sample: per-group cap, deterministic, content-independent") {
+    val sampled = Curation.quotaSample(docs, "source", "doc_id", 10)
+    val counts = sampled.groupBy("source").count().collect()
+    assert(counts.forall(_.getLong(1) <= 10), counts.mkString(", "))
+    val again = Curation.quotaSample(docs, "source", "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+  }
+
+  test("decontamination flags the benchmark's near-duplicates") {
+    import org.apache.spark.sql.Row
+    val mk = (rows: Seq[(Long, String)]) => spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => Row(r._1, r._2)): _*),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val bench = mk(Seq((1L, "the quick brown fox jumps over the lazy dog again and again")))
+    val corpus = mk(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact leak
+      (11L, "completely different words nothing shared here at all today friends"),
+      (12L, "the quick brown fox jumps over a sleepy cat今 nothing else")))
+    val hits = Curation.contaminated(corpus, "id", "text", bench, "text", 3, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits.contains(10L), s"exact leak not flagged: $hits")
+    assert(!hits.contains(11L), s"clean doc flagged: $hits")
+  }
+
+  test("pii redaction replaces emails, ips and phones") {
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(java.util.List.of(
+      Row("mail me at jane.doe+x@corp.example.org now"),
+      Row("server 10.0.12.9 answered"),
+      Row("call 555-867-5309 or 555 123 4567"),
+      Row("nothing sensitive here")),
+      StructType(Seq(StructField("text", StringType))))
+    val got = df.select(Curation.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "mail me at <EMAIL> now")
+    assert(got(1) == "server <IP> answered")
+    assert(got(2) == "call <PHONE> or <PHONE>")
+    assert(got(3) == "nothing sensitive here")
+    val flags = df.select(Curation.piiFlags(col("text")).as("f")).collect()
+    assert(flags(0).getStruct(0).getBoolean(0) && !flags(0).getStruct(0).getBoolean(1))
+    assert(flags(3).getStruct(0).toSeq == Seq(false, false, false))
+  }
+
   test("word shingles edge cases") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row("one"), org.apache.spark.sql.Row("one two"),
