@@ -264,6 +264,43 @@ object Dedup {
     df.join(keep, col(idCol) === col("__keep"), "left_semi")
   }
 
+  /** Canonical cluster id (the minimum reachable doc id) for every
+    * document in a near-dup pair list — iterative min-label propagation
+    * over the undirected pair graph (the DataFrame form of
+    * large-star/small-star connected components). Each round is one
+    * shuffle; rounds needed = cluster diameter, which for near-dup
+    * graphs (near-cliques) is 1-2; `maxIter` bounds pathological
+    * chains. This is the canonicalization step a real pipeline runs
+    * after pair mining, instead of the greedy pairwise sweep. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // each node takes the min of its own label and its neighbors'
+      val prop = edges.join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), "dst")
+        .select(col("src").as("id"), col("nlabel").as("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist(blocking = false)
+    retained.add(labels)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Apply near-dedup: remove the higher id of every LSH-verified pair
     * (greedy; transitive clusters collapse to their minimum id after
     * the pair list is swept). The removal set is tiny relative to the

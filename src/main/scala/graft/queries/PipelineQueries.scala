@@ -329,6 +329,37 @@ object PipelineQueries {
              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |FROM g ORDER BY event_id""".stripMargin)),
 
+    // near-dup cluster canonicalization: connected components over the
+    // LSH-verified pair graph (min reachable id per doc); oracle is the
+    // transitive closure via a recursive CTE over the same pairs
+    "pl_dedup_clusters" -> Q(
+      (s, d) => Dedup.nearDupClusters(
+          Dedup.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.5))
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+             |)
+             |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // deterministic per-source quota sample (md5-ordered, reproducible
     // in any engine — the stratified downsampling screen)
     "pl_sample_quota" -> Q(

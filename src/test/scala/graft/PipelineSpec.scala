@@ -130,6 +130,18 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("near-dup clusters: chains collapse to the minimum id") {
+    import org.apache.spark.sql.Row
+    // A-B, B-C, plus an isolated pair D-E: two clusters
+    val pairs = spark.createDataFrame(java.util.List.of(
+      Row(1L, 2L), Row(2L, 3L), Row(7L, 9L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
+    Dedup.releaseAll()
+  }
+
   test("quota sample: per-group cap, deterministic, content-independent") {
     val sampled = Curation.quotaSample(docs, "source", "doc_id", 10)
     val counts = sampled.groupBy("source").count().collect()
