@@ -41,10 +41,32 @@ object VectorExpressions {
 
   /** Majority-vote 64-bit simhash over an array<long> of feature hashes. */
   case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isLongArray(child.dataType), "simhash64", "array<bigint>", Seq(child.dataType))
     override def dataType: DataType = LongType
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val b = ctx.freshName("b"); val counts = ctx.freshName("counts")
+        val nf = ctx.freshName("nf"); val h = ctx.freshName("h")
+        val sim = ctx.freshName("sim")
+        s"""
+        int $n = $a.numElements();
+        int[] $counts = new int[64];
+        int $nf = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            $nf++;
+            long $h = $a.getLong($i);
+            for (int $b = 0; $b < 64; $b++) $counts[$b] += (int) (($h >>> $b) & 1L);
+          }
+        }
+        long $sim = 0L;
+        for (int $b = 0; $b < 64; $b++) if ($counts[$b] * 2 >= $nf) $sim |= (1L << $b);
+        ${ev.value} = $sim;
+        """
+      })
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -169,8 +191,9 @@ object VectorExpressions {
       copy(l, r)
   }
 
-  /** splitmix64 finalizer — cheap avalanche for seed-mixing. */
-  @inline private def mix64(z0: Long): Long = {
+  /** splitmix64 finalizer — cheap avalanche for seed-mixing. Public so
+    * generated (Janino) code can call the static forwarder. */
+  @inline def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -181,10 +204,32 @@ object VectorExpressions {
     * array<long> of base feature hashes. One pass over the features per
     * row (the pure-Column formulation runs k interpreted aggregates). */
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isLongArray(child.dataType), "minhash", "array<bigint>", Seq(child.dataType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val sig = ctx.freshName("sig")
+        val h = ctx.freshName("h"); val m = ctx.freshName("m")
+        s"""
+        int $n = $a.numElements();
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$a.isNullAt($i)) {
+            long $h = $a.getLong($i);
+            for (int $j = 0; $j < $k; $j++) {
+              long $m = graft.functions.VectorExpressions.mix64(
+                $h ^ ((long) $j * 0xC2B2AE3D27D4EB4FL));
+              if ($m < $sig[$j]) $sig[$j] = $m;
+            }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+        """
+      })
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -211,11 +256,32 @@ object VectorExpressions {
     * random hyperplanes (components from splitmix64(p*dim + i), mapped
     * to [-1, 1]) — reproducible across runs and engines. */
   case class HyperplaneBucket(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       check(isNumericArray(child.dataType), "hyperplane_bucket",
         "array<float|double>", Seq(child.dataType))
     override def dataType: DataType = LongType
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val p = ctx.freshName("p"); val bucket = ctx.freshName("bucket")
+        val dotv = ctx.freshName("dotv")
+        s"""
+        int $n = $a.numElements();
+        long $bucket = 0L;
+        for (int $p = 0; $p < $nPlanes; $p++) {
+          double $dotv = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double x = (double) $a.${getter(child)}($i);
+            double c = (double) graft.functions.VectorExpressions.mix64(
+              (long) $p * $n + $i) / (double) Long.MAX_VALUE;
+            $dotv += x * c;
+          }
+          if ($dotv >= 0) $bucket |= (1L << $p);
+        }
+        ${ev.value} = $bucket;
+        """
+      })
     private def elemIsFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
