@@ -58,12 +58,16 @@ object ColumnBuilder {
     case BoolNode(v)         => lit(v)
     case NullNode            => lit(null)
     case ArrayNode(items) =>
-      // heterogeneous literal lists (["a", 3, 4.5] — the reference's
-      // SliceValue) become array<string>; ANSI would otherwise pick a
-      // numeric common type and error casting the string elements
+      // literal lists mixing STRING and non-string elements (["a", 3,
+      // 4.5] — the reference's SliceValue) become array<string>; ANSI
+      // would otherwise pick a numeric common type and error casting
+      // the strings. Purely-numeric mixes ([3, 4.5]) keep Spark's
+      // native widening (array<double>).
       val ts = items.map(typeOf(_, ctx))
-      if (ts.distinct.size <= 1) array(items.map(build(_, ctx)): _*)
-      else array(items.map(build(_, ctx).cast(StringType)): _*)
+      val mixedWithString =
+        ts.distinct.size > 1 && ts.exists(_.contains(StringType))
+      if (mixedWithString) array(items.map(build(_, ctx).cast(StringType)): _*)
+      else array(items.map(build(_, ctx)): _*)
     case b: BinaryNode       => binary(b, ctx)
     case BooleanNode(op, args, neg) =>
       val cols = args.map(a => build(a, ctx).cast(BooleanType))
@@ -307,23 +311,31 @@ object ColumnBuilder {
   private def inOp(ln: Node, rn: Node, ctx: BuildCtx): Column = {
     val l = build(ln, ctx)
     val lIsMap = typeOf(ln, ctx).exists(_.isInstanceOf[MapType])
+    val lIsArray = typeOf(ln, ctx).exists(_.isInstanceOf[ArrayType])
     rn match {
       case ArrayNode(items) if lIsMap =>
         // map IN (v1, v2, …): any of the values is a key
-        items.map(it => map_contains_key(l, build(it, ctx))).reduce(_ || _)
+        items.map(it => map_contains_key(l, build(it, ctx)))
+          .foldLeft(lit(false))(_ || _)
       case _ if lIsMap =>
         map_contains_key(l, build(rn, ctx))
+      case _ if lIsArray =>
+        // slice IN slice is a synonym of INTERSECTS (reference #14564,
+        // `roles IN ("user","api")`) — string-form overlap like the vm
+        arrays_overlap(l.cast(ArrayType(StringType)),
+          build(rn, ctx).cast(ArrayType(StringType)))
       case ArrayNode(items) =>
         // mixed-type lists compare per element: numeric LHS coerces each
         // value numerically (non-coercible skipped), string LHS compares
         // by string form (vm.go:370-383, 398-417, 488-496) — `isin`
-        // would force one common type and ANSI-error on "a" vs 10
+        // would force one common type and ANSI-error on "a" vs 10;
+        // an empty list is simply false (foldLeft, not reduce)
         val lIsNum = typeOf(ln, ctx).exists(numeric)
         items.map { it =>
           val iv = build(it, ctx)
           if (lIsNum) l.try_cast(DoubleType) === iv.try_cast(DoubleType)
           else l.cast(StringType) === iv.cast(StringType)
-        }.reduce(_ || _)
+        }.foldLeft(lit(false))(_ || _)
       case _ =>
         typeOf(rn, ctx) match {
           case Some(ArrayType(_, _))  => array_contains(build(rn, ctx), l)

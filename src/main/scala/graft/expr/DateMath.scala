@@ -154,11 +154,15 @@ object DateMath {
       }
     def walk(n: Node): Unit = n match {
       case BinaryNode(op, l, r, _) =>
+        // the reference keys on a bare "now" prefix and then errors on
+        // non-datemath (datemath.go:131 + EvalAnchor err); we require a
+        // full datemath match, so `status == "now shipping"` is not
+        // misclassified as time-dependent
         (l, r) match {
-          case (StringNode(s), other) if s.toLowerCase.startsWith("now") =>
+          case (StringNode(s), other) if isDateMath(s) =>
             times += s
             evalTimeMs(other).foreach(ct => addValue(ct, flip(op), s))
-          case (other, StringNode(s)) if s.toLowerCase.startsWith("now") =>
+          case (other, StringNode(s)) if isDateMath(s) =>
             times += s
             evalTimeMs(other).foreach(ct => addValue(ct, op, s))
           case _ => walk(l); walk(r)

@@ -142,7 +142,11 @@ final class ExprParser(tokens: Vector[Token]) {
     case TNumber =>
       val t = advance().text
       if (t.startsWith("0x") || t.startsWith("0X"))
-        NumberNode(java.lang.Long.parseLong(t.drop(2), 16).toDouble, isInt = true)
+        NumberNode(
+          try java.lang.Long.parseLong(t.drop(2), 16).toDouble
+          catch { case _: NumberFormatException =>
+            fail(s"invalid hex literal '$t'") },
+          isInt = true)
       else {
         val isInt = !t.exists(c => c == '.' || c == 'e' || c == 'E')
         NumberNode(t.toDouble, isInt)

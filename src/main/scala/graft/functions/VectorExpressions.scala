@@ -459,6 +459,10 @@ object VectorExpressions {
       check(isNumericArray(child.dataType), "l2_normalize",
         "array<float|double>", Seq(child.dataType))
     override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    // a ZERO vector normalizes to NULL, so downstream dot products
+    // null-propagate exactly like the fused cosine's 0-denominator
+    // (pair filtered / ranked last, never cos = 0.0)
+    override def nullable: Boolean = true
     private def elemIsFloat: Boolean = child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
@@ -475,8 +479,11 @@ object VectorExpressions {
         out(i) = x; ss += x * x; i += 1
       }
       val norm = math.sqrt(ss)
-      if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
-      ArrayData.toArrayData(out)
+      if (norm == 0.0) null
+      else {
+        i = 0; while (i < n) { out(i) /= norm; i += 1 }
+        ArrayData.toArrayData(out)
+      }
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
@@ -492,8 +499,11 @@ object VectorExpressions {
           $out[$i] = x; $ss += x * x;
         }
         double $norm = Math.sqrt($ss);
-        if ($norm > 0) for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
-        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        if ($norm == 0.0) { ${ev.isNull} = true; }
+        else {
+          for (int $i = 0; $i < $n; $i++) $out[$i] /= $norm;
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
         """
       })
     override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)

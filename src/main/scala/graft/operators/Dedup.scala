@@ -185,13 +185,16 @@ object Dedup {
       val candPairs = l.join(r, Seq("band", "bh"))
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
-      // verification: fetch both shingle sets from the cached base; the
-      // pair list is small relative to the corpus, so both fetch joins
-      // broadcast the pair side and stream the corpus
+      // verification: fetch both shingle sets from the cached base.
+      // Only the NARROW id-pair list is ever explicitly broadcast —
+      // broadcasting a frame that already carries shingle arrays would
+      // reintroduce the payload replication this layout avoids; the
+      // second join's strategy is left to AQE (broadcast when the
+      // fetched side is small, shuffle when the candidate set is not)
       val aSide = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
         .join(broadcast(candPairs), "id_a")
-      val withSh = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
-        .join(broadcast(aSide), "id_b")
+      val withSh = aSide.join(
+        base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       withSh
         .withColumn("shared", VectorExpressions.intersect_count(col("sh_a"), col("sh_b")))
         .withColumn("jaccard", col("shared").cast(DoubleType) /

@@ -363,7 +363,12 @@ final class SqlParser(tokens: Vector[Token]) {
       while (eat(".")) t = ident() // `db`.`table` — keep the table part
       target = Some(t)
     }
-    if (eat("FROM") || eat("IN")) target = Some(ident())
+    if (eat("FROM") || eat("IN")) {
+      // `SHOW COLUMNS FROM table FROM db`: the second FROM is the db
+      // qualifier — it must not overwrite an already-set table target
+      val sec = ident()
+      if (target.isEmpty) target = Some(sec)
+    }
     val like = if (eat("LIKE")) {
       if (cur.kind != TString) throw ParseException("expected string after LIKE")
       Some(next().text)

@@ -93,15 +93,17 @@ class KernelSpec extends AnyFunSuite {
     assert(got.toSeq == arrays.map(simRef))
   }
 
-  test("L2Normalize: unit norm, zero vector unchanged, float input") {
+  test("L2Normalize: unit norm, zero vector → null, float input") {
     val df = spark.createDataFrame(java.util.Arrays.asList(
       Row(Seq(3.0, 4.0)), Row(Seq(0.0, 0.0)), Row(Seq(1.0, 1.0, 1.0, 1.0))),
       StructType(Seq(StructField("v", ArrayType(DoubleType)))))
-    val rows = df.select(VE.l2_normalize(col("v")).as("n")).collect()
-      .map(_.getSeq[Double](0).toSeq)
-    assert(rows(0) == Seq(0.6, 0.8))
-    assert(rows(1) == Seq(0.0, 0.0))
-    assert(math.abs(rows(2).map(x => x * x).sum - 1.0) < 1e-12)
+    val raw = df.select(VE.l2_normalize(col("v")).as("n")).collect()
+    assert(raw(0).getSeq[Double](0).toSeq == Seq(0.6, 0.8))
+    // zero vector → NULL so dot products null-propagate like the fused
+    // cosine's zero denominator (pair filtered, never scored 0.0)
+    assert(raw(1).isNullAt(0))
+    val rows = raw.filterNot(_.isNullAt(0)).map(_.getSeq[Double](0).toSeq)
+    assert(math.abs(rows(1).map(x => x * x).sum - 1.0) < 1e-12)
     // float input path
     val f = spark.createDataFrame(java.util.List.of(Row(Seq(3.0f, 4.0f))),
       StructType(Seq(StructField("v", ArrayType(FloatType)))))
