@@ -158,6 +158,9 @@ final class Planner(catalog: String => DataFrame,
       val aggAll = aggCols ++ extraCols
       var out =
         if (keyCols.isEmpty) df.agg(aggAll.head, aggAll.tail: _*)
+        // GROUP BY with no aggregate columns (key-only select) is a
+        // distinct over the keys
+        else if (aggAll.isEmpty) df.select(keyCols: _*).distinct()
         else df.groupBy(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
 
       // substitution map: agg/select expr text → output column name

@@ -30,6 +30,11 @@ object Builtins {
     addRaw("count", isAgg = true, returnType = Some(LongType)) { (ctx, args) =>
       args match {
         case Seq(IdentityNode(Seq("*"))) => count(lit(1))
+        // COUNT(DISTINCT(x)) — parsed as a nested `distinct` call;
+        // computed CORRECTLY (the reference returns 0, its issue #56 —
+        // documented divergence)
+        case Seq(FuncNode("distinct", Seq(inner))) =>
+          count_distinct(nullIfEmpty(build(inner, ctx)))
         case Seq(n) => count(nullIfEmpty(build(n, ctx)))
         case _ => count(lit(1))
       }

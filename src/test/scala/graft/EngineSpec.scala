@@ -57,6 +57,38 @@ class EngineSpec extends AnyFunSuite {
     testSelect("SELECT 1 + 1 AS two, 'x' AS s", Seq(Seq(2L, "x")))
   }
 
+  test("golden suite exact shapes (testutil/testsuite.go:65-152)") {
+    testSelect("select 1;", Seq(Seq(1L)))
+    testSelect("select 1, \"hello\";", Seq(Seq(1L, "hello")))
+    testSelect("select exists(email), email FROM users WHERE yy(reg_date) > 10;",
+      Seq(Seq(true, "aaron@email.com")))
+    testSelect(
+      "SELECT user_id FROM users WHERE (`users.user_id` != NULL) ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    testSelect("SELECT email FROM users WHERE (`users`.`email` like \"%aaron%\");",
+      Seq(Seq("aaron@email.com")))
+    testSelect("SELECT COUNT(*) AS count FROM users WHERE (`users.user_id` != NULL)",
+      Seq(Seq(3L)))
+    testSelect("select `users`.`user_id` AS userids FROM users " +
+      "WHERE email = \"aaron@email.com\" GROUP BY `users`.`user_id`;",
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // COUNT(DISTINCT(x)): computed correctly — the reference returns 0
+    // (its issue #56), a documented divergence
+    testSelect("SELECT COUNT(DISTINCT(`users.email`)) AS cd FROM users", Seq(Seq(3L)))
+    testSelect("SELECT email FROM users ORDER BY email DESC",
+      Seq(Seq("not_an_email_2"), Seq("bob@email.com"), Seq("aaron@email.com")))
+    testSelect("SELECT email FROM users ORDER BY email ASC",
+      Seq(Seq("aaron@email.com"), Seq("bob@email.com"), Seq("not_an_email_2")))
+    // mixed star/func/literal projection
+    val mixed = rows(session.sql(
+      "SELECT *, emaildomain(email), contains(email,\"aaron\"), 5 FROM users " +
+      "WHERE email = \"aaron@email.com\""))
+    assert(mixed.size == 1)
+    assert(mixed.head.takeRight(3) == Seq("email.com", true, 5L), mixed.head)
+    // schema-aware: unknown column errors
+    testSelectErr("SELECT email, non_existent_field FROM users ORDER BY email ASC")
+  }
+
   test("select with func in where") {
     testSelect(
       "SELECT user_id, email FROM users WHERE yy(reg_date) > 10 ORDER BY user_id",
