@@ -120,14 +120,60 @@ class FilterMatrixSpec extends AnyFunSuite {
     """FILTER ["hello","apple"] < "now-1h"""", // non-time strings
     """FILTER zip * 5 * 2""") // numeric result is not a match
 
+  /** Differential: the same filter through ColumnBuilder on a one-row
+    * typed DataFrame. None = not comparable on the Spark path (missing
+    * columns fail analysis there by design, INCLUDEs need the session,
+    * ANSI cast errors) — the LocalEval assertion stands alone then. */
+  private def sparkMatches(q: String): Option[Boolean] = {
+    import org.apache.spark.sql.types._
+    import graft.rel.{FilterStatement, SqlParser}
+    import graft.expr.{BuildCtx, ColumnBuilder}
+    def sparkType(v: Any): Option[DataType] = v match {
+      case _: Long => Some(LongType)
+      case _: Double => Some(DoubleType)
+      case _: Boolean => Some(BooleanType)
+      case _: String => Some(StringType)
+      case _: java.sql.Timestamp => Some(TimestampType)
+      case s: Seq[_] => Some(ArrayType(
+        s.headOption.flatMap(sparkType).getOrElse(StringType)))
+      case m: collection.Map[_, _] => Some(MapType(StringType,
+        m.values.headOption.flatMap(sparkType).getOrElse(StringType)))
+      case _ => None
+    }
+    try {
+      val node = SqlParser.parse(q) match {
+        case FilterStatement(n, _, _, _) => n
+        case _ => return None
+      }
+      val fields = row.toSeq.map { case (k, v) =>
+        org.apache.spark.sql.types.StructField(k, sparkType(v).getOrElse(return None))
+      }
+      val spark = SparkTestSession.get
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(row.values.toSeq: _*)),
+        StructType(fields))
+      val c = ColumnBuilder.build(node, BuildCtx(Some(StructType(fields))))
+      val r = df.select(c.cast(BooleanType)).head()
+      Some(!r.isNullAt(0) && r.getBoolean(0))
+    } catch { case _: Throwable => None }
+  }
+
   test("hit filters all match") {
-    for (q <- hits)
+    for (q <- hits) {
       assert(session.matches(q, row), s"expected MATCH: $q")
+      // two-evaluator differential: where the Spark path evaluates at
+      // all, it must agree
+      sparkMatches(q).foreach(m =>
+        assert(m, s"Spark path disagrees (miss) on hit filter: $q"))
+    }
   }
 
   test("miss filters never match") {
-    for (q <- misses)
+    for (q <- misses) {
       assert(!session.matches(q, row), s"expected MISS: $q")
+      sparkMatches(q).foreach(m =>
+        assert(!m, s"Spark path disagrees (match) on miss filter: $q"))
+    }
   }
 
   test("INCLUDE resolution and failure (vm TestInclude)") {

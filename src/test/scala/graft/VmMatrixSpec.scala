@@ -61,13 +61,40 @@ class VmMatrixSpec extends AnyFunSuite {
 
   private lazy val ctx = BuildCtx(schema = Some(schema))
 
+  /** the same row as a LocalEval context (missing fields NOT present —
+    * the interpreter models absence, not null columns). */
+  private val localCtx: Map[String, Any] = Map(
+    "int5" -> 5L, "str5" -> "5", "created" -> daysAgo(14),
+    "bvalt" -> true, "bvalf" -> false, "user_id" -> "abc",
+    "urls" -> Seq("abc", "123"),
+    "hits" -> Map("google.com" -> 5L, "bing.com" -> 1L),
+    "email" -> "bob@bob.com",
+    "mt" -> Map("event0" -> Timestamp.valueOf("2015-12-18 00:00:00"),
+                "event1" -> Timestamp.valueOf("2039-12-18 00:00:00")))
+
   private def eval(e: String): Any = {
     val r = df.select(ColumnBuilder.build(ExprParser.parse(e), ctx).as("r")).head()
     if (r.isNullAt(0)) null else r.get(0)
   }
 
-  private def chk(e: String, expected: Any): Unit =
-    assert(eval(e) == expected, s"expr: $e")
+  private def scalar(v: Any): Boolean = v match {
+    case _: Seq[_] | _: collection.Map[_, _] | null => false
+    case _ => true
+  }
+
+  /** Checks the Spark path, then runs the SAME expression through
+    * LocalEval: wherever both engines produce scalar values they must
+    * agree (the two-evaluator differential — divergence #1's null-vs-
+    * false mapping only applies when one side is null/missing). */
+  private def chk(e: String, expected: Any): Unit = {
+    val sv = eval(e)
+    assert(sv == expected, s"expr: $e")
+    try {
+      val lv = graft.expr.LocalEval.eval(ExprParser.parse(e), localCtx).orNull
+      if (scalar(sv) && scalar(lv))
+        assert(lv == sv, s"LocalEval/Spark divergence on: $e → $lv vs $sv")
+    } catch { case _: graft.expr.LocalEval.Unsupported => }
+  }
   /** reference: false / could-not-evaluate; ours: false or NULL (both
     * filter the row — divergence #1). */
   private def chkFalsy(e: String): Unit = {
