@@ -282,6 +282,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever decrease, so the label SUM strictly decreases
+    // while anything changes — comparing sums is a single aggregate per
+    // round instead of a join-based diff (decimal: id sums can exceed
+    // Long at corpus scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -292,11 +299,11 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("label").as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
-      converged = !changed
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist(blocking = false)
