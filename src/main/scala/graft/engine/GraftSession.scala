@@ -398,6 +398,9 @@ final class GraftSession(val spark: SparkSession) {
     case _: java.lang.Double | _: java.lang.Float => DoubleType
     case _: java.lang.Boolean => BooleanType
     case _: java.sql.Timestamp => TimestampType
+    case s: Seq[_] => ArrayType(s.headOption.map(literalType).getOrElse(StringType))
+    case m: collection.Map[_, _] =>
+      MapType(StringType, m.values.headOption.map(literalType).getOrElse(StringType))
     case _ => StringType
   }
 }
