@@ -96,4 +96,39 @@ class ParseAcceptSpec extends AnyFunSuite {
   test("reference parser corpus: malformed statements raise") {
     for (s <- bad) fails(s)
   }
+
+  // FilterQL statements from rel/parse_filterql_test.go. Not ported:
+  // hex INCLUDE names starting with a digit (3d4240…) — our lexer
+  // requires identifiers to start with a letter/underscore.
+  private val filterGood = Seq(
+    """FILTER "bob@gmail.com" IN ("hello","world")""",
+    """FILTER "bob@gmail.com" NOT IN ("hello","world")""",
+    """FILTER "bob@gmail.com" IN identityname""",
+    """FILTER "\"Boost\"" == identityname""",
+    """FILTER email CONTAINS "gmail.com"""",
+    """FILTER NOT INCLUDE ffe5817811c2270aa5d4aff2d9eafed3""",
+    """FILTER AND ( NOT news INTERSECTS ("a"), domains intersects ("b"))""",
+    """FILTER email INTERSECTS ("a", "b")""",
+    """FILTER email NOT INTERSECTS ("a", "b")""",
+    """FILTER AND ( NOT INCLUDE abcd, (lastvisit_ts > "now-1M") ) FROM user""",
+    """FILTER COMPANY IN ("Toys R"" Us", "Toys R' Us, Inc.")""",
+    """FILTER x > 7""",
+    """FILTER AND ( NOT EXISTS email, email NOT IN ("abc") )""",
+    """FILTER AND ( score NOT BETWEEN 5 and 10, email NOT IN ("abc") )""",
+    """FILTER NOT AND ( name == "bob" ) ALIAS root""",
+    """FILTER NOT (name == "bob") ALIAS root""",
+    """FILTER OR ( INCLUDE child_1, INCLUDE child_2 ) ALIAS root""",
+    """FILTER NOT AND ( name == "bob", OR ( NOT INCLUDE filter_xyz , NOT exists abc ) ) ALIAS root""",
+    """FILTER AND ( INCLUDE child_1, INCLUDE child_2 ) ALIAS root""",
+    """FILTER NOT INCLUDE child_1 ALIAS root""",
+    "FILTER EXISTS email ALIAS `Has Spaces Alias`")
+
+  test("reference FilterQL corpus parses") {
+    for (s <- filterGood) {
+      try parses(s)
+      catch {
+        case e: Exception => fail(s"should parse: $s\n  -> ${e.getMessage}")
+      }
+    }
+  }
 }
