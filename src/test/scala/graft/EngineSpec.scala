@@ -57,6 +57,22 @@ class EngineSpec extends AnyFunSuite {
     testSelect("SELECT 1 + 1 AS two, 'x' AS s", Seq(Seq(2L, "x")))
   }
 
+  test("reference README flagship demo (user UDF + funcs in select/where)") {
+    // README.md:127-213 / examples/qlcsv: register a custom function via
+    // the expr.FuncAdd surface, then use it in WHERE with builtins in
+    // the projection
+    graft.expr.FuncRegistry.add("email_is_valid",
+      returnType = Some(BooleanType))(a =>
+      org.apache.spark.sql.functions.regexp_like(
+        a.head.cast(StringType),
+        org.apache.spark.sql.functions.lit("^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$")))
+    testSelect(
+      """SELECT user_id, email, referral_count * 2 AS rc2, yy(reg_date) > 10 AS y
+        |FROM users WHERE email_is_valid(email) ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", "aaron@email.com", 164L, true),
+          Seq("hT2impsOPUREcVPc", "bob@email.com", 24L, false)))
+  }
+
   test("golden suite exact shapes (testutil/testsuite.go:65-152)") {
     testSelect("select 1;", Seq(Seq(1L)))
     testSelect("select 1, \"hello\";", Seq(Seq(1L, "hello")))
