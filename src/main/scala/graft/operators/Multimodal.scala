@@ -89,6 +89,21 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize stage: decode + resize in one partition pass (real
+    * mapPartitions plumbing, stub kernel — a production decoder plugs
+    * into the same [[MediaDecoder]] seam). */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+      w: Int, h: Int, decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val enc = Encoders.row(decodedSchema)
+    df.select(col(idCol).cast(LongType), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val f = decoder.resize(decoder.decode(r.getAs[Array[Byte]](1)), w, h)
+          org.apache.spark.sql.Row(r.getLong(0), f.width, f.height, f.pixels)
+        }
+      }(enc)
+  }
+
   /** Deterministic fake feature extraction: a dim-length Float vector
     * from seeded hashes of the bytes — REAL plumbing (schema, batching,
     * normalization) with a stub kernel. */

@@ -98,6 +98,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.filter(col("doc_id") === 0).count() == 4)
     val sniffed = Multimodal.withSniffedFormat(media, "media")
     assert(sniffed.schema.fieldNames.contains("format"))
+    // resize stage: same schema, every row at the target dimensions
+    val resized = Multimodal.resizeImages(media, "doc_id", "media", 224, 224)
+    assert(resized.schema.fieldNames.toSeq == decoded.schema.fieldNames.toSeq)
+    assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
+  }
+
+  test("token proxies: subword count and rolling min-hash fingerprint") {
+    val df = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row("hello, world! x9"),
+      org.apache.spark.sql.Row("hello, world! x9"),
+      org.apache.spark.sql.Row("entirely different content here")),
+      StructType(Seq(StructField("text", StringType))))
+    val sw = df.select(TextAnalysis.subwordCount(col("text"))).collect().map(_.getLong(0))
+    assert(sw(0) > 3 && sw(0) == sw(1)) // deterministic, punct-aware
+    val fps = df.select(TextAnalysis.rollingMinHash(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2)) // equal docs share the fingerprint
   }
 
   test("salted join equals plain join") {
