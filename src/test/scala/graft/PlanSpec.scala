@@ -84,6 +84,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quota sample prunes per-group rows before the shuffle") {
+    // row_number <= k must plan as WindowGroupLimit (partial + final),
+    // so each map task keeps only k rows per group — without it the
+    // whole corpus sorts inside every group at 100 TB
+    val p = plan("pl_sample_quota")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("url/email projection prunes the customer scan") {
     val p = plan("ql_url_email")
     // only the four referenced columns should be read
