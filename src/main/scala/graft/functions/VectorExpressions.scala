@@ -509,6 +509,63 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): L2Normalize = copy(c)
   }
 
+  /** Most frequent word n-gram of a text: struct(ngram, n, frac) where
+    * `frac` is the Gopher-style repetition signal — characters covered
+    * by all occurrences of that n-gram over the raw text length
+    * (count × ngram-chars / text-chars). Ties break to the
+    * lexicographically smallest n-gram, so the result is deterministic
+    * and reproducible in any engine.
+    *
+    * One tight JVM pass per document (tokenize → hash-count → argmax);
+    * the explode + groupBy(doc, ngram) + window formulation costs two
+    * shuffles of the exploded corpus, which at 100 TB is the difference
+    * between a scan-speed screen and a multi-stage job. Texts with
+    * fewer than n tokens return NULL (no n-gram exists).
+    * CodegenFallback like the other per-ROW string kernels: the loop
+    * body dominates; one boxed call per document is noise. */
+  case class TopNgramStats(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, "top_ngram expects n >= 1")
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "top_ngram", "string", Seq(child.dataType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("ngram", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("frac", DoubleType, nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.toString
+      val toks = text.trim.split("\\s+")
+      if (toks.length < n) return null
+      val counts = new java.util.HashMap[String, Integer]()
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+      var bestG: String = null
+      var bestC = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue()
+        if (c > bestC || (c == bestC && e.getKey.compareTo(bestG) < 0)) {
+          bestC = c; bestG = e.getKey
+        }
+      }
+      val frac = bestC.toDouble * bestG.length / math.max(text.length, 1)
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(bestG),
+        java.lang.Long.valueOf(bestC.toLong), java.lang.Double.valueOf(frac))
+    }
+    override protected def withNewChildInternal(c: Expression): TopNgramStats =
+      copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -529,6 +586,8 @@ object VectorExpressions {
       exprs => IntersectCount(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2_normalize",
       exprs => L2Normalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_top_ngram",
+      exprs => TopNgramStats(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -549,4 +608,6 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_intersect_count", a, b) }
   def l2_normalize(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_l2_normalize", c) }
+  def top_ngram(c: Column, n: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_top_ngram", c, org.apache.spark.sql.functions.lit(n)) }
 }

@@ -69,6 +69,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells by
+    * nearest centroid, search only the `nprobe` cells nearest the query.
+    * The FAISS-style coarse quantizer, engine-reproducible: centroids
+    * are the embeddings of the `nlist` rows with the smallest
+    * md5(id) — a deterministic pseudo-random sample (no k-means RNG
+    * state), so any engine derives the identical index.
+    *
+    * Scale: centroid selection is a tiny top-k; assignment is `nlist`
+    * compiled cosine kernels inside the scan stage (no shuffle, no
+    * explode); at 100 TB the corpus is written bucketed/partitioned by
+    * `cell` once, and every query then reads only nprobe/nlist of the
+    * data — the same plan as the LSH variant but with data-adaptive
+    * cells. At real scale the seed sample would be refined with a few
+    * k-means iterations; the probe/assignment plumbing is identical. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    // deterministic seed centroids (tiny: nlist rows to the driver)
+    val seeds: Seq[(Long, Seq[Double])] = df
+      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
+      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
+      .limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    def litD(c: Seq[Double]): Column = array(c.map(lit): _*)
+    // argmax over cells: max struct(cos, -cid) ⇒ highest cosine, ties to
+    // the smallest centroid id — same ordering the oracle's row_number uses
+    val assigned = array_max(array(seeds.map { case (cid, c) =>
+      struct(cosine(v, litD(c)).as("cos"), lit(-cid).as("negid"))
+    }: _*))
+    val cell = -assigned.getField("negid")
+    // probe: the nprobe cells nearest the query (driver-side, nlist is tiny)
+    val qd = query.map(_.toDouble)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probed = seeds.map { case (cid, c) => (cid, cosD(c, qd)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    df.select(col(idCol), v.as("v"), cell.as("cell"))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** For each vector, its nearest neighbor (by cosine) within a blocking
     * key — the bulk variant of top-k used for near-dup mining.
     *

@@ -86,6 +86,30 @@ object TextAnalysis {
     aggregate(Dedup.charShingles(text, 8), lit(Long.MaxValue),
       (acc, s) => least(acc, xxhash64(s)))
 
+  /** Gopher-style repetition screens: duplicate-word fraction and the
+    * character mass of the most frequent word bigram. High values flag
+    * boilerplate/spam documents that survive exact dedup (the standard
+    * repetition filters run alongside [[qualityScore]]).
+    *
+    * Scale: `dup_word_frac` is pure Column; the top-bigram stats are one
+    * compiled pass per document
+    * ([[graft.functions.VectorExpressions.TopNgramStats]]) — no explode,
+    * no shuffle, the whole screen runs at scan speed. The struct is
+    * consumed via three getFields; projection collapse re-evaluates the
+    * kernel per field, a deliberate trade (3 cheap per-doc passes) to
+    * stay shuffle-free. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val top = graft.functions.VectorExpressions.top_ngram(t, 2)
+    df.select(col(idCol),
+      round(lit(1.0) - size(array_distinct(toks)).cast(DoubleType) /
+        greatest(size(toks), lit(1)).cast(DoubleType), 4).as("dup_word_frac"),
+      top.getField("ngram").as("top_bigram"),
+      top.getField("n").as("top_bigram_n"),
+      round(top.getField("frac"), 4).as("top_bigram_frac"))
+  }
+
   /** One-stop per-document stats frame. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -187,6 +187,31 @@ object PipelineQueries {
              |  md5(array_to_string(list_sort(list_filter(ltoks, t -> t != '')), ' ')) AS fingerprint
              |FROM hits ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style repetition screens: duplicate-word fraction + top
+    // word-bigram character mass (compiled TopNgramStats kernel; ties
+    // break to the lexicographically smallest bigram in both engines)
+    "pl_text_repetition" -> Q(
+      (s, d) => TextAnalysis.repetitionStats(Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents
+             |), bi AS (
+             |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+             |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks)
+             |), top AS (
+             |  SELECT doc_id, bg, c FROM (
+             |    SELECT doc_id, bg, count(*) AS c,
+             |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, bg) AS rn
+             |    FROM bi GROUP BY doc_id, bg) WHERE rn = 1
+             |)
+             |SELECT t.doc_id,
+             |  round(1.0 - len(list_distinct(t.ws))::DOUBLE / greatest(len(t.ws), 1), 4) AS dup_word_frac,
+             |  p.bg AS top_bigram,
+             |  p.c::BIGINT AS top_bigram_n,
+             |  round(p.c * length(p.bg)::DOUBLE / greatest(length(t.text), 1), 4) AS top_bigram_frac
+             |FROM toks t LEFT JOIN top p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-vector nearest neighbor within its label block (bulk near-dup
     // mining shape; float values only ORDER, never compared)
     "pl_emb_nn" -> Q(
@@ -292,6 +317,39 @@ object PipelineQueries {
              |WHERE b.bucket = qb.bucket
              |ORDER BY cos DESC, e.vec_id
              |LIMIT 10""".stripMargin)),
+
+    // IVF ANN: deterministic md5-sampled centroids (nlist=8), nearest-
+    // centroid cell assignment, probe the 2 cells nearest the query.
+    // Fully engine-reproducible, so the oracle replays the whole index
+    "pl_emb_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 10, nlist = 8, nprobe = 2)
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS cid, v AS c FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+             |),
+             |assign AS (
+             |  SELECT vec_id, v, cid FROM (
+             |    SELECT e.vec_id, e.v, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid) AS rn
+             |    FROM emb e CROSS JOIN cent c) WHERE rn = 1
+             |),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid, row_number() OVER (
+             |      ORDER BY list_cosine_similarity(c.c, q.v) DESC, c.cid) AS rn
+             |    FROM cent c, emb q WHERE q.vec_id = 0) WHERE rn <= 2
+             |)
+             |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 4) AS cos
+             |FROM assign a JOIN probe p ON a.cid = p.cid, emb q
+             |WHERE q.vec_id = 0
+             |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin)),
 
     // as-of join: each click gets the latest prior signup value per user
     // (tagged-union + window composition, no range-join explosion)

@@ -74,6 +74,65 @@ object EventStream {
       }
   }
 
+  /** A CLOSED gap session: emitted once no event for `user_id` arrives
+    * within the gap, or on end-of-stream timeout. */
+  case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  /** Gap-based sessionization with flatMapGroupsWithState — the
+    * streaming form of [[graft.operators.EventOps.gapSessionIds]]: a
+    * session CLOSES (and is emitted) when the user is silent for
+    * `gapMinutes` of event time. Batches may deliver events out of
+    * order inside the watermark horizon, so each batch is sorted before
+    * folding; a batch-internal gap also closes a session.
+    *
+    * State is one running aggregate per ACTIVE user (no event buffer),
+    * evicted by the event-time timeout — bounded by concurrently-active
+    * users, not stream length: the property that lets this run
+    * indefinitely on an unbounded feed. */
+  def sessionizeGaps(events: Dataset[Event], gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // gap elapsed with no new events: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.n, s.total,
+              new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs)))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              cur match {
+                case Some(s) if ms - s.lastMs > gapMs =>
+                  closed += ClosedSession(user, s.n, s.total,
+                    new java.sql.Timestamp(s.firstMs), new java.sql.Timestamp(s.lastMs))
+                  cur = Some(SessionState(1L, e.value, ms, ms))
+                case Some(s) =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value,
+                    math.min(s.firstMs, ms), math.max(s.lastMs, ms)))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, ms, ms))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes lastMs + gap
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup — the unbounded form of
     * [[graft.operators.Dedup.dropExactDuplicates]]: drop re-seen content
     * (by 128-bit hash) within the watermark horizon.

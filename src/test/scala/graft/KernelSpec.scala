@@ -144,4 +144,38 @@ class KernelSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> simRef(r.getString(1))).toMap
     assert(got == raw)
   }
+
+  test("TopNgramStats matches a driver-side sliding-count formulation") {
+    // independent: Scala collections (sliding + groupBy), no shared code
+    def topRef(text: String, n: Int): Option[(String, Long, Double)] = {
+      val toks = text.trim.split("\\s+").toSeq
+      if (toks.length < n) None
+      else {
+        val counts = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        val (g, c) = counts.minBy { case (g, c) => (-c, g) }
+        Some((g, c.toLong, c.toDouble * g.length / math.max(text.length, 1)))
+      }
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val got = textDf.select(VE.top_ngram(col("text"), n).as("t")).collect().map { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val s = r.getStruct(0)
+          Some((s.getString(0), s.getLong(1), s.getDouble(2)))
+        }
+      }.toSeq
+      val want = texts.map(topRef(_, n))
+      assert(got == want, s"n=$n")
+    }
+    // fixture spot check at sf0.001: kernel never disagrees with the ref
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val gotFix = docs.select(col("doc_id"), VE.top_ngram(col("text"), 2).as("t"))
+      .collect().map(r => r.getLong(0) -> {
+        val s = r.getStruct(1); (s.getString(0), s.getLong(1))
+      }).toMap
+    val wantFix = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> topRef(r.getString(1), 2).map(t => (t._1, t._2)).get).toMap
+    assert(gotFix == wantFix)
+  }
 }

@@ -54,6 +54,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.map(_.getLong(0)).contains(1L))
   }
 
+  test("ivf ANN probes contain the query's own cell and scores match brute force") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 10, nlist = 8, nprobe = 2)
+      .collect()
+    assert(ivf.nonEmpty)
+    // every IVF hit carries the exact cosine brute force computed
+    ivf.foreach { r => assert(brute(r.getLong(0)) == r.getDouble(1)) }
+    // the query vector's own cell is always its nearest cell, so probing
+    // its top cells must surface the query itself (cos = 1)
+    assert(ivf.map(_.getLong(0)).contains(1L))
+    // widening the probe set never loses candidates (monotone recall)
+    val wide = Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 10, nlist = 8, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val bruteTop = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == bruteTop, "nprobe = nlist must equal brute force")
+  }
+
+  test("repetition stats flag the repeated-bigram document") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "spam spam spam spam"),
+      org.apache.spark.sql.Row(2L, "all words here are unique tokens"),
+      org.apache.spark.sql.Row(3L, "one"),
+      org.apache.spark.sql.Row(4L, "a b c a b c")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text").orderBy("doc_id").collect()
+    // "spam spam" occurs 3x (overlapping), 9 chars each over 19 chars of
+    // text — the frac deliberately counts overlap mass (> 1 flags heavy
+    // repetition even harder)
+    assert(got(0).getAs[Double]("dup_word_frac") == 0.75)
+    assert(got(0).getAs[String]("top_bigram") == "spam spam")
+    assert(got(0).getAs[Long]("top_bigram_n") == 3L)
+    assert(got(0).getAs[Double]("top_bigram_frac") == 1.4211)
+    assert(got(1).getAs[Double]("dup_word_frac") == 0.0)
+    assert(got(1).getAs[Long]("top_bigram_n") == 1L)
+    // single-token doc has no bigram
+    assert(got(2).isNullAt(got(2).fieldIndex("top_bigram")))
+    // "a b" and "b c" both occur 2x — tie breaks lexicographically
+    assert(got(3).getAs[Long]("top_bigram_n") == 2L)
+    assert(got(3).getAs[String]("top_bigram") == "a b")
+  }
+
   test("language id on unambiguous samples") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row(1L, "the cat and the dog is in a house of it"),

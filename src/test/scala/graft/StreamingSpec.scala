@@ -79,4 +79,34 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("n_events") =!= col("n"))
     assert(joined.count() == 0, s"state mismatch for users: ${joined.collect().mkString}")
   }
+
+  test("gap sessionization closes sessions on event-time timeout") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStream.Event]
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ev(id: Long, user: Long, min: Int, v: Double) =
+      EventStream.Event(id, new java.sql.Timestamp(t0.getTime + min * 60000L), user, "click", v)
+    val out = EventStream.sessionizeGaps(mem.toDS(), gapMinutes = 30)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("gap_smoke").start()
+    // user 1: two events 5 min apart (one session); user 2: one event
+    mem.addData(ev(1, 1, 0, 1.0), ev(2, 1, 5, 2.0), ev(3, 2, 0, 7.0))
+    q.processAllAvailable()
+    // a batch-internal gap: user 3 has two sessions inside one batch
+    mem.addData(ev(4, 3, 0, 1.0), ev(5, 3, 90, 1.0))
+    q.processAllAvailable()
+    // advance the watermark far past every open session's gap
+    mem.addData(ev(9, 9, 600, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gap_smoke").as[EventStream.ClosedSession].collect()
+      .map(s => (s.user_id, s.n_events, s.total_value)).sorted.toSeq
+    // user 1: one closed session of 2 events; user 2: one of 1 event;
+    // user 3: the batch-internal early session closes immediately, the
+    // late one closes via timeout
+    assert(got.contains((1L, 2L, 3.0)), got)
+    assert(got.contains((2L, 1L, 7.0)), got)
+    assert(got.count(_._1 == 3L) == 2, got)
+  }
 }
