@@ -107,6 +107,10 @@ final class GraftSession(val spark: SparkSession) {
         throw new IllegalArgumentException(s"unknown table '$name'")
       dropTable(name); emptyOk()
     case SqlNoop(_) => emptyOk()
+    // parity: the reference parses PREPARE but its executor rejects it
+    // (exec/executor.go:144-146 ErrNotImplemented)
+    case SqlPrepare(_, _) =>
+      throw new UnsupportedOperationException("prepared statements not implemented")
   }
 
   /** FilterQL match: `FILTER <expr> FROM t` → filtered DataFrame

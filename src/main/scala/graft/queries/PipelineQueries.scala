@@ -483,6 +483,37 @@ object PipelineQueries {
              |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b') AS has_phone
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // end-to-end curation composite: quality screen → exact dedup
+    // (keep min id) → per-source quota — the standard pre-training
+    // funnel, composed from the individual operators so the whole chain
+    // is one declarative plan (Catalyst fuses the screens into the scan;
+    // the only shuffles are the dedup group and the quota window)
+    "pl_curate_pipeline" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val qual = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.6667)
+        val deduped = Dedup.dropExactDuplicates(qual, "doc_id", "text")
+        graft.operators.Curation.quotaSample(deduped, "source", "doc_id", 15)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, source, text,
+             |    round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN list_avg(list_transform(string_split(trim(text), ' '), t -> length(t)))
+             |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+             |  FROM documents
+             |), qf AS (
+             |  SELECT * FROM q WHERE quality >= 0.6667
+             |), dd AS (
+             |  SELECT * FROM qf WHERE doc_id IN (SELECT min(doc_id) FROM qf GROUP BY md5(text))
+             |)
+             |SELECT doc_id, source FROM (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |  FROM dd) WHERE rk <= 15 ORDER BY doc_id""".stripMargin)),
+
     // multimodal plumbing: binary payload column (text bytes stand in
     // for media), stub decode via mapPartitions, deterministic features
     "pl_multimodal_decode" -> Q(

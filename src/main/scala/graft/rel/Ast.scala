@@ -78,6 +78,10 @@ final case class SqlCreate(kind: String, name: String, ifNotExists: Boolean,
 final case class SqlDrop(kind: String, name: String, ifExists: Boolean) extends Statement
 /** BEGIN/COMMIT/ROLLBACK — parsed and ignored (exec/command.go:59-61). */
 final case class SqlNoop(keyword: String) extends Statement
+/** PREPARE name FROM '<sql>' — parsed like the reference
+  * (rel/parse_sql.go:471-505, inner statement parsed recursively);
+  * execution errors not-implemented (exec/executor.go:144-146). */
+final case class SqlPrepare(name: String, stmt: Statement) extends Statement
 
 /** FilterQL: `FILTER <expr> [FROM t] [LIMIT n] [ALIAS name]` and
   * `SELECT cols FROM t FILTER <expr>` (rel/filter.go). */

@@ -46,7 +46,7 @@ final class SqlParser(tokens: Vector[Token]) {
       else if (kw("CREATE")) parseCreate()
       else if (kw("DROP")) parseDrop()
       else if (kw("BEGIN") || kw("COMMIT") || kw("ROLLBACK")) SqlNoop(next().text.toUpperCase)
-      else if (kw("PREPARE")) throw ParseException("PREPARE not implemented") // parity: exec/executor.go:144-146
+      else if (kw("PREPARE")) parsePrepare()
       // parity: reference parses ALTER but its executor returns
       // ErrNotImplemented (exec/ddl.go:150-159, rel/sql.go:1972)
       else if (kw("ALTER")) throw ParseException("ALTER not implemented")
@@ -98,8 +98,9 @@ final class SqlParser(tokens: Vector[Token]) {
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     val groupBy = if (kw("GROUP")) { next(); expect("BY"); parseExprList() } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
-    // SORT BY is the reference dialect's synonym for ORDER BY
-    val orderBy = if (kw("ORDER") || kw("SORT")) { next(); expect("BY"); parseOrderList() } else Nil
+    // no SORT BY: the reference rejects it as an unknown keyword
+    // (rel/parse_sql_test.go:402 "Must fail parse")
+    val orderBy = if (kw("ORDER")) { next(); expect("BY"); parseOrderList() } else Nil
     val (limit, offset) = parseLimitOffset()
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
@@ -110,6 +111,12 @@ final class SqlParser(tokens: Vector[Token]) {
     * (rel/parse_sql.go:706-814 WITH forms) — accepted, values discarded
     * (no distributed-execution knobs apply to this engine). */
   private def consumeWith(): Unit = if (eat("WITH")) {
+    if (cur.is("{")) { skipJson(); return } // WITH {json} form (TestWithJson)
+    consumeWithPairs()
+  }
+
+  /** The `key = value, …` tail of a WITH clause. */
+  private def consumeWithPairs(): Unit = {
     var more = true
     while (more) {
       ident()
@@ -124,13 +131,20 @@ final class SqlParser(tokens: Vector[Token]) {
     var done = false
     while (!done) {
       val expr = ep.parseExpr()
-      // column guard: `col IF boolexpr` (rel/sql.go:259 Guard)
-      val guard = if (eat("IF")) Some(ep.parseExpr()) else None
-      val alias =
-        if (eat("AS")) Some(ident())
-        else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase) && !ep.atEof)
-          Some(ident()) // implicit alias
-        else None
+      // column guard `IF boolexpr` (rel/sql.go:259 Guard) and AS alias
+      // accepted in EITHER order, like the reference's column loop
+      // (rel/parse_sql.go:960-1000 switches on AS/IF repeatedly)
+      var guard: Option[graft.expr.Node] = None
+      var alias: Option[String] = None
+      var looping = true
+      while (looping) {
+        if (guard.isEmpty && eat("IF")) guard = Some(ep.parseExpr())
+        else if (alias.isEmpty && eat("AS")) alias = Some(ident())
+        else looping = false
+      }
+      if (alias.isEmpty && cur.kind == TIdent &&
+          !clauseKeywords.contains(cur.text.toUpperCase) && !ep.atEof)
+        alias = Some(ident()) // implicit alias
       out += SelectColumn(expr, alias, guard)
       done = !eat(",")
     }
@@ -343,8 +357,10 @@ final class SqlParser(tokens: Vector[Token]) {
       while (cur.is(".")) { next(); sb.append(".").append(ident()) }
       sb.toString
     }
-    expect("=")
-    SqlSet(name, ep.parseExpr())
+    // bare `set autocommit` — administrative command with no value
+    // (rel/parse_sql_test.go:553-559 SqlCommand, treated as true)
+    if (ep.atEof || cur.is(";")) SqlSet(name, graft.expr.BoolNode(true))
+    else { expect("="); SqlSet(name, ep.parseExpr()) }
   }
 
   private def parseShow(): Statement = {
@@ -400,7 +416,20 @@ final class SqlParser(tokens: Vector[Token]) {
       }
       if (sb.nonEmpty) cols += sb.toString.trim
     }
-    val withJson = if (kw("WITH")) { next(); Some(captureJson()) } else None
+    // MySQL-style table options: ENGINE=InnoDB AUTO_INCREMENT=4080
+    // DEFAULT CHARSET=utf8 — accepted and discarded (the reference's
+    // lexer consumes them the same way, rel/parse_sql_test.go:636-643)
+    while (cur.kind == TIdent &&
+        !Set("WITH", "AS", "SELECT").contains(cur.text.toUpperCase) && !ep.atEof) {
+      next()
+      if (cur.is("=")) { next(); next() }
+    }
+    // WITH {json} or WITH k = v, … (both reference forms)
+    val withJson =
+      if (eat("WITH")) {
+        if (cur.is("{")) Some(captureJson())
+        else { consumeWithPairs(); None }
+      } else None
     val select = if (kw("AS")) { next(); Some(parseSelect()) }
                  else if (kw("SELECT")) Some(parseSelect()) else None
     SqlCreate(kind, name, ifNotExists, cols.toSeq, withJson, select)
@@ -411,6 +440,17 @@ final class SqlParser(tokens: Vector[Token]) {
     val kind = ident().toUpperCase
     val ifExists = if (kw("IF")) { next(); expect("EXISTS"); true } else false
     SqlDrop(kind, ident(), ifExists)
+  }
+
+  /** PREPARE name FROM '<sql>' — the inner statement is parsed
+    * recursively like the reference (rel/parse_sql.go:471-505). */
+  private def parsePrepare(): Statement = {
+    expect("PREPARE")
+    val name = ident()
+    expect("FROM")
+    if (cur.kind != TString) throw ParseException("expected statement value after FROM")
+    val inner = SqlParser.parse(next().text)
+    SqlPrepare(name, inner)
   }
 
   /** Capture a trailing `{...}` JSON blob as raw text. */

@@ -72,9 +72,87 @@ class ParseAcceptSpec extends AnyFunSuite {
       |ORDER BY `respository.full_name` asc, TOINT(`fieldname`) DESC limit 100;""".stripMargin,
     """select name from `github_public` limit 0, 100;""",
     """select `actor.id`, `actor.login` from github_watch where `actor.id` < 1000""",
-    """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""",
     """USE `myschema`;""",
-    """EXPLAIN EXTENDED SELECT actor FROM github_watch WHERE repository.language = "go"""")
+    """EXPLAIN EXTENDED SELECT actor FROM github_watch WHERE repository.language = "go"""",
+    // --- second pass over rel/parse_sql_test.go: previously unported ---
+    """show session status like "ssl_cipher"""",
+    """DESCRIBE mytable""",
+    """CREATE SOURCE mysource;""",
+    """CREATE OR REPLACE VIEW viewx
+      |AS SELECT a, b FROM mydb.tbl
+      |WITH stuff = "hello";""".stripMargin,
+    """CREATE schema IF NOT EXISTS github_archive WITH {
+      |  "type":"elasticsearch",
+      |  "schema":"github_archive",
+      |  "hosts": ["http://127.0.0.1:9200"]
+      |};""".stripMargin,
+    """show tables""",
+    """show tables LIKE "user%";""",
+    """show databases""",
+    """SHOW VARIABLES""",
+    """SHOW GLOBAL VARIABLES like '%'""",
+    """select *, @@var_name from movies""",
+    """select *, toint(a_field) AS ti from movies""",
+    """select *, 12 AS twelve from movies""",
+    """select toint(a_field) AS ti, * from movies""",
+    """select 3, director from movies""",
+    """select director, year from movies where year BETWEEN 2000 AND 2010;""",
+    """select director, year from movies where director like 'Quentin'""",
+    """select director, year from movies where !exists(user_id) OR toint(not_a_field) > 21""",
+    """select count(*) from user;   """,
+    """select name from movies where director IN ("Quentin","copola","Bay","another")""",
+    """select id, name from users LIMIT 100 OFFSET 1000""",
+    """SELECT count(*), email FROM users WHERE emaildomain(email) = "gmail.com" GROUP BY email WITH distributed = true;""",
+    """SELECT
+      |    lol AS notlol IF hey == 0
+      |FROM nothing
+      |WHERE this != that;""".stripMargin,
+    """SELECT
+      |    lol AS notlol IF AND (
+      |            or (
+      |                event IN ("rq", "ab"),
+      |                NOT EXISTS event
+      |            )
+      |            product IN ("my", "app")
+      |        )
+      |FROM nothing
+      |WHERE this != that;""".stripMargin,
+    """PREPARE stmt1 FROM 'SELECT toint(field) + 4 AS field FROM table1';""",
+    """insert into mytable (id, str) values (0, "a"),(1,"b");""",
+    """SELECT LAST_INSERT_ID();""",
+    """SELECT CHARSET();""",
+    """SELECT DATABASE()""",
+    """rollback""",
+    """set autocommit""",
+    """SELECT id, name FROM user
+      |WITH {
+      |  "key":"value2"
+      |  ,"keyint":45,
+      |  "keyfloat":55.5,
+      |  "keybool": true,
+      |  "keyarraymixed":["a",2,"b"],
+      |  "keyarrayobj":[
+      |    {"hello":"value","age":55},
+      |    {"hello":"value","age":55}
+      |  ],
+      |  "keyobj":{"hello":"value","age":55},
+      |  "keyobjnested":{
+      |    "hello":"value",
+      |    "array":[
+      |      "a",
+      |      2,
+      |      "b"
+      |    ]
+      |  }
+      |}""".stripMargin,
+    """CREATE TABLE articles
+      |  (
+      |   ID int(11) NOT NULL AUTO_INCREMENT,
+      |   Email char(150) NOT NULL DEFAULT '' COMMENT "email hello",
+      |   PRIMARY KEY (ID),
+      |   CONSTRAINT emails_fk FOREIGN KEY (Email) REFERENCES Emails (Email) COMMENT "hello constraint"
+      | ) ENGINE=InnoDB AUTO_INCREMENT=4080 DEFAULT CHARSET=utf8
+      |WITH stuff = "hello";""".stripMargin)
 
   private val bad = Seq(
     """SELECT "hello" LIMIT "5x"""", // limit must be an integer
@@ -82,7 +160,17 @@ class ParseAcceptSpec extends AnyFunSuite {
     """SELECT x FROM user GROUP BY ex(a,b""",
     """SELECT x FROM user ORDER BY ex(a,;""",
     """SELECT a, b INTO FROM user;""", // INTO needs a target
-    """SELECT hash(join(, """) // nested unbalanced
+    """SELECT x FROM user GROUP BY x HAVING ct > count(x,;""",
+    """SELECT x FROM user OFFSET "hello";""", // offset must be an integer
+    """SELECT x FROM user WITH "hello";""", // WITH needs k=v or {json}
+    """SELECT x FROM user ALIAS 12;""", // alias must be an identity
+    """SELECT hash(a,,) AS id, `z` FROM nothing;""", // empty arg
+    """INSERT "a"""",
+    """INSERT INTO 12""",
+    """insert into mytable (id, str;""",
+    """SELECT hash(join(, """, // nested unbalanced
+    // unknown keyword SORT must fail (rel/parse_sql_test.go:402)
+    """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""")
 
   test("reference parser corpus: every valid statement parses") {
     for (s <- good) {
