@@ -85,7 +85,20 @@ final class ExprParser(tokens: Vector[Token]) {
       BinaryNode(op, left, parseAdditive())
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
     else if (cur.isKeyword("CONTAINS")) { advance(); BinaryNode("CONTAINS", left, parseAdditive(), negated) }
-    else if (cur.isKeyword("INTERSECTS")) { advance(); BinaryNode("INTERSECTS", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("INTERSECTS")) {
+      advance()
+      // parity: right side only allows identity|array|func
+      // (expr/parse_test.go "Invalid Statements": INTERSECTS "hello",
+      // INTERSECTS false must fail to parse). A paren list is an array
+      // even with one element: INTERSECTS ("hello") is valid.
+      val rhs =
+        if (cur.is("(")) ArrayNode(parseParenList())
+        else parseAdditive() match {
+          case ok @ (_: IdentityNode | _: ArrayNode | _: FuncNode) => ok
+          case _ => fail("INTERSECTS right side must be identity, array or function")
+        }
+      BinaryNode("INTERSECTS", left, rhs, negated)
+    }
     else if (cur.isKeyword("IN")) {
       advance()
       if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))

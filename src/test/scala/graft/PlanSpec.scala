@@ -99,4 +99,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("c_acctbal") && !p.contains("c_address"),
       "unpruned column in scan:\n" + p)
   }
+
+  test("repetition screen runs shuffle-free at scan speed") {
+    // the compiled TopNgramStats kernel must keep the per-doc stats in
+    // the scan stage: no Exchange below the final ordering, no explode
+    val p = plan("pl_text_repetition")
+    assert(p.toLowerCase.contains("topngramstats"), p)
+    assert(!p.contains("Generate"), "explode crept into the repetition screen:\n" + p)
+    // exactly one Exchange — the rangepartitioning for the output ORDER BY
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (want <=1, only the output sort):\n$p")
+  }
+
+  test("ivf ANN assigns cells in the scan stage and ends in top-k") {
+    val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // nearest-cell argmax is a scan-stage expression: no join, no
+    // explode, no shuffle before the cell filter
+    assert(!p.contains("Generate"), "explode in IVF assignment:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "IVF must end in a top-k heap:\n" + p)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 0, s"IVF assignment must not join ($joins joins):\n$p")
+  }
 }
