@@ -78,7 +78,12 @@ final class ExprParser(tokens: Vector[Token]) {
   private def parseComparison(): Node = {
     val left = parseAdditive()
     var negated = false
-    if (cur.isKeyword("NOT")) { negated = true; advance() }
+    // NOT is infix negation only before a postfix operator keyword —
+    // otherwise it begins the NEXT argument of a comma-less n-ary list
+    // (`AND ( INCLUDE x  NOT EXISTS email )`, expr/include_test.go)
+    if (cur.isKeyword("NOT") &&
+        Seq("IN", "LIKE", "CONTAINS", "INTERSECTS", "BETWEEN")
+          .exists(tokens(p + 1).isKeyword)) { negated = true; advance() }
     if (cur.kind == TOp && cmpOps.contains(cur.text)) {
       if (negated) fail("NOT before comparison operator")
       val op = advance().text

@@ -19,11 +19,21 @@ sealed trait Node {
   * dotted path: Seq("t","column") or Seq("hits") etc. */
 final case class IdentityNode(parts: Seq[String]) extends Node {
   def name: String = parts.mkString(".")
-  def text: String = name
+  /** Re-quotes parts that are not plain identifiers, so `text` always
+    * re-parses to the same node (the reference's IdentityMaybeQuote,
+    * expr/stringutil.go). */
+  def text: String = parts.map { p =>
+    if (p == "*" || p.matches("[A-Za-z_@][A-Za-z0-9_@]*")) p else "`" + p + "`"
+  }.mkString(".")
 }
 object IdentityNode { def apply(name: String): IdentityNode = IdentityNode(name.split('.').toSeq) }
 
-final case class StringNode(v: String) extends Node { def text = "\"" + v + "\"" }
+/** String literal. `text` re-escapes embedded quotes by doubling (the
+  * dialect's escape form, expr/stringutil.go LiteralQuoteEscape), so the
+  * printed form always re-lexes. */
+final case class StringNode(v: String) extends Node {
+  def text = "\"" + v.replace("\"", "\"\"") + "\""
+}
 final case class NumberNode(d: Double, isInt: Boolean) extends Node {
   def text: String = if (isInt) d.toLong.toString else d.toString
 }
@@ -72,4 +82,21 @@ final case class SubqueryNode(tokens: Vector[Lexer.Token]) extends Node {
 /** `INCLUDE name` — splice of a named stored filter (FilterQL). */
 final case class IncludeNode(name: String, negated: Boolean = false) extends Node {
   def text = s"${if (negated) "NOT " else ""}INCLUDE $name"
+}
+
+object Node {
+  /** Every INCLUDE name referenced anywhere in the tree, depth-first in
+    * source order (the reference's expr.FindIncludes,
+    * expr/include.go — used to pre-resolve named filters before
+    * evaluation). */
+  def findIncludes(n: Node): Seq[String] = n match {
+    case IncludeNode(name, _) => Seq(name)
+    case BinaryNode(_, l, r, _) => findIncludes(l) ++ findIncludes(r)
+    case BooleanNode(_, args, _) => args.flatMap(findIncludes)
+    case UnaryNode(_, c) => findIncludes(c)
+    case TriNode(_, a, b, c, _) => findIncludes(a) ++ findIncludes(b) ++ findIncludes(c)
+    case FuncNode(_, args) => args.flatMap(findIncludes)
+    case ArrayNode(items) => items.flatMap(findIncludes)
+    case _ => Nil
+  }
 }

@@ -259,12 +259,21 @@ object Dedup {
   }
 
   /** Apply exact dedup: keep the lowest-id row per content hash.
-    * One shuffle on the hash; survivors stream straight through. */
+    *
+    * rank-1 window instead of groupBy(min) + semi join: ONE scan and
+    * ONE shuffle on the hash (the join form scans the input twice and
+    * shuffles twice), and `row_number <= 1` plans as WindowGroupLimit,
+    * so every map task forwards at most one row per hash — a
+    * million-copy boilerplate document costs the shuffle one row per
+    * map partition, not a million. Matters doubly when the input is an
+    * expensive derived frame (e.g. a quality screen), which the join
+    * form would compute twice. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = df.groupBy(md5(col(textCol).cast(BinaryType)).as("__h"))
-      .agg(min(col(idCol)).as("__keep"))
-      .select("__keep")
-    df.join(keep, col(idCol) === col("__keep"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol).cast(BinaryType))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Canonical cluster id (the minimum reachable doc id) for every

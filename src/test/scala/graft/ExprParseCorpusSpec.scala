@@ -80,6 +80,32 @@ class ExprParseCorpusSpec extends AnyFunSuite {
     for (s <- bad) assertThrows[Exception](parse(s))
   }
 
+  test("parse -> text -> parse is a fixpoint (reference TestExprRoundTrip)") {
+    for (s <- good) {
+      val t1 = parse(s).text
+      val t2 = parse(t1).text
+      assert(t1 == t2, s"round-trip diverged for: $s\n  1: $t1\n  2: $t2")
+    }
+  }
+
+  test("findIncludes walks the whole tree (reference TestFindIncludes)") {
+    val f = graft.rel.SqlParser.parse(
+      """FILTER AND (
+        |  name == "Yoda"
+        |  INCLUDE yoda_sword
+        |  NOT EXISTS email
+        |  X between 4 and 5
+        |  OR (
+        |    INCLUDE return_of_the_jedi
+        |  )
+        |  "x" in (4,5,Z)
+        |  email(email_name)
+        |)
+        |ALIAS yoda;""".stripMargin).asInstanceOf[graft.rel.FilterStatement]
+    assert(graft.expr.Node.findIncludes(f.filter) ==
+      Seq("yoda_sword", "return_of_the_jedi"))
+  }
+
   test("NOT IN and n-ary forms keep the reference structure") {
     // item NOT IN x ≡ NOT (item IN x): the negation is carried on the node
     val n1 = parse("""item NOT IN "value2"""")

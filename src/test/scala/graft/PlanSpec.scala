@@ -111,6 +111,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (want <=1, only the output sort):\n$p")
   }
 
+  test("exact-dedup apply is one scan + WindowGroupLimit, not a self-join") {
+    val p = plan("pl_dedup_apply_exact")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), "self-join form would scan the input twice:\n" + p)
+    // the curation funnel composes the same dedup: its expensive quality
+    // screen must therefore be evaluated in a single scan too
+    val c = plan("pl_curate_pipeline")
+    assert(!c.contains("Join"), c)
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
