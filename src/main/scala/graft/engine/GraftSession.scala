@@ -193,6 +193,41 @@ final class GraftSession(val spark: SparkSession) {
     }
   }
 
+  /** Single-row SELECT evaluation against a literal context — the
+    * reference's SQL-VM (vm/sqlvm.go: a SqlSelect projected over one
+    * ContextReader). Driver-side via [[graft.expr.LocalEval]], Spark
+    * fallback per expression.
+    *
+    * Reference semantics preserved: a WHERE that is not TRUE yields an
+    * empty result; a column guard (`col IF boolexpr`) must evaluate to
+    * boolean true or the COLUMN is omitted (a non-boolean guard value
+    * omits, vm/sqlvm_test.go `str5 IF toint(str5)`); a column whose
+    * expression cannot evaluate (missing field, failed coercion) is
+    * omitted. Divergence (README #1): the reference distinguishes
+    * filtered (empty) from could-not-evaluate (nil) WHEREs; here both
+    * are the empty map. */
+  def sqlEval(sqlText: String, row: Map[String, Any]): Map[String, Any] = {
+    val sel = SqlParser.parse(sqlText) match {
+      case s: SqlSelect => s
+      case _ => throw new IllegalArgumentException("sqlEval requires a SELECT statement")
+    }
+    def ev(n: Node): Option[Any] = {
+      val r = resolveIncludes(n)
+      (try LocalEval.eval(r, row)
+       catch { case _: LocalEval.Unsupported => Option(evalViaSpark(r, row)) })
+        .filter(_ != null)
+    }
+    def evSafe(n: Node): Option[Any] =
+      try ev(n) catch { case scala.util.control.NonFatal(_) => None }
+    val pass = sel.where.forall(w => evSafe(w).contains(true))
+    if (!pass) Map.empty
+    else sel.columns.flatMap { c =>
+      val guardOk = c.guard.forall(g => evSafe(g).contains(true))
+      if (!guardOk) None
+      else evSafe(c.expr).map(v => c.outputName -> v)
+    }.toMap
+  }
+
   /** Datemath boundary of a filter over a literal context — the next
     * instant the filter's truth value may flip
     * (/root/reference/vm/datemath.go DateConverter ≙). */

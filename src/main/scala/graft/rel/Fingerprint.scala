@@ -1,0 +1,71 @@
+package graft.rel
+
+import graft.expr._
+
+/** Statement fingerprinting for plan caching — the reference's
+  * expr.FingerPrinter / SqlSelect.FingerPrintID (rel/sql.go,
+  * expr/dialects.go): two statements that differ only in literal values
+  * or identifier case share one fingerprint, so a cached physical plan
+  * can be reused across parameterizations.
+  */
+object Fingerprint {
+
+  /** Literal-erased, case-normalized text of an expression tree. */
+  private def norm(n: Node): String = n match {
+    case _: StringNode | _: NumberNode | _: BoolNode | NullNode => "?"
+    case IdentityNode(parts) => parts.map(_.toLowerCase).mkString(".")
+    case ArrayNode(items) => items.map(norm).mkString("[", ", ", "]")
+    case BinaryNode(op, l, r, neg) =>
+      s"${norm(l)} ${if (neg) "NOT " else ""}$op ${norm(r)}"
+    case BooleanNode(op, args, neg) =>
+      args.map(norm).mkString(s"${if (neg) "NOT " else ""}$op (", ", ", ")")
+    case UnaryNode(op, c) => s"$op ${norm(c)}"
+    case TriNode(op, a, b, c, neg) =>
+      s"${norm(a)} ${if (neg) "NOT " else ""}$op ${norm(b)} AND ${norm(c)}"
+    case FuncNode(name, args) => args.map(norm).mkString(s"$name(", ", ", ")")
+    case SubqueryNode(tokens) => "(" + tokens.map(_.text.toLowerCase).mkString(" ") + ")"
+    case IncludeNode(name, neg) => s"${if (neg) "NOT " else ""}INCLUDE ${name.toLowerCase}"
+  }
+
+  private def normStmt(s: Statement): String = s match {
+    case sel: SqlSelect =>
+      val cols = sel.columns.map { c =>
+        norm(c.expr) +
+          c.guard.map(g => " IF " + norm(g)).getOrElse("") +
+          c.alias.map(a => " AS " + a.toLowerCase).getOrElse("")
+      }.mkString(", ")
+      val from = sel.from.map {
+        case TableSource(name, _, jt, on) =>
+          name.toLowerCase + s"/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
+        case SubquerySource(sub, _, jt, on) =>
+          "(" + normStmt(sub) + s")/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
+      }.mkString(" ")
+      Seq(
+        "SELECT" + (if (sel.distinct) " DISTINCT" else ""),
+        cols, "FROM", from,
+        sel.where.map("WHERE " + norm(_)).getOrElse(""),
+        if (sel.groupBy.nonEmpty) "GROUP BY " + sel.groupBy.map(norm).mkString(", ") else "",
+        sel.having.map("HAVING " + norm(_)).getOrElse(""),
+        if (sel.orderBy.nonEmpty)
+          "ORDER BY " + sel.orderBy.map { case (n, asc) =>
+            norm(n) + (if (asc) " ASC" else " DESC") }.mkString(", ")
+        else "",
+        // LIMIT/OFFSET values are literals: erased like other literals
+        sel.limit.map(_ => "LIMIT ?").getOrElse(""),
+        sel.offset.map(_ => "OFFSET ?").getOrElse(""))
+        .filter(_.nonEmpty).mkString(" ")
+    case SqlSetOp(op, all, l, r, _, _) =>
+      normStmt(l) + s" $op${if (all) " ALL" else ""} " + normStmt(r)
+    case other => other.toString.toLowerCase
+  }
+
+  /** Normalized dialect text (the FingerPrinter's output). */
+  def text(s: Statement): String = normStmt(s)
+
+  /** Stable fingerprint id (the reference hashes the normalized text). */
+  def id(s: Statement): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(normStmt(s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(md).getLong
+  }
+}
