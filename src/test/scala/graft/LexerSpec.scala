@@ -29,6 +29,21 @@ class LexerSpec extends AnyFunSuite {
     assert(n == graft.expr.NumberNode(0x1A2B.toDouble, isInt = true))
   }
 
+  test("scientific notation and exponent edges (lex/lexer_test.go TestLexNumber)") {
+    // valid reference floats lex as single numbers
+    for (v <- Seq("0.5", "6.02e23", "5.1e-9", "3e-3"))
+      assert(kinds(v) == Vector(TNumber, TEof), v)
+    // a bare exponent marker does NOT join the number (the reference
+    // rejects `6.02e` outright; here the trailing e is an identifier)
+    assert(texts("6.02e") == Vector("6.02", "e", ""))
+    assert(texts("3e") == Vector("3", "e", ""))
+    // exponent sign requires digits too
+    assert(texts("3e-") == Vector("3", "e", "-", ""))
+    // these parse to usable numbers end-to-end
+    assert(graft.expr.ExprParser.parse("6.02e23") ==
+      graft.expr.NumberNode(6.02e23, isInt = false))
+  }
+
   test("quoted strings with escapes and doubling") {
     assert(texts("""'it''s'""") == Vector("it's", ""))
     assert(texts("\"a\\\"b\"") == Vector("a\"b", ""))
