@@ -70,7 +70,9 @@ final class GraftSession(val spark: SparkSession) {
 
   // ---- statement dispatch (exec/executor.go WalkPlan ≙) ---------------
 
-  def sql(text: String): DataFrame = SqlParser.parse(text) match {
+  def sql(text: String): DataFrame = run(SqlParser.parse(text))
+
+  private def run(st: Statement): DataFrame = st match {
     case sel: SqlSelect =>
       val df = planner.plan(sel)
       sel.into match {
@@ -111,6 +113,17 @@ final class GraftSession(val spark: SparkSession) {
     // (exec/executor.go:144-146 ErrNotImplemented)
     case SqlPrepare(_, _) =>
       throw new UnsupportedOperationException("prepared statements not implemented")
+  }
+
+  /** Execute a `;`-separated script statement by statement (the
+    * reference's multi-statement surface, rel.ParseSqlStatements);
+    * returns the LAST statement's result. Session state (SET @vars,
+    * USE, DDL) threads through, so
+    * `SET @v = "x"; SELECT … WHERE name = @v` works as one call. */
+  def sqlScript(text: String): DataFrame = {
+    val stmts = SqlParser.parseStatements(text)
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(run).last
   }
 
   /** FilterQL match: `FILTER <expr> FROM t` → filtered DataFrame

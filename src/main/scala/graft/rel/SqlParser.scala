@@ -55,6 +55,8 @@ final class SqlParser(tokens: Vector[Token]) {
     st
   }
 
+  def atEnd: Boolean = ep.atEof
+
   def parseEnd(): Unit =
     if (!ep.atEof) throw ParseException(s"unexpected trailing input '${cur.text}' at ${cur.pos}")
 
@@ -480,5 +482,17 @@ object SqlParser {
     val st = p.parseStatement()
     p.parseEnd()
     st
+  }
+
+  /** Parse a `;`-separated script into its statements — the reference's
+    * rel.ParseSqlStatements (rel/parse_sql_test.go TestSqlMultiStatement:
+    * `SET @var1 = "hello"; select a, b from accounts where name = @var1`).
+    * parseStatement consumes one trailing `;` itself, so statements are
+    * read back-to-back until EOF. */
+  def parseStatements(sql: String): Seq[Statement] = {
+    val p = new SqlParser(Lexer.lex(sql))
+    val out = collection.mutable.ArrayBuffer[Statement]()
+    while (!p.atEnd) out += p.parseStatement()
+    out.toSeq
   }
 }

@@ -231,6 +231,22 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq("9Ip1aKbeZe2njCDM")))
   }
 
+  test("multi-statement script threads session state (TestSqlMultiStatement)") {
+    // the reference's rel.ParseSqlStatements shape: SET then SELECT
+    // using the var, in one call
+    val parsed = graft.rel.SqlParser.parseStatements(
+      """SET @var1 = "hello"; select a, b from accounts where name = @var1;""")
+    assert(parsed.size == 2, parsed)
+    assert(parsed.head.isInstanceOf[graft.rel.SqlSet], parsed.head)
+    val sel = parsed(1).asInstanceOf[graft.rel.SqlSelect]
+    assert(sel.columns.size == 2)
+    assert(sel.from.head.asInstanceOf[graft.rel.TableSource].name == "accounts")
+    // executed end-to-end against the engine
+    val out = session.sqlScript(
+      """SET @scriptref = 50; SELECT user_id FROM users WHERE referral_count > @scriptref;""")
+    assert(rows(out) == Seq(Seq("9Ip1aKbeZe2njCDM")))
+  }
+
   test("show and describe") {
     val t = rows(session.sql("SHOW TABLES")).map(_.head)
     assert(t.contains("users") && t.contains("orders"))
