@@ -1,0 +1,72 @@
+package graft.rel
+
+import graft.expr.Node
+
+/** Statement → SQL text, the reference's `SqlSelect.String()` /
+  * WriteDialect surface (rel/sql.go) used to re-write queries shipped
+  * to individual sources during joins. Guaranteed round-trippable:
+  * `parse(toSql(parse(s)))` equals `parse(s)` (rel/sql_test.go
+  * TestToSql, ported in SqlWriterSpec).
+  */
+object SqlWriter {
+
+  private def col(c: SelectColumn): String =
+    c.expr.text +
+      c.alias.map(a => " AS " + graft.expr.StringUtil.identityMaybeQuote('`', a)).getOrElse("") +
+      c.guard.map(g => " IF " + g.text).getOrElse("")
+
+  private def joinKw(j: JoinType): String = j match {
+    case JoinType.Inner => "INNER JOIN"
+    case JoinType.Left => "LEFT JOIN"
+    case JoinType.Right => "RIGHT JOIN"
+    case JoinType.Outer => "FULL OUTER JOIN"
+    case JoinType.Cross => "CROSS JOIN"
+  }
+
+  private def from(fs: Seq[FromSource]): String =
+    fs.zipWithIndex.map { case (f, i) =>
+      val base = f match {
+        case TableSource(name, alias, _, _) =>
+          graft.expr.StringUtil.identityMaybeQuote('`', name) +
+            alias.map(" AS " + _).getOrElse("")
+        case SubquerySource(sub, alias, _, _) => s"(${toSql(sub)}) AS $alias"
+      }
+      val on = f.joinOn.map(o => " ON " + o.text).getOrElse("")
+      if (i == 0) base else s"${joinKw(f.joinType)} $base$on"
+    }.mkString(" ")
+
+  private def orderBy(o: Seq[(Node, Boolean)]): String =
+    o.map { case (n, asc) => n.text + (if (asc) " ASC" else " DESC") }.mkString(", ")
+
+  def toSql(st: Statement): String = st match {
+    case s: SqlSelect =>
+      Seq(
+        "SELECT" + (if (s.distinct) " DISTINCT" else ""),
+        s.columns.map(col).mkString(", "),
+        s.into.map("INTO " + _).getOrElse(""),
+        if (s.from.nonEmpty) "FROM " + from(s.from) else "",
+        s.where.map("WHERE " + _.text).getOrElse(""),
+        if (s.groupBy.nonEmpty) "GROUP BY " + s.groupBy.map(_.text).mkString(", ") else "",
+        s.having.map("HAVING " + _.text).getOrElse(""),
+        if (s.orderBy.nonEmpty) "ORDER BY " + orderBy(s.orderBy) else "",
+        s.limit.map("LIMIT " + _).getOrElse(""),
+        s.offset.map("OFFSET " + _).getOrElse(""))
+        .filter(_.nonEmpty).mkString(" ")
+    case SqlSetOp(op, all, l, r, ob, lim) =>
+      toSql(l) + s" $op${if (all) " ALL" else ""} " + toSql(r) +
+        (if (ob.nonEmpty) " ORDER BY " + orderBy(ob) else "") +
+        lim.map(" LIMIT " + _).getOrElse("")
+    case FilterStatement(f, fromT, lim, alias) =>
+      "FILTER " + f.text +
+        fromT.map(" FROM " + _).getOrElse("") +
+        lim.map(" LIMIT " + _).getOrElse("") +
+        alias.map(" ALIAS " + _).getOrElse("")
+    case SqlDescribe(t) => s"DESCRIBE $t"
+    case SqlUse(db) => s"USE $db"
+    case SqlSet(name, v) => s"SET $name = ${v.text}"
+    case SqlDrop(kind, name, ifExists) =>
+      s"DROP $kind ${if (ifExists) "IF EXISTS " else ""}$name"
+    case other =>
+      throw new UnsupportedOperationException(s"toSql: ${other.getClass.getSimpleName}")
+  }
+}

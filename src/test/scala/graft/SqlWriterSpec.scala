@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rel.{SqlParser, SqlWriter}
+
+/** Ports rel/sql_test.go TestToSql: parse → String() → reparse must
+  * preserve the AST. Our comparison is full structural equality (the
+  * reference compares column/from shapes node-kind-wise).
+  */
+class SqlWriterSpec extends AnyFunSuite {
+
+  private val sqlStrings = Seq(
+    """SELECT
+      |    email IF NOT (email IN ("hello"))
+      |INTO table FROM mystream""".stripMargin,
+    """/*
+      |  DESCRIPTION
+      |*/
+      |SELECT
+      |    fname
+      |    , lname AS last_name
+      |    , count(host(_ses)) IF contains(_ses,"google.com")
+      |    , now() AS created_ts
+      |    , count(*) as ct
+      |    , name   -- comment
+      |    , email IF email NOT IN ("hello")
+      |    , email as email2 IF NOT EXISTS reg_date
+      |    , valuect(event)
+      |    , todate(reg_date)
+      |    , todate(`field xyz $%`)
+      |INTO table
+      |FROM mystream
+      |WHERE
+      |   ne(event,"stuff") AND ge(party, 1)""".stripMargin,
+    """/*
+      |  multi line comment
+      |*/
+      |SELECT
+      |    fname -- First Name
+      |    , lname AS last_name
+      |    , count(_ses) IF contains(_ses,google.com)
+      |    , email
+      |    , set(cc)          AS choices
+      |FROM mystream
+      |WHERE
+      |   ne(event,"stuff") AND ge(party, 1)""".stripMargin,
+    """SELECT
+      |  u.user_id, u.email, o.item_id,o.price
+      |FROM users AS u
+      |INNER JOIN orders AS o
+      |ON u.user_id = o.user_id;""".stripMargin)
+
+  test("parse -> toSql -> reparse preserves the AST (TestToSql)") {
+    for (s <- sqlStrings) {
+      val ast1 = SqlParser.parse(s)
+      val printed = SqlWriter.toSql(ast1)
+      val ast2 =
+        try SqlParser.parse(printed)
+        catch { case e: Exception => fail(s"reparse failed for:\n$printed\n  -> ${e.getMessage}") }
+      assert(ast1 == ast2, s"AST diverged:\n  in:  $ast1\n  out: $ast2\n  sql: $printed")
+    }
+  }
+
+  test("toSql covers set ops, filters and admin statements") {
+    for (s <- Seq(
+      """SELECT a FROM t1 UNION SELECT a FROM t2""",
+      """FILTER AND ( x > 5, EXISTS email ) FROM users LIMIT 10 ALIAS screen""",
+      """DESCRIBE mytable""",
+      """USE mydb""",
+      """DROP TABLE articles""")) {
+      val ast1 = SqlParser.parse(s)
+      val ast2 = SqlParser.parse(SqlWriter.toSql(ast1))
+      assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
+    }
+  }
+}
