@@ -57,6 +57,51 @@ object Curation {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Deterministic train/val/test assignment: the first 8 hex chars of
+    * md5(id) as an integer mod 1000, cut by cumulative per-mill
+    * thresholds. Content- and order-independent, identical in any
+    * engine — re-running the pipeline (or recomputing a single shard)
+    * always lands each document in the same split, the property that
+    * keeps eval sets stable across corpus rebuilds.
+    *
+    * Scale: pure Column, no shuffle — the split label materializes in
+    * the scan stage and becomes a partition column on write. */
+  def splitAssign(idCol: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.map(_._2).sum == 1000, "per-mill weights must sum to 1000")
+    val bucket = conv(substring(md5(idCol.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+    val cuts = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
+    }
+  }
+
+  /** Token-window chunking for sequence packing: split each document
+    * into windows of `size` tokens advancing by `size - overlap`. The
+    * training-side operator that turns a variable-length corpus into
+    * model-ready segments.
+    *
+    * Scale: one explode (inherent — chunking multiplies rows), no
+    * shuffle, no join; the token array is built once per document and
+    * sliced per chunk. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(overlap < size, "overlap must be smaller than the chunk size")
+    val step = size - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nChunks = greatest(lit(1L),
+      ceil((org.apache.spark.sql.functions.size(toks) - overlap).cast(DoubleType) / step)
+        .cast(LongType))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0L), col("__nc") - 1L),
+        i => array_join(slice(col("__toks"), (i * step + 1).cast(IntegerType), lit(size)), " "))))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("col").as("chunk_text"),
+        org.apache.spark.sql.functions.size(split(col("col"), " "))
+          .cast(LongType).as("chunk_tokens"))
+  }
+
   // conservative patterns that parse identically in Java regex and RE2
   // (DuckDB) — the point is reproducible redaction, not perfect recall
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

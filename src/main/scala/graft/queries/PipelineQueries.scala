@@ -514,6 +514,36 @@ object PipelineQueries {
              |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |  FROM dd) WHERE rk <= 15 ORDER BY doc_id""".stripMargin)),
 
+    // deterministic 80/10/10 split assignment (md5-bucket per-mill cuts)
+    "pl_data_split" -> Q(
+      (s, d) => Tables(s, d, "documents").select(col("doc_id"),
+          graft.operators.Curation.splitAssign(col("doc_id"),
+            Seq("train" -> 800, "val" -> 100, "test" -> 100)).as("split"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |  FROM documents) ORDER BY doc_id""".stripMargin)),
+
+    // token-window chunking (32-token windows, 8-token overlap)
+    "pl_text_chunks" -> Q(
+      (s, d) => graft.operators.Curation.chunkDocuments(
+          Tables(s, d, "documents"), "doc_id", "text", size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+             |), n AS (
+             |  SELECT doc_id, ws,
+             |    greatest(1, ceil((len(ws) - 8)::DOUBLE / 24)::BIGINT) AS nc
+             |  FROM toks
+             |)
+             |SELECT doc_id, i AS chunk_id,
+             |  array_to_string(ws[i*24+1 : i*24+32], ' ') AS chunk_text,
+             |  len(ws[i*24+1 : i*24+32])::BIGINT AS chunk_tokens
+             |FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM n)
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // multimodal plumbing: binary payload column (text bytes stand in
     // for media), stub decode via mapPartitions, deterministic features
     "pl_multimodal_decode" -> Q(

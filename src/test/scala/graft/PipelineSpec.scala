@@ -74,6 +74,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(wide == bruteTop, "nprobe = nlist must equal brute force")
   }
 
+  test("split assignment is deterministic and roughly proportional") {
+    val split = graft.operators.Curation.splitAssign(col("doc_id"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    val counts = docs.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"), counts)
+    assert(counts("train") > n / 2, s"train too small: $counts")
+    // identical across evaluations (no RNG state)
+    val again = docs.select(split.as("s")).groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == again)
+  }
+
+  test("chunking windows overlap and cover every token") {
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, (1 to 10).map("t" + _).mkString(" ")),
+      org.apache.spark.sql.Row(2L, "short doc")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val chunks = graft.operators.Curation.chunkDocuments(df, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = chunks.filter(_.getLong(0) == 1L).map(_.getString(2)).toSeq
+    // step 3: windows [1..4], [4..7], [7..10]
+    assert(doc1 == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"), doc1)
+    // shorter than one window → a single whole-doc chunk
+    val doc2 = chunks.filter(_.getLong(0) == 2L)
+    assert(doc2.length == 1 && doc2.head.getString(2) == "short doc")
+    assert(doc2.head.getLong(3) == 2L)
+  }
+
   test("repetition stats flag the repeated-bigram document") {
     val df = spark.createDataFrame(java.util.Arrays.asList(
       org.apache.spark.sql.Row(1L, "spam spam spam spam"),
