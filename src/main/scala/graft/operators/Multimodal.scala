@@ -34,20 +34,25 @@ object Multimodal {
     def resize(frame: DecodedFrame, w: Int, h: Int): DecodedFrame
   }
 
-  /** STUB: deterministic fake decode — dimensions/pixels derived from a
-    * rolling hash of the input bytes. Replace with a real codec (e.g.
+  /** STUB: deterministic fake decode — dimensions derived from the MD5
+    * of the input bytes (width from hex chars 1-8, height from 9-16),
+    * so the stub is reproducible in ANY engine: DuckDB recomputes it as
+    * `('0x'||substr(md5(payload),1,8))::BIGINT % 1920 + 1` — which is
+    * what lets the decode stage carry a full correctness oracle despite
+    * the codec being a stand-in. Replace with a real codec (e.g.
     * javacv) outside this container. */
   object StubDecoder extends MediaDecoder {
-    private def h64(bytes: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      h
-    }
     def decode(bytes: Array[Byte]): DecodedFrame = {
-      val h = h64(bytes)
-      val w = (math.abs(h) % 1920 + 1).toInt
-      val ht = (math.abs(h >> 16) % 1080 + 1).toInt
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      // hex chars 1-8 = bytes 0-3 big-endian; chars 9-16 = bytes 4-7
+      def u32(off: Int): Long = {
+        var h = 0L
+        var i = off
+        while (i < off + 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        h
+      }
+      val w = (u32(0) % 1920 + 1).toInt
+      val ht = (u32(4) % 1080 + 1).toInt
       DecodedFrame(0, w, ht, bytes.take(16))
     }
     def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame =
@@ -105,12 +110,16 @@ object Multimodal {
   }
 
   /** Deterministic fake feature extraction: a dim-length Float vector
-    * from seeded hashes of the bytes — REAL plumbing (schema, batching,
-    * normalization) with a stub kernel. */
+    * in [0,1) from per-dimension MD5s of the bytes — REAL plumbing
+    * (schema, batching, normalization) with a stub kernel that any
+    * engine can recompute (component i =
+    * uint32(md5(i || ':' || payload)[0:8]) / 2^32). */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String, dim: Int): DataFrame =
     df.select(col(idCol),
       transform(sequence(lit(0), lit(dim - 1)),
-        i => (call_function("shiftright", xxhash64(i, col(binCol)), lit(32)).cast(DoubleType) / 1e9))
+        i => conv(substring(md5(concat(i.cast(StringType).cast(BinaryType),
+              lit(":".getBytes), col(binCol))), 1, 8), 16, 10)
+          .cast(LongType).cast(DoubleType) / 4294967296.0)
         .cast(ArrayType(FloatType)).as("features"))
 
   /** Frame sampling for "video" payloads: n evenly spaced byte-slices

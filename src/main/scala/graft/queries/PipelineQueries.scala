@@ -545,7 +545,10 @@ object PipelineQueries {
              |ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // multimodal plumbing: binary payload column (text bytes stand in
-    // for media), stub decode via mapPartitions, deterministic features
+    // for media), stub decode via mapPartitions. The stub kernel is
+    // md5-derived, so DuckDB replays the full decode — the PLUMBING
+    // (mapPartitions, schema, partitioning) is what's under test; the
+    // kernel is an honest stand-in for absent codecs
     "pl_multimodal_decode" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
@@ -553,18 +556,26 @@ object PipelineQueries {
         Multimodal.decodeImages(docs, "doc_id", "media")
           .select("doc_id", "width", "height").orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             |  (('0x' || substr(md5(text), 1, 8))::BIGINT % 1920 + 1)::INT AS width,
+             |  (('0x' || substr(md5(text), 9, 8))::BIGINT % 1080 + 1)::INT AS height
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     "pl_multimodal_features" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
           .select(col("doc_id"), col("text").cast(BinaryType).as("media"))
         Multimodal.extractFeatures(docs, "doc_id", "media", dim = 8)
-          .select(col("doc_id"), round(element_at(col("features"), 1), 4).as("f0"),
+          .select(col("doc_id"),
+            round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"),
             size(col("features")).as("dim"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""SELECT doc_id,
+             |  round((('0x' || substr(md5('0:' || text), 1, 8))::BIGINT::DOUBLE
+             |    / 4294967296)::FLOAT::DOUBLE, 4) AS f0,
+             |  8 AS dim
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 
   // NOTE: must be a def — `all` above references it during object init.
