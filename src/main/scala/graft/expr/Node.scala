@@ -15,24 +15,40 @@ sealed trait Node {
   def text: String
 }
 
+private[expr] object NodeText {
+  /** Escape a string literal so the printed form re-lexes to the same
+    * value: backslashes first (the lexer collapses `\\`), then embedded
+    * quotes by doubling. */
+  def quote(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\"\"") + "\""
+
+  /** Parenthesize compound operands so precedence/associativity survive
+    * the round-trip (`(a + b) * 2` must not print as `a + b * 2`). */
+  def wrap(n: Node): String = n match {
+    case _: BinaryNode | _: BooleanNode | _: TriNode => "(" + n.text + ")"
+    case _ => n.text
+  }
+}
+
 /** `user_id`, `t.column`, backtick-quoted identifiers. `parts` keeps the
   * dotted path: Seq("t","column") or Seq("hits") etc. */
 final case class IdentityNode(parts: Seq[String]) extends Node {
   def name: String = parts.mkString(".")
-  /** Re-quotes parts that are not plain identifiers, so `text` always
-    * re-parses to the same node (the reference's IdentityMaybeQuote,
-    * expr/stringutil.go). */
+  /** Re-quotes parts that are not plain identifiers via the shared
+    * [[StringUtil.identityMaybeQuote]] policy, so `text` always
+    * re-parses to the same node. `*` and `@`/`@@` var references pass
+    * through (quoting them would lose their lexer role). */
   def text: String = parts.map { p =>
-    if (p == "*" || p.matches("[A-Za-z_@][A-Za-z0-9_@]*")) p else "`" + p + "`"
+    if (p == "*" || p.startsWith("@")) p else StringUtil.identityMaybeQuote('`', p)
   }.mkString(".")
 }
 object IdentityNode { def apply(name: String): IdentityNode = IdentityNode(name.split('.').toSeq) }
 
-/** String literal. `text` re-escapes embedded quotes by doubling (the
-  * dialect's escape form, expr/stringutil.go LiteralQuoteEscape), so the
-  * printed form always re-lexes. */
+/** String literal. `text` re-escapes backslashes and embedded quotes
+  * (doubling, the dialect's escape form) so the printed form always
+  * re-lexes — including values ending in a backslash. */
 final case class StringNode(v: String) extends Node {
-  def text = "\"" + v.replace("\"", "\"\"") + "\""
+  def text = NodeText.quote(v)
 }
 final case class NumberNode(d: Double, isInt: Boolean) extends Node {
   def text: String = if (isInt) d.toLong.toString else d.toString
@@ -47,7 +63,8 @@ final case class ArrayNode(items: Seq[Node]) extends Node {
   * < <=), LIKE / CONTAINS / IN / INTERSECTS. `negated` covers NOT LIKE,
   * NOT IN, … */
 final case class BinaryNode(op: String, l: Node, r: Node, negated: Boolean = false) extends Node {
-  def text: String = s"${l.text} ${if (negated) "NOT " else ""}$op ${r.text}"
+  def text: String =
+    s"${NodeText.wrap(l)} ${if (negated) "NOT " else ""}$op ${NodeText.wrap(r)}"
 }
 
 /** N-ary AND / OR (the reference's BooleanNode, expr/node.go). */
@@ -57,13 +74,14 @@ final case class BooleanNode(op: String, args: Seq[Node], negated: Boolean = fal
 
 /** `!expr`, `NOT expr`, `-expr`, `EXISTS ident`. */
 final case class UnaryNode(op: String, child: Node) extends Node {
-  def text = s"$op ${child.text}"
+  def text = s"$op ${NodeText.wrap(child)}"
 }
 
 /** `x BETWEEN a AND b` — reference semantics are EXCLUSIVE on both ends
   * (/root/reference/vm/vm.go:868). */
 final case class TriNode(op: String, a: Node, b: Node, c: Node, negated: Boolean = false) extends Node {
-  def text = s"${a.text} ${if (negated) "NOT " else ""}$op ${b.text} AND ${c.text}"
+  def text = s"${NodeText.wrap(a)} ${if (negated) "NOT " else ""}$op " +
+    s"${NodeText.wrap(b)} AND ${NodeText.wrap(c)}"
 }
 
 /** Function call; name may be dotted (`string.uppercase`). */
@@ -76,7 +94,17 @@ final case class FuncNode(name: String, args: Seq[Node]) extends Node {
   * The reference parses this shape but never implemented it
   * (plan/planner_select.go:95-98); Spark gives it via left_semi. */
 final case class SubqueryNode(tokens: Vector[Lexer.Token]) extends Node {
-  def text: String = "(" + tokens.map(_.text).mkString(" ") + ")"
+  /** Tokens are re-quoted by kind when printing: TString values regain
+    * their quotes (and escapes), non-plain identifiers their backticks —
+    * otherwise `IN (SELECT y FROM u WHERE n = "bob")` would print `bob`
+    * as a bare identifier and re-parse to a different query. */
+  def text: String = "(" + tokens.map { t =>
+    t.kind match {
+      case Lexer.TString => NodeText.quote(t.text)
+      case Lexer.TIdent => IdentityNode(Seq(t.text)).text
+      case _ => t.text
+    }
+  }.mkString(" ") + ")"
 }
 
 /** `INCLUDE name` — splice of a named stored filter (FilterQL). */

@@ -25,7 +25,11 @@ object StringUtil {
     else identityMaybeQuote(q, s)
 
   /** Quote a literal with `q` unless already fully quoted; embedded
-    * quote chars are doubled. */
+    * quote chars are doubled. The "already quoted" passthrough is a
+    * first/last-char heuristic ported as-is from the reference (its
+    * tests pin `"name"` → unchanged); a value like `"a" OR "b"` passes
+    * through untouched — callers quoting UNTRUSTED values should quote
+    * unconditionally instead. */
   def literalQuoteEscape(q: Char, s: String): String =
     if (s.length >= 2 && s.head == q && s.last == q) s // already escaped
     else q + s.replace(q.toString, s"$q$q") + q

@@ -23,7 +23,15 @@ object Fingerprint {
     case TriNode(op, a, b, c, neg) =>
       s"${norm(a)} ${if (neg) "NOT " else ""}$op ${norm(b)} AND ${norm(c)}"
     case FuncNode(name, args) => args.map(norm).mkString(s"$name(", ", ", ")")
-    case SubqueryNode(tokens) => "(" + tokens.map(_.text.toLowerCase).mkString(" ") + ")"
+    case SubqueryNode(tokens) => "(" + tokens.map { t =>
+      t.kind match {
+        // literals inside the subquery erase like any other literal;
+        // identifiers case-normalize; keywords/operators keep their text
+        case Lexer.TString | Lexer.TNumber => "?"
+        case Lexer.TIdent => t.text.toLowerCase
+        case _ => t.text.toLowerCase
+      }
+    }.mkString(" ") + ")"
     case IncludeNode(name, neg) => s"${if (neg) "NOT " else ""}INCLUDE ${name.toLowerCase}"
   }
 
@@ -42,7 +50,11 @@ object Fingerprint {
       }.mkString(" ")
       Seq(
         "SELECT" + (if (sel.distinct) " DISTINCT" else ""),
-        cols, "FROM", from,
+        cols,
+        // INTO is a side-effect target: two statements writing different
+        // tables must NOT share a cached plan
+        sel.into.map("INTO " + _.toLowerCase).getOrElse(""),
+        "FROM", from,
         sel.where.map("WHERE " + norm(_)).getOrElse(""),
         if (sel.groupBy.nonEmpty) "GROUP BY " + sel.groupBy.map(norm).mkString(", ") else "",
         sel.having.map("HAVING " + norm(_)).getOrElse(""),

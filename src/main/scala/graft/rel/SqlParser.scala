@@ -424,7 +424,11 @@ final class SqlParser(tokens: Vector[Token]) {
     while (cur.kind == TIdent &&
         !Set("WITH", "AS", "SELECT").contains(cur.text.toUpperCase) && !ep.atEof) {
       next()
-      if (cur.is("=")) { next(); next() }
+      if (cur.is("=")) {
+        next()
+        if (ep.atEof) throw ParseException("expected value after '=' in table options")
+        next()
+      }
     }
     // WITH {json} or WITH k = v, … (both reference forms)
     val withJson =

@@ -168,6 +168,7 @@ class ParseAcceptSpec extends AnyFunSuite {
     """INSERT "a"""",
     """INSERT INTO 12""",
     """insert into mytable (id, str;""",
+    """CREATE TABLE t (a int) ENGINE=""", // dangling option value
     """SELECT hash(join(, """, // nested unbalanced
     // unknown keyword SORT must fail (rel/parse_sql_test.go:402)
     """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""")

@@ -73,5 +73,13 @@ class SqlVmSpec extends AnyFunSuite {
     // different shape → different fingerprint
     val s3 = SqlParser.parse("""SELECT name FROM users WHERE user_id = "12345"""")
     assert(Fingerprint.id(s1) != Fingerprint.id(s3))
+    // INTO targets are side effects: they must NOT collide
+    val i1 = SqlParser.parse("""SELECT a INTO t1 FROM x""")
+    val i2 = SqlParser.parse("""SELECT a INTO t2 FROM x""")
+    assert(Fingerprint.id(i1) != Fingerprint.id(i2))
+    // subquery literals erase, so parameterizations collide (by design)
+    val q1 = SqlParser.parse("""SELECT a FROM t WHERE x IN (SELECT y FROM u WHERE n = "Bob")""")
+    val q2 = SqlParser.parse("""SELECT a FROM t WHERE x IN (SELECT y FROM u WHERE n = "Alice")""")
+    assert(Fingerprint.id(q1) == Fingerprint.id(q2))
   }
 }

@@ -61,6 +61,35 @@ class SqlWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip survives precedence parens, escapes and subqueries") {
+    for (s <- Seq(
+      // grouped arithmetic must not reassociate
+      """SELECT a FROM t WHERE (price + tax) * 2 > 10""",
+      """SELECT -(a + b) AS neg FROM t""",
+      // string values with backslashes and embedded quotes
+      """SELECT a FROM t WHERE x = "ab\\" OR y = "c""d"""",
+      // string literals and quoted identities inside IN (SELECT ...)
+      """SELECT a FROM t WHERE x IN (SELECT y FROM u WHERE n = "bob" AND `weird col` > 1)""")) {
+      val ast1 = SqlParser.parse(s)
+      val printed = SqlWriter.toSql(ast1)
+      val ast2 = SqlParser.parse(printed)
+      // SubqueryNode keeps raw tokens: compare the reprinted form (a
+      // fixpoint) instead of token-level equality
+      assert(SqlWriter.toSql(ast2) == printed, s"not a fixpoint: $s\n  -> $printed\n  -> ${SqlWriter.toSql(ast2)}")
+      (ast1, ast2) match {
+        case (a: graft.rel.SqlSelect, b: graft.rel.SqlSelect) =>
+          assert(a.columns.map(_.outputName) == b.columns.map(_.outputName))
+        case _ =>
+      }
+    }
+    // semantic check: the reparsed grouped arithmetic keeps grouping
+    val w = SqlParser.parse(SqlWriter.toSql(SqlParser.parse(
+      """SELECT a FROM t WHERE (price + tax) * 2 > 10""")))
+      .asInstanceOf[graft.rel.SqlSelect].where.get
+    val mul = w.asInstanceOf[graft.expr.BinaryNode].l.asInstanceOf[graft.expr.BinaryNode]
+    assert(mul.op == "*" && mul.l.isInstanceOf[graft.expr.BinaryNode], mul)
+  }
+
   test("toSql covers set ops, filters and admin statements") {
     for (s <- Seq(
       """SELECT a FROM t1 UNION SELECT a FROM t2""",
