@@ -131,6 +131,30 @@ object EngineQueries {
              |SELECT c_custkey FROM customer WHERE c_acctbal > 9900
              |ORDER BY o_custkey""".stripMargin)),
 
+    // the statement printer inside the correctness gate: parse the
+    // query, PRINT it back to SQL (rel.SqlWriter), re-parse and plan
+    // the printed form — results must still hash-match the oracle, so
+    // any precedence/quoting loss in toSql fails the gate, not just a
+    // unit test. Exercises guards, grouped arithmetic, strings, joins.
+    "ql_tosql_roundtrip" -> Q(
+      (s, d) => {
+        val text =
+          """SELECT o.o_orderpriority, count(*) AS n,
+            |  sum((l.l_extendedprice * (1 - l.l_discount)) / 100) AS rev_h
+            |FROM orders o JOIN lineitem l ON o.o_orderkey == l.l_orderkey
+            |WHERE l.l_returnflag IN ("R", "A") AND l.l_quantity > 40
+            |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+        val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(text))
+        import org.apache.spark.sql.functions.{col, round => rnd}
+        session(s, d).sql(printed)
+          .withColumn("rev_h", rnd(col("rev_h"), 4))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum((l_extendedprice * (1 - l_discount)) / 100), 4) AS rev_h
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE l_returnflag IN ('R', 'A') AND l_quantity > 40
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // url/email builtin family through the dialect — synthesized inputs
     // so every function's output is reproducible in DuckDB string ops
     // (reference family: expr/builtins/url_email.go:20-857)
