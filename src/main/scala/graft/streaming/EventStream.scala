@@ -146,6 +146,32 @@ object EventStream {
       .withColumn("content_hash", md5(col(textCol).cast(BinaryType)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream interval join: each click joins signups
+    * of the same user within `withinMinutes` BEFORE the click — the
+    * unbounded form of [[graft.operators.EventOps.asofJoin]]'s "latest
+    * prior event" shape (bounded here to an interval so both join
+    * states are evictable).
+    *
+    * Scale: both sides carry watermarks and the join condition bounds
+    * event time in both directions, so Spark evicts join state once the
+    * watermark passes the interval — state is O(events in the horizon),
+    * not stream length. Without the time bound a stream-stream join
+    * must buffer one side forever; the interval is what makes this run
+    * indefinitely. */
+  def clickSignupJoin(clicks: DataFrame, signups: DataFrame,
+      withinMinutes: Int, horizon: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", horizon)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val s = signups.withWatermark("ts", horizon)
+      .select(col("user_id").as("s_user_id"), col("ts").as("signup_ts"),
+        col("value").as("signup_value"))
+    c.join(s,
+      col("user_id") === col("s_user_id") &&
+        col("signup_ts") <= col("click_ts") &&
+        col("signup_ts") >= col("click_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("click_id"), col("user_id"), col("signup_ts"), col("signup_value"))
+  }
+
   /** Run a bounded smoke of the streaming pipeline: consume every
     * available file, return the materialized windowed counts. */
   def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {

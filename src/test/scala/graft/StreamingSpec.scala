@@ -80,6 +80,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == 0, s"state mismatch for users: ${joined.collect().mkString}")
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val clicks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val signups = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = EventStream.clickSignupJoin(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      signups.toDF().toDF("user_id", "ts", "value"),
+      withinMinutes = 10)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ssj_smoke").start()
+    // user 1 signs up at t5, clicks at t8 (inside window) and t20 (outside);
+    // user 2 clicks with no signup
+    signups.addData((1L, ts(5), 42.0))
+    clicks.addData((100L, 1L, ts(8)), (101L, 1L, ts(20)), (102L, 2L, ts(9)))
+    q.processAllAvailable()
+    // advance both watermarks so joined rows finalize (distinct users,
+    // so the advancer rows don't join with each other)
+    signups.addData((8L, ts(600), 0.0))
+    clicks.addData((999L, 9L, ts(600)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_smoke")
+      .select("click_id", "user_id", "signup_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((100L, 1L, 42.0)), got)
+  }
+
   test("gap sessionization closes sessions on event-time timeout") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
