@@ -102,16 +102,27 @@ object Dedup {
       .filter(col("n_dups") > 1)
 
   /** Exact pairwise n-gram Jaccard via a shingle inverted index:
-    * compiled shingle-hash kernel → explode → join on the 64-bit hash →
-    * count shared → jaccard. Uses WORD k-shingles: with a natural-
-    * language vocabulary these are near-unique, so inverted-index
-    * buckets stay small; char n-grams would put every document in the
-    * same buckets (quadratic blow-up). Joining on the long hash instead
-    * of the shingle string keeps the exploded index narrow (8 bytes/key)
-    * — jaccard over distinct 64-bit hashes equals jaccard over distinct
-    * shingles up to a ~2^-64 per-pair collision probability.
-    * O(sum |doc|) index size; the pair aggregation shuffles on the pair
-    * key. Quadratic only within identical-shingle buckets. */
+    * compiled shingle-hash kernel → explode → self-join on the 64-bit
+    * hash → count shared → jaccard. Uses WORD k-shingles: with a
+    * natural-language vocabulary these are near-unique, so
+    * inverted-index buckets stay small; char n-grams would put every
+    * document in the same buckets (quadratic blow-up). Joining on the
+    * long hash instead of the shingle string keeps the exploded index
+    * narrow (8 bytes/key) — jaccard over distinct 64-bit hashes equals
+    * jaccard over distinct shingles up to a ~2^-64 per-pair collision
+    * probability. O(sum |doc|) index size; the pair aggregation
+    * shuffles on the pair key. Quadratic only within identical-shingle
+    * buckets.
+    *
+    * Deliberately a sort-merge SELF-JOIN, not groupBy +
+    * collect_list + in-bucket pair generation: the join shuffles the
+    * narrow index twice but every stage stays inside whole-stage
+    * codegen. The collect_list formulation shuffles once, but its pair
+    * expansion (posexplode + slice per element) runs as interpreted
+    * nested generators that materialize each bucket array once per
+    * member — measured 5-12x slower on the documents corpus at sf0.1
+    * and strictly worse on a skewed bucket, where one task holds the
+    * whole O(m^2) expansion. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame =
     // materialize the hashed-shingle arrays once: the explode below
@@ -119,25 +130,10 @@ object Dedup {
     viaPersisted(df.select(col(idCol).as("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))) { sh =>
-      // bucket the inverted index ONCE (groupBy on the shingle hash) and
-      // generate ordered pairs inside each bucket — a self-join would
-      // shuffle the exploded index twice; this shuffles it once and
-      // multi-doc buckets are tiny for natural-language shingles
       val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
-      val buckets = inv.groupBy("s")
-        .agg(collect_list(struct(col("id"), col("sz"))).as("docs"))
-        .filter(size(col("docs")) > 1)
-      val pairs = buckets
-        .select(posexplode(col("docs")).as(Seq("i", "da")), col("docs"))
-        .select(col("da"), explode(
-          slice(col("docs"), col("i") + 2, greatest(size(col("docs")) - col("i") - 1, lit(0))))
-          .as("db"))
-        .select(
-          least(col("da.id"), col("db.id")).as("id_a"),
-          greatest(col("da.id"), col("db.id")).as("id_b"),
-          when(col("da.id") < col("db.id"), col("da.sz")).otherwise(col("db.sz")).as("sz_a"),
-          when(col("da.id") < col("db.id"), col("db.sz")).otherwise(col("da.sz")).as("sz_b"))
-      pairs
+      val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
+      val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
+      a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(count(lit(1)).as("shared"))
         .withColumn("jaccard",
