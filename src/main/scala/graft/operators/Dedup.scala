@@ -63,7 +63,7 @@ object Dedup {
     * as long as the one action that needs it (ADVICE r3: the previous
     * fire-and-forget persists pinned signature blocks for the session's
     * lifetime). */
-  private def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+  private[operators] def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val s = stage.persist(StorageLevel.MEMORY_AND_DISK)
     val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // eager: runs while the stage cache is live
@@ -281,39 +281,56 @@ object Dedup {
     * chains. This is the canonicalization step a real pipeline runs
     * after pair mining, instead of the greedy pairwise sweep. */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // labels only ever decrease, so the label SUM strictly decreases
-    // while anything changes — comparing sums is a single aggregate per
-    // round instead of a join-based diff (decimal: id sums can exceed
-    // Long at corpus scale)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var i = 0
-    var converged = false
-    while (!converged && i < maxIter) {
-      // each node takes the min of its own label and its neighbors'
-      val prop = edges.join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "nlabel"), "dst")
-        .select(col("src").as("id"), col("nlabel").as("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("label").as("label"))
+    // The pair graph is orders of magnitude smaller than the corpus it
+    // came from (it holds only near-duplicates), so the iteration's
+    // joins/groupBys must NOT shuffle at the corpus-level partition
+    // count: ~5 rounds x several tiny stages at full width is pure
+    // scheduler overhead locally and a small-files storm on a cluster.
+    // Size the loop's shuffle to the materialized edge count (~2M
+    // two-long rows per partition) — per-iteration persists keep AQE
+    // from coalescing these stages, so pick the width explicitly.
+    val nEdges = edges.count()
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val loopParts = math.min(nEdges / 2000000 + 1, savedParts.toLong).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      i += 1
-    }
-    edges.unpersist(blocking = false)
-    retained.add(labels)
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      // labels only ever decrease, so the label SUM strictly decreases
+      // while anything changes — comparing sums is a single aggregate per
+      // round instead of a join-based diff (decimal: id sums can exceed
+      // Long at corpus scale)
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+        if (s == null) java.math.BigDecimal.ZERO else s
+      }
+      var prevSum = labelSum(labels)
+      var i = 0
+      var converged = false
+      while (!converged && i < maxIter) {
+        // each node takes the min of its own label and its neighbors'
+        val prop = edges.join(labels.withColumnRenamed("id", "dst")
+            .withColumnRenamed("label", "nlabel"), "dst")
+          .select(col("src").as("id"), col("nlabel").as("label"))
+        val next = labels.unionByName(prop)
+          .groupBy("id").agg(min("label").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextSum = labelSum(next)
+        labels.unpersist(blocking = false)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        i += 1
+      }
+      edges.unpersist(blocking = false)
+      retained.add(labels)
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   /** Apply near-dedup: remove the higher id of every LSH-verified pair
@@ -325,6 +342,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val pairs = minHashLshPairs(df, idCol, textCol, shingleN, bands, rowsPerBand, threshold)
     val remove = pairs.select(greatest(col("id_a"), col("id_b")).as("__rm")).distinct()
+    df.join(broadcast(remove), col(idCol) === col("__rm"), "left_anti")
+  }
+
+  /** Apply semantic (embedding-space) dedup: remove the higher id of
+    * every near-duplicate pair found by [[embeddingCosinePairs]] —
+    * greedy, mirroring [[dropNearDuplicates]] on the text side. The
+    * removal set is tiny relative to the corpus, so the anti join
+    * broadcasts. */
+  def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val pairs = embeddingCosinePairs(df, idCol, vecCol, blockCol, threshold)
+    val remove = pairs.select(col("id_b").as("__rm")).distinct()
     df.join(broadcast(remove), col(idCol) === col("__rm"), "left_anti")
   }
 
