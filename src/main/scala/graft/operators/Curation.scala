@@ -102,6 +102,74 @@ object Curation {
           .cast(LongType).as("chunk_tokens"))
   }
 
+  /** Greedy sequence packing: documents are concatenated in `idCol`
+    * order and cut into training sequences of `budget` tokens; each
+    * document is assigned to the sequence where it STARTS
+    * (`seq_id = start_token / budget`, `seq_offset = start_token %
+    * budget`) — the approximate packing a pretraining loader applies
+    * before example construction.
+    *
+    * Scale: the naive formulation is a GLOBAL running sum — a
+    * single-partition window, the classic 100 TB killer. This is the
+    * standard two-phase distributed prefix sum instead: range-partition
+    * by id into `shards`, aggregate per-shard token totals (a
+    * `shards`-row frame, prefix-summed on the driver), then a per-shard
+    * window adds the shard's base offset. One range shuffle + one tiny
+    * aggregate; window parallelism = `shards`. The sharded stage is
+    * persisted while the offsets are derived from it — range boundaries
+    * are sampled, so recomputing it could re-draw them and mismatch the
+    * collected totals; the result is eagerly materialized (same
+    * lifecycle as the dedup stages, [[Dedup.viaPersisted]]).
+    *
+    * The result is shard-independent: any contiguous-in-id sharding
+    * yields the same global running sum, so the sampled range
+    * boundaries never show in the output. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, shards: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    Dedup.viaPersisted(df
+      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(shards, col(idCol))
+      .withColumn("__shard", spark_partition_id())) { base =>
+      import org.apache.spark.sql.expressions.Window
+      val totals = base.groupBy("__shard").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      // shard i's base offset = total tokens of shards 0..i-1
+      val offsets = totals.map(_._1).zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val offOf = totals.foldRight(lit(0L): Column) { case ((shard, _), rest) =>
+        when(col("__shard") === shard, lit(offsets(shard))).otherwise(rest)
+      }
+      val w = Window.partitionBy("__shard").orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base
+        .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offOf)
+        .select(col(idCol), col("n_tokens"),
+          (col("__start") / budget).cast(LongType).as("seq_id"),
+          (col("__start") % budget).as("seq_offset"))
+    }
+  }
+
+  /** Deterministic mixture-rate sampling: keep each row of group g with
+    * probability `permill(g)`‰ (falling back to `defaultPermill`),
+    * decided by the same content-independent md5-of-id bucket as
+    * [[splitAssign]] — the reproducible form of source-mixture
+    * reweighting (e.g. downweight crawl, keep all of a curated source).
+    *
+    * Scale: pure Column, no shuffle — the keep decision runs in the
+    * scan stage, and re-running the pipeline keeps exactly the same
+    * rows. */
+  def rateSample(df: DataFrame, groupCol: String, idCol: String,
+      permill: Map[String, Int], defaultPermill: Int): DataFrame = {
+    require((defaultPermill +: permill.values.toSeq).forall(w => w >= 0 && w <= 1000),
+      "per-mill rates must be in [0, 1000]")
+    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+    val rate = permill.toSeq.sortBy(_._1).foldRight(lit(defaultPermill): Column) {
+      case ((g, w), rest) => when(col(groupCol) === g, lit(w)).otherwise(rest)
+    }
+    df.filter(bucket < rate)
+  }
+
   // conservative patterns that parse identically in Java regex and RE2
   // (DuckDB) — the point is reproducible redaction, not perfect recall
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

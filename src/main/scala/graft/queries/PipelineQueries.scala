@@ -544,6 +544,54 @@ object PipelineQueries {
              |FROM (SELECT doc_id, ws, unnest(range(0, nc)) AS i FROM n)
              |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // greedy sequence packing (512-token budget): distributed prefix
+    // sum over id order; oracle is the equivalent global running sum.
+    // DuckDB's sum() over BIGINT widens to HUGEINT, hence the casts.
+    "pl_seq_pack" -> Q(
+      (s, d) => graft.operators.Curation.packSequences(
+          Tables(s, d, "documents"), "doc_id", "text", budget = 512)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+             |  FROM t
+             |)
+             |SELECT doc_id, n_tokens,
+             |  (strt // 512)::BIGINT AS seq_id,
+             |  (strt % 512)::BIGINT AS seq_offset
+             |FROM s ORDER BY doc_id""".stripMargin)),
+
+    // semantic-dedup apply: drop the higher id of every embedding-space
+    // near-dup pair (cosine >= 0.25 within label blocks)
+    "pl_emb_dedup_apply" -> Q(
+      (s, d) => Dedup.dropEmbeddingNearDuplicates(
+          Tables(s, d, "embeddings"), "vec_id", "embedding", "label", 0.25)
+        .select("vec_id", "label").orderBy("vec_id"),
+      Some("""SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (
+             |  SELECT b.vec_id FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
+             |ORDER BY vec_id""".stripMargin)),
+
+    // deterministic mixture-rate sampling: md5-bucket rates per source
+    // (src0 kept whole, src1 half, src2 nearly dropped, rest at 250 permill)
+    "pl_sample_rate" -> Q(
+      (s, d) => graft.operators.Curation.rateSample(
+          Tables(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 1000, "src1" -> 500, "src2" -> 50), defaultPermill = 250)
+        .select("doc_id", "source").orderBy("doc_id"),
+      Some("""SELECT doc_id, source FROM (
+             |  SELECT doc_id, source,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+             |  FROM documents)
+             |WHERE b < (CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+             |           WHEN 'src2' THEN 50 ELSE 250 END)
+             |ORDER BY doc_id""".stripMargin)),
+
     // multimodal plumbing: binary payload column (text bytes stand in
     // for media), stub decode via mapPartitions. The stub kernel is
     // md5-derived, so DuckDB replays the full decode — the PLUMBING

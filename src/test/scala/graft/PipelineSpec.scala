@@ -290,4 +290,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(sh(1) == Seq("one two"))
     assert(sh(2) == Seq("one two three", "two three four"))
   }
+
+  test("sequence packing equals the global running sum, independent of shard count") {
+    // driver-side expected assignment from the concatenated token stream
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var start = 0L
+    val expect = toks.map { case (id, n) =>
+      val row = (id, n, start / 512, start % 512); start += n; row
+    }.toSeq
+    for (shards <- Seq(1, 7, 32)) {
+      val got = Curation.packSequences(docs, "doc_id", "text", budget = 512, shards = shards)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"shards=$shards diverged from the global prefix sum")
+    }
+    // a document never starts past its sequence's budget boundary
+    assert(expect.forall { case (_, _, _, off) => off >= 0 && off < 512 })
+  }
+
+  test("embedding semantic-dedup apply removes exactly the higher-id pair members") {
+    val pairs = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.25)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val kept = Dedup.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding", "label", 0.25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pairs.nonEmpty, "fixture should contain embedding near-dups at 0.25")
+    assert(kept == all -- pairs)
+  }
+
+  test("rate sampling is deterministic, per-group, and monotone in the rate") {
+    def ids(permill: Map[String, Int], dflt: Int): Set[Long] =
+      Curation.rateSample(docs, "source", "doc_id", permill, dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(Map.empty, 1000) == all, "rate 1000 must keep everything")
+    assert(ids(Map.empty, 0).isEmpty, "rate 0 must drop everything")
+    val half = ids(Map.empty, 500)
+    assert(ids(Map.empty, 500) == half, "same rate must re-select identical rows")
+    assert(half.subsetOf(all) && half.nonEmpty && half.size < all.size)
+    assert(half.subsetOf(ids(Map.empty, 800)), "raising the rate must only add rows")
+    // per-group override: src0 kept whole even at default 0
+    val srcOnly = ids(Map("src0" -> 1000), 0)
+    val src0 = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(srcOnly == src0)
+  }
 }

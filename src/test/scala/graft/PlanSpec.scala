@@ -121,6 +121,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!c.contains("Join"), c)
   }
 
+  test("sequence packing windows per shard, never a single global partition") {
+    // the naive global running sum is Window.orderBy with NO partition
+    // key — Spark plans it as a single-partition Exchange and one task
+    // sorts the entire corpus. The two-phase prefix sum must window by
+    // the range shard instead.
+    val p = plan("pl_seq_pack")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      "global single-partition window in the packing plan:\n" + p)
+    assert(p.contains("__shard"), "per-shard window key missing:\n" + p)
+  }
+
+  test("rate sampling is a pure scan-stage filter") {
+    // the keep decision must run inside the scan: no Exchange except
+    // the output ORDER BY, no join, no window
+    val p = plan("pl_sample_rate")
+    assert(p.contains("Filter"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"$exchanges exchanges (want <=1, only the output sort):\n$p")
+  }
+
+  test("semantic-dedup apply broadcasts the removal set") {
+    val p = plan("pl_emb_dedup_apply")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "removal anti join must broadcast:\n" + p)
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
