@@ -182,13 +182,15 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
       // verification: fetch both shingle sets from the cached base.
-      // Only the NARROW id-pair list is ever explicitly broadcast —
-      // broadcasting a frame that already carries shingle arrays would
-      // reintroduce the payload replication this layout avoids; the
-      // second join's strategy is left to AQE (broadcast when the
-      // fetched side is small, shuffle when the candidate set is not)
+      // BOTH joins' strategies are left to AQE: the candidate-pair set
+      // is data-dependent (a crawl corpus can emit billions of pairs),
+      // so a forced broadcast is a driver OOM at scale — AQE picks
+      // broadcast when the measured side is small and falls back to a
+      // shuffle join when it is not. Never broadcast a frame that
+      // carries shingle arrays: that would replicate the document
+      // payload this narrow (id, band, bh) layout exists to avoid.
       val aSide = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-        .join(broadcast(candPairs), "id_a")
+        .join(candPairs, "id_a")
       val withSh = aSide.join(
         base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       withSh
@@ -293,12 +295,20 @@ object Dedup {
     // Size the loop's shuffle to the materialized edge count (~2M
     // two-long rows per partition) — per-iteration persists keep AQE
     // from coalescing these stages, so pick the width explicitly.
+    // The width is carried IN THE PLAN via repartition(loopParts, key):
+    // the hash partitioning it produces satisfies the join's and the
+    // aggregation's clustering requirement, so no second exchange is
+    // inserted — and, unlike mutating spark.sql.shuffle.partitions on
+    // the session, it cannot leak a 1-partition width into concurrent
+    // queries sharing the SparkSession.
     val nEdges = edges.count()
-    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val loopParts = math.min(nEdges / 2000000 + 1, savedParts.toLong).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
-      var labels = edges.select(col("src").as("id")).distinct()
+    val sessionParts = // defensive: the conf may be non-numeric ("auto")
+      try spark.conf.get("spark.sql.shuffle.partitions").toLong
+      catch { case _: NumberFormatException => 200L }
+    val loopParts = math.min(nEdges / 2000000 + 1, sessionParts).toInt
+    {
+      var labels = edges.select(col("src").as("id"))
+        .repartition(loopParts, col("id")).distinct()
         .withColumn("label", col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       // labels only ever decrease, so the label SUM strictly decreases
@@ -313,11 +323,17 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
-        // each node takes the min of its own label and its neighbors'
-        val prop = edges.join(labels.withColumnRenamed("id", "dst")
-            .withColumnRenamed("label", "nlabel"), "dst")
+        // each node takes the min of its own label and its neighbors'.
+        // Both join inputs are repartitioned to loopParts on the join
+        // key — the sort-merge join reuses that partitioning instead of
+        // inserting full-width exchanges; likewise the groupBy below.
+        val prop = edges.repartition(loopParts, col("dst"))
+          .join(labels.withColumnRenamed("id", "dst")
+            .withColumnRenamed("label", "nlabel")
+            .repartition(loopParts, col("dst")), "dst")
           .select(col("src").as("id"), col("nlabel").as("label"))
         val next = labels.unionByName(prop)
+          .repartition(loopParts, col("id"))
           .groupBy("id").agg(min("label").as("label"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nextSum = labelSum(next)
@@ -330,31 +346,36 @@ object Dedup {
       edges.unpersist(blocking = false)
       retained.add(labels)
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
+    }
   }
 
   /** Apply near-dedup: remove the higher id of every LSH-verified pair
     * (greedy; transitive clusters collapse to their minimum id after
-    * the pair list is swept). The removal set is tiny relative to the
-    * corpus, so the anti join broadcasts. */
+    * the pair list is swept). The anti join's strategy is left to AQE:
+    * the removal set is data-dependent — on a crawl corpus near-dups
+    * are routinely 10-50% of all doc ids, so a forced broadcast is a
+    * driver OOM at 100 TB, while AQE still picks broadcast whenever
+    * the measured set is actually small. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val pairs = minHashLshPairs(df, idCol, textCol, shingleN, bands, rowsPerBand, threshold)
     val remove = pairs.select(greatest(col("id_a"), col("id_b")).as("__rm")).distinct()
-    df.join(broadcast(remove), col(idCol) === col("__rm"), "left_anti")
+    df.join(remove, col(idCol) === col("__rm"), "left_anti")
   }
 
   /** Apply semantic (embedding-space) dedup: remove the higher id of
     * every near-duplicate pair found by [[embeddingCosinePairs]] —
-    * greedy, mirroring [[dropNearDuplicates]] on the text side. The
-    * removal set is tiny relative to the corpus, so the anti join
-    * broadcasts. */
+    * greedy, mirroring [[dropNearDuplicates]] on the text side. Join
+    * strategy is left to AQE for the same reason: the removal set's
+    * size is data-dependent (a loose threshold can flag a large
+    * fraction of the corpus), so the plan must be able to degrade to a
+    * shuffled anti join instead of OOMing a forced broadcast. */
   def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val pairs = embeddingCosinePairs(df, idCol, vecCol, blockCol, threshold)
     val remove = pairs.select(col("id_b").as("__rm")).distinct()
-    df.join(broadcast(remove), col(idCol) === col("__rm"), "left_anti")
+    df.join(remove, col(idCol) === col("__rm"), "left_anti")
   }
 
   /** Embedding near-duplicate pairs by cosine similarity within a
