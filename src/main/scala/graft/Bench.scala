@@ -23,7 +23,10 @@ object Bench {
     // 3-decimal fixed notation: the driver captures only the tail of the
     // build log, and a 71-query line at full Double precision (~3.2 KB)
     // overflows that buffer — the round-4 bench came back unparseable.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale `f` interpolator emits a comma
+    // decimal separator under e.g. de_DE, which is invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

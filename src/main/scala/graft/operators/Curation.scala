@@ -144,7 +144,10 @@ object Curation {
       base
         .withColumn("__start", coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offOf)
         .select(col(idCol), col("n_tokens"),
-          (col("__start") / budget).cast(LongType).as("seq_id"),
+          // integer `div`, not `/`: Column./ is double division, which
+          // loses exactness past 2^53 cumulative tokens — seq_offset
+          // already uses exact Long arithmetic, seq_id must match
+          expr(s"__start div $budget").as("seq_id"),
           (col("__start") % budget).as("seq_offset"))
     }
   }

@@ -306,7 +306,7 @@ object Dedup {
       try spark.conf.get("spark.sql.shuffle.partitions").toLong
       catch { case _: NumberFormatException => 200L }
     val loopParts = math.min(nEdges / 2000000 + 1, sessionParts).toInt
-    {
+    locally {
       var labels = edges.select(col("src").as("id"))
         .repartition(loopParts, col("id")).distinct()
         .withColumn("label", col("id"))

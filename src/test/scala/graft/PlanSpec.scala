@@ -143,10 +143,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (want <=1, only the output sort):\n$p")
   }
 
-  test("semantic-dedup apply broadcasts the removal set") {
-    val p = plan("pl_emb_dedup_apply")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "removal anti join must broadcast:\n" + p)
+  test("semantic-dedup apply anti-joins without a forced broadcast hint") {
+    // The removal set is data-dependent (near-dups can be 10-50% of all
+    // doc ids at crawl scale), so the join strategy must be left to AQE:
+    // assert the LeftAnti shape, and that no broadcast HINT is pinned in
+    // the logical plan. Whether AQE then picks broadcast (it will at
+    // sf0.001) is a runtime size decision, not a gate.
+    val df = SparkEntry.queries("pl_emb_dedup_apply")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "removal must be a LeftAnti join:\n" + p)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      "forced broadcast hint on a data-dependent removal set:\n" + logical)
   }
 
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
