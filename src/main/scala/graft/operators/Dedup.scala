@@ -226,29 +226,48 @@ object Dedup {
     VectorExpressions.simhash64(VectorExpressions.word_shingle_md5(text, 2))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming:
-    * candidates bucket on maxHamming+1 bit-chunks of the fingerprint
-    * (pigeonhole: hamming <= h over h+1 chunks => some chunk identical),
-    * then verify with bit_count(xor). More chunks = fewer bits each =
-    * more crowded buckets: h=7 gives 8-bit chunks (256 buckets/chunk),
-    * fine to ~10^5 docs; for larger corpora lower h or add a second
-    * blocking key (e.g. length band).
+    * candidates bucket on bit-blocks of the fingerprint, then verify
+    * with bit_count(xor). Exact-recall blocking by pigeonhole: split
+    * the 64 bits into `blocks` = k chunks; hamming <= h flips bits in
+    * at most h chunks, so at least m = k-h chunks are IDENTICAL — join
+    * on every m-sized combination of chunks and any qualifying pair is
+    * guaranteed to collide in at least one combo bucket (the
+    * block-permutation scheme of Manku/Jain/Sarma, WWW'07).
+    *
+    * `blocks` trades explode fan-out against bucket crowding: the
+    * default k = h+1 buckets on ONE chunk (m=1; h=7 gives 8-bit
+    * chunks, 256 buckets/chunk — fine to ~10^5 docs, quadratic
+    * in-bucket beyond). At corpus scale raise k: k = h+2 keys on TWO
+    * chunks jointly — C(k,2) combos cost (k-1)/2 x the exploded rows
+    * but the key space widens from 2^chunkBits to 2^(2 chunkBits),
+    * collapsing in-bucket pair counts ~2^chunkBits-fold. Recall is
+    * exact for every k > h; only cost changes.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    val numChunks = maxHamming + 1
-    val chunkBits = 64 / numChunks
+      maxHamming: Int, blocks: Int = 0): DataFrame = {
+    val k = if (blocks <= 0) maxHamming + 1 else blocks
+    require(k > maxHamming && k <= 64,
+      s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
+    val chunkBits = 64 / k
+    val m = k - maxHamming
+    require(m * chunkBits <= 63, s"combo key ($m x $chunkBits bits) must pack into one long")
+    val combos = (0 until k).combinations(m).toSeq
     // fingerprint once per doc (compiled md5-shingle + vote kernels),
-    // persisted because the chunk transform references it numChunks
-    // times — see class doc
+    // persisted because the combo keys reference it C(k,m) times — see
+    // class doc
     viaPersisted(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) { base =>
-      val chunked = base.select(col("id"), col("sim"),
-        posexplode(transform(sequence(lit(0), lit(numChunks - 1)),
-          c => call_function("shiftright", col("sim"), c * chunkBits)
-            .bitwiseAND(lit((1L << chunkBits) - 1)))))
-        .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
-      val l = chunked.select(col("chunk"), col("ch"), col("id").as("id_a"), col("sim").as("sim_a"))
-      val r = chunked.select(col("chunk"), col("ch"), col("id").as("id_b"), col("sim").as("sim_b"))
-      l.join(r, Seq("chunk", "ch")).filter(col("id_a") < col("id_b"))
+      def chunk(b: Int): Column =
+        call_function("shiftright", col("sim"), lit(b * chunkBits))
+          .bitwiseAND(lit((1L << chunkBits) - 1))
+      // pack each combo's chunk values into one long key (codegen'd,
+      // no struct/array comparator in the join)
+      val keys = combos.map(_.foldLeft(lit(0L): Column)((acc, b) =>
+        call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(chunk(b))))
+      val keyed = base.select(col("id"), col("sim"), posexplode(array(keys: _*)))
+        .withColumnRenamed("pos", "combo").withColumnRenamed("col", "key")
+      val l = keyed.select(col("combo"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+      val r = keyed.select(col("combo"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+      l.join(r, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
         .distinct()
@@ -282,6 +301,25 @@ object Dedup {
     * graphs (near-cliques) is 1-2; `maxIter` bounds pathological
     * chains. This is the canonicalization step a real pipeline runs
     * after pair mining, instead of the greedy pairwise sweep. */
+  /** One min-label-propagation round: each node takes the min of its
+    * own label and its neighbors'. Both join inputs are repartitioned
+    * to `loopParts` on the join key — the join reuses that hash
+    * partitioning instead of inserting full-width exchanges, and the
+    * groupBy reuses its own explicit repartition the same way, so a
+    * round costs exactly the three explicit exchanges, all at
+    * `loopParts` width (PlanSpec gates this from the executed plan). */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame,
+      loopParts: Int): DataFrame = {
+    val prop = edges.repartition(loopParts, col("dst"))
+      .join(labels.withColumnRenamed("id", "dst")
+        .withColumnRenamed("label", "nlabel")
+        .repartition(loopParts, col("dst")), "dst")
+      .select(col("src").as("id"), col("nlabel").as("label"))
+    labels.unionByName(prop)
+      .repartition(loopParts, col("id"))
+      .groupBy("id").agg(min("label").as("label"))
+  }
+
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -323,18 +361,7 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
-        // each node takes the min of its own label and its neighbors'.
-        // Both join inputs are repartitioned to loopParts on the join
-        // key — the sort-merge join reuses that partitioning instead of
-        // inserting full-width exchanges; likewise the groupBy below.
-        val prop = edges.repartition(loopParts, col("dst"))
-          .join(labels.withColumnRenamed("id", "dst")
-            .withColumnRenamed("label", "nlabel")
-            .repartition(loopParts, col("dst")), "dst")
-          .select(col("src").as("id"), col("nlabel").as("label"))
-        val next = labels.unionByName(prop)
-          .repartition(loopParts, col("id"))
-          .groupBy("id").agg(min("label").as("label"))
+        val next = ccRound(edges, labels, loopParts)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val nextSum = labelSum(next)
         labels.unpersist(blocking = false)

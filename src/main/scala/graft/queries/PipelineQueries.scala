@@ -73,10 +73,12 @@ object PipelineQueries {
     // hash is the first 60 bits of MD5 (VectorExpressions.WordShingleMd5)
     // precisely so DuckDB can recompute the identical simhash: bits
     // 60-63 of the majority vote are always 0 (every feature < 2^60),
-    // and the chunk-bucketed candidate generation is exact by
-    // pigeonhole, so the all-pairs oracle below matches exactly.
+    // and the block-combination candidate generation is exact by
+    // pigeonhole for any blocks > maxHamming, so the all-pairs oracle
+    // below matches exactly. blocks=9 exercises the corpus-scale path
+    // (two-chunk keys, 2^14-wide buckets instead of 2^8).
     "pl_dedup_simhash" -> Q(
-      (s, d) => Dedup.simHashPairs(Tables(s, d, "documents"), "doc_id", "text", 7)
+      (s, d) => Dedup.simHashPairs(Tables(s, d, "documents"), "doc_id", "text", 7, blocks = 9)
         .orderBy("id_a", "id_b"),
       Some("""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(

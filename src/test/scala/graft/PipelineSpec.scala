@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
@@ -37,6 +37,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"simhash recall $recall too low; exact=$exact sim=$sim")
     // and stay discriminative — not a near-complete pair graph
     assert(sim.size <= exact.size * 5 + 10, s"simhash degenerate: ${sim.size} pairs")
+  }
+
+  test("simhash multi-block blocking keeps exact recall and shrinks buckets") {
+    // k > h+1 blocks key on combinations of k-h chunks: same pair set
+    // (pigeonhole recall is exact for every k > h), exponentially less
+    // crowded buckets — the 100 TB posture for the 8-bit-chunk cliff.
+    val base = Dedup.simHashPairs(docs, "doc_id", "text", 7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simHashPairs(docs, "doc_id", "text", 7, blocks = 9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.nonEmpty, "fixture should contain simhash near-duplicates")
+    assert(wide == base, s"multi-block changed the pair set: missed ${base -- wide}, extra ${wide -- base}")
+
+    // in-bucket candidate-pair work, sum over buckets of C(n,2): the
+    // verify-stage cost the blocking exists to bound
+    def bucketPairs(k: Int): Long = {
+      val chunkBits = 64 / k
+      val m = k - 7
+      val sim = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sim"))
+      val keys = (0 until k).combinations(m).toSeq.map(_.foldLeft(lit(0L): Column)(
+        (acc, b) => call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(
+          call_function("shiftright", col("sim"), lit(b * chunkBits))
+            .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      sim.select(posexplode(array(keys: _*)))
+        .groupBy("pos", "col").count()
+        .agg(sum(expr("count * (count - 1) div 2"))).head().getLong(0)
+    }
+    val narrow = bucketPairs(8)
+    val multi = bucketPairs(9)
+    assert(multi < narrow,
+      s"multi-block must cut candidate pairs: k=8 -> $narrow, k=9 -> $multi")
   }
 
   test("lsh ANN returns a subset of brute-force candidates with same scores") {
