@@ -11,21 +11,25 @@ import org.apache.spark.sql.Column
   * attached to these scans (verify via .explain: PushedFilters/ReadSchema).
   */
 object Tables {
+  import org.apache.spark.sql.types._
+
+  /** events as stored: ts is TIMESTAMP(NANOS), which Spark's schema
+    * inference rejects outright. Supplying this schema (ts: LongType)
+    * skips inference and the vectorized reader delivers the raw nanos
+    * longs — no session conf involved, so concurrent queries over other
+    * nanos parquet are unaffected (the old spark.conf.set here leaked). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) which Spark's vectorized parquet
-      // reader rejects; read nanos as long, convert to micros precision
-      // (matches what the DuckDB oracle computes after date_trunc/year/…).
-      // NOTE: this mutates SESSION conf — harmless for the other fixture
-      // tables (none carry nanos timestamps, so the flag never changes
-      // their schemas), but a caller mixing in external nanos parquet
-      // would see those columns arrive as raw longs too.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L)
-            .cast(org.apache.spark.sql.types.LongType)))
+      // nanos → micros precision (matches what the DuckDB oracle
+      // computes after date_trunc/year/…)
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          timestamp_micros((col("ts") / 1000L).cast(LongType)))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side plumbing (schemas, partition-preserving mapPartitions,
-  * batch shapes, deterministic output) is REAL and tested; the actual
-  * media decoding is STUBBED behind [[MediaDecoder]] because no
-  * image/audio libraries exist in this container — swap [[StubDecoder]]
-  * for a JNI/javacv-backed implementation in production. The stub is
-  * deterministic (derived from the byte content) so pipelines are
-  * reproducible and testable.
+  * batch shapes, deterministic output) is REAL and tested. Two codecs
+  * plug into the [[MediaDecoder]] seam: [[ImageIODecoder]] does REAL
+  * PNG/JPEG/GIF/BMP decode+resize via the JDK's `javax.imageio` (no
+  * extra dependencies); [[StubDecoder]] is the deterministic stand-in
+  * the fixture oracle uses, because the fixtures' payload bytes are not
+  * actual images (DuckDB recomputes the stub's md5 arithmetic exactly).
+  * Audio/video codecs would plug into the same seam (e.g. javacv
+  * outside this container).
   *
   * Scale notes: media bytes dominate row size — keep them in their own
   * column so Parquet column pruning skips them unless the stage needs
@@ -57,6 +59,61 @@ object Multimodal {
     }
     def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame =
       f.copy(width = w, height = h, pixels = f.pixels)
+  }
+
+  /** REAL codec: `javax.imageio` ships in the JDK, so PNG/JPEG/GIF/BMP
+    * decode and resize need zero extra dependencies. Pixels come back as
+    * packed 3-byte RGB rows (TYPE_3BYTE_BGR raster reordered), capped at
+    * `maxPixelBytes` so a poison 10k×10k image can't blow an executor —
+    * the width/height metadata is always exact, only the pixel payload
+    * truncates. The fixture tables' `payload` bytes are NOT real images,
+    * so the oracle path keeps [[StubDecoder]]; this decoder is for real
+    * corpora and is spec-covered with genuine in-memory PNGs/JPEGs. */
+  final class ImageIODecoder(maxPixelBytes: Int = 1 << 24) extends MediaDecoder {
+    private def toFrame(img: java.awt.image.BufferedImage): DecodedFrame = {
+      val w = img.getWidth; val h = img.getHeight
+      val n = math.min(w.toLong * h * 3, maxPixelBytes.toLong).toInt
+      val out = new Array[Byte](n)
+      var i = 0
+      var p = 0
+      while (p < n / 3) {
+        val rgb = img.getRGB(p % w, p / w)
+        out(i) = ((rgb >> 16) & 0xff).toByte
+        out(i + 1) = ((rgb >> 8) & 0xff).toByte
+        out(i + 2) = (rgb & 0xff).toByte
+        i += 3; p += 1
+      }
+      DecodedFrame(0, w, h, out)
+    }
+    def decode(bytes: Array[Byte]): DecodedFrame = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"undecodable image payload (${bytes.length} bytes; formats: " +
+            javax.imageio.ImageIO.getReaderFormatNames.mkString(",") + ")")
+      toFrame(img)
+    }
+    def resize(f: DecodedFrame, w: Int, h: Int): DecodedFrame = {
+      // rebuild an image from the RGB rows we kept, then bilinear-scale
+      val srcRows = math.min(f.height, f.pixels.length / 3 / math.max(f.width, 1))
+      val src = new java.awt.image.BufferedImage(
+        math.max(f.width, 1), math.max(srcRows, 1),
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < srcRows * f.width) {
+        val i = p * 3
+        src.setRGB(p % f.width, p / f.width,
+          ((f.pixels(i) & 0xff) << 16) | ((f.pixels(i + 1) & 0xff) << 8) | (f.pixels(i + 2) & 0xff))
+        p += 1
+      }
+      val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, w, h, null)
+      g.dispose()
+      toFrame(dst)
+    }
   }
 
   /** Attach media metadata columns from the binary payload — header

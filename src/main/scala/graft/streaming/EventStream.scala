@@ -20,15 +20,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** The events schema as stored (ts is TIMESTAMP(NANOS) in parquet —
-    * streamed as long nanos then converted, same as graft.Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+    * streamed as long nanos then converted, same as graft.Tables).
+    * Supplying the schema explicitly means no nanosAsLong session conf
+    * is needed (inference is what rejects the nanos annotation). */
+  val rawSchema: StructType = graft.Tables.eventsRawSchema
 
   /** Streaming source over a directory of events parquet files. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)

@@ -213,6 +213,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized.filter(col("width") =!= 224 || col("height") =!= 224).count() == 0)
   }
 
+  test("imageio decoder decodes and resizes real PNGs/JPEGs through the Spark stages") {
+    // genuine in-memory images: a 31x17 PNG gradient and a 64x8 JPEG
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, ((x * 8) % 256 << 16) | ((y * 16) % 256 << 8) | ((x + y) % 256))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row(1L, imageBytes(31, 17, "png")),
+      org.apache.spark.sql.Row(2L, imageBytes(64, 8, "jpg")))
+    val media = spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType))))
+    val dec = new Multimodal.ImageIODecoder()
+
+    val sniffed = Multimodal.withSniffedFormat(media, "media")
+      .select("doc_id", "format").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed == Map(1L -> "png", 2L -> "jpeg"), s"magic-byte sniff wrong: $sniffed")
+
+    val decoded = Multimodal.decodeImages(media, "doc_id", "media", dec)
+      .orderBy("doc_id").collect()
+    assert(decoded(0).getInt(1) == 31 && decoded(0).getInt(2) == 17)
+    assert(decoded(1).getInt(1) == 64 && decoded(1).getInt(2) == 8)
+    // real pixels: PNG round-trips losslessly, so pixel (0,0) of doc 1
+    // is exactly the gradient value rgb(0,0,0) and (1,0) is rgb(8,0,1)
+    val px = decoded(0).getAs[Array[Byte]](3)
+    assert(px.length == 31 * 17 * 3)
+    assert(px(0) == 0 && px(1) == 0 && px(2) == 0)
+    assert((px(3) & 0xff) == 8 && (px(4) & 0xff) == 0 && (px(5) & 0xff) == 1)
+
+    val resized = Multimodal.resizeImages(media, "doc_id", "media", 16, 16, dec)
+      .orderBy("doc_id").collect()
+    assert(resized.forall(r => r.getInt(1) == 16 && r.getInt(2) == 16))
+    assert(resized.forall(_.getAs[Array[Byte]](3).length == 16 * 16 * 3))
+
+    // undecodable payload fails loudly, not silently
+    val junk = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(9L, "not an image".getBytes)), media.schema)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImages(junk, "doc_id", "media", dec).collect()
+    }
+    assert(ex.getMessage.contains("undecodable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
+  }
+
   test("token proxies: subword count and rolling min-hash fingerprint") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row("hello, world! x9"),

@@ -157,6 +157,31 @@ class PlanSpec extends AnyFunSuite {
       "forced broadcast hint on a data-dependent removal set:\n" + logical)
   }
 
+  test("cc loop round shuffles exactly at the loop width, never full-width") {
+    // nearDupClusters carries its shuffle width in-plan via
+    // repartition(loopParts, key) — the join and groupBy must REUSE that
+    // hash partitioning instead of inserting their own spark.sql
+    // .shuffle.partitions-wide exchanges (the r5/r6 concern: a conf-set
+    // leaked across queries; an implicit exchange would be 32-wide here).
+    import org.apache.spark.sql.functions.col
+    val loopParts = 7 // distinctive: != default parallelism, != 32
+    val edges = spark.range(0, 500).selectExpr("id as src", "(id + 1) % 500 as dst")
+    val labels = spark.range(0, 500).select(col("id"), col("id").as("label"))
+    val round = graft.operators.Dedup.ccRound(edges, labels, loopParts)
+    round.collect()
+    // the adaptive plan prints Final + Initial; gate on the final only
+    val full = round.queryExecution.executedPlan.toString
+    val p = full.split("== Initial Plan ==")(0)
+    val widths = """hashpartitioning\([^)]*, (\d+)\)""".r
+      .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(widths.nonEmpty, "no hash partitioning in the cc round plan:\n" + p)
+    assert(widths.forall(_ == loopParts),
+      s"shuffle width escaped the loop setting (widths=$widths, want all $loopParts):\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 3,
+      s"$shuffles shuffle exchanges per cc round (want <=3, the explicit repartitions):\n$p")
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
