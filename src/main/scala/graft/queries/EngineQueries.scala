@@ -199,5 +199,55 @@ object EngineQueries {
              |  starts_with(s_name, 'Supplier') AS is_supp,
              |  CAST(15 AS BIGINT) AS y2, md5(s_name) AS h
              |FROM supplier ORDER BY s_suppkey""".stripMargin)),
+
+    // both ES query-DSL generators inside the correctness gate: a fixed
+    // FilterQL battery compiles through EsGenerator (modern bool shapes)
+    // and Es2Generator (ES 2.x dialect, schema-aware) and the exact JSON
+    // is pinned by the oracle — any emission drift fails the hash, same
+    // contract as ql_tosql_roundtrip for the SQL printer.
+    // (generators/elasticsearch/{esgen,es2gen}/esgenerator.go)
+    "ql_es_dsl" -> Q(
+      (s, d) => {
+        import graft.rel.{FilterStatement, SqlParser}
+        import graft.generators.{EsGenerator, Es2Generator}
+        import graft.generators.Es2Generator.{EsField, MapColumns}
+        val cols = MapColumns(Map(
+          "age" -> EsField("age", typ = "int"),
+          "state" -> EsField("state"),
+          "url" -> EsField("url"),
+          "map_events" -> EsField("map_events", typ = "map_value", path = "map_events")))
+        val battery = Seq(
+          "t1_bool" -> "FILTER AND(age > 21, state = \"CA\")",
+          "t2_neg" -> "FILTER NOT url LIKE \"%google%\"",
+          "t3_in" -> "FILTER OR(state IN (\"CA\", \"OR\"), EXISTS url)",
+          "t4_between" -> "FILTER age BETWEEN 18 AND 65 LIMIT 25",
+          "t5_nested" -> "FILTER map_events.open = \"x\"",
+          "t6_missing" -> "FILTER AND(age >= 1, gone_column = 2)")
+        import s.implicits._
+        battery.map { case (n, fql) =>
+          val st = SqlParser.parse(fql).asInstanceOf[FilterStatement]
+          (n, EsGenerator.walk(st), Es2Generator.walk(st, cols))
+        }.toDF("name", "es5", "es2").orderBy("name")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('t1_bool',
+             |   '{"size":0,"filter":{"bool":{"must":[{"range":{"age":{"gt":21}}},{"term":{"state":"CA"}}]}}}',
+             |   '{"size":0,"filter":{"bool":{"filter":[{"range":{"age":{"gt":21}}},{"term":{"state":"CA"}}]}}}'),
+             |  ('t2_neg',
+             |   '{"size":0,"filter":{"bool":{"must_not":[{"wildcard":{"url":"*google*"}}]}}}',
+             |   '{"size":0,"filter":{"bool":{"must_not":{"query":{"wildcard":{"url":"*google*"}}}}}}'),
+             |  ('t3_in',
+             |   '{"size":0,"filter":{"bool":{"should":[{"terms":{"state":["CA","OR"]}},{"exists":{"field":"url"}}]}}}',
+             |   '{"size":0,"filter":{"bool":{"should":[{"terms":{"state":["CA","OR"]}},{"exists":{"field":"url"}}]}}}'),
+             |  ('t4_between',
+             |   '{"size":25,"filter":{"bool":{"must":[{"range":{"age":{"gt":18}}},{"range":{"age":{"lt":65}}}]}}}',
+             |   '{"size":25,"filter":{"and":[{"range":{"age":{"gt":18}}},{"range":{"age":{"lt":65}}}]}}'),
+             |  ('t5_nested',
+             |   '{"size":0,"filter":{"term":{"map_events.open":"x"}}}',
+             |   '{"size":0,"filter":{"nested":{"filter":{"and":[{"term":{"map_events.v":"x"}},{"term":{"map_events.k":"open"}}]},"path":"map_events"}}}'),
+             |  ('t6_missing',
+             |   '{"size":0,"filter":{"bool":{"must":[{"range":{"age":{"gte":1}}},{"term":{"gone_column":2}}]}}}',
+             |   '{"size":0,"filter":{"bool":{"filter":[{"range":{"age":{"gte":1}}},{"bool":{"must_not":{"match_all":{}}}}]}}}')
+             |) AS t(name, es5, es2) ORDER BY name""".stripMargin)),
   )
 }
