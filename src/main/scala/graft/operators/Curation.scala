@@ -57,6 +57,51 @@ object Curation {
       .filter(col("shared_shingles") >= minShared)
   }
 
+  /** Bloom-filter decontamination: drop every corpus row whose key is
+    * in the blocklist, testing a compact Bloom filter in the SCAN stage
+    * instead of anti-joining the corpus. Catalyst's own
+    * `BloomFilterAggregate` / `BloomFilterMightContain` (the pair Spark
+    * uses for runtime join filters) build and probe the filter, so the
+    * probe is codegen'd.
+    *
+    * Semantics: NO false negatives — every blocklisted key is removed;
+    * false positives over-remove harmless extra rows at ≈`fpp` rate,
+    * the right trade for decontamination (never the reverse). Use the
+    * exact anti-join ([[contaminated]] + a join) when over-removal is
+    * unacceptable.
+    *
+    * Scale: the filter is `numBits/8` bytes regardless of corpus size
+    * (~1.2 MB per million keys at 1% fpp) — one bounded driver
+    * collect, embedded in the plan as a literal, evaluated per row in
+    * the scan with zero shuffle of the corpus. The anti-join form
+    * shuffles nothing either (broadcast) ONLY while the blocklist's
+    * row form fits in executor memory; the bloom form stays flat to
+    * ~10⁹ keys. */
+  def decontaminateBloom(corpus: DataFrame, corpusKey: String,
+      blocklist: DataFrame, blockKey: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // Catalyst's bloom pair is not in the public registry (Spark uses it
+    // for runtime join filters); expose it the same way the kernel suite
+    // registers its expressions — the analyzer wraps the returned
+    // AggregateFunction itself
+    val reg = corpus.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bloom_might_contain",
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bytes = blocklist
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col(blockKey).cast(StringType)), lit(expectedItems), lit(numBits)))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) corpus // empty blocklist: nothing to remove
+    else corpus.filter(!call_function("graft_bloom_might_contain",
+      lit(bytes), xxhash64(col(corpusKey).cast(StringType))))
+  }
+
   /** Deterministic train/val/test assignment: the first 8 hex chars of
     * md5(id) as an integer mod 1000, cut by cumulative per-mill
     * thresholds. Content- and order-independent, identical in any

@@ -458,6 +458,23 @@ object PipelineQueries {
              |GROUP BY c.doc_id HAVING count(*) >= 5
              |ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-filter decontamination: the blocklist compacts to a scan-
+    // stage might_contain probe — zero corpus shuffle at any scale. The
+    // filter's exact false-positive set depends on Spark's internal
+    // bloom hashing, which DuckDB cannot replay → no SQL oracle (driver
+    // records the rows-only check); the no-false-negative guarantee and
+    // the fpp bound are asserted in PipelineSpec instead.
+    "pl_decontaminate_bloom" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.operators.Curation.decontaminateBloom(
+            docs, "doc_id",
+            docs.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id",
+            expectedItems = 100000L, fpp = 0.01)
+          .select("doc_id").orderBy("doc_id")
+      },
+      None),
+
     // PII redaction: a known PII suffix is appended so the redaction is
     // exercised on every row; both engines apply identical regexes
     "pl_pii_redact" -> Q(

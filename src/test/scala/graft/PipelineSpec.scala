@@ -260,6 +260,33 @@ class PipelineSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("bloom decontamination: zero false negatives, bounded over-removal, scan-stage plan") {
+    import graft.operators.Curation
+    // blocklist = every 10th doc
+    val block = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+    val blockIds = block.collect().map(_.getLong(0)).toSet
+    val kept = Curation.decontaminateBloom(docs, "doc_id", block, "doc_id",
+      expectedItems = math.max(blockIds.size.toLong, 1L), fpp = 0.01)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // NO false negatives: every blocklisted id is gone
+    assert(keptIds.intersect(blockIds).isEmpty,
+      s"bloom false negatives: ${keptIds.intersect(blockIds).take(5)}")
+    // over-removal bounded by ~fpp (generous 10x slack on a small corpus)
+    val total = docs.count()
+    val overRemoved = total - blockIds.size - keptIds.size
+    assert(overRemoved >= 0 && overRemoved <= math.max(5, (total * 0.1).toLong),
+      s"bloom over-removal out of bounds: $overRemoved of $total")
+    // the probe must be a scan-stage filter: no join, no shuffle
+    val p = kept.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "bloom decontamination must not join:\n" + p)
+    assert(!p.contains("Exchange"), "bloom decontamination must not shuffle:\n" + p)
+    assert(p.contains("might_contain"), "bloom probe missing from the plan:\n" + p)
+    // empty blocklist is the identity
+    val none = Curation.decontaminateBloom(docs, "doc_id",
+      block.filter(col("doc_id") < 0), "doc_id")
+    assert(none.count() == total)
+  }
+
   test("token proxies: subword count and rolling min-hash fingerprint") {
     val df = spark.createDataFrame(java.util.List.of(
       org.apache.spark.sql.Row("hello, world! x9"),
