@@ -202,6 +202,81 @@ object Dedup {
     }
   }
 
+  /** Incremental (delta) near-dedup pair mining: LSH candidates
+    * touching a NEW increment — increment×increment and
+    * increment×existing, never existing×existing. This is the shape a
+    * production pipeline actually runs on a daily crawl delta: the
+    * existing corpus was already deduped, so re-mining its internal
+    * pairs is pure waste — at 100 TB corpus + 1 TB delta it is ~99% of
+    * the candidate join pruned away. The existing side still pays one
+    * signature scan here; at real scale its (id, band, bh) table is
+    * written once (bucketed by (band, bh)) and each delta joins against
+    * it directly.
+    *
+    * Ids must be globally unique across both frames. Output pairs are
+    * canonical (id_a < id_b), jaccard-verified like [[minHashLshPairs]]. */
+  def minHashLshPairsIncremental(existing: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    def prep(df: DataFrame, isNew: Boolean) =
+      df.select(col(idCol).as("id"),
+          VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+        .select(col("id"), col("sh"),
+          VectorExpressions.minhash_sig(col("sh"), k).as("sig"),
+          lit(isNew).as("is_new"))
+    viaPersisted(prep(existing, isNew = false)
+        .unionByName(prep(increment, isNew = true))) { base =>
+      val banded = base.select(col("id"), col("is_new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      // left side: the increment's bands only — the prune that makes
+      // the delta run O(delta × collisions), not O(corpus²)
+      val l = banded.filter(col("is_new"))
+        .select(col("band"), col("bh"), col("id").as("id_l"))
+      val r = banded.select(col("band"), col("bh"), col("id").as("id_r"))
+      val candPairs = l.join(r, Seq("band", "bh"))
+        .filter(col("id_l") =!= col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"))
+        .distinct()
+      val aSide = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(candPairs, "id_a")
+      aSide.join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("shared", VectorExpressions.intersect_count(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("shared").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+  }
+
+  /** Apply incremental dedup: the increment minus every document that
+    * near-duplicates the existing corpus or a smaller-id increment doc.
+    * The existing corpus is never touched — the stability property a
+    * rolling pipeline needs (yesterday's training shards don't change
+    * because today's crawl arrived). Anti-join strategy left to AQE,
+    * same reasoning as [[dropNearDuplicates]]. */
+  def dropIncrementNearDuplicates(existing: DataFrame, increment: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairsIncremental(existing, increment,
+      idCol, textCol, shingleN, bands, rowsPerBand, threshold)
+    val newIds = increment.select(col(idCol).as("__nid"))
+    // a pair's removable side is its increment doc with the larger id;
+    // a cross pair always removes the increment side
+    val remove = pairs.join(newIds, col("id_b") === col("__nid"), "left_semi")
+      .select(col("id_b").as("__rm"))
+      .unionByName(
+        pairs.join(newIds, col("id_a") === col("__nid"), "left_semi")
+          .join(newIds.withColumnRenamed("__nid", "__bnid"),
+            col("id_b") === col("__bnid"), "left_anti")
+          .select(col("id_a").as("__rm")))
+      .distinct()
+    increment.join(remove, col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** 64-bit SimHash from a precomputed array of feature hashes —
     * pure-Column reference formulation of the majority vote (hot paths
     * use the compiled [[VectorExpressions.simhash64]]). */

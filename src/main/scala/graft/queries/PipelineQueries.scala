@@ -47,6 +47,70 @@ object PipelineQueries {
              |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
              |ORDER BY doc_id""".stripMargin)),
 
+    // incremental (delta) dedup: pairs touching the odd-id "increment"
+    // only — even×even (the already-deduped "existing corpus") is pruned
+    // from the candidate join by construction. Same LSH-recall argument
+    // as pl_dedup_minhash, so the exact-jaccard oracle filtered to
+    // not-both-existing matches exactly.
+    "pl_dedup_minhash_incr" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.minHashLshPairsIncremental(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", 3, 32, 4, 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) AS jaccard
+             |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |GROUP BY a.doc_id, b.doc_id
+             |HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // applying the delta dedup: the increment minus docs that duplicate
+    // the existing corpus or a smaller-id increment doc — the existing
+    // side is never modified (rolling-pipeline stability)
+    "pl_dedup_apply_incr" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.dropIncrementNearDuplicates(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |), rm AS (
+             |  SELECT id_b AS doc_id FROM pairs WHERE id_b % 2 = 1
+             |  UNION
+             |  SELECT id_a FROM pairs WHERE id_a % 2 = 1 AND id_b % 2 = 0
+             |)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM rm)
+             |ORDER BY doc_id""".stripMargin)),
+
     // end-to-end near-dedup application: corpus minus the greater id of
     // every verified near-dup pair (same pair oracle as pl_dedup_jaccard)
     "pl_dedup_apply_near" -> Q(

@@ -260,6 +260,30 @@ class PipelineSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("incremental minhash mines exactly the pairs touching the increment") {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val increment = docs.filter(col("doc_id") % 2 === 1)
+    // ground truth: exact jaccard pairs, minus existing×existing
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = full.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    val got = Dedup.minHashLshPairsIncremental(existing, increment,
+        "doc_id", "text", 3, 32, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expect.nonEmpty && (full -- expect).nonEmpty,
+      "fixture must have pairs on both sides of the split for this test to bite")
+    assert(got == expect, s"missed ${expect -- got}, extra ${got -- expect}")
+
+    // apply: increment keeps its non-dup docs; the existing side is
+    // structurally untouched (only the increment frame is returned)
+    val kept = Dedup.dropIncrementNearDuplicates(existing, increment, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val newIds = increment.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rm = expect.collect { case (_, b) if b % 2 == 1 => b } ++
+      expect.collect { case (a, b) if a % 2 == 1 && b % 2 == 0 => a }
+    assert(kept == newIds -- rm, s"apply mismatch: ${kept.diff(newIds -- rm)} / ${(newIds -- rm).diff(kept)}")
+  }
+
   test("bloom decontamination: zero false negatives, bounded over-removal, scan-stage plan") {
     import graft.operators.Curation
     // blocklist = every 10th doc
