@@ -144,6 +144,83 @@ object EventStream {
       .withColumn("content_hash", md5(col(textCol).cast(BinaryType)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  // ---- streaming near-dup dedup (streaming LSH) ----------------------
+
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class NearDupMatch(doc_id: Long, dup_of: Long, hamming: Int)
+  /** Bucket member: (simhash, doc id, event-time ms). Public for the
+    * state encoder's generated code, like [[SessionState]]. */
+  case class SimBucketState(entries: List[(Long, Long, Long)])
+  case class BucketRow(doc_id: Long, ts: java.sql.Timestamp, sim: Long,
+      chunk: Int, ch: Long)
+
+  /** Streaming NEAR-dup detection — the unbounded form of
+    * [[graft.operators.Dedup.simHashPairs]]: emit a match whenever a
+    * document's simhash is within `maxHamming` bits of an EARLIER
+    * document in the watermark horizon. Pigeonhole blocking, same as
+    * the batch operator: each doc lands in `maxHamming + 1` chunk
+    * buckets; any qualifying pair shares at least one bucket, so recall
+    * within the horizon is exact. Per-bucket state compares the
+    * incoming fingerprint against resident members (64-bit XOR +
+    * popcount per comparison — no text retained in state).
+    *
+    * The same (doc, dup_of) pair can surface from several buckets;
+    * downstream consumers dedupe by key (kept out of this operator: a
+    * second stateful aggregation would pin the query shape, and the
+    * caller may want first-bucket latency).
+    *
+    * Scale/state: one entry per (bucket, doc) within the horizon,
+    * evicted by event-time timeout once the watermark passes — bounded
+    * by horizon churn like [[dedupContent]], not stream length. Bucket
+    * crowding follows the batch operator's math (8-bit chunks ⇒ 256
+    * buckets per chunk index); at corpus-scale ingest rates, widen the
+    * blocking exactly as `simHashPairs(blocks = h + 2)` does. */
+  def nearDedupMatches(docs: Dataset[Doc], horizon: String = "30 minutes",
+      maxHamming: Int = 3): Dataset[NearDupMatch] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = maxHamming + 1
+    val chunkBits = 64 / k
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    val evictMs = (horizonMs.months * 30L + horizonMs.days) * 86400000L +
+      horizonMs.microseconds / 1000L
+    val rows = docs
+      .withColumn("sim", graft.operators.Dedup.simHash(col("text")))
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"), col("sim"),
+        posexplode(transform(sequence(lit(0), lit(k - 1)),
+          c => call_function("shiftright", col("sim"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "ch")
+      .as[BucketRow]
+    rows.groupByKey(r => (r.chunk, r.ch))
+      .flatMapGroupsWithState[SimBucketState, NearDupMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), batch: Iterator[BucketRow], state: GroupState[SimBucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          if (batch.isEmpty && state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // resident members still inside the horizon
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._3 >= wm - evictMs)
+            val out = Seq.newBuilder[NearDupMatch]
+            // arrival order within the batch: event time, then id
+            for (r <- batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))) {
+              for ((sim, id, _) <- entries if id != r.doc_id) {
+                val h = java.lang.Long.bitCount(sim ^ r.sim)
+                if (h <= maxHamming) out += NearDupMatch(r.doc_id, id, h)
+              }
+              entries = (r.sim, r.doc_id, r.ts.getTime) :: entries
+            }
+            state.update(SimBucketState(entries))
+            // evict once the watermark passes the newest member + horizon
+            state.setTimeoutTimestamp(entries.map(_._3).max + evictMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Watermarked stream-stream interval join: each click joins signups
     * of the same user within `withinMinutes` BEFORE the click — the
     * unbounded form of [[graft.operators.EventOps.asofJoin]]'s "latest

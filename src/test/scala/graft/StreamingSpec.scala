@@ -61,6 +61,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("aaa", "bbb", "ccc"), got)
   }
 
+  test("streaming near-dup detection flags small-hamming arrivals, evicts old state") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val base = "the quick brown fox jumps over the lazy dog while the spark " +
+      "engine shuffles partitions across the cluster and the watermark " +
+      "advances through event time toward the horizon of the stream"
+    val nearDup = base.replace("lazy", "sleepy") // ~2 shingles differ
+    val unrelated = "completely different content about databases indexes " +
+      "btrees pages buffers checkpoints logs transactions locks latches " +
+      "cursors schemas catalogs statistics optimizers plans executors rows"
+    val out = EventStream.nearDedupMatches(
+      mem.toDF().toDF("doc_id", "ts", "text").as[EventStream.Doc],
+      horizon = "30 minutes", maxHamming = 7)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_smoke").start()
+    mem.addData((1L, ts(0), base), (2L, ts(0), unrelated))
+    q.processAllAvailable()
+    mem.addData((3L, ts(5), nearDup)) // near-dup of doc 1, inside horizon
+    q.processAllAvailable()
+    // advance the watermark far past doc 1/3, then replay the base text:
+    // state evicted, so no match fires
+    mem.addData((4L, ts(100), "watermark advancing sentinel gamma delta " +
+      "epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho " +
+      "sigma tau upsilon phi chi psi omega alpha beta one two three four"))
+    q.processAllAvailable()
+    mem.addData((5L, ts(105), base))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_smoke")
+      .select("doc_id", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // dedupe multi-bucket emits
+    assert(got.contains((3L, 1L)), s"missed the near-dup pair: $got")
+    assert(!got.exists(_._1 == 2L) && !got.exists(_._2 == 2L),
+      s"unrelated doc flagged: $got")
+    assert(!got.exists(_._1 == 5L), s"match fired after state eviction: $got")
+  }
+
   test("sessionization accumulates per-user state") {
     import spark.implicits._
     val events = EventStream.readEvents(spark, dir)
