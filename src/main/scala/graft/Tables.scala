@@ -37,4 +37,17 @@ object Tables {
     * DuckDB oracle so float summation order differences can't flip a
     * hash compare. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Order-independent float sum: cast each term to DECIMAL(30,8) and
+    * sum exactly, back to double at the end. A plain double sum of
+    * money-scale products carries ~N×ulp noise that differs between
+    * engines (different summation order) — at sf0.1 it landed exactly
+    * on a round(…,4) boundary and flipped a hash compare. Both engines
+    * cast the same IEEE double to the same 8dp decimal, and decimal
+    * addition is exact in both, so the result is bit-identical in any
+    * order at any SF. Oracle twin:
+    * `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`. */
+  def exactSum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+      .cast(org.apache.spark.sql.types.DoubleType)
 }

@@ -115,6 +115,86 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with a k-means-refined coarse quantizer: the md5-seeded
+    * centroids of [[ivfTopK]] improved by `iters` spherical Lloyd
+    * iterations before the same probe/assign/top-k plumbing. Data-
+    * adaptive cells follow the embedding distribution, so cell
+    * populations even out and recall-per-probe rises vs raw seeds —
+    * the step a production FAISS-style index performs at build time.
+    *
+    * Distribution: each iteration assigns cells with the compiled
+    * cosine argmax INSIDE the scan (no shuffle of vectors beyond the
+    * per-(cell, dim) partial means of the hash aggregation), and only
+    * `nlist × dim` averaged doubles return to the driver — the same
+    * bounded-collect class as the seed fetch. Empty cells retain their
+    * previous centroid. Centroid means are rounded (6 dp) and
+    * L2-normalized each round, keeping trajectories stable across
+    * repeated runs. */
+  def ivfTopKKMeans(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int, nprobe: Int,
+      iters: Int = 3): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, iters)
+    def cellOf(cs: IndexedSeq[Seq[Double]]): Column = cellAssign(v, cs)
+    val qd = query.map(_.toDouble)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) => (i, cosD(c, qd)) }
+      .sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
+    df.select(col(idCol), v.as("v"), cellOf(centroids).as("cell"))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Nearest-centroid cell id as a scan-stage expression: argmax of the
+    * compiled cosine over `cs`, ties to the smallest index. */
+  private[operators] def cellAssign(v: Column, cs: IndexedSeq[Seq[Double]]): Column = {
+    val assigned = array_max(array(cs.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-i).as("negidx"))
+    }: _*))
+    -assigned.getField("negidx")
+  }
+
+  /** Spherical-k-means centroids: md5-seeded start, `iters` Lloyd
+    * iterations. Each iteration's assignment runs in the scan stage;
+    * only nlist × dim per-(cell, dim) means return to the driver.
+    * Means are L2-normalized and rounded (6 dp) each round; empty cells
+    * keep their previous centroid. Every Lloyd step is monotone in the
+    * spherical objective (mean cosine to assigned centroid) up to the
+    * rounding epsilon — the property the spec gates. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): IndexedSeq[Seq[Double]] = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    def normD(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(x => BigDecimal(x / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    var centroids: IndexedSeq[Seq[Double]] = df
+      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
+      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
+      .limit(nlist).collect().map(r => normD(r.getSeq[Double](1))).toIndexedSeq
+    for (_ <- 1 to iters) {
+      // per-(cell, dim) means: nlist x dim rows to the driver, bounded
+      val means = df.select(cellAssign(v, centroids).as("cell"), posexplode(v))
+        .groupBy("cell", "pos").agg(avg("col").as("m"))
+        .collect().map(r => ((r.getAs[Number]("cell").intValue(), r.getInt(1)), r.getDouble(2)))
+        .toMap
+      val dim = centroids.head.length
+      centroids = centroids.indices.map { c =>
+        if (means.contains((c, 0))) normD((0 until dim).map(d => means((c, d))))
+        else centroids(c) // empty cell keeps its centroid
+      }
+    }
+    centroids
+  }
+
   /** For each vector, its nearest neighbor (by cosine) within a blocking
     * key — the bulk variant of top-k used for near-dup mining.
     *

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.Tables.r4
+import graft.Tables.{exactSum, r4}
 
 /** One named query per core operator from SURVEY.md §2 (scans,
   * projections, filters, joins, aggregation, sort/limit, scalar
@@ -44,8 +44,8 @@ object CoreQueries {
         li.groupBy("l_returnflag", "l_linestatus")
           .agg(
             r4(sum("l_quantity")).as("sum_qty"),
-            r4(sum("l_extendedprice")).as("sum_base_price"),
-            r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            r4(exactSum(col("l_extendedprice"))).as("sum_base_price"),
+            r4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
             r4(avg("l_quantity")).as("avg_qty"),
             r4(avg("l_extendedprice")).as("avg_price"),
             count(lit(1)).as("count_order"))
@@ -53,8 +53,8 @@ object CoreQueries {
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity),4) AS sum_qty,
-             |  round(sum(l_extendedprice),4) AS sum_base_price,
-             |  round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_disc_price,
              |  round(avg(l_quantity),4) AS avg_qty,
              |  round(avg(l_extendedprice),4) AS avg_price,
              |  count(*) AS count_order
@@ -89,12 +89,12 @@ object CoreQueries {
           .join(o, col("c_custkey") === col("o_custkey"))
           .join(li, col("o_orderkey") === col("l_orderkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
-          .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .agg(r4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
       },
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-             |  round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |  JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
@@ -127,12 +127,12 @@ object CoreQueries {
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          .agg(r4(exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
                count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-             |  round(sum(l_extendedprice*(1-l_discount)),4) AS revenue,
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |  JOIN customer ON o_custkey = c_custkey
@@ -144,9 +144,9 @@ object CoreQueries {
     "q6_global_agg" -> Q(
       (s, d) => t(s, d, "lineitem")
         .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-        .agg(r4(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg(r4(exactSum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
              count(lit(1)).as("n")),
-      Some("""SELECT round(sum(l_extendedprice*l_discount),4) AS revenue, count(*) AS n
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue, count(*) AS n
              |FROM lineitem
              |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
 
@@ -252,9 +252,9 @@ object CoreQueries {
     "q16_in_list" -> Q(
       (s, d) => t(s, d, "events")
         .filter(col("event_type").isin("signup", "error"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("sum_value"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, count(*) AS n, round(sum(value),4) AS sum_value
+      Some("""SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_value
              |FROM events WHERE event_type IN ('signup','error')
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -391,10 +391,10 @@ object CoreQueries {
       (s, d) => t(s, d, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("y"),
                  month(col("o_orderdate")).cast("long").as("m"))
-        .agg(r4(sum("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+        .agg(r4(exactSum(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
         .orderBy("y", "m"),
       Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-             |  round(sum(o_totalprice),4) AS rev, count(*) AS n
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE),4) AS rev, count(*) AS n
              |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
 
     // Subquery in FROM (rel/parse_sql.go:1229-1246) + LEFT JOIN + coalesce.
@@ -446,10 +446,10 @@ object CoreQueries {
     "q31_rollup" -> Q(
       (s, d) => t(s, d, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r4(sum("o_totalprice")).as("rev"))
+        .agg(count(lit(1)).as("n"), r4(exactSum(col("o_totalprice"))).as("rev"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |  round(sum(o_totalprice),4) AS rev
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE),4) AS rev
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
@@ -471,10 +471,10 @@ object CoreQueries {
       (s, d) => t(s, d, "events")
         .groupBy(date_trunc("hour", col("ts")).cast("date").as("day"),
                  hour(col("ts")).cast("long").as("h"), col("event_type"))
-        .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("sum_value"))
         .orderBy("day", "h", "event_type"),
       Some("""SELECT CAST(date_trunc('hour', ts) AS DATE) AS day, hour(ts) AS h,
-             |  event_type, count(*) AS n, round(sum(value),4) AS sum_value
+             |  event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_value
              |FROM events GROUP BY 1, 2, 3 ORDER BY day, h, event_type""".stripMargin)),
   )
 }

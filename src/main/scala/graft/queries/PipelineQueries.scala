@@ -387,6 +387,21 @@ object PipelineQueries {
     // IVF ANN: deterministic md5-sampled centroids (nlist=8), nearest-
     // centroid cell assignment, probe the 2 cells nearest the query.
     // Fully engine-reproducible, so the oracle replays the whole index
+    // k-means-refined IVF: distributed Lloyd iterations on the seed
+    // centroids (spec asserts determinism, true-cosine scores, and
+    // recall >= the seeded variant). The refined centroid trajectory
+    // depends on float mean rounding DuckDB can't replay bit-exactly →
+    // rows-only check, like the bloom filter.
+    "pl_emb_ann_ivf_kmeans" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q,
+          k = 10, nlist = 8, nprobe = 2, iters = 2)
+      },
+      None),
+
     "pl_emb_ann_ivf" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")

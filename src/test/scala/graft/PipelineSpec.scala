@@ -260,6 +260,36 @@ class PipelineSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("undecodable")))
   }
 
+  test("kmeans-refined IVF: deterministic, correct scores, monotone objective") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val refined = ids(Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q, 10, 8, 2))
+    val refined2 = ids(Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q, 10, 8, 2))
+    assert(refined.toSeq == refined2.toSeq, "kmeans IVF must be deterministic")
+    // every returned score is the true cosine (IVF prunes, never rescores)
+    for ((id, cos) <- refined if brute.contains(id))
+      assert(math.abs(brute(id) - cos) < 1e-9, s"score drift for $id")
+    assert(refined.map(_._1).toSet.intersect(brute.keySet).nonEmpty,
+      "refined IVF found none of the true top-k")
+    // The Lloyd guarantee is on the clustering objective (mean cosine to
+    // the assigned = nearest centroid), not on any single query's recall
+    // (a true neighbor may legitimately move to a non-probed cell). Gate
+    // monotone improvement of the objective over the seed centroids.
+    def objective(cs: IndexedSeq[Seq[Double]]): Double = {
+      val v = col("embedding").cast(ArrayType(DoubleType))
+      val best = array_max(array(cs.map(c =>
+        Similarity.cosine(v, array(c.map(lit): _*))): _*))
+      emb.agg(avg(best)).head().getDouble(0)
+    }
+    val seeds = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 0)
+    val trained = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    assert(objective(trained) >= objective(seeds) - 1e-6,
+      s"Lloyd iterations worsened the objective: ${objective(trained)} < ${objective(seeds)}")
+  }
+
   test("incremental minhash mines exactly the pairs touching the increment") {
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val increment = docs.filter(col("doc_id") % 2 === 1)
