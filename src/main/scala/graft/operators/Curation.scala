@@ -218,6 +218,76 @@ object Curation {
     df.filter(bucket < rate)
   }
 
+  /** Temperature-based mixture reweighting (the √-temperature sampling
+    * of multilingual/multi-source LLM corpora): source i's keep rate is
+    * chosen so its expected token contribution is `targetTokens ·
+    * wᵢ/Σwⱼ` where `wᵢ = ⌊√nᵢ⌋` and `nᵢ` is the source's token mass —
+    * upweighting low-resource sources relative to proportional
+    * sampling. Rows are kept by the same content-independent
+    * md5-of-id bucket as [[rateSample]], so the subsample is
+    * deterministic across runs AND engines.
+    *
+    * Exactness: the per-source rate is computed in INTEGER arithmetic
+    * (⌊√n⌋ is engine-stable because IEEE-754 sqrt is correctly rounded;
+    * everything after is integral multiply/divide in DECIMAL(38,0), so
+    * no float summation-order noise can flip a row) — the whole
+    * operator is DuckDB-oracle-replayable.
+    *
+    * Scale: one partial-aggregated shuffle over sources for the token
+    * masses (a ≤|sources|-row frame), the rate table joined back
+    * unhinted (AQE broadcasts it when small), and the keep decision a
+    * pure scan-stage Column. The windowed Σwⱼ runs on the tiny
+    * per-source frame only. */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, targetTokens: Long): DataFrame = {
+    require(targetTokens > 0, "targetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.withColumn("__tok", TextAnalysis.tokenCount(col(textCol)))
+    val rates = toks.groupBy(sourceCol).agg(sum("__tok").as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast(DoubleType))).cast(LongType))
+      // whole-frame window: the frame is the per-source aggregate
+      // (bounded by source cardinality), not the corpus
+      .withColumn("__sw", sum("__w").over(Window.partitionBy()))
+      .withColumn("__permill", least(lit(1000L), expr(
+        s"CAST(1000 AS DECIMAL(38,0)) * CAST($targetTokens AS DECIMAL(38,0)) * __w" +
+          " div (CAST(__sw AS DECIMAL(38,0)) * __n)")))
+      .select(col(sourceCol), col("__permill"))
+    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+    toks.join(rates, sourceCol)
+      .filter(bucket < col("__permill"))
+      .drop("__tok", "__permill")
+  }
+
+  /** Graded contamination score — the per-document fraction of its
+    * word-n-gram shingles found in the benchmark set (the GPT-3-style
+    * overlap screen; [[contaminated]] is the thresholded special case).
+    * Emits `n_shingles`, `n_shared` and `contamination ∈ [0,1]` per
+    * corpus document so callers can pick their own cutoff or sort by
+    * severity.
+    *
+    * Scale: identical shape to [[contaminated]] — the benchmark's
+    * distinct shingle set stays small and joins unhinted (AQE
+    * broadcasts it), the corpus explodes its shingles once, and the
+    * per-document aggregate is one partial-aggregated shuffle. The
+    * LEFT join keeps zero-overlap documents so the fraction is defined
+    * for every document. */
+  def contaminationFraction(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(VectorExpressions.word_shingle_hashes(col(benchTextCol), n)).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), explode(VectorExpressions.word_shingle_hashes(col(textCol), n)).as("s"))
+      .join(benchShingles, Seq("s"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_shared"))
+      // long/long IEEE division + fixed-decimal round: bit-identical in
+      // any engine, no summation-order sensitivity
+      .withColumn("contamination", round(col("n_shared") / col("n_shingles"), 4))
+  }
+
   // conservative patterns that parse identically in Java regex and RE2
   // (DuckDB) — the point is reproducible redaction, not perfect recall
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

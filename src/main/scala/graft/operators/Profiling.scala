@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sketch-based corpus profiling: the fixed-memory, single-pass,
+  * mergeable summaries a 100 TB corpus is profiled with before any
+  * curation decision — HyperLogLog distinct counts, quantile sketches,
+  * and re-mergeable per-shard sketch columns. Exact `COUNT(DISTINCT)`
+  * or a global sort for percentiles would shuffle the full corpus;
+  * every aggregate here is partial-aggregated (map-side combined) and
+  * constant-size per group regardless of input rows.
+  *
+  * Reference analog: none — the reference engine (araddon/qlbridge) has
+  * only exact count/sum/avg (exec/groupby.go:350-435); sketches are
+  * part of the beyond-reference scale surface, like window functions
+  * and set ops.
+  */
+object Profiling {
+
+  /** Per-source corpus profile in ONE pass over the data: document
+    * count, token mass, HLL-approximate distinct content fingerprints
+    * (near-dup mass indicator), and approximate token-count quantiles
+    * (p50/p90/p99 document lengths).
+    *
+    * Scale: one partial-aggregated shuffle on the source key; per-group
+    * state is a fixed-size HLL register set + quantile summary, never
+    * the rows. `rsd` trades register memory for distinct-count error;
+    * `quantileAccuracy` likewise for the percentile sketch. */
+  def corpusProfile(df: DataFrame, sourceCol: String, textCol: String,
+      rsd: Double = 0.01, quantileAccuracy: Int = 10000): DataFrame =
+    df.select(col(sourceCol),
+        TextAnalysis.tokenCount(col(textCol)).as("__tok"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        approx_count_distinct(col("__fp"), rsd).as("approx_distinct"),
+        percentile_approx(col("__tok"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(quantileAccuracy))
+          .as("tok_quantiles"))
+
+  /** Per-group DataSketches HLL sketches over `keyCol`: each group gets
+    * a compact binary sketch plus its estimate. Unlike
+    * `approx_count_distinct`'s internal buffer, these sketches are
+    * first-class VALUES — persist them per day/shard and re-union later
+    * without touching the raw data. */
+  def distinctSketches(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(hll_sketch_agg(col(keyCol)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Union previously-built sketches to one global distinct estimate —
+    * the merge step of the sketch lifecycle. Input is the (tiny)
+    * per-group sketch frame, so this never re-reads the corpus. */
+  def unionDistinct(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(
+      hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
+}

@@ -537,6 +537,106 @@ object PipelineQueries {
              |GROUP BY c.doc_id HAVING count(*) >= 5
              |ORDER BY doc_id""".stripMargin)),
 
+    // exact term-frequency keyword search: integer scoring, fully
+    // oracle-replayable; top-k via TakeOrderedAndProject (no global sort)
+    "pl_search_tf" -> Q(
+      (s, d) => graft.operators.Search.keywordTopK(
+        Tables(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "window", "hash"), 20),
+      Some("""SELECT doc_id, score FROM (
+             |  SELECT doc_id, CAST(
+             |    len(list_filter(string_split(trim(text), ' '), w -> w = 'spark')) +
+             |    len(list_filter(string_split(trim(text), ' '), w -> w = 'window')) +
+             |    len(list_filter(string_split(trim(text), ' '), w -> w = 'hash'))
+             |    AS BIGINT) AS score
+             |  FROM documents)
+             |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // BM25 ranked retrieval: idf folded in from one bounded stats pass.
+    // ln() is not bit-contracted across engines -> rows-only check; the
+    // ranking/EQ properties are gated in PipelineSpec differentially
+    "pl_search_bm25" -> Q(
+      (s, d) => graft.operators.Search.bm25TopK(
+        Tables(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "window", "hash"), 20),
+      None),
+
+    // sketch profiling: HLL distinct + quantile sketches per source —
+    // approximate by design (Spark-internal sketch state), so rows-only
+    // here; error bounds vs exact are gated in PipelineSpec
+    "pl_profile_sketch" -> Q(
+      (s, d) => graft.operators.Profiling.corpusProfile(
+          Tables(s, d, "documents"), "source", "text")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("approx_distinct"), element_at(col("tok_quantiles"), 1).as("p50"),
+          element_at(col("tok_quantiles"), 2).as("p90"),
+          element_at(col("tok_quantiles"), 3).as("p99"))
+        .orderBy("source"),
+      None),
+
+    // mergeable HLL sketch lifecycle: per-source sketches unioned to a
+    // global distinct estimate without re-reading the corpus
+    "pl_profile_distinct_merge" -> Q(
+      (s, d) => graft.operators.Profiling.unionDistinct(
+        graft.operators.Profiling.distinctSketches(
+          Tables(s, d, "documents"), "source", "text")),
+      None),
+
+    // graded contamination: per-doc shared-shingle fraction vs the
+    // benchmark slice; LEFT join so zero-overlap docs keep a 0.0 score
+    "pl_contamination_frac" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.operators.Curation.contaminationFraction(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 10 === 0), "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), bench AS (
+             |  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0
+             |), corp AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 != 0
+             |)
+             |SELECT c.doc_id, count(*) AS n_shingles, count(b.g) AS n_shared,
+             |  round(CAST(count(b.g) AS DOUBLE) / count(*), 4) AS contamination
+             |FROM corp c LEFT JOIN bench b ON c.g = b.g
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // √-temperature mixture sampling: integer-arithmetic per-source
+    // rates (engine-stable), md5-of-id keep decision; target = ⅓ of the
+    // corpus token mass so rates are nontrivial at every SF
+    "pl_sample_temperature" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val total = docs.agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+        graft.operators.Curation.temperatureSample(
+            docs, "source", "doc_id", "text", total / 3)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t
+             |  FROM documents
+             |), src AS (
+             |  SELECT source, sum(t) AS n,
+             |    CAST(floor(sqrt(CAST(sum(t) AS DOUBLE))) AS BIGINT) AS w
+             |  FROM tok GROUP BY source
+             |), r AS (
+             |  SELECT source, least(1000,
+             |    (1000 * ((SELECT sum(t) FROM tok) // 3) * CAST(w AS HUGEINT))
+             |      // (CAST(sum(w) OVER () AS HUGEINT) * n)) AS permill
+             |  FROM src
+             |)
+             |SELECT t.doc_id, t.source FROM tok t JOIN r USING (source)
+             |WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+             |  < r.permill
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // Bloom-filter decontamination: the blocklist compacts to a scan-
     // stage might_contain probe — zero corpus shuffle at any scale. The
     // filter's exact false-positive set depends on Spark's internal

@@ -290,6 +290,71 @@ class PipelineSpec extends AnyFunSuite {
       s"Lloyd iterations worsened the objective: ${objective(trained)} < ${objective(seeds)}")
   }
 
+  test("sketch profile: HLL and quantile estimates within bounds of exact") {
+    val prof = Profiling.corpusProfile(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("approx_distinct"),
+         r.getAs[scala.collection.Seq[Long]]("tok_quantiles")))
+      .toMap
+    val exact = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("d"),
+        min(TextAnalysis.tokenCount(col("text"))).as("lo"),
+        max(TextAnalysis.tokenCount(col("text"))).as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(prof.keySet == exact.keySet)
+    for ((src, (nDocs, approxD, qs)) <- prof) {
+      val (n, d, lo, hi) = exact(src)
+      assert(nDocs == n, s"$src exact doc count")
+      // rsd=0.01 → ±5σ is generous at 25-doc groups; HLL is near-exact there
+      assert(math.abs(approxD - d) <= math.max(1, (d * 0.05).toLong),
+        s"$src HLL estimate $approxD vs exact $d")
+      assert(qs.length == 3 && qs(0) <= qs(1) && qs(1) <= qs(2),
+        s"$src quantiles not monotone: $qs")
+      assert(qs.forall(q => q >= lo && q <= hi), s"$src quantiles outside [$lo,$hi]")
+    }
+  }
+
+  test("mergeable HLL sketches: union estimate matches exact global distinct") {
+    val est = Profiling.unionDistinct(
+      Profiling.distinctSketches(docs, "source", "text"))
+      .head().getLong(0)
+    val exact = docs.select("text").distinct().count()
+    assert(math.abs(est - exact) <= math.max(2, (exact * 0.05).toLong),
+      s"merged HLL estimate $est vs exact $exact")
+  }
+
+  test("bm25 matches a local reference implementation and ranks by relevance") {
+    val terms = Seq("spark", "window", "hash")
+    val (k1, b) = (1.2, 0.75)
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum / n
+    val idf = terms.map { t =>
+      val dft = corpus.count(_._2.contains(t)).toDouble
+      t -> math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    }.toMap
+    val expected = corpus.map { case (id, toks) =>
+      val dl = toks.length.toDouble
+      id -> terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        idf(t) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+      }.sum
+    }.filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val got = Search.bm25TopK(docs, "doc_id", "text", terms, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == expected.map(_._1).toSeq,
+      s"bm25 ranking mismatch: got ${got.map(_._1).toSeq} want ${expected.map(_._1).toSeq}")
+    for (((gid, gs), (_, es)) <- got.zip(expected))
+      assert(math.abs(gs - es) < 1e-5, s"bm25 score drift for $gid: $gs vs $es")
+    // relevance sanity: every hit contains at least one query term
+    val byId = corpus.toMap
+    assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
+  }
+
   test("incremental minhash mines exactly the pairs touching the increment") {
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val increment = docs.filter(col("doc_id") % 2 === 1)
