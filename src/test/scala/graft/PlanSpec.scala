@@ -182,6 +182,55 @@ class PlanSpec extends AnyFunSuite {
       s"$shuffles shuffle exchanges per cc round (want <=3, the explicit repartitions):\n$p")
   }
 
+  test("keyword search is a shuffle-free scan into a top-k heap") {
+    val p = plan("pl_search_tf")
+    assert(p.contains("TakeOrderedAndProject"), "search must end in a top-k heap:\n" + p)
+    assert(!p.contains("Exchange"), "keyword scoring must not shuffle:\n" + p)
+    assert(!p.contains("Join"), "keyword scoring must not join:\n" + p)
+  }
+
+  test("sketch profile partial-aggregates the sketches map-side") {
+    // HLL registers and quantile summaries must combine BEFORE the
+    // shuffle — per-group constant-size state, never rows — so the only
+    // data crossing the wire is |sources| sketch blobs
+    val df = SparkEntry.queries("pl_profile_sketch")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_approx_count_distinct"), "HLL not map-side combined:\n" + p)
+    assert(p.contains("partial_percentile_approx"), "quantile sketch not map-side combined:\n" + p)
+    val shuffles = "Exchange".r.findAllIn(p).size
+    // one hash shuffle of partial sketches + the presentation sort
+    assert(shuffles <= 2, s"$shuffles exchanges in sketch profile (want <=2):\n$p")
+  }
+
+  test("temperature sampling joins the rate table unhinted, corpus unshuffled") {
+    val df = SparkEntry.queries("pl_sample_temperature")(spark, dir)
+    // rates are data-dependent: no broadcast hint may be pinned; AQE
+    // decides (and picks broadcast for the tiny per-source frame)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      "forced broadcast hint on the rate table:\n" + logical)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only SinglePartition exchange is the per-source rate frame's
+    // whole-frame window (bounded by source cardinality, not corpus)
+    val singles = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(singles == 1, s"$singles SinglePartition exchanges (want 1, the rate frame):\n$p")
+    // the keep decision travels with the join, in-plan
+    assert(p.contains("% 1000"), "md5 keep decision missing from the executed plan:\n" + p)
+  }
+
+  test("contamination fraction left-joins and partial-counts before its shuffle") {
+    val df = SparkEntry.queries("pl_contamination_frac")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("LeftOuter"), "zero-overlap docs need a LEFT join:\n" + p)
+    assert(p.contains("partial_count"), "per-doc counts not map-side combined:\n" + p)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.toLowerCase.contains("broadcast"),
+      "forced broadcast hint on the benchmark shingle set:\n" + logical)
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
