@@ -42,6 +42,23 @@ object Profiling {
           array(lit(0.5), lit(0.9), lit(0.99)), lit(quantileAccuracy))
           .as("tok_quantiles"))
 
+  /** Exact global top-k token frequencies (vocabulary head): explode
+    * tokens, count, top-k. The exact companion to the sketch profile —
+    * when the head of the distribution is what's needed (stopword
+    * lists, tokenizer vocab checks), the exact path is one
+    * partial-aggregated shuffle.
+    *
+    * Scale: map-side combine collapses each partition's token counts
+    * before the exchange (the shuffle carries ≤|vocab| rows per
+    * partition, not token occurrences) and the sort is a
+    * TakeOrderedAndProject heap, never global. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** Per-group DataSketches HLL sketches over `keyCol`: each group gets
     * a compact binary sketch plus its estimate. Unlike
     * `approx_count_distinct`'s internal buffer, these sketches are

@@ -86,19 +86,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    // deterministic seed centroids (tiny: nlist rows to the driver)
-    val seeds: Seq[(Long, Seq[Double])] = df
-      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
-      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
-      .limit(nlist).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-    def litD(c: Seq[Double]): Column = array(c.map(lit): _*)
-    // argmax over cells: max struct(cos, -cid) ⇒ highest cosine, ties to
-    // the smallest centroid id — same ordering the oracle's row_number uses
-    val assigned = array_max(array(seeds.map { case (cid, c) =>
-      struct(cosine(v, litD(c)).as("cos"), lit(-cid).as("negid"))
-    }: _*))
-    val cell = -assigned.getField("negid")
+    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
     // probe: the nprobe cells nearest the query (driver-side, nlist is tiny)
     val qd = query.map(_.toDouble)
     def cosD(a: Seq[Double], b: Seq[Double]): Double = {
@@ -113,6 +101,51 @@ object Similarity {
       .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Deterministic md5-seeded coarse quantizer, shared by [[ivfTopK]]
+    * and [[diversitySample]]: the `nlist` rows with the smallest
+    * md5(id) act as centroids (cell id = the seed row's id), and the
+    * returned Column assigns each vector its nearest cell via the
+    * compiled cosine argmax — a pure scan-stage expression, ties to the
+    * smallest centroid id (the ordering the oracle's row_number uses).
+    * Bounded driver traffic: `nlist` seed vectors. */
+  private[operators] def seedCells(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): (Seq[(Long, Seq[Double])], Column) = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val seeds: Seq[(Long, Seq[Double])] = df
+      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
+      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
+      .limit(nlist).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = array_max(array(seeds.map { case (cid, c) =>
+      struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-cid).as("negid"))
+    }: _*))
+    (seeds, -assigned.getField("negid"))
+  }
+
+  /** Embedding-diversity (cell-stratified) sampling: every vector is
+    * assigned to its nearest md5-seeded centroid cell, and at most
+    * `perCell` rows survive per cell, chosen by the same
+    * content-independent md5-of-id order as
+    * [[graft.operators.Curation.quotaSample]] — semantic coverage
+    * sampling: sparse regions of embedding space keep representation
+    * that proportional/random sampling would wash out.
+    *
+    * Scale: cell assignment is `nlist` compiled cosine kernels inside
+    * the scan (no explode, no join); the per-cell top-k is one shuffle
+    * on the cell key with WindowGroupLimit pruning (rank ≤ perCell)
+    * pushed to the map side. Deterministic across runs AND engines. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, cell) = seedCells(df, idCol, vecCol, nlist)
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
+    df.select(col(idCol), cell.as("cell"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCell)
+      .select(col(idCol), col("cell"))
   }
 
   /** IVF with a k-means-refined coarse quantizer: the md5-seeded

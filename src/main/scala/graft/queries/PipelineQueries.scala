@@ -574,6 +574,44 @@ object PipelineQueries {
         .orderBy("source"),
       None),
 
+    // exact vocabulary head: partial-aggregated token counts into a
+    // top-k heap; the exact companion to the sketch profile
+    "pl_profile_top_tokens" -> Q(
+      (s, d) => graft.operators.Profiling.topTokens(
+        Tables(s, d, "documents"), "text", 30),
+      Some("""SELECT token, count(*) AS freq
+             |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+             |      FROM documents)
+             |WHERE token != ''
+             |GROUP BY token ORDER BY freq DESC, token LIMIT 30""".stripMargin)),
+
+    // embedding-diversity sampling: nearest md5-seeded centroid cell,
+    // md5-ordered per-cell quota — the oracle replays the full
+    // quantizer (same CTEs as pl_emb_ann_ivf)
+    "pl_sample_diverse" -> Q(
+      (s, d) => graft.operators.Similarity.diversitySample(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = 8, perCell = 5)
+        .orderBy("vec_id"),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS cid, v AS c FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+             |),
+             |assign AS (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT e.vec_id, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid) AS rn
+             |    FROM emb e CROSS JOIN cent c) WHERE rn = 1
+             |)
+             |SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cid AS cell, row_number() OVER (
+             |    PARTITION BY cid
+             |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+             |  FROM assign) WHERE rk <= 5
+             |ORDER BY vec_id""".stripMargin)),
+
     // mergeable HLL sketch lifecycle: per-source sketches unioned to a
     // global distinct estimate without re-reading the corpus
     "pl_profile_distinct_merge" -> Q(

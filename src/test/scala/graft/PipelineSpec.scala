@@ -355,6 +355,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("diversity sample: per-cell quota honored, cells covered, deterministic") {
+    val sampled = Similarity.diversitySample(emb, "vec_id", "embedding", 8, 5)
+    val rows = sampled.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val again = Similarity.diversitySample(emb, "vec_id", "embedding", 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "must be deterministic")
+    val perCell = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 5), s"cell quota violated: ${perCell.toMap}")
+    // every non-empty cell keeps representation — the point of
+    // stratifying: full-corpus assignment must hit exactly these cells
+    val allCells = Similarity.diversitySample(emb, "vec_id", "embedding", 8, Int.MaxValue)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(perCell.keySet == allCells,
+      s"cells lost: ${allCells -- perCell.keySet}")
+  }
+
   test("incremental minhash mines exactly the pairs touching the increment") {
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val increment = docs.filter(col("doc_id") % 2 === 1)

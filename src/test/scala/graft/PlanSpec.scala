@@ -231,6 +231,23 @@ class PlanSpec extends AnyFunSuite {
       "forced broadcast hint on the benchmark shingle set:\n" + logical)
   }
 
+  test("top-tokens partial-aggregates before the shuffle and heap-sorts") {
+    val df = SparkEntry.queries("pl_profile_top_tokens")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_count"), "token counts not map-side combined:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be a heap, not a sort:\n" + p)
+  }
+
+  test("diversity sample assigns cells in the scan stage, prunes per-cell") {
+    val df = SparkEntry.queries("pl_sample_diverse")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), "explode in cell assignment:\n" + p)
+    val joins = "Join".r.findAllIn(p).size
+    assert(joins == 0, s"cell assignment must not join ($joins joins):\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-cell quota must prune eagerly:\n" + p)
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
