@@ -247,11 +247,33 @@ object EventStream {
       .select(col("click_id"), col("user_id"), col("signup_ts"), col("signup_value"))
   }
 
+  /** Windowed streaming sketch profile: per-(window, event_type) row
+    * counts and HLL-approximate distinct users. HLL registers merge by
+    * elementwise max — commutative and associative — so the streaming
+    * incremental merge produces the IDENTICAL estimate to the batch
+    * computation over the same finalized windows (the spec gates this
+    * equality, not a tolerance). The streaming face of
+    * [[graft.operators.Profiling]]: constant-size per-window state at
+    * any event rate. */
+  def windowedProfile(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("approx_users"))
+
   /** Run a bounded smoke of the streaming pipeline: consume every
     * available file, return the materialized windowed counts. */
-  def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val q = windowedCounts(readEvents(spark, dir))
-      .writeStream.outputMode(OutputMode.Append)
+  def runWindowedBatch(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runToMemory(windowedCounts(readEvents(spark, dir)), queryName)
+
+  /** Consume every available file through `df`'s streaming plan into a
+    * memory sink and return the materialized table. */
+  def runToMemory(df: DataFrame, queryName: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName(queryName)
       .start()
     q.processAllAvailable()

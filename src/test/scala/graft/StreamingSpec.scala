@@ -43,6 +43,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b, s"stream/batch divergence: ${s.diff(b).take(3)} vs ${b.diff(s).take(3)}")
   }
 
+  test("streaming sketch profile merges HLL identically to batch") {
+    val events = Tables(spark, "/root/testdata/sf0.001", "events")
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - (40 * 60 * 1000))
+    val streamed = EventStream.runToMemory(
+        EventStream.windowedProfile(EventStream.readEvents(spark, dir)), "prof_smoke")
+      .filter(col("win_start") <= horizon)
+      .orderBy("win_start", "event_type")
+    val batch = events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("approx_users"))
+      .filter(col("win_start") <= horizon)
+      .orderBy("win_start", "event_type")
+    val s = streamed.collect().toSeq
+    val b = batch.collect().toSeq
+    assert(s.nonEmpty)
+    // HLL register merge is max-commutative: incremental streaming merge
+    // must EQUAL the batch estimate, not just approximate it
+    assert(s == b, s"stream/batch HLL divergence: ${s.diff(b).take(3)} vs ${b.diff(s).take(3)}")
+  }
+
   test("streaming exact dedup drops re-seen content within the watermark") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
