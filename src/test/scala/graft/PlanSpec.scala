@@ -248,6 +248,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-cell quota must prune eagerly:\n" + p)
   }
 
+  test("bucketed tables join exchange-free on the bucket key") {
+    import org.apache.spark.sql.functions.col
+    val o = graft.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    graft.operators.Bucketing.writeBucketed(o, "bkt_orders", "o_orderkey", 8)
+    graft.operators.Bucketing.writeBucketed(li, "bkt_lineitem", "l_orderkey", 8)
+    // merge hint: keep the strategy a sort-merge join so the gate tests
+    // the layout (broadcast would trivially avoid the exchange at this SF)
+    val joined = spark.table("bkt_orders").hint("merge")
+      .join(spark.table("bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), "expected a sort-merge join:\n" + p)
+    assert(!p.contains("Exchange"),
+      "bucketed layout must satisfy the join distribution without a shuffle:\n" + p)
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan did not recognize the bucketed layout:\n" + p)
+  }
+
   test("ivf ANN assigns cells in the scan stage and ends in top-k") {
     val df = SparkEntry.queries("pl_emb_ann_ivf")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
