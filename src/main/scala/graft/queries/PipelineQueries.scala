@@ -392,6 +392,19 @@ object PipelineQueries {
     // recall >= the seeded variant). The refined centroid trajectory
     // depends on float mean rounding DuckDB can't replay bit-exactly →
     // rows-only check, like the bloom filter.
+    // PQ ANN: md5-seeded codebooks, scan-stage compiled-dot encoding,
+    // literal ADC table lookup, true-cosine rescore of the shortlist.
+    // The ADC table is driver-computed float arithmetic DuckDB can't
+    // replay bit-for-bit → rows-only; recall/rescore guarantees in spec
+    "pl_emb_ann_pq" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 10)
+      },
+      None),
+
     "pl_emb_ann_ivf_kmeans" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")

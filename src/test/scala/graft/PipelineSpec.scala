@@ -355,6 +355,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("pq ANN: deterministic, true-cosine rescore, useful recall") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def run() = Similarity.pqTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val got = run()
+    assert(got.toSeq == run().toSeq, "PQ must be deterministic")
+    // scores are rescored true cosines, not ADC approximations
+    for ((id, cos) <- got if brute.contains(id))
+      assert(math.abs(brute(id) - cos) < 1e-9, s"score drift for $id")
+    val recall = got.map(_._1).count(brute.keySet).toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall@10 $recall below floor")
+  }
+
   test("diversity sample: per-cell quota honored, cells covered, deterministic") {
     val sampled = Similarity.diversitySample(emb, "vec_id", "embedding", 8, 5)
     val rows = sampled.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -254,6 +254,13 @@ class PlanSpec extends AnyFunSuite {
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val li = graft.Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity")
+    // a previous JVM's warehouse dir outlives the in-memory catalog:
+    // drop both layers or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    for (t <- Seq("bkt_orders", "bkt_lineitem")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) new scala.reflect.io.Directory(loc).deleteRecursively()
+    }
     graft.operators.Bucketing.writeBucketed(o, "bkt_orders", "o_orderkey", 8)
     graft.operators.Bucketing.writeBucketed(li, "bkt_lineitem", "l_orderkey", 8)
     // merge hint: keep the strategy a sort-merge join so the gate tests
