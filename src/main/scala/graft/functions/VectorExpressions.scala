@@ -566,6 +566,130 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** PQ encoder: L2-normalizes the input vector (cosine target ⇒
+    * unit-sphere L2), then per subspace `s` of `sub` dims emits
+    * argmin_c ‖x_s − book(s,c)‖², ties to the smallest code. `books`
+    * is the flat codebook, laid out books[(s·ncent + c)·sub + j].
+    *
+    * One compiled loop per row instead of the unrolled m×ncent
+    * candidate Column tree — the tree form at m=8, ncent=16 generates
+    * an expression so large that Janino compilation dominates the
+    * query (~40 s at sf0.1, measured); this kernel plans in
+    * milliseconds and participates in whole-stage codegen. */
+  case class PqEncode(child: Expression, books: IndexedSeq[Double],
+      ncent: Int, sub: Int) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(child.dataType), "pq_encode", "array<float|double>",
+        Seq(child.dataType))
+    private val m = books.length / (ncent * sub)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val bookArr: Array[Double] = books.toArray
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val dim = m * sub
+      val isF = child.dataType match {
+        case ArrayType(FloatType, _) => true; case _ => false
+      }
+      val x = new Array[Double](dim)
+      val n = math.min(arr.numElements(), dim)
+      var ss = 0.0; var i = 0
+      while (i < n) {
+        val e = if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+        x(i) = e; ss += e * e; i += 1
+      }
+      val nrm = math.sqrt(ss)
+      if (nrm != 0.0) { i = 0; while (i < dim) { x(i) /= nrm; i += 1 } }
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < ncent) {
+          val off = (s * ncent + c) * sub
+          var d2 = 0.0; var j = 0
+          while (j < sub) { val d = x(s * sub + j) - bookArr(off + j); d2 += d * d; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best; s += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bk = ctx.addReferenceObj("pqBooks", bookArr, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val x = ctx.freshName("x"); val codes = ctx.freshName("codes")
+        val ss = ctx.freshName("ss"); val nrm = ctx.freshName("nrm")
+        val i = ctx.freshName("i"); val s = ctx.freshName("s")
+        val c = ctx.freshName("c"); val j = ctx.freshName("j")
+        val n = ctx.freshName("n"); val best = ctx.freshName("best")
+        val bestD = ctx.freshName("bestD"); val d2 = ctx.freshName("d2")
+        val off = ctx.freshName("off"); val dd = ctx.freshName("dd")
+        s"""
+        double[] $x = new double[${m * sub}];
+        int $n = Math.min($a.numElements(), ${m * sub});
+        double $ss = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double e = (double) $a.${getter(child)}($i);
+          $x[$i] = e; $ss += e * e;
+        }
+        double $nrm = Math.sqrt($ss);
+        if ($nrm != 0.0) for (int $i = 0; $i < ${m * sub}; $i++) $x[$i] /= $nrm;
+        int[] $codes = new int[$m];
+        for (int $s = 0; $s < $m; $s++) {
+          int $best = 0; double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $ncent; $c++) {
+            int $off = ($s * $ncent + $c) * $sub;
+            double $d2 = 0.0;
+            for (int $j = 0; $j < $sub; $j++) {
+              double $dd = $x[$s * $sub + $j] - $bk[$off + $j];
+              $d2 += $dd * $dd;
+            }
+            if ($d2 < $bestD) { $bestD = $d2; $best = $c; }
+          }
+          $codes[$s] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  }
+
+  /** PQ asymmetric-distance score: Σ_s dtable[s·ncent + codes[s]] —
+    * the per-query lookup-table scan over PQ codes. `dtable` is flat
+    * [s][c] → dtable[s·ncent + c]. Compiled loop, whole-stage codegen. */
+  case class PqAdc(child: Expression, dtable: IndexedSeq[Double], ncent: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType match {
+        case ArrayType(IntegerType, _) => true; case _ => false
+      }, "pq_adc", "array<int>", Seq(child.dataType))
+    private val m = dtable.length / ncent
+    override def dataType: DataType = DoubleType
+    @transient private lazy val tabArr: Array[Double] = dtable.toArray
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), m)
+      var acc = 0.0; var s = 0
+      while (s < n) { acc += tabArr(s * ncent + arr.getInt(s)); s += 1 }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tb = ctx.addReferenceObj("pqDtable", tabArr, "double[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val n = ctx.freshName("n"); val s = ctx.freshName("s")
+        val acc = ctx.freshName("acc")
+        s"""
+        int $n = Math.min($a.numElements(), $m);
+        double $acc = 0.0;
+        for (int $s = 0; $s < $n; $s++) $acc += $tb[$s * $ncent + $a.getInt($s)];
+        ${ev.value} = $acc;
+        """
+      })
+    }
+    override protected def withNewChildInternal(c: Expression): PqAdc = copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -588,6 +712,15 @@ object VectorExpressions {
       exprs => L2Normalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_top_ngram",
       exprs => TopNgramStats(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_encode",
+      exprs => PqEncode(exprs(0),
+        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pq_adc",
+      exprs => PqAdc(exprs(0),
+        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -610,4 +743,12 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_l2_normalize", c) }
   def top_ngram(c: Column, n: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_top_ngram", c, org.apache.spark.sql.functions.lit(n)) }
+  def pq_encode(c: Column, books: Seq[Double], ncent: Int, sub: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
+      org.apache.spark.sql.functions.lit(books.toArray),
+      org.apache.spark.sql.functions.lit(ncent), org.apache.spark.sql.functions.lit(sub)) }
+  def pq_adc(codes: Column, dtable: Seq[Double], ncent: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_adc", codes,
+      org.apache.spark.sql.functions.lit(dtable.toArray),
+      org.apache.spark.sql.functions.lit(ncent)) }
 }

@@ -161,8 +161,9 @@ object Similarity {
     * Engine-reproducible like the IVF family: codebooks start as
     * md5-seeded row slices (no RNG state) and are refined by
     * `trainIters` distributed per-subspace Lloyd iterations; encoding
-    * is a compiled-dot argmin in the scan stage, and the ADC score is
-    * a literal-table lookup chain — no join, no shuffle before the
+    * is ONE compiled kernel ([[graft.functions.VectorExpressions.PqEncode]],
+    * normalize + argmin in a single scan-stage loop) and the ADC score
+    * one compiled table-lookup kernel — no join, no shuffle before the
     * top-k heaps.
     *
     * Exactness contract: returned `cos` values are TRUE cosines
@@ -189,19 +190,14 @@ object Similarity {
     // books(s)(c) = subspace s's centroid c
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map(s =>
       (0 until ncent).map(c => seeds(c).slice(s * sub, (s + 1) * sub)))
-    // encode: per subspace, argmin_c ||v_s − b_sc||² via the compiled
-    // dot kernel (‖v_s‖² is common to all candidates — drop it;
-    // argmin of ‖b‖² − 2·v_s·b, ties to the smallest code)
-    def code(s: Int): Column = {
-      val subv = slice(vn, s * sub + 1, sub)
-      val cands = (0 until ncent).map { c =>
-        val b = books(s)(c)
-        val d2 = lit(b.map(x => x * x).sum) -
-          lit(2.0) * dot(subv, array(b.map(lit): _*))
-        struct((-d2).as("negd"), lit(-c).as("negc"))
-      }
-      -array_max(array(cands: _*)).getField("negc")
-    }
+    // flat [s][c][j] layout for the compiled kernel (normalization +
+    // per-subspace argmin in ONE loop expression — an unrolled m×ncent
+    // Column tree makes Janino compilation dominate the query)
+    def flatBooks: IndexedSeq[Double] =
+      for (s <- 0 until m; c <- 0 until ncent; j <- 0 until sub)
+        yield books(s)(c)(j)
+    def codes: Column =
+      graft.functions.VectorExpressions.pq_encode(v, flatBooks, ncent, sub)
     // train: per-subspace Lloyd on the subvectors — assignment runs in
     // the scan (the same compiled argmin), and ONE posexplode aggregate
     // per iteration returns m × ncent × sub per-(subspace, code, dim)
@@ -210,7 +206,6 @@ object Similarity {
     // their centroid. Raw md5 seeds quantize noticeably worse — recall
     // at the same shortlist roughly doubles after two iterations.
     for (_ <- 1 to trainIters) {
-      val codes = array((0 until m).map(code): _*)
       val means = df.select(codes.as("__cs"), posexplode(vn))
         .select(expr(s"pos div $sub").as("s"),
           element_at(col("__cs"), expr(s"pos div $sub").cast(IntegerType) + 1).as("c"),
@@ -226,25 +221,17 @@ object Similarity {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toIndexedSeq
       })
     }
-    def book(s: Int, c: Int): IndexedSeq[Double] = books(s)(c)
-    // per-query ADC table: dtable(s)(c) = ‖q_s − b_sc‖² (driver-side,
-    // m × ncent doubles)
+    // per-query ADC table: dtable flat [s][c] = ‖q_s − b_sc‖²
+    // (driver-side, m × ncent doubles), scanned by the compiled lookup
     val qraw = query.map(_.toDouble)
     val qnorm = math.sqrt(qraw.map(x => x * x).sum)
     val qd = (if (qnorm == 0.0) qraw else qraw.map(_ / qnorm)).toIndexedSeq
-    val dtable: IndexedSeq[IndexedSeq[Double]] = (0 until m).map { s =>
-      (0 until ncent).map { c =>
-        val b = book(s, c)
-        (0 until sub).map { j =>
-          val d = qd(s * sub + j) - b(j); d * d
-        }.sum
+    val dtable: IndexedSeq[Double] =
+      for (s <- 0 until m; c <- 0 until ncent) yield {
+        val b = books(s)(c)
+        (0 until sub).map { j => val d = qd(s * sub + j) - b(j); d * d }.sum
       }
-    }
-    val codes = array((0 until m).map(code): _*)
-    val approx = (0 until m).map { s =>
-      element_at(array(dtable(s).map(lit): _*),
-        (element_at(col("__codes"), s + 1) + 1).cast(IntegerType))
-    }.reduce(_ + _)
+    val approx = graft.functions.VectorExpressions.pq_adc(col("__codes"), dtable, ncent)
     df.select(col(idCol), v.as("v"), codes.as("__codes"))
       .withColumn("__approx", approx)
       .orderBy(col("__approx"), col(idCol))

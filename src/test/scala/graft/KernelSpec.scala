@@ -110,6 +110,48 @@ class KernelSpec extends AnyFunSuite {
     assert(f.select(VE.l2_normalize(col("v"))).head().getSeq[Double](0).toSeq == Seq(0.6, 0.8))
   }
 
+  test("PqEncode/PqAdc match a driver-side PQ reference (double + float paths)") {
+    val ncent = 4; val sub = 2; val m = 3 // 6-dim vectors, 3 subspaces
+    val books: IndexedSeq[Double] = IndexedSeq(
+      // s=0: centroids (1,0) (0,1) (-1,0) (0,-1)
+      1, 0, 0, 1, -1, 0, 0, -1,
+      // s=1: same
+      1, 0, 0, 1, -1, 0, 0, -1,
+      // s=2: same
+      1, 0, 0, 1, -1, 0, 0, -1).map(_.toDouble)
+    def ref(v: Seq[Double]): (Seq[Int], Double) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val x = if (n == 0) v else v.map(_ / n)
+      val cs = (0 until m).map { s =>
+        (0 until ncent).minBy { c =>
+          (0 until sub).map { j =>
+            val d = x(s * sub + j) - books((s * ncent + c) * sub + j); d * d
+          }.sum
+        }
+      }
+      val dt = (0 until m * ncent).map(i => i * 0.25)
+      (cs, cs.zipWithIndex.map { case (c, s) => dt(s * ncent + c) }.sum)
+    }
+    val vecs = Seq(
+      Seq(5.0, 0.1, -0.1, 3.0, 0.0, -2.0),
+      Seq(-1.0, -1.0, 1.0, 1.0, 0.5, 0.5),
+      Seq(0.0, 2.0, 0.0, -2.0, 2.0, 0.0))
+    val df = spark.createDataFrame(java.util.Arrays.asList(vecs.map(Row(_)): _*),
+      StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+    val dt = (0 until m * ncent).map(i => i * 0.25)
+    val got = df.select(VE.pq_encode(col("v"), books, ncent, sub).as("c"))
+      .select(col("c"), VE.pq_adc(col("c"), dt, ncent).as("d")).collect()
+      .map(r => (r.getSeq[Int](0).toSeq, r.getDouble(1)))
+    assert(got.toSeq == vecs.map(ref), s"kernel/reference divergence: ${got.toSeq}")
+    // float input path encodes identically
+    val f = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map(v => Row(v.map(_.toFloat))): _*),
+      StructType(Seq(StructField("v", ArrayType(FloatType)))))
+    val gotF = f.select(VE.pq_encode(col("v"), books, ncent, sub)).collect()
+      .map(_.getSeq[Int](0).toSeq)
+    assert(gotF.toSeq == vecs.map(v => ref(v)._1))
+  }
+
   test("kernels reject wrong input types at analysis time") {
     val df = spark.createDataFrame(java.util.List.of(Row(Seq(1, 2), "x")),
       StructType(Seq(StructField("ia", ArrayType(IntegerType)), StructField("s", StringType))))
