@@ -288,6 +288,41 @@ object Curation {
       .withColumn("contamination", round(col("n_shared") / col("n_shingles"), 4))
   }
 
+  /** Boilerplate-span removal (the CCNet/RefinedWeb paragraph-dedup
+    * screen, on token windows): cut each document into consecutive
+    * `spanTokens`-token spans, count how many DISTINCT documents each
+    * span text occurs in, drop every span that appears in `minDocs`+
+    * documents (headers, footers, license blocks, templated text), and
+    * reassemble the surviving spans in order. Documents whose spans are
+    * all boilerplate disappear entirely.
+    *
+    * Scale: spans explode once; the frequency table is one
+    * partial-aggregated shuffle on span text; the removal is a LEFT
+    * ANTI join against the (data-dependent, usually small) frequent-
+    * span set — unhinted, AQE picks the strategy; reassembly is one
+    * shuffle on doc id with an in-group sort by span position (no
+    * global sort). Fully deterministic → DuckDB-oracle-replayable. */
+  def dropBoilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int): DataFrame = {
+    require(spanTokens > 0 && minDocs > 1, "need spanTokens>0, minDocs>1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val nSpans = ceil(size(toks).cast(DoubleType) / spanTokens).cast(IntegerType)
+    val spans = transform(sequence(lit(0), nSpans - 1), i =>
+      struct(i.as("pos"),
+        array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ").as("s")))
+    val exploded = df.select(col(idCol), explode(spans).as("sp"))
+      .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
+    val frequent = exploded.groupBy("s")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("s")
+    exploded.join(frequent, Seq("s"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")), " ").as("clean_text"))
+  }
+
   // conservative patterns that parse identically in Java regex and RE2
   // (DuckDB) — the point is reproducible redaction, not perfect recall
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -705,6 +705,29 @@ object PipelineQueries {
       },
       None),
 
+    // boilerplate-span removal: spans shared by >=2 docs (the exact-dup
+    // families in the fixture) are cut, survivors reassembled in order
+    "pl_boilerplate_spans" -> Q(
+      (s, d) => graft.operators.Curation.dropBoilerplateSpans(
+          Tables(s, d, "documents"), "doc_id", "text",
+          spanTokens = 8, minDocs = 2)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), spans AS (
+             |  SELECT doc_id, pos, array_to_string(t[(pos*8+1):((pos+1)*8)], ' ') AS s
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos
+             |        FROM tok)
+             |), bad AS (
+             |  SELECT s FROM spans GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+             |), kept AS (
+             |  SELECT doc_id, pos, s FROM spans ANTI JOIN bad USING (s)
+             |)
+             |SELECT doc_id,
+             |  array_to_string(list(s ORDER BY pos), ' ') AS clean_text
+             |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: a known PII suffix is appended so the redaction is
     // exercised on every row; both engines apply identical regexes
     "pl_pii_redact" -> Q(

@@ -355,6 +355,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("boilerplate spans match a local reference implementation exactly") {
+    val cleaned = Curation.dropBoilerplateSpans(docs, "doc_id", "text", 8, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").trim).toMap
+    val spansBy = orig.map { case (id, t) =>
+      id -> t.split("\\s+").grouped(8).map(_.mkString(" ")).toVector }
+    val bad = spansBy.toSeq.flatMap { case (id, sp) => sp.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.size >= 2).keySet
+    val expected = spansBy
+      .map { case (id, sp) => id -> sp.filterNot(bad).mkString(" ") }
+      .filter { case (id, sp) => spansBy(id).exists(!bad(_)) }
+    assert(cleaned.size < orig.size, "no doc was fully boilerplate in the fixture")
+    assert(expected.exists { case (id, t) => t != orig(id) },
+      "no span was cut — the fixture's dup families should share spans")
+    assert(cleaned == expected,
+      s"divergence on ${(cleaned.keySet ++ expected.keySet).find(k => cleaned.get(k) != expected.get(k))}")
+  }
+
   test("pq ANN: deterministic, true-cosine rescore, useful recall") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
