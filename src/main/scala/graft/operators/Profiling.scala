@@ -75,4 +75,38 @@ object Profiling {
   def unionDistinct(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
+
+  /** Pairwise source-overlap estimation via KMV (bottom-k) sketches:
+    * each source keeps the k smallest md5(content) values; for a pair,
+    * the k smallest of the merged signatures act as a uniform sample
+    * of the union, and the fraction present in BOTH signatures
+    * estimates Jaccard — the standard bottom-k containment/overlap
+    * estimator, here for provenance questions like "how much of source
+    * A is also in source B" across a corpus too large to intersect.
+    *
+    * Deterministic (md5 order, no RNG) and fully oracle-replayable —
+    * unlike the HLL profile, the sketch VALUES are engine-stable, not
+    * just the estimates. When k ≥ |A∪B| the estimate is exact.
+    *
+    * Scale: one distinct + one per-source bottom-k (WindowGroupLimit
+    * prunes map-side); the pairwise stage runs on |sources| signature
+    * ROWS (k hashes each), never on documents — |sources|² pairs of
+    * k-element array ops, independent of corpus size. */
+  def sourceOverlapKmv(df: DataFrame, sourceCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(sourceCol).as("src"), md5(col(textCol)).as("h")).distinct()
+    val w = Window.partitionBy("src").orderBy("h")
+    val sig = hashed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy("src").agg(sort_array(collect_list("h")).as("sig"))
+    val a = sig.select(col("src").as("source_a"), col("sig").as("sig_a"))
+    val b = sig.select(col("src").as("source_b"), col("sig").as("sig_b"))
+    val merged = slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k)
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("__m", merged)
+      .select(col("source_a"), col("source_b"),
+        round(size(array_intersect(array_intersect(col("__m"), col("sig_a")), col("sig_b")))
+          / least(lit(k), size(col("__m"))), 4).as("jaccard_est"))
+  }
 }

@@ -625,6 +625,30 @@ object PipelineQueries {
              |  FROM assign) WHERE rk <= 5
              |ORDER BY vec_id""".stripMargin)),
 
+    // KMV bottom-k source-overlap matrix: deterministic md5 sketches,
+    // so the oracle replays the sketch VALUES, not just estimates
+    "pl_profile_source_overlap" -> Q(
+      (s, d) => graft.operators.Profiling.sourceOverlapKmv(
+          Tables(s, d, "documents"), "source", "text", k = 16)
+        .orderBy("source_a", "source_b"),
+      Some("""WITH h AS (
+             |  SELECT DISTINCT source AS src, md5(text) AS hv FROM documents
+             |), sig AS (
+             |  SELECT src, list_sort(list(hv)) AS sg FROM (
+             |    SELECT src, hv,
+             |      row_number() OVER (PARTITION BY src ORDER BY hv) AS rk
+             |    FROM h) WHERE rk <= 16 GROUP BY src
+             |), pairs AS (
+             |  SELECT a.src AS source_a, b.src AS source_b,
+             |    list_sort(list_distinct(list_concat(a.sg, b.sg)))[1:16] AS m,
+             |    a.sg AS sa, b.sg AS sb
+             |  FROM sig a JOIN sig b ON a.src < b.src
+             |)
+             |SELECT source_a, source_b,
+             |  round(CAST(len(list_intersect(list_intersect(m, sa), sb)) AS DOUBLE)
+             |    / least(16, len(m)), 4) AS jaccard_est
+             |FROM pairs ORDER BY source_a, source_b""".stripMargin)),
+
     // mergeable HLL sketch lifecycle: per-source sketches unioned to a
     // global distinct estimate without re-reading the corpus
     "pl_profile_distinct_merge" -> Q(

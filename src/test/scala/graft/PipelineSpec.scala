@@ -355,6 +355,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("KMV source overlap: exact when k covers the union, bounded error when not") {
+    val exact = {
+      val bySrc = docs.select(col("source"), md5(col("text")).as("h")).distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for {
+        a <- bySrc.keys.toSeq; b <- bySrc.keys.toSeq if a < b
+      } yield (a, b) ->
+        (bySrc(a) & bySrc(b)).size.toDouble / (bySrc(a) | bySrc(b)).size
+    }.toMap
+    // k=64 ≥ every pair's union size (25+25 docs) → estimator is EXACT
+    val big = Profiling.sourceOverlapKmv(docs, "source", "text", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(big.keySet == exact.keySet)
+    for ((p, est) <- big)
+      assert(math.abs(est - exact(p)) < 5e-4, s"pair $p: exact-regime KMV $est vs ${exact(p)}")
+    // k=16 is a real sketch: error bounded by the bottom-k deviation
+    val small = Profiling.sourceOverlapKmv(docs, "source", "text", 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for ((p, est) <- small)
+      assert(math.abs(est - exact(p)) <= 0.3, s"pair $p: sketch KMV $est vs ${exact(p)}")
+  }
+
   test("boilerplate spans match a local reference implementation exactly") {
     val cleaned = Curation.dropBoilerplateSpans(docs, "doc_id", "text", 8, 2)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
