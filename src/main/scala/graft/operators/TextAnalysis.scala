@@ -37,6 +37,35 @@ object TextAnalysis {
       greatest(size(toks), lit(1)).cast(DoubleType)
   }
 
+  /** Unigram-LM quality score (the CCNet-style perplexity filter, with
+    * the corpus itself as the LM): pass 1 fits token probabilities over
+    * the whole corpus (top-`vocab` tokens; everything rarer scores at
+    * the 1/total floor), pass 2 scores each document by its mean token
+    * log-probability — templated/natural text scores high, gibberish
+    * and rare-token soup score low. Filter on a corpus quantile of the
+    * score to drop the tail.
+    *
+    * Scale: the vocabulary fit is one partial-aggregated token count +
+    * a top-`vocab` heap (bounded result, independent of corpus size);
+    * scoring explodes tokens once and joins the vocab UNHINTED (AQE
+    * broadcasts the bounded table), then one per-doc aggregate. Mean
+    * of ln() is float-summation-order sensitive → not oracle-gated;
+    * the spec runs a local reference implementation instead. */
+  def unigramQualityScore(df: DataFrame, idCol: String, textCol: String,
+      vocab: Int = 65536): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val total = toks.count()
+    val lm = toks.groupBy("t").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(vocab)
+      .select(col("t"), log(col("n").cast(DoubleType) / total).as("logp"))
+    val floor = math.log(1.0 / total)
+    toks.join(lm, Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(round(avg(coalesce(col("logp"), lit(floor))), 4).as("logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> enStop,

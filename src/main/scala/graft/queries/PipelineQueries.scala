@@ -729,6 +729,15 @@ object PipelineQueries {
       },
       None),
 
+    // unigram-LM quality score: corpus-fit token logprobs, per-doc mean
+    // (CCNet-style perplexity proxy). ln() mean is summation-order
+    // sensitive -> rows-only; spec runs the local reference
+    "pl_text_lm_quality" -> Q(
+      (s, d) => graft.operators.TextAnalysis.unigramQualityScore(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      None),
+
     // boilerplate-span removal: spans shared by >=2 docs (the exact-dup
     // families in the fixture) are cut, survivors reassembled in order
     "pl_boilerplate_spans" -> Q(

