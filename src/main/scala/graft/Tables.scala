@@ -29,7 +29,11 @@ object Tables {
       // computes after date_trunc/year/…)
       spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
         .withColumn("ts",
-          timestamp_micros((col("ts") / 1000L).cast(LongType)))
+          // integer `div`, NOT `/`: Column./ is double division, and
+          // 2024-era nanosecond longs (~1.7e18) exceed a double's 2^53
+          // integer range — the rounded quotient lands ±1 µs off the
+          // truth (caught by the funnel oracle's exact ts compare)
+          timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -16,6 +16,43 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
+  /** Ordered-funnel analysis: for each user, the earliest
+    * strictly-increasing chain of `steps` event types (classic
+    * signup→click→purchase conversion). Emits one row per user with
+    * the chain timestamps (`ts1..tsN`, null once the chain breaks) and
+    * `steps_completed`.
+    *
+    * Implementation: ONE shuffle groups each user's events into a
+    * sorted array, then the chain is a per-row fold over higher-order
+    * array functions (filter + array_min per step) — no self-join per
+    * step, which at 100 TB would be |steps| shuffles of the full event
+    * log instead of one. Per-user event counts bound the array (the
+    * same assumption sessionization makes). */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val grouped = df.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("tp"))))
+        .as("__evs"))
+    // ts(i) = min ts of events of type steps(i) AFTER ts(i-1)
+    val chain = steps.zipWithIndex.foldLeft(Seq.empty[(String, Column)]) {
+      case (acc, (step, i)) =>
+        val after: Column => Column = ts =>
+          if (i == 0) lit(true) else ts > acc.last._2
+        val t = array_min(transform(
+          filter(col("__evs"), e => e.getField("tp") === step && after(e.getField("ts"))),
+          e => e.getField("ts")))
+        acc :+ (s"ts${i + 1}", t)
+    }
+    // chain nulls propagate (ts_{i+1} needs ts_i), so the furthest step
+    // is simply the count of non-null chain timestamps
+    val completed = chain.map { case (_, t) =>
+      when(t.isNotNull, 1).otherwise(0) }.reduce(_ + _)
+    grouped.select(
+      (col(userCol) +: chain.map { case (n, t) => t.as(n) }) :+
+        completed.as("steps_completed"): _*)
+  }
+
   /** As-of join: for each left row, attach `valueCol` from the latest
     * right row with rightTs <= leftTs and equal key. Implemented as a
     * tagged union + last-non-null window — one shuffle on the key, no

@@ -475,6 +475,37 @@ object PipelineQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // ordered conversion funnel: earliest strictly-increasing
+    // signup -> click -> purchase chain per user, one shuffle
+    "pl_funnel" -> Q(
+      (s, d) => graft.operators.EventOps.funnel(
+          Tables(s, d, "events"), "user_id", "ts", "event_type",
+          Seq("signup", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS ts1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id
+             |), t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+             |  GROUP BY e.user_id
+             |), t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+             |  GROUP BY e.user_id
+             |)
+             |SELECT u.user_id, t1.ts1, t2.ts2, t3.ts3,
+             |  (CASE WHEN ts1 IS NULL THEN 0 ELSE 1 END
+             |   + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+             |   + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END) AS steps_completed
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN t1 ON u.user_id = t1.user_id
+             |LEFT JOIN t2 ON u.user_id = t2.user_id
+             |LEFT JOIN t3 ON u.user_id = t3.user_id
+             |ORDER BY u.user_id""".stripMargin)),
+
     // gap-based sessionization (30-minute inactivity gap)
     "pl_sessionize" -> Q(
       (s, d) => graft.operators.EventOps.gapSessionIds(

@@ -30,7 +30,9 @@ object EventStream {
     spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      // integer `div`, NOT `/` — double division is lossy past 2^53 ns
+      // (see graft.Tables: the same conversion, same reason)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window counts with a watermark: the canonical streaming
