@@ -160,6 +160,9 @@ class KernelSpec extends AnyFunSuite {
     intercept[Exception] { df.select(VE.intersect_count(col("ia"), col("ia"))).collect() }
     intercept[Exception] { df.select(VE.l2_normalize(col("s"))).collect() }
     intercept[Exception] { df.select(VE.word_shingle_md5(col("ia"), 2)).collect() }
+    // pq_encode wants a numeric array; pq_adc wants array<int>
+    intercept[Exception] { df.select(VE.pq_encode(col("s"), Seq(1.0, 2.0), 1, 2)).collect() }
+    intercept[Exception] { df.select(VE.pq_adc(col("s"), Seq(1.0), 1)).collect() }
   }
 
   test("simHash column equals DuckDB-reproducible md5 formulation on fixtures") {

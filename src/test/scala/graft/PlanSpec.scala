@@ -248,6 +248,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "per-cell quota must prune eagerly:\n" + p)
   }
 
+  test("funnel is one shuffle of the event log, no per-step self-joins") {
+    val df = SparkEntry.queries("pl_funnel")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), "funnel must not self-join per step:\n" + p)
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"$hashShuffles hash exchanges in the funnel (want 1, the user grouping):\n$p")
+  }
+
+  test("shuffle-shard is one exchange with per-shard windows, no global sort") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Curation.shuffleShards(
+      graft.Tables(spark, dir, "documents"), "doc_id", 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles hash exchanges (want 1, the shard key):\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort leaked into shuffle-shard:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "single-partition window leaked into shuffle-shard:\n" + p)
+  }
+
   test("bucketed tables join exchange-free on the bucket key") {
     import org.apache.spark.sql.functions.col
     val o = graft.Tables(spark, dir, "orders")
