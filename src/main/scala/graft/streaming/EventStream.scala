@@ -146,6 +146,28 @@ object EventStream {
       .withColumn("content_hash", md5(col(textCol).cast(BinaryType)))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation pipeline — the batch screens composed on an
+    * unbounded document feed: quality gate (pure Column, fuses into
+    * the stream scan), exact first-seen dedup within the watermark
+    * horizon ([[dedupContent]]), and deterministic md5-of-id rate
+    * sampling ([[graft.operators.Curation.rateSample]]'s keep rule).
+    * Everything but the dedup state is stateless, so the pipeline's
+    * memory is exactly dedupContent's horizon-bounded store.
+    *
+    * The keep decisions are identical to the batch operators on the
+    * same rows — replaying the feed through the batch path yields the
+    * same survivor set (the spec gates this equivalence). */
+  def curationStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, minTokens: Int, keepPermill: Int,
+      horizon: String = "30 minutes"): DataFrame = {
+    val quality = docs
+      .filter(graft.operators.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+    dedupContent(quality, tsCol, textCol, horizon)
+      .filter(bucket < keepPermill)
+  }
+
   // ---- streaming near-dup dedup (streaming LSH) ----------------------
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)

@@ -85,6 +85,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("aaa", "bbb", "ccc"), got)
   }
 
+  test("streaming curation pipeline equals the batch screens on a replay") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val rows = Seq(
+      (ts(0), 1L, "alpha beta gamma delta epsilon"),
+      (ts(0), 2L, "short"), // fails the quality gate
+      (ts(1), 3L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (ts(2), 4L, "one two three four five six"),
+      (ts(3), 5L, "seven eight nine ten eleven twelve"),
+      (ts(4), 6L, "thirteen fourteen fifteen sixteen seventeen"))
+    val out = EventStream.curationStream(mem.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", minTokens = 4, keepPermill = 700)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curation_smoke").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curation_smoke").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // batch replay: same screens over the same rows as a static frame
+    val static = rows.toDF("ts", "doc_id", "text")
+      .filter(graft.operators.TextAnalysis.tokenCount(col("text")) >= 4)
+    val deduped = static.withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy("ts", "doc_id")))
+      .filter(col("rk") === 1)
+    val expected = graft.operators.Curation.rateSample(
+        deduped, "h", "doc_id", Map.empty, defaultPermill = 700)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"stream/batch curation divergence: $got vs $expected")
+  }
+
   test("streaming near-dup detection flags small-hamming arrivals, evicts old state") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
