@@ -103,6 +103,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN JOIN: for EVERY row of `queries`, its `k` nearest `corpus`
+    * rows by cosine — the bulk retrieval shape (augmentation, labeling
+    * by neighbors, hard-negative mining), where per-query loops or a
+    * cross join would be quadratic. Both sides hash into the same
+    * deterministic hyperplane LSH buckets; candidates meet ONLY inside
+    * their bucket, and a per-query WindowGroupLimit keeps the top k.
+    *
+    * Scale: one shuffle of each side on the bucket key (co-partitioned
+    * equi-join — at 100 TB both sides can be bucketed-by-LSH on write
+    * and the join goes exchange-free, see [[Bucketing]]); candidate
+    * volume is corpus/2^nPlanes per query in expectation. Recall is
+    * the single-bucket LSH trade — raise it by lowering nPlanes (or
+    * running multiple plane sets) at more candidates per query.
+    * Scores are true cosines; only candidate SELECTION is approximate. */
+  def knnJoin(queries: DataFrame, qIdCol: String, corpus: DataFrame,
+      cIdCol: String, vecCol: String, k: Int, nPlanes: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = col(vecCol).cast(ArrayType(DoubleType))
+    val q = queries.select(col(qIdCol).as("query_id"), qv.as("__qv"),
+      hyperplaneBucket(qv, nPlanes).as("__b"))
+    val c = corpus.select(col(cIdCol).as("neighbor_id"), qv.as("__cv"),
+      hyperplaneBucket(qv, nPlanes).as("__b"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val pairs = q.join(c, Seq("__b"))
+    (if (excludeSelf) pairs.filter(col("query_id") =!= col("neighbor_id")) else pairs)
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 4).as("cos"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Deterministic md5-seeded coarse quantizer, shared by [[ivfTopK]]
     * and [[diversitySample]]: the `nlist` rows with the smallest
     * md5(id) act as centroids (cell id = the seed row's id), and the

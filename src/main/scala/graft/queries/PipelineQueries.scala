@@ -14,6 +14,56 @@ import CoreQueries.Q
   */
 object PipelineQueries {
 
+  /** Shared oracle prefix: DuckDB replay of the deterministic
+    * hyperplane-LSH buckets (splitmix64 plane components), ending in
+    * a `buckets(vec_id, bucket)` CTE — used by the single-query LSH
+    * ANN oracle and the k-NN join oracle. */
+  private val lshBucketCtes: String =
+    """WITH emb AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding)::BIGINT AS n FROM embeddings
+             |), t0 AS (
+             |  SELECT vec_id, p.range AS p, unnest(range(0, n)) AS i, v, n
+             |  FROM emb, range(0,4) p
+             |), t AS (
+             |  SELECT vec_id, p, i, v[i + 1] AS x,
+             |    ((p * n + i)::UBIGINT + 11400714819323198485::UBIGINT) AS z0
+             |  FROM t0
+             |), a1 AS (
+             |  SELECT vec_id, p, i, x, xor(z0, z0 >> 30) AS a FROM t
+             |), m1 AS (
+             |  SELECT vec_id, p, i, x,
+             |    ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT))::HUGEINT
+             |      + ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT >> 32)
+             |           + (a >> 32) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
+             |        * 4294967296::HUGEINT)
+             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z1
+             |  FROM a1
+             |), a2 AS (
+             |  SELECT vec_id, p, i, x, xor(z1, z1 >> 27) AS a FROM m1
+             |), m2 AS (
+             |  SELECT vec_id, p, i, x,
+             |    ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT))::HUGEINT
+             |      + ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT >> 32)
+             |           + (a >> 32) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
+             |        * 4294967296::HUGEINT)
+             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z2
+             |  FROM a2
+             |), m3 AS (
+             |  SELECT vec_id, p, i, x, xor(z2, z2 >> 31) AS zf FROM m2
+             |), comps AS (
+             |  SELECT vec_id, p, i, x,
+             |    CASE WHEN zf >= 9223372036854775808::UBIGINT
+             |         THEN (zf::HUGEINT - 18446744073709551616::HUGEINT)::DOUBLE
+             |         ELSE zf::DOUBLE END / 9223372036854775807.0 AS c
+             |  FROM m3
+             |), dots AS (
+             |  SELECT vec_id, p, sum(x * c) AS dotv FROM comps GROUP BY vec_id, p
+             |), buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN dotv >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
+             |  FROM dots GROUP BY vec_id
+             |)""".stripMargin
+
+
   val all: Map[String, Q] = Map(
     // exact dedup: one shuffle on content hash
     "pl_dedup_exact" -> Q(
@@ -332,50 +382,7 @@ object PipelineQueries {
           .head().getSeq[Float](0)
         Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nPlanes = 4)
       },
-      Some("""WITH emb AS (
-             |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding)::BIGINT AS n FROM embeddings
-             |), t0 AS (
-             |  SELECT vec_id, p.range AS p, unnest(range(0, n)) AS i, v, n
-             |  FROM emb, range(0,4) p
-             |), t AS (
-             |  SELECT vec_id, p, i, v[i + 1] AS x,
-             |    ((p * n + i)::UBIGINT + 11400714819323198485::UBIGINT) AS z0
-             |  FROM t0
-             |), a1 AS (
-             |  SELECT vec_id, p, i, x, xor(z0, z0 >> 30) AS a FROM t
-             |), m1 AS (
-             |  SELECT vec_id, p, i, x,
-             |    ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT))::HUGEINT
-             |      + ((((a & 4294967295::UBIGINT) * (13787848793156543929::UBIGINT >> 32)
-             |           + (a >> 32) * (13787848793156543929::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
-             |        * 4294967296::HUGEINT)
-             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z1
-             |  FROM a1
-             |), a2 AS (
-             |  SELECT vec_id, p, i, x, xor(z1, z1 >> 27) AS a FROM m1
-             |), m2 AS (
-             |  SELECT vec_id, p, i, x,
-             |    ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT))::HUGEINT
-             |      + ((((a & 4294967295::UBIGINT) * (10723151780598845931::UBIGINT >> 32)
-             |           + (a >> 32) * (10723151780598845931::UBIGINT & 4294967295::UBIGINT)) & 4294967295::UBIGINT))::HUGEINT
-             |        * 4294967296::HUGEINT)
-             |     % 18446744073709551616::HUGEINT)::UBIGINT AS z2
-             |  FROM a2
-             |), m3 AS (
-             |  SELECT vec_id, p, i, x, xor(z2, z2 >> 31) AS zf FROM m2
-             |), comps AS (
-             |  SELECT vec_id, p, i, x,
-             |    CASE WHEN zf >= 9223372036854775808::UBIGINT
-             |         THEN (zf::HUGEINT - 18446744073709551616::HUGEINT)::DOUBLE
-             |         ELSE zf::DOUBLE END / 9223372036854775807.0 AS c
-             |  FROM m3
-             |), dots AS (
-             |  SELECT vec_id, p, sum(x * c) AS dotv FROM comps GROUP BY vec_id, p
-             |), buckets AS (
-             |  SELECT vec_id, sum(CASE WHEN dotv >= 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END)::BIGINT AS bucket
-             |  FROM dots GROUP BY vec_id
-             |)
-             |SELECT e.vec_id, round(list_cosine_similarity(q.v, e.v), 4) AS cos
+      Some(lshBucketCtes + "\n" + """             |SELECT e.vec_id, round(list_cosine_similarity(q.v, e.v), 4) AS cos
              |FROM emb e
              |JOIN buckets b ON e.vec_id = b.vec_id
              |JOIN buckets qb ON qb.vec_id = 0
@@ -392,6 +399,32 @@ object PipelineQueries {
     // recall >= the seeded variant). The refined centroid trajectory
     // depends on float mean rounding DuckDB can't replay bit-exactly →
     // rows-only check, like the bloom filter.
+    // k-NN JOIN: every query row gets its top-k bucket-mates by true
+    // cosine — co-partitioned LSH equi-join, no cross join. The oracle
+    // replays buckets via the shared splitmix64 CTEs.
+    "pl_emb_knn_join" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.knnJoin(emb.filter(col("vec_id") < 50), "vec_id",
+            emb, "vec_id", "embedding", k = 3, nPlanes = 4)
+          .orderBy("query_id", "neighbor_id")
+      },
+      Some(lshBucketCtes + "\n" +
+        """|, pairs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(list_cosine_similarity(qv.v, cv.v), 4) AS cos
+           |  FROM buckets q
+           |  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+           |  JOIN emb qv ON qv.vec_id = q.vec_id
+           |  JOIN emb cv ON cv.vec_id = c.vec_id
+           |  WHERE q.vec_id < 50
+           |)
+           |SELECT query_id, neighbor_id, cos FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM pairs) WHERE rk <= 3
+           |ORDER BY query_id, neighbor_id""".stripMargin)),
+
     // IVF-PQ: coarse cells prune compute, PQ codes prune memory, true
     // cosines rescore the shortlist — the production FAISS composition
     "pl_emb_ann_ivfpq" -> Q(

@@ -355,6 +355,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("knn join with one bucket equals per-query brute force exactly") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
+        "embedding", k = 5, nPlanes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    for (qid <- 0L until 5L) {
+      val qv = emb.filter(col("vec_id") === qid).select("embedding").head().getSeq[Float](0)
+      val brute = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", qv, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(got(qid) == brute, s"query $qid: ${got(qid)} vs $brute")
+    }
+  }
+
   test("ivf-pq: recall bounded by its IVF stage, scores are true cosines") {
     val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
