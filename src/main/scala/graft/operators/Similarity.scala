@@ -207,12 +207,37 @@ object Similarity {
       k: Int, m: Int = 8, ncent: Int = 16, refine: Int = 8,
       trainIters: Int = 2): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
+    val (books, sub) = pqTrain(df, idCol, vecCol, m, ncent, trainIters)
+    val codes = graft.functions.VectorExpressions.pq_encode(v, books, ncent, sub)
+    val dtable = pqDistanceTable(books, query, m, ncent, sub)
+    val approx = graft.functions.VectorExpressions.pq_adc(col("__codes"), dtable, ncent)
+    df.select(col(idCol), v.as("v"), codes.as("__codes"))
+      .withColumn("__approx", approx)
+      .orderBy(col("__approx"), col(idCol))
+      .limit(refine * k)
+      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** PQ codebook training — the BUILD step of the index lifecycle,
+    * separable from search so codebooks train once per corpus, not per
+    * query. Returns the flat [s][c][j] codebook plus the subspace
+    * width. Deterministic: md5-seeded starts, distributed per-subspace
+    * Lloyd iterations (assignment runs in the scan via the compiled
+    * kernel; ONE posexplode aggregate per iteration returns
+    * m × ncent × sub means to the driver — 1024 doubles at the
+    * defaults). Means rounded (6 dp) for cross-run stability; empty
+    * cells keep their centroid. Raw md5 seeds quantize noticeably
+    * worse — recall at the same shortlist roughly doubles after two
+    * iterations. */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ncent: Int, trainIters: Int): (IndexedSeq[Double], Int) = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
     // the target metric is cosine: encode/score UNIT vectors so L2
     // ADC order coincides with cosine order (‖a−b‖² = 2−2cos on the
     // sphere) — PQ on raw norms would rank by magnitude, not angle
     val vn = graft.functions.VectorExpressions.l2_normalize(v)
-    // deterministic codebooks: the ncent smallest-md5(id) rows, sliced
-    // into m subvectors each (bounded driver traffic: ncent vectors)
     val seeds: IndexedSeq[IndexedSeq[Double]] = df
       .select(col(idCol).cast(LongType).as("cid"), vn.as("c"))
       .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
@@ -221,25 +246,13 @@ object Similarity {
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    // books(s)(c) = subspace s's centroid c
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map(s =>
       (0 until ncent).map(c => seeds(c).slice(s * sub, (s + 1) * sub)))
-    // flat [s][c][j] layout for the compiled kernel (normalization +
-    // per-subspace argmin in ONE loop expression — an unrolled m×ncent
-    // Column tree makes Janino compilation dominate the query)
     def flatBooks: IndexedSeq[Double] =
       for (s <- 0 until m; c <- 0 until ncent; j <- 0 until sub)
         yield books(s)(c)(j)
-    def codes: Column =
-      graft.functions.VectorExpressions.pq_encode(v, flatBooks, ncent, sub)
-    // train: per-subspace Lloyd on the subvectors — assignment runs in
-    // the scan (the same compiled argmin), and ONE posexplode aggregate
-    // per iteration returns m × ncent × sub per-(subspace, code, dim)
-    // means to the driver (1024 doubles at the defaults — bounded).
-    // Means rounded (6 dp) for cross-run stability; empty cells keep
-    // their centroid. Raw md5 seeds quantize noticeably worse — recall
-    // at the same shortlist roughly doubles after two iterations.
     for (_ <- 1 to trainIters) {
+      val codes = graft.functions.VectorExpressions.pq_encode(v, flatBooks, ncent, sub)
       val means = df.select(codes.as("__cs"), posexplode(vn))
         .select(expr(s"pos div $sub").as("s"),
           element_at(col("__cs"), expr(s"pos div $sub").cast(IntegerType) + 1).as("c"),
@@ -255,22 +268,52 @@ object Similarity {
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toIndexedSeq
       })
     }
-    // per-query ADC table: dtable flat [s][c] = ‖q_s − b_sc‖²
-    // (driver-side, m × ncent doubles), scanned by the compiled lookup
+    (flatBooks, sub)
+  }
+
+  /** Encode the corpus into the persistable PQ index: (id, codes) —
+    * m small ints per row instead of the raw vector (32× smaller at
+    * the defaults on 64-dim floats). Write THIS table out; search
+    * never touches raw vectors until the rescore. */
+  def pqEncodeIndex(df: DataFrame, idCol: String, vecCol: String,
+      books: IndexedSeq[Double], ncent: Int, sub: Int): DataFrame =
+    df.select(col(idCol), graft.functions.VectorExpressions.pq_encode(
+      col(vecCol).cast(ArrayType(DoubleType)), books, ncent, sub).as("codes"))
+
+  /** Per-query ADC table over the flat codebook: dtable[s·ncent+c] =
+    * ‖q_s − b_sc‖² (driver-side, m × ncent doubles). */
+  private def pqDistanceTable(books: IndexedSeq[Double], query: Seq[Float],
+      m: Int, ncent: Int, sub: Int): IndexedSeq[Double] = {
     val qraw = query.map(_.toDouble)
     val qnorm = math.sqrt(qraw.map(x => x * x).sum)
     val qd = (if (qnorm == 0.0) qraw else qraw.map(_ / qnorm)).toIndexedSeq
-    val dtable: IndexedSeq[Double] =
-      for (s <- 0 until m; c <- 0 until ncent) yield {
-        val b = books(s)(c)
-        (0 until sub).map { j => val d = qd(s * sub + j) - b(j); d * d }.sum
-      }
-    val approx = graft.functions.VectorExpressions.pq_adc(col("__codes"), dtable, ncent)
-    df.select(col(idCol), v.as("v"), codes.as("__codes"))
-      .withColumn("__approx", approx)
+    for (s <- 0 until m; c <- 0 until ncent) yield {
+      (0 until sub).map { j =>
+        val d = qd(s * sub + j) - books((s * ncent + c) * sub + j); d * d
+      }.sum
+    }
+  }
+
+  /** SEARCH over a prebuilt PQ index: ADC-rank the CODES table (the
+    * only thing scanned — 32× less IO than raw vectors), then join the
+    * refine·k shortlist back to the raw table for the true-cosine
+    * rescore (an unhinted join of a k-row side — AQE broadcasts it).
+    * Same results as [[pqTopK]] with the same codebooks; the spec
+    * gates the equivalence. */
+  def pqSearch(index: DataFrame, books: IndexedSeq[Double], raw: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      m: Int = 8, ncent: Int = 16, refine: Int = 8): DataFrame = {
+    val sub = books.length / (m * ncent)
+    val dtable = pqDistanceTable(books, query, m, ncent, sub)
+    val short = index
+      .withColumn("__approx",
+        graft.functions.VectorExpressions.pq_adc(col("codes"), dtable, ncent))
       .orderBy(col("__approx"), col(idCol))
       .limit(refine * k)
-      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .select(idCol)
+    short.join(raw, idCol)
+      .select(col(idCol),
+        round(cosine(col(vecCol).cast(ArrayType(DoubleType)), litVec(query)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

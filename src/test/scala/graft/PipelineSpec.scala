@@ -355,6 +355,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("pq build/search lifecycle equals the fused pqTopK") {
+    val (books, sub) = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 16, 2)
+    val index = Similarity.pqEncodeIndex(emb, "vec_id", "embedding", books, 16, sub)
+    // the index is the compressed form: m codes per row, all < ncent
+    val codeRows = index.collect()
+    assert(codeRows.length == emb.count())
+    assert(codeRows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    for (qid <- Seq(0L, 1L)) {
+      val q = emb.filter(col("vec_id") === qid).select("embedding").head().getSeq[Float](0)
+      val fused = Similarity.pqTopK(emb, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val split = Similarity.pqSearch(index, books, emb, "vec_id", "embedding", q, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(split == fused, s"query $qid: split $split vs fused $fused")
+    }
+  }
+
   test("knn join with one bucket equals per-query brute force exactly") {
     val queries = emb.filter(col("vec_id") < 5)
     val got = Similarity.knnJoin(queries, "vec_id", emb, "vec_id",
