@@ -20,6 +20,23 @@ import graft.rel._
   */
 final class GraftSession(val spark: SparkSession) {
 
+  // the compiled kernel suite (graft_simhash64, graft_cosine, graft_dot,
+  // graft_minhash, graft_pq_encode, …) is part of the engine's SQL
+  // surface: a session user gets the pipeline primitives from plain SQL
+  graft.functions.VectorExpressions.register(spark)
+  // …and from the engine DIALECT too, through the same extension surface
+  // a user would use (expr.FuncAdd ≙ FuncRegistry.add) — beyond-reference
+  // builtins, so guarded to not clobber user registrations
+  locally {
+    import graft.functions.{VectorExpressions => VE}
+    val kernels: Seq[(String, Seq[Column] => Column)] = Seq(
+      "simhash64" -> (as => VE.simhash64(as.head)),
+      "cosine_sim" -> (as => VE.cosine_sim(as(0), as(1))),
+      "dot_product" -> (as => VE.dot_product(as(0), as(1))),
+      "l2_normalize" -> (as => VE.l2_normalize(as.head)))
+    for ((n, f) <- kernels if !FuncRegistry.contains(n)) FuncRegistry.add(n)(f)
+  }
+
   /** name → loader; kept lazy so CREATE SOURCE can register paths before
     * files exist and schemas refresh on access (schema/schema.go:23). */
   private val tables = collection.concurrent.TrieMap.empty[String, () => DataFrame]

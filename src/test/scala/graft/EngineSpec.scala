@@ -405,6 +405,21 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq(1L), Seq(1L), Seq(1L)))
   }
 
+  test("engine dialect exposes the compiled kernel suite as builtins") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    session.registerTable("emb_k", emb)
+    val self = session.sql(
+      "SELECT vec_id, cosine_sim(embedding, embedding) AS c FROM emb_k LIMIT 5")
+      .collect()
+    assert(self.length == 5)
+    assert(self.forall(r => math.abs(r.getAs[Double]("c") - 1.0) < 1e-9),
+      "self-cosine through the engine dialect must be 1.0")
+    val dp = session.sql(
+      "SELECT dot_product(l2_normalize(embedding), l2_normalize(embedding)) AS d " +
+        "FROM emb_k LIMIT 3").collect()
+    assert(dp.forall(r => math.abs(r.getAs[Double]("d") - 1.0) < 1e-9))
+  }
+
   test("single-row expression eval (vm.Eval embedding)") {
     assert(session.eval("a + 5 > b", Map("a" -> 10L, "b" -> 12L)) == true)
     assert(session.eval("tolower(name)", Map("name" -> "AARON")) == "aaron")
