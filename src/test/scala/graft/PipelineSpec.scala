@@ -323,6 +323,14 @@ class PipelineSpec extends AnyFunSuite {
     val exact = docs.select("text").distinct().count()
     assert(math.abs(est - exact) <= math.max(2, (exact * 0.05).toLong),
       s"merged HLL estimate $est vs exact $exact")
+    // the sketch lifecycle claim: sketches PERSIST (binary column to
+    // parquet) and re-union later without re-reading the corpus
+    val path = "/tmp/graft_sketches"
+    Profiling.distinctSketches(docs, "source", "text")
+      .select("source", "sketch").write.mode("overwrite").parquet(path)
+    val reloaded = Profiling.unionDistinct(spark.read.parquet(path))
+      .head().getLong(0)
+    assert(reloaded == est, s"estimate changed across persistence: $reloaded vs $est")
   }
 
   test("bm25 matches a local reference implementation and ranks by relevance") {
