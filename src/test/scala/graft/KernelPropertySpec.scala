@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{VectorExpressions => VE}
+
+/** Generative properties for the compiled kernels: randomized inputs
+  * through the Spark column path vs a direct driver-side reference —
+  * the fixed-vector KernelSpec cases can miss edge regions (zero
+  * vectors, tiny norms, negative values, duplicated components).
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def check(prop: Prop, name: String): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.choose(4, 16).flatMap { n =>
+      Gen.listOfN(n * 4, Gen.choose(-10.0, 10.0)) // dim divisible by 4
+    }
+
+  private def evalColumn(vs: Seq[Seq[Double]], f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Array[Row] = {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(vs.map(v => Row(v)): _*),
+      StructType(Seq(StructField("v", ArrayType(DoubleType)))))
+    df.select(f(col("v"))).collect()
+  }
+
+  test("PqEncode: codes in range, nearest-centroid invariant on random input") {
+    val prop = Prop.forAll(Gen.listOfN(3, vecGen).suchThat(_.nonEmpty)) { vs0 =>
+      val dim = vs0.head.length
+      val vs = vs0.filter(_.length == dim)
+      val sub = 4; val m = dim / sub; val ncent = 3
+      // codebook derived from the inputs themselves (scaled variants)
+      val books: IndexedSeq[Double] =
+        (0 until m * ncent * sub).map(i => math.sin(i.toDouble) * 2).toIndexedSeq
+      val got = evalColumn(vs, v => VE.pq_encode(v, books, ncent, sub))
+        .map(_.getSeq[Int](0).toSeq)
+      def unit(v: Seq[Double]) = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+      got.zip(vs).forall { case (codes, raw) =>
+        val x = unit(raw)
+        codes.length == m && codes.zipWithIndex.forall { case (c, s) =>
+          val dists = (0 until ncent).map { cc =>
+            (0 until sub).map { j =>
+              val d = x(s * sub + j) - books((s * ncent + cc) * sub + j); d * d
+            }.sum
+          }
+          c >= 0 && c < ncent && dists(c) <= dists.min + 1e-12 &&
+            // tie rule: smallest code among the minima
+            (0 until c).forall(cc => dists(cc) > dists.min + 1e-12 || dists(cc) != dists(c))
+        }
+      }
+    }
+    check(prop, "pq_encode")
+  }
+
+  test("CosineSimilarity kernel matches driver math on random vectors") {
+    val prop = Prop.forAll(vecGen, vecGen) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(a, b)),
+        StructType(Seq(StructField("a", ArrayType(DoubleType)),
+          StructField("b", ArrayType(DoubleType)))))
+      val got = df.select(VE.cosine_sim(col("a"), col("b"))).head()
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val den = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (den == 0.0) got.isNullAt(0)
+      else math.abs(got.getDouble(0) - dot / den) < 1e-9
+    }
+    check(prop, "cosine")
+  }
+
+  test("L2Normalize output is unit length for any non-zero random vector") {
+    val prop = Prop.forAll(vecGen.suchThat(v => v.exists(_ != 0.0))) { v =>
+      val out = evalColumn(Seq(v), c => VE.l2_normalize(c))
+        .head.getSeq[Double](0)
+      math.abs(out.map(x => x * x).sum - 1.0) < 1e-9
+    }
+    check(prop, "l2_normalize")
+  }
+}
