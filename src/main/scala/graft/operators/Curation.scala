@@ -310,6 +310,23 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast(LongType))
   }
 
+  /** One-call training-data export: [[shuffleShards]] layout written to
+    * disk — `outPath/shard=N/` directories, rows inside each file in
+    * `pos` order (training readers stream a shard sequentially and see
+    * the globally-shuffled order without any runtime sort). The
+    * repartition keys every shard to ONE task, so each shard directory
+    * holds one pos-sorted file; reruns produce byte-identical layout.
+    *
+    * Scale: the one [[shuffleShards]] exchange is the only data
+    * movement; per-shard sort spills if a shard exceeds memory. Size
+    * `shards` so a shard ≈ a few GB (training-reader friendly). */
+  def writeTrainingShards(df: DataFrame, idCol: String, outPath: String,
+      shards: Int): Unit =
+    shuffleShards(df, idCol, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+
   /** Boilerplate-span removal (the CCNet/RefinedWeb paragraph-dedup
     * screen, on token windows): cut each document into consecutive
     * `spanTokens`-token spans, count how many DISTINCT documents each

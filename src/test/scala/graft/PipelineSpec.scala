@@ -363,6 +363,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall { case (id, _) => terms.exists(byId(id).contains) })
   }
 
+  test("training-shard export: per-shard pos-sorted files, reproducible") {
+    val out = "/tmp/graft_shards"
+    Curation.writeTrainingShards(docs.select("doc_id", "text"), "doc_id", out, 4)
+    val assign = Curation.shuffleShards(docs.select("doc_id"), "doc_id", 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    for (shard <- 0 until 4) {
+      val dir = new java.io.File(s"$out/shard=$shard")
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $shard has ${files.length} files, want 1")
+      // file order IS pos order — no runtime sort needed by a reader
+      val rows = spark.read.parquet(files.head.getAbsolutePath)
+        .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+        s"shard $shard not pos-sorted on disk")
+      for ((id, pos) <- rows) assert(assign(id) == (shard, pos))
+    }
+  }
+
   test("pq build/search lifecycle equals the fused pqTopK") {
     val (books, sub) = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 16, 2)
     val index = Similarity.pqEncodeIndex(emb, "vec_id", "embedding", books, 16, sub)
