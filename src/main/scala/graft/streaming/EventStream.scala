@@ -168,6 +168,29 @@ object EventStream {
       .filter(bucket < keepPermill)
   }
 
+  /** Streaming mixture control with batch-trained rates: a STATIC
+    * per-source permill table (e.g. from
+    * [[graft.operators.Curation.temperatureSample]]'s rate computation
+    * over yesterday's corpus) joins the live stream — the stream-static
+    * join pattern: the static side is planned once per micro-batch, no
+    * state store involved — and the same content-independent md5-of-id
+    * rule decides keeps. Deterministic: replaying the feed reproduces
+    * the sample exactly.
+    *
+    * Rates must come from a BATCH pass by design: a true global token
+    * aggregate is unbounded state on a stream; the production shape is
+    * rates retrained per window/day and swapped in as a new static
+    * frame. */
+  def mixtureStream(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: DataFrame, rateSourceCol: String, permillCol: String): DataFrame = {
+    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+    docs.join(rates.select(col(rateSourceCol).as(sourceCol), col(permillCol)),
+        Seq(sourceCol))
+      .filter(bucket < col(permillCol))
+      .drop(permillCol)
+  }
+
   // ---- streaming near-dup dedup (streaming LSH) ----------------------
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)

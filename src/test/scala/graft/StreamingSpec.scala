@@ -120,6 +120,31 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch curation divergence: $got vs $expected")
   }
 
+  test("stream-static mixture join equals the batch rate sample") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val rates = Seq(("src0", 1000), ("src1", 500), ("src2", 0))
+      .toDF("source", "permill")
+    val rows = (0L until 60L).map(i => (i, s"src${i % 3}"))
+    val out = EventStream.mixtureStream(mem.toDF().toDF("doc_id", "source"),
+      "doc_id", "source", rates, "source", "permill")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("mixture_smoke").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mixture_smoke").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val expected = graft.operators.Curation.rateSample(
+        rows.toDF("doc_id", "source"), "source", "doc_id",
+        Map("src0" -> 1000, "src1" -> 500, "src2" -> 0), defaultPermill = 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.nonEmpty && got == expected,
+      s"stream/batch mixture divergence: $got vs $expected")
+    // src2 at 0 permill must be fully suppressed, src0 fully kept
+    assert(!got.exists(_ % 3 == 2) && got.count(_ % 3 == 0) == 20)
+  }
+
   test("streaming near-dup detection flags small-hamming arrivals, evicts old state") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
