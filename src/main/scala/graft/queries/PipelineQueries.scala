@@ -851,6 +851,64 @@ object PipelineQueries {
              |  array_to_string(list(s ORDER BY pos), ' ') AS clean_text
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // end-to-end curation v2: boilerplate removal → √-temperature
+    // mixture (target = ½ the CLEANED token mass) → shuffle-shard.
+    // Every stage is engine-stable, so the ORACLE REPLAYS THE WHOLE
+    // CHAIN — the strongest gate in the suite
+    "pl_curate_pipeline2" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val clean = graft.operators.Curation.dropBoilerplateSpans(
+          docs, "doc_id", "text", spanTokens = 8, minDocs = 2)
+        val withSrc = clean.join(docs.select("doc_id", "source"), "doc_id")
+        val total = withSrc.agg(sum(
+          TextAnalysis.tokenCount(col("clean_text")))).head().getLong(0)
+        val sampled = graft.operators.Curation.temperatureSample(
+          withSrc, "source", "doc_id", "clean_text", total / 2)
+        graft.operators.Curation.shuffleShards(sampled, "doc_id", 4)
+          .select("doc_id", "source", "shard", "pos").orderBy("doc_id")
+      },
+      Some("""WITH tokz AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), spans AS (
+             |  SELECT doc_id, pos, array_to_string(t[(pos*8+1):((pos+1)*8)], ' ') AS s
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos
+             |        FROM tokz)
+             |), bad AS (
+             |  SELECT s FROM spans GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+             |), kept_spans AS (
+             |  SELECT doc_id, pos, s FROM spans ANTI JOIN bad USING (s)
+             |), clean AS (
+             |  SELECT doc_id,
+             |    array_to_string(list(s ORDER BY pos), ' ') AS clean_text
+             |  FROM kept_spans GROUP BY doc_id
+             |), tok AS (
+             |  SELECT c.doc_id, d.source,
+             |    CAST(len(string_split(trim(clean_text), ' ')) AS BIGINT) AS t
+             |  FROM clean c JOIN documents d USING (doc_id)
+             |), src AS (
+             |  SELECT source, sum(t) AS n,
+             |    CAST(floor(sqrt(CAST(sum(t) AS DOUBLE))) AS BIGINT) AS w
+             |  FROM tok GROUP BY source
+             |), r AS (
+             |  SELECT source, least(1000,
+             |    (1000 * ((SELECT sum(t) FROM tok) // 2) * CAST(w AS HUGEINT))
+             |      // (CAST(sum(w) OVER () AS HUGEINT) * n)) AS permill
+             |  FROM src
+             |), kept AS (
+             |  SELECT t.doc_id, t.source FROM tok t JOIN r USING (source)
+             |  WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    % 1000 < r.permill
+             |)
+             |SELECT doc_id, source,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+             |    AS INTEGER) AS shard,
+             |  row_number() OVER (
+             |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+             |FROM kept ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: a known PII suffix is appended so the redaction is
     // exercised on every row; both engines apply identical regexes
     "pl_pii_redact" -> Q(
