@@ -76,6 +76,39 @@ object Profiling {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
 
+  /** Exact per-column table profile in ONE pass: row count, nulls,
+    * distinct count, min/max (stringified for a uniform schema) for
+    * each requested column, unpivoted to a row per column — the exact
+    * complement to [[corpusProfile]]'s sketches when the column list
+    * is small enough to afford COUNT(DISTINCT).
+    *
+    * Scale: a single aggregate scan (Spark expands the multiple
+    * distinct aggregates internally); output is |cols| rows. */
+  def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"),
+      min(col(c)).cast(StringType).as(s"__min_$c"),
+      max(col(c)).cast(StringType).as(s"__max_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, " + cols.map(c =>
+        s"'$c', __n, `__nulls_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
+        .mkString(", ") +
+        ") AS (column, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+  }
+
+  /** Exact fixed-width histogram of an integer-valued expression:
+    * bucket = value div width (integer division — engine-stable), one
+    * partial-aggregated shuffle of |buckets| rows. */
+  def histogram(df: DataFrame, value: Column, width: Int): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.select((value.cast(LongType)).as("__v"))
+      .groupBy(expr(s"__v div $width").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Pairwise source-overlap estimation via KMV (bottom-k) sketches:
     * each source keeps the k smallest md5(content) values; for a pair,
     * the k smallest of the merged signatures act as a uniform sample

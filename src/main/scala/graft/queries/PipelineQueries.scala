@@ -700,6 +700,33 @@ object PipelineQueries {
              |  FROM assign) WHERE rk <= 5
              |ORDER BY vec_id""".stripMargin)),
 
+    // exact one-pass table profile, unpivoted to a row per column
+    "pl_profile_exact" -> Q(
+      (s, d) => graft.operators.Profiling.tableProfile(
+          Tables(s, d, "documents"), Seq("doc_id", "source"))
+        .orderBy("column"),
+      Some("""SELECT 'doc_id' AS "column", count(*) AS n_rows,
+             |  count(*) - count(doc_id) AS n_nulls,
+             |  count(DISTINCT doc_id) AS n_distinct,
+             |  CAST(min(doc_id) AS VARCHAR) AS min_s,
+             |  CAST(max(doc_id) AS VARCHAR) AS max_s
+             |FROM documents
+             |UNION ALL
+             |SELECT 'source', count(*), count(*) - count(source),
+             |  count(DISTINCT source),
+             |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+             |FROM documents
+             |ORDER BY "column"""".stripMargin)),
+
+    // exact token-count histogram: integer-div buckets, engine-stable
+    "pl_profile_histogram" -> Q(
+      (s, d) => graft.operators.Profiling.histogram(
+        Tables(s, d, "documents"),
+        TextAnalysis.tokenCount(col("text")), width = 10),
+      Some("""SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) // 10
+             |    AS bucket, count(*) AS n
+             |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
     // KMV bottom-k source-overlap matrix: deterministic md5 sketches,
     // so the oracle replays the sketch VALUES, not just estimates
     "pl_profile_source_overlap" -> Q(
