@@ -310,6 +310,27 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast(LongType))
   }
 
+  /** End-to-end curation v2: [[dropBoilerplateSpans]] →
+    * [[temperatureSample]] (target = `targetNum/targetDen` of the
+    * CLEANED token mass) → [[shuffleShards]]. The cleaned corpus is
+    * PERSISTED across the chain — the token-mass action, the
+    * per-source rate aggregate and the final plan all read it, and
+    * recomputing the span screen per consumer would quadruple the
+    * pipeline's dominant stage (measured 4-5 s vs ~2 s at sf0.1). */
+  def curateV2(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, spanTokens: Int, minDocs: Int,
+      targetNum: Long, targetDen: Long, shards: Int): DataFrame =
+    Dedup.viaPersisted(
+      dropBoilerplateSpans(docs, idCol, textCol, spanTokens, minDocs)
+        .join(docs.select(col(idCol), col(sourceCol)), idCol)) { withSrc =>
+      val total = withSrc.agg(sum(
+        TextAnalysis.tokenCount(col("clean_text")))).head().getLong(0)
+      shuffleShards(
+        temperatureSample(withSrc, sourceCol, idCol, "clean_text",
+          total * targetNum / targetDen),
+        idCol, shards)
+    }
+
   /** One-call training-data export: [[shuffleShards]] layout written to
     * disk — `outPath/shard=N/` directories, rows inside each file in
     * `pos` order (training readers stream a shard sequentially and see

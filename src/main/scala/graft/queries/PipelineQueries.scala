@@ -883,18 +883,11 @@ object PipelineQueries {
     // Every stage is engine-stable, so the ORACLE REPLAYS THE WHOLE
     // CHAIN — the strongest gate in the suite
     "pl_curate_pipeline2" -> Q(
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val clean = graft.operators.Curation.dropBoilerplateSpans(
-          docs, "doc_id", "text", spanTokens = 8, minDocs = 2)
-        val withSrc = clean.join(docs.select("doc_id", "source"), "doc_id")
-        val total = withSrc.agg(sum(
-          TextAnalysis.tokenCount(col("clean_text")))).head().getLong(0)
-        val sampled = graft.operators.Curation.temperatureSample(
-          withSrc, "source", "doc_id", "clean_text", total / 2)
-        graft.operators.Curation.shuffleShards(sampled, "doc_id", 4)
-          .select("doc_id", "source", "shard", "pos").orderBy("doc_id")
-      },
+      (s, d) => graft.operators.Curation.curateV2(
+          Tables(s, d, "documents"), "doc_id", "text", "source",
+          spanTokens = 8, minDocs = 2, targetNum = 1, targetDen = 2,
+          shards = 4)
+        .select("doc_id", "source", "shard", "pos").orderBy("doc_id"),
       Some("""WITH tokz AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
              |), spans AS (
