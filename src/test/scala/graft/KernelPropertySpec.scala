@@ -81,6 +81,56 @@ class KernelPropertySpec extends AnyFunSuite {
     check(prop, "cosine")
   }
 
+  test("PqAdc sums exactly the indexed table entries on random codes") {
+    val prop = Prop.forAll(
+      Gen.choose(2, 6).flatMap(m => Gen.choose(2, 8).flatMap(nc =>
+        Gen.listOfN(m, Gen.choose(0, nc - 1)).map(codes => (m, nc, codes))))) {
+      case (m, nc, codes) =>
+        val dtable = (0 until m * nc).map(i => i * 0.5 + 1)
+        val df = spark.createDataFrame(
+          java.util.List.of(Row(codes)),
+          StructType(Seq(StructField("c", ArrayType(IntegerType)))))
+        val got = df.select(VE.pq_adc(col("c"), dtable, nc)).head().getDouble(0)
+        val want = codes.zipWithIndex.map { case (c, s) => dtable(s * nc + c) }.sum
+        math.abs(got - want) < 1e-12
+    }
+    check(prop, "pq_adc")
+  }
+
+  test("MinHashSignature: k minima, permutation-stable under input reorder") {
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.choose(1, 16)) { (hs, k) =>
+      def sig(xs: Seq[Long]): Seq[Long] = {
+        val df = spark.createDataFrame(
+          java.util.List.of(Row(xs)),
+          StructType(Seq(StructField("h", ArrayType(LongType)))))
+        df.select(VE.minhash_sig(col("h"), k)).head().getSeq[Long](0).toSeq
+      }
+      val s1 = sig(hs)
+      // signature is a set-function: element order must not matter
+      s1.length == k && s1 == sig(scala.util.Random.shuffle(hs))
+    }
+    check(prop, "minhash")
+  }
+
+  test("SimHash64: majority vote, reorder-invariant on random hash sets") {
+    val prop = Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) { hs =>
+      def ref(xs: Seq[Long]): Long = {
+        var sim = 0L
+        for (b <- 0 until 64)
+          if (2 * xs.count(h => ((h >>> b) & 1L) == 1L) >= xs.length) sim |= (1L << b)
+        sim
+      }
+      val df = spark.createDataFrame(
+        java.util.List.of(Row(hs)),
+        StructType(Seq(StructField("h", ArrayType(LongType)))))
+      df.select(VE.simhash64(col("h"))).head().getLong(0) == ref(hs)
+    }
+    check(prop, "simhash64")
+  }
+
   test("L2Normalize output is unit length for any non-zero random vector") {
     val prop = Prop.forAll(vecGen.suchThat(v => v.exists(_ != 0.0))) { v =>
       val out = evalColumn(Seq(v), c => VE.l2_normalize(c))
