@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
+import graft.Tables.r4
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import CoreQueries.Q
 
@@ -717,6 +718,22 @@ object PipelineQueries {
              |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
              |FROM documents
              |ORDER BY "column"""".stripMargin)),
+
+    // exact interpolated quantiles: Spark percentile and DuckDB
+    // quantile_cont share the p·(n−1) linear-interpolation definition
+    "pl_profile_quantiles" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .select(TextAnalysis.tokenCount(col("text")).as("t"))
+        .agg(expr("percentile(t, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(r4(element_at(col("qs"), 1)).as("p50"),
+          r4(element_at(col("qs"), 2)).as("p90"),
+          r4(element_at(col("qs"), 3)).as("p99")),
+      Some("""SELECT
+             |  round(quantile_cont(t, 0.5), 4) AS p50,
+             |  round(quantile_cont(t, 0.9), 4) AS p90,
+             |  round(quantile_cont(t, 0.99), 4) AS p99
+             |FROM (SELECT CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t
+             |      FROM documents)""".stripMargin)),
 
     // exact token-count histogram: integer-div buckets, engine-stable
     "pl_profile_histogram" -> Q(
