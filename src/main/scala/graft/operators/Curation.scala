@@ -310,6 +310,34 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast(LongType))
   }
 
+  /** Curation funnel report — pipeline observability: one row per
+    * screen with its survivor count, so a corpus run shows where
+    * documents die (the number every pipeline owner asks for first).
+    * Stages cascade: quality gate → exact dedup (keep min id per
+    * content hash) → boilerplate-span removal.
+    *
+    * Scale: each stage count is an aggregate over the cascaded frame;
+    * the union evaluates in one job tree. Counts only — no payload
+    * moves. */
+  def curationReport(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, spanTokens: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = df.filter(TextAnalysis.tokenCount(col(textCol)) >= minTokens)
+    val deduped = quality
+      .withColumn("__h", md5(col(textCol).cast(BinaryType)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__h").orderBy(col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("__h", "__rk")
+    val boiler = dropBoilerplateSpans(deduped, idCol, textCol, spanTokens, minDocs)
+    def stage(name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+    stage("0_input", df)
+      .unionByName(stage("1_quality", quality))
+      .unionByName(stage("2_dedup", deduped))
+      .unionByName(stage("3_boilerplate", boiler))
+  }
+
   /** End-to-end curation v2: [[dropBoilerplateSpans]] →
     * [[temperatureSample]] (target = `targetNum/targetDen` of the
     * CLEANED token mass) → [[shuffleShards]]. The cleaned corpus is

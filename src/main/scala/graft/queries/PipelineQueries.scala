@@ -895,6 +895,39 @@ object PipelineQueries {
              |  array_to_string(list(s ORDER BY pos), ' ') AS clean_text
              |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // curation funnel report: survivor counts per screen (quality →
+    // exact dedup → boilerplate) — pipeline observability, oracle-exact
+    "pl_curate_report" -> Q(
+      (s, d) => graft.operators.Curation.curationReport(
+          Tables(s, d, "documents"), "doc_id", "text",
+          minTokens = 10, spanTokens = 8, minDocs = 2)
+        .orderBy("stage"),
+      Some("""WITH quality AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE len(string_split(trim(text), ' ')) >= 10
+             |), dedup AS (
+             |  SELECT doc_id, text FROM (
+             |    SELECT doc_id, text, row_number() OVER (
+             |      PARTITION BY md5(text) ORDER BY doc_id) AS rk
+             |    FROM quality) WHERE rk = 1
+             |), tokz AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM dedup
+             |), spans AS (
+             |  SELECT doc_id, pos, array_to_string(t[(pos*8+1):((pos+1)*8)], ' ') AS s
+             |  FROM (SELECT doc_id, t,
+             |          unnest(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS pos
+             |        FROM tokz)
+             |), bad AS (
+             |  SELECT s FROM spans GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+             |), boiler AS (
+             |  SELECT DISTINCT doc_id FROM spans ANTI JOIN bad USING (s)
+             |)
+             |SELECT '0_input' AS stage, count(*) AS n FROM documents
+             |UNION ALL SELECT '1_quality', count(*) FROM quality
+             |UNION ALL SELECT '2_dedup', count(*) FROM dedup
+             |UNION ALL SELECT '3_boilerplate', count(*) FROM boiler
+             |ORDER BY stage""".stripMargin)),
+
     // end-to-end curation v2: boilerplate removal → √-temperature
     // mixture (target = ½ the CLEANED token mass) → shuffle-shard.
     // Every stage is engine-stable, so the ORACLE REPLAYS THE WHOLE
