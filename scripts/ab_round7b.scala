@@ -17,6 +17,11 @@
 // → every "heavy" bench row is dominated by first-execution codegen /
 //   planning, not data; warm steady-state is ≤1.6 s at sf0.1 across
 //   the board.
+//
+// curate_pipeline2 (added later the same day): 3.6-5.0 s warm when the
+// chain's three consumers each recomputed the boilerplate stage;
+// 2.0-2.5 s warm after Curation.curateV2 persisted the cleaned frame
+// (Dedup.viaPersisted) — same 2391 rows.
 import org.apache.spark.sql.functions._
 
 val d = "/root/testdata/sf0.1"

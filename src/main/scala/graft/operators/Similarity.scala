@@ -116,7 +116,11 @@ object Similarity {
     * volume is corpus/2^nPlanes per query in expectation. Recall is
     * the single-bucket LSH trade — raise it by lowering nPlanes (or
     * running multiple plane sets) at more candidates per query.
-    * Scores are true cosines; only candidate SELECTION is approximate. */
+    * Scores are true cosines; only candidate SELECTION is approximate.
+    *
+    * `excludeSelf` drops identity pairs BY ID — right for self-joins
+    * (the default usage); pass `false` when `queries` and `corpus` are
+    * genuinely different tables whose id spaces may collide. */
   def knnJoin(queries: DataFrame, qIdCol: String, corpus: DataFrame,
       cIdCol: String, vecCol: String, k: Int, nPlanes: Int,
       excludeSelf: Boolean = true): DataFrame = {
