@@ -629,8 +629,8 @@ object VectorExpressions {
         int $n = Math.min($a.numElements(), ${m * sub});
         double $ss = 0.0;
         for (int $i = 0; $i < $n; $i++) {
-          double e = (double) $a.${getter(child)}($i);
-          $x[$i] = e; $ss += e * e;
+          double $dd = (double) $a.${getter(child)}($i);
+          $x[$i] = $dd; $ss += $dd * $dd;
         }
         double $nrm = Math.sqrt($ss);
         if ($nrm != 0.0) for (int $i = 0; $i < ${m * sub}; $i++) $x[$i] /= $nrm;

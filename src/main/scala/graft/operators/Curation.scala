@@ -351,8 +351,11 @@ object Curation {
     Dedup.viaPersisted(
       dropBoilerplateSpans(docs, idCol, textCol, spanTokens, minDocs)
         .join(docs.select(col(idCol), col(sourceCol)), idCol)) { withSrc =>
-      val total = withSrc.agg(sum(
-        TextAnalysis.tokenCount(col("clean_text")))).head().getLong(0)
+      // coalesce: sum over an empty frame is NULL, not 0 (a corpus of
+      // pure boilerplate would otherwise NPE here)
+      val total = withSrc.agg(coalesce(sum(
+        TextAnalysis.tokenCount(col("clean_text"))), lit(0L))).head().getLong(0)
+      require(total > 0, "no tokens survive the boilerplate screen")
       shuffleShards(
         temperatureSample(withSrc, sourceCol, idCol, "clean_text",
           total * targetNum / targetDen),

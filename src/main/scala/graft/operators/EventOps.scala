@@ -34,23 +34,31 @@ object EventOps {
     val grouped = df.groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("tp"))))
         .as("__evs"))
-    // ts(i) = min ts of events of type steps(i) AFTER ts(i-1)
-    val chain = steps.zipWithIndex.foldLeft(Seq.empty[(String, Column)]) {
-      case (acc, (step, i)) =>
-        val after: Column => Column = ts =>
-          if (i == 0) lit(true) else ts > acc.last._2
-        val t = array_min(transform(
-          filter(col("__evs"), e => e.getField("tp") === step && after(e.getField("ts"))),
-          e => e.getField("ts")))
-        acc :+ (s"ts${i + 1}", t)
-    }
-    // chain nulls propagate (ts_{i+1} needs ts_i), so the furthest step
-    // is simply the count of non-null chain timestamps
-    val completed = chain.map { case (_, t) =>
-      when(t.isNotNull, 1).otherwise(0) }.reduce(_ + _)
-    grouped.select(
-      (col(userCol) +: chain.map { case (n, t) => t.as(n) }) :+
-        completed.as("steps_completed"): _*)
+    // ONE greedy fold over the time-sorted events builds the whole
+    // chain (greedy earliest-match is optimal for ordered subsequence
+    // matching): state = timestamps matched so far; an event extends it
+    // when its type is the NEXT step and its ts is strictly after the
+    // last match. A per-step min-after formulation would nest each
+    // step's full expression inside the next — O(steps²) interpreted
+    // array scans per row.
+    val stepsArr = array(steps.map(lit): _*)
+    val chain = aggregate(
+      col("__evs"),
+      array().cast(org.apache.spark.sql.types.ArrayType(df.schema(tsCol).dataType)),
+      (acc, e) => when(size(acc) >= steps.length, acc).otherwise(
+        // CaseWhen branches evaluate lazily, keeping every element_at
+        // in-bounds under ANSI
+        when(e.getField("tp") === element_at(stepsArr, size(acc) + 1) &&
+            when(size(acc) === 0, lit(true))
+              .otherwise(e.getField("ts") > element_at(acc, size(acc))),
+          concat(acc, array(e.getField("ts")))).otherwise(acc)))
+    grouped
+      .withColumn("__chain", chain)
+      .select(
+        (col(userCol) +: steps.indices.map(i =>
+          when(size(col("__chain")) >= i + 1, element_at(col("__chain"), i + 1))
+            .as(s"ts${i + 1}"))) :+
+          size(col("__chain")).as("steps_completed"): _*)
   }
 
   /** As-of join: for each left row, attach `valueCol` from the latest

@@ -20,11 +20,12 @@ object Search {
     * operators. */
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Exact summed term frequency: Σ_t tf(t, doc). Pure integer Column
-    * — runs codegen'd in the scan stage, engine-stable. */
+  /** Exact summed term frequency: Σ_t tf(t, doc) — equal to ONE
+    * membership count over distinct terms, so the text is tokenized
+    * and scanned once per row, not once per term (higher-order array
+    * functions are interpreted; a per-term chain costs |terms|×). */
   def tfScore(text: Column, terms: Seq[String]): Column =
-    terms.map(t => size(filter(tokens(text), w => w === lit(t))).cast(LongType))
-      .reduce(_ + _)
+    size(filter(tokens(text), w => w.isin(terms.distinct: _*))).cast(LongType)
 
   /** Top-k documents by exact term frequency; ties broken by id so the
     * cut is deterministic.

@@ -88,14 +88,7 @@ object Similarity {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
     // probe: the nprobe cells nearest the query (driver-side, nlist is tiny)
-    val qd = query.map(_.toDouble)
-    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
-    }
-    val probed = seeds.map { case (cid, c) => (cid, cosD(c, qd)) }
-      .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    val probed = probeCells(seeds, query, nprobe)
     df.select(col(idCol), v.as("v"), cell.as("cell"))
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
@@ -160,6 +153,21 @@ object Similarity {
       struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-cid).as("negid"))
     }: _*))
     (seeds, -assigned.getField("negid"))
+  }
+
+  /** Driver-side probe selection shared by the IVF variants: the
+    * `nprobe` centroid ids nearest the query by cosine, ties to the
+    * smaller id. */
+  private def probeCells(seeds: Seq[(Long, Seq[Double])], query: Seq[Float],
+      nprobe: Int): Seq[Long] = {
+    val qd = query.map(_.toDouble)
+    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    seeds.map { case (cid, c) => (cid, cosD(c, qd)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
   }
 
   /** Embedding-diversity (cell-stratified) sampling: every vector is
@@ -247,11 +255,16 @@ object Similarity {
       .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
       .limit(ncent).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    require(seeds.nonEmpty, "PQ training frame is empty")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    // a frame smaller than ncent (tiny corpus, or an IVF probe slice)
+    // seeds by cycling the available rows — fewer EFFECTIVE centroids,
+    // no crash; Lloyd then separates the duplicated cells
+    def seed(c: Int): IndexedSeq[Double] = seeds(c % seeds.length)
     var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map(s =>
-      (0 until ncent).map(c => seeds(c).slice(s * sub, (s + 1) * sub)))
+      (0 until ncent).map(c => seed(c).slice(s * sub, (s + 1) * sub)))
     def flatBooks: IndexedSeq[Double] =
       for (s <- 0 until m; c <- 0 until ncent; j <- 0 until sub)
         yield books(s)(c)(j)
@@ -334,23 +347,17 @@ object Similarity {
     * [[pqTopK]] kernels (encode/ADC), both scan-stage; one filter, two
     * top-k heaps, no join/shuffle anywhere.
     *
-    * Trains the PQ codebooks on the full frame (one posexplode
-    * aggregate per iteration, same bounded driver traffic as
-    * [[pqTopK]]); deterministic throughout. */
+    * Codebooks here train PER QUERY on the probed-cells slice (they
+    * adapt to the probed region; deterministic given the query). For
+    * the amortized production shape — train once, persist codes,
+    * search many — compose [[pqTrain]] / [[pqEncodeIndex]] /
+    * [[pqSearch]] per cell instead. */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nlist: Int = 8, nprobe: Int = 2,
       m: Int = 8, ncent: Int = 16, refine: Int = 8,
       trainIters: Int = 2): DataFrame = {
-    val v = col(vecCol).cast(ArrayType(DoubleType))
     val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
-    val qd = query.map(_.toDouble)
-    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
-    }
-    val probed = seeds.map { case (cid, c) => (cid, cosD(c, qd)) }
-      .sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    val probed = probeCells(seeds, query, nprobe)
     // the PQ stage sees only the probed cells; pqTopK internally trains
     // codebooks on that slice, encodes in-scan, ADC-ranks and rescores
     pqTopK(df.filter(cell.isin(probed: _*)), idCol, vecCol, query,
@@ -378,15 +385,8 @@ object Similarity {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val centroids = kmeansCentroids(df, idCol, vecCol, nlist, iters)
     def cellOf(cs: IndexedSeq[Seq[Double]]): Column = cellAssign(v, cs)
-    val qd = query.map(_.toDouble)
-    def cosD(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / math.sqrt(na * nb)
-    }
-    val probed = centroids.zipWithIndex
-      .map { case (c, i) => (i, cosD(c, qd)) }
-      .sortBy { case (i, cos) => (-cos, i) }.take(nprobe).map(_._1)
+    val probed = probeCells(
+      centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }, query, nprobe)
     df.select(col(idCol), v.as("v"), cellOf(centroids).as("cell"))
       .filter(col("cell").isin(probed: _*))
       .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))

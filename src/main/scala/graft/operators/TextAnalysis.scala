@@ -55,15 +55,21 @@ object TextAnalysis {
       vocab: Int = 65536): DataFrame = {
     val toks = df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-    val total = toks.count()
-    val lm = toks.groupBy("t").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("t")).limit(vocab)
-      .select(col("t"), log(col("n").cast(DoubleType) / total).as("logp"))
-    val floor = math.log(1.0 / total)
-    toks.join(lm, Seq("t"), "left")
-      .groupBy(idCol)
-      .agg(round(avg(coalesce(col("logp"), lit(floor))), 4).as("logprob"),
-        count(lit(1)).as("n_tokens"))
+    // ONE corpus tokenization fits the LM: the token-count frame (far
+    // smaller than the corpus) is persisted and yields BOTH the total
+    // mass and the top-vocab probabilities — a separate count() and an
+    // unpersisted groupBy would re-scan the corpus twice more
+    Dedup.viaPersisted(toks.groupBy("t").agg(count(lit(1)).as("n"))) { counts =>
+      val total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      require(total > 0, "corpus has no tokens")
+      val lm = counts.orderBy(col("n").desc, col("t")).limit(vocab)
+        .select(col("t"), log(col("n").cast(DoubleType) / total).as("logp"))
+      val floor = math.log(1.0 / total)
+      toks.join(lm, Seq("t"), "left")
+        .groupBy(idCol)
+        .agg(round(avg(coalesce(col("logp"), lit(floor))), 4).as("logprob"),
+          count(lit(1)).as("n_tokens"))
+    }
   }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

@@ -138,14 +138,15 @@ object EngineQueries {
     // unit test. Exercises guards, grouped arithmetic, strings, joins.
     "ql_tosql_roundtrip" -> Q(
       (s, d) => {
-        // the aggregate is integer-valued on purpose: a float-product sum
+        // the aggregate is DYADIC-valued on purpose: a float-product sum
         // rounded at fixed decimals is order-dependent at the last digit
-        // (it flipped at sf0.1), while integer-valued doubles sum exactly
-        // in ANY order/engine — the printer coverage (grouped arithmetic,
-        // precedence, strings, joins) is unchanged
+        // (it flipped at sf0.1), while sums of halves (x.0 / x.5 terms
+        // are exactly representable) are exact in ANY order/engine. The
+        // `/ 2` term keeps division — with its parenthesization — under
+        // the printer round-trip gate
         val text =
           """SELECT o.o_orderpriority, count(*) AS n,
-            |  sum(l.l_quantity * (2 + l.l_linenumber)) AS qty_h
+            |  sum((l.l_quantity * (2 + l.l_linenumber)) / 2) AS qty_h
             |FROM orders o JOIN lineitem l ON o.o_orderkey == l.l_orderkey
             |WHERE l.l_returnflag IN ("R", "A") AND l.l_quantity > 40
             |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
@@ -153,7 +154,7 @@ object EngineQueries {
         session(s, d).sql(printed)
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
-             |  sum(l_quantity * (2 + l_linenumber)) AS qty_h
+             |  sum((l_quantity * (2 + l_linenumber)) / 2) AS qty_h
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE l_returnflag IN ('R', 'A') AND l_quantity > 40
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),

@@ -807,7 +807,8 @@ object PipelineQueries {
     "pl_sample_temperature" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val total = docs.agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+        val total = docs.agg(coalesce(
+          sum(TextAnalysis.tokenCount(col("text"))), lit(0L))).head().getLong(0)
         graft.operators.Curation.temperatureSample(
             docs, "source", "doc_id", "text", total / 3)
           .select("doc_id", "source").orderBy("doc_id")

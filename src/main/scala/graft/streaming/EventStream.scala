@@ -154,9 +154,14 @@ object EventStream {
     * Everything but the dedup state is stateless, so the pipeline's
     * memory is exactly dedupContent's horizon-bounded store.
     *
-    * The keep decisions are identical to the batch operators on the
-    * same rows — replaying the feed through the batch path yields the
-    * same survivor set (the spec gates this equivalence). */
+    * Keep decisions: the quality gate and rate sample are pure
+    * per-row functions, identical to batch on any delivery order. The
+    * dedup stage keeps the FIRST-PROCESSED copy of duplicate content —
+    * for an event-time-ordered feed that matches batch's min-(ts, id)
+    * keeper (the spec gates that equivalence); under out-of-order
+    * delivery within the watermark, streaming may keep a different
+    * (equally valid) representative of a duplicate group, which can
+    * then flip that group's md5-of-id sampling decision. */
   def curationStream(docs: DataFrame, tsCol: String, idCol: String,
       textCol: String, minTokens: Int, keepPermill: Int,
       horizon: String = "30 minutes"): DataFrame = {
