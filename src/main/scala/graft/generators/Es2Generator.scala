@@ -91,7 +91,13 @@ object Es2Generator {
       includer: String => Option[Node], epochDay: Long): String = {
     // every child hop converts its own missing fields (walkExpr tail,
     // esgenerator.go:99-105) — so an OR over a vanished column still
-    // matches its other branches
+    // matches its other branches. NOTE: es2gen's booleanExpr carries a
+    // skip-in-OR / collapse-AND-to-MatchNone branch for
+    // MissingFieldError, but it is DEAD code — its args go through the
+    // inner walkExpr, whose tail converts the error to an inline
+    // MatchNone first. The observable reference behavior is the inline
+    // conversion, which this port matches; don't "fix" it to the dead
+    // branch's semantics.
     def walk(n: Node): String =
       try gen(n, columns, includer, epochDay)
       catch { case _: MissingField => MatchNone }
@@ -184,7 +190,9 @@ object Es2Generator {
     * range filters don't compare "9.5" numerically (bridgeutil.go:68-77). */
   private def scalar(ft: EsField, n: Node): String = n match {
     case StringNode(v) =>
-      if (ft.numeric) v.toDoubleOption.map(d =>
+      // isFinite guard: toDoubleOption accepts "NaN"/"Infinity", whose
+      // toString would emit bare NaN — invalid JSON; keep those quoted
+      if (ft.numeric) v.toDoubleOption.filter(_.isFinite).map(d =>
         if (d.isValidInt || d == d.toLong) d.toLong.toString else d.toString
       ).getOrElse(jstr(v))
       else jstr(v)

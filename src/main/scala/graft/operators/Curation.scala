@@ -16,6 +16,16 @@ import graft.functions.VectorExpressions
   */
 object Curation {
 
+  /** THE deterministic keep-decision bucket: first 8 hex chars of
+    * md5(id) as an integer, mod 1000. Every sampler (batch and
+    * streaming) and the DuckDB oracle twin
+    * (`('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % 1000`)
+    * encode exactly this formula — ONE definition here so the
+    * stream/batch equivalence specs and oracles cannot drift. */
+  def md5Permill(idCol: Column): Column =
+    conv(substring(md5(idCol.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 1000
+
   /** Deterministic per-group quota sample: keep at most `k` rows per
     * group, chosen by a content-independent pseudo-random order (md5 of
     * the id) — the reproducible form of stratified downsampling used to
@@ -113,8 +123,7 @@ object Curation {
     * the scan stage and becomes a partition column on write. */
   def splitAssign(idCol: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.map(_._2).sum == 1000, "per-mill weights must sum to 1000")
-    val bucket = conv(substring(md5(idCol.cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = md5Permill(idCol)
     val cuts = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
     splits.zip(cuts).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cut), rest) => when(bucket < cut, name).otherwise(rest)
@@ -210,8 +219,7 @@ object Curation {
       permill: Map[String, Int], defaultPermill: Int): DataFrame = {
     require((defaultPermill +: permill.values.toSeq).forall(w => w >= 0 && w <= 1000),
       "per-mill rates must be in [0, 1000]")
-    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = md5Permill(col(idCol))
     val rate = permill.toSeq.sortBy(_._1).foldRight(lit(defaultPermill): Column) {
       case ((g, w), rest) => when(col(groupCol) === g, lit(w)).otherwise(rest)
     }
@@ -251,12 +259,14 @@ object Curation {
       .withColumn("__permill", least(lit(1000L), expr(
         s"CAST(1000 AS DECIMAL(38,0)) * CAST($targetTokens AS DECIMAL(38,0)) * __w" +
           " div (CAST(__sw AS DECIMAL(38,0)) * __n)")))
-      .select(col(sourceCol), col("__permill"))
-    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-      .cast(LongType) % 1000
-    toks.join(rates, sourceCol)
+      .select(col(sourceCol).as("__rsrc"), col("__permill"))
+    val bucket = md5Permill(col(idCol))
+    // null-safe join: a NULL source (missing provenance) forms its own
+    // rate group and must sample at that group's rate, not vanish —
+    // an equi-join would never match null = null
+    toks.join(rates, col(sourceCol) <=> col("__rsrc"))
       .filter(bucket < col("__permill"))
-      .drop("__tok", "__permill")
+      .drop("__tok", "__permill", "__rsrc")
   }
 
   /** Graded contamination score — the per-document fraction of its

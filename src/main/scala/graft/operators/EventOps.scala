@@ -31,8 +31,14 @@ object EventOps {
   def funnel(df: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // only step-typed events can extend the chain: collect_list drops
+    // the nulls from the `when`, shrinking both the shuffle payload and
+    // the per-user array to step events while every user (even with
+    // zero step events) keeps a group row
     val grouped = df.groupBy(col(userCol))
-      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"), col(typeCol).as("tp"))))
+      .agg(sort_array(collect_list(
+        when(col(typeCol).isin(steps.distinct: _*),
+          struct(col(tsCol).as("ts"), col(typeCol).as("tp")))))
         .as("__evs"))
     // ONE greedy fold over the time-sorted events builds the whole
     // chain (greedy earliest-match is optimal for ordered subsequence

@@ -74,14 +74,28 @@ object Multimodal {
       val w = img.getWidth; val h = img.getHeight
       val n = math.min(w.toLong * h * 3, maxPixelBytes.toLong).toInt
       val out = new Array[Byte](n)
-      var i = 0
+      val rows = n / 3 / math.max(w, 1)
+      // bulk row grab: per-pixel getRGB(x, y) pays color-model
+      // conversion per CALL (~10-50× on megapixel images); one
+      // getRGB(0, 0, w, rows, …) converts the block in one pass
+      val packed =
+        if (rows > 0) img.getRGB(0, 0, w, rows, null, 0, w) else Array.empty[Int]
       var p = 0
-      while (p < n / 3) {
-        val rgb = img.getRGB(p % w, p / w)
-        out(i) = ((rgb >> 16) & 0xff).toByte
-        out(i + 1) = ((rgb >> 8) & 0xff).toByte
-        out(i + 2) = (rgb & 0xff).toByte
-        i += 3; p += 1
+      while (p < packed.length && p * 3 + 2 < n) {
+        val rgb = packed(p)
+        out(p * 3) = ((rgb >> 16) & 0xff).toByte
+        out(p * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out(p * 3 + 2) = (rgb & 0xff).toByte
+        p += 1
+      }
+      // the truncation boundary may cut mid-row: finish the tail pixels
+      var q = rows * w
+      while (q * 3 + 2 < n) {
+        val rgb = img.getRGB(q % w, q / w)
+        out(q * 3) = ((rgb >> 16) & 0xff).toByte
+        out(q * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+        out(q * 3 + 2) = (rgb & 0xff).toByte
+        q += 1
       }
       DecodedFrame(0, w, h, out)
     }
@@ -99,13 +113,17 @@ object Multimodal {
       val src = new java.awt.image.BufferedImage(
         math.max(f.width, 1), math.max(srcRows, 1),
         java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // bulk setRGB for the same per-call conversion reason as toFrame
+      val packed = new Array[Int](srcRows * f.width)
       var p = 0
-      while (p < srcRows * f.width) {
+      while (p < packed.length) {
         val i = p * 3
-        src.setRGB(p % f.width, p / f.width,
-          ((f.pixels(i) & 0xff) << 16) | ((f.pixels(i + 1) & 0xff) << 8) | (f.pixels(i + 2) & 0xff))
+        packed(p) = ((f.pixels(i) & 0xff) << 16) |
+          ((f.pixels(i + 1) & 0xff) << 8) | (f.pixels(i + 2) & 0xff)
         p += 1
       }
+      if (packed.nonEmpty)
+        src.setRGB(0, 0, f.width, srcRows, packed, 0, f.width)
       val dst = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
       g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,

@@ -58,6 +58,10 @@ object Search {
         sum(when(array_contains(col("__t"), t), 1L).otherwise(0L)).as(s"df_$i")
       }
     val stats = tok.agg(statAggs.head, statAggs.tail: _*).head()
+    // empty corpus: avg/sum aggregates return NULL — answer with an
+    // empty result instead of unboxing NPEs
+    if (stats.getAs[Long]("n") == 0L)
+      return tok.select(col(idCol), lit(0.0).as("score")).limit(0)
     val n = stats.getAs[Long]("n").toDouble
     val avgdl = stats.getAs[Double]("avgdl")
     val score = terms.zipWithIndex.map { case (t, i) =>

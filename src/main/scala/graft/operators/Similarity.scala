@@ -144,16 +144,23 @@ object Similarity {
   private[operators] def seedCells(df: DataFrame, idCol: String, vecCol: String,
       nlist: Int): (Seq[(Long, Seq[Double])], Column) = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val seeds: Seq[(Long, Seq[Double])] = df
-      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
-      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
-      .limit(nlist).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val seeds: Seq[(Long, Seq[Double])] = seedRows(df, idCol, v, nlist)
     val assigned = array_max(array(seeds.map { case (cid, c) =>
       struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-cid).as("negid"))
     }: _*))
     (seeds, -assigned.getField("negid"))
   }
+
+  /** The deterministic seed draw every quantizer shares: the `n` rows
+    * with the smallest md5(id), as (id, vector). THE seeding order all
+    * oracles and determinism specs replay — one definition so the
+    * copies cannot drift. Bounded driver traffic: `n` vectors. */
+  private def seedRows(df: DataFrame, idCol: String, vec: Column,
+      n: Int): IndexedSeq[(Long, IndexedSeq[Double])] =
+    df.select(col(idCol).cast(LongType).as("cid"), vec.as("c"))
+      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
+      .limit(n).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
 
   /** Driver-side probe selection shared by the IVF variants: the
     * `nprobe` centroid ids nearest the query by cosine, ties to the
@@ -250,11 +257,8 @@ object Similarity {
     // ADC order coincides with cosine order (‖a−b‖² = 2−2cos on the
     // sphere) — PQ on raw norms would rank by magnitude, not angle
     val vn = graft.functions.VectorExpressions.l2_normalize(v)
-    val seeds: IndexedSeq[IndexedSeq[Double]] = df
-      .select(col(idCol).cast(LongType).as("cid"), vn.as("c"))
-      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
-      .limit(ncent).collect()
-      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val seeds: IndexedSeq[IndexedSeq[Double]] =
+      seedRows(df, idCol, vn, ncent).map(_._2)
     require(seeds.nonEmpty, "PQ training frame is empty")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -418,10 +422,9 @@ object Similarity {
       if (n == 0.0) c else c.map(x => BigDecimal(x / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    var centroids: IndexedSeq[Seq[Double]] = df
-      .select(col(idCol).cast(LongType).as("cid"), v.as("c"))
-      .orderBy(md5(col("cid").cast(StringType).cast(BinaryType)), col("cid"))
-      .limit(nlist).collect().map(r => normD(r.getSeq[Double](1))).toIndexedSeq
+    var centroids: IndexedSeq[Seq[Double]] =
+      seedRows(df, idCol, v, nlist).map(s => normD(s._2))
+    require(centroids.nonEmpty, "k-means training frame is empty")
     for (_ <- 1 to iters) {
       // per-(cell, dim) means: nlist x dim rows to the driver, bounded
       val means = df.select(cellAssign(v, centroids).as("cell"), posexplode(v))

@@ -167,8 +167,7 @@ object EventStream {
       horizon: String = "30 minutes"): DataFrame = {
     val quality = docs
       .filter(graft.operators.TextAnalysis.tokenCount(col(textCol)) >= minTokens)
-    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = graft.operators.Curation.md5Permill(col(idCol))
     dedupContent(quality, tsCol, textCol, horizon)
       .filter(bucket < keepPermill)
   }
@@ -188,8 +187,7 @@ object EventStream {
     * frame. */
   def mixtureStream(docs: DataFrame, idCol: String, sourceCol: String,
       rates: DataFrame, rateSourceCol: String, permillCol: String): DataFrame = {
-    val bucket = conv(substring(md5(col(idCol).cast(StringType).cast(BinaryType)), 1, 8), 16, 10)
-      .cast(LongType) % 1000
+    val bucket = graft.operators.Curation.md5Permill(col(idCol))
     docs.join(rates.select(col(rateSourceCol).as(sourceCol), col(permillCol)),
         Seq(sourceCol))
       .filter(bucket < col(permillCol))

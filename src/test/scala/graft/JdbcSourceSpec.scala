@@ -60,9 +60,14 @@ class JdbcSourceSpec extends AnyFunSuite {
       "age filter not pushed to the database:\n" + p)
     assert(p.contains("EqualTo(CITY,nyc)") || p.contains("EqualTo(city,nyc)"),
       "city filter not pushed to the database:\n" + p)
-    // column pruning: the remote query selects only the needed columns
-    assert(!p.toLowerCase.contains("readschema") || !p.contains("ID"),
-      "unpruned JDBC scan:\n" + p)
+    // column pruning: the JDBC scan's output column list (printed on
+    // the JDBCRelation line) must not carry the unused ID column — the
+    // remote query selects only what the statement needs
+    val scanLine = p.linesIterator.find(_.contains("JDBCRelation"))
+    assert(scanLine.isDefined, "no JDBC scan in the plan:\n" + p)
+    assert(!"""\bID#""".r.findFirstIn(scanLine.get).isDefined,
+      "unpruned JDBC scan (ID still read):\n" + scanLine.get)
+    assert(scanLine.get.contains("NAME#"), "projected column missing:\n" + scanLine.get)
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("bella", "emma"))
   }
 
