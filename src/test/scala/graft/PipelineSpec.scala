@@ -384,6 +384,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pq ANN survives a training frame smaller than ncent (probe-slice case)") {
+    // regression: ivfPqTopK trains PQ on the probed-cells slice, which
+    // can hold fewer rows than ncent — seeds must cycle, not crash
+    val tiny = emb.filter(col("vec_id") < 5)
+    val q = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val got = Similarity.pqTopK(tiny, "vec_id", "embedding", q, k = 3)
+      .collect().map(_.getLong(0))
+    assert(got.nonEmpty && got.length <= 3)
+    assert(got.toSet.subsetOf((0L until 5L).toSet))
+  }
+
+  test("temperature sampling keeps null-source docs at their own group rate") {
+    import org.apache.spark.sql.Row
+    val rows = (0L until 40L).map(i =>
+      Row(i, if (i % 2 == 0) "srcA" else null, ("tok " * 20).trim))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("source", StringType),
+        org.apache.spark.sql.types.StructField("text", StringType))))
+    val kept = Curation.temperatureSample(df, "source", "doc_id", "text", 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // regression: an equi-join dropped every null-source doc; the
+    // null group must sample like any other (equal sizes → equal rates)
+    assert(kept.exists(_ % 2 == 1), "null-source documents were dropped entirely")
+    assert(kept.exists(_ % 2 == 0))
+  }
+
   test("pq build/search lifecycle equals the fused pqTopK") {
     val (books, sub) = Similarity.pqTrain(emb, "vec_id", "embedding", 8, 16, 2)
     val index = Similarity.pqEncodeIndex(emb, "vec_id", "embedding", books, 16, sub)
