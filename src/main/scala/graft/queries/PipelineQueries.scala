@@ -590,6 +590,43 @@ object PipelineQueries {
 
     // deterministic per-source quota sample (md5-ordered, reproducible
     // in any engine — the stratified downsampling screen)
+    // dedup quality analytics: the near-dup cluster SIZE distribution
+    // (how much of the corpus sits in 2-dup, 3-dup, … families) — the
+    // number that decides whether near-dedup is worth its cost
+    "pl_dedup_cluster_sizes" -> Q(
+      (s, d) => Dedup.nearDupClusters(
+          Dedup.minHashLshPairs(Tables(s, d, "documents"), "doc_id", "text",
+            shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.5))
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz"),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz0, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz0) + any_value(b.sz0) - count(*)) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+             |), clusters AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a
+             |)
+             |SELECT sz, count(*) AS n_clusters FROM (
+             |  SELECT cluster_id, count(*) AS sz FROM clusters GROUP BY cluster_id)
+             |GROUP BY sz ORDER BY sz""".stripMargin)),
+
     "pl_sample_quota" -> Q(
       (s, d) => graft.operators.Curation.quotaSample(
           Tables(s, d, "documents"), "source", "doc_id", 50)
