@@ -690,6 +690,26 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): PqAdc = copy(child = c)
   }
 
+  /** Unicode NFC normalization — the canonicalization step before any
+    * content hashing/dedup (composed vs decomposed accents would
+    * otherwise hash differently). Per-row string kernel,
+    * CodegenFallback like the other string kernels; DuckDB twin:
+    * `nfc_normalize`. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "nfc", "string", Seq(child.dataType))
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+      // fast path: NFC-normalized ASCII/latin text skips the copy
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -717,6 +737,8 @@ object VectorExpressions {
         exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pq_adc",
       exprs => PqAdc(exprs(0),
         exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
@@ -743,6 +765,8 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_l2_normalize", c) }
   def top_ngram(c: Column, n: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_top_ngram", c, org.apache.spark.sql.functions.lit(n)) }
+  def nfc(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_nfc", c) }
   def pq_encode(c: Column, books: Seq[Double], ncent: Int, sub: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
       org.apache.spark.sql.functions.lit(books.toArray),

@@ -37,6 +37,16 @@ object TextAnalysis {
       greatest(size(toks), lit(1)).cast(DoubleType)
   }
 
+  /** Canonical text normalization — THE step before any content
+    * hashing or dedup: unicode NFC (composed vs decomposed accents
+    * hash differently raw), lowercase, whitespace collapse, trim.
+    * Pure scan-stage Column (the NFC kernel has an is-normalized fast
+    * path, free on ASCII corpora); DuckDB twin:
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))`. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      lower(graft.functions.VectorExpressions.nfc(text)), "\\s+", " "))
+
   /** Unigram-LM quality score (the CCNet-style perplexity filter, with
     * the corpus itself as the LM): pass 1 fits token probabilities over
     * the whole corpus (top-`vocab` tokens; everything rarer scores at

@@ -901,6 +901,20 @@ object PipelineQueries {
              |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // canonical normalization: NFC + lowercase + whitespace collapse —
+    // the pre-hashing step; a PII-style suffix adds case/space variety
+    "pl_text_normalize" -> Q(
+      (s, d) => Tables(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(
+            concat(col("text"), lit("  TRAILING   Mixed CASEé "))).as("norm"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(lower(nfc_normalize(
+             |    text || '  TRAILING   Mixed CASE' || chr(233) || ' ')),
+             |    '\s+', ' ', 'g')) AS norm
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // unigram-LM quality score: corpus-fit token logprobs, per-doc mean
     // (CCNet-style perplexity proxy). ln() mean is summation-order
     // sensitive -> rows-only; spec runs the local reference

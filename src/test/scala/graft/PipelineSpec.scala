@@ -465,6 +465,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(reachable.nonEmpty, "ivf-pq found none of the true top-k")
   }
 
+  test("text normalization: NFC unifies composed/decomposed, collapses space") {
+    import org.apache.spark.sql.Row
+    val composed = "café"            // é as one codepoint
+    val decomposed = "café"         // e + combining acute
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, s"  A  $composed  TEXT "), Row(2L, s"a $decomposed text")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", LongType),
+        org.apache.spark.sql.types.StructField("t", StringType))))
+    val norm = df.select(col("id"), TextAnalysis.normalizeText(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both forms canonicalize to the same bytes → same content hash
+    assert(norm(1L) == norm(2L), s"${norm(1L)} != ${norm(2L)}")
+    assert(norm(1L) == s"a $composed text")
+  }
+
   test("unigram LM quality matches a local reference and separates gibberish") {
     val got = TextAnalysis.unigramQualityScore(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
