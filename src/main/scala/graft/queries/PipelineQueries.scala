@@ -901,6 +901,27 @@ object PipelineQueries {
              |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // normalized exact dedup: hash the CANONICAL form — catches the
+    // case/spacing/unicode-form variants a raw-byte hash misses
+    "pl_dedup_exact_normalized" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        Dedup.exactDuplicates(
+            docs.withColumn("__norm",
+              TextAnalysis.normalizeText(concat(col("text"),
+                when(col("doc_id") % 2 === 0, lit("  X")).otherwise(lit(" x"))))),
+            "doc_id", "__norm")
+          .orderBy("content_hash")
+      },
+      Some("""SELECT md5(norm) AS content_hash, count(*) AS n_dups,
+             |  min(doc_id) AS keep_id
+             |FROM (SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(
+             |        text || (CASE WHEN doc_id % 2 = 0 THEN '  X' ELSE ' x' END))),
+             |        '\s+', ' ', 'g')) AS norm
+             |      FROM documents)
+             |GROUP BY md5(norm) HAVING count(*) > 1
+             |ORDER BY content_hash""".stripMargin)),
+
     // canonical normalization: NFC + lowercase + whitespace collapse —
     // the pre-hashing step; a PII-style suffix adds case/space variety
     "pl_text_normalize" -> Q(
