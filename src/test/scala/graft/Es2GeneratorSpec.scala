@@ -56,6 +56,12 @@ class Es2GeneratorSpec extends AnyFunSuite {
     // non-numeric column keeps the string
     assert(gen("FILTER name > \"21\"") ==
       """{"size":0,"filter":{"range":{"name":{"gt":"21"}}}}""")
+    // non-finite parses ("NaN"/"Infinity") must stay quoted — a bare
+    // NaN token is invalid JSON
+    assert(gen("FILTER age > \"NaN\"") ==
+      """{"size":0,"filter":{"range":{"age":{"gt":"NaN"}}}}""")
+    assert(gen("FILTER age > \"Infinity\"") ==
+      """{"size":0,"filter":{"range":{"age":{"gt":"Infinity"}}}}""")
   }
 
   test("BETWEEN emits the ES2 and-array, exclusive bounds") {
