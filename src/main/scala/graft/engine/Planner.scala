@@ -59,7 +59,11 @@ final class Planner(catalog: String => DataFrame,
         case (jt, Some(on)) =>
           val ctx = mkCtx(df, right)
           df.join(right, ColumnBuilder.build(on, ctx), JoinType.spark(jt))
-        case (jt, None) => df.crossJoin(right)
+        case (jt, None) =>
+          // Guard for programmatically-built ASTs: a qualified join with
+          // no ON must not silently degrade to a cartesian product
+          // (reference/rel/parse_sql.go:1264-1291 refuses it at parse time).
+          throw BuildException(s"$jt JOIN requires ON clause")
       }
       df = joined
     }

@@ -671,18 +671,28 @@ object VectorExpressions {
       val arr = v.asInstanceOf[ArrayData]
       val n = math.min(arr.numElements(), m)
       var acc = 0.0; var s = 0
-      while (s < n) { acc += tabArr(s * ncent + arr.getInt(s)); s += 1 }
+      // codes outside [0, ncent) contribute 0 — the SQL surface
+      // (graft_pq_adc) accepts any array<int>, so a bad code must not
+      // throw ArrayIndexOutOfBoundsException on executors
+      while (s < n) {
+        val c = arr.getInt(s)
+        if (c >= 0 && c < ncent) acc += tabArr(s * ncent + c)
+        s += 1
+      }
       java.lang.Double.valueOf(acc)
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val tb = ctx.addReferenceObj("pqDtable", tabArr, "double[]")
       nullSafeCodeGen(ctx, ev, a => {
         val n = ctx.freshName("n"); val s = ctx.freshName("s")
-        val acc = ctx.freshName("acc")
+        val acc = ctx.freshName("acc"); val c = ctx.freshName("c")
         s"""
         int $n = Math.min($a.numElements(), $m);
         double $acc = 0.0;
-        for (int $s = 0; $s < $n; $s++) $acc += $tb[$s * $ncent + $a.getInt($s)];
+        for (int $s = 0; $s < $n; $s++) {
+          int $c = $a.getInt($s);
+          if ($c >= 0 && $c < $ncent) $acc += $tb[$s * $ncent + $c];
+        }
         ${ev.value} = $acc;
         """
       })

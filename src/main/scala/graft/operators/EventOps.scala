@@ -35,9 +35,13 @@ object EventOps {
     // the nulls from the `when`, shrinking both the shuffle payload and
     // the per-user array to step events while every user (even with
     // zero step events) keeps a group row
+    // null-ts step events are excluded outright: sort_array puts null
+    // structs/fields first, so a null-ts event would be accepted as
+    // step 1 (the size(acc)===0 branch skips the ts comparison) and
+    // wedge the chain with a null timestamp
     val grouped = df.groupBy(col(userCol))
       .agg(sort_array(collect_list(
-        when(col(typeCol).isin(steps.distinct: _*),
+        when(col(typeCol).isin(steps.distinct: _*) && col(tsCol).isNotNull,
           struct(col(tsCol).as("ts"), col(typeCol).as("tp")))))
         .as("__evs"))
     // ONE greedy fold over the time-sorted events builds the whole

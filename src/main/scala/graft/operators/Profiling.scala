@@ -86,16 +86,29 @@ object Profiling {
     * distinct aggregates internally); output is |cols| rows. */
   def tableProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      countDistinct(col(c)).as(s"__dist_$c"),
-      min(col(c)).cast(StringType).as(s"__min_$c"),
-      max(col(c)).cast(StringType).as(s"__max_$c")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.length}, " + cols.map(c =>
-        s"'$c', __n, `__nulls_$c`, `__dist_$c`, `__min_$c`, `__max_$c`")
-        .mkString(", ") +
-        ") AS (column, n_rows, n_nulls, n_distinct, min_s, max_s)"))
+    // internal aliases are indexed, not name-derived: a user column name
+    // containing quotes/backticks/dots must never reach an identifier
+    // or an expr() string (it would break parsing or inject fragments)
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      val src = df(c)
+      Seq(
+        sum(when(src.isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        countDistinct(src).as(s"__dist_$i"),
+        min(src).cast(StringType).as(s"__min_$i"),
+        max(src).cast(StringType).as(s"__max_$i"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    // Column-API unpivot (inline of structs) instead of a stack() SQL string
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__dist_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_s"),
+        col(s"__max_$i").as("max_s"))
+    }
+    agged.select(inline(array(rows: _*)))
   }
 
   /** Exact fixed-width histogram of an integer-valued expression:

@@ -174,6 +174,10 @@ final class SqlParser(tokens: Vector[Token]) {
           val on = { // parse source first, then ON
             val src = parseOneSource(t, None)
             val onExpr = if (eat("ON")) Some(ep.parseExpr()) else None
+            // reference/rel/parse_sql.go:1264-1291 refuses a JOIN with no
+            // ON clause; only CROSS JOIN (and comma-FROM) may omit it.
+            if (onExpr.isEmpty && t != JoinType.Cross)
+              throw ParseException("JOIN requires ON clause (use CROSS JOIN for a cartesian product)")
             out += (src match {
               case ts: TableSource => ts.copy(joinType = t, joinOn = onExpr)
               case ss: SubquerySource => ss.copy(joinType = t, joinOn = onExpr)

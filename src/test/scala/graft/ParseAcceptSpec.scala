@@ -171,7 +171,16 @@ class ParseAcceptSpec extends AnyFunSuite {
     """CREATE TABLE t (a int) ENGINE=""", // dangling option value
     """SELECT hash(join(, """, // nested unbalanced
     // unknown keyword SORT must fail (rel/parse_sql_test.go:402)
-    """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""")
+    """select `repository.name` from github_fork SORT BY `repository.stargazers_count` DESC limit 3""",
+    // a qualified JOIN with no ON must be refused, not silently cross-joined
+    // (rel/parse_sql.go:1264-1291); CROSS JOIN / comma-FROM stay legal
+    """SELECT a FROM t1 LEFT JOIN t2 WHERE t1.x = 1""",
+    """SELECT a FROM t1 INNER JOIN t2 LIMIT 5""")
+
+  test("CROSS JOIN and comma-FROM still parse without ON") {
+    parses("""SELECT a FROM t1 CROSS JOIN t2""")
+    parses("""SELECT a FROM t1, t2 WHERE t1.x = t2.x""")
+  }
 
   test("reference parser corpus: every valid statement parses") {
     for (s <- good) {
