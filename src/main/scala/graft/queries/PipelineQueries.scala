@@ -678,14 +678,44 @@ object PipelineQueries {
              |  FROM documents)
              |WHERE score > 0 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
-    // BM25 ranked retrieval: idf folded in from one bounded stats pass.
-    // ln() is not bit-contracted across engines -> rows-only check; the
-    // ranking/EQ properties are gated in PipelineSpec differentially
+    // BM25 ranked retrieval: the oracle replays the WHOLE formula —
+    // same doubles, same fold order (idf = ln((n-df+0.5)/(df+0.5)+1),
+    // constants forced to DOUBLE before arithmetic so DuckDB's decimal
+    // literals can't change the bits), rounded to 6 on both sides
     "pl_search_bm25" -> Q(
       (s, d) => graft.operators.Search.bm25TopK(
         Tables(s, d, "documents"), "doc_id", "text",
         Seq("spark", "window", "hash"), 20),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t,
+             |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+             |  FROM documents
+             |), stats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    sum(dl) / count(*) AS avgdl,
+             |    CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM tok
+             |), scored AS (
+             |  SELECT doc_id, round(
+             |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'spark')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'spark')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'window')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'window')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'hash')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'hash')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    , 6) AS score
+             |  FROM tok, stats
+             |)
+             |SELECT doc_id, score FROM scored WHERE score > 0
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
     // sketch profiling: HLL distinct + quantile sketches per source —
     // approximate by design (Spark-internal sketch state), so rows-only
@@ -806,12 +836,31 @@ object PipelineQueries {
              |FROM pairs ORDER BY source_a, source_b""".stripMargin)),
 
     // mergeable HLL sketch lifecycle: per-source sketches unioned to a
-    // global distinct estimate without re-reading the corpus
+    // global distinct estimate without re-reading the corpus. The
+    // estimate itself is Spark-internal sketch state, but the CONTRACT
+    // is oracle-checkable: DuckDB computes the exact distinct count and
+    // the ±5% window; Spark additionally asserts its merged estimate
+    // lands inside it — a drifting estimator hash-mismatches on the
+    // boolean
     "pl_profile_distinct_merge" -> Q(
-      (s, d) => graft.operators.Profiling.unionDistinct(
-        graft.operators.Profiling.distinctSketches(
-          Tables(s, d, "documents"), "source", "text")),
-      None),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        // hll_sketch_estimate returns LongType
+        val est = graft.operators.Profiling.unionDistinct(
+            graft.operators.Profiling.distinctSketches(docs, "source", "text"))
+          .head().getLong(0).toDouble
+        docs.agg(countDistinct(col("text")).as("n_exact"))
+          .select(col("n_exact"),
+            floor(col("n_exact") * 0.95).cast(LongType).as("est_lo"),
+            ceil(col("n_exact") * 1.05).cast(LongType).as("est_hi"),
+            (lit(est) >= floor(col("n_exact") * 0.95) &&
+             lit(est) <= ceil(col("n_exact") * 1.05)).as("est_in_bounds"))
+      },
+      Some("""SELECT count(DISTINCT text) AS n_exact,
+             |  CAST(floor(count(DISTINCT text) * CAST(0.95 AS DOUBLE)) AS BIGINT) AS est_lo,
+             |  CAST(ceil(count(DISTINCT text) * CAST(1.05 AS DOUBLE)) AS BIGINT) AS est_hi,
+             |  true AS est_in_bounds
+             |FROM documents""".stripMargin)),
 
     // graded contamination: per-doc shared-shingle fraction vs the
     // benchmark slice; LEFT join so zero-overlap docs keep a 0.0 score
@@ -871,20 +920,33 @@ object PipelineQueries {
 
     // Bloom-filter decontamination: the blocklist compacts to a scan-
     // stage might_contain probe — zero corpus shuffle at any scale. The
-    // filter's exact false-positive set depends on Spark's internal
-    // bloom hashing, which DuckDB cannot replay → no SQL oracle (driver
-    // records the rows-only check); the no-false-negative guarantee and
-    // the fpp bound are asserted in PipelineSpec instead.
+    // filter's exact false-positive SET depends on Spark's internal
+    // bloom hashing, which DuckDB cannot replay — but the CONTRACT is
+    // oracle-checkable: zero false negatives (no blocklisted id
+    // survives) and over-removal bounded by ~3×fpp. DuckDB supplies the
+    // exact kept count; a broken filter flips a hashed column.
     "pl_decontaminate_bloom" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        graft.operators.Curation.decontaminateBloom(
-            docs, "doc_id",
-            docs.filter(col("doc_id") % 10 === 0).select("doc_id"), "doc_id",
+        val blocklist = docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+        val kept = graft.operators.Curation.decontaminateBloom(
+            docs, "doc_id", blocklist, "doc_id",
             expectedItems = 100000L, fpp = 0.01)
-          .select("doc_id").orderBy("doc_id")
+          .select("doc_id")
+        val nFalseNeg = kept.join(blocklist, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_false_neg"))
+        val nKeptBloom = kept.agg(count(lit(1)).as("__n_bloom"))
+        val nKeptExact = docs.filter(col("doc_id") % 10 =!= 0)
+          .agg(count(lit(1)).as("n_kept_exact"))
+        nFalseNeg.crossJoin(nKeptBloom).crossJoin(nKeptExact)
+          .select(col("n_false_neg"), col("n_kept_exact"),
+            (col("n_kept_exact") - col("__n_bloom") <=
+              ceil(col("n_kept_exact") * lit(0.03)) + lit(2L)).as("over_drop_ok"))
       },
-      None),
+      Some("""SELECT CAST(0 AS BIGINT) AS n_false_neg,
+             |  count(*) AS n_kept_exact,
+             |  true AS over_drop_ok
+             |FROM documents WHERE doc_id % 10 != 0""".stripMargin)),
 
     // deterministic shuffle-and-shard: md5-bucket shard + in-shard
     // md5-rank position — globally shuffled, byte-reproducible output
