@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`): brute-force cosine top-k as the correctness
@@ -257,39 +258,52 @@ object Similarity {
     // ADC order coincides with cosine order (‖a−b‖² = 2−2cos on the
     // sphere) — PQ on raw norms would rank by magnitude, not angle
     val vn = graft.functions.VectorExpressions.l2_normalize(v)
-    val seeds: IndexedSeq[IndexedSeq[Double]] =
-      seedRows(df, idCol, vn, ncent).map(_._2)
-    require(seeds.nonEmpty, "PQ training frame is empty")
-    val dim = seeds.head.length
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    // a frame smaller than ncent (tiny corpus, or an IVF probe slice)
-    // seeds by cycling the available rows — fewer EFFECTIVE centroids,
-    // no crash; Lloyd then separates the duplicated cells
-    def seed(c: Int): IndexedSeq[Double] = seeds(c % seeds.length)
-    var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map(s =>
-      (0 until ncent).map(c => seed(c).slice(s * sub, (s + 1) * sub)))
-    def flatBooks: IndexedSeq[Double] =
-      for (s <- 0 until m; c <- 0 until ncent; j <- 0 until sub)
-        yield books(s)(c)(j)
-    for (_ <- 1 to trainIters) {
-      val codes = graft.functions.VectorExpressions.pq_encode(v, flatBooks, ncent, sub)
-      val means = df.select(codes.as("__cs"), posexplode(vn))
-        .select(expr(s"pos div $sub").as("s"),
-          element_at(col("__cs"), expr(s"pos div $sub").cast(IntegerType) + 1).as("c"),
-          expr(s"pos % $sub").as("j"), col("col").as("x"))
-        .groupBy("s", "c", "j").agg(avg("x").as("mu"))
-        .collect()
-        .map(r => ((r.getAs[Number]("s").intValue(), r.getAs[Number]("c").intValue(),
-          r.getAs[Number]("j").intValue()), r.getAs[Double]("mu")))
-        .toMap
-      books = (0 until m).map(s => (0 until ncent).map { c =>
-        if (!means.contains((s, c, 0))) books(s)(c)
-        else (0 until sub).map(j => BigDecimal(means((s, c, j)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toIndexedSeq
-      })
-    }
-    (flatBooks, sub)
+    // ONE source scan regardless of `trainIters`: the projected
+    // (id, raw, unit) frame is persisted and serves the seed fetch and
+    // every Lloyd iteration (the unpersisted loop re-read the source
+    // trainIters+1 times). Skipped when the input plan is already a
+    // cached frame (e.g. the ivfPqTopK slice flow).
+    val projected = df.select(col(idCol).cast(LongType).as("__id"),
+      v.as("__v"), vn.as("__vn"))
+    val inputCached = df.storageLevel != StorageLevel.NONE
+    val train = if (inputCached) projected
+      else projected.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seeds: IndexedSeq[IndexedSeq[Double]] =
+        seedRows(train, "__id", col("__vn"), ncent).map(_._2)
+      require(seeds.nonEmpty, "PQ training frame is empty")
+      val dim = seeds.head.length
+      require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      // a frame smaller than ncent (tiny corpus, or an IVF probe slice)
+      // seeds by cycling the available rows — fewer EFFECTIVE centroids,
+      // no crash; Lloyd then separates the duplicated cells
+      def seed(c: Int): IndexedSeq[Double] = seeds(c % seeds.length)
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = (0 until m).map(s =>
+        (0 until ncent).map(c => seed(c).slice(s * sub, (s + 1) * sub)))
+      def flatBooks: IndexedSeq[Double] =
+        for (s <- 0 until m; c <- 0 until ncent; j <- 0 until sub)
+          yield books(s)(c)(j)
+      for (_ <- 1 to trainIters) {
+        val codes = graft.functions.VectorExpressions.pq_encode(
+          col("__v"), flatBooks, ncent, sub)
+        val means = train.select(codes.as("__cs"), posexplode(col("__vn")))
+          .select(expr(s"pos div $sub").as("s"),
+            element_at(col("__cs"), expr(s"pos div $sub").cast(IntegerType) + 1).as("c"),
+            expr(s"pos % $sub").as("j"), col("col").as("x"))
+          .groupBy("s", "c", "j").agg(avg("x").as("mu"))
+          .collect()
+          .map(r => ((r.getAs[Number]("s").intValue(), r.getAs[Number]("c").intValue(),
+            r.getAs[Number]("j").intValue()), r.getAs[Double]("mu")))
+          .toMap
+        books = (0 until m).map(s => (0 until ncent).map { c =>
+          if (!means.contains((s, c, 0))) books(s)(c)
+          else (0 until sub).map(j => BigDecimal(means((s, c, j)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toIndexedSeq
+        })
+      }
+      (flatBooks, sub)
+    } finally if (!inputCached) train.unpersist(blocking = false)
   }
 
   /** Encode the corpus into the persistable PQ index: (id, codes) —
@@ -360,12 +374,18 @@ object Similarity {
       query: Seq[Float], k: Int, nlist: Int = 8, nprobe: Int = 2,
       m: Int = 8, ncent: Int = 16, refine: Int = 8,
       trainIters: Int = 2): DataFrame = {
-    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
-    val probed = probeCells(seeds, query, nprobe)
-    // the PQ stage sees only the probed cells; pqTopK internally trains
-    // codebooks on that slice, encodes in-scan, ADC-ranks and rescores
-    pqTopK(df.filter(cell.isin(probed: _*)), idCol, vecCol, query,
-      k, m, ncent, refine, trainIters)
+    // one persisted (id, vec) projection serves the coarse seed fetch,
+    // the probed-slice PQ training loop, the encode, and the final
+    // rescore — ONE source scan for the whole query (the PQ trainer
+    // persists only its probed SLICE on top, a strict subset)
+    Dedup.viaPersisted(df.select(col(idCol), col(vecCol))) { proj =>
+      val (seeds, cell) = seedCells(proj, idCol, vecCol, nlist)
+      val probed = probeCells(seeds, query, nprobe)
+      // the PQ stage sees only the probed cells; pqTopK internally trains
+      // codebooks on that slice, encodes in-scan, ADC-ranks and rescores
+      pqTopK(proj.filter(cell.isin(probed: _*)), idCol, vecCol, query,
+        k, m, ncent, refine, trainIters)
+    }
   }
 
   /** IVF with a k-means-refined coarse quantizer: the md5-seeded
@@ -387,15 +407,21 @@ object Similarity {
       query: Seq[Float], k: Int, nlist: Int, nprobe: Int,
       iters: Int = 3): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val centroids = kmeansCentroids(df, idCol, vecCol, nlist, iters)
-    def cellOf(cs: IndexedSeq[Seq[Double]]): Column = cellAssign(v, cs)
-    val probed = probeCells(
-      centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }, query, nprobe)
-    df.select(col(idCol), v.as("v"), cellOf(centroids).as("cell"))
-      .filter(col("cell").isin(probed: _*))
-      .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
+    // one persisted (id, vec) projection serves the k-means trainer
+    // (which detects the cache and skips its own persist), the final
+    // cell-assign pass, and the seed fetch — ONE source scan for the
+    // whole query instead of iters+2
+    Dedup.viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val centroids = kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val probed = probeCells(
+        centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }, query, nprobe)
+      proj.select(col(idCol), col("__v").as("v"),
+          cellAssign(col("__v"), centroids).as("cell"))
+        .filter(col("cell").isin(probed: _*))
+        .select(col(idCol), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    }
   }
 
   /** Nearest-centroid cell id as a scan-stage expression: argmax of the
@@ -422,22 +448,33 @@ object Similarity {
       if (n == 0.0) c else c.map(x => BigDecimal(x / n)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
-    var centroids: IndexedSeq[Seq[Double]] =
-      seedRows(df, idCol, v, nlist).map(s => normD(s._2))
-    require(centroids.nonEmpty, "k-means training frame is empty")
-    for (_ <- 1 to iters) {
-      // per-(cell, dim) means: nlist x dim rows to the driver, bounded
-      val means = df.select(cellAssign(v, centroids).as("cell"), posexplode(v))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .collect().map(r => ((r.getAs[Number]("cell").intValue(), r.getInt(1)), r.getDouble(2)))
-        .toMap
-      val dim = centroids.head.length
-      centroids = centroids.indices.map { c =>
-        if (means.contains((c, 0))) normD((0 until dim).map(d => means((c, d))))
-        else centroids(c) // empty cell keeps its centroid
+    // ONE source scan regardless of `iters`: the projected (id, vec)
+    // frame is persisted and serves the seed fetch and every Lloyd
+    // iteration (the unpersisted loop re-read the source iters+1
+    // times). Skipped when the input plan is already cached.
+    val projected = df.select(col(idCol).cast(LongType).as("__id"), v.as("__v"))
+    val inputCached = df.storageLevel != StorageLevel.NONE
+    val train = if (inputCached) projected
+      else projected.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: IndexedSeq[Seq[Double]] =
+        seedRows(train, "__id", col("__v"), nlist).map(s => normD(s._2))
+      require(centroids.nonEmpty, "k-means training frame is empty")
+      for (_ <- 1 to iters) {
+        // per-(cell, dim) means: nlist x dim rows to the driver, bounded
+        val means = train.select(cellAssign(col("__v"), centroids).as("cell"),
+            posexplode(col("__v")))
+          .groupBy("cell", "pos").agg(avg("col").as("m"))
+          .collect().map(r => ((r.getAs[Number]("cell").intValue(), r.getInt(1)), r.getDouble(2)))
+          .toMap
+        val dim = centroids.head.length
+        centroids = centroids.indices.map { c =>
+          if (means.contains((c, 0))) normD((0 until dim).map(d => means((c, d))))
+          else centroids(c) // empty cell keeps its centroid
+        }
       }
-    }
-    centroids
+      centroids
+    } finally if (!inputCached) train.unpersist(blocking = false)
   }
 
   /** For each vector, its nearest neighbor (by cosine) within a blocking
