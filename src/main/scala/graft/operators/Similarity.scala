@@ -484,17 +484,56 @@ object Similarity {
     * [[graft.functions.VectorExpressions.L2Normalize]] kernel) before
     * the block self-join, so the O(pairs) stage is a plain dot product —
     * 1/3 the flops of a fused cosine, and the normalization cost is
-    * amortized over every pair the row participates in. */
+    * amortized over every pair the row participates in.
+    *
+    * Skew guard: a block larger than `maxBlock` (a dominant language at
+    * crawl scale) would go quadratic; such blocks are sub-bucketed with
+    * the deterministic hyperplane LSH before pairing, so candidates
+    * meet only inside (block, sub-bucket) — the same locality argument
+    * as [[knnJoin]]. Blocks at or under the threshold keep the EXACT
+    * all-pairs semantics; above it the neighbor is approximate (and a
+    * row alone in its sub-bucket drops out, like an unmatched LSH
+    * probe). */
   def nearestNeighborWithinBlock(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String): DataFrame = {
+      blockCol: String, maxBlock: Int = 10000, nPlanes: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vn = graft.functions.VectorExpressions.l2_normalize(col(vecCol))
-    val l = df.select(col(blockCol).as("blk"), col(idCol).as("id"), vn.as("v_a"))
-    val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), vn.as("v_b"))
-    val pairs = l.join(r, Seq("blk")).filter(col("id") =!= col("id_b"))
-      .withColumn("cos", dot(col("v_a"), col("v_b")))
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("id_b").as("neighbor_id"))
+    // the tagged frame feeds BOTH sides of the self-join — persist it
+    // (Dedup stage pattern) so the normalize + size-tag join run once
+    Dedup.viaPersisted(nnTagged(df, idCol, vecCol, blockCol, maxBlock, nPlanes)) { t =>
+      val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
+      nnPairsOf(t).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("id_b").as("neighbor_id"))
+    }
   }
+
+  /** (blk, sub-bucket, id, unit-vector) frame for [[nearestNeighborWithinBlock]]:
+    * the per-block sizes are a |blocks|-row frame — AQE broadcasts the
+    * tag join, so the corpus shuffles only on the pair key. Sub-buckets
+    * apply ONLY to oversized blocks: the sign-pattern of the vector
+    * against `nPlanes` deterministic hyperplanes (scale-invariant, so
+    * bucketing the normalized vector equals bucketing the raw one). */
+  private def nnTagged(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, maxBlock: Int, nPlanes: Int): DataFrame = {
+    val vn = graft.functions.VectorExpressions.l2_normalize(col(vecCol))
+    val base = df.select(col(blockCol).as("blk"), col(idCol).as("id"), vn.as("__v"))
+    val sizes = base.groupBy("blk").agg(count(lit(1)).as("__bn"))
+    base.join(sizes, Seq("blk"))
+      .withColumn("__sb", when(col("__bn") <= maxBlock, lit(0L))
+        .otherwise(hyperplaneBucket(col("__v"), nPlanes).cast(LongType)))
+  }
+
+  /** Self-join of the tagged frame on (block, sub-bucket) → scored
+    * candidate pairs. */
+  private def nnPairsOf(tagged: DataFrame): DataFrame = {
+    val l = tagged.select(col("blk"), col("__sb"), col("id"), col("__v").as("v_a"))
+    val r = tagged.select(col("blk"), col("__sb"), col("id").as("id_b"), col("__v").as("v_b"))
+    l.join(r, Seq("blk", "__sb")).filter(col("id") =!= col("id_b"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")))
+  }
+
+  /** Candidate-pair stage of [[nearestNeighborWithinBlock]], separable
+    * so the skew spec can gate the pair count. */
+  private[graft] def nnCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, maxBlock: Int, nPlanes: Int): DataFrame =
+    nnPairsOf(nnTagged(df, idCol, vecCol, blockCol, maxBlock, nPlanes))
 }

@@ -767,6 +767,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == all -- pairs)
   }
 
+  test("within-block NN: oversized blocks sub-bucket to sub-quadratic pairs") {
+    import spark.implicits._
+    // one 10x-skewed block ("big", 200 rows) + a small one (20 rows)
+    val rows = (0 until 200).map(i =>
+        (i.toLong, Array.tabulate(8)(j => math.sin(i * 31 + j).toFloat), "big")) ++
+      (200 until 220).map(i =>
+        (i.toLong, Array.tabulate(8)(j => math.cos(i * 17 + j).toFloat), "small"))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val full = 200L * 199 + 20L * 19 // unguarded all-pairs count
+    val guarded = Similarity.nnCandidatePairs(
+      df, "vec_id", "embedding", "label", maxBlock = 50, nPlanes = 3).count()
+    assert(guarded < full / 3,
+      s"skew guard left $guarded pairs of the quadratic $full")
+    // the small block stays EXACT: same neighbors as the unguarded run
+    def nnOf(maxBlock: Int) = Similarity.nearestNeighborWithinBlock(
+        df, "vec_id", "embedding", "label", maxBlock = maxBlock, nPlanes = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = nnOf(1000) // everything under threshold
+    val mixed = nnOf(50)   // "big" sub-bucketed, "small" exact
+    for (id <- 200L until 220L)
+      assert(mixed.get(id) == exact.get(id), s"under-threshold block drifted at $id")
+    // approximate rows never invent neighbors outside their block
+    assert(mixed.keySet.forall(id => (id < 200) == (mixed(id) < 200)))
+  }
+
   test("ANN trainers scan the source exactly once regardless of iters") {
     // VERDICT r7 #3: the Lloyd loops must persist their projected
     // training frame — an accumulator on a mapped source counts actual
