@@ -42,7 +42,7 @@ object Tables {
     * hash compare. */
   def r4(c: Column): Column = round(c, 4)
 
-  /** Order-independent float sum: cast each term to DECIMAL(30,8) and
+  /** Order-independent float sum: cast each term to DECIMAL(38,8) and
     * sum exactly, back to double at the end. A plain double sum of
     * money-scale products carries ~N×ulp noise that differs between
     * engines (different summation order) — at sf0.1 it landed exactly
@@ -50,8 +50,20 @@ object Tables {
     * cast the same IEEE double to the same 8dp decimal, and decimal
     * addition is exact in both, so the result is bit-identical in any
     * order at any SF. Oracle twin:
-    * `CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`. */
-  def exactSum(c: Column): Column =
-    sum(c.cast(org.apache.spark.sql.types.DecimalType(30, 8)))
+    * `CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE)`.
+    *
+    * Magnitude bound: |term| < 1e30 (DECIMAL(38,8)'s integral range).
+    * A larger term would cast to NULL under non-ANSI mode and silently
+    * vanish from the sum (ADVICE r7) — instead it raises. A SUM that
+    * overflows 1e30 in aggregate still returns NULL (visible, not a
+    * dropped term); DuckDB errors on both, so an overflowing query can
+    * never hash-agree by accident. */
+  def exactSum(c: Column): Column = {
+    val d = c.cast(org.apache.spark.sql.types.DecimalType(38, 8))
+    sum(when(c.isNotNull && d.isNull,
+        raise_error(concat(lit("exactSum term exceeds DECIMAL(38,8): "),
+          c.cast(org.apache.spark.sql.types.StringType))))
+      .otherwise(d))
       .cast(org.apache.spark.sql.types.DoubleType)
+  }
 }

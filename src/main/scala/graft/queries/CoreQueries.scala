@@ -53,8 +53,8 @@ object CoreQueries {
       },
       Some("""SELECT l_returnflag, l_linestatus,
              |  round(sum(l_quantity),4) AS sum_qty,
-             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_base_price,
-             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_disc_price,
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE),4) AS sum_base_price,
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE),4) AS sum_disc_price,
              |  round(avg(l_quantity),4) AS avg_qty,
              |  round(avg(l_extendedprice),4) AS avg_price,
              |  count(*) AS count_order
@@ -94,7 +94,7 @@ object CoreQueries {
           .limit(10)
       },
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE),4) AS revenue
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |  JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE c_mktsegment = 'BUILDING'
@@ -132,7 +132,7 @@ object CoreQueries {
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue,
+             |  round(CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,8))) AS DOUBLE),4) AS revenue,
              |  count(*) AS n_items
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |  JOIN customer ON o_custkey = c_custkey
@@ -146,7 +146,7 @@ object CoreQueries {
         .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
         .agg(r4(exactSum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
              count(lit(1)).as("n")),
-      Some("""SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(30,8))) AS DOUBLE),4) AS revenue, count(*) AS n
+      Some("""SELECT round(CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(38,8))) AS DOUBLE),4) AS revenue, count(*) AS n
              |FROM lineitem
              |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
 
@@ -254,7 +254,7 @@ object CoreQueries {
         .filter(col("event_type").isin("signup", "error"))
         .groupBy("event_type").agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("sum_value"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_value
+      Some("""SELECT event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE),4) AS sum_value
              |FROM events WHERE event_type IN ('signup','error')
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
@@ -394,7 +394,7 @@ object CoreQueries {
         .agg(r4(exactSum(col("o_totalprice"))).as("rev"), count(lit(1)).as("n"))
         .orderBy("y", "m"),
       Some("""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE),4) AS rev, count(*) AS n
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE),4) AS rev, count(*) AS n
              |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin)),
 
     // Subquery in FROM (rel/parse_sql.go:1229-1246) + LEFT JOIN + coalesce.
@@ -449,7 +449,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), r4(exactSum(col("o_totalprice"))).as("rev"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE),4) AS rev
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DOUBLE),4) AS rev
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
@@ -474,7 +474,7 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), r4(exactSum(col("value"))).as("sum_value"))
         .orderBy("day", "h", "event_type"),
       Some("""SELECT CAST(date_trunc('hour', ts) AS DATE) AS day, hour(ts) AS h,
-             |  event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE),4) AS sum_value
+             |  event_type, count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE),4) AS sum_value
              |FROM events GROUP BY 1, 2, 3 ORDER BY day, h, event_type""".stripMargin)),
   )
 }
