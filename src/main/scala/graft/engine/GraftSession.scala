@@ -53,6 +53,15 @@ final class GraftSession(val spark: SparkSession) {
     registerLazy(name, () => spark.read.parquet(path))
   def registerCsv(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+  /** CSV source typed from a bounded row sample with TTL re-introspection
+    * (datasource/introspect.go:14-78, schema/schema.go:23) — unlike
+    * `registerCsv`'s full-file inference pass, introspection cost here
+    * is a driver fetch of `sampleRows` rows regardless of file size. */
+  def registerCsvSampled(name: String, path: String,
+      sampleRows: Int = SampleIntrospect.IntrospectCount,
+      refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
+      clock: () => Long = () => System.currentTimeMillis()): Unit =
+    registerLazy(name, SampleIntrospect.csvLoader(spark, path, sampleRows, refreshMs, clock))
   def registerJson(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.json(path))
   /** JDBC-backed source — the Spark-native equivalent of the reference's

@@ -28,6 +28,40 @@ class FormatsSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"), plan)
   }
 
+  test("sample introspection: 20-row typing, drift past the sample, TTL refresh") {
+    // reference behavior: type from the first ~20 rows
+    // (datasource/introspect.go:14-78, coerce.go:53-67), refresh every
+    // 5 min (schema/schema.go:23) — here with an injectable clock
+    val f = java.nio.file.Files.createTempDirectory("graft_csv").resolve("t.csv")
+    def write(rows: Seq[String]): Unit =
+      java.nio.file.Files.write(f, ("id,price,active,seen,name" +: rows)
+        .mkString("\n").getBytes)
+    // rows 1-20 cleanly typed; row 25's "abc" id sits PAST the sample
+    // window, so full inference would say string — sampling says long
+    write((1 to 22).map(i => s"$i,$i.5,true,2024-01-0${i % 9 + 1},n$i") :+
+      "abc,9.5,false,2024-01-02,n23")
+    val eng = new graft.engine.GraftSession(spark)
+    var now = 0L
+    eng.registerCsvSampled("t", f.toString, clock = () => now)
+    val st = eng.table("t").schema
+    assert(st("id").dataType == org.apache.spark.sql.types.LongType, st)
+    assert(st("price").dataType == org.apache.spark.sql.types.DoubleType, st)
+    assert(st("active").dataType == org.apache.spark.sql.types.BooleanType, st)
+    assert(st("seen").dataType == org.apache.spark.sql.types.TimestampType, st)
+    assert(st("name").dataType == org.apache.spark.sql.types.StringType, st)
+    // the drifted value reads as null instead of widening the column
+    assert(eng.table("t").filter(col("id").isNull).count() == 1)
+    // schema drift within the TTL: cached schema still serves
+    write(Seq("x1,1.5,true,2024-01-01,n1"))
+    now += 1000
+    assert(eng.table("t").schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // past the TTL: re-introspection picks up the drifted type
+    now += graft.engine.SampleIntrospect.RefreshIntervalMs
+    assert(eng.table("t").schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
   test("split-partitioned write prunes to one directory per split") {
     val out = java.nio.file.Files.createTempDirectory("graft_split").toString
     val docs = Tables(spark, dir, "documents")
