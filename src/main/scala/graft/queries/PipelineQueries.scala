@@ -717,18 +717,39 @@ object PipelineQueries {
              |SELECT doc_id, score FROM scored WHERE score > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
-    // sketch profiling: HLL distinct + quantile sketches per source —
-    // approximate by design (Spark-internal sketch state), so rows-only
-    // here; error bounds vs exact are gated in PipelineSpec
+    // sketch profiling: HLL distinct + quantile sketches per source.
+    // The sketch VALUES are Spark-internal, but the CONTRACT hashes:
+    // exact n_docs/n_tokens (DuckDB replays), plus Spark-side booleans
+    // placing the HLL estimate within ±5% of exact and each quantile
+    // estimate inside its exact interpolated-quantile bracket — a
+    // drifting sketch flips a hashed column
     "pl_profile_sketch" -> Q(
-      (s, d) => graft.operators.Profiling.corpusProfile(
-          Tables(s, d, "documents"), "source", "text")
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("approx_distinct"), element_at(col("tok_quantiles"), 1).as("p50"),
-          element_at(col("tok_quantiles"), 2).as("p90"),
-          element_at(col("tok_quantiles"), 3).as("p99"))
-        .orderBy("source"),
-      None),
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val prof = graft.operators.Profiling.corpusProfile(docs, "source", "text")
+        val exact = docs.select(col("source"),
+            TextAnalysis.tokenCount(col("text")).as("tk"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("source")
+          .agg(countDistinct(col("fp")).as("d_exact"),
+            expr("percentile(tk, array(0.45D, 0.55D, 0.85D, 0.95D, 0.97D))").as("qb"),
+            max(col("tk")).as("qmax"))
+        prof.join(exact, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("approx_distinct") >= col("d_exact") * 0.95 &&
+             col("approx_distinct") <= col("d_exact") * 1.05).as("dist_ok"),
+            (element_at(col("tok_quantiles"), 1) >= element_at(col("qb"), 1) &&
+             element_at(col("tok_quantiles"), 1) <= element_at(col("qb"), 2)).as("p50_ok"),
+            (element_at(col("tok_quantiles"), 2) >= element_at(col("qb"), 3) &&
+             element_at(col("tok_quantiles"), 2) <= element_at(col("qb"), 4)).as("p90_ok"),
+            (element_at(col("tok_quantiles"), 3) >= element_at(col("qb"), 5) &&
+             element_at(col("tok_quantiles"), 3) <= col("qmax")).as("p99_ok"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+             |  true AS dist_ok, true AS p50_ok, true AS p90_ok, true AS p99_ok
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
     // exact vocabulary head: partial-aggregated token counts into a
     // top-k heap; the exact companion to the sketch profile
@@ -999,13 +1020,33 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // unigram-LM quality score: corpus-fit token logprobs, per-doc mean
-    // (CCNet-style perplexity proxy). ln() mean is summation-order
-    // sensitive -> rows-only; spec runs the local reference
+    // (CCNet-style perplexity proxy). Full DuckDB replay: same ln()
+    // inputs (exact integer counts), same division shape; the residual
+    // risk is double-sum order inside the per-doc mean, ~1e-13 against
+    // a round-4 boundary — the same accepted class as every r4 query
     "pl_text_lm_quality" -> Q(
       (s, d) => graft.operators.TextAnalysis.unigramQualityScore(
           Tables(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t
+             |  FROM documents
+             |), tok2 AS (
+             |  SELECT doc_id, t FROM tok WHERE t != ''
+             |), counts AS (
+             |  SELECT t, count(*) AS n FROM tok2 GROUP BY t
+             |), tot AS (
+             |  SELECT CAST(sum(n) AS BIGINT) AS total FROM counts
+             |), lm AS (
+             |  SELECT t, ln(CAST(n AS DOUBLE) / total) AS logp
+             |  FROM counts, tot ORDER BY n DESC, t LIMIT 65536
+             |)
+             |SELECT doc_id,
+             |  round(avg(coalesce(lm.logp,
+             |    ln(1.0 / (SELECT total FROM tot)))), 4) AS logprob,
+             |  count(*) AS n_tokens
+             |FROM tok2 LEFT JOIN lm USING (t)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // boilerplate-span removal: spans shared by >=2 docs (the exact-dup
     // families in the fixture) are cut, survivors reassembled in order

@@ -199,8 +199,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_approx_count_distinct"), "HLL not map-side combined:\n" + p)
     assert(p.contains("partial_percentile_approx"), "quantile sketch not map-side combined:\n" + p)
     val shuffles = "Exchange".r.findAllIn(p).size
-    // one hash shuffle of partial sketches + the presentation sort
-    assert(shuffles <= 2, s"$shuffles exchanges in sketch profile (want <=2):\n$p")
+    // r8 contract query: sketch-side partial-agg shuffle + the exact
+    // side's count-distinct expansion (2) + its agg shuffle + the
+    // presentation sort; the sketch/exact join itself must stay
+    // broadcast (|sources| rows), never a corpus shuffle
+    assert(shuffles <= 5, s"$shuffles exchanges in sketch profile (want <=5):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "sketch/exact contract join must broadcast the bounded side:\n" + p)
   }
 
   test("temperature sampling joins the rate table unhinted, corpus unshuffled") {
