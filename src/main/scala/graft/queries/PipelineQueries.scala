@@ -450,6 +450,12 @@ object PipelineQueries {
       },
       None),
 
+    // the oracle replays the WHOLE k-means trajectory: md5 seeds →
+    // normalize+round(6) → two unrolled Lloyd iterations (argmax-cosine
+    // assign, per-(cell,dim) means, renormalize+round, empty cells keep
+    // their centroid) → probe → top-k. The 6-dp centroid rounding each
+    // round is what makes the float trajectory engine-stable enough to
+    // hash (sum-order noise ~1e-13 vs the 5e-7 rounding boundary)
     "pl_emb_ann_ivf_kmeans" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -458,7 +464,84 @@ object PipelineQueries {
         Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q,
           k = 10, nlist = 8, nprobe = 2, iters = 2)
       },
-      None),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |q AS (SELECT v FROM emb WHERE vec_id = 0),
+             |dims AS (SELECT unnest(range(0, len(v))) AS i FROM q),
+             |seed AS (
+             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, v
+             |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+             |),
+             |seed_n AS (
+             |  SELECT idx, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm
+             |  FROM seed
+             |),
+             |cent0 AS (SELECT idx, list_transform(v, x -> round(x / nrm, 6)) AS c FROM seed_n),
+             |assign0 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent0 c) WHERE rn = 1
+             |),
+             |means1 AS (
+             |  SELECT cell, i AS pos, avg(x) AS m FROM (
+             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign0 a CROSS JOIN dims d
+             |  ) GROUP BY cell, i
+             |),
+             |c1raw AS (
+             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM means1 GROUP BY cell
+             |),
+             |c1n AS (
+             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+             |  FROM c1raw
+             |),
+             |cent1 AS (
+             |  SELECT c0.idx,
+             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+             |              FROM c1n r WHERE r.idx = c0.idx), c0.c) AS c
+             |  FROM cent0 c0
+             |),
+             |assign1 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent1 c) WHERE rn = 1
+             |),
+             |means2 AS (
+             |  SELECT cell, i AS pos, avg(x) AS m FROM (
+             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign1 a CROSS JOIN dims d
+             |  ) GROUP BY cell, i
+             |),
+             |c2raw AS (
+             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM means2 GROUP BY cell
+             |),
+             |c2n AS (
+             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+             |  FROM c2raw
+             |),
+             |cent2 AS (
+             |  SELECT c1.idx,
+             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+             |              FROM c2n r WHERE r.idx = c1.idx), c1.c) AS c
+             |  FROM cent1 c1
+             |),
+             |probe AS (
+             |  SELECT idx FROM (
+             |    SELECT c.idx, row_number() OVER (
+             |      ORDER BY list_cosine_similarity(c.c, q.v) DESC, c.idx) AS rn
+             |    FROM cent2 c, q) WHERE rn <= 2
+             |),
+             |assign2 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent2 c) WHERE rn = 1
+             |)
+             |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 4) AS cos
+             |FROM assign2 a JOIN probe p ON a.cell = p.idx, q
+             |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin)),
 
     "pl_emb_ann_ivf" -> Q(
       (s, d) => {
