@@ -720,6 +720,44 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
   }
 
+  /** PCM-16LE waveform statistics — the REAL half of the audio
+    * plumbing (byte math needs no codec): interpret a binary payload
+    * as little-endian signed 16-bit samples and return
+    * (n_samples, rms, zero-crossing rate). Same accumulate order as a
+    * DuckDB hex-decode replay, so the floats hash cross-engine.
+    * A trailing odd byte is ignored; an empty payload returns zeros. */
+  case class PcmStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == BinaryType, "pcm_stats", "binary", Seq(child.dataType))
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("zcr", DoubleType, nullable = false)))
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val n = b.length / 2
+      var sumsq = 0.0
+      var crossings = 0L
+      var prevNonNeg = true
+      var i = 0
+      while (i < n) {
+        val u = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+        val s = if (u >= 32768) u - 65536 else u
+        sumsq += s.toDouble * s
+        val nonNeg = s >= 0
+        if (i > 0 && nonNeg != prevNonNeg) crossings += 1
+        prevNonNeg = nonNeg
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sumsq / n)
+      val zcr = if (n < 2) 0.0 else crossings.toDouble / (n - 1)
+      org.apache.spark.sql.catalyst.InternalRow(n.toLong,
+        java.lang.Double.valueOf(rms), java.lang.Double.valueOf(zcr))
+    }
+    override protected def withNewChildInternal(c: Expression): PcmStats = copy(c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -753,6 +791,8 @@ object VectorExpressions {
       exprs => PqAdc(exprs(0),
         exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_pcm_stats",
+      exprs => PcmStats(exprs.head), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -777,6 +817,8 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_top_ngram", c, org.apache.spark.sql.functions.lit(n)) }
   def nfc(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_nfc", c) }
+  def pcm_stats(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_pcm_stats", c) }
   def pq_encode(c: Column, books: Seq[Double], ncent: Int, sub: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
       org.apache.spark.sql.functions.lit(books.toArray),

@@ -197,14 +197,44 @@ object Multimodal {
           .cast(LongType).cast(DoubleType) / 4294967296.0)
         .cast(ArrayType(FloatType)).as("features"))
 
-  /** Frame sampling for "video" payloads: n evenly spaced byte-slices
-    * stand in for decoded frames (stub kernel, real explode shape). */
-  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int): DataFrame = {
-    val len = length(col(binCol))
+  /** Frame sampling for "video" payloads: `n` EVENLY SPACED byte-slices
+    * stand in for decoded frames (stub kernel, real explode shape) —
+    * frame i starts at offset (len−frameBytes)·i / (n−1), the spacing a
+    * real frame sampler would use over a timeline. Pure Column logic,
+    * so it stays in the scan stage. */
+  def sampleFrames(df: DataFrame, idCol: String, binCol: String, n: Int,
+      frameBytes: Int = 8): DataFrame = {
+    require(n > 0, "sample at least one frame")
+    val maxOff = greatest(length(col(binCol)) - frameBytes, lit(0)).cast(LongType)
+    val d = lit(math.max(n - 1, 1).toLong)
     df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(n - 1)),
-          i => expr(s"substring($binCol, 1, 8)"))))
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i => {
+          // exact floor division in long arithmetic (Column./ is double
+          // division — subtract the remainder first, then the quotient
+          // is an exactly-representable integer)
+          val prod = maxOff * i
+          val off = lit(1L) + (prod - pmod(prod, d)) / d
+          col(binCol).substr(off.cast(IntegerType), lit(frameBytes))
+        })))
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame_bytes")
+  }
+
+  /** Audio-waveform statistics over a PCM-16LE payload: sample count,
+    * duration at `rateHz`, RMS amplitude, zero-crossing rate. The byte
+    * math is REAL (no codec needed — this is what a production pipeline
+    * computes after its decoder), one compiled kernel per row in the
+    * scan stage ([[graft.functions.VectorExpressions.PcmStats]]). */
+  def audioStats(df: DataFrame, idCol: String, binCol: String,
+      rateHz: Int = 16000): DataFrame = {
+    require(rateHz > 0, "sample rate must be positive")
+    val st = graft.functions.VectorExpressions.pcm_stats(col(binCol))
+    df.select(col(idCol), st.as("__s"))
+      .select(col(idCol),
+        col("__s.n_samples").as("n_samples"),
+        // integer `div`, not Column./ (double division)
+        expr(s"(__s.n_samples * 1000) div $rateHz").as("duration_ms"),
+        round(col("__s.rms"), 4).as("rms"),
+        round(col("__s.zcr"), 4).as("zcr"))
   }
 }

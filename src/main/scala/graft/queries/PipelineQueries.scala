@@ -1601,6 +1601,54 @@ object PipelineQueries {
              |    / 4294967296)::FLOAT::DOUBLE, 4) AS f0,
              |  8 AS dim
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // audio plumbing: the payload interpreted as PCM-16LE — the byte
+    // math is REAL (no codec), computed by one kernel in the scan
+    // stage; DuckDB replays it from the hex dump with the same
+    // accumulate order, so rms/zcr hash cross-engine
+    "pl_multimodal_audio" -> Q(
+      (s, d) => Multimodal.audioStats(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("text").cast(BinaryType).as("media")),
+          "doc_id", "media", rateHz = 16000)
+        .orderBy("doc_id"),
+      Some("""WITH b AS (SELECT doc_id, text::BLOB AS p FROM documents),
+             |h AS (SELECT doc_id, octet_length(p) // 2 AS n, hex(p) AS hx FROM b),
+             |w AS (
+             |  SELECT doc_id, n, list_transform(range(0, n), i ->
+             |    ('0x' || substr(hx, 4 * i + 3, 2) || substr(hx, 4 * i + 1, 2))::INTEGER
+             |    - CASE WHEN ('0x' || substr(hx, 4 * i + 3, 2) || substr(hx, 4 * i + 1, 2))::INTEGER >= 32768
+             |           THEN 65536 ELSE 0 END) AS sm
+             |  FROM h
+             |)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+             |  CAST((n * 1000) // 16000 AS BIGINT) AS duration_ms,
+             |  round(CASE WHEN n = 0 THEN 0.0 ELSE
+             |    sqrt(list_aggregate(list_transform(sm, x -> CAST(x AS DOUBLE) * x), 'sum') / n)
+             |  END, 4) AS rms,
+             |  round(CASE WHEN n < 2 THEN 0.0 ELSE
+             |    CAST(len(list_filter(range(1, n), i -> (sm[i + 1] >= 0) != (sm[i] >= 0))) AS DOUBLE) / (n - 1)
+             |  END, 4) AS zcr
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // video-frame sampling plumbing: n evenly spaced byte-slices of the
+    // payload (stub frames, real timeline spacing + explode shape);
+    // frames compared as hex so multi-byte boundaries can't break a
+    // text round-trip (DuckDB's md5 is VARCHAR-only)
+    "pl_multimodal_frames" -> Q(
+      (s, d) => Multimodal.sampleFrames(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("text").cast(BinaryType).as("media")),
+          "doc_id", "media", n = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          hex(col("frame_bytes")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""WITH b AS (SELECT doc_id, hex(text::BLOB) AS hx,
+             |  octet_length(text::BLOB) AS ln FROM documents)
+             |SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
+             |  substr(hx, CAST(2 * ((greatest(ln - 8, 0) * g.i) // 3) + 1 AS INT), 16) AS frame_hex
+             |FROM b, (SELECT unnest(range(0, 4)) AS i) g
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 
   // NOTE: must be a def — `all` above references it during object init.

@@ -792,6 +792,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.keySet.forall(id => (id < 200) == (mixed(id) < 200)))
   }
 
+  test("pcm audio stats match a local reference on constructed waveforms") {
+    import spark.implicits._
+    // alternating +/-1000 square wave: rms exactly 1000, zcr exactly 1
+    val samples = Array.tabulate(64)(i => if (i % 2 == 0) 1000 else -1000)
+    val bytes = samples.flatMap(s =>
+      Array[Byte]((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val silent = Array.fill[Byte](10)(0)
+    val odd = bytes :+ 0x7f.toByte // trailing odd byte must be ignored
+    val df = Seq((1L, bytes), (2L, silent), (3L, odd),
+      (4L, Array.empty[Byte])).toDF("id", "media")
+    val got = Multimodal.audioStats(df, "id", "media", rateHz = 8000)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((64L, 8L, 1000.0, 1.0)))
+    assert(got(2L) == ((5L, 0L, 0.0, 0.0)))
+    assert(got(3L) == ((64L, 8L, 1000.0, 1.0)))
+    assert(got(4L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
+  test("frame sampling slices evenly across the payload") {
+    import spark.implicits._
+    val payload = (0 until 100).map(_.toByte).toArray
+    val df = Seq((1L, payload)).toDF("id", "media")
+    val got = Multimodal.sampleFrames(df, "id", "media", n = 4, frameBytes = 8)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq))
+    // maxOff = 92 -> offsets floor(92i/3) = 0, 30, 61, 92
+    val offs = Seq(0, 30, 61, 92)
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    for (((idx, bytes), o) <- got.zip(offs))
+      assert(bytes == payload.slice(o, o + 8).toSeq, s"frame $idx at offset $o")
+    // n = 1 degenerates to the head slice
+    val one = Multimodal.sampleFrames(df, "id", "media", n = 1).collect()
+    assert(one.length == 1 &&
+      one(0).getAs[Array[Byte]]("frame_bytes").toSeq == payload.take(8).toSeq)
+  }
+
   test("ANN trainers scan the source exactly once regardless of iters") {
     // VERDICT r7 #3: the Lloyd loops must persist their projected
     // training frame — an accumulator on a mapped source counts actual
