@@ -189,6 +189,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "keyword scoring must not join:\n" + p)
   }
 
+  test("audio stats and frame sampling stay in the scan stage") {
+    // both are per-row kernels/Column logic: the only exchange allowed
+    // is the presentation sort, and neither may join or aggregate
+    for (q <- Seq("pl_multimodal_audio", "pl_multimodal_frames")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q: $exchanges exchanges (want <=1, the sort):\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q must not aggregate:\n$p")
+    }
+  }
+
   test("sketch profile partial-aggregates the sketches map-side") {
     // HLL registers and quantile summaries must combine BEFORE the
     // shuffle — per-group constant-size state, never rows — so the only
