@@ -76,6 +76,45 @@ object Profiling {
     sketches.agg(
       hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
 
+  /** Per-group count-min token-frequency sketches — the mergeable
+    * FREQUENT-ITEMS half of the sketch family ([[distinctSketches]] is
+    * the distinct-count half): fixed-width counting over exploded
+    * tokens, partial-aggregated map-side, one compact blob per group.
+    * Persist per-day/shard, merge later, query any token's frequency
+    * without re-reading the corpus. Guarantee: estimates never
+    * undercount, and overcount by at most ε·N with probability
+    * `confidence`. */
+  def tokenFrequencySketch(df: DataFrame, groupCol: String, textCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame =
+    df.select(col(groupCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(groupCol)
+      .agg(count_min_sketch(col("__t"), lit(eps), lit(confidence), lit(42))
+        .as("sketch"))
+
+  /** Merge previously-built count-min blobs into one queryable sketch —
+    * bounded driver traffic (|groups| blobs), never the corpus. */
+  def mergeTokenSketches(sketches: DataFrame,
+      sketchCol: String = "sketch"): org.apache.spark.util.sketch.CountMinSketch = {
+    val blobs = sketches.select(col(sketchCol)).collect()
+      .map(_.getAs[Array[Byte]](0))
+    require(blobs.nonEmpty, "no sketches to merge")
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(blobs.head))
+    blobs.tail.foreach { b =>
+      cms.mergeInPlace(org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+    }
+    cms
+  }
+
+  /** Estimated frequency of a token in a merged sketch. The SQL
+    * aggregate feeds UTF-8 BYTES into the sketch, so the query side
+    * must hash the same representation. */
+  def estimateTokenCount(cms: org.apache.spark.util.sketch.CountMinSketch,
+      token: String): Long =
+    cms.estimateCount(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Exact per-column table profile in ONE pass: row count, nulls,
     * distinct count, min/max (stringified for a uniform schema) for
     * each requested column, unpivoted to a row per column — the exact

@@ -1161,6 +1161,35 @@ object PipelineQueries {
              |  true AS est_in_bounds
              |FROM documents""".stripMargin)),
 
+    // mergeable count-min frequent-items lifecycle: per-source sketches
+    // merged to one global sketch, queried for the exact top-20 tokens.
+    // CONTRACT oracle: DuckDB replays the exact top-20 counts; Spark
+    // additionally asserts each estimate obeys the CMS guarantee
+    // (never undercounts, overcounts <= 3·ε·N) as a hashed boolean
+    "pl_profile_freq_sketch" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cms = graft.operators.Profiling.mergeTokenSketches(
+          graft.operators.Profiling.tokenFrequencySketch(docs, "source", "text"))
+        val top = graft.operators.Profiling.topTokens(docs, "text", 20)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val n = docs.agg(coalesce(
+          sum(TextAnalysis.tokenCount(col("text"))), lit(0L))).head().getLong(0)
+        val slack = 3L * math.ceil(0.001 * n).toLong + 10L
+        val rows = top.map { case (t, exact) =>
+          val est = graft.operators.Profiling.estimateTokenCount(cms, t)
+          (t, exact, est >= exact && est <= exact + slack)
+        }.toSeq
+        import s.implicits._
+        rows.toDF("token", "n_exact", "est_ok")
+          .orderBy(col("n_exact").desc, col("token"))
+      },
+      Some("""SELECT token, count(*) AS n_exact, true AS est_ok
+             |FROM (SELECT unnest(string_split(trim(text), ' ')) AS token
+             |      FROM documents)
+             |WHERE token != ''
+             |GROUP BY token ORDER BY n_exact DESC, token LIMIT 20""".stripMargin)),
+
     // graded contamination: per-doc shared-shingle fraction vs the
     // benchmark slice; LEFT join so zero-overlap docs keep a 0.0 score
     "pl_contamination_frac" -> Q(

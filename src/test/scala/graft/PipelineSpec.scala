@@ -792,6 +792,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.keySet.forall(id => (id < 200) == (mixed(id) < 200)))
   }
 
+  test("count-min token sketches: merge equals whole-corpus build, bounds hold") {
+    val parts = Profiling.tokenFrequencySketch(docs, "source", "text")
+    assert(parts.count() > 1, "fixture should have multiple sources")
+    val merged = Profiling.mergeTokenSketches(parts)
+    val whole = Profiling.mergeTokenSketches(
+      Profiling.tokenFrequencySketch(docs.withColumn("source", lit("all")),
+        "source", "text"))
+    val exact = Profiling.topTokens(docs, "text", 30)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = exact.map(_._2).sum // lower bound on N, enough for the check
+    for ((t, cnt) <- exact) {
+      val em = Profiling.estimateTokenCount(merged, t)
+      val ew = Profiling.estimateTokenCount(whole, t)
+      assert(em == ew, s"merged sketch diverges from whole-corpus build at '$t': $em vs $ew")
+      assert(em >= cnt, s"CMS undercounted '$t': $em < $cnt")
+      assert(em <= cnt + 3 * (n / 1000 + 1) + 10, s"CMS overcount out of bounds at '$t': $em vs $cnt")
+    }
+  }
+
   test("pcm audio stats match a local reference on constructed waveforms") {
     import spark.implicits._
     // alternating +/-1000 square wave: rms exactly 1000, zcr exactly 1
