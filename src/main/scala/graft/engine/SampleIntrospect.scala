@@ -51,12 +51,20 @@ object SampleIntrospect {
   }
 
   /** Widening merge across the sample: nulls defer, equal types keep,
-    * long+double widen to double, anything else conflicts to string. */
+    * long+double widen to double, structs union field-wise, arrays
+    * merge element types, anything else conflicts to string. */
   private[engine] def merge(a: DataType, b: DataType): DataType = (a, b) match {
     case (NullType, t) => t
     case (t, NullType) => t
     case (x, y) if x == y => x
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case (StructType(fa), StructType(fb)) =>
+      val bByName = fb.map(f => f.name -> f.dataType).toMap
+      val merged = fa.map(f =>
+        StructField(f.name, merge(f.dataType, bByName.getOrElse(f.name, NullType))))
+      val extra = fb.filterNot(f => fa.exists(_.name == f.name))
+      StructType(merged ++ extra)
+    case (ArrayType(ea, _), ArrayType(eb, _)) => ArrayType(merge(ea, eb))
     case _ => StringType
   }
 
@@ -78,15 +86,57 @@ object SampleIntrospect {
     })
   }
 
-  /** Lazy CSV loader with introspection caching + TTL refresh: the
-    * schema re-samples after `refreshMs` (the reference's 5-minute
-    * daemon, expressed as refresh-on-access — idiomatic for a lazy
-    * library instead of a background thread). `clock` is injectable
-    * for tests. */
-  def csvLoader(spark: SparkSession, path: String,
-      sampleRows: Int = IntrospectCount,
-      refreshMs: Long = RefreshIntervalMs,
-      clock: () => Long = () => System.currentTimeMillis()): () => DataFrame = {
+  /** Introspect a JSON-lines file from its first `sampleRows` lines
+    * (bounded driver fetch): nested objects become StructTypes, arrays
+    * merge their element guesses, and string VALUES go through the
+    * same content guess as CSV cells — the reference introspects JSON
+    * sources with the identical per-value rules
+    * (datasource/introspect.go:57-78 over decoded JSON bodies). */
+  def introspectJsonLines(spark: SparkSession, path: String,
+      sampleRows: Int = IntrospectCount): StructType = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def guessNode(n: com.fasterxml.jackson.databind.JsonNode): DataType =
+      if (n == null || n.isNull) NullType
+      else if (n.isIntegralNumber) LongType
+      else if (n.isNumber) DoubleType
+      else if (n.isBoolean) BooleanType
+      else if (n.isTextual) guessType(n.asText())
+      else if (n.isArray) {
+        var et: DataType = NullType
+        n.elements().forEachRemaining(e => et = merge(et, guessNode(e)))
+        ArrayType(if (et == NullType) StringType else et)
+      } else if (n.isObject) {
+        val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        n.fields().forEachRemaining(e =>
+          fields += StructField(e.getKey, guessNode(e.getValue)))
+        StructType(fields.toSeq)
+      } else StringType
+    val lines = spark.read.text(path).limit(sampleRows).collect()
+      .map(_.getString(0)).filter(_.trim.nonEmpty)
+    val mergedAcc = lines.foldLeft(NullType: DataType) { (acc, l) =>
+      merge(acc, guessNode(mapper.readTree(l)))
+    }
+    def solidify(t: DataType): DataType = t match {
+      case NullType => StringType
+      case StructType(fs) => StructType(fs.map(f =>
+        StructField(f.name, solidify(f.dataType))))
+      case ArrayType(e, _) => ArrayType(solidify(e))
+      case other => other
+    }
+    mergedAcc match {
+      case st: StructType => solidify(st).asInstanceOf[StructType]
+      case _ => throw new IllegalArgumentException(
+        s"$path: top-level JSON lines must be objects")
+    }
+  }
+
+  /** Introspection caching + TTL refresh shared by the sampled
+    * loaders: the schema re-samples after `refreshMs` (the reference's
+    * 5-minute daemon, expressed as refresh-on-access — idiomatic for a
+    * lazy library instead of a background thread). `clock` is
+    * injectable for tests. */
+  private def cachedLoader(introspect: () => StructType, refreshMs: Long,
+      clock: () => Long)(read: StructType => DataFrame): () => DataFrame = {
     val cached = new java.util.concurrent.atomic.AtomicReference[(StructType, Long)]()
     () => {
       val now = clock()
@@ -94,11 +144,27 @@ object SampleIntrospect {
       val schema =
         if (c != null && now - c._2 < refreshMs) c._1
         else {
-          val st = introspectCsv(spark, path, sampleRows)
+          val st = introspect()
           cached.set((st, now))
           st
         }
-      spark.read.option("header", "true").schema(schema).csv(path)
+      read(schema)
     }
   }
+
+  /** Lazy CSV loader with sample introspection + TTL refresh. */
+  def csvLoader(spark: SparkSession, path: String,
+      sampleRows: Int = IntrospectCount,
+      refreshMs: Long = RefreshIntervalMs,
+      clock: () => Long = () => System.currentTimeMillis()): () => DataFrame =
+    cachedLoader(() => introspectCsv(spark, path, sampleRows), refreshMs, clock)(
+      st => spark.read.option("header", "true").schema(st).csv(path))
+
+  /** Lazy JSON-lines loader with sample introspection + TTL refresh. */
+  def jsonLoader(spark: SparkSession, path: String,
+      sampleRows: Int = IntrospectCount,
+      refreshMs: Long = RefreshIntervalMs,
+      clock: () => Long = () => System.currentTimeMillis()): () => DataFrame =
+    cachedLoader(() => introspectJsonLines(spark, path, sampleRows), refreshMs, clock)(
+      st => spark.read.schema(st).json(path))
 }

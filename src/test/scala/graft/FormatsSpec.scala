@@ -62,6 +62,31 @@ class FormatsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("json sample introspection: nested structs, arrays, string-content guessing") {
+    import org.apache.spark.sql.types._
+    val f = java.nio.file.Files.createTempDirectory("graft_json").resolve("t.jsonl")
+    java.nio.file.Files.write(f, Seq(
+      """{"id": 1, "score": 1.5, "ok": true, "tags": ["a", "b"], "meta": {"n": 7, "when": "2024-01-02"}}""",
+      """{"id": 2, "score": 2.0, "ok": false, "tags": ["c"], "meta": {"n": 9, "when": "2024-02-03"}}""",
+      """{"id": 3, "score": 2, "ok": true, "tags": [], "meta": {"n": 1, "when": "2024-03-04"}, "extra": "x"}""")
+      .mkString("\n").getBytes)
+    val eng = new graft.engine.GraftSession(spark)
+    eng.registerJsonSampled("j", f.toString)
+    val st = eng.table("j").schema
+    assert(st("id").dataType == LongType, st)
+    assert(st("score").dataType == DoubleType, st) // long+double widens
+    assert(st("ok").dataType == BooleanType, st)
+    assert(st("tags").dataType == ArrayType(StringType), st)
+    val meta = st("meta").dataType.asInstanceOf[StructType]
+    assert(meta("n").dataType == LongType, st)
+    // string CONTENT guessing applies inside nested objects too
+    assert(meta("when").dataType == TimestampType, st)
+    // a key appearing only in a later sampled line still unions in
+    assert(st("extra").dataType == StringType, st)
+    assert(eng.table("j").count() == 3)
+    assert(eng.table("j").agg(sum(col("meta.n"))).head().getLong(0) == 17L)
+  }
+
   test("split-partitioned write prunes to one directory per split") {
     val out = java.nio.file.Files.createTempDirectory("graft_split").toString
     val docs = Tables(spark, dir, "documents")
