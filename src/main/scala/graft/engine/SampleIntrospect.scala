@@ -30,14 +30,20 @@ object SampleIntrospect {
     * subsumes bool's "1"/"0" (ParseInt wins first, same as the
     * reference); date accepts ISO date/timestamp shapes; JSON-looking
     * strings stay STRING (this engine traverses JSON with the map/
-    * identity operators instead of a dedicated JsonType). */
+    * identity operators instead of a dedicated JsonType).
+    *
+    * Guesses run on the RAW datum, not a trimmed copy: the CSV reader
+    * does not trim either, so a guessed type must be one the reader's
+    * converter accepts for the same bytes (a whitespace-padded " 123"
+    * guesses DOUBLE — parseDouble trims, parseLong does not — and a
+    * padded bool/date stays STRING rather than typing as something the
+    * read path would null out). */
   private[engine] def guessType(s: String): DataType = {
-    val t = s.trim
-    if (t.isEmpty) NullType
-    else if (t.toLongOption.isDefined) LongType
-    else if (t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false")) BooleanType
-    else if (t.toDoubleOption.isDefined) DoubleType
-    else if (parsesAsTime(t)) TimestampType
+    if (s.trim.isEmpty) NullType
+    else if (s.toLongOption.isDefined) LongType
+    else if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")) BooleanType
+    else if (s.toDoubleOption.isDefined) DoubleType
+    else if (parsesAsTime(s)) TimestampType
     else StringType
   }
 
@@ -87,11 +93,13 @@ object SampleIntrospect {
   }
 
   /** Introspect a JSON-lines file from its first `sampleRows` lines
-    * (bounded driver fetch): nested objects become StructTypes, arrays
-    * merge their element guesses, and string VALUES go through the
-    * same content guess as CSV cells — the reference introspects JSON
-    * sources with the identical per-value rules
-    * (datasource/introspect.go:57-78 over decoded JSON bodies). */
+    * (bounded driver fetch): nested objects become StructTypes and
+    * arrays merge their element guesses (the reference's
+    * datasource/introspect.go:57-78 rules over decoded JSON bodies).
+    * String VALUES guess only timestamp-or-string: JSON already types
+    * numbers/bools natively, and Spark's JSON reader has no
+    * string→long/bool conversion — guessing LongType for a quoted
+    * "42" would make the reader null out every such record. */
   def introspectJsonLines(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount): StructType = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -100,7 +108,9 @@ object SampleIntrospect {
       else if (n.isIntegralNumber) LongType
       else if (n.isNumber) DoubleType
       else if (n.isBoolean) BooleanType
-      else if (n.isTextual) guessType(n.asText())
+      else if (n.isTextual) {
+        if (parsesAsTime(n.asText())) TimestampType else StringType
+      }
       else if (n.isArray) {
         var et: DataType = NullType
         n.elements().forEachRemaining(e => et = merge(et, guessNode(e)))

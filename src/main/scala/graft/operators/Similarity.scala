@@ -261,8 +261,10 @@ object Similarity {
     // ONE source scan regardless of `trainIters`: the projected
     // (id, raw, unit) frame is persisted and serves the seed fetch and
     // every Lloyd iteration (the unpersisted loop re-read the source
-    // trainIters+1 times). Skipped when the input plan is already a
-    // cached frame (e.g. the ivfPqTopK slice flow).
+    // trainIters+1 times). The skip applies only when THIS exact frame
+    // was persisted by the caller (storageLevel is plan-identity-based)
+    // — a filtered slice of a cached frame still gets its own cache
+    // here, a strict subset reading from the parent's cache.
     val projected = df.select(col(idCol).cast(LongType).as("__id"),
       v.as("__v"), vn.as("__vn"))
     val inputCached = df.storageLevel != StorageLevel.NONE
@@ -376,8 +378,11 @@ object Similarity {
       trainIters: Int = 2): DataFrame = {
     // one persisted (id, vec) projection serves the coarse seed fetch,
     // the probed-slice PQ training loop, the encode, and the final
-    // rescore — ONE source scan for the whole query (the PQ trainer
-    // persists only its probed SLICE on top, a strict subset)
+    // rescore — ONE source scan for the whole query. The PQ trainer
+    // additionally caches its probed SLICE (a filtered frame's
+    // storageLevel is NONE, so its skip-persist check does not fire) —
+    // a strict-subset second cache fed from this projection's cache,
+    // nprobe/nlist of the corpus.
     Dedup.viaPersisted(df.select(col(idCol), col(vecCol))) { proj =>
       val (seeds, cell) = seedCells(proj, idCol, vecCol, nlist)
       val probed = probeCells(seeds, query, nprobe)
@@ -497,13 +502,16 @@ object Similarity {
   def nearestNeighborWithinBlock(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, maxBlock: Int = 10000, nPlanes: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the tagged frame feeds BOTH sides of the self-join — persist it
-    // (Dedup stage pattern) so the normalize + size-tag join run once
-    Dedup.viaPersisted(nnTagged(df, idCol, vecCol, blockCol, maxBlock, nPlanes)) { t =>
-      val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
-      nnPairsOf(t).withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id"), col("id_b").as("neighbor_id"))
-    }
+    // Deliberately LAZY and unpersisted: the result is one row per
+    // input row, so the viaPersisted pattern (eager materialize +
+    // retained cache) would pin a corpus-sized block until releaseAll.
+    // The tagged stage is recomputed once per self-join side — a
+    // normalize + broadcast-tag scan, far cheaper than a corpus-sized
+    // cache at scale (the O(pairs) work happens only once either way).
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("id_b"))
+    nnPairsOf(nnTagged(df, idCol, vecCol, blockCol, maxBlock, nPlanes))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("id_b").as("neighbor_id"))
   }
 
   /** (blk, sub-bucket, id, unit-vector) frame for [[nearestNeighborWithinBlock]]:

@@ -438,109 +438,28 @@ object PipelineQueries {
           .head().getSeq[Float](0)
         Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10)
       },
-      Some("""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |cent AS (
-             |  SELECT vec_id AS cid, v AS c FROM emb0
-             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
-             |),
-             |assign AS (
-             |  SELECT vec_id, v, cid FROM (
-             |    SELECT e.vec_id, e.v, c.cid,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid) AS rn
-             |    FROM emb0 e CROSS JOIN cent c) WHERE rn = 1
-             |),
-             |probe AS (
-             |  SELECT cid FROM (
-             |    SELECT c.cid, row_number() OVER (
-             |      ORDER BY list_cosine_similarity(c.c, q0.v) DESC, c.cid) AS rn
-             |    FROM cent c, emb0 q0 WHERE q0.vec_id = 0) WHERE rn <= 2
-             |),
-             |emb AS (SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.cid = p.cid),
-             |q AS (SELECT v FROM emb0 WHERE vec_id = 0),
-             |par AS (SELECT len(v) // 8 AS sub FROM q),
-             |nr AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM emb),
-             |un AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS u FROM nr),
-             |seeds AS (
-             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sc, u
-             |  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-             |),
-             |nseeds AS (SELECT count(*) AS n FROM seeds),
-             |sgrid AS (SELECT unnest(range(0, 8)) AS s),
-             |cgrid AS (SELECT unnest(range(0, 16)) AS c),
-             |books0 AS (
-             |  SELECT g.s, g2.c, se.u[g.s * p.sub + 1 : g.s * p.sub + p.sub] AS bl
-             |  FROM sgrid g CROSS JOIN cgrid g2 CROSS JOIN par p CROSS JOIN nseeds ns
-             |  JOIN seeds se ON se.sc = g2.c % ns.n
-             |),
-             |enc0 AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books0 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |jgrid AS (SELECT unnest(range(0, (SELECT sub FROM par))) AS j),
-             |means1 AS (
-             |  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
-             |  FROM enc0 e JOIN un r ON r.vec_id = e.vec_id
-             |  CROSS JOIN jgrid jg CROSS JOIN par p
-             |  GROUP BY e.s, e.code, jg.j
-             |),
-             |books1 AS (
-             |  SELECT b.s, b.c,
-             |    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means1 m
-             |              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
-             |  FROM books0 b
-             |),
-             |enc1 AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books1 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |means2 AS (
-             |  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
-             |  FROM enc1 e JOIN un r ON r.vec_id = e.vec_id
-             |  CROSS JOIN jgrid jg CROSS JOIN par p
-             |  GROUP BY e.s, e.code, jg.j
-             |),
-             |books2 AS (
-             |  SELECT b.s, b.c,
-             |    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means2 m
-             |              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
-             |  FROM books1 b
-             |),
-             |encf AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books2 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |qn AS (SELECT v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM q),
-             |qu AS (SELECT list_transform(v, x -> x / nrm) AS u FROM qn),
-             |dtab AS (
-             |  SELECT b.s, b.c, list_aggregate(list_transform(range(1, p.sub + 1),
-             |    j -> (qu.u[b.s * p.sub + j] - b.bl[j]) * (qu.u[b.s * p.sub + j] - b.bl[j])), 'sum') AS dist
-             |  FROM books2 b CROSS JOIN par p CROSS JOIN qu
-             |),
-             |approx AS (
-             |  SELECT vec_id, list_aggregate(list(dist ORDER BY s), 'sum') AS a FROM (
-             |    SELECT e.vec_id, e.s, d.dist FROM encf e JOIN dtab d ON d.s = e.s AND d.c = e.code
-             |  ) GROUP BY vec_id
-             |),
-             |short AS (SELECT vec_id FROM approx ORDER BY a, vec_id LIMIT 80)
-             |SELECT sh.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS cos
-             |FROM short sh JOIN emb e ON e.vec_id = sh.vec_id, q
-             |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+      Some(pqLloydOracle(
+        """WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |cent AS (
+          |  SELECT vec_id AS cid, v AS c FROM emb0
+          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+          |),
+          |assign AS (
+          |  SELECT vec_id, v, cid FROM (
+          |    SELECT e.vec_id, e.v, c.cid,
+          |      row_number() OVER (PARTITION BY e.vec_id
+          |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid) AS rn
+          |    FROM emb0 e CROSS JOIN cent c) WHERE rn = 1
+          |),
+          |probe AS (
+          |  SELECT cid FROM (
+          |    SELECT c.cid, row_number() OVER (
+          |      ORDER BY list_cosine_similarity(c.c, q0.v) DESC, c.cid) AS rn
+          |    FROM cent c, emb0 q0 WHERE q0.vec_id = 0) WHERE rn <= 2
+          |),
+          |emb AS (SELECT a.vec_id, a.v FROM assign a JOIN probe p ON a.cid = p.cid),
+          |q AS (SELECT v FROM emb0 WHERE vec_id = 0),
+          |""".stripMargin))),
 
     // PQ ANN: md5-seeded codebooks, scan-stage compiled-dot encoding,
     // literal ADC table lookup, true-cosine rescore of the shortlist.
@@ -559,91 +478,10 @@ object PipelineQueries {
           .head().getSeq[Float](0)
         Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 10)
       },
-      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |q AS (SELECT v FROM emb WHERE vec_id = 0),
-             |par AS (SELECT len(v) // 8 AS sub FROM q),
-             |nr AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM emb),
-             |un AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS u FROM nr),
-             |seeds AS (
-             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sc, u
-             |  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-             |),
-             |nseeds AS (SELECT count(*) AS n FROM seeds),
-             |sgrid AS (SELECT unnest(range(0, 8)) AS s),
-             |cgrid AS (SELECT unnest(range(0, 16)) AS c),
-             |books0 AS (
-             |  SELECT g.s, g2.c, se.u[g.s * p.sub + 1 : g.s * p.sub + p.sub] AS bl
-             |  FROM sgrid g CROSS JOIN cgrid g2 CROSS JOIN par p CROSS JOIN nseeds ns
-             |  JOIN seeds se ON se.sc = g2.c % ns.n
-             |),
-             |enc0 AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books0 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |jgrid AS (SELECT unnest(range(0, (SELECT sub FROM par))) AS j),
-             |means1 AS (
-             |  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
-             |  FROM enc0 e JOIN un r ON r.vec_id = e.vec_id
-             |  CROSS JOIN jgrid jg CROSS JOIN par p
-             |  GROUP BY e.s, e.code, jg.j
-             |),
-             |books1 AS (
-             |  SELECT b.s, b.c,
-             |    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means1 m
-             |              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
-             |  FROM books0 b
-             |),
-             |enc1 AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books1 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |means2 AS (
-             |  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
-             |  FROM enc1 e JOIN un r ON r.vec_id = e.vec_id
-             |  CROSS JOIN jgrid jg CROSS JOIN par p
-             |  GROUP BY e.s, e.code, jg.j
-             |),
-             |books2 AS (
-             |  SELECT b.s, b.c,
-             |    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means2 m
-             |              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
-             |  FROM books1 b
-             |),
-             |encf AS (
-             |  SELECT vec_id, s, c AS code FROM (
-             |    SELECT r.vec_id, b.s, b.c,
-             |      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
-             |        list_aggregate(list_transform(range(1, p.sub + 1),
-             |          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
-             |        b.c) AS rn
-             |    FROM un r CROSS JOIN books2 b CROSS JOIN par p) WHERE rn = 1
-             |),
-             |qn AS (SELECT v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM q),
-             |qu AS (SELECT list_transform(v, x -> x / nrm) AS u FROM qn),
-             |dtab AS (
-             |  SELECT b.s, b.c, list_aggregate(list_transform(range(1, p.sub + 1),
-             |    j -> (qu.u[b.s * p.sub + j] - b.bl[j]) * (qu.u[b.s * p.sub + j] - b.bl[j])), 'sum') AS dist
-             |  FROM books2 b CROSS JOIN par p CROSS JOIN qu
-             |),
-             |approx AS (
-             |  SELECT vec_id, list_aggregate(list(dist ORDER BY s), 'sum') AS a FROM (
-             |    SELECT e.vec_id, e.s, d.dist FROM encf e JOIN dtab d ON d.s = e.s AND d.c = e.code
-             |  ) GROUP BY vec_id
-             |),
-             |short AS (SELECT vec_id FROM approx ORDER BY a, vec_id LIMIT 80)
-             |SELECT sh.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS cos
-             |FROM short sh JOIN emb e ON e.vec_id = sh.vec_id, q
-             |ORDER BY cos DESC, sh.vec_id LIMIT 10""".stripMargin)),
+      Some(pqLloydOracle(
+        """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT v FROM emb WHERE vec_id = 0),
+          |""".stripMargin))),
 
     // the oracle replays the WHOLE k-means trajectory: md5 seeds →
     // normalize+round(6) → two unrolled Lloyd iterations (argmax-cosine
@@ -1679,6 +1517,99 @@ object PipelineQueries {
              |FROM b, (SELECT unnest(range(0, 4)) AS i) g
              |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
+
+
+  /** Shared DuckDB replay of the per-subspace PQ Lloyd trajectory
+    * (seeds → books0 → two argmin-encode/rounded-means iterations →
+    * ADC table → s-ordered shortlist sum → rescore). `prefix` supplies
+    * the `emb(vec_id, v)` and `q(v)` CTEs — the full corpus for
+    * pl_emb_ann_pq, the probed IVF slice for pl_emb_ann_ivfpq — so the
+    * chain can never drift between the two oracles. */
+  private def pqLloydOracle(prefix: String): String =
+    prefix + """
+par AS (SELECT len(v) // 8 AS sub FROM q),
+nr AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM emb),
+un AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS u FROM nr),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS sc, u
+  FROM un ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+nseeds AS (SELECT count(*) AS n FROM seeds),
+sgrid AS (SELECT unnest(range(0, 8)) AS s),
+cgrid AS (SELECT unnest(range(0, 16)) AS c),
+books0 AS (
+  SELECT g.s, g2.c, se.u[g.s * p.sub + 1 : g.s * p.sub + p.sub] AS bl
+  FROM sgrid g CROSS JOIN cgrid g2 CROSS JOIN par p CROSS JOIN nseeds ns
+  JOIN seeds se ON se.sc = g2.c % ns.n
+),
+enc0 AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT r.vec_id, b.s, b.c,
+      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
+        list_aggregate(list_transform(range(1, p.sub + 1),
+          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
+        b.c) AS rn
+    FROM un r CROSS JOIN books0 b CROSS JOIN par p) WHERE rn = 1
+),
+jgrid AS (SELECT unnest(range(0, (SELECT sub FROM par))) AS j),
+means1 AS (
+  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
+  FROM enc0 e JOIN un r ON r.vec_id = e.vec_id
+  CROSS JOIN jgrid jg CROSS JOIN par p
+  GROUP BY e.s, e.code, jg.j
+),
+books1 AS (
+  SELECT b.s, b.c,
+    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means1 m
+              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
+  FROM books0 b
+),
+enc1 AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT r.vec_id, b.s, b.c,
+      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
+        list_aggregate(list_transform(range(1, p.sub + 1),
+          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
+        b.c) AS rn
+    FROM un r CROSS JOIN books1 b CROSS JOIN par p) WHERE rn = 1
+),
+means2 AS (
+  SELECT e.s, e.code AS c, jg.j, avg(r.u[e.s * p.sub + jg.j + 1]) AS mu
+  FROM enc1 e JOIN un r ON r.vec_id = e.vec_id
+  CROSS JOIN jgrid jg CROSS JOIN par p
+  GROUP BY e.s, e.code, jg.j
+),
+books2 AS (
+  SELECT b.s, b.c,
+    COALESCE((SELECT list(round(m.mu, 6) ORDER BY m.j) FROM means2 m
+              WHERE m.s = b.s AND m.c = b.c), b.bl) AS bl
+  FROM books1 b
+),
+encf AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT r.vec_id, b.s, b.c,
+      row_number() OVER (PARTITION BY r.vec_id, b.s ORDER BY
+        list_aggregate(list_transform(range(1, p.sub + 1),
+          j -> (r.u[b.s * p.sub + j] - b.bl[j]) * (r.u[b.s * p.sub + j] - b.bl[j])), 'sum') ASC,
+        b.c) AS rn
+    FROM un r CROSS JOIN books2 b CROSS JOIN par p) WHERE rn = 1
+),
+qn AS (SELECT v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm FROM q),
+qu AS (SELECT list_transform(v, x -> x / nrm) AS u FROM qn),
+dtab AS (
+  SELECT b.s, b.c, list_aggregate(list_transform(range(1, p.sub + 1),
+    j -> (qu.u[b.s * p.sub + j] - b.bl[j]) * (qu.u[b.s * p.sub + j] - b.bl[j])), 'sum') AS dist
+  FROM books2 b CROSS JOIN par p CROSS JOIN qu
+),
+approx AS (
+  SELECT vec_id, list_aggregate(list(dist ORDER BY s), 'sum') AS a FROM (
+    SELECT e.vec_id, e.s, d.dist FROM encf e JOIN dtab d ON d.s = e.s AND d.c = e.code
+  ) GROUP BY vec_id
+),
+short AS (SELECT vec_id FROM approx ORDER BY a, vec_id LIMIT 80)
+SELECT sh.vec_id, round(list_cosine_similarity(e.v, q.v), 4) AS cos
+FROM short sh JOIN emb e ON e.vec_id = sh.vec_id, q
+ORDER BY cos DESC, sh.vec_id LIMIT 10"""
 
   // NOTE: must be a def — `all` above references it during object init.
   private def jaccardOracle =

@@ -34,12 +34,15 @@ class FormatsSpec extends AnyFunSuite {
     // 5 min (schema/schema.go:23) — here with an injectable clock
     val f = java.nio.file.Files.createTempDirectory("graft_csv").resolve("t.csv")
     def write(rows: Seq[String]): Unit =
-      java.nio.file.Files.write(f, ("id,price,active,seen,name" +: rows)
+      java.nio.file.Files.write(f, ("id,price,active,seen,name,pad" +: rows)
         .mkString("\n").getBytes)
     // rows 1-20 cleanly typed; row 25's "abc" id sits PAST the sample
     // window, so full inference would say string — sampling says long
-    write((1 to 22).map(i => s"$i,$i.5,true,2024-01-0${i % 9 + 1},n$i") :+
-      "abc,9.5,false,2024-01-02,n23")
+    // `pad` is whitespace-padded numerics: the guess must pick a type
+    // the reader's converter accepts for the same bytes (parseDouble
+    // trims, parseLong does not), so the data survives the read
+    write((1 to 22).map(i => s"$i,$i.5,true,2024-01-0${i % 9 + 1},n$i, $i") :+
+      "abc,9.5,false,2024-01-02,n23, 23")
     val eng = new graft.engine.GraftSession(spark)
     var now = 0L
     eng.registerCsvSampled("t", f.toString, clock = () => now)
@@ -49,10 +52,13 @@ class FormatsSpec extends AnyFunSuite {
     assert(st("active").dataType == org.apache.spark.sql.types.BooleanType, st)
     assert(st("seen").dataType == org.apache.spark.sql.types.TimestampType, st)
     assert(st("name").dataType == org.apache.spark.sql.types.StringType, st)
+    assert(st("pad").dataType == org.apache.spark.sql.types.DoubleType, st)
     // the drifted value reads as null instead of widening the column
     assert(eng.table("t").filter(col("id").isNull).count() == 1)
+    // padded numerics came through the read, not nulled
+    assert(eng.table("t").filter(col("pad").isNull).count() == 0)
     // schema drift within the TTL: cached schema still serves
-    write(Seq("x1,1.5,true,2024-01-01,n1"))
+    write(Seq("x1,1.5,true,2024-01-01,n1,2"))
     now += 1000
     assert(eng.table("t").schema("id").dataType ==
       org.apache.spark.sql.types.LongType)
@@ -68,7 +74,7 @@ class FormatsSpec extends AnyFunSuite {
     java.nio.file.Files.write(f, Seq(
       """{"id": 1, "score": 1.5, "ok": true, "tags": ["a", "b"], "meta": {"n": 7, "when": "2024-01-02"}}""",
       """{"id": 2, "score": 2.0, "ok": false, "tags": ["c"], "meta": {"n": 9, "when": "2024-02-03"}}""",
-      """{"id": 3, "score": 2, "ok": true, "tags": [], "meta": {"n": 1, "when": "2024-03-04"}, "extra": "x"}""")
+      """{"id": 3, "score": 2, "ok": true, "tags": [], "meta": {"n": 1, "when": "2024-03-04"}, "extra": "42"}""")
       .mkString("\n").getBytes)
     val eng = new graft.engine.GraftSession(spark)
     eng.registerJsonSampled("j", f.toString)
@@ -81,8 +87,11 @@ class FormatsSpec extends AnyFunSuite {
     assert(meta("n").dataType == LongType, st)
     // string CONTENT guessing applies inside nested objects too
     assert(meta("when").dataType == TimestampType, st)
-    // a key appearing only in a later sampled line still unions in
+    // a key appearing only in a later sampled line still unions in;
+    // a QUOTED numeric stays STRING (the JSON reader has no
+    // string->long conversion — typing it long would null the record)
     assert(st("extra").dataType == StringType, st)
+    assert(eng.table("j").filter(col("extra") === "42").count() == 1)
     assert(eng.table("j").count() == 3)
     assert(eng.table("j").agg(sum(col("meta.n"))).head().getLong(0) == 17L)
   }

@@ -34,10 +34,18 @@ class WireSpec extends AnyFunSuite {
 
   test("decode rejects corruption, truncation, bad magic, and bad version") {
     val good = Wire.encode(SqlParser.parse("SELECT a FROM t WHERE a > 5"))
-    // flipped byte inside the SQL body -> fingerprint (or parse) failure
+    // flipped byte inside the SQL body -> content-hash failure
     val corrupt = good.clone()
     corrupt(good.length - 3) = (corrupt(good.length - 3) ^ 0x01).toByte
     intercept[Exception] { Wire.decode(corrupt) }
+    // a corrupted LITERAL must fail too — the literal-erased fingerprint
+    // alone would accept it (the content hash is what catches it)
+    val litFlip = good.clone()
+    val digitAt = litFlip.indexWhere(_ == '5'.toByte)
+    assert(digitAt > 0)
+    litFlip(digitAt) = '4'.toByte
+    val ex = intercept[IllegalArgumentException] { Wire.decode(litFlip) }
+    assert(ex.getMessage.contains("content-hash"), ex.getMessage)
     // truncated payload -> length mismatch
     intercept[IllegalArgumentException] { Wire.decode(good.dropRight(4)) }
     intercept[IllegalArgumentException] { Wire.decode(good.take(3)) }
