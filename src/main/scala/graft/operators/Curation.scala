@@ -447,4 +447,28 @@ object Curation {
       text.rlike(EmailRe).as("has_email"),
       text.rlike(Ipv4Re).as("has_ip"),
       text.rlike(PhoneRe).as("has_phone"))
+
+  /** Corpus snapshot diff — the governance primitive for incremental
+    * pipeline audits: which documents were added, removed, or changed
+    * between two corpus versions. Rows are compared by md5 of the
+    * content column, so a rebuilt snapshot with identical content
+    * diffs as `unchanged` (dropped from the output).
+    *
+    * Scale: each side collapses to (id, hash) in its scan stage before
+    * the full-outer join — the shuffle carries two hash columns, never
+    * documents; unchanged rows (the overwhelming majority between
+    * adjacent snapshots) are filtered before the result materializes. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(contentCol)).as("__ho"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(contentCol)).as("__hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") =!= col("__hn"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("id"), col("status"))
+  }
 }

@@ -1028,6 +1028,30 @@ object PipelineQueries {
              |WHERE token != ''
              |GROUP BY token ORDER BY n_exact DESC, token LIMIT 20""".stripMargin)),
 
+    // corpus snapshot diff: old = docs minus the %7 slice, new = docs
+    // minus the %11 slice with the %5 slice's text edited — the oracle
+    // derives added/removed/changed INDEPENDENTLY from the modular
+    // conditions, so the full-outer hash-compare plumbing is what's
+    // under test
+    "pl_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+          .withColumn("text", when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.operators.Curation.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""SELECT doc_id AS id, status FROM (
+             |  SELECT doc_id, CASE
+             |    WHEN doc_id % 7 = 0 AND doc_id % 11 != 0 THEN 'added'
+             |    WHEN doc_id % 11 = 0 AND doc_id % 7 != 0 THEN 'removed'
+             |    WHEN doc_id % 5 = 0 AND doc_id % 7 != 0 AND doc_id % 11 != 0 THEN 'changed'
+             |    ELSE 'unchanged' END AS status
+             |  FROM documents)
+             |WHERE status != 'unchanged' ORDER BY id""".stripMargin)),
+
     // graded contamination: per-doc shared-shingle fraction vs the
     // benchmark slice; LEFT join so zero-overlap docs keep a 0.0 score
     "pl_contamination_frac" -> Q(

@@ -792,6 +792,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.keySet.forall(id => (id < 200) == (mixed(id) < 200)))
   }
 
+  test("corpus diff: identical snapshots diff empty, content drives changed") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    assert(Curation.corpusDiff(a, a, "doc_id", "text").count() == 0)
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), got)
+  }
+
   test("count-min token sketches: merge equals whole-corpus build, bounds hold") {
     val parts = Profiling.tokenFrequencySketch(docs, "source", "text")
     assert(parts.count() > 1, "fixture should have multiple sources")
