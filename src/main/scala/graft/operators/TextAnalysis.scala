@@ -65,11 +65,13 @@ object TextAnalysis {
       vocab: Int = 65536): DataFrame = {
     val toks = df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-    // ONE corpus tokenization fits the LM: the token-count frame (far
-    // smaller than the corpus) is persisted and yields BOTH the total
-    // mass and the top-vocab probabilities — a separate count() and an
-    // unpersisted groupBy would re-scan the corpus twice more
-    Dedup.viaPersisted(toks.groupBy("t").agg(count(lit(1)).as("n"))) { counts =>
+    // ONE corpus tokenization fits the LM: the token-count frame
+    // (vocabulary-bounded, far smaller than the corpus) is persisted
+    // and RETAINED, yielding the total mass, the top-vocab
+    // probabilities, and the scoring join from one cache — while the
+    // per-doc RESULT stays lazy and unpersisted (it is corpus-sized;
+    // viaPersisted would pin it until releaseAll)
+    Dedup.viaRetainedStage(toks.groupBy("t").agg(count(lit(1)).as("n"))) { counts =>
       val total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       require(total > 0, "corpus has no tokens")
       val lm = counts.orderBy(col("n").desc, col("t")).limit(vocab)
