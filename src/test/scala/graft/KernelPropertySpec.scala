@@ -139,4 +139,30 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     check(prop, "l2_normalize")
   }
+
+  test("PcmStats matches driver-side decode on random byte payloads") {
+    val bytesGen = Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue.toInt, Byte.MaxValue.toInt).map(_.toByte)))
+    val prop = Prop.forAll(bytesGen) { bl =>
+      val b = bl.toArray
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(b)),
+        StructType(Seq(StructField("p", BinaryType))))
+      val row = df.select(VE.pcm_stats(col("p")).as("s"))
+        .select("s.n_samples", "s.rms", "s.zcr").collect().head
+      // driver reference: same LE int16 decode, same accumulate order
+      val n = b.length / 2
+      val samples = (0 until n).map { i =>
+        val u = (b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)
+        if (u >= 32768) u - 65536 else u
+      }
+      val rms = if (n == 0) 0.0
+        else math.sqrt(samples.foldLeft(0.0)((a, s) => a + s.toDouble * s) / n)
+      val zcr = if (n < 2) 0.0
+        else samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toDouble / (n - 1)
+      row.getLong(0) == n.toLong && row.getDouble(1) == rms &&
+        row.getDouble(2) == zcr && zcr >= 0.0 && zcr <= 1.0
+    }
+    check(prop, "pcm_stats")
+  }
 }
