@@ -460,13 +460,19 @@ object Curation {
     * adjacent snapshots) are filtered before the result materializes. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, contentCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(contentCol)).as("__ho"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(contentCol)).as("__hn"))
+    // presence comes from explicit markers, NOT hash nullability —
+    // md5(NULL content) is NULL and would misreport a present row as
+    // absent; the null-safe <=> makes NULL-content rows compare as
+    // content too (NULL vs NULL unchanged, NULL vs text changed)
+    val o = oldDf.select(col(idCol).as("id"), lit(1).as("__po"),
+      md5(col(contentCol)).as("__ho"))
+    val n = newDf.select(col(idCol).as("id"), lit(1).as("__pn"),
+      md5(col(contentCol)).as("__hn"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__ho").isNull, "added")
-          .when(col("__hn").isNull, "removed")
-          .when(col("__ho") =!= col("__hn"), "changed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(!(col("__ho") <=> col("__hn")), "changed")
           .otherwise("unchanged"))
       .filter(col("status") =!= "unchanged")
       .select(col("id"), col("status"))

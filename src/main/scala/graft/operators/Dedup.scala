@@ -72,18 +72,6 @@ object Dedup {
     result
   }
 
-  /** The inverse trade of [[viaPersisted]], for the case where the
-    * STAGE is the bounded frame (a vocabulary, a stats table) and the
-    * result is corpus-sized: persist and RETAIN the small stage so
-    * every consumer inside `body` — driver actions and the lazy result
-    * plan alike — reads one cache, and leave the result lazy and
-    * unpersisted (eager-retaining a corpus-sized result would pin it
-    * until releaseAll, the review-flagged anti-pattern). */
-  private[operators] def viaRetainedStage(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
-    val s = stage.persist(StorageLevel.MEMORY_AND_DISK)
-    retained.add(s)
-    body(s)
-  }
 
   /** Distinct character n-gram shingles of a text column. */
   def charShingles(text: Column, n: Int): Column =

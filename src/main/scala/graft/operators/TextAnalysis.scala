@@ -65,23 +65,25 @@ object TextAnalysis {
       vocab: Int = 65536): DataFrame = {
     val toks = df.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
-    // ONE corpus tokenization fits the LM: the token-count frame
-    // (vocabulary-bounded, far smaller than the corpus) is persisted
-    // and RETAINED, yielding the total mass, the top-vocab
-    // probabilities, and the scoring join from one cache — while the
-    // per-doc RESULT stays lazy and unpersisted (it is corpus-sized;
-    // viaPersisted would pin it until releaseAll)
-    Dedup.viaRetainedStage(toks.groupBy("t").agg(count(lit(1)).as("n"))) { counts =>
-      val total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+    // ONE corpus tokenization fits the LM: the distinct-token count
+    // frame is persisted for exactly the fit (total-mass action + the
+    // top-vocab cut), then released; what stays RETAINED for the lazy
+    // scoring join is only the `vocab`-row lm slice — the counts frame
+    // is O(distinct tokens), unbounded at crawl scale, and must not
+    // outlive the fit. The per-doc result itself stays lazy and
+    // unpersisted (it is corpus-sized).
+    var total = 0L
+    val lm = Dedup.viaPersisted(toks.groupBy("t").agg(count(lit(1)).as("n"))) { counts =>
+      total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       require(total > 0, "corpus has no tokens")
-      val lm = counts.orderBy(col("n").desc, col("t")).limit(vocab)
+      counts.orderBy(col("n").desc, col("t")).limit(vocab)
         .select(col("t"), log(col("n").cast(DoubleType) / total).as("logp"))
-      val floor = math.log(1.0 / total)
-      toks.join(lm, Seq("t"), "left")
-        .groupBy(idCol)
-        .agg(round(avg(coalesce(col("logp"), lit(floor))), 4).as("logprob"),
-          count(lit(1)).as("n_tokens"))
     }
+    val floor = math.log(1.0 / total)
+    toks.join(lm, Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(round(avg(coalesce(col("logp"), lit(floor))), 4).as("logprob"),
+        count(lit(1)).as("n_tokens"))
   }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

@@ -31,7 +31,11 @@ import java.nio.charset.StandardCharsets.UTF_8
 object Wire {
 
   private val Magic: Short = 0x4752 // "GR"
-  private val Version: Byte = 1
+  // version 2: the r8 content-hash field changed the header layout
+  // (15 -> 23 bytes) — bumped per the codec's own evolution contract so
+  // an old-layout payload fails with unsupported-version, not a
+  // misleading length/hash error
+  private val Version: Byte = 2
   private val HeaderLen = 2 + 1 + 8 + 8 + 4
 
   /** First 8 bytes of MD5 over the payload bytes — the content check. */

@@ -800,6 +800,17 @@ class PipelineSpec extends AnyFunSuite {
     val got = Curation.corpusDiff(a, b, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"), got)
+    // NULL content must not masquerade as absence: presence comes from
+    // the row, content compare is null-safe
+    val na = Seq((1L, null: String), (2L, "y"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val nb = Seq((2L, null: String), (3L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val ngot = Curation.corpusDiff(na, nb, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: removed (was present with null text); 2: changed (y -> null);
+    // 3: unchanged (null -> null, dropped); 4: added (with null text)
+    assert(ngot == Map(1L -> "removed", 2L -> "changed", 4L -> "added"), ngot)
   }
 
   test("count-min token sketches: merge equals whole-corpus build, bounds hold") {

@@ -41,8 +41,10 @@ class WireSpec extends AnyFunSuite {
     // a corrupted LITERAL must fail too — the literal-erased fingerprint
     // alone would accept it (the content hash is what catches it)
     val litFlip = good.clone()
-    val digitAt = litFlip.indexWhere(_ == '5'.toByte)
-    assert(digitAt > 0)
+    // search past the 23-byte binary header so a hash byte that
+    // happens to equal '5' can never be the one flipped
+    val digitAt = litFlip.indexWhere(_ == '5'.toByte, 23)
+    assert(digitAt >= 23)
     litFlip(digitAt) = '4'.toByte
     val ex = intercept[IllegalArgumentException] { Wire.decode(litFlip) }
     assert(ex.getMessage.contains("content-hash"), ex.getMessage)
