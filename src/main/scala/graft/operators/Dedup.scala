@@ -48,7 +48,8 @@ import graft.functions.VectorExpressions
   */
 object Dedup {
 
-  /** Small result frames kept cached by [[viaPersisted]] (see class doc). */
+  /** Result frames kept cached by [[viaPersisted]] until [[releaseAll]].
+    * Callers own the release: batch mains call releaseAll per query. */
   private val retained = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Unpersist every result frame retained by earlier dedup calls. */
@@ -57,12 +58,22 @@ object Dedup {
     while (df != null) { df.unpersist(blocking = false); df = retained.poll() }
   }
 
-  /** Persist the large per-document `stage`, build the (small) result
-    * from it, eagerly materialize that result into its own cache, then
-    * release the stage — the projection-collapse barrier lives exactly
-    * as long as the one action that needs it (ADVICE r3: the previous
+  /** Persist the large per-document `stage`, build the result from it,
+    * eagerly materialize that result into its own cache, then release
+    * the stage — the projection-collapse barrier lives exactly as long
+    * as the one action that needs it (ADVICE r3: the previous
     * fire-and-forget persists pinned signature blocks for the session's
-    * lifetime). */
+    * lifetime).
+    *
+    * Retention contract: the result stays cached until [[releaseAll]],
+    * so it must be either BOUNDED (pair lists scale with duplicate
+    * density, an lm slice with its vocab cap, a top-k) or a pipeline
+    * output that downstream stages/reports deliberately re-read
+    * (curateV2, packSequences — MEMORY_AND_DISK spills, and the
+    * recompute of the chain's dominant stage costs more than the
+    * cache). For a corpus-sized result with NO follow-on consumers,
+    * do not use this — keep the plan lazy (nearestNeighborWithinBlock
+    * is the worked example). */
   private[operators] def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val s = stage.persist(StorageLevel.MEMORY_AND_DISK)
     val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
