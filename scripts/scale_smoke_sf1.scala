@@ -23,6 +23,8 @@
 //   pl_emb_nn (maxBlock=500)     1.6-2.8 s — every block sub-bucketed,
 //     10-30x faster at identical output cardinality: the guard is the
 //     knob that makes bulk NN survive a 100 TB block
+//   pl_text_lm_quality           rep1 7.3 s   warm 1.6 s  (~1.6x for
+//     10x data — vocab-bounded lm cache, corpus result stays lazy)
 import org.apache.spark.sql.functions._
 
 val src = "/root/testdata/sf0.1"
@@ -62,7 +64,7 @@ def time(name: String, reps: Int = 3): Unit = {
 }
 
 Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
-  "pl_emb_ann_ivf_kmeans", "pl_emb_nn").foreach(time(_))
+  "pl_emb_ann_ivf_kmeans", "pl_emb_nn", "pl_text_lm_quality").foreach(time(_))
 
 // pl_emb_nn above runs the EXACT path (label blocks ~2k rows sit under
 // the default maxBlock=10000) — at 10x data that is 100x pairs, the
