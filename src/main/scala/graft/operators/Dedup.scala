@@ -30,9 +30,10 @@ import graft.functions.VectorExpressions
   * their (small) result into its own cache, then immediately unpersist
   * the large per-document intermediate, so repeated calls do not
   * accumulate pinned signature/fingerprint blocks for the session's
-  * lifetime. The retained result caches are pair lists (KBs); call
-  * [[Dedup.releaseAll]] to drop those too when a long-lived session is
-  * done with dedup.
+  * lifetime. The retained result caches are pair lists (KBs), capped at
+  * [[Dedup.maxRetained]] frames with oldest-first eviction; call
+  * [[Dedup.releaseAll]] to drop them promptly when a long-lived session
+  * is done with dedup.
   *
   * Scale design (100 TB):
   *  - exact dedup: one shuffle on a 128-bit content hash; map-side
@@ -48,14 +49,32 @@ import graft.functions.VectorExpressions
   */
 object Dedup {
 
-  /** Result frames kept cached by [[viaPersisted]] until [[releaseAll]].
-    * Callers own the release: batch mains call releaseAll per query. */
-  private val retained = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  /** Session-lifetime cap on result frames retained by [[viaPersisted]]:
+    * oldest-first eviction keeps an interactive session that never calls
+    * [[releaseAll]] from accumulating unbounded MEMORY_AND_DISK frames.
+    * Eviction only unpersists — an evicted frame recomputes from lineage
+    * if re-read, so correctness is unaffected. Tunable via the
+    * `graft.dedup.maxRetained` system property. */
+  private[graft] val maxRetained: Int =
+    sys.props.get("graft.dedup.maxRetained").map(_.toInt).getOrElse(8)
+
+  /** Result frames kept cached by [[viaPersisted]] until [[releaseAll]]
+    * or LRU eviction at [[maxRetained]]. Callers still own prompt
+    * release: batch mains call releaseAll per query. */
+  private val retained = new java.util.ArrayDeque[DataFrame]()
+
+  private def retain(df: DataFrame): Unit = retained.synchronized {
+    retained.addLast(df)
+    while (retained.size > maxRetained)
+      retained.pollFirst().unpersist(blocking = false)
+  }
+
+  /** Number of result frames currently retained (spec hook). */
+  private[graft] def retainedCount: Int = retained.synchronized(retained.size)
 
   /** Unpersist every result frame retained by earlier dedup calls. */
-  def releaseAll(): Unit = {
-    var df = retained.poll()
-    while (df != null) { df.unpersist(blocking = false); df = retained.poll() }
+  def releaseAll(): Unit = retained.synchronized {
+    while (!retained.isEmpty) retained.pollFirst().unpersist(blocking = false)
   }
 
   /** Persist the large per-document `stage`, build the result from it,
@@ -73,13 +92,17 @@ object Dedup {
     * recompute of the chain's dominant stage costs more than the
     * cache). For a corpus-sized result with NO follow-on consumers,
     * do not use this — keep the plan lazy (nearestNeighborWithinBlock
-    * is the worked example). */
-  private[operators] def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    * is the worked example).
+    *
+    * Retention is additionally capped at [[maxRetained]] frames
+    * (oldest evicted), so even a caller that never releases cannot pin
+    * more than a bounded working set. */
+  private[graft] def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val s = stage.persist(StorageLevel.MEMORY_AND_DISK)
     val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
     result.count() // eager: runs while the stage cache is live
     s.unpersist(blocking = false)
-    retained.add(result)
+    retain(result)
     result
   }
 

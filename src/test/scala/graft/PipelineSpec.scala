@@ -671,6 +671,28 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("viaPersisted retention is capped: a session that never releases stays bounded") {
+    import org.apache.spark.storage.StorageLevel
+    Dedup.releaseAll()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val n = Dedup.maxRetained + 5
+    val frames = (1 to n).map { i =>
+      Dedup.viaPersisted(docs.limit(20).withColumn("tag", lit(i)))(
+        s => s.select(col("doc_id"), col("tag")))
+    }
+    assert(Dedup.retainedCount <= Dedup.maxRetained,
+      s"retained ${Dedup.retainedCount} frames, cap ${Dedup.maxRetained}")
+    val cachedDelta = sc.getPersistentRDDs.size - before
+    assert(cachedDelta <= Dedup.maxRetained,
+      s"$cachedDelta cached RDDs after $n retained-result queries (cap ${Dedup.maxRetained})")
+    // the evicted earliest frame is unpersisted but still computes from lineage
+    assert(frames.head.storageLevel == StorageLevel.NONE, "oldest frame was not evicted")
+    assert(frames.head.count() == 20)
+    Dedup.releaseAll()
+    assert(Dedup.retainedCount == 0)
+  }
+
   test("near-dup clusters: chains collapse to the minimum id") {
     import org.apache.spark.sql.Row
     // A-B, B-C, plus an isolated pair D-E: two clusters
@@ -822,7 +844,11 @@ class PipelineSpec extends AnyFunSuite {
         "source", "text"))
     val exact = Profiling.topTokens(docs, "text", 30)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val n = exact.map(_._2).sum // lower bound on N, enough for the check
+    // the CMS overcount guarantee scales with the TRUE total N, not the
+    // top-30 mass — a legitimate overcount between 3e*n_top30 and 3e*N
+    // would fail spuriously with the smaller bound (ADVICE r8)
+    val n = docs.agg(coalesce(
+      sum(TextAnalysis.tokenCount(col("text"))), lit(0L))).head().getLong(0)
     for ((t, cnt) <- exact) {
       val em = Profiling.estimateTokenCount(merged, t)
       val ew = Profiling.estimateTokenCount(whole, t)
