@@ -65,7 +65,7 @@ object PipelineQueries {
              |)""".stripMargin
 
 
-  val all: Map[String, Q] = Map(
+  private val base: Map[String, Q] = Map(
     // exact dedup: one shuffle on content hash
     "pl_dedup_exact" -> Q(
       (s, d) => Dedup.exactDuplicates(Tables(s, d, "documents"), "doc_id", "text")
@@ -1541,6 +1541,58 @@ object PipelineQueries {
              |FROM b, (SELECT unnest(range(0, 4)) AS i) g
              |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
+
+  /** Recall@10 of every ANN method against the exact brute-force top-10
+    * (r8 verdict #5): a corpus-level quality number a user would read,
+    * not just a spec-level gate. Both sides REUSE the per-method entries
+    * verbatim — the Spark side calls the same query functions, the
+    * oracle embeds the same oracle SQL as subqueries — so the recall
+    * row can never drift from what the hash-green method queries
+    * return. The ground truth is the brute-force top-10 under the same
+    * (rounded cos desc, vec_id) total order as pl_emb_topk. */
+  private val annRecallEntry: (String, Q) = {
+    val methods = Seq("pl_emb_ann_lsh", "pl_emb_ann_ivf",
+      "pl_emb_ann_ivf_kmeans", "pl_emb_ann_pq", "pl_emb_ann_ivfpq")
+    def short(m: String) = m.stripPrefix("pl_emb_ann_")
+    val fn: CoreQueries.QFn = (s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        .select("vec_id")
+      methods.map { m =>
+        base(m).fn(s, d).select("vec_id").join(exact, "vec_id")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(short(m)).as("method"), lit(10L).as("k"), col("n_hits"),
+            round(col("n_hits") / lit(10.0), 4).as("recall"))
+      }.reduce(_.unionAll(_)).orderBy("method")
+    }
+    val methodCtes = methods.map { m =>
+      s"m_${short(m)} AS (SELECT vec_id FROM (\n${base(m).oracle.get}\n))"
+    }.mkString(",\n")
+    val unions = methods.map { m =>
+      s"""SELECT '${short(m)}' AS method, CAST(10 AS BIGINT) AS k,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM m_${short(m)} WHERE vec_id IN (SELECT vec_id FROM exact10)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val sql =
+      s"""WITH exact10 AS (
+         |  SELECT b.vec_id FROM (
+         |    SELECT b.vec_id,
+         |      round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+         |    FROM embeddings a, embeddings b WHERE a.vec_id = 0
+         |    ORDER BY cos DESC, b.vec_id LIMIT 10) b
+         |),
+         |$methodCtes
+         |SELECT method, k, n_hits,
+         |  round(n_hits / CAST(10.0 AS DOUBLE), 4) AS recall
+         |FROM (
+         |  $unions
+         |) ORDER BY method""".stripMargin
+    "pl_emb_ann_recall" -> Q(fn, Some(sql))
+  }
+
+  val all: Map[String, Q] = base + annRecallEntry
 
 
   /** Shared DuckDB replay of the per-subspace PQ Lloyd trajectory
