@@ -60,8 +60,12 @@ object Tables {
     * never hash-agree by accident. */
   def exactSum(c: Column): Column = {
     val d = c.cast(org.apache.spark.sql.types.DecimalType(38, 8))
+    // NaN/Infinity also null out under the decimal cast — name them in
+    // the diagnostic instead of claiming a magnitude overflow (ADVICE r8)
     sum(when(c.isNotNull && d.isNull,
-        raise_error(concat(lit("exactSum term exceeds DECIMAL(38,8): "),
+        raise_error(concat(
+          lit("exactSum term not representable as DECIMAL(38,8) " +
+            "(exceeds 1e30, NaN, or Infinity): "),
           c.cast(org.apache.spark.sql.types.StringType))))
       .otherwise(d))
       .cast(org.apache.spark.sql.types.DoubleType)

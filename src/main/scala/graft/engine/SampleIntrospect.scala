@@ -76,7 +76,17 @@ object SampleIntrospect {
 
   /** Introspect a headered CSV: column names from the header, types
     * from the first `sampleRows` data rows (bounded driver fetch — the
-    * LocalLimit stops the scan; no full-file inference pass). */
+    * LocalLimit stops the scan; no full-file inference pass).
+    *
+    * Multi-file paths: the sample comes from whichever file Spark's
+    * listing order yields first (matching the reference, which reads
+    * one stream's head — datasource/introspect.go:14), NOT a stable
+    * "first N rows" across the directory; a directory whose files
+    * disagree in their head rows can introspect differently as the
+    * layout changes. Deterministic per-file sampling would force a
+    * full listing + sort on every introspection — if layout-stable
+    * typing matters, declare the schema explicitly instead (ADVICE
+    * r8, documented choice). */
   def introspectCsv(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount): StructType = {
     val raw = spark.read.option("header", "true").csv(path) // all-string schema

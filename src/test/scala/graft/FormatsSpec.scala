@@ -55,6 +55,10 @@ class FormatsSpec extends AnyFunSuite {
     assert(st("pad").dataType == org.apache.spark.sql.types.DoubleType, st)
     // the drifted value reads as null instead of widening the column
     assert(eng.table("t").filter(col("id").isNull).count() == 1)
+    // date-only strings guessed TimestampType must actually CONVERT
+    // under Spark CSV's default timestamp parsing — a converter
+    // regression would silently null the whole column (ADVICE r8)
+    assert(eng.table("t").filter(col("seen").isNull).count() == 0)
     // padded numerics came through the read, not nulled
     assert(eng.table("t").filter(col("pad").isNull).count() == 0)
     // schema drift within the TTL: cached schema still serves
