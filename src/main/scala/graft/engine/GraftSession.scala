@@ -60,16 +60,20 @@ final class GraftSession(val spark: SparkSession) {
   def registerCsvSampled(name: String, path: String,
       sampleRows: Int = SampleIntrospect.IntrospectCount,
       refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
-      clock: () => Long = () => System.currentTimeMillis()): Unit =
-    registerLazy(name, SampleIntrospect.csvLoader(spark, path, sampleRows, refreshMs, clock))
+      clock: () => Long = () => System.currentTimeMillis(),
+      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit =
+    registerLazy(name, SampleIntrospect.csvLoader(
+      spark, path, sampleRows, refreshMs, clock, refresher))
   /** JSON-lines source typed from a bounded line sample (recursive
     * struct/array introspection) with TTL re-introspection — the JSON
     * half of the reference's sampling model. */
   def registerJsonSampled(name: String, path: String,
       sampleRows: Int = SampleIntrospect.IntrospectCount,
       refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
-      clock: () => Long = () => System.currentTimeMillis()): Unit =
-    registerLazy(name, SampleIntrospect.jsonLoader(spark, path, sampleRows, refreshMs, clock))
+      clock: () => Long = () => System.currentTimeMillis(),
+      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit =
+    registerLazy(name, SampleIntrospect.jsonLoader(
+      spark, path, sampleRows, refreshMs, clock, refresher))
   def registerJson(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.json(path))
   /** JDBC-backed source — the Spark-native equivalent of the reference's

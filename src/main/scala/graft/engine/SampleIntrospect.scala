@@ -150,14 +150,53 @@ object SampleIntrospect {
     }
   }
 
+  /** Optional background schema refresher with the reference daemon's
+    * semantics (schema/schema.go:23: refresh every 5 minutes
+    * UNPROMPTED): a single shared daemon thread re-runs every
+    * registered source's introspection each interval, so a long-IDLE
+    * session serves a schema at most one interval stale — the one
+    * observable gap of the default TTL-on-access mode, which refreshes
+    * only on the first access after expiry.
+    *
+    * Opt-in by passing an instance to [[csvLoader]]/[[jsonLoader]] (or
+    * `GraftSession.registerCsvSampled`/`registerJsonSampled`): the
+    * lazy-library default stays thread-free. A refresh failure (file
+    * temporarily missing mid-rewrite) keeps the previous schema and
+    * retries next interval. `close()` stops the thread; registered
+    * loaders then fall back to their own TTL-on-access refresh. */
+  final class BackgroundRefresher(refreshMs: Long = RefreshIntervalMs)
+      extends AutoCloseable {
+    private val tasks =
+      new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+    private val exec =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+        val t = new Thread(r, "graft-schema-refresh")
+        t.setDaemon(true)
+        t
+      })
+    exec.scheduleAtFixedRate(() => refreshAll(), refreshMs, refreshMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    private[engine] def register(name: String, refresh: () => Unit): Unit =
+      tasks.put(name, refresh)
+    /** Run every registered refresh now (also the spec's deterministic
+      * hook — the timer calls exactly this). */
+    def refreshAll(): Unit = tasks.forEach((_, f) =>
+      try f() catch { case scala.util.control.NonFatal(_) => })
+    override def close(): Unit = exec.shutdownNow()
+  }
+
   /** Introspection caching + TTL refresh shared by the sampled
     * loaders: the schema re-samples after `refreshMs` (the reference's
     * 5-minute daemon, expressed as refresh-on-access — idiomatic for a
-    * lazy library instead of a background thread). `clock` is
-    * injectable for tests. */
-  private def cachedLoader(introspect: () => StructType, refreshMs: Long,
-      clock: () => Long)(read: StructType => DataFrame): () => DataFrame = {
+    * lazy library instead of a background thread; pass a
+    * [[BackgroundRefresher]] for the unprompted-daemon variant).
+    * `clock` is injectable for tests. */
+  private def cachedLoader(name: String, introspect: () => StructType,
+      refreshMs: Long, clock: () => Long,
+      refresher: Option[BackgroundRefresher])(
+      read: StructType => DataFrame): () => DataFrame = {
     val cached = new java.util.concurrent.atomic.AtomicReference[(StructType, Long)]()
+    refresher.foreach(_.register(name, () => cached.set((introspect(), clock()))))
     () => {
       val now = clock()
       val c = cached.get()
@@ -176,15 +215,19 @@ object SampleIntrospect {
   def csvLoader(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount,
       refreshMs: Long = RefreshIntervalMs,
-      clock: () => Long = () => System.currentTimeMillis()): () => DataFrame =
-    cachedLoader(() => introspectCsv(spark, path, sampleRows), refreshMs, clock)(
+      clock: () => Long = () => System.currentTimeMillis(),
+      refresher: Option[BackgroundRefresher] = None): () => DataFrame =
+    cachedLoader(path, () => introspectCsv(spark, path, sampleRows),
+      refreshMs, clock, refresher)(
       st => spark.read.option("header", "true").schema(st).csv(path))
 
   /** Lazy JSON-lines loader with sample introspection + TTL refresh. */
   def jsonLoader(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount,
       refreshMs: Long = RefreshIntervalMs,
-      clock: () => Long = () => System.currentTimeMillis()): () => DataFrame =
-    cachedLoader(() => introspectJsonLines(spark, path, sampleRows), refreshMs, clock)(
+      clock: () => Long = () => System.currentTimeMillis(),
+      refresher: Option[BackgroundRefresher] = None): () => DataFrame =
+    cachedLoader(path, () => introspectJsonLines(spark, path, sampleRows),
+      refreshMs, clock, refresher)(
       st => spark.read.schema(st).json(path))
 }

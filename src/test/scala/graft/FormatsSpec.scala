@@ -72,6 +72,34 @@ class FormatsSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StringType)
   }
 
+  test("background refresher updates schemas unprompted, inside the TTL") {
+    // the daemon variant of schema refresh (schema/schema.go:23): the
+    // refresher re-introspects WITHOUT an access and WITHOUT the TTL
+    // expiring — refreshAll() is the exact closure the timer runs, so
+    // the spec stays deterministic instead of sleeping on the thread
+    val f = java.nio.file.Files.createTempDirectory("graft_csv_bg").resolve("t.csv")
+    def write(rows: Seq[String]): Unit =
+      java.nio.file.Files.write(f, ("id,name" +: rows).mkString("\n").getBytes)
+    write(Seq("1,a", "2,b"))
+    val eng = new graft.engine.GraftSession(spark)
+    val bg = new graft.engine.SampleIntrospect.BackgroundRefresher()
+    try {
+      var now = 0L
+      eng.registerCsvSampled("bgt", f.toString, clock = () => now,
+        refresher = Some(bg))
+      assert(eng.table("bgt").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      write(Seq("x,a")) // drift: id becomes string
+      now += 1000 // well inside the TTL: on-access refresh would NOT fire
+      assert(eng.table("bgt").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType, "TTL cache should still serve")
+      bg.refreshAll() // what the daemon timer runs each interval
+      assert(eng.table("bgt").schema("id").dataType ==
+        org.apache.spark.sql.types.StringType,
+        "background refresh did not re-introspect")
+    } finally bg.close()
+  }
+
   test("json sample introspection: nested structs, arrays, string-content guessing") {
     import org.apache.spark.sql.types._
     val f = java.nio.file.Files.createTempDirectory("graft_json").resolve("t.jsonl")
