@@ -12,19 +12,25 @@
 //     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
 //     -I scripts/scale_smoke_sf1.scala
 //
-// RESULTS (this host, 2026-08-13, 50k docs / 20k vectors, warm reps
-// after rep1; same-JVM — host variance is 1.5-3x across JVMs):
-//   pl_curate_pipeline2          rep1 19-21 s   warm 11-14 s  (~3x for 10x data)
-//   pl_curate_report             rep1  4-11 s   warm  3-4 s   (~1.3x)
-//   pl_dedup_clusters            rep1 12-20 s   warm  8-18 s  (10x near-dup pair mass)
-//   pl_emb_ann_ivf_kmeans        rep1  5-11 s   warm  4-6 s   (~3x; cached train scan)
-//   pl_emb_nn (exact path)       17-60 s — blocks ~2k ≤ default maxBlock,
-//     so 10x rows = 100x pairs: the documented quadratic below the guard
-//   pl_emb_nn (maxBlock=500)     1.6-2.8 s — every block sub-bucketed,
+// RESULTS (this host, 2026-08-13 r9 run, 50k docs / 20k vectors, warm
+// reps after rep1; same-JVM — host variance is 1.5-3x across JVMs):
+//   pl_curate_pipeline2          rep1 20 s    warm 11-13 s  (~2.5x for 10x data)
+//   pl_curate_report             rep1  5 s    warm  3-4 s   (~1.3x)
+//   pl_dedup_clusters            rep1 11 s    warm 11-16 s  (10x near-dup pair mass)
+//   pl_dedup_apply_near          rep1  7.6 s  warm  6.9 s   (~5x; AQE LeftAnti)
+//   pl_emb_ann_ivf_kmeans        rep1  7 s    warm  6.5 s   (cached train scan)
+//   pl_emb_nn (default 2000)     16-18 s — only oversized blocks sub-bucket;
+//     sub-threshold blocks (~1900 rows) pay the documented ~3.6M-pair budget
+//   pl_emb_nn (exact, mb=10000)  29-30 s — 10x rows = 100x pairs; opt-in
+//   pl_emb_nn (maxBlock=500)     2.2-2.8 s — every block sub-bucketed,
 //     10-30x faster at identical output cardinality: the guard is the
 //     knob that makes bulk NN survive a 100 TB block
-//   pl_text_lm_quality           rep1 7.3 s   warm 1.6 s  (~1.6x for
-//     10x data — vocab-bounded lm cache, corpus result stays lazy)
+//   pl_text_lm_quality           rep1 2.1 s   warm 1.7 s  (vocab-bounded
+//     lm cache, corpus result stays lazy)
+//   corpus_diff_10x              0.3-0.7 s  (~linear; (id,hash) shuffle only)
+//   cms_merge_10x                1.7-1.9 s  (~linear; |sources| blobs to driver)
+//   streaming_lsh_dedup_10x      22.3 s / 50k docs, 280k matches
+//     (10 micro-batches, simhash chunk-bucketed state)
 import org.apache.spark.sql.functions._
 
 val src = "/root/testdata/sf0.1"
@@ -64,21 +70,89 @@ def time(name: String, reps: Int = 3): Unit = {
 }
 
 Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
-  "pl_emb_ann_ivf_kmeans", "pl_emb_nn", "pl_text_lm_quality").foreach(time(_))
+  "pl_dedup_apply_near", "pl_emb_ann_ivf_kmeans", "pl_emb_nn",
+  "pl_text_lm_quality").foreach(time(_))
 
-// pl_emb_nn above runs the EXACT path (label blocks ~2k rows sit under
-// the default maxBlock=10000) — at 10x data that is 100x pairs, the
-// quadratic growth the r7 verdict predicted. The skew guard is the
-// knob: maxBlock=500 sub-buckets EVERY block (2^nPlanes=16 buckets →
-// ~16x fewer pairs).
+// pl_emb_nn in the list above now runs the DEFAULT guard (maxBlock=2000
+// since r9): sf1 label blocks are ~1800-2180 rows, so the oversized
+// blocks sub-bucket by default and the quadratic exact path is opt-in.
+// A/B both paths explicitly — exact forced via a raised threshold:
 {
   val emb = spark.read.parquet(s"$dst/embeddings.parquet")
-  for (i <- 1 to 3) {
+  for ((mb, tag) <- Seq(10000 -> "exact(maxBlock=10000)", 500 -> "guarded(maxBlock=500)");
+       i <- 1 to 2) {
     val t0 = System.nanoTime()
     val n = graft.operators.Similarity.nearestNeighborWithinBlock(
-      emb, "vec_id", "embedding", "label", maxBlock = 500, nPlanes = 4).count()
-    println(f"[SF1] pl_emb_nn guarded(maxBlock=500) rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      emb, "vec_id", "embedding", "label", maxBlock = mb, nPlanes = 4).count()
+    println(f"[SF1] pl_emb_nn $tag rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
     graft.operators.Dedup.releaseAll()
   }
+}
+
+// ---- r9 additions (VERDICT r8 #6): heavy families not yet smoked ----
+
+// corpus snapshot diff between two 10x snapshots with ~2% drift: the
+// shuffle carries (id, hash) only, so 10x rows should scale ~linearly
+{
+  val docs = spark.read.parquet(s"$dst/documents.parquet")
+  val newSnap = docs
+    .filter(pmod(col("doc_id"), lit(97)) =!= 0) // ~1% removed
+    .withColumn("text", when(pmod(col("doc_id"), lit(101)) === 0,
+      concat(col("text"), lit(" drifted"))).otherwise(col("text"))) // ~1% changed
+    .unionByName(docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000000L))) // ~1% added
+  for (i <- 1 to 3) {
+    val t0 = System.nanoTime()
+    val n = graft.operators.Curation.corpusDiff(docs, newSnap, "doc_id", "text").count()
+    println(f"[SF1] corpus_diff_10x rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    graft.operators.Dedup.releaseAll()
+  }
+}
+
+// count-min build + merge across the 10x corpus's sources: per-group
+// blobs to the driver stay |sources|-bounded regardless of corpus size
+{
+  val docs = spark.read.parquet(s"$dst/documents.parquet")
+  for (i <- 1 to 3) {
+    val t0 = System.nanoTime()
+    val cms = graft.operators.Profiling.mergeTokenSketches(
+      graft.operators.Profiling.tokenFrequencySketch(docs, "source", "text"))
+    val est = graft.operators.Profiling.estimateTokenCount(cms, "the")
+    println(f"[SF1] cms_merge_10x rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s est(the)=$est")
+    graft.operators.Dedup.releaseAll()
+  }
+}
+
+// streaming LSH near-dedup over the 10x corpus: 10 micro-batches of
+// 5k docs (one per copy, event time advancing 1 min/batch, all inside
+// the 30 min horizon), memory sink. State is (chunk, value)-bucketed
+// simhash entries — the quadratic risk lives per bucket, not per corpus.
+{
+  import spark.implicits._
+  implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+  val all = spark.read.parquet(s"$dst/documents.parquet")
+    .select("doc_id", "text").collect() // smoke-only driver feed (~50k rows)
+  // builder: new_id = orig_id + copy * (maxOrig + 1), so max new id is
+  // copies * (maxOrig + 1) - 1 and the per-copy stride recovers exactly
+  val maxId = (all.map(_.getLong(0)).max + 1) / copies
+  val t0ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+  val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp, String)]
+  val out = graft.streaming.EventStream.nearDedupMatches(
+    mem.toDF().toDF("doc_id", "ts", "text").as[graft.streaming.EventStream.Doc],
+    horizon = "30 minutes", maxHamming = 3)
+  val q = out.writeStream.outputMode("append")
+    .format("memory").queryName("sf1_neardup").start()
+  val t0 = System.nanoTime()
+  for (c <- 0 until copies) {
+    val ts = new java.sql.Timestamp(t0ts.getTime + c * 60000L)
+    mem.addData(all.iterator
+      .filter(r => r.getLong(0) / maxId == c)
+      .map(r => (r.getLong(0), ts, r.getString(1))).toSeq)
+    q.processAllAvailable()
+  }
+  val secs = (System.nanoTime() - t0) / 1e9
+  val matches = spark.table("sf1_neardup").count()
+  q.stop()
+  println(f"[SF1] streaming_lsh_dedup_10x: $secs%.2f s for ${all.length} docs, $matches matches")
 }
 println("[SF1] done")
