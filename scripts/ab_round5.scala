@@ -14,7 +14,7 @@ val emb = graft.Tables(spark, d, "embeddings")
 emb.count() // warm the scan
 
 time("pl_emb_nn_new") {
-  graft.operators.Similarity.nearestNeighborWithinBlock(emb, "vec_id", "embedding", "label").count()
+  graft.operators.Similarity.nearestNeighborWithinBlock(emb, "vec_id", "embedding", "label", maxBlock = 10000).count() // pin the pre-r9 exact-path default: this script's recorded baselines measured it
 }
 
 def oldNN(): Long = {

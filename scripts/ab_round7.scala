@@ -43,7 +43,7 @@ time("simhash_k9_multiblock") {
 
 // -- r5 spike check: pl_emb_nn on unchanged code
 time("pl_emb_nn") {
-  graft.operators.Similarity.nearestNeighborWithinBlock(emb, "vec_id", "embedding", "label").count()
+  graft.operators.Similarity.nearestNeighborWithinBlock(emb, "vec_id", "embedding", "label", maxBlock = 10000).count() // pin the pre-r9 exact-path default: this script's recorded baselines measured it
 }
 
 // -- r6 broadcast-removal delta: AQE-chosen anti join (new) vs forced

@@ -40,26 +40,35 @@ object Bench {
     // which is invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed, succeeded): a failure must never masquerade as a slow
+    // measurement — it gets a `failed` marker and -1 in the JSON, and
+    // no warm reps are burned re-running it
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query failed: ${e.getMessage}")
+          false
+      }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val fresh = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val tF = timeOnce(fn)
-      fresh(name) = tF
-      println(s"BENCHQ $name ${fmt(tF)}")
+      val (tF, ok) = timeOnce(fn)
+      fresh(name) = if (ok) tF else -1.0
+      println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"}")
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
-      if (tF > warmThresholdSec) {
+      if (ok && tF > warmThresholdSec) {
         val reps = (1 to warmReps).map { _ =>
           val t = timeOnce(fn)
           graft.operators.Dedup.releaseAll()
           t
+        }.collect { case (t, true) => t }
+        if (reps.nonEmpty) {
+          warm(name) = reps.min
+          println(s"BENCHQ $name warm_min ${fmt(reps.min)}")
         }
-        warm(name) = reps.min
-        println(s"BENCHQ $name warm_min ${fmt(reps.min)}")
       }
       Console.out.flush()
     }

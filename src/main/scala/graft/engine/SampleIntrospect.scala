@@ -166,18 +166,30 @@ object SampleIntrospect {
     * loaders then fall back to their own TTL-on-access refresh. */
   final class BackgroundRefresher(refreshMs: Long = RefreshIntervalMs)
       extends AutoCloseable {
+    // keyed by a fresh token per registration, NOT by path: two sampled
+    // sources over the same path (different sampleRows, re-registration)
+    // must both keep refreshing, and the returned handle deregisters an
+    // abandoned source so its closure doesn't re-scan forever
     private val tasks =
-      new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+      new java.util.concurrent.ConcurrentHashMap[AnyRef, () => Unit]()
     private val exec =
       java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
         val t = new Thread(r, "graft-schema-refresh")
         t.setDaemon(true)
         t
       })
-    exec.scheduleAtFixedRate(() => refreshAll(), refreshMs, refreshMs,
-      java.util.concurrent.TimeUnit.MILLISECONDS)
-    private[engine] def register(name: String, refresh: () => Unit): Unit =
-      tasks.put(name, refresh)
+    // outer catch-all: scheduleAtFixedRate cancels ALL future runs if a
+    // task throws, and refreshAll's per-task net is NonFatal-only — an
+    // InterruptedException from a cancelled Spark action must not
+    // silently kill the daemon for the session's lifetime
+    exec.scheduleAtFixedRate(
+      () => try refreshAll() catch { case _: Throwable => },
+      refreshMs, refreshMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    private[engine] def register(refresh: () => Unit): AutoCloseable = {
+      val key = new Object
+      tasks.put(key, refresh)
+      () => { tasks.remove(key); () }
+    }
     /** Run every registered refresh now (also the spec's deterministic
       * hook — the timer calls exactly this). */
     def refreshAll(): Unit = tasks.forEach((_, f) =>
@@ -191,12 +203,12 @@ object SampleIntrospect {
     * lazy library instead of a background thread; pass a
     * [[BackgroundRefresher]] for the unprompted-daemon variant).
     * `clock` is injectable for tests. */
-  private def cachedLoader(name: String, introspect: () => StructType,
+  private def cachedLoader(introspect: () => StructType,
       refreshMs: Long, clock: () => Long,
       refresher: Option[BackgroundRefresher])(
       read: StructType => DataFrame): () => DataFrame = {
     val cached = new java.util.concurrent.atomic.AtomicReference[(StructType, Long)]()
-    refresher.foreach(_.register(name, () => cached.set((introspect(), clock()))))
+    refresher.foreach(_.register(() => cached.set((introspect(), clock()))))
     () => {
       val now = clock()
       val c = cached.get()
@@ -217,7 +229,7 @@ object SampleIntrospect {
       refreshMs: Long = RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
       refresher: Option[BackgroundRefresher] = None): () => DataFrame =
-    cachedLoader(path, () => introspectCsv(spark, path, sampleRows),
+    cachedLoader(() => introspectCsv(spark, path, sampleRows),
       refreshMs, clock, refresher)(
       st => spark.read.option("header", "true").schema(st).csv(path))
 
@@ -227,7 +239,7 @@ object SampleIntrospect {
       refreshMs: Long = RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
       refresher: Option[BackgroundRefresher] = None): () => DataFrame =
-    cachedLoader(path, () => introspectJsonLines(spark, path, sampleRows),
+    cachedLoader(() => introspectJsonLines(spark, path, sampleRows),
       refreshMs, clock, refresher)(
       st => spark.read.schema(st).json(path))
 }

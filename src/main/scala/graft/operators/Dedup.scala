@@ -56,7 +56,11 @@ object Dedup {
     * if re-read, so correctness is unaffected. Tunable via the
     * `graft.dedup.maxRetained` system property. */
   private[graft] val maxRetained: Int =
-    sys.props.get("graft.dedup.maxRetained").map(_.toInt).getOrElse(8)
+    // toIntOption + filter, not toInt: a malformed value would throw
+    // inside this object's initializer and turn EVERY later Dedup use
+    // into an opaque NoClassDefFoundError — fall back to the default
+    sys.props.get("graft.dedup.maxRetained")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8)
 
   /** Result frames kept cached by [[viaPersisted]] until [[releaseAll]]
     * or LRU eviction at [[maxRetained]]. Callers still own prompt
@@ -65,8 +69,23 @@ object Dedup {
 
   private def retain(df: DataFrame): Unit = retained.synchronized {
     retained.addLast(df)
-    while (retained.size > maxRetained)
-      retained.pollFirst().unpersist(blocking = false)
+    while (retained.size > maxRetained) {
+      val evicted = retained.pollFirst()
+      // Dataset.unpersist uncaches BY LOGICAL PLAN: two identical-plan
+      // results share one cache entry, so unpersisting an evicted old
+      // frame would also void a newer retained duplicate (same query
+      // re-run in a session). Only drop the cache when no younger
+      // retained frame resolves to the same plan.
+      val dup = retained.iterator().hasNext && {
+        val it = retained.iterator()
+        var found = false
+        while (it.hasNext && !found)
+          found = it.next().queryExecution.analyzed
+            .sameResult(evicted.queryExecution.analyzed)
+        found
+      }
+      if (!dup) evicted.unpersist(blocking = false)
+    }
   }
 
   /** Number of result frames currently retained (spec hook). */

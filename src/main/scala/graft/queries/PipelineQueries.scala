@@ -1558,10 +1558,14 @@ object PipelineQueries {
       val emb = Tables(s, d, "embeddings")
       val qv = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
-        .select("vec_id")
+      // ONE exact scan, collected to a 10-long literal: joining the lazy
+      // exact frame into every union branch would re-run the full
+      // brute-force corpus scan once per method
+      val exactIds = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
       methods.map { m =>
-        base(m).fn(s, d).select("vec_id").join(exact, "vec_id")
+        base(m).fn(s, d).select("vec_id")
+          .filter(col("vec_id").isin(exactIds: _*))
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(short(m)).as("method"), lit(10L).as("k"), col("n_hits"),
             round(col("n_hits") / lit(10.0), 4).as("recall"))

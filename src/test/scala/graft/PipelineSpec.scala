@@ -693,6 +693,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.retainedCount == 0)
   }
 
+  test("retention eviction spares an identical-plan younger duplicate") {
+    import org.apache.spark.storage.StorageLevel
+    // Spark uncaches BY PLAN: re-running the same retained query yields
+    // two deque entries sharing one cache entry — evicting the elder
+    // must not void the younger's cache (r9 code-review finding)
+    Dedup.releaseAll()
+    def same() = Dedup.viaPersisted(docs.limit(10))(s => s.select("doc_id"))
+    same() // elder
+    val younger = same()
+    // push only the elder past the cap (2 + cap-1 retains = cap+1)
+    (1 until Dedup.maxRetained).foreach { i =>
+      Dedup.viaPersisted(docs.limit(10).withColumn("tag", lit(i)))(
+        s => s.select(col("doc_id"), col("tag")))
+    }
+    assert(Dedup.retainedCount == Dedup.maxRetained)
+    assert(younger.storageLevel != StorageLevel.NONE,
+      "evicting the identical-plan elder destroyed the younger frame's cache")
+    Dedup.releaseAll()
+  }
+
   test("near-dup clusters: chains collapse to the minimum id") {
     import org.apache.spark.sql.Row
     // A-B, B-C, plus an isolated pair D-E: two clusters
