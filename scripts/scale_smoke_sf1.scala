@@ -19,6 +19,9 @@
 //   pl_dedup_clusters            rep1 11 s    warm 11-16 s  (10x near-dup pair mass)
 //   pl_dedup_apply_near          rep1  7.6 s  warm  6.9 s   (~5x; AQE LeftAnti)
 //   pl_emb_ann_ivf_kmeans        rep1  7 s    warm  6.5 s   (cached train scan)
+//   pl_emb_ann_recall            rep1 26 s    warm 11-12 s  (all 5 ANN
+//     pipelines; every method recalls 1.0 at sf1 — the 10 near-identical
+//     copies of the query vector are exactly the true top-10)
 //   pl_emb_nn (default 2000)     16-18 s — only oversized blocks sub-bucket;
 //     sub-threshold blocks (~1900 rows) pay the documented ~3.6M-pair budget
 //   pl_emb_nn (exact, mb=10000)  29-30 s — 10x rows = 100x pairs; opt-in
@@ -70,8 +73,8 @@ def time(name: String, reps: Int = 3): Unit = {
 }
 
 Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
-  "pl_dedup_apply_near", "pl_emb_ann_ivf_kmeans", "pl_emb_nn",
-  "pl_text_lm_quality").foreach(time(_))
+  "pl_dedup_apply_near", "pl_emb_ann_ivf_kmeans", "pl_emb_ann_recall",
+  "pl_emb_nn", "pl_text_lm_quality").foreach(time(_))
 
 // pl_emb_nn in the list above now runs the DEFAULT guard (maxBlock=2000
 // since r9): sf1 label blocks are ~1800-2180 rows, so the oversized
