@@ -74,7 +74,9 @@ object Bench {
     }
     def jsonMap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (fresh.nonEmpty) fresh.values.sum else 0.0
+    // -1 failure sentinels must not be summed into the headline total —
+    // several failures would otherwise read as a phantom speedup
+    val total = fresh.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(fresh)},"warm":${jsonMap(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -42,6 +42,10 @@ final class GraftSession(val spark: SparkSession) {
   private val tables = collection.concurrent.TrieMap.empty[String, () => DataFrame]
   private val sessionVars = collection.concurrent.TrieMap.empty[String, Any]
   private val namedFilters = collection.concurrent.TrieMap.empty[String, Node]
+  // table name → the refresher holding its background task, so dropTable
+  // can deregister (an orphaned task would re-introspect every interval)
+  private val refreshers =
+    collection.concurrent.TrieMap.empty[String, SampleIntrospect.BackgroundRefresher]
 
   // ---- registry (schema.RegisterSourceAsSchema ≙) ---------------------
 
@@ -61,9 +65,14 @@ final class GraftSession(val spark: SparkSession) {
       sampleRows: Int = SampleIntrospect.IntrospectCount,
       refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
-      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit =
+      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit = {
+    // keyed by table name: re-registering this table REPLACES its
+    // background task instead of accumulating one per call
     registerLazy(name, SampleIntrospect.csvLoader(
-      spark, path, sampleRows, refreshMs, clock, refresher))
+      spark, path, sampleRows, refreshMs, clock, refresher,
+      refreshKey = (this, name.toLowerCase)))
+    refresher.foreach(refreshers.put(name.toLowerCase, _))
+  }
   /** JSON-lines source typed from a bounded line sample (recursive
     * struct/array introspection) with TTL re-introspection — the JSON
     * half of the reference's sampling model. */
@@ -71,9 +80,12 @@ final class GraftSession(val spark: SparkSession) {
       sampleRows: Int = SampleIntrospect.IntrospectCount,
       refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
-      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit =
+      refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit = {
     registerLazy(name, SampleIntrospect.jsonLoader(
-      spark, path, sampleRows, refreshMs, clock, refresher))
+      spark, path, sampleRows, refreshMs, clock, refresher,
+      refreshKey = (this, name.toLowerCase)))
+    refresher.foreach(refreshers.put(name.toLowerCase, _))
+  }
   def registerJson(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.json(path))
   /** JDBC-backed source — the Spark-native equivalent of the reference's
@@ -82,7 +94,11 @@ final class GraftSession(val spark: SparkSession) {
   def registerJdbc(name: String, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit =
     registerLazy(name, () => spark.read.jdbc(url, table, props))
-  def dropTable(name: String): Unit = tables.remove(name.toLowerCase)
+  def dropTable(name: String): Unit = {
+    tables.remove(name.toLowerCase)
+    refreshers.remove(name.toLowerCase)
+      .foreach(_.deregister((this, name.toLowerCase)))
+  }
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
   def table(name: String): DataFrame =
     tables.get(name.toLowerCase)

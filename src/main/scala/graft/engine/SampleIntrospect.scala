@@ -166,10 +166,11 @@ object SampleIntrospect {
     * loaders then fall back to their own TTL-on-access refresh. */
   final class BackgroundRefresher(refreshMs: Long = RefreshIntervalMs)
       extends AutoCloseable {
-    // keyed by a fresh token per registration, NOT by path: two sampled
-    // sources over the same path (different sampleRows, re-registration)
-    // must both keep refreshing, and the returned handle deregisters an
-    // abandoned source so its closure doesn't re-scan forever
+    // keyed by a caller-supplied token: GraftSession keys by TABLE name
+    // (re-registering a table REPLACES its task; dropTable deregisters),
+    // while direct loader users without a key get a fresh token per
+    // registration — two sampled sources over the same path never
+    // collide, and nothing is keyed by path
     private val tasks =
       new java.util.concurrent.ConcurrentHashMap[AnyRef, () => Unit]()
     private val exec =
@@ -185,11 +186,15 @@ object SampleIntrospect {
     exec.scheduleAtFixedRate(
       () => try refreshAll() catch { case _: Throwable => },
       refreshMs, refreshMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    private[engine] def register(refresh: () => Unit): AutoCloseable = {
-      val key = new Object
+    private[engine] def register(key: AnyRef, refresh: () => Unit): Unit =
       tasks.put(key, refresh)
-      () => { tasks.remove(key); () }
-    }
+    /** Stop refreshing the source registered under `key` (no-op if
+      * absent) — without this an abandoned source's closure would
+      * re-introspect every interval until close(). */
+    def deregister(key: AnyRef): Unit = tasks.remove(key)
+    /** Number of live refresh tasks (ops/spec visibility: a count that
+      * grows without bound means leaked registrations). */
+    def taskCount: Int = tasks.size
     /** Run every registered refresh now (also the spec's deterministic
       * hook — the timer calls exactly this). */
     def refreshAll(): Unit = tasks.forEach((_, f) =>
@@ -205,10 +210,11 @@ object SampleIntrospect {
     * `clock` is injectable for tests. */
   private def cachedLoader(introspect: () => StructType,
       refreshMs: Long, clock: () => Long,
-      refresher: Option[BackgroundRefresher])(
+      refresher: Option[BackgroundRefresher], refreshKey: AnyRef)(
       read: StructType => DataFrame): () => DataFrame = {
     val cached = new java.util.concurrent.atomic.AtomicReference[(StructType, Long)]()
-    refresher.foreach(_.register(() => cached.set((introspect(), clock()))))
+    val key = if (refreshKey == null) new Object else refreshKey
+    refresher.foreach(_.register(key, () => cached.set((introspect(), clock()))))
     () => {
       val now = clock()
       val c = cached.get()
@@ -223,23 +229,29 @@ object SampleIntrospect {
     }
   }
 
-  /** Lazy CSV loader with sample introspection + TTL refresh. */
+  /** Lazy CSV loader with sample introspection + TTL refresh.
+    * `refreshKey` identifies this source in the refresher for
+    * replace-on-reregister and [[BackgroundRefresher.deregister]];
+    * null means a fresh token (task lives until the refresher closes). */
   def csvLoader(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount,
       refreshMs: Long = RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
-      refresher: Option[BackgroundRefresher] = None): () => DataFrame =
+      refresher: Option[BackgroundRefresher] = None,
+      refreshKey: AnyRef = null): () => DataFrame =
     cachedLoader(() => introspectCsv(spark, path, sampleRows),
-      refreshMs, clock, refresher)(
+      refreshMs, clock, refresher, refreshKey)(
       st => spark.read.option("header", "true").schema(st).csv(path))
 
-  /** Lazy JSON-lines loader with sample introspection + TTL refresh. */
+  /** Lazy JSON-lines loader with sample introspection + TTL refresh.
+    * `refreshKey`: see [[csvLoader]]. */
   def jsonLoader(spark: SparkSession, path: String,
       sampleRows: Int = IntrospectCount,
       refreshMs: Long = RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
-      refresher: Option[BackgroundRefresher] = None): () => DataFrame =
+      refresher: Option[BackgroundRefresher] = None,
+      refreshKey: AnyRef = null): () => DataFrame =
     cachedLoader(() => introspectJsonLines(spark, path, sampleRows),
-      refreshMs, clock, refresher)(
+      refreshMs, clock, refresher, refreshKey)(
       st => spark.read.schema(st).json(path))
 }

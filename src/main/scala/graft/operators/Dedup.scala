@@ -58,9 +58,11 @@ object Dedup {
   private[graft] val maxRetained: Int =
     // toIntOption + filter, not toInt: a malformed value would throw
     // inside this object's initializer and turn EVERY later Dedup use
-    // into an opaque NoClassDefFoundError — fall back to the default
+    // into an opaque NoClassDefFoundError — fall back to the default.
+    // 0 is a VALID value (retain nothing: every frame unpersists right
+    // after its eager materialization), so only negatives are rejected.
     sys.props.get("graft.dedup.maxRetained")
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(8)
+      .flatMap(_.toIntOption).filter(_ >= 0).getOrElse(8)
 
   /** Result frames kept cached by [[viaPersisted]] until [[releaseAll]]
     * or LRU eviction at [[maxRetained]]. Callers still own prompt
@@ -76,14 +78,9 @@ object Dedup {
       // frame would also void a newer retained duplicate (same query
       // re-run in a session). Only drop the cache when no younger
       // retained frame resolves to the same plan.
-      val dup = retained.iterator().hasNext && {
-        val it = retained.iterator()
-        var found = false
-        while (it.hasNext && !found)
-          found = it.next().queryExecution.analyzed
-            .sameResult(evicted.queryExecution.analyzed)
-        found
-      }
+      import scala.jdk.CollectionConverters._
+      val dup = retained.iterator().asScala.exists(
+        _.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
       if (!dup) evicted.unpersist(blocking = false)
     }
   }

@@ -97,6 +97,15 @@ class FormatsSpec extends AnyFunSuite {
       assert(eng.table("bgt").schema("id").dataType ==
         org.apache.spark.sql.types.StringType,
         "background refresh did not re-introspect")
+      // task lifecycle: re-registering a table REPLACES its task, and
+      // dropTable deregisters — a leaked task would re-scan the source
+      // every interval for the session's lifetime
+      assert(bg.taskCount == 1)
+      eng.registerCsvSampled("bgt", f.toString, clock = () => now,
+        refresher = Some(bg))
+      assert(bg.taskCount == 1, "re-registration duplicated the refresh task")
+      eng.dropTable("bgt")
+      assert(bg.taskCount == 0, "dropTable leaked the refresh task")
     } finally bg.close()
   }
 
