@@ -3,18 +3,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * Output contract (driver captures only the TAIL of the build log, so
-  * the single final JSON line is not durable on its own — round 8 lost
-  * 27 of 107 timings to tail truncation):
-  *   - one `BENCHQ <name> <fresh_secs>` line per query, printed AS THE
-  *     RUN PROGRESSES, so every timing survives any tail capture;
-  *   - for heavy queries (fresh > 2 s) two same-JVM warm reps with
-  *     `Dedup.releaseAll()` between, emitted as
-  *     `BENCHQ <name> warm_min <secs>` — fresh-JVM numbers on this host
-  *     vary 1.5-3x (codegen + JIT + cache pressure), so warm_min is the
-  *     round-over-round comparable number for anything non-trivial;
-  *   - the final one-line JSON (`queries` = fresh, `warm` = warm_min
-  *     where measured) for the driver's structured capture.
+  * Output contract. The driver captures only the TAIL of the build log,
+  * so stdout is NOT durable (rounds 8 and 9 each lost ~30% of fresh
+  * timings to tail truncation). The source of truth is therefore a
+  * FILE committed into the repo:
+  *   - `bench_out/bench.json` (override: SPARK_GRAFT_BENCH_OUT): the
+  *     full run — per-query fresh seconds, warm_min + individual warm
+  *     reps, per-query GC-time delta (ms, summed over all collector
+  *     beans) and post-query storage-memory sample (MB), the failed
+  *     list, and the JVM heap ceiling. Written incrementally after
+  *     EVERY query so even a killed run leaves durable evidence.
+  *   - stdout keeps the per-query `BENCHQ <name> <fresh_secs>
+  *     gc=<ms>ms storage=<MB>MB` lines (plus `BENCHQ <name> warm_min
+  *     <secs>` for heavy queries) and the final one-line JSON for the
+  *     driver's structured capture — a convenience view, not the
+  *     record.
+  *
+  * Why gc/storage per line: round 9's single warm outlier
+  * (pl_curate_pipeline2, 19.2 s in-suite vs 2.8-3.9 s dedicated-JVM)
+  * needed a judge-side rerun to adjudicate as memory pressure. With a
+  * per-query GC share the pressure-vs-plan call is readable directly
+  * off the line.
+  *
+  * Failure encoding: a failed query appears in the top-level "failed"
+  * array and is ABSENT from the timing maps — a -1 sentinel inside the
+  * timings (the r9 shape) reads as a negative timing to a numeric
+  * differ. Warm reps: fresh-JVM numbers on this host vary 1.5-3x
+  * (codegen + JIT + cache pressure), so for heavy queries (fresh >
+  * 2 s) warm_min over same-JVM reps with `Dedup.releaseAll()` between
+  * is the round-over-round comparable number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,6 +39,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmThresholdSec = sys.env.getOrElse("SPARK_GRAFT_WARM_THRESHOLD", "2.0").toDouble
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "2").toInt
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,51 +51,94 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => }
-    // 3-decimal fixed notation: a 107-query line at full Double precision
+    // 3-decimal fixed notation: a 108-query line at full Double precision
     // (~3.2 KB) overflows the driver's tail buffer — the round-4 bench
     // came back unparseable. Locale.ROOT: the default-locale `f`
     // interpolator emits a comma decimal separator under e.g. de_DE,
     // which is invalid JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // (elapsed, succeeded): a failure must never masquerade as a slow
-    // measurement — it gets a `failed` marker and -1 in the JSON, and
-    // no warm reps are burned re-running it
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    // post-query storage sample via the public executor-memory status
+    // (local mode: one block manager; used = max - remaining)
+    def storageUsedMb(): Long = {
+      val st = spark.sparkContext.getExecutorMemoryStatus
+      st.values.map { case (max, remaining) => (max - remaining) / (1024L * 1024L) }.sum
+    }
+    val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+
+    final case class QRes(
+        fresh: Double, ok: Boolean, gcMs: Long, storageMb: Long,
+        var warmMin: Option[Double] = None, var warmRepsSec: List[Double] = Nil)
+    // (elapsed, succeeded, gcDeltaMs): a failure must never masquerade
+    // as a slow measurement — no warm reps are burned re-running it
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")
           false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok, gcMillis() - gc0)
     }
-    val fresh = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, QRes]()
+    val startedAtMs = System.currentTimeMillis()
+    def writeFile(): Unit = {
+      val out = new java.io.File(outPath)
+      Option(out.getParentFile).foreach(_.mkdirs())
+      val failed = results.collect { case (n, r) if !r.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
+      val qs = results.collect { case (n, r) if r.ok =>
+        val warmPart = r.warmMin.map(w =>
+          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${r.warmRepsSec.map(fmt).mkString("[", ",", "]")}""").getOrElse("")
+        s""""$n":{"fresh_sec":${fmt(r.fresh)},"gc_ms":${r.gcMs},"storage_mb":${r.storageMb}$warmPart}"""
+      }.mkString("{\n  ", ",\n  ", "\n}")
+      val total = results.values.collect { case r if r.ok => r.fresh }.sum
+      val json =
+        s"""{
+           |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,
+           |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,
+           |"total_fresh_sec":${fmt(total)},
+           |"failed":$failed,
+           |"queries":$qs
+           |}""".stripMargin
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try w.println(json) finally w.close()
+    }
+
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val (tF, ok) = timeOnce(fn)
-      fresh(name) = if (ok) tF else -1.0
-      println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"}")
+      val (tF, ok, gcMs) = timeOnce(fn)
+      val stMb = storageUsedMb()
+      results(name) = QRes(tF, ok, gcMs, stMb)
+      println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"} gc=${gcMs}ms storage=${stMb}MB")
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
       if (ok && tF > warmThresholdSec) {
         val reps = (1 to warmReps).map { _ =>
           val t = timeOnce(fn)
           graft.operators.Dedup.releaseAll()
           t
-        }.collect { case (t, true) => t }
+        }.collect { case (t, true, _) => t }
         if (reps.nonEmpty) {
-          warm(name) = reps.min
+          results(name).warmMin = Some(reps.min)
+          results(name).warmRepsSec = reps.toList
           println(s"BENCHQ $name warm_min ${fmt(reps.min)}")
         }
       }
+      writeFile() // durable after every query: a killed run still leaves evidence
       Console.out.flush()
     }
     def jsonMap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    // -1 failure sentinels must not be summed into the headline total —
-    // several failures would otherwise read as a phantom speedup
-    val total = fresh.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(fresh)},"warm":${jsonMap(warm)},"sf":"$sfDir"}""")
+    val freshOk = results.collect { case (n, r) if r.ok => n -> r.fresh }
+    val warmOk = results.collect { case (n, r) if r.warmMin.isDefined => n -> r.warmMin.get }
+    val failedArr = results.collect { case (n, r) if !r.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val total = freshOk.values.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(freshOk)},"warm":${jsonMap(warmOk)},"failed":$failedArr,"out":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
