@@ -50,9 +50,31 @@ final class GraftSession(val spark: SparkSession) {
   // ---- registry (schema.RegisterSourceAsSchema ≙) ---------------------
 
   def registerTable(name: String, df: DataFrame): Unit =
-    tables.put(name.toLowerCase, () => df)
-  def registerLazy(name: String, load: () => DataFrame): Unit =
+    registerLazy(name, () => df)
+  def registerLazy(name: String, load: () => DataFrame): Unit = {
     tables.put(name.toLowerCase, load)
+    // ANY re-registration displaces a sampled table's background task:
+    // without this, registerParquet over a refreshed CSV table would
+    // leave the old refresher re-introspecting an orphaned loader's
+    // cache every interval until its close()
+    swapRefresher(name, None)
+  }
+
+  /** Reconcile the refresher registry after (re-)registering `name`:
+    * remember `next` (or forget, for plain tables), and deregister the
+    * table's key from a DISPLACED previous instance — one that differs
+    * from `next`. Same-instance re-registration needs no deregister:
+    * the loader already REPLACED the task under the same key (and a
+    * deregister here would cancel the fresh task). */
+  private def swapRefresher(name: String,
+      next: Option[SampleIntrospect.BackgroundRefresher]): Unit = {
+    val k = name.toLowerCase
+    val prev = next match {
+      case Some(r) => refreshers.put(k, r)
+      case None => refreshers.remove(k)
+    }
+    prev.foreach(p => if (!next.exists(_ eq p)) p.deregister((this, k)))
+  }
   def registerParquet(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.parquet(path))
   def registerCsv(name: String, path: String): Unit =
@@ -68,10 +90,10 @@ final class GraftSession(val spark: SparkSession) {
       refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit = {
     // keyed by table name: re-registering this table REPLACES its
     // background task instead of accumulating one per call
-    registerLazy(name, SampleIntrospect.csvLoader(
+    tables.put(name.toLowerCase, SampleIntrospect.csvLoader(
       spark, path, sampleRows, refreshMs, clock, refresher,
       refreshKey = (this, name.toLowerCase)))
-    refresher.foreach(refreshers.put(name.toLowerCase, _))
+    swapRefresher(name, refresher)
   }
   /** JSON-lines source typed from a bounded line sample (recursive
     * struct/array introspection) with TTL re-introspection — the JSON
@@ -81,10 +103,10 @@ final class GraftSession(val spark: SparkSession) {
       refreshMs: Long = SampleIntrospect.RefreshIntervalMs,
       clock: () => Long = () => System.currentTimeMillis(),
       refresher: Option[SampleIntrospect.BackgroundRefresher] = None): Unit = {
-    registerLazy(name, SampleIntrospect.jsonLoader(
+    tables.put(name.toLowerCase, SampleIntrospect.jsonLoader(
       spark, path, sampleRows, refreshMs, clock, refresher,
       refreshKey = (this, name.toLowerCase)))
-    refresher.foreach(refreshers.put(name.toLowerCase, _))
+    swapRefresher(name, refresher)
   }
   def registerJson(name: String, path: String): Unit =
     registerLazy(name, () => spark.read.json(path))

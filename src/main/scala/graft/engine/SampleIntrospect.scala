@@ -182,10 +182,17 @@ object SampleIntrospect {
     // outer catch-all: scheduleAtFixedRate cancels ALL future runs if a
     // task throws, and refreshAll's per-task net is NonFatal-only — an
     // InterruptedException from a cancelled Spark action must not
-    // silently kill the daemon for the session's lifetime
+    // silently kill the daemon for the session's lifetime (but IS
+    // counted: a swallowed-and-invisible failure is an ops blind spot)
     exec.scheduleAtFixedRate(
-      () => try refreshAll() catch { case _: Throwable => },
+      () => try refreshAll() catch { case _: Throwable => noteFailure() },
       refreshMs, refreshMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    private val failures = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile private var lastFailureAtMs = 0L
+    private def noteFailure(): Unit = {
+      failures.incrementAndGet()
+      lastFailureAtMs = System.currentTimeMillis()
+    }
     private[engine] def register(key: AnyRef, refresh: () => Unit): Unit =
       tasks.put(key, refresh)
     /** Stop refreshing the source registered under `key` (no-op if
@@ -195,10 +202,19 @@ object SampleIntrospect {
     /** Number of live refresh tasks (ops/spec visibility: a count that
       * grows without bound means leaked registrations). */
     def taskCount: Int = tasks.size
+    /** Cumulative refresh failures since construction (ops visibility:
+      * the daemon survives failures by design, so a permanently failing
+      * source is otherwise invisible — a counter that keeps climbing
+      * interval after interval is the signal). */
+    def failureCount: Long = failures.get()
+    /** Epoch millis of the most recent refresh failure (0 = never). */
+    def lastFailureMs: Long = lastFailureAtMs
     /** Run every registered refresh now (also the spec's deterministic
-      * hook — the timer calls exactly this). */
+      * hook — the timer calls exactly this). A failing task keeps its
+      * previous schema, bumps [[failureCount]], and retries next
+      * interval; other tasks still run. */
     def refreshAll(): Unit = tasks.forEach((_, f) =>
-      try f() catch { case scala.util.control.NonFatal(_) => })
+      try f() catch { case scala.util.control.NonFatal(_) => noteFailure() })
     override def close(): Unit = exec.shutdownNow()
   }
 

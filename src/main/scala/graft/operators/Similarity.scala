@@ -167,8 +167,10 @@ object Similarity {
     * `nprobe` centroid ids nearest the query by cosine, ties to the
     * smaller id. */
   private def probeCells(seeds: Seq[(Long, Seq[Double])], query: Seq[Float],
+      nprobe: Int): Seq[Long] = probeCellsD(seeds, query.map(_.toDouble), nprobe)
+
+  private def probeCellsD(seeds: Seq[(Long, Seq[Double])], qd: Seq[Double],
       nprobe: Int): Seq[Long] = {
-    val qd = query.map(_.toDouble)
     def cosD(a: Seq[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -320,8 +322,11 @@ object Similarity {
   /** Per-query ADC table over the flat codebook: dtable[s·ncent+c] =
     * ‖q_s − b_sc‖² (driver-side, m × ncent doubles). */
   private def pqDistanceTable(books: IndexedSeq[Double], query: Seq[Float],
+      m: Int, ncent: Int, sub: Int): IndexedSeq[Double] =
+    pqDistanceTableD(books, query.map(_.toDouble), m, ncent, sub)
+
+  private def pqDistanceTableD(books: IndexedSeq[Double], qraw: Seq[Double],
       m: Int, ncent: Int, sub: Int): IndexedSeq[Double] = {
-    val qraw = query.map(_.toDouble)
     val qnorm = math.sqrt(qraw.map(x => x * x).sum)
     val qd = (if (qnorm == 0.0) qraw else qraw.map(_ / qnorm)).toIndexedSeq
     for (s <- 0 until m; c <- 0 until ncent) yield {
@@ -551,4 +556,214 @@ object Similarity {
   private[graft] def nnCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, maxBlock: Int, nPlanes: Int): DataFrame =
     nnPairsOf(nnTagged(df, idCol, vecCol, blockCol, maxBlock, nPlanes))
+
+  // ===== Batch (multi-probe) ANN =====
+  //
+  // The production retrieval shape: MANY query vectors against one
+  // index in ONE job — per-probe driver loops would re-scan the corpus
+  // per query. Every batch variant broadcasts the probe set (bounded:
+  // n × dim doubles), trains its index ONCE (training is probe-
+  // independent), and resolves the per-probe top-k with a single
+  // windowed rank whose map-side WindowGroupLimit keeps ≤k rows per
+  // probe per partition before the shuffle. Results are
+  // (probe_id, <id>, cos) with true rounded cosines.
+
+  /** The deterministic probe draw for batch evaluation: the `n` rows
+    * with the smallest md5(id || "probe") — SALTED so the probe set is
+    * not the same head-of-md5-order rows the quantizer seeds
+    * ([[seedRows]]) pick, which would grade ANN recall mostly on the
+    * centroids themselves. Bounded driver traffic: n vectors. */
+  def probeRows(df: DataFrame, idCol: String, vecCol: String,
+      n: Int): IndexedSeq[(Long, IndexedSeq[Double])] =
+    df.select(col(idCol).cast(LongType).as("pid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("pv"))
+      .orderBy(md5(concat(col("pid").cast(StringType), lit("probe")).cast(BinaryType)),
+        col("pid"))
+      .limit(n).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).toIndexedSeq
+
+  private def probeFrame(df: DataFrame,
+      probes: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.map { case (pid, pv) => (pid, pv) }.toDF("probe_id", "pv")
+  }
+
+  /** Per-probe top-k cut shared by the batch variants: rank ≤ k within
+    * probe_id on (cos desc, id) — Spark's WindowGroupLimit prunes to k
+    * rows per probe per partition on the map side, so the shuffle
+    * carries O(probes × k × partitions), not the scored candidates. */
+  private def topPerProbe(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col("probe_id"), col(idCol), col("cos"))
+  }
+
+  /** Exact batch ground truth: one corpus pass scores every (probe,
+    * row) pair against the broadcast probe set; per-probe top-k via the
+    * group-limited window. O(n·probes) compiled dot products — the
+    * recall baseline, not the scale path. */
+  def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    val scored = df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .crossJoin(broadcast(probeFrame(df, probes)))
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col("__v"), col("pv")), 4).as("cos"))
+    topPerProbe(scored, idCol, k)
+  }
+
+  /** Batch LSH ANN: corpus and probes hash into the same deterministic
+    * hyperplane buckets; candidates meet only inside their bucket
+    * (broadcast hash join on the bucket key — no shuffle of the
+    * corpus), then the per-probe top-k cut. */
+  def lshTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int, nPlanes: Int): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val pf = probeFrame(df, probes)
+      .select(col("probe_id"), col("pv"), hyperplaneBucket(col("pv"), nPlanes).as("__b"))
+    val scored = df.select(col(idCol), v.as("__v"), hyperplaneBucket(v, nPlanes).as("__b"))
+      .join(broadcast(pf), "__b")
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col("__v"), col("pv")), 4).as("cos"))
+    topPerProbe(scored, idCol, k)
+  }
+
+  /** Batch seeded-IVF ANN: one md5-seeded quantizer serves every probe;
+    * per-probe cell selection happens on the driver (nlist × probes
+    * cosines) and joins back as a broadcast (probe_id, cell, pv) frame,
+    * so the corpus is scanned once and each row is scored only against
+    * the probes that probed its cell. */
+  def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
+    val pf = probeCellFrame(df, probes, seeds, nprobe)
+    val scored = df.select(col(idCol), v.as("__v"), cell.as("__cell"))
+      .join(broadcast(pf), col("__cell") === col("cid"))
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col("__v"), col("pv")), 4).as("cos"))
+    topPerProbe(scored, idCol, k)
+  }
+
+  /** Batch k-means-IVF ANN: the Lloyd-refined centroids of
+    * [[ivfTopKKMeans]] (trained once — the trajectory is probe-
+    * independent), then the same broadcast probe-cell join as
+    * [[ivfTopKBatch]]. */
+  def ivfTopKKMeansBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int, nprobe: Int,
+      iters: Int = 3): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    Dedup.viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val centroids = kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val indexed = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      val pf = probeCellFrame(proj, probes, indexed, nprobe)
+      val scored = proj.select(col(idCol), col("__v"),
+          cellAssign(col("__v"), centroids).cast(LongType).as("__cell"))
+        .join(broadcast(pf), col("__cell") === col("cid"))
+        .select(col("probe_id"), col(idCol),
+          round(cosine(col("__v"), col("pv")), 4).as("cos"))
+      topPerProbe(scored, idCol, k)
+    }
+  }
+
+  /** (probe_id, cid, pv) broadcast frame: each probe's `nprobe` nearest
+    * cells, selected on the driver with the shared [[probeCellsD]]
+    * ordering. */
+  private def probeCellFrame(df: DataFrame, probes: Seq[(Long, Seq[Double])],
+      seeds: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.flatMap { case (pid, pv) =>
+      probeCellsD(seeds, pv, nprobe).map(cid => (pid, cid, pv))
+    }.toDF("probe_id", "cid", "pv")
+  }
+
+  /** Batch PQ ANN: codebooks train ONCE ([[pqTrain]]), the corpus
+    * encodes once in-scan, and each probe carries its driver-computed
+    * ADC table as a broadcast array column — the per-(probe, row)
+    * approximate score is an 8-element table lookup. The per-probe
+    * refine·k shortlist is rescored with true cosines.
+    *
+    * The ADC rank key is rounded to 9 dp on BOTH engines (here and in
+    * the DuckDB oracle): the scores are sums of driver doubles vs
+    * oracle-replayed doubles, identical to well past 9 dp, and the
+    * rounding pins the shortlist cut to the shared (value, id) order
+    * instead of 1-ulp float noise. */
+  def pqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int, m: Int = 8, ncent: Int = 16,
+      refine: Int = 8, trainIters: Int = 2): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val (books, sub) = pqTrain(df, idCol, vecCol, m, ncent, trainIters)
+    val codes = graft.functions.VectorExpressions.pq_encode(v, books, ncent, sub)
+    val coded = df.select(col(idCol), v.as("__v"), codes.as("__codes"))
+    pqAdcRescore(coded, idCol, pqProbeFrame(df, probes, books, m, ncent, sub),
+      k, m, ncent, refine)
+  }
+
+  /** Batch IVF-PQ ANN: the md5-seeded coarse quantizer prunes each
+    * probe's candidates to its `nprobe` cells, PQ codes (trained once,
+    * on the FULL corpus — the amortized batch shape, unlike the
+    * per-query probed-slice training of the single-probe
+    * [[ivfPqTopK]]) rank the candidates, true cosines rescore the
+    * shortlist. One persisted (id, vec) projection serves seeds, PQ
+    * training, and the scoring scan. */
+  def ivfPqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int = 8, nprobe: Int = 2,
+      m: Int = 8, ncent: Int = 16, refine: Int = 8, trainIters: Int = 2): DataFrame =
+    Dedup.viaPersisted(df.select(col(idCol), col(vecCol))) { proj =>
+      val v = col(vecCol).cast(ArrayType(DoubleType))
+      val (seeds, cell) = seedCells(proj, idCol, vecCol, nlist)
+      val (books, sub) = pqTrain(proj, idCol, vecCol, m, ncent, trainIters)
+      val codes = graft.functions.VectorExpressions.pq_encode(v, books, ncent, sub)
+      val pf = pqProbeFrame(proj, probes, books, m, ncent, sub)
+        .join(probeCellFrame(proj, probes, seeds, nprobe).select("probe_id", "cid"),
+          "probe_id")
+      val coded = proj.select(col(idCol), v.as("__v"), codes.as("__codes"),
+        cell.as("__cell"))
+      pqAdcRescore(coded, idCol, broadcast(pf), k, m, ncent, refine,
+        joinOn = Some(col("__cell") === col("cid")))
+    }
+
+  /** (probe_id, pv, dtable) frame: each probe's flat ADC table,
+    * computed on the driver against the trained codebooks. */
+  private def pqProbeFrame(df: DataFrame, probes: Seq[(Long, Seq[Double])],
+      books: IndexedSeq[Double], m: Int, ncent: Int, sub: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    probes.map { case (pid, pv) =>
+      (pid, pv, pqDistanceTableD(books, pv, m, ncent, sub))
+    }.toDF("probe_id", "pv", "dtable")
+  }
+
+  /** Shared ADC-rank + rescore tail of the batch PQ variants:
+    * broadcast-join the probe frame (cross for plain PQ, on the coarse
+    * cell for IVF-PQ), rank candidates per probe by the rounded ADC
+    * sum, rescore the refine·k shortlist with true cosines, cut to
+    * top-k. */
+  private def pqAdcRescore(coded: DataFrame, idCol: String, pf: DataFrame,
+      k: Int, m: Int, ncent: Int, refine: Int,
+      joinOn: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paired = joinOn match {
+      case Some(cond) => coded.join(broadcast(pf), cond)
+      case None => coded.crossJoin(broadcast(pf))
+    }
+    // Σ_s dtable[s·ncent + codes[s]] in subspace order — the same
+    // summation order as the PqAdc kernel and the oracle's s-ordered
+    // list sum; 9-dp rounding pins the cross-engine shortlist cut
+    val approx = aggregate(
+      zip_with(col("__codes"), sequence(lit(0), lit(m - 1)),
+        (c, s) => element_at(col("dtable"), (s * lit(ncent) + c + lit(1)).cast(IntegerType))),
+      lit(0.0), (acc, x) => acc + x)
+    val wShort = Window.partitionBy("probe_id").orderBy(col("__approx"), col(idCol))
+    paired
+      .select(col("probe_id"), col(idCol), col("__v"), col("pv"),
+        round(approx, 9).as("__approx"))
+      .withColumn("__rs", row_number().over(wShort))
+      .filter(col("__rs") <= refine * k)
+      .select(col("probe_id"), col(idCol),
+        round(cosine(col("__v"), col("pv")), 4).as("cos"))
+      .transform(topPerProbe(_, idCol, k))
+  }
 }

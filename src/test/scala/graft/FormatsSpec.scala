@@ -109,6 +109,72 @@ class FormatsSpec extends AnyFunSuite {
     } finally bg.close()
   }
 
+  test("background refresher counts failures and survives them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_fail")
+    val f = dir.resolve("t.csv")
+    def write(rows: Seq[String]): Unit =
+      java.nio.file.Files.write(f, ("id,name" +: rows).mkString("\n").getBytes)
+    write(Seq("1,a"))
+    val eng = new graft.engine.GraftSession(spark)
+    val bg = new graft.engine.SampleIntrospect.BackgroundRefresher()
+    try {
+      var now = 0L
+      eng.registerCsvSampled("failt", f.toString, clock = () => now,
+        refresher = Some(bg))
+      assert(eng.table("failt").schema("id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(bg.failureCount == 0L && bg.lastFailureMs == 0L)
+      // source vanishes mid-rewrite: the refresh fails, the daemon
+      // survives, and the failure is VISIBLE (r9 verdict #5 — the
+      // swallow-for-survival catch was an ops blind spot)
+      java.nio.file.Files.delete(f)
+      bg.refreshAll()
+      assert(bg.failureCount == 1L, "failed refresh was not counted")
+      assert(bg.lastFailureMs > 0L, "failure timestamp not recorded")
+      assert(bg.taskCount == 1, "failed refresh dropped its task")
+      bg.refreshAll() // keeps retrying, keeps counting
+      assert(bg.failureCount == 2L)
+      // the file returns with drifted types: the next interval recovers
+      write(Seq("x,a"))
+      bg.refreshAll()
+      assert(bg.failureCount == 2L, "successful refresh counted as failure")
+      assert(eng.table("failt").schema("id").dataType ==
+        org.apache.spark.sql.types.StringType, "daemon did not recover")
+    } finally { bg.close(); eng.dropTable("failt") }
+  }
+
+  test("re-registration deregisters a displaced refresher's task") {
+    // ADVICE r9: registering the same table again with refresher=None
+    // or a DIFFERENT BackgroundRefresher instance must deregister the
+    // old instance's task — otherwise it re-introspects an orphaned
+    // loader's cache every interval until its close()
+    val f = java.nio.file.Files.createTempDirectory("graft_csv_swap").resolve("t.csv")
+    java.nio.file.Files.write(f, "id,name\n1,a".getBytes)
+    val eng = new graft.engine.GraftSession(spark)
+    val r1 = new graft.engine.SampleIntrospect.BackgroundRefresher()
+    val r2 = new graft.engine.SampleIntrospect.BackgroundRefresher()
+    try {
+      eng.registerCsvSampled("swapt", f.toString, refresher = Some(r1))
+      assert(r1.taskCount == 1)
+      // different instance displaces r1's task
+      eng.registerCsvSampled("swapt", f.toString, refresher = Some(r2))
+      assert(r1.taskCount == 0, "displaced refresher kept the task")
+      assert(r2.taskCount == 1)
+      // refresher=None displaces r2's task
+      eng.registerCsvSampled("swapt", f.toString, refresher = None)
+      assert(r2.taskCount == 0, "None re-registration leaked the task")
+      // a PLAIN re-registration (non-sampled path) also displaces
+      eng.registerCsvSampled("swapt", f.toString, refresher = Some(r1))
+      assert(r1.taskCount == 1)
+      eng.registerParquet("swapt", f.toString)
+      assert(r1.taskCount == 0, "plain re-registration leaked the task")
+      // same-instance re-registration REPLACES, never cancels
+      eng.registerCsvSampled("swapt", f.toString, refresher = Some(r1))
+      eng.registerCsvSampled("swapt", f.toString, refresher = Some(r1))
+      assert(r1.taskCount == 1, "same-instance re-registration lost the task")
+    } finally { r1.close(); r2.close(); eng.dropTable("swapt") }
+  }
+
   test("json sample introspection: nested structs, arrays, string-content guessing") {
     import org.apache.spark.sql.types._
     val f = java.nio.file.Files.createTempDirectory("graft_json").resolve("t.jsonl")
