@@ -1,0 +1,140 @@
+// sf10 scale smoke (VERDICT r9 #6): push the LINEAR families one more
+// decade — 100x the sf0.1 corpus (500k docs) — and measure the
+// 10x -> 100x growth factor IN THE SAME JVM, so "~linear" is a
+// measured number, not an extrapolation from the sf1 table. Only the
+// families whose scale story is linearity are here (exact dedup, text
+// stats, corpus diff, count-min merge); the bucketed/guarded families
+// (LSH dedup, ANN) have their own sf1 smoke with per-family guards.
+//
+// Both corpora use the SAME builder shape (N copies of sf0.1
+// documents, distinct ids, per-copy " rev<c>" text suffix) so the
+// per-row work is identical and the factor isolates scale. Exact
+// dedup therefore finds 0 groups at both scales — the measured cost
+// is the full scan + md5 + groupBy shuffle, which is exactly the
+// linear path; result cardinality is not the variable under test.
+//
+//   sbt package
+//   /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 16g \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
+//     -I scripts/scale_smoke_sf10.scala
+//
+// RESULTS (this host, 2026-08-13, r10 run; warm = min of reps 2-3,
+// same JVM; see README "sf10 scale smoke" for the table):
+//   family            10x warm   100x warm   factor (10x data)
+//   exact_dedup        0.47 s     1.25 s      2.6x
+//   text_stats         3.41 s    35.87 s     10.5x
+//   corpus_diff        0.41 s     1.49 s      3.6x
+//   cms_merge          1.26 s    12.80 s     10.2x
+//   export_shards_10x  0.6-1.8 s per run; 16/16 shard files
+//     byte-identical across reruns (sha256 of parquet bytes)
+//   All four families grow at or below ~10.5x for 10x data — ~linear
+//   holds through half a million documents; exact_dedup/corpus_diff
+//   are still overhead-dominated even at 500k rows.
+import org.apache.spark.sql.functions._
+
+spark.conf.set("spark.sql.shuffle.partitions", 32)
+val src = "/root/testdata/sf0.1"
+
+def build(dst: String, copies: Int): Unit =
+  if (!new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists) {
+    val ids = spark.range(copies).select(col("id").as("__copy"))
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    docs.crossJoin(ids)
+      .withColumn("doc_id", col("doc_id") + col("__copy") * maxId)
+      .withColumn("text", concat(col("text"), lit(" rev"), col("__copy")))
+      .drop("__copy")
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    println(s"[SF10] built $dst: " +
+      spark.read.parquet(s"$dst/documents.parquet").count() + " docs")
+  }
+build("/tmp/graft_sf1", 10)
+build("/tmp/graft_sf10", 100)
+
+// per-(family, scale) warm seconds: rep1 pays codegen + listing, the
+// factor uses min(rep2, rep3) — the steady state a cluster would see
+val warm = scala.collection.mutable.Map[(String, String), Double]()
+def time(family: String, scale: String, reps: Int = 3)(body: => Long): Unit = {
+  val times = (1 to reps).map { i =>
+    val t0 = System.nanoTime(); val n = body
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"[SF10] $family@$scale rep$i: $s%.2f s rows=$n")
+    graft.operators.Dedup.releaseAll()
+    s
+  }
+  warm((family, scale)) = times.drop(1).min
+}
+
+for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")) {
+  val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  time("exact_dedup", scale) {
+    graft.operators.Dedup.exactDuplicates(docs, "doc_id", "text").count()
+  }
+  time("text_stats", scale) {
+    // toRdd, not count(): count() on a narrow per-doc projection lets
+    // Catalyst prune every computed column and measure a bare row
+    // count — toRdd materializes the stats columns themselves
+    graft.SparkEntry.queries("pl_text_stats")(spark, dir)
+      .queryExecution.toRdd.count()
+  }
+  // ~2% drift between two same-scale snapshots: the shuffle carries
+  // (id, hash) only — same drift recipe as the sf1 smoke
+  val newSnap = docs
+    .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+    .withColumn("text", when(pmod(col("doc_id"), lit(101)) === 0,
+      concat(col("text"), lit(" drifted"))).otherwise(col("text")))
+    .unionByName(docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+  time("corpus_diff", scale) {
+    graft.operators.Curation.corpusDiff(docs, newSnap, "doc_id", "text").count()
+  }
+  time("cms_merge", scale) {
+    val cms = graft.operators.Profiling.mergeTokenSketches(
+      graft.operators.Profiling.tokenFrequencySketch(docs, "source", "text"))
+    graft.operators.Profiling.estimateTokenCount(cms, "the")
+  }
+}
+
+println("[SF10] family            10x warm   100x warm   factor")
+for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge")) {
+  val a = warm((f, "10x")); val b = warm((f, "100x"))
+  println(f"[SF10] $f%-16s ${a}%8.2f s ${b}%9.2f s ${b / a}%8.1fx")
+}
+
+// ---- export-path smoke (VERDICT r9 #7): writeTrainingShards at 10x
+// with byte-identical rerun verification. shuffleShards promises
+// BYTE-REPRODUCIBLE output (md5 shard + md5-rank pos, no sampled
+// boundaries); this writes the sf1 corpus twice and compares the
+// sha256 of every shard's parquet bytes across the two runs. Each
+// shard value hash-partitions to exactly one task, so a shard dir
+// holds exactly one part file and pairing across runs is unambiguous.
+{
+  import java.nio.file.{Files, Paths}
+  val docs = spark.read.parquet("/tmp/graft_sf1/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  val shards = 16
+  def shardHashes(out: String): Map[Int, String] = {
+    val base = new java.io.File(out)
+    base.listFiles.filter(_.getName.startsWith("shard=")).map { d =>
+      val parts = d.listFiles.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(parts.length == 1, s"${d.getName}: expected 1 part file, got ${parts.length}")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      d.getName.stripPrefix("shard=").toInt ->
+        md.digest(Files.readAllBytes(parts.head.toPath)).map("%02x".format(_)).mkString
+    }.toMap
+  }
+  val outs = Seq("/tmp/graft_shards_sf1_a", "/tmp/graft_shards_sf1_b")
+  for (out <- outs) {
+    val t0 = System.nanoTime()
+    graft.operators.Curation.writeTrainingShards(docs, "doc_id", out, shards)
+    println(f"[SF10] export_shards_10x -> $out: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+  val Seq(a, b) = outs.map(shardHashes)
+  assert(a.keySet == (0 until shards).toSet, s"missing shards: ${(0 until shards).toSet -- a.keySet}")
+  val diff = a.keys.filter(k => a(k) != b(k)).toSeq.sorted
+  assert(diff.isEmpty, s"shards NOT byte-identical across reruns: $diff")
+  println(s"[SF10] export_shards_10x: $shards/$shards shard files byte-identical across reruns")
+}
+println("[SF10] done")
