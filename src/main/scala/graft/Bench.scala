@@ -73,7 +73,8 @@ object Bench {
 
     final case class QRes(
         fresh: Double, ok: Boolean, gcMs: Long, storageMb: Long,
-        var warmMin: Option[Double] = None, var warmRepsSec: List[Double] = Nil)
+        var warmMin: Option[Double] = None, var warmRepsSec: List[Double] = Nil,
+        var warmGcMs: List[Long] = Nil)
     // (elapsed, succeeded, gcDeltaMs): a failure must never masquerade
     // as a slow measurement — no warm reps are burned re-running it
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
@@ -94,8 +95,11 @@ object Bench {
       Option(out.getParentFile).foreach(_.mkdirs())
       val failed = results.collect { case (n, r) if !r.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
       val qs = results.collect { case (n, r) if r.ok =>
+        // warm reps carry their own gc deltas: a warm outlier must be
+        // pressure-vs-plan-readable without a dedicated-JVM rerun (the
+        // fresh gc_ms alone cannot explain a spike in rep 2)
         val warmPart = r.warmMin.map(w =>
-          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${r.warmRepsSec.map(fmt).mkString("[", ",", "]")}""").getOrElse("")
+          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${r.warmRepsSec.map(fmt).mkString("[", ",", "]")},"warm_gc_ms":${r.warmGcMs.mkString("[", ",", "]")}""").getOrElse("")
         s""""$n":{"fresh_sec":${fmt(r.fresh)},"gc_ms":${r.gcMs},"storage_mb":${r.storageMb}$warmPart}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
       val total = results.values.collect { case r if r.ok => r.fresh }.sum
@@ -107,8 +111,17 @@ object Bench {
            |"failed":$failed,
            |"queries":$qs
            |}""".stripMargin
-      val w = new java.io.PrintWriter(out, "UTF-8")
+      // tmp + atomic rename: a kill mid-rewrite must not truncate the
+      // one file whose whole purpose is surviving killed runs
+      val tmp = new java.io.File(outPath + ".tmp")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
       try w.println(json) finally w.close()
+      try java.nio.file.Files.move(tmp.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp.toPath, out.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
     }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -116,20 +129,23 @@ object Bench {
       val stMb = storageUsedMb()
       results(name) = QRes(tF, ok, gcMs, stMb)
       println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"} gc=${gcMs}ms storage=${stMb}MB")
+      writeFile() // fresh timing durable BEFORE the warm loop: a kill
+      // during a heavy query's ~40 s of warm reps must not lose it
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
       if (ok && tF > warmThresholdSec) {
         val reps = (1 to warmReps).map { _ =>
           val t = timeOnce(fn)
           graft.operators.Dedup.releaseAll()
           t
-        }.collect { case (t, true, _) => t }
+        }.collect { case (t, true, g) => (t, g) }
         if (reps.nonEmpty) {
-          results(name).warmMin = Some(reps.min)
-          results(name).warmRepsSec = reps.toList
-          println(s"BENCHQ $name warm_min ${fmt(reps.min)}")
+          results(name).warmMin = Some(reps.map(_._1).min)
+          results(name).warmRepsSec = reps.map(_._1).toList
+          results(name).warmGcMs = reps.map(_._2).toList
+          println(s"BENCHQ $name warm_min ${fmt(reps.map(_._1).min)}")
         }
+        writeFile()
       }
-      writeFile() // durable after every query: a killed run still leaves evidence
       Console.out.flush()
     }
     def jsonMap(m: collection.Map[String, Double]): String =

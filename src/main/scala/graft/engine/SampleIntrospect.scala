@@ -179,6 +179,16 @@ object SampleIntrospect {
         t.setDaemon(true)
         t
       })
+    // failure counters MUST initialize before the schedule below: the
+    // first tick can fire while the constructor is still running, and a
+    // noteFailure() on a null field would NPE inside the catch handler —
+    // escaping run() and cancelling the schedule for good
+    private val failures = new java.util.concurrent.atomic.AtomicLong(0)
+    @volatile private var lastFailureAtMs = 0L
+    private def noteFailure(): Unit = {
+      failures.incrementAndGet()
+      lastFailureAtMs = System.currentTimeMillis()
+    }
     // outer catch-all: scheduleAtFixedRate cancels ALL future runs if a
     // task throws, and refreshAll's per-task net is NonFatal-only — an
     // InterruptedException from a cancelled Spark action must not
@@ -187,12 +197,6 @@ object SampleIntrospect {
     exec.scheduleAtFixedRate(
       () => try refreshAll() catch { case _: Throwable => noteFailure() },
       refreshMs, refreshMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    private val failures = new java.util.concurrent.atomic.AtomicLong(0)
-    @volatile private var lastFailureAtMs = 0L
-    private def noteFailure(): Unit = {
-      failures.incrementAndGet()
-      lastFailureAtMs = System.currentTimeMillis()
-    }
     private[engine] def register(key: AnyRef, refresh: () => Unit): Unit =
       tasks.put(key, refresh)
     /** Stop refreshing the source registered under `key` (no-op if

@@ -629,15 +629,31 @@ object Similarity {
     topPerProbe(scored, idCol, k)
   }
 
+  /** Precomputed md5-seeded coarse quantizer ([[seedCells]] made
+    * caller-visible): pass one instance to several batch ANN calls so
+    * the seed fetch runs once per index, not once per method. */
+  final case class IvfSeedIndex(seeds: Seq[(Long, Seq[Double])], cell: Column)
+  def ivfSeedIndex(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfSeedIndex = {
+    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
+    IvfSeedIndex(seeds, cell)
+  }
+
   /** Batch seeded-IVF ANN: one md5-seeded quantizer serves every probe;
     * per-probe cell selection happens on the driver (nlist × probes
     * cosines) and joins back as a broadcast (probe_id, cell, pv) frame,
     * so the corpus is scanned once and each row is scored only against
-    * the probes that probed its cell. */
+    * the probes that probed its cell. `seeded`/`trained` on the batch
+    * variants accept a precomputed quantizer/codebook — training is
+    * probe-independent AND method-independent, so a caller running
+    * several methods over one corpus (the recall row) trains each
+    * index once instead of once per method. */
   def ivfTopKBatch(df: DataFrame, idCol: String, vecCol: String,
-      probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+      probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int, nprobe: Int,
+      seeded: Option[IvfSeedIndex] = None): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
+    val IvfSeedIndex(seeds, cell) =
+      seeded.getOrElse(ivfSeedIndex(df, idCol, vecCol, nlist))
     val pf = probeCellFrame(df, probes, seeds, nprobe)
     val scored = df.select(col(idCol), v.as("__v"), cell.as("__cell"))
       .join(broadcast(pf), col("__cell") === col("cid"))
@@ -692,9 +708,11 @@ object Similarity {
     * instead of 1-ulp float noise. */
   def pqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       probes: Seq[(Long, Seq[Double])], k: Int, m: Int = 8, ncent: Int = 16,
-      refine: Int = 8, trainIters: Int = 2): DataFrame = {
+      refine: Int = 8, trainIters: Int = 2,
+      trained: Option[(IndexedSeq[Double], Int)] = None): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
-    val (books, sub) = pqTrain(df, idCol, vecCol, m, ncent, trainIters)
+    val (books, sub) =
+      trained.getOrElse(pqTrain(df, idCol, vecCol, m, ncent, trainIters))
     val codes = graft.functions.VectorExpressions.pq_encode(v, books, ncent, sub)
     val coded = df.select(col(idCol), v.as("__v"), codes.as("__codes"))
     pqAdcRescore(coded, idCol, pqProbeFrame(df, probes, books, m, ncent, sub),
@@ -710,11 +728,15 @@ object Similarity {
     * training, and the scoring scan. */
   def ivfPqTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       probes: Seq[(Long, Seq[Double])], k: Int, nlist: Int = 8, nprobe: Int = 2,
-      m: Int = 8, ncent: Int = 16, refine: Int = 8, trainIters: Int = 2): DataFrame =
+      m: Int = 8, ncent: Int = 16, refine: Int = 8, trainIters: Int = 2,
+      seeded: Option[IvfSeedIndex] = None,
+      trained: Option[(IndexedSeq[Double], Int)] = None): DataFrame =
     Dedup.viaPersisted(df.select(col(idCol), col(vecCol))) { proj =>
       val v = col(vecCol).cast(ArrayType(DoubleType))
-      val (seeds, cell) = seedCells(proj, idCol, vecCol, nlist)
-      val (books, sub) = pqTrain(proj, idCol, vecCol, m, ncent, trainIters)
+      val IvfSeedIndex(seeds, cell) =
+        seeded.getOrElse(ivfSeedIndex(proj, idCol, vecCol, nlist))
+      val (books, sub) =
+        trained.getOrElse(pqTrain(proj, idCol, vecCol, m, ncent, trainIters))
       val codes = graft.functions.VectorExpressions.pq_encode(v, books, ncent, sub)
       val pf = pqProbeFrame(proj, probes, books, m, ncent, sub)
         .join(probeCellFrame(proj, probes, seeds, nprobe).select("probe_id", "cid"),

@@ -15,6 +15,23 @@ import CoreQueries.Q
   */
 object PipelineQueries {
 
+  /** ANN method tuning shared by the single-probe entries AND the
+    * multi-probe recall row ([[annRecallEntry]]). The recall oracle's
+    * SQL unrolls these values as literals, so the constants are the
+    * drift guard: retuning a method here moves BOTH the published
+    * method query and the recall row's Spark side — a recall oracle
+    * left on the old configuration then hash-mismatches (red) instead
+    * of silently grading a configuration no other query runs. */
+  private object AnnParams {
+    val LshPlanes = 4
+    val IvfNlist = 8
+    val IvfNprobe = 2
+    val KmIters = 2
+    val PqM = 8
+    val PqNcent = 16
+    val PqIters = 2
+  }
+
   /** Shared oracle prefix: DuckDB replay of the deterministic
     * hyperplane-LSH buckets (splitmix64 plane components), ending in
     * a `buckets(vec_id, bucket)` CTE — used by the single-query LSH
@@ -381,7 +398,8 @@ object PipelineQueries {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        Similarity.lshTopK(emb, "vec_id", "embedding", q, 10, nPlanes = 4)
+        Similarity.lshTopK(emb, "vec_id", "embedding", q, 10,
+          nPlanes = AnnParams.LshPlanes)
       },
       Some(lshBucketCtes + "\n" + """             |SELECT e.vec_id, round(list_cosine_similarity(q.v, e.v), 4) AS cos
              |FROM emb e
@@ -436,7 +454,10 @@ object PipelineQueries {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10)
+        Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10,
+          nlist = AnnParams.IvfNlist, nprobe = AnnParams.IvfNprobe,
+          m = AnnParams.PqM, ncent = AnnParams.PqNcent,
+          trainIters = AnnParams.PqIters)
       },
       Some(pqLloydOracle(
         """WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -476,7 +497,9 @@ object PipelineQueries {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 10)
+        Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 10,
+          m = AnnParams.PqM, ncent = AnnParams.PqNcent,
+          trainIters = AnnParams.PqIters)
       },
       Some(pqLloydOracle(
         """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -495,7 +518,8 @@ object PipelineQueries {
         val q = emb.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
         Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q,
-          k = 10, nlist = 8, nprobe = 2, iters = 2)
+          k = 10, nlist = AnnParams.IvfNlist, nprobe = AnnParams.IvfNprobe,
+          iters = AnnParams.KmIters)
       },
       Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |q AS (SELECT v FROM emb WHERE vec_id = 0),
@@ -581,7 +605,8 @@ object PipelineQueries {
         val emb = Tables(s, d, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select("embedding")
           .head().getSeq[Float](0)
-        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 10, nlist = 8, nprobe = 2)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 10,
+          nlist = AnnParams.IvfNlist, nprobe = AnnParams.IvfNprobe)
       },
       Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
              |cent AS (
@@ -1547,8 +1572,9 @@ object PipelineQueries {
     * saturated at 1.0 on large corpora because one query vector's
     * near-duplicates ARE its exact top-10 — a metric that discriminates
     * nothing. This row samples `nProbes` probe ids deterministically
-    * (salted md5 order, disjoint-by-construction from the quantizer
-    * seed draw), computes the exact top-10 for ALL probes in ONE corpus
+    * (salted md5 order — DECORRELATED from the quantizer seed order,
+    * though a row can still land in both the seed set and the probe
+    * set), computes the exact top-10 for ALL probes in ONE corpus
     * scan ([[Similarity.bruteForceTopKBatch]], collected to a bounded
     * probes×10 pair list), runs each method's BATCH variant (index
     * trained once, probes broadcast), and emits per-method mean/min
@@ -1575,15 +1601,25 @@ object PipelineQueries {
       import spark.implicits._
       val exactDf = exactPairs.toDF("probe_id", "vec_id")
       val probeIdsDf = probes.map(_._1).toDF("probe_id")
+      // train each index ONCE across the methods that share it: the
+      // seeded quantizer serves ivf + ivfpq, the PQ codebooks serve
+      // pq + ivfpq — without the hoist the recall row (the suite's
+      // heavy tail) paid the seed fetch and the 2-iter Lloyd chain twice
+      import AnnParams._
+      val seeded = Some(Similarity.ivfSeedIndex(emb, "vec_id", "embedding", IvfNlist))
+      val trained = Some(Similarity.pqTrain(emb, "vec_id", "embedding", PqM, PqNcent, PqIters))
       val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
         "ivf" -> Similarity.ivfTopKBatch(emb, "vec_id", "embedding", probes, 10,
-          nlist = 8, nprobe = 2),
+          nlist = IvfNlist, nprobe = IvfNprobe, seeded = seeded),
         "ivf_kmeans" -> Similarity.ivfTopKKMeansBatch(emb, "vec_id", "embedding",
-          probes, 10, nlist = 8, nprobe = 2, iters = 2),
-        "ivfpq" -> Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", probes, 10),
+          probes, 10, nlist = IvfNlist, nprobe = IvfNprobe, iters = KmIters),
+        "ivfpq" -> Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", probes, 10,
+          nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, ncent = PqNcent,
+          trainIters = PqIters, seeded = seeded, trained = trained),
         "lsh" -> Similarity.lshTopKBatch(emb, "vec_id", "embedding", probes, 10,
-          nPlanes = 4),
-        "pq" -> Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10))
+          nPlanes = LshPlanes),
+        "pq" -> Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10,
+          m = PqM, ncent = PqNcent, trainIters = PqIters, trained = trained))
       methods.map { case (name, res) =>
         val hits = res
           .select(col("probe_id"), col("vec_id").cast(LongType).as("vec_id"))
