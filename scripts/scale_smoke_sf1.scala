@@ -19,9 +19,14 @@
 //   pl_dedup_clusters            rep1 11 s    warm 11-16 s  (10x near-dup pair mass)
 //   pl_dedup_apply_near          rep1  7.6 s  warm  6.9 s   (~5x; AQE LeftAnti)
 //   pl_emb_ann_ivf_kmeans        rep1  7 s    warm  6.5 s   (cached train scan)
-//   pl_emb_ann_recall            rep1 26 s    warm 11-12 s  (all 5 ANN
-//     pipelines; every method recalls 1.0 at sf1 — the 10 near-identical
-//     copies of the query vector are exactly the true top-10)
+//   pl_emb_ann_recall            rep1 29 s    warm 19.8-20.1 s  (r10
+//     multi-probe: all 5 ANN pipelines + 50-probe exact ground truth;
+//     lsh separates at sf1 — mean 0.948, min 0.3 — while the
+//     quantization methods saturate at 1.0 on this copy-cluster corpus:
+//     each probe's true top-10 are its 10 near-identical copies, always
+//     inside the refine·k shortlist. The natural sf0.1 corpus is where
+//     all five separate: lsh 0.20 / ivfpq 0.42 / ivf 0.50 /
+//     ivf_kmeans 0.54 / pq 0.55 mean recall@10.)
 //   pl_emb_nn (default 2000)     16-18 s — only oversized blocks sub-bucket;
 //     sub-threshold blocks (~1900 rows) pay the documented ~3.6M-pair budget
 //   pl_emb_nn (exact, mb=10000)  29-30 s — 10x rows = 100x pairs; opt-in
