@@ -355,4 +355,46 @@ class PlanSpec extends AnyFunSuite {
     val joins = "Join".r.findAllIn(p).size
     assert(joins == 0, s"IVF assignment must not join ($joins joins):\n$p")
   }
+
+  test("batch ANN: probes broadcast against the corpus, top-k prunes map-side") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables(spark, dir, "embeddings")
+    val probes = operators.Similarity.probeRows(emb, "vec_id", "embedding", 5)
+
+    // LSH batch: the probe frame must reach the corpus as a broadcast
+    // (hash join on the bucket key — the corpus itself must NOT
+    // shuffle to meet 5 probe rows), and the per-probe top-k must be a
+    // WindowGroupLimit (map-side ≤k per probe per partition) so the
+    // one required shuffle carries O(probes·k·partitions), not the
+    // bucket-collision candidates
+    val lsh = operators.Similarity.lshTopKBatch(
+      emb, "vec_id", "embedding", probes, 3, nPlanes = 4)
+    lsh.collect()
+    val pLsh = lsh.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pLsh.contains("BroadcastHashJoin"), "probe frame not broadcast:\n" + pLsh)
+    assert(pLsh.contains("WindowGroupLimit"), "per-probe top-k not map-side limited:\n" + pLsh)
+    val corpusShuffles = "Exchange hashpartitioning".r.findAllIn(pLsh).size
+    assert(corpusShuffles <= 1,
+      s"corpus must shuffle at most once (window repartition), got $corpusShuffles:\n$pLsh")
+
+    // IVF batch with a precomputed quantizer: same contract, and the
+    // probed-cell join must also be the broadcast side
+    val seeded = Some(operators.Similarity.ivfSeedIndex(emb, "vec_id", "embedding", 4))
+    val ivf = operators.Similarity.ivfTopKBatch(
+      emb, "vec_id", "embedding", probes, 3, nlist = 4, nprobe = 2, seeded = seeded)
+    ivf.collect()
+    val pIvf = ivf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pIvf.contains("BroadcastHashJoin"), "probe-cell frame not broadcast:\n" + pIvf)
+    assert(pIvf.contains("WindowGroupLimit"), "per-probe top-k not map-side limited:\n" + pIvf)
+
+    // exact batch ground truth: the probe cross join must broadcast
+    // (BroadcastNestedLoopJoin), never a shuffled cartesian
+    val bf = operators.Similarity.bruteForceTopKBatch(
+      emb, "vec_id", "embedding", probes, 3)
+    bf.collect()
+    val pBf = bf.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(pBf.contains("BroadcastNestedLoopJoin") || pBf.contains("BroadcastHashJoin"),
+      "exact batch must broadcast the probe set:\n" + pBf)
+    assert(!pBf.contains("CartesianProduct"), "shuffled cartesian in exact batch:\n" + pBf)
+  }
 }
