@@ -384,6 +384,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("batch ANN variants agree with their single-probe counterparts") {
+    // the recall row grades the BATCH variants, so they must implement
+    // the same method as the published single-probe queries: one probe
+    // in, identical (vec_id, cos) top-k out. ivfPqTopKBatch is the
+    // documented exception (it trains PQ on the full corpus, the
+    // single-probe form on the probed slice) and is oracle-gated
+    // separately.
+    val qf = emb.filter(col("vec_id") === 1).select("embedding").head().getSeq[Float](0)
+    val probes = Seq(1L -> qf.map(_.toDouble))
+    def one(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    def batch(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.filter(col("probe_id") === 1).drop("probe_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val pairs = Seq(
+      "lsh" -> (one(Similarity.lshTopK(emb, "vec_id", "embedding", qf, 10, 4)),
+        batch(Similarity.lshTopKBatch(emb, "vec_id", "embedding", probes, 10, 4))),
+      "ivf" -> (one(Similarity.ivfTopK(emb, "vec_id", "embedding", qf, 10, 8, 2)),
+        batch(Similarity.ivfTopKBatch(emb, "vec_id", "embedding", probes, 10, 8, 2))),
+      "ivf_kmeans" -> (one(Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", qf, 10, 8, 2, 2)),
+        batch(Similarity.ivfTopKKMeansBatch(emb, "vec_id", "embedding", probes, 10, 8, 2, 2))),
+      "pq" -> (one(Similarity.pqTopK(emb, "vec_id", "embedding", qf, k = 10)),
+        batch(Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10))))
+    for ((name, (single, batched)) <- pairs)
+      assert(single == batched,
+        s"$name: single-probe and batch disagree\n single: $single\n batch:  $batched")
+  }
+
   test("pq ANN survives a training frame smaller than ncent (probe-slice case)") {
     // regression: ivfPqTopK trains PQ on the probed-cells slice, which
     // can hold fewer rows than ncent — seeds must cycle, not crash
