@@ -566,6 +566,160 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Whitespace token count with EXACT parity to
+    * `size(split(trim(text), "\\s+"))`: space-only trim (Spark's
+    * default StringTrim), then Spark split's limit=-1 rules
+    * (Pattern.split(input, -1), NOT Java String.split) — one empty
+    * token when the trimmed text starts with non-space whitespace, one
+    * when it ends with it (trailing empties are KEPT at limit=-1), and
+    * `""` splitting to `[""]` (count 1). One byte scan, zero
+    * allocation; the Column form pays a regex split that materializes
+    * every token just to count them (the costliest part of the per-doc
+    * stats scan, measured 4.5 s of the sf10 smoke's text_stats before
+    * this kernel). \s is the Java-regex ASCII set, so scanning UTF-8
+    * bytes is exact (multi-byte chars never collide with ASCII
+    * values). */
+  case class TokenCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "token_count", "string", Seq(child.dataType))
+    override def dataType: DataType = LongType
+    private def ws(x: Byte): Boolean = x == 0x20 || x == 0x09 || x == 0x0A ||
+      x == 0x0B || x == 0x0C || x == 0x0D
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].trim().getBytes
+      if (b.length == 0) return 1L // split("", "\\s+") -> [""]
+      // leading/trailing \s (only non-space ones survive the trim)
+      // each contribute ONE empty token at Spark's limit=-1
+      var count = (if (ws(b(0))) 1L else 0L) + (if (ws(b(b.length - 1))) 1L else 0L)
+      var inTok = false
+      var i = 0
+      while (i < b.length) {
+        val w = ws(b(i))
+        if (!w && !inTok) { count += 1L; inTok = true }
+        if (w) inTok = false
+        i += 1
+      }
+      count
+    }
+    override protected def withNewChildInternal(c: Expression): TokenCount =
+      copy(child = c)
+  }
+
+  /** Order-insensitive document fingerprint with EXACT parity to
+    * `md5(cast(concat_ws(" ", array_sort(array_distinct(filter(
+    * split(lower(trim(text)), "\\s+"), t => t != "")))) as binary))`:
+    * space-only trim and UTF8String.toLowerCase (the same methods the
+    * Column chain's trim()/lower() call), tokens as byte slices,
+    * distinct+sort via a TreeSet in UTF8String's binary order (what
+    * array_sort uses for strings), and the md5 streamed over the
+    * space-joined tokens without materializing the joined string. The
+    * Column chain runs four interpreted array ops per row (filter is a
+    * CodegenFallback higher-order function); this is one tight pass —
+    * the dominant 9.5 s of the sf10 smoke's text_stats before this
+    * kernel. */
+  case class TokenFingerprint(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "token_fingerprint", "string", Seq(child.dataType))
+    override def dataType: DataType = StringType
+    private def ws(x: Byte): Boolean = x == 0x20 || x == 0x09 || x == 0x0A ||
+      x == 0x0B || x == 0x0C || x == 0x0D
+    /** Unsigned byte-lexicographic slice compare — UTF8String's binary
+      * order (common prefix unsigned, then shorter < longer), which is
+      * what array_sort uses for strings. */
+    private def cmpSlice(b: Array[Byte], s1: Int, l1: Int, s2: Int, l2: Int): Int = {
+      val n = math.min(l1, l2)
+      var i = 0
+      while (i < n) {
+        val d = (b(s1 + i) & 0xFF) - (b(s2 + i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      l1 - l2
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .trim().toLowerCase.getBytes
+      // token slices as parallel (start, len) arrays — no per-token
+      // object; the md5 streams straight from the source bytes
+      var starts = new Array[Int](64)
+      var lens = new Array[Int](64)
+      var n = 0
+      var start = -1
+      var i = 0
+      while (i <= b.length) {
+        val atWs = i == b.length || ws(b(i))
+        if (atWs && start >= 0) {
+          if (n == starts.length) {
+            starts = java.util.Arrays.copyOf(starts, n * 2)
+            lens = java.util.Arrays.copyOf(lens, n * 2)
+          }
+          starts(n) = start; lens(n) = i - start; n += 1
+          start = -1
+        } else if (!atWs && start < 0) start = i
+        i += 1
+      }
+      // in-place quicksort of the slice arrays (no boxed comparator,
+      // no per-token object; insertion sort below 16 elements)
+      def sort(lo: Int, hi: Int): Unit =
+        if (hi - lo < 16) {
+          var k = lo + 1
+          while (k <= hi) {
+            val cs = starts(k); val cl = lens(k)
+            var j = k - 1
+            while (j >= lo && cmpSlice(b, starts(j), lens(j), cs, cl) > 0) {
+              starts(j + 1) = starts(j); lens(j + 1) = lens(j); j -= 1
+            }
+            starts(j + 1) = cs; lens(j + 1) = cl
+            k += 1
+          }
+        } else {
+          val mid = lo + (hi - lo) / 2
+          val ps = starts(mid); val pl = lens(mid)
+          var a = lo; var z = hi
+          while (a <= z) {
+            while (cmpSlice(b, starts(a), lens(a), ps, pl) < 0) a += 1
+            while (cmpSlice(b, starts(z), lens(z), ps, pl) > 0) z -= 1
+            if (a <= z) {
+              val ts = starts(a); val tl = lens(a)
+              starts(a) = starts(z); lens(a) = lens(z)
+              starts(z) = ts; lens(z) = tl
+              a += 1; z -= 1
+            }
+          }
+          if (lo < z) sort(lo, z)
+          if (a < hi) sort(a, hi)
+        }
+      if (n > 1) sort(0, n - 1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var first = true
+      var p = 0
+      while (p < n) {
+        // adjacent-equal slices collapse: sorted order makes distinct a
+        // single neighbor check
+        if (p == 0 || cmpSlice(b, starts(p - 1), lens(p - 1), starts(p), lens(p)) != 0) {
+          if (!first) md.update(0x20.toByte)
+          first = false
+          md.update(b, starts(p), lens(p))
+        }
+        p += 1
+      }
+      val dig = md.digest()
+      val hexChars = "0123456789abcdef".getBytes
+      val hex = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexChars((dig(j) >> 4) & 0xF)
+        hex(2 * j + 1) = hexChars(dig(j) & 0xF)
+        j += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenFingerprint =
+      copy(child = c)
+  }
+
   /** PQ encoder: L2-normalizes the input vector (cosine target ⇒
     * unit-sphere L2), then per subspace `s` of `sub` dims emits
     * argmin_c ‖x_s − book(s,c)‖², ties to the smallest code. `books`
@@ -793,6 +947,10 @@ object VectorExpressions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pcm_stats",
       exprs => PcmStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_count",
+      exprs => TokenCount(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_fingerprint",
+      exprs => TokenFingerprint(exprs.head), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -819,6 +977,10 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_nfc", c) }
   def pcm_stats(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pcm_stats", c) }
+  def token_count(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_token_count", c) }
+  def token_fingerprint(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_token_fingerprint", c) }
   def pq_encode(c: Column, books: Seq[Double], ncent: Int, sub: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
       org.apache.spark.sql.functions.lit(books.toArray),

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** Whitespace token count — compiled kernel with exact parity to
+    * `size(split(trim(text), "\\s+"))` (VmMatrixSpec differential);
+    * the regex-split form materializes every token just to count them,
+    * which dominated the per-doc stats scan at the sf10 smoke. */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast(LongType)
+    graft.functions.VectorExpressions.token_count(text)
 
   /** BPE-ish subword count: word-boundary pieces + digits + punctuation
     * as separate tokens (a cheap proxy for tokenizer cost estimation). */
@@ -123,11 +126,14 @@ object TextAnalysis {
   }
 
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
-    * token set — catches shuffled/reordered near-identical docs. */
+    * token set — catches shuffled/reordered near-identical docs.
+    * Compiled kernel with exact parity to the Column chain
+    * `md5(cast(concat_ws(" ", array_sort(array_distinct(filter(
+    * split(lower(trim(text)), "\\s+"), _ =!= "")))) as binary))`
+    * (VmMatrixSpec differential) — the chain's interpreted array ops
+    * were the costliest per-doc work in the sf10 smoke. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ",
-      array_sort(array_distinct(filter(split(lower(trim(text)), "\\s+"), t => t =!= ""))))
-      .cast(BinaryType))
+    graft.functions.VectorExpressions.token_fingerprint(text)
 
   /** Rolling-hash shingle fingerprint (winnowing-lite): min xxhash64
     * over character 8-grams — stable under small edits at the ends. */

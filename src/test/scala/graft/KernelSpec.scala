@@ -26,6 +26,37 @@ class KernelSpec extends AnyFunSuite {
     java.util.Arrays.asList(texts.map(Row(_)): _*),
     StructType(Seq(StructField("text", StringType))))
 
+  test("TokenCount/TokenFingerprint match their pure-Column formulations") {
+    // the kernels replaced the Column forms in TextAnalysis; parity
+    // must hold on the edge cases Spark's split (limit=-1, trailing
+    // empties KEPT — not Java String.split) defines: leading/trailing
+    // non-space whitespace each yield ONE empty token, "" -> [""],
+    // all-whitespace after the space-only trim, unicode and mixed-case
+    // tokens, duplicates
+    val tricky = texts ++ Seq(
+      "\tleading tab", "trailing tab\t", "\t", " \t ", "a\tb\nc\rd\fe",
+      "mixed CASE Mixed case", "Ünïcode Tökens ünïcode", "a  b   a b",
+      "x", "  ", "ab")
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(tricky.map(Row(_)): _*),
+      StructType(Seq(StructField("text", StringType))))
+    val got = df.select(
+      VE.token_count(col("text")).as("k_cnt"),
+      VE.token_fingerprint(col("text")).as("k_fp"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("c_cnt"),
+      md5(concat_ws(" ", array_sort(array_distinct(
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))))
+        .cast("binary")).as("c_fp")).collect()
+    for ((r, t) <- got.zip(tricky)) {
+      assert(r.getLong(0) == r.getLong(2), s"token count drift on <$t>")
+      assert(r.getString(1) == r.getString(3), s"fingerprint drift on <$t>")
+    }
+    // null propagates
+    val nr = spark.sql("SELECT graft_token_count(CAST(NULL AS STRING)) a, " +
+      "graft_token_fingerprint(CAST(NULL AS STRING)) b").head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+  }
+
   test("WordShingleMd5 matches parseLong(md5Hex.substring(0,15), 16) per shingle") {
     // independent: JDK MessageDigest hex string, first 15 hex chars
     def md5_60ref(s: String): Long = {
