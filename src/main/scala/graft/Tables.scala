@@ -13,29 +13,51 @@ import org.apache.spark.sql.Column
 object Tables {
   import org.apache.spark.sql.types._
 
-  /** events as stored: ts is TIMESTAMP(NANOS), which Spark's schema
-    * inference rejects outright. Supplying this schema (ts: LongType)
-    * skips inference and the vectorized reader delivers the raw nanos
-    * longs — no session conf involved, so concurrent queries over other
-    * nanos parquet are unaffected (the old spark.conf.set here leaked). */
+  /** events with ts as raw longs — the read path for fixture
+    * generations that store ts as TIMESTAMP(NANOS), which Spark's
+    * schema inference rejects outright. Supplying this schema
+    * (ts: LongType) skips inference and the vectorized reader delivers
+    * the raw nanos longs — no session conf involved, so concurrent
+    * queries over other nanos parquet are unaffected (the old
+    * spark.conf.set here leaked). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // nanos → micros precision (matches what the DuckDB oracle
-      // computes after date_trunc/year/…)
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          // integer `div`, NOT `/`: Column./ is double division, and
-          // 2024-era nanosecond longs (~1.7e18) exceed a double's 2^53
-          // integer range — the rounded quotient lands ±1 µs off the
-          // truth (caught by the funnel oracle's exact ts compare)
-          timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  /** The driver's fixtures have shipped events.ts at BOTH precisions
+    * across generations (nanos pre-r10, micros since) — sniff instead
+    * of assuming: inference succeeds for micros/millis, while the
+    * TIMESTAMP(NANOS) annotation is exactly what inference rejects.
+    * Returns the inferred schema when native reading works. One
+    * driver-side footer read; never row data. */
+  private[graft] def inferableSchema(spark: SparkSession, path: String): Option[StructType] =
+    try Some(spark.read.parquet(path).schema)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** events.ts normalized to session-TZ TimestampType at micros
+    * precision regardless of stored annotation (micros reads natively,
+    * possibly as NTZ — cast unifies; nanos falls back to raw longs).
+    * Absolute-time parity with the DuckDB oracle is spec-gated
+    * (TablesSpec read-back year assert), so a future fixture
+    * regeneration at yet another precision fails loudly. */
+  private def readEvents(spark: SparkSession, path: String): DataFrame =
+    inferableSchema(spark, path) match {
+      case Some(_) =>
+        spark.read.parquet(path).withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts",
+            // integer `div`, NOT `/`: Column./ is double division, and
+            // 2024-era nanosecond longs (~1.7e18) exceed a double's
+            // 2^53 integer range — the rounded quotient lands ±1 µs
+            // off (caught by the funnel oracle's exact ts compare)
+            timestamp_micros(expr("ts div 1000")))
+    }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   /** round(col, 4) — canonical double normalization shared with the
     * DuckDB oracle so float summation order differences can't flip a

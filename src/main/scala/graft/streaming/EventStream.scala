@@ -19,21 +19,33 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** The events schema as stored (ts is TIMESTAMP(NANOS) in parquet —
-    * streamed as long nanos then converted, same as graft.Tables).
-    * Supplying the schema explicitly means no nanosAsLong session conf
-    * is needed (inference is what rejects the nanos annotation). */
+  /** The events schema for nanos-generation fixtures (ts streamed as
+    * long nanos then converted, same as graft.Tables). Supplying the
+    * schema explicitly means no nanosAsLong session conf is needed
+    * (inference is what rejects the nanos annotation). */
   val rawSchema: StructType = graft.Tables.eventsRawSchema
 
-  /** Streaming source over a directory of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
-      // integer `div`, NOT `/` — double division is lossy past 2^53 ns
-      // (see graft.Tables: the same conversion, same reason)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Streaming source over a directory of events parquet files —
+    * precision-aware like graft.Tables (the fixtures have shipped
+    * both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) ts across driver
+    * generations): a streaming source needs its schema up front, so
+    * sniff one batch inference of the SAME directory and stream under
+    * whichever read path that selects. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.inferableSchema(spark, dir) match {
+      case Some(sch) =>
+        spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case None =>
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(dir)
+          // integer `div`, NOT `/` — double division is lossy past
+          // 2^53 ns (see graft.Tables: same conversion, same reason)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
 
   /** Tumbling-window counts with a watermark: the canonical streaming
     * aggregation (10-minute windows, 30-minute late-data horizon). */

@@ -11,6 +11,40 @@ class TablesSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.get
 
+  test("events ts reads back at the fixture's ABSOLUTE time, any stored precision") {
+    // the r10 fixture regeneration silently switched ts from
+    // TIMESTAMP(NANOS) to TIMESTAMP(MICROS); the old hardcoded nanos
+    // divide read 2024 data as 1970 while every engine-vs-engine spec
+    // stayed green (both sides equally wrong) — only the absolute
+    // epoch catches a precision mix-up, so pin it here
+    val years = Tables(spark, "/root/testdata/sf0.001", "events")
+      .agg(min(year(col("ts"))), max(year(col("ts")))).head()
+    assert(years.getInt(0) >= 2020 && years.getInt(1) <= 2030,
+      s"events ts decoded outside the fixture's era: $years — " +
+        "stored precision changed again?")
+    // and the streaming read path must agree with the batch one
+    val batchTs = Tables(spark, "/root/testdata/sf0.001", "events")
+      .agg(min(col("ts"))).head().getTimestamp(0)
+    val tmp = java.nio.file.Files.createTempDirectory("evts").toFile
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        tmp.toPath.resolve("events.parquet"))
+      val sq = graft.streaming.EventStream.readEvents(spark, tmp.getAbsolutePath)
+        .agg(min(col("ts")).as("mn"))
+        .writeStream.format("memory").queryName("ts_readback")
+        .outputMode("complete").start()
+      try {
+        sq.processAllAvailable()
+        val streamTs = spark.table("ts_readback").head().getTimestamp(0)
+        assert(streamTs == batchTs,
+          s"stream min ts $streamTs != batch min ts $batchTs")
+      } finally sq.stop()
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete(); ()
+    }
+  }
+
   test("exactSum is exact, order-independent, and keeps large in-range terms") {
     import spark.implicits._
     val terms = Seq(1.0e25, 1.5, -2.25, 1.0e21)
