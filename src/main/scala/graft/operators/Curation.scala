@@ -448,6 +448,66 @@ object Curation {
       text.rlike(Ipv4Re).as("has_ip"),
       text.rlike(PhoneRe).as("has_phone"))
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram LM (fit on the rows matching `targetPred`, e.g. a trusted
+    * source or quality band) than under the RAW corpus LM, then draw
+    * `n` documents with probability proportional to the importance
+    * weight via Gumbel-top-k — the uniform behind each Gumbel comes
+    * from md5 of the id ([[md5Permill]]), so the draw is reproducible
+    * across runs AND engines with no RNG state.
+    *
+    * Model: the vocabulary is the top-`vocab` tokens of the RAW corpus
+    * (the bounded feature space — DSIR likewise hashes into a fixed
+    * space); both LMs use add-one smoothing over `vocab` slots,
+    * logp(t) = ln((n_t + 1) / (total + vocab)), out-of-vocabulary
+    * tokens at the n_t = 0 floor of BOTH sides (a per-instance
+    * constant, ln((totalRaw+vocab)/(totalTgt+vocab))). A document's
+    * log-weight is the sum over its token instances of
+    * logp_target - logp_raw; the drawn score is
+    * round(log_weight + Gumbel(u_id), 6). Documents with no tokens
+    * have no likelihood under either LM and are excluded.
+    *
+    * Scale: ONE corpus tokenization feeds a single combined count
+    * frame (raw + target counts per token, persisted only for the fit:
+    * one totals action + the top-`vocab` cut, then released); scoring
+    * joins the exploded tokens against the bounded LM table (AQE
+    * broadcasts it) and aggregates once per doc; the draw is a
+    * TakeOrdered top-`n` heap — no global sort, nothing
+    * corpus-sized on the driver. */
+  def importanceResample(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, n: Int, vocab: Int = 65536): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.cast(BooleanType).as("__tgt"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    var totRaw = 0L
+    var totTgt = 0L
+    val lm = Dedup.viaPersisted(
+        toks.groupBy("t").agg(
+          count(lit(1)).as("n_raw"),
+          count(when(col("__tgt"), 1)).as("n_tgt"))) { counts =>
+      val r = counts.agg(
+        coalesce(sum("n_raw"), lit(0L)), coalesce(sum("n_tgt"), lit(0L))).head()
+      totRaw = r.getLong(0)
+      totTgt = r.getLong(1)
+      require(totRaw > 0, "raw corpus has no tokens")
+      require(totTgt > 0, "target slice has no tokens — check targetPred")
+      counts.orderBy(col("n_raw").desc, col("t")).limit(vocab)
+        .select(col("t"),
+          (log((col("n_tgt") + 1).cast(DoubleType) / (totTgt.toDouble + vocab)) -
+            log((col("n_raw") + 1).cast(DoubleType) / (totRaw.toDouble + vocab))).as("lr"))
+    }
+    val floorLr = math.log((totRaw.toDouble + vocab) / (totTgt.toDouble + vocab))
+    val u = (md5Permill(col(idCol)).cast(DoubleType) + 0.5) / 1000.0
+    toks.join(lm, Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(round(sum(coalesce(col("lr"), lit(floorLr))), 6).as("log_weight"))
+      .withColumn("score", round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(n)
+  }
+
   /** Corpus snapshot diff — the governance primitive for incremental
     * pipeline audits: which documents were added, removed, or changed
     * between two corpus versions. Rows are compared by md5 of the

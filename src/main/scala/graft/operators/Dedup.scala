@@ -115,11 +115,15 @@ object Dedup {
     * more than a bounded working set. */
   private[graft] def viaPersisted(stage: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val s = stage.persist(StorageLevel.MEMORY_AND_DISK)
-    val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
-    result.count() // eager: runs while the stage cache is live
-    s.unpersist(blocking = false)
-    retain(result)
-    result
+    // try/finally, not fire-and-forget: a body that throws (e.g. an
+    // input-validation require after a totals action) must not leave
+    // the stage pinned for the session's lifetime
+    try {
+      val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
+      result.count() // eager: runs while the stage cache is live
+      retain(result)
+      result
+    } finally s.unpersist(blocking = false)
   }
 
 

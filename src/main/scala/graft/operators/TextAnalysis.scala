@@ -165,6 +165,126 @@ object TextAnalysis {
       round(top.getField("frac"), 4).as("top_bigram_frac"))
   }
 
+  /** Deterministic md5 feature-hash bucket: first 8 hex chars of
+    * md5(token) as an integer, mod `buckets` — the DuckDB twin is
+    * `('0x' || substr(md5(t), 1, 8))::BIGINT % buckets`, same shape as
+    * [[Curation.md5Permill]] so oracles can replay the hashing. */
+  def hashBucket(tok: Column, buckets: Int): Column =
+    conv(substring(md5(tok.cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % buckets
+
+  /** Hashed bag-of-tokens features for the linear classifier: one row
+    * per (doc, bucket) with the doc-relative term frequency
+    * x = count_bucket / n_tokens, PLUS one bias pseudo-feature row per
+    * doc (b = `buckets`, x = 1.0) — the bias is just a feature that is
+    * always on, which lets one per-bucket gradient aggregation update
+    * the whole model (no separate bias pass per GD round). Token-less
+    * documents vanish (no features ⇒ no defined score). */
+  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, buckets: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+        labelCol.cast(DoubleType).as("__y"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks.withColumn("b", hashBucket(col("t"), buckets))
+      .groupBy("__id", "__y", "b").agg(count(lit(1)).as("c"))
+    val nt = counts.groupBy("__id").agg(sum("c").as("__nt"))
+    counts.join(nt, "__id")
+      .select(col("__id"), col("__y"), col("b"),
+        (col("c").cast(DoubleType) / col("__nt").cast(DoubleType)).as("x"))
+      .unionByName(counts.select("__id", "__y").distinct()
+        .select(col("__id"), col("__y"),
+          lit(buckets.toLong).as("b"), lit(1.0).as("x")))
+  }
+
+  /** Per-doc margin → probability under a literal-array weight model
+    * (last slot = bias, matching the pseudo-feature): the weights
+    * broadcast inside the plan (an array literal, no join), so scoring
+    * is tokenize → hash → one per-doc aggregate. */
+  private def sigmoidScores(feat: DataFrame, weightsAndBias: Array[Double]): DataFrame = {
+    val wArr = array(weightsAndBias.map(lit): _*)
+    feat.groupBy("__id", "__y")
+      .agg(sum(col("x") * element_at(wArr, (col("b") + 1).cast(IntegerType))).as("m"))
+      .select(col("__id"), col("__y"),
+        (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** In-engine fastText-style quality classifier TRAINING: logistic
+    * regression over md5-hashed bag-of-tokens term frequencies, fit by
+    * `iters` rounds of full-batch gradient descent. The standard
+    * quality-filter shape (GPT-3/CCNet style: label a trusted slice
+    * positive, the raw crawl negative, keep high-scoring docs) —
+    * trained BY the engine instead of imported. Returns
+    * (weights[buckets], bias).
+    *
+    * Determinism: weights start at zero, every update rounds to 6
+    * decimals (w ← round(w − lr·∇, 6), the k-means-trajectory
+    * discipline), features hash via md5 — the whole trajectory replays
+    * in DuckDB, so [[scoreClassifier]] outputs are oracle-gateable.
+    *
+    * Scale: the feature frame (doc × distinct-bucket, ≤ min(tokens,
+    * `buckets`) rows per doc) persists once and serves every round; a
+    * round is two aggregations — per-doc margins (weights enter as a
+    * broadcast literal array, no join) and per-bucket gradients (one
+    * shuffle on the bucket key, ≤ `buckets` result rows). Driver
+    * traffic per round is one ≤`buckets`-row collect. Train on a
+    * labeled sample; score the full corpus with the returned model. */
+  def trainClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, buckets: Int = 256, iters: Int = 3,
+      lr: Double = 0.5): (Array[Double], Double) = {
+    require(buckets > 0 && buckets <= 65536, "buckets must be in (0, 65536]")
+    require(iters >= 1, "iters must be >= 1")
+    // weights(0..buckets-1) = hashed features, weights(buckets) = bias
+    var weights = Array.fill(buckets + 1)(0.0)
+    // manual persist (not viaPersisted: the result here is driver-side
+    // weights, not a DataFrame) — eager materialize, release in finally
+    val feat = hashedFeatures(df, idCol, textCol, labelCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the bias pseudo-feature rows are exactly one per doc
+      val nDocs = feat.filter(col("b") === buckets).count() // also warms the cache
+      require(nDocs > 0, "no documents with tokens to train on")
+      for (_ <- 1 to iters) {
+        // ONE aggregation + one ≤(buckets+1)-row collect per GD round:
+        // per-bucket gradient of the mean logistic loss (the bias
+        // bucket rides along via its always-on pseudo-feature); one
+        // row per OBSERVED bucket (unobserved ⇒ zero gradient)
+        val margins = sigmoidScores(feat, weights)
+        val grads = feat.join(margins.select("__id", "p"), "__id")
+          .groupBy("b")
+          .agg((sum((col("p") - col("__y")) * col("x")) / nDocs).as("g"))
+          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+        weights = Array.tabulate(buckets + 1)(i =>
+          round6(weights(i) - lr * grads.getOrElse(i, 0.0)))
+      }
+    } finally feat.unpersist(blocking = false)
+    (weights.init, weights.last)
+  }
+
+  /** Score documents under a trained [[trainClassifier]] model: one
+    * lazy scan-stage pass (tokenize → md5 bucket → per-doc margin with
+    * the literal weight array → sigmoid), nothing persisted, nothing
+    * on the driver — the shape that scores 100 TB. Token-less docs are
+    * absent (no features ⇒ no defined score). */
+  def scoreClassifier(df: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], bias: Double): DataFrame =
+    sigmoidScores(
+        hashedFeatures(df, idCol, textCol, lit(0.0), weights.length),
+        weights :+ bias)
+      .select(col("__id").as(idCol), round(col("p"), 4).as("score"))
+
+  /** Train on `df` and score the same frame — the single-call form the
+    * oracle gate exercises end to end. */
+  def trainAndScoreClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, buckets: Int = 256, iters: Int = 3,
+      lr: Double = 0.5): DataFrame = {
+    val (w, b) = trainClassifier(df, idCol, textCol, labelCol, buckets, iters, lr)
+    scoreClassifier(df, idCol, textCol, w, b)
+  }
+
   /** One-stop per-document stats frame. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

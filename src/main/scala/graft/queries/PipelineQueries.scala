@@ -1565,6 +1565,107 @@ object PipelineQueries {
              |  substr(hx, CAST(2 * ((greatest(ln - 8, 0) * g.i) // 3) + 1 AS INT), 16) AS frame_hex
              |FROM b, (SELECT unnest(range(0, 4)) AS i) g
              |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // DSIR importance resampling: unigram-LM likelihood ratio
+    // (target = src0-2) + deterministic md5-Gumbel top-100 draw.
+    // vocab=16 < the corpus's 31 distinct tokens, so BOTH the
+    // top-vocab LM cut and the out-of-vocabulary floor path are
+    // exercised by the oracle
+    "pl_dsir_sample" -> Q(
+      (s, d) => graft.operators.Curation.importanceResample(
+          Tables(s, d, "documents"), "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"), n = 100, vocab = 16)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source IN ('src0','src1','src2') AS tgt,
+             |    unnest(string_split(trim(text), ' ')) AS t
+             |  FROM documents
+             |), tok2 AS (
+             |  SELECT * FROM tok WHERE t != ''
+             |), counts AS (
+             |  SELECT t, count(*) AS n_raw,
+             |    count(*) FILTER (WHERE tgt) AS n_tgt
+             |  FROM tok2 GROUP BY t
+             |), tot AS (
+             |  SELECT CAST(sum(n_raw) AS BIGINT) AS tr,
+             |    CAST(sum(n_tgt) AS BIGINT) AS tt FROM counts
+             |), lm AS (
+             |  SELECT t, ln((n_tgt + 1.0) / (tt + 16)) - ln((n_raw + 1.0) / (tr + 16)) AS lr
+             |  FROM counts, tot ORDER BY n_raw DESC, t LIMIT 16
+             |), scored AS (
+             |  SELECT doc_id, round(sum(coalesce(lm.lr,
+             |    (SELECT ln((tr + 16.0) / (tt + 16.0)) FROM tot))), 6) AS log_weight
+             |  FROM tok2 LEFT JOIN lm USING (t) GROUP BY doc_id
+             |), drawn AS (
+             |  SELECT doc_id, log_weight,
+             |    round(log_weight - ln(-ln(
+             |      ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000) + 0.5)
+             |        / 1000.0)), 6) AS score
+             |  FROM scored
+             |  ORDER BY score DESC, doc_id LIMIT 100
+             |)
+             |SELECT doc_id, log_weight, score FROM drawn
+             |ORDER BY doc_id""".stripMargin)),
+
+    // in-engine quality classifier: hashed-BoW logistic regression
+    // (64 buckets, 3 full-batch GD rounds, lr=5.0, label lang='en'),
+    // scored on the training frame; the oracle replays the exact
+    // 3-round weight trajectory (round-6 updates, k-means discipline)
+    "pl_quality_classifier" -> Q(
+      (s, d) => TextAnalysis.trainAndScoreClassifier(
+          Tables(s, d, "documents"), "doc_id", "text",
+          (col("lang") === "en").cast(DoubleType),
+          buckets = 64, iters = 3, lr = 5.0)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             |    unnest(string_split(trim(text), ' ')) AS t
+             |  FROM documents
+             |), tok2 AS (SELECT * FROM tok WHERE t != ''),
+             |bkt AS (
+             |  SELECT doc_id, y,
+             |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b
+             |  FROM tok2
+             |), cnt AS (
+             |  SELECT doc_id, y, b, count(*) AS c FROM bkt GROUP BY doc_id, y, b
+             |), nt AS (
+             |  SELECT doc_id, sum(c) AS ntok FROM cnt GROUP BY doc_id
+             |), feat AS (
+             |  SELECT c.doc_id, c.y, c.b,
+             |    CAST(c.c AS DOUBLE) / CAST(nt.ntok AS DOUBLE) AS x
+             |  FROM cnt c JOIN nt USING (doc_id)
+             |  UNION ALL
+             |  SELECT DISTINCT doc_id, y, 64 AS b, 1.0 AS x FROM cnt
+             |), nd AS (SELECT count(DISTINCT doc_id) AS n FROM feat),
+             |g1 AS (
+             |  SELECT b, round(-(5.0 * (sum((0.5 - y) * x) / nd.n)), 6) AS w
+             |  FROM feat, nd GROUP BY b, nd.n
+             |), m2 AS (
+             |  SELECT f.doc_id, f.y, sum(f.x * g1.w) AS m
+             |  FROM feat f JOIN g1 USING (b) GROUP BY f.doc_id, f.y
+             |), p2 AS (
+             |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m2
+             |), g2 AS (
+             |  SELECT f.b,
+             |    round(any_value(g1.w) - 5.0 * (sum((p2.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
+             |  FROM feat f JOIN p2 USING (doc_id) JOIN g1 ON g1.b = f.b, nd
+             |  GROUP BY f.b
+             |), m3 AS (
+             |  SELECT f.doc_id, f.y, sum(f.x * g2.w) AS m
+             |  FROM feat f JOIN g2 USING (b) GROUP BY f.doc_id, f.y
+             |), p3 AS (
+             |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m3
+             |), g3 AS (
+             |  SELECT f.b,
+             |    round(any_value(g2.w) - 5.0 * (sum((p3.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
+             |  FROM feat f JOIN p3 USING (doc_id) JOIN g2 ON g2.b = f.b, nd
+             |  GROUP BY f.b
+             |), ms AS (
+             |  SELECT f.doc_id, sum(f.x * g3.w) AS m
+             |  FROM feat f JOIN g3 USING (b) GROUP BY f.doc_id
+             |)
+             |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
+             |FROM ms ORDER BY doc_id""".stripMargin)),
   )
 
   /** Multi-probe recall@10 of every ANN method against the exact
