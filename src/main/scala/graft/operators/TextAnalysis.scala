@@ -264,17 +264,30 @@ object TextAnalysis {
     (weights.init, weights.last)
   }
 
-  /** Score documents under a trained [[trainClassifier]] model: one
-    * lazy scan-stage pass (tokenize → md5 bucket → per-doc margin with
-    * the literal weight array → sigmoid), nothing persisted, nothing
-    * on the driver — the shape that scores 100 TB. Token-less docs are
-    * absent (no features ⇒ no defined score). */
+  /** Score documents under a trained [[trainClassifier]] model. The
+    * tf·w margin collapses algebraically to token level —
+    * Σ_b (c_b/NT)·w_b = (Σ_tokens w[bucket(token)]) / NT — so scoring
+    * is ONE explode + ONE per-doc aggregation: no weight-table join
+    * (weights are a literal array), no per-(doc,bucket) count stage,
+    * no token-total join. That single-aggregation shape (PlanSpec-
+    * gated) is what you want for the 100 TB scoring pass; tokens
+    * hashing to buckets unseen in training score w=0 but still count
+    * in the denominator. Token-less docs are absent (no features ⇒ no
+    * defined score). */
   def scoreClassifier(df: DataFrame, idCol: String, textCol: String,
-      weights: Array[Double], bias: Double): DataFrame =
-    sigmoidScores(
-        hashedFeatures(df, idCol, textCol, lit(0.0), weights.length),
-        weights :+ bias)
-      .select(col("__id").as(idCol), round(col("p"), 4).as("score"))
+      weights: Array[Double], bias: Double): DataFrame = {
+    val wArr = array(weights.map(lit): _*)
+    val b = hashBucket(col("t"), weights.length)
+    df.select(col(idCol).as("__id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("__id"),
+        element_at(wArr, (b + 1).cast(IntegerType)).as("w"))
+      .groupBy("__id")
+      .agg((lit(bias) + sum(col("w")) / count(lit(1))).as("m"))
+      .select(col("__id").as(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("score"))
+  }
 
   /** Train on `df` and score the same frame — the single-call form the
     * oracle gate exercises end to end. */

@@ -1661,8 +1661,9 @@ object PipelineQueries {
              |  FROM feat f JOIN p3 USING (doc_id) JOIN g2 ON g2.b = f.b, nd
              |  GROUP BY f.b
              |), ms AS (
-             |  SELECT f.doc_id, sum(f.x * g3.w) AS m
-             |  FROM feat f JOIN g3 USING (b) GROUP BY f.doc_id
+             |  SELECT bk.doc_id,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
              |)
              |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
              |FROM ms ORDER BY doc_id""".stripMargin)),

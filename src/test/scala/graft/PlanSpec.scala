@@ -397,4 +397,37 @@ class PlanSpec extends AnyFunSuite {
       "exact batch must broadcast the probe set:\n" + pBf)
     assert(!pBf.contains("CartesianProduct"), "shuffled cartesian in exact batch:\n" + pBf)
   }
+
+  test("DSIR scoring broadcasts the bounded LM table and draws via a top-k heap") {
+    import org.apache.spark.sql.functions.col
+    val df = operators.Curation.importanceResample(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      col("source").isin("src0", "src1"), n = 20, vocab = 64)
+    df.collect() // AQE must finalize before the executed plan is judged
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the token->logratio join must come to the corpus as a broadcast:
+    // the LM table is vocab-bounded, the exploded token stream is
+    // corpus-sized and must not shuffle to meet it
+    assert(p.contains("BroadcastHashJoin"), "LM table not broadcast:\n" + p)
+    // the draw is top-n, never a global sort of all scored docs
+    assert(p.contains("TakeOrderedAndProject"), "draw is not a top-k heap:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"), "global sort in the draw:\n" + p)
+  }
+
+  test("classifier scoring runs as one aggregation chain, no weight join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "documents")
+    val (w, b) = operators.TextAnalysis.trainClassifier(
+      docs, "doc_id", "text", (col("lang") === "en").cast("double"),
+      buckets = 64, iters = 1, lr = 0.5)
+    val scored = operators.TextAnalysis.scoreClassifier(docs, "doc_id", "text", w, b)
+    scored.collect()
+    val p = scored.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // weights enter as a literal array: scoring must contain NO join —
+    // a per-round (or per-scan) weight-table join would put a shuffle
+    // or broadcast wait on the 100 TB scoring pass
+    assert(!p.contains("Join"), "scoring should not join a weight table:\n" + p)
+    // hash aggregates partial-aggregate the per-(doc,bucket) counts
+    assert(p.contains("HashAggregate"), p)
+  }
 }
