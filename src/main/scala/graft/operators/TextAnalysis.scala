@@ -289,6 +289,50 @@ object TextAnalysis {
         round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("score"))
   }
 
+  /** Evaluate a trained [[trainClassifier]] model against labels at a
+    * decision threshold: ONE bounded row with the confusion counts and
+    * the derived metrics. Thresholding uses the same rounded
+    * probability [[scoreClassifier]] emits, so a boundary doc
+    * classifies identically in every engine. Same join-free
+    * token-level scoring shape; the metric divisions are exact
+    * small-integer ratios (engine-identical), f1 via 2tp/(2tp+fp+fn).
+    * The driver sees one row — evaluation of a 100 TB corpus ships
+    * nothing else. */
+  def evaluateClassifier(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, weights: Array[Double], bias: Double,
+      threshold: Double = 0.5): DataFrame = {
+    val wArr = array(weights.map(lit): _*)
+    val b = hashBucket(col("t"), weights.length)
+    val scored = df.select(col(idCol).as("__id"),
+        labelCol.cast(DoubleType).as("__y"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("__id"), col("__y"),
+        element_at(wArr, (b + 1).cast(IntegerType)).as("w"))
+      .groupBy("__id", "__y")
+      .agg((lit(bias) + sum(col("w")) / count(lit(1))).as("m"))
+      .select(col("__y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("p"))
+    val pos = col("p") >= threshold
+    val yq = col("__y") === 1.0
+    val d = (c: Column) => c.cast(DoubleType)
+    scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(pos && yq, 1L).otherwise(0L)).as("tp"),
+        sum(when(pos && !yq, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pos && !yq, 1L).otherwise(0L)).as("tn"),
+        sum(when(!pos && yq, 1L).otherwise(0L)).as("fn"))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round(d(col("tp") + col("tn")) / d(col("n")), 4).as("accuracy"),
+        round(when(col("tp") + col("fp") === 0, lit(0.0))
+          .otherwise(d(col("tp")) / d(col("tp") + col("fp"))), 4).as("prec"),
+        round(when(col("tp") + col("fn") === 0, lit(0.0))
+          .otherwise(d(col("tp")) / d(col("tp") + col("fn"))), 4).as("recall"),
+        round(when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0.0))
+          .otherwise(d(lit(2) * col("tp")) /
+            d(lit(2) * col("tp") + col("fp") + col("fn"))), 4).as("f1"))
+  }
+
   /** Train on `df` and score the same frame — the single-call form the
     * oracle gate exercises end to end. */
   def trainAndScoreClassifier(df: DataFrame, idCol: String, textCol: String,

@@ -82,6 +82,59 @@ object PipelineQueries {
              |)""".stripMargin
 
 
+  /** Shared DuckDB replay of the hashed-BoW classifier's 3-round
+    * gradient-descent weight trajectory (md5 feature hashing, bias as
+    * the always-on pseudo-feature at bucket 64, round-6 updates,
+    * lr=5.0, label lang='en') — ends in `g3(b, w)`, the final weight
+    * table. Used by the scoring oracle (pl_quality_classifier) AND the
+    * evaluation oracle (pl_classifier_eval) so the two can never train
+    * different models. */
+  private val clfTrajectoryCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |    unnest(string_split(trim(text), ' ')) AS t
+      |  FROM documents
+      |), tok2 AS (SELECT * FROM tok WHERE t != ''),
+      |bkt AS (
+      |  SELECT doc_id, y,
+      |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b
+      |  FROM tok2
+      |), cnt AS (
+      |  SELECT doc_id, y, b, count(*) AS c FROM bkt GROUP BY doc_id, y, b
+      |), nt AS (
+      |  SELECT doc_id, sum(c) AS ntok FROM cnt GROUP BY doc_id
+      |), feat AS (
+      |  SELECT c.doc_id, c.y, c.b,
+      |    CAST(c.c AS DOUBLE) / CAST(nt.ntok AS DOUBLE) AS x
+      |  FROM cnt c JOIN nt USING (doc_id)
+      |  UNION ALL
+      |  SELECT DISTINCT doc_id, y, 64 AS b, 1.0 AS x FROM cnt
+      |), nd AS (SELECT count(DISTINCT doc_id) AS n FROM feat),
+      |g1 AS (
+      |  SELECT b, round(-(5.0 * (sum((0.5 - y) * x) / nd.n)), 6) AS w
+      |  FROM feat, nd GROUP BY b, nd.n
+      |), m2 AS (
+      |  SELECT f.doc_id, f.y, sum(f.x * g1.w) AS m
+      |  FROM feat f JOIN g1 USING (b) GROUP BY f.doc_id, f.y
+      |), p2 AS (
+      |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m2
+      |), g2 AS (
+      |  SELECT f.b,
+      |    round(any_value(g1.w) - 5.0 * (sum((p2.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
+      |  FROM feat f JOIN p2 USING (doc_id) JOIN g1 ON g1.b = f.b, nd
+      |  GROUP BY f.b
+      |), m3 AS (
+      |  SELECT f.doc_id, f.y, sum(f.x * g2.w) AS m
+      |  FROM feat f JOIN g2 USING (b) GROUP BY f.doc_id, f.y
+      |), p3 AS (
+      |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m3
+      |), g3 AS (
+      |  SELECT f.b,
+      |    round(any_value(g2.w) - 5.0 * (sum((p3.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
+      |  FROM feat f JOIN p3 USING (doc_id) JOIN g2 ON g2.b = f.b, nd
+      |  GROUP BY f.b
+      |)""".stripMargin
+
   private val base: Map[String, Q] = Map(
     // exact dedup: one shuffle on content hash
     "pl_dedup_exact" -> Q(
@@ -1617,56 +1670,47 @@ object PipelineQueries {
           (col("lang") === "en").cast(DoubleType),
           buckets = 64, iters = 3, lr = 5.0)
         .orderBy("doc_id"),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-             |    unnest(string_split(trim(text), ' ')) AS t
-             |  FROM documents
-             |), tok2 AS (SELECT * FROM tok WHERE t != ''),
-             |bkt AS (
-             |  SELECT doc_id, y,
-             |    ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b
-             |  FROM tok2
-             |), cnt AS (
-             |  SELECT doc_id, y, b, count(*) AS c FROM bkt GROUP BY doc_id, y, b
-             |), nt AS (
-             |  SELECT doc_id, sum(c) AS ntok FROM cnt GROUP BY doc_id
-             |), feat AS (
-             |  SELECT c.doc_id, c.y, c.b,
-             |    CAST(c.c AS DOUBLE) / CAST(nt.ntok AS DOUBLE) AS x
-             |  FROM cnt c JOIN nt USING (doc_id)
-             |  UNION ALL
-             |  SELECT DISTINCT doc_id, y, 64 AS b, 1.0 AS x FROM cnt
-             |), nd AS (SELECT count(DISTINCT doc_id) AS n FROM feat),
-             |g1 AS (
-             |  SELECT b, round(-(5.0 * (sum((0.5 - y) * x) / nd.n)), 6) AS w
-             |  FROM feat, nd GROUP BY b, nd.n
-             |), m2 AS (
-             |  SELECT f.doc_id, f.y, sum(f.x * g1.w) AS m
-             |  FROM feat f JOIN g1 USING (b) GROUP BY f.doc_id, f.y
-             |), p2 AS (
-             |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m2
-             |), g2 AS (
-             |  SELECT f.b,
-             |    round(any_value(g1.w) - 5.0 * (sum((p2.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
-             |  FROM feat f JOIN p2 USING (doc_id) JOIN g1 ON g1.b = f.b, nd
-             |  GROUP BY f.b
-             |), m3 AS (
-             |  SELECT f.doc_id, f.y, sum(f.x * g2.w) AS m
-             |  FROM feat f JOIN g2 USING (b) GROUP BY f.doc_id, f.y
-             |), p3 AS (
-             |  SELECT doc_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m3
-             |), g3 AS (
-             |  SELECT f.b,
-             |    round(any_value(g2.w) - 5.0 * (sum((p3.p - f.y) * f.x) / any_value(nd.n)), 6) AS w
-             |  FROM feat f JOIN p3 USING (doc_id) JOIN g2 ON g2.b = f.b, nd
-             |  GROUP BY f.b
-             |), ms AS (
+      Some(clfTrajectoryCtes + """, ms AS (
              |  SELECT bk.doc_id,
              |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
              |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
              |)
              |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
              |FROM ms ORDER BY doc_id""".stripMargin)),
+
+    // held-out evaluation of the SAME trained model (shared trajectory
+    // CTEs): confusion counts + exact-ratio metrics in one bounded row
+    "pl_classifier_eval" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val label = (col("lang") === "en").cast(DoubleType)
+        val (w, b) = TextAnalysis.trainClassifier(
+          docs, "doc_id", "text", label, buckets = 64, iters = 3, lr = 5.0)
+        TextAnalysis.evaluateClassifier(docs, "doc_id", "text", label, w, b)
+      },
+      Some(clfTrajectoryCtes + """, msy AS (
+             |  SELECT bk.doc_id, any_value(bk.y) AS y,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
+             |), sc AS (
+             |  SELECT y, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM msy
+             |), cf AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(CASE WHEN p >= 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             |    CAST(sum(CASE WHEN p >= 0.5 AND y != 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN p < 0.5 AND y != 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             |    CAST(sum(CASE WHEN p < 0.5 AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+             |  FROM sc
+             |)
+             |SELECT n, tp, fp, tn, fn,
+             |  round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 4) AS accuracy,
+             |  round(CASE WHEN tp + fp = 0 THEN 0.0
+             |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END, 4) AS prec,
+             |  round(CASE WHEN tp + fn = 0 THEN 0.0
+             |    ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END, 4) AS recall,
+             |  round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+             |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 4) AS f1
+             |FROM cf""".stripMargin)),
   )
 
   /** Multi-probe recall@10 of every ANN method against the exact

@@ -102,6 +102,18 @@ class LearnedFilterSpec extends AnyFunSuite {
       s"good-vocab doc ${s(100L)} should outscore bad-vocab doc ${s(101L)}")
   }
 
+  test("classifier evaluation reports a perfect confusion matrix when separable") {
+    val (w, b) = TextAnalysis.trainClassifier(
+      clfFixture, "doc_id", "text", col("y"), buckets = 64, iters = 10, lr = 5.0)
+    val r = TextAnalysis.evaluateClassifier(
+      clfFixture, "doc_id", "text", col("y"), w, b).head()
+    assert(r.getLong(0) == 24 && r.getLong(1) == 12 && r.getLong(3) == 12,
+      s"expected n=24 tp=12 tn=12, got $r")
+    assert(r.getLong(2) == 0 && r.getLong(4) == 0, s"expected fp=fn=0, got $r")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(8) == 1.0,
+      s"expected accuracy=f1=1.0, got $r")
+  }
+
   test("classifier scoring matches an independent local replay of the model") {
     // differential: recompute margins in plain Scala from the trained
     // weights + the SAME md5 bucketing, compare to the engine's scores
