@@ -35,6 +35,15 @@
 //     knob that makes bulk NN survive a 100 TB block
 //   pl_text_lm_quality           rep1 2.1 s   warm 1.7 s  (vocab-bounded
 //     lm cache, corpus result stays lazy)
+//   pl_dsir_sample               rep1 3.8 s   warm 2.0-2.4 s  (r10 run;
+//     ~1.5x the sf0.1 fresh cost for 10x data — the LM fit is
+//     vocab-bounded, only the scoring pass scales)
+//   pl_quality_classifier        rep1 12.5 s  warm 8.2-8.8 s  (r10 run;
+//     ~2x for 10x data; every rep RETRAINS the 3 GD rounds over the
+//     10x feature frame, then scores — the production split trains
+//     once on a sample and pays only the scoring pass)
+//   pl_classifier_eval           8.7-11.4 s  (same shape: retrain + one
+//     bounded confusion row)
 //   corpus_diff_10x              0.3-0.7 s  (~linear; (id,hash) shuffle only)
 //   cms_merge_10x                1.7-1.9 s  (~linear; |sources| blobs to driver)
 //   streaming_lsh_dedup_10x      22.3 s / 50k docs, 280k matches
@@ -79,7 +88,12 @@ def time(name: String, reps: Int = 3): Unit = {
 
 Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   "pl_dedup_apply_near", "pl_emb_ann_ivf_kmeans", "pl_emb_ann_recall",
-  "pl_emb_nn", "pl_text_lm_quality").foreach(time(_))
+  "pl_emb_nn", "pl_text_lm_quality",
+  // r10 learned filters: DSIR's LM fit is vocab-bounded and the draw a
+  // top-k heap; classifier training is 3 one-aggregation GD rounds over
+  // the persisted feature frame, scoring one join-free pass
+  "pl_dsir_sample", "pl_quality_classifier", "pl_classifier_eval")
+  .foreach(time(_))
 
 // pl_emb_nn in the list above now runs the DEFAULT guard (maxBlock=2000
 // since r9): sf1 label blocks are ~1800-2180 rows, so the oversized

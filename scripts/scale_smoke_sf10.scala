@@ -95,10 +95,29 @@ for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")
       graft.operators.Profiling.tokenFrequencySketch(docs, "source", "text"))
     graft.operators.Profiling.estimateTokenCount(cms, "the")
   }
+  // r10 learned filters are linear families too: classifier scoring is
+  // one explode + one per-doc aggregation (weights a literal array —
+  // train ONCE outside the timed body, the production split), DSIR is
+  // a bounded LM fit + one scoring pass + a top-k draw
+  val clf = graft.operators.TextAnalysis.trainClassifier(
+    docs, "doc_id", "text", (col("lang") === "en").cast("double"),
+    buckets = 64, iters = 3, lr = 5.0)
+  time("classifier_score", scale) {
+    graft.operators.TextAnalysis.scoreClassifier(
+        docs, "doc_id", "text", clf._1, clf._2)
+      .queryExecution.toRdd.count()
+  }
+  time("dsir_sample", scale) {
+    graft.operators.Curation.importanceResample(
+        docs, "doc_id", "text", col("source").isin("src0", "src1", "src2"),
+        n = 1000, vocab = 65536)
+      .count()
+  }
 }
 
 println("[SF10] family            10x warm   100x warm   factor")
-for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge")) {
+for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge",
+    "classifier_score", "dsir_sample")) {
   val a = warm((f, "10x")); val b = warm((f, "100x"))
   println(f"[SF10] $f%-16s ${a}%8.2f s ${b}%9.2f s ${b / a}%8.1fx")
 }
