@@ -720,6 +720,61 @@ object VectorExpressions {
       copy(child = c)
   }
 
+  /** Scan-stage classifier margin with EXACT bucket parity to the
+    * Column chain `explode(split(trim(text), "\\s+")) filter != "" →
+    * conv(substring(md5(token), 1, 8), 16, 10) % D → w` followed by
+    * `bias + sum(w)/count(*)` per doc: tokens are the non-whitespace
+    * byte runs of the space-trimmed text (empty tokens are what the
+    * chain filters away), each hashed by md5 over its UTF-8 slice with
+    * the first 4 digest bytes as the unsigned bucket. NULL when the
+    * doc has no tokens — the chain's explode drops such docs, so the
+    * caller filters nulls to the same effect.
+    *
+    * This turns classifier scoring from explode + shuffle + per-doc
+    * aggregate into ONE per-row pass at scan speed — zero exchanges in
+    * the scoring plan (PlanSpec-gated), which is the shape that scores
+    * 100 TB. The weight sum runs in document token order; like the
+    * aggregate's partial-merge order it differs from DuckDB's sum
+    * order only below the round(…,4) the score applies. */
+  case class TokenBucketMargin(child: Expression, weights: IndexedSeq[Double],
+      bias: Double) extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "token_margin", "string", Seq(child.dataType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def ws(x: Byte): Boolean = x == 0x20 || x == 0x09 || x == 0x0A ||
+      x == 0x0B || x == 0x0C || x == 0x0D
+    @transient private lazy val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].trim().getBytes
+      val md = mdLocal.get()
+      val d = weights.length
+      var sum = 0.0
+      var n = 0L
+      var start = -1
+      var i = 0
+      while (i <= b.length) {
+        val atWs = i == b.length || ws(b(i))
+        if (atWs && start >= 0) {
+          md.reset()
+          md.update(b, start, i - start)
+          val dig = md.digest()
+          val bucket = (((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
+            ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)) % d
+          sum += weights(bucket.toInt)
+          n += 1
+          start = -1
+        } else if (!atWs && start < 0) start = i
+        i += 1
+      }
+      if (n == 0L) null else java.lang.Double.valueOf(bias + sum / n)
+    }
+    override protected def withNewChildInternal(c: Expression): TokenBucketMargin =
+      copy(child = c)
+  }
+
   /** PQ encoder: L2-normalizes the input vector (cosine target ⇒
     * unit-sphere L2), then per subspace `s` of `sub` dims emits
     * argmin_c ‖x_s − book(s,c)‖², ties to the smallest code. `books`
@@ -951,6 +1006,10 @@ object VectorExpressions {
       exprs => TokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_fingerprint",
       exprs => TokenFingerprint(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_margin",
+      exprs => TokenBucketMargin(exprs(0),
+        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
+        exprs(2).eval().asInstanceOf[Number].doubleValue()), "scala_udf")
   }
 
   private def ensure(): Unit =
@@ -981,6 +1040,10 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_count", c) }
   def token_fingerprint(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_fingerprint", c) }
+  def token_margin(c: Column, weights: Seq[Double], bias: Double): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_token_margin", c,
+      org.apache.spark.sql.functions.lit(weights.toArray),
+      org.apache.spark.sql.functions.lit(bias)) }
   def pq_encode(c: Column, books: Seq[Double], ncent: Int, sub: Int): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pq_encode", c,
       org.apache.spark.sql.functions.lit(books.toArray),

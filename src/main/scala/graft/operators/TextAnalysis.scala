@@ -266,27 +266,22 @@ object TextAnalysis {
 
   /** Score documents under a trained [[trainClassifier]] model. The
     * tf·w margin collapses algebraically to token level —
-    * Σ_b (c_b/NT)·w_b = (Σ_tokens w[bucket(token)]) / NT — so scoring
-    * is ONE explode + ONE per-doc aggregation: no weight-table join
-    * (weights are a literal array), no per-(doc,bucket) count stage,
-    * no token-total join. That single-aggregation shape (PlanSpec-
-    * gated) is what you want for the 100 TB scoring pass; tokens
-    * hashing to buckets unseen in training score w=0 but still count
-    * in the denominator. Token-less docs are absent (no features ⇒ no
-    * defined score). */
+    * Σ_b (c_b/NT)·w_b = (Σ_tokens w[bucket(token)]) / NT — and the
+    * whole per-doc computation (tokenize → md5 bucket → weight sum)
+    * runs as ONE compiled pass per row
+    * ([[graft.functions.VectorExpressions.TokenBucketMargin]], weights
+    * baked in as a literal): scoring is pure scan work, ZERO exchanges
+    * (PlanSpec-gated) — the shape that scores 100 TB. Tokens hashing
+    * to buckets unseen in training score w=0 but still count in the
+    * denominator. Token-less docs are absent (null margin filtered —
+    * same effect as the explode dropping them). */
   def scoreClassifier(df: DataFrame, idCol: String, textCol: String,
       weights: Array[Double], bias: Double): DataFrame = {
-    val wArr = array(weights.map(lit): _*)
-    val b = hashBucket(col("t"), weights.length)
-    df.select(col(idCol).as("__id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("t"))
-      .filter(col("t") =!= "")
-      .select(col("__id"),
-        element_at(wArr, (b + 1).cast(IntegerType)).as("w"))
-      .groupBy("__id")
-      .agg((lit(bias) + sum(col("w")) / count(lit(1))).as("m"))
-      .select(col("__id").as(idCol),
-        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("score"))
+    val m = graft.functions.VectorExpressions.token_margin(
+      col(textCol), weights.toSeq, bias)
+    df.select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 4).as("score"))
+      .filter(col("score").isNotNull)
   }
 
   /** Evaluate a trained [[trainClassifier]] model against labels at a
@@ -301,18 +296,11 @@ object TextAnalysis {
   def evaluateClassifier(df: DataFrame, idCol: String, textCol: String,
       labelCol: Column, weights: Array[Double], bias: Double,
       threshold: Double = 0.5): DataFrame = {
-    val wArr = array(weights.map(lit): _*)
-    val b = hashBucket(col("t"), weights.length)
-    val scored = df.select(col(idCol).as("__id"),
-        labelCol.cast(DoubleType).as("__y"),
-        explode(split(trim(col(textCol)), "\\s+")).as("t"))
-      .filter(col("t") =!= "")
-      .select(col("__id"), col("__y"),
-        element_at(wArr, (b + 1).cast(IntegerType)).as("w"))
-      .groupBy("__id", "__y")
-      .agg((lit(bias) + sum(col("w")) / count(lit(1))).as("m"))
-      .select(col("__y"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 4).as("p"))
+    val m = graft.functions.VectorExpressions.token_margin(
+      col(textCol), weights.toSeq, bias)
+    val scored = df.select(labelCol.cast(DoubleType).as("__y"),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 4).as("p"))
+      .filter(col("p").isNotNull)
     val pos = col("p") >= threshold
     val yq = col("__y") === 1.0
     val d = (c: Column) => c.cast(DoubleType)

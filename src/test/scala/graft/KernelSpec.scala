@@ -57,6 +57,44 @@ class KernelSpec extends AnyFunSuite {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("TokenBucketMargin matches the explode + md5-bucket Column formulation") {
+    // independent reference: the exact chain the kernel replaced —
+    // explode(split) filter nonempty -> conv(substr(md5,1,8),16,10)%D
+    // -> bias + sum(w)/count per doc. Compared at full double
+    // precision (tiny tolerance for summation-order drift), plus the
+    // no-token null contract.
+    val tricky = texts ++ Seq(
+      "\tleading tab", "trailing tab\t", "a\tb\nc\rd\fe",
+      "mixed CASE Mixed case", "Ünïcode Tökens ünïcode", "a  b   a b")
+    val weights = Array.tabulate(64)(i => (i * 37 % 19) * 0.25 - 2.0)
+    val bias = 0.375
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(tricky.zipWithIndex.map { case (t, i) =>
+        Row(i.toLong, t) }: _*),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val got = df.select(col("id"),
+        VE.token_margin(col("text"), weights.toSeq, bias).as("m"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val wArr = array(weights.map(lit).toSeq: _*)
+    val b = conv(substring(md5(col("t").cast(BinaryType)), 1, 8), 16, 10)
+      .cast(LongType) % 64
+    val want = df.select(col("id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("id"), element_at(wArr, (b + 1).cast(IntegerType)).as("w"))
+      .groupBy("id").agg((lit(bias) + sum(col("w")) / count(lit(1))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((t, i) <- tricky.zipWithIndex) {
+      (got(i.toLong), want.get(i.toLong)) match {
+        case (Some(g), Some(w)) =>
+          assert(math.abs(g - w) < 1e-12, s"margin drift on <$t>: kernel $g vs chain $w")
+        case (None, None) => // no tokens: kernel null, chain row absent
+        case (g, w) => fail(s"null contract drift on <$t>: kernel $g vs chain $w")
+      }
+    }
+  }
+
   test("WordShingleMd5 matches parseLong(md5Hex.substring(0,15), 16) per shingle") {
     // independent: JDK MessageDigest hex string, first 15 hex chars
     def md5_60ref(s: String): Long = {

@@ -414,7 +414,7 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), "global sort in the draw:\n" + p)
   }
 
-  test("classifier scoring runs as one aggregation chain, no weight join") {
+  test("classifier scoring is pure scan work: no join, no exchange at all") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, dir, "documents")
     val (w, b) = operators.TextAnalysis.trainClassifier(
@@ -423,11 +423,10 @@ class PlanSpec extends AnyFunSuite {
     val scored = operators.TextAnalysis.scoreClassifier(docs, "doc_id", "text", w, b)
     scored.collect()
     val p = scored.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // weights enter as a literal array: scoring must contain NO join —
-    // a per-round (or per-scan) weight-table join would put a shuffle
-    // or broadcast wait on the 100 TB scoring pass
+    // the margin kernel bakes the weights in as a literal and computes
+    // the whole per-doc margin in the scan: any Join or Exchange here
+    // would put a shuffle on the 100 TB scoring pass
     assert(!p.contains("Join"), "scoring should not join a weight table:\n" + p)
-    // hash aggregates partial-aggregate the per-(doc,bucket) counts
-    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange"), "scoring must be exchange-free:\n" + p)
   }
 }
