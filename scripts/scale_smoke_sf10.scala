@@ -3,15 +3,18 @@
 // 10x -> 100x growth factor IN THE SAME JVM, so "~linear" is a
 // measured number, not an extrapolation from the sf1 table. Only the
 // families whose scale story is linearity are here (exact dedup, text
-// stats, corpus diff, count-min merge); the bucketed/guarded families
-// (LSH dedup, ANN) have their own sf1 smoke with per-family guards.
+// stats, corpus diff, count-min merge, classifier scoring, DSIR); the
+// bucketed/guarded families (LSH dedup, ANN) have their own sf1 smoke
+// with per-family guards.
 //
 // Both corpora use the SAME builder shape (N copies of sf0.1
 // documents, distinct ids, per-copy " rev<c>" text suffix) so the
 // per-row work is identical and the factor isolates scale. Exact
-// dedup therefore finds 0 groups at both scales — the measured cost
-// is the full scan + md5 + groupBy shuffle, which is exactly the
-// linear path; result cardinality is not the variable under test.
+// dedup finds only the WITHIN-COPY duplicate families (the r10 fixture
+// generation ships 8 exact-dup groups at sf0.1; the per-copy suffix
+// keeps copies distinct), so the measured cost is still the full scan
+// + md5 + groupBy shuffle — the linear path; result cardinality is not
+// the variable under test.
 //
 //   sbt package
 //   /opt/spark/bin/spark-shell --master 'local[32]' --driver-memory 16g \
@@ -19,16 +22,19 @@
 //     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
 //     -I scripts/scale_smoke_sf10.scala
 //
-// RESULTS (this host, 2026-08-13, r10 run; warm = min of reps 2-3,
-// same JVM; see README "sf10 scale smoke" for the table):
+// RESULTS (this host, 2026-08-13, r10 rerun AFTER the token + margin
+// kernels; warm = min of reps 2-3, same JVM; see README "sf10 scale
+// smoke" for the table):
 //   family            10x warm   100x warm   factor (10x data)
-//   exact_dedup        0.47 s     1.25 s      2.6x
-//   text_stats         3.41 s    35.87 s     10.5x
-//   corpus_diff        0.41 s     1.49 s      3.6x
-//   cms_merge          1.26 s    12.80 s     10.2x
+//   exact_dedup        0.50 s     1.50 s      3.0x
+//   text_stats         1.18 s     8.16 s      6.9x   (was 35.87 s pre-kernel)
+//   corpus_diff        0.50 s     1.46 s      2.9x
+//   cms_merge          1.35 s    10.26 s      7.6x
+//   classifier_score   1.15 s    12.27 s     10.6x  (margin kernel; was 22.8 s)
+//   dsir_sample        1.99 s    14.00 s      7.0x
 //   export_shards_10x  0.6-1.8 s per run; 16/16 shard files
 //     byte-identical across reruns (sha256 of parquet bytes)
-//   All four families grow at or below ~10.5x for 10x data — ~linear
+//   All six families grow at or below ~10.6x for 10x data — ~linear
 //   holds through half a million documents; exact_dedup/corpus_diff
 //   are still overhead-dominated even at 500k rows.
 import org.apache.spark.sql.functions._
@@ -96,8 +102,8 @@ for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")
     graft.operators.Profiling.estimateTokenCount(cms, "the")
   }
   // r10 learned filters are linear families too: classifier scoring is
-  // one explode + one per-doc aggregation (weights a literal array —
-  // train ONCE outside the timed body, the production split), DSIR is
+  // the TokenBucketMargin kernel — pure scan work, zero exchanges
+  // (train ONCE outside the timed body, the production split); DSIR is
   // a bounded LM fit + one scoring pass + a top-k draw
   val clf = graft.operators.TextAnalysis.trainClassifier(
     docs, "doc_id", "text", (col("lang") === "en").cast("double"),
