@@ -145,6 +145,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_ % 3 == 2) && got.count(_ % 3 == 0) == 20)
   }
 
+  test("streaming classifier scoring equals the batch scores (stateless kernel)") {
+    // a trained quality model applied to a live feed: the margin kernel
+    // is pure per-row Column work, so it drops into a stream unchanged —
+    // no state store, no watermark, and stream output must EQUAL batch
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq(
+      (0L, 1.0, "good great fine solid"), (1L, 1.0, "good fine good great"),
+      (2L, 0.0, "spam junk noise drivel"), (3L, 0.0, "junk spam junk noise"))
+      .toDF("doc_id", "y", "text")
+    val (w, b) = graft.operators.TextAnalysis.trainClassifier(
+      train, "doc_id", "text", org.apache.spark.sql.functions.col("y"),
+      buckets = 32, iters = 6, lr = 5.0)
+    val feed = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) s"good solid v$i" else s"spam drivel v$i"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.scoreClassifier(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", w, b)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("clf_stream").start()
+    mem.addData(feed: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clf_stream")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = graft.operators.TextAnalysis.scoreClassifier(
+        feed.toDF("doc_id", "text"), "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"stream/batch classifier divergence")
+    // and the model actually separates the live feed
+    assert((0L until 40L by 2).forall(i => got(i) > got(i + 1)),
+      "even (good) docs must outscore odd (spam) docs")
+  }
+
   test("streaming near-dup detection flags small-hamming arrivals, evicts old state") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
