@@ -537,4 +537,65 @@ object Curation {
       .filter(col("status") =!= "unchanged")
       .select(col("id"), col("status"))
   }
+
+  /** Cross-split leakage audit: near-duplicate pairs whose endpoints
+    * land in DIFFERENT splits of [[splitAssign]] leak training text
+    * into held-out evaluation — the check to run before trusting a
+    * val/test metric on a deduped-per-split-only corpus. Returns the
+    * full split×split pair matrix (split_a <= split_b lexicographically)
+    * with pair counts and mean similarity; the off-diagonal rows are
+    * the leaks.
+    *
+    * Scale: the pair stream comes from the bucketed
+    * [[Dedup.ngramJaccardPairs]] (shingle inverted index — no
+    * all-pairs); the split labels are pure md5 functions of the ids
+    * already on each pair row, so labeling adds ZERO joins and the
+    * only new shuffle is the final tiny |splits|² aggregate. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+    val sa = splitAssign(col("id_a"), splits)
+    val sb = splitAssign(col("id_b"), splits)
+    pairs
+      .select(least(sa, sb).as("split_a"), greatest(sa, sb).as("split_b"),
+        col("jaccard"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
+  /** Token-budget mixture planner: given a target token budget and a
+    * temperature `alpha`, compute per-source availability and the
+    * α-temperature allocation (share_i = avail_i^α / Σ avail_j^α —
+    * α=1 proportional, α→0 uniform; 0.5 is the √-temperature most
+    * multilingual/multi-source recipes use). Emits the numbers a
+    * pipeline needs to configure [[rateSample]]/[[temperatureSample]]
+    * per source: allocated tokens, sampling rate, and epoch count
+    * (sample_rate > 1 means the source up-samples / repeats).
+    *
+    * Scale: ONE partial-aggregated shuffle on the source column; the
+    * normalization is a crossJoin against a 1×1 total frame over the
+    * |sources|-row aggregate (bounded by construction, same pattern as
+    * the curation report). share is rounded to 6 dp BEFORE the floor()
+    * allocation so the plan is engine-stable (oracle-replayable). */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(budgetTokens > 0 && alpha > 0, "need budgetTokens>0, alpha>0")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))
+    val tot = per.agg(
+      sum(pow(col("avail_tokens").cast(DoubleType), lit(alpha))).as("__tot"))
+    per.crossJoin(tot)
+      .withColumn("share",
+        round(pow(col("avail_tokens").cast(DoubleType), lit(alpha)) / col("__tot"), 6))
+      .withColumn("alloc_tokens",
+        floor(lit(budgetTokens.toDouble) * col("share")).cast(LongType))
+      .withColumn("sample_rate",
+        round(col("alloc_tokens").cast(DoubleType) / col("avail_tokens"), 6))
+      .withColumn("epochs",
+        ceil(col("alloc_tokens").cast(DoubleType) / col("avail_tokens")).cast(LongType))
+      .select("source", "n_docs", "avail_tokens", "share",
+        "alloc_tokens", "sample_rate", "epochs")
+  }
 }

@@ -553,4 +553,99 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  // ---------------------------------------------------------------------
+  // Substring-level (sub-document) exact dedup: maximal repeated spans.
+  // The suffix-array dedup of Lee et al. 2021 ("Deduplicating Training
+  // Data Makes Language Models Better") finds every token substring of
+  // length >= k that occurs >= minOcc times ANYWHERE in the corpus
+  // (across documents or repeated within one) and removes those spans.
+  // A literal distributed suffix array is the wrong tool on Spark; the
+  // equivalent declarative formulation: every duplicated substring of
+  // length >= k is a union of duplicated k-grams, so hash all
+  // OVERLAPPING k-grams, keep gram start positions whose hash occurs
+  // >= minOcc times, and merge runs of covered token positions into
+  // maximal spans. This differs from Curation.dropBoilerplateSpans
+  // (CCNet-style) in all three dimensions: grams overlap (windows there
+  // are disjoint), the count is total occurrences (within-doc repetition
+  // counts; there it is distinct docs), and output spans are maximal
+  // merged runs rather than fixed windows.
+
+  /** Start positions (0-based, token units) of duplicated k-grams:
+    * (idCol, p) where the k tokens starting at p hash-match >= minOcc
+    * occurrences corpus-wide. The shuffle carries only (md5, count)
+    * partial aggregates — never gram text — so shuffle width is fixed
+    * at ~16 bytes/gram regardless of k; the duplicated-gram set joins
+    * back semi-style (AQE picks broadcast when it is small, which at
+    * crawl scale it is relative to the gram stream). */
+  private[graft] def repeatedGramStarts(df: DataFrame, idCol: String,
+      textCol: String, k: Int, minOcc: Int): DataFrame = {
+    require(k > 0 && minOcc > 1, "need k>0, minOcc>1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k)
+    val gramHashes = transform(
+      sequence(lit(0), size(col("__t")) - k),
+      p => md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k))).cast(BinaryType)))
+    val grams = base.select(col(idCol), posexplode(gramHashes).as(Seq("p", "h")))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOcc).select("h")
+    grams.join(dup, Seq("h"), "left_semi").select(col(idCol), col("p"))
+  }
+
+  /** Maximal repeated spans: (idCol, span_start, span_end, span_text)
+    * with 0-based inclusive token bounds. Two duplicated grams starting
+    * at p1 < p2 cover one contiguous duplicated-token run iff
+    * p2 <= p1 + k (their [p, p+k-1] windows overlap or touch), so the
+    * merge is gaps-and-islands over gram starts per document: one
+    * window shuffle on the doc id (grams of one doc co-locate; no
+    * global sort), then a join back to the tokenized doc to slice the
+    * span text. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val starts = repeatedGramStarts(df, idCol, textCol, k, minOcc)
+    val w = Window.partitionBy(idCol).orderBy("p")
+    val prevMax = max(col("p")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = starts
+      .withColumn("__brk",
+        when(col("p") > coalesce(prevMax, lit(-k - 1)) + k, lit(1)).otherwise(lit(0)))
+      .withColumn("__g", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("p")).cast(LongType).as("span_start"),
+        (max(col("p")) + (k - 1)).cast(LongType).as("span_end"))
+    val toks = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("__t"))
+    spans.join(toks, Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        concat_ws(" ", slice(col("__t"), (col("span_start") + 1).cast(IntegerType),
+          (col("span_end") - col("span_start") + 1).cast(IntegerType))).as("span_text"))
+  }
+
+  /** Remove every maximal repeated span from every document and
+    * reassemble the survivors in token order; documents that were
+    * entirely duplicated text disappear. This is the conservative
+    * variant (all occurrences removed) — Lee et al. keep one canonical
+    * occurrence, which requires a global occurrence order; for training
+    * corpora the conservative screen composes with doc-level exact
+    * dedup (which already keeps one copy of fully-duplicated docs).
+    *
+    * Scale: covered positions explode from gram starts (bounded by
+    * total token count), distinct once, then a LEFT ANTI equi-join on
+    * (doc, pos) against the token stream — no range join, no windows
+    * over the full corpus; reassembly groups by doc id with an in-group
+    * array_sort exactly like the boilerplate screen. */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOcc: Int = 2): DataFrame = {
+    val starts = repeatedGramStarts(df, idCol, textCol, k, minOcc)
+    val covered = starts
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val tokpos = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    tokpos.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
 }

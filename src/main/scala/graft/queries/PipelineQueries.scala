@@ -135,6 +135,23 @@ object PipelineQueries {
       |  GROUP BY f.b
       |)""".stripMargin
 
+  /** Shared oracle prefix for the substring-dedup rows: tokenize,
+    * hash all OVERLAPPING 10-grams, keep start positions of grams whose
+    * md5 occurs >= 2 times corpus-wide — ends in `dg(doc_id, p)`.
+    * Mirrors Dedup.repeatedGramStarts(k=10, minOcc=2). */
+  private val repeatedGramCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, p, md5(array_to_string(t[(p+1):(p+10)], ' ')) AS h
+      |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 9)) AS p
+      |        FROM tok WHERE len(t) >= 10)
+      |), dup AS (
+      |  SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+      |), dg AS (
+      |  SELECT doc_id, p FROM g SEMI JOIN dup USING (h)
+      |)""".stripMargin
+
   private val base: Map[String, Q] = Map(
     // exact dedup: one shuffle on content hash
     "pl_dedup_exact" -> Q(
@@ -1472,6 +1489,65 @@ object PipelineQueries {
              |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
              |  FROM documents) ORDER BY doc_id""".stripMargin)),
 
+    // cross-split leakage audit: near-dup pairs straddling train/val/test
+    // (split labels are pure md5 of the pair's own ids — zero extra joins)
+    "pl_split_leakage" -> Q(
+      (s, d) => graft.operators.Curation.splitLeakage(
+          Tables(s, d, "documents"), "doc_id", "text",
+          Seq("train" -> 800, "val" -> 100, "test" -> 100),
+          shingleN = 3, threshold = 0.5)
+        .orderBy("split_a", "split_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pr AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) AS jaccard
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |), lab AS (
+             |  SELECT jaccard,
+             |    CASE WHEN ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+             |         WHEN ('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+             |         ELSE 'test' END AS sa,
+             |    CASE WHEN ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 1000 < 800 THEN 'train'
+             |         WHEN ('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 8))::BIGINT % 1000 < 900 THEN 'val'
+             |         ELSE 'test' END AS sb
+             |  FROM pr
+             |)
+             |SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+             |  count(*) AS n_pairs, round(avg(jaccard), 4) AS avg_jaccard
+             |FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
+
+    // token-budget mixture planner: α-temperature allocation per source
+    // (α=0.5), 100k-token budget — rates/epochs for the sampling stages
+    "pl_mixture_plan" -> Q(
+      (s, d) => graft.operators.Curation.mixturePlan(
+          Tables(s, d, "documents"), "source", "text",
+          budgetTokens = 100000L, alpha = 0.5)
+        .orderBy("source"),
+      Some("""WITH per AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS avail_tokens
+             |  FROM documents GROUP BY source
+             |), tot AS (
+             |  SELECT sum(pow(CAST(avail_tokens AS DOUBLE), 0.5)) AS t FROM per
+             |), sh AS (
+             |  SELECT source, n_docs, avail_tokens,
+             |    round(pow(CAST(avail_tokens AS DOUBLE), 0.5) / t, 6) AS share
+             |  FROM per, tot
+             |)
+             |SELECT source, n_docs, avail_tokens, share,
+             |  CAST(floor(100000 * share) AS BIGINT) AS alloc_tokens,
+             |  round(CAST(floor(100000 * share) AS DOUBLE) / avail_tokens, 6) AS sample_rate,
+             |  CAST(ceil(CAST(floor(100000 * share) AS DOUBLE) / avail_tokens) AS BIGINT) AS epochs
+             |FROM sh ORDER BY source""".stripMargin)),
+
     // token-window chunking (32-token windows, 8-token overlap)
     "pl_text_chunks" -> Q(
       (s, d) => graft.operators.Curation.chunkDocuments(
@@ -1711,6 +1787,51 @@ object PipelineQueries {
              |  round(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
              |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 4) AS f1
              |FROM cf""".stripMargin)),
+
+    // substring-level exact dedup (suffix-array semantics declaratively:
+    // overlapping 10-gram hashes, corpus-wide occurrence count >= 2,
+    // gaps-and-islands merge to maximal spans) — Dedup.repeatedSpans
+    "pl_substring_spans" -> Q(
+      (s, d) => Dedup.repeatedSpans(Tables(s, d, "documents"), "doc_id", "text",
+          k = 10, minOcc = 2)
+        .orderBy("doc_id", "span_start"),
+      Some(repeatedGramCtes +
+        """, isl AS (
+          |  SELECT doc_id, p, CASE WHEN p > coalesce(max(p) OVER (
+          |      PARTITION BY doc_id ORDER BY p
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -11) + 10
+          |    THEN 1 ELSE 0 END AS brk
+          |  FROM dg
+          |), grp AS (
+          |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+          |  FROM isl
+          |), spans AS (
+          |  SELECT doc_id, min(p) AS span_start, max(p) + 9 AS span_end
+          |  FROM grp GROUP BY doc_id, gid
+          |)
+          |SELECT s.doc_id, s.span_start, s.span_end,
+          |  array_to_string(t.t[(s.span_start+1):(s.span_end+1)], ' ') AS span_text
+          |FROM spans s JOIN tok t USING (doc_id)
+          |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // remove every maximal repeated span, reassemble survivors —
+    // Dedup.dropRepeatedSpans (conservative all-occurrences variant)
+    "pl_dedup_substring" -> Q(
+      (s, d) => Dedup.dropRepeatedSpans(Tables(s, d, "documents"), "doc_id", "text",
+          k = 10, minOcc = 2)
+        .orderBy("doc_id"),
+      Some(repeatedGramCtes +
+        """, covered AS (
+          |  SELECT DISTINCT dg.doc_id, dg.p + r.range AS pos
+          |  FROM dg, range(0, 10) r
+          |), tokpos AS (
+          |  SELECT doc_id, pos, t[pos+1] AS w
+          |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok)
+          |), kept AS (
+          |  SELECT doc_id, pos, w FROM tokpos ANTI JOIN covered USING (doc_id, pos)
+          |)
+          |SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS clean_text
+          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
   /** Multi-probe recall@10 of every ANN method against the exact

@@ -981,4 +981,111 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(srcOnly == src0)
   }
+
+  test("split leakage equals a join-based reference composition") {
+    // the operator labels pair endpoints with inline md5 splits (zero
+    // joins); this differential rebuilds the same matrix the expensive
+    // way — pairs joined twice against a materialized assignment table
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val got = Curation.splitLeakage(docs, "doc_id", "text", splits)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val assigned = docs.select(col("doc_id"),
+      Curation.splitAssign(col("doc_id"), splits).as("split"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val ref = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("a"), greatest(col("sa"), col("sb")).as("b"),
+        col("jaccard"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n"), round(avg("jaccard"), 4).as("j"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    assert(got.values.map(_._1).sum > 0, "fixture should contain near-dup pairs")
+  }
+
+  test("mixture plan: proportional at alpha=1, uniform-ward at alpha=0.5, budget respected") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, if (i < 30) "big" else "small",
+        Seq.fill(10)(s"w${i}_x").mkString(" "))).toDF("doc_id", "source", "text")
+    // big: 300 tokens, small: 100 tokens
+    def plan(alpha: Double) = Curation.mixturePlan(df, "source", "text", 1000L, alpha)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    val p1 = plan(1.0)
+    assert(p1("big")._2 == 300 && p1("small")._2 == 100)
+    assert(math.abs(p1("big")._3 - 0.75) < 1e-6 && math.abs(p1("small")._3 - 0.25) < 1e-6)
+    assert(p1.values.map(_._4).sum <= 1000, "allocation must not exceed the budget")
+    val ph = plan(0.5)
+    // √-temperature pulls toward uniform: small's share rises above 0.25
+    assert(ph("small")._3 > 0.25 && ph("big")._3 < 0.75, ph.toString)
+    // up-sampling visible: small source allocated > available → epochs >= 2
+    assert(ph("small")._4 > 100 && ph("small")._6 >= 2, ph.toString)
+    // sample_rate consistent with alloc/avail
+    assert(math.abs(ph("big")._5 - ph("big")._4.toDouble / 300) < 1e-6)
+  }
+
+  test("repeated spans: maximal, duplicated, within-doc repeats detected") {
+    import spark.implicits._
+    val k = 3
+    // d1/d2 share "a b c d"; d3 repeats "x y z" internally (unique to d3);
+    // d4 is all-unique filler; d5 is a verbatim copy of d4's first 3 tokens
+    // plus unique tail (only a k-window if it aligns — it shares exactly
+    // "p q r" with d4, one full 3-gram).
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "h i a b c d j"),
+      (3L, "x y z m n x y z o"),
+      (4L, "p q r s t u v"),
+      (5L, "p q r w1 w2 w3 w4")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", k, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList.sortBy(s => (s._1, s._2))
+    // d1 tokens 0-3 "a b c d" (grams at 0,1 merge); d2 tokens 2-5
+    assert(spans.contains((1L, 0L, 3L, "a b c d")), spans.toString)
+    assert(spans.contains((2L, 2L, 5L, "a b c d")), spans.toString)
+    // within-doc repetition: "x y z" occurs twice inside d3 only
+    assert(spans.contains((3L, 0L, 2L, "x y z")), spans.toString)
+    assert(spans.contains((3L, 5L, 7L, "x y z")), spans.toString)
+    // the shared 3-gram between d4/d5
+    assert(spans.contains((4L, 0L, 2L, "p q r")), spans.toString)
+    assert(spans.contains((5L, 0L, 2L, "p q r")), spans.toString)
+    assert(spans.size == 6, s"unexpected extra spans: $spans")
+    // every span is >= k tokens and spans of one doc don't touch
+    spans.foreach { case (_, s, e, t) =>
+      assert(e - s + 1 >= k && t.split(" ").length == (e - s + 1).toInt)
+    }
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case List(a, b) => assert(b._2 > a._3 + 1, s"non-maximal spans: $a $b")
+        case _ =>
+      }
+    }
+  }
+
+  test("drop repeated spans removes exactly the covered tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "h i a b c d j"),
+      (3L, "a b c d e f g"), // verbatim dup of d1: disappears entirely
+      (4L, "p q r s t u v")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "doc_id", "text", 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val clean = Dedup.dropRepeatedSpans(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // reconstruct expected survivors from the span list
+    val texts = df.collect().map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    for ((id, toks) <- texts) {
+      val covered = spans.collect { case (i, s, e) if i == id => (s.toInt to e.toInt) }
+        .flatten.toSet
+      val expect = toks.zipWithIndex.collect { case (w, i) if !covered(i) => w }
+      if (expect.isEmpty) assert(!clean.contains(id), s"doc $id should vanish")
+      else assert(clean(id) == expect.mkString(" "), s"doc $id: ${clean.get(id)}")
+    }
+    assert(!clean.contains(1L) && !clean.contains(3L), "full dups must vanish")
+    assert(clean(4L) == "p q r s t u v", "untouched doc survives verbatim")
+  }
 }

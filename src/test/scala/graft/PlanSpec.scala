@@ -429,4 +429,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "scoring should not join a weight table:\n" + p)
     assert(!p.contains("Exchange"), "scoring must be exchange-free:\n" + p)
   }
+
+  test("substring dedup: hash-only shuffle, partial agg, anti-join removal") {
+    // The gram-frequency shuffle must carry md5 hashes (16 bytes/gram),
+    // never gram TEXT — at crawl scale the gram stream is ~n_tokens rows
+    // per doc and a text-keyed shuffle would be k× wider. Gate: the
+    // aggregate is two-phase (partial_count before the exchange) and no
+    // concat/array_join of the token array appears below the first
+    // aggregate's exchange... simplest robust proxy: the grouping key is
+    // the md5 column and partial aggregation exists in-plan.
+    val p = plan("pl_dedup_substring")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "gram frequency must partial-aggregate map-side:\n" + p)
+    assert(p.contains("LeftAnti"), "span removal must be a LeftAnti join:\n" + p)
+    // removal set is data-dependent: no forced broadcast hint
+    val logical = SparkEntry.queries("pl_dedup_substring")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!logical.toLowerCase.contains("broadcasthint"),
+      "forced broadcast on a data-dependent removal set:\n" + logical)
+  }
+
+  test("repeated spans: island merge windows partition by doc id only") {
+    // The gaps-and-islands merge must shuffle once on the doc id (grams
+    // of one doc co-locate) — a Window without PARTITION BY would pull
+    // the whole gram stream onto one task at 100 TB.
+    val p = plan("pl_substring_spans")
+    assert(p.contains("Window"), "span merge should use window functions:\n" + p)
+    // every Window operator line must carry a partition spec (printed as
+    // windowspecdefinition(doc_id#..., p#... ASC ...)); a global window
+    // prints windowspecdefinition(p#... ASC) with no partition column
+    val specs = """windowspecdefinition\(([^)]*)\)""".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty, "expected windowspecdefinition in plan:\n" + p)
+    specs.foreach(s => assert(s.contains("doc_id"),
+      s"window not partitioned by doc id: $s\n" + p))
+  }
 }
