@@ -92,7 +92,12 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // r10 learned filters: DSIR's LM fit is vocab-bounded and the draw a
   // top-k heap; classifier training is 3 one-aggregation GD rounds over
   // the persisted feature frame, scoring one join-free pass
-  "pl_dsir_sample", "pl_quality_classifier", "pl_classifier_eval")
+  "pl_dsir_sample", "pl_quality_classifier", "pl_classifier_eval",
+  // r10 substring dedup + leakage audit: this copy-built corpus is the
+  // adversarial case for both — every gram is duplicated across the 10
+  // copies (the dup set ~= the gram stream) and every doc has 9
+  // near-dup partners for the pair stage
+  "pl_dedup_substring", "pl_split_leakage")
   .foreach(time(_))
 
 // pl_emb_nn in the list above now runs the DEFAULT guard (maxBlock=2000

@@ -119,11 +119,20 @@ for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")
         n = 1000, vocab = 65536)
       .count()
   }
+  // r10 substring dedup: gram explode is linear in tokens, the
+  // frequency table one partial-agg shuffle of md5s, the island merge
+  // windows per doc — and this copy corpus is adversarial (nearly every
+  // gram duplicated across copies, so the semi/anti join sides are as
+  // large as they can get)
+  time("substring_dedup", scale) {
+    graft.operators.Dedup.dropRepeatedSpans(docs, "doc_id", "text", 10, 2)
+      .queryExecution.toRdd.count()
+  }
 }
 
 println("[SF10] family            10x warm   100x warm   factor")
 for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge",
-    "classifier_score", "dsir_sample")) {
+    "classifier_score", "dsir_sample", "substring_dedup")) {
   val a = warm((f, "10x")); val b = warm((f, "100x"))
   println(f"[SF10] $f%-16s ${a}%8.2f s ${b}%9.2f s ${b / a}%8.1fx")
 }

@@ -621,6 +621,76 @@ object Dedup {
           (col("span_end") - col("span_start") + 1).cast(IntegerType))).as("span_text"))
   }
 
+  /** Keep-first variant of [[dropRepeatedSpans]] — Lee et al.'s actual
+    * policy: of each duplicated k-gram's occurrences, the globally
+    * FIRST one (min (doc, position) order) is canonical and survives;
+    * every later occurrence is cut. Canonicality is per-gram: a token
+    * is removed iff some NON-canonical duplicated gram covers it, so
+    * the first document to contain a phrase keeps it intact and each
+    * re-occurrence elsewhere (or later in the same document) is
+    * removed. Unlike the conservative variant, a corpus of N verbatim
+    * copies keeps exactly one full copy.
+    *
+    * Scale: adds ONE window shuffle on the gram hash (row_number over
+    * each hash's occurrence list — per-hash groups are occurrence
+    * counts, bounded by duplication density, no global sort); the rest
+    * of the plan is identical to [[dropRepeatedSpans]]. */
+  def dropRepeatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && minOcc > 1, "need k>0, minOcc>1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k)
+    val gramHashes = transform(
+      sequence(lit(0), size(col("__t")) - k),
+      p => md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k))).cast(BinaryType)))
+    val grams = base.select(col(idCol), posexplode(gramHashes).as(Seq("p", "h")))
+    val wh = Window.partitionBy("h").orderBy(col(idCol), col("p"))
+    val occ = grams
+      .withColumn("__rn", row_number().over(wh))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("h")))
+    val removable = occ.filter(col("__n") >= minOcc && col("__rn") > 1)
+      .select(col(idCol), col("p"))
+    val covered = removable
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val tokpos = df.select(col(idCol),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+    tokpos.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("clean_text"))
+  }
+
+  /** Per-source duplication profile over the [[repeatedSpans]] screen:
+    * how much of each source's token mass sits inside repeated spans —
+    * the number a curation run reads BEFORE deciding to pay for span
+    * removal. One row per source: docs, total tokens, tokens covered by
+    * repeated spans, affected docs, and the duplicated fraction.
+    *
+    * Scale: the covered-position stream aggregates per (source)
+    * straight off the span screen — counts only, no text columns past
+    * the gram stage, driver sees |sources| rows. */
+  def repeatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, k: Int, minOcc: Int = 2): DataFrame = {
+    val starts = repeatedGramStarts(df, idCol, textCol, k, minOcc)
+    val covered = starts
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val perDoc = covered.groupBy(idCol).agg(count(lit(1)).as("__dup_toks"))
+    val src = df.select(col(idCol), col(sourceCol).as("source"),
+      size(split(trim(col(textCol)), "\\s+")).cast(LongType).as("__toks"))
+    src.join(perDoc, Seq(idCol), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("total_tokens"),
+        coalesce(sum(col("__dup_toks")), lit(0L)).as("dup_tokens"),
+        count(col("__dup_toks")).as("affected_docs"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast(DoubleType) / col("total_tokens"), 6))
+  }
+
   /** Remove every maximal repeated span from every document and
     * reassemble the survivors in token order; documents that were
     * entirely duplicated text disappear. This is the conservative

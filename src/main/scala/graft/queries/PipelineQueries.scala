@@ -1832,6 +1832,56 @@ object PipelineQueries {
           |)
           |SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS clean_text
           |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // keep-first substring dedup: the globally first occurrence of each
+    // duplicated gram survives (Lee et al. policy) — N verbatim copies
+    // keep exactly one full copy
+    "pl_dedup_substring_keepfirst" -> Q(
+      (s, d) => Dedup.dropRepeatedSpansKeepFirst(Tables(s, d, "documents"),
+          "doc_id", "text", k = 10, minOcc = 2)
+        .orderBy("doc_id"),
+      Some(repeatedGramCtes +
+        """, occ AS (
+          |  SELECT doc_id, p,
+          |    row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+          |  FROM g SEMI JOIN dup USING (h)
+          |), rem AS (
+          |  SELECT doc_id, p FROM occ WHERE rn > 1
+          |), covered AS (
+          |  SELECT DISTINCT rem.doc_id, rem.p + r.range AS pos
+          |  FROM rem, range(0, 10) r
+          |), tokpos AS (
+          |  SELECT doc_id, pos, t[pos+1] AS w
+          |  FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS pos FROM tok)
+          |), kept AS (
+          |  SELECT doc_id, pos, w FROM tokpos ANTI JOIN covered USING (doc_id, pos)
+          |)
+          |SELECT doc_id, array_to_string(list(w ORDER BY pos), ' ') AS clean_text
+          |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // per-source duplication profile: token mass inside repeated spans —
+    // the observability row a curation run reads before paying for removal
+    "pl_substring_profile" -> Q(
+      (s, d) => Dedup.repeatedSpanProfile(Tables(s, d, "documents"),
+          "doc_id", "text", "source", k = 10, minOcc = 2)
+        .orderBy("source"),
+      Some(repeatedGramCtes +
+        """, covered AS (
+          |  SELECT DISTINCT dg.doc_id, dg.p + r.range AS pos
+          |  FROM dg, range(0, 10) r
+          |), perdoc AS (
+          |  SELECT doc_id, count(*) AS dup_toks FROM covered GROUP BY doc_id
+          |), src AS (
+          |  SELECT doc_id, source, len(string_split(trim(text), ' ')) AS toks
+          |  FROM documents
+          |)
+          |SELECT source, count(*) AS n_docs,
+          |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+          |  CAST(coalesce(sum(dup_toks), 0) AS BIGINT) AS dup_tokens,
+          |  count(dup_toks) AS affected_docs,
+          |  round(CAST(coalesce(sum(dup_toks), 0) AS DOUBLE) / sum(toks), 6) AS dup_frac
+          |FROM src LEFT JOIN perdoc USING (doc_id)
+          |GROUP BY source ORDER BY source""".stripMargin)),
   )
 
   /** Multi-probe recall@10 of every ANN method against the exact

@@ -1065,6 +1065,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("keep-first substring dedup keeps exactly one copy of duplicated text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "h i a b c d j"),
+      (3L, "a b c d e f g"), // verbatim copy of d1
+      (4L, "x y z m n x y z o")) // within-doc repeat of "x y z"
+      .toDF("doc_id", "text")
+    val clean = Dedup.dropRepeatedSpansKeepFirst(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // d1 is globally first for every gram it shares: survives verbatim
+    assert(clean(1L) == "a b c d e f g", clean.toString)
+    // d2's "a b c"/"b c d" occurrences are later than d1's: cut
+    assert(clean(2L) == "h i j", clean.toString)
+    // d3 is a verbatim copy and every gram's first home is d1: vanishes
+    assert(!clean.contains(3L), clean.toString)
+    // within-doc repeat: first "x y z" canonical, second cut
+    assert(clean(4L) == "x y z m n o", clean.toString)
+  }
+
+  test("substring profile's dup token mass equals the drop screen's token loss") {
+    val prof = Dedup.repeatedSpanProfile(docs, "doc_id", "text", "source", 10, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val orig = docs.select(col("doc_id"), col("source"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clean = Dedup.dropRepeatedSpans(docs, "doc_id", "text", 10, 2)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").length.toLong).toMap
+    val lossBySrc = orig.groupBy(_._2).map { case (s, rows) =>
+      s -> rows.map { case (id, _, n) => n - clean.getOrElse(id, 0L) }.sum }
+    for ((s, (nDocs, tot, dup, affected, frac)) <- prof) {
+      assert(dup == lossBySrc(s), s"source $s: profile says $dup, screen lost ${lossBySrc(s)}")
+      assert(affected <= nDocs && dup <= tot && frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - dup.toDouble / tot) < 1e-6)
+    }
+    assert(prof.values.map(_._3).sum > 0, "fixture should contain repeated spans")
+  }
+
   test("drop repeated spans removes exactly the covered tokens") {
     import spark.implicits._
     val df = Seq(
