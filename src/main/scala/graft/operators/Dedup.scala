@@ -554,6 +554,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * removal scoped to LEARNED k-means clusters. Unlike
+    * [[dropEmbeddingNearDuplicates]], which needs a caller-supplied
+    * blocking column (a label rarely exists for a raw crawl), this
+    * trains spherical k-means on the embeddings themselves
+    * ([[Similarity.kmeansCentroids]] — md5-seeded, deterministic) and
+    * pairs vectors only within their assigned cluster, dropping the
+    * higher id of every pair with cosine >= `threshold`.
+    *
+    * Returns the surviving rows of `df` plus their assigned `cell`.
+    *
+    * Scale (100 TB): pairing is quadratic in CLUSTER size, and cluster
+    * size is corpus_size / nlist — so `nlist` is the knob that keeps the
+    * pair stage bounded (the paper runs ~100k clusters for web scale;
+    * size nlist so corpus/nlist stays in the low thousands). Training
+    * cost per Lloyd round is one scan + an (nlist x dim)-row driver
+    * aggregate; assignment and pairing shuffle once on the cell id. */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, threshold: Double): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val keep = viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val centroids = Similarity.kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val assigned = proj.select(col(idCol), col("__v"),
+        Similarity.cellAssign(col("__v"), centroids).as("cell"))
+      val pairs = embeddingCosinePairs(assigned, idCol, "__v", "cell", threshold)
+      val remove = pairs.select(col("id_b").as("__rm")).distinct()
+      assigned.join(remove, col(idCol) === col("__rm"), "left_anti")
+        .select(col(idCol), col("cell"))
+    }
+    df.join(keep, Seq(idCol))
+  }
+
   // ---------------------------------------------------------------------
   // Substring-level (sub-document) exact dedup: maximal repeated spans.
   // The suffix-array dedup of Lee et al. 2021 ("Deduplicating Training

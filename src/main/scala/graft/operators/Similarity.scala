@@ -436,7 +436,7 @@ object Similarity {
 
   /** Nearest-centroid cell id as a scan-stage expression: argmax of the
     * compiled cosine over `cs`, ties to the smallest index. */
-  private[operators] def cellAssign(v: Column, cs: IndexedSeq[Seq[Double]]): Column = {
+  private[graft] def cellAssign(v: Column, cs: IndexedSeq[Seq[Double]]): Column = {
     val assigned = array_max(array(cs.zipWithIndex.map { case (c, i) =>
       struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-i).as("negidx"))
     }: _*))

@@ -1599,6 +1599,98 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
              |ORDER BY vec_id""".stripMargin)),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup scoped to LEARNED
+    // k-means clusters — no label needed, the cluster id bounds the
+    // pair stage. The oracle replays the full 2-iteration spherical
+    // k-means trajectory (identical chain to pl_emb_ann_ivf_kmeans:
+    // md5 seeds -> normalize+round(6) -> argmax-cosine assign ->
+    // per-(cell,dim) means -> renormalize; empty cells keep their
+    // centroid), then drops the higher id of every within-cluster pair
+    // with cosine >= 0.25.
+    "pl_emb_semdedup" -> Q(
+      (s, d) => Dedup.semDeDup(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = AnnParams.IvfNlist, iters = AnnParams.KmIters, threshold = 0.25)
+        .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("label"))
+        .orderBy("vec_id"),
+      Some(s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |dims AS (SELECT unnest(range(0, len(v))) AS i FROM (SELECT v FROM emb WHERE vec_id = 0)),
+             |seed AS (
+             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, v
+             |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${AnnParams.IvfNlist}
+             |),
+             |seed_n AS (
+             |  SELECT idx, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm
+             |  FROM seed
+             |),
+             |cent0 AS (SELECT idx, list_transform(v, x -> round(x / nrm, 6)) AS c FROM seed_n),
+             |assign0 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent0 c) WHERE rn = 1
+             |),
+             |sd_means1 AS (
+             |  SELECT cell, i AS pos, avg(x) AS m FROM (
+             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign0 a CROSS JOIN dims d
+             |  ) GROUP BY cell, i
+             |),
+             |c1raw AS (
+             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means1 GROUP BY cell
+             |),
+             |c1n AS (
+             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+             |  FROM c1raw
+             |),
+             |cent1 AS (
+             |  SELECT c0.idx,
+             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+             |              FROM c1n r WHERE r.idx = c0.idx), c0.c) AS c
+             |  FROM cent0 c0
+             |),
+             |assign1 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent1 c) WHERE rn = 1
+             |),
+             |sd_means2 AS (
+             |  SELECT cell, i AS pos, avg(x) AS m FROM (
+             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign1 a CROSS JOIN dims d
+             |  ) GROUP BY cell, i
+             |),
+             |c2raw AS (
+             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means2 GROUP BY cell
+             |),
+             |c2n AS (
+             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+             |  FROM c2raw
+             |),
+             |cent2 AS (
+             |  SELECT c1.idx,
+             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+             |              FROM c2n r WHERE r.idx = c1.idx), c1.c) AS c
+             |  FROM cent1 c1
+             |),
+             |assign2 AS (
+             |  SELECT vec_id, v, idx AS cell FROM (
+             |    SELECT e.vec_id, e.v, c.idx,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+             |    FROM emb e CROSS JOIN cent2 c) WHERE rn = 1
+             |),
+             |sd_pairs AS (
+             |  SELECT b.vec_id AS rm FROM assign2 a JOIN assign2 b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.25
+             |)
+             |SELECT e.vec_id, a.cell, e.label
+             |FROM embeddings e JOIN assign2 a ON a.vec_id = e.vec_id
+             |WHERE e.vec_id NOT IN (SELECT rm FROM sd_pairs)
+             |ORDER BY e.vec_id""".stripMargin)),
+
     // deterministic mixture-rate sampling: md5-bucket rates per source
     // (src0 kept whole, src1 half, src2 nearly dropped, rest at 250 permill)
     "pl_sample_rate" -> Q(

@@ -1128,4 +1128,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(!clean.contains(1L) && !clean.contains(3L), "full dups must vanish")
     assert(clean(4L) == "p q r s t u v", "untouched doc survives verbatim")
   }
+
+  test("semDeDup equals blocked near-dup drop on the learned clusters") {
+    // the learned-cluster variant must agree exactly with the existing
+    // label-blocked operator when that operator is handed the SAME
+    // cluster assignment as its blocking column
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    val proj = emb.select(col("vec_id"), v.as("__v"))
+    val cents = Similarity.kmeansCentroids(proj, "vec_id", "__v", 8, 2)
+    val assigned = emb.select(col("vec_id"), col("embedding"), col("label"),
+      Similarity.cellAssign(v, cents).as("cell"))
+    val viaBlocked = Dedup.dropEmbeddingNearDuplicates(
+        assigned, "vec_id", "embedding", "cell", 0.25)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaSem = Dedup.semDeDup(emb, "vec_id", "embedding", 8, 2, 0.25)
+    val semIds = viaSem.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(semIds == viaBlocked)
+    // survivors keep their full row + the assigned cell
+    assert(viaSem.columns.toSet == Set("vec_id", "embedding", "label", "cell"))
+    val n = emb.count()
+    assert(semIds.nonEmpty && semIds.size < n,
+      s"threshold 0.25 must actually drop something: ${semIds.size} of $n")
+    // keep-lowest-id: the smallest id of every cluster always survives
+    val minPerCell = assigned.groupBy("cell").agg(min("vec_id").as("m"))
+      .collect().map(_.getLong(1)).toSet
+    assert(minPerCell.subsetOf(semIds))
+    Dedup.releaseAll()
+  }
 }
