@@ -629,6 +629,39 @@ object Similarity {
     topPerProbe(scored, idCol, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each of
+    * `nProbes` md5-sampled anchor vectors (same deterministic sample as
+    * [[probeRows]]), the `k` most cosine-similar vectors with a
+    * DIFFERENT label — the "hard" negatives an embedding-model trainer
+    * pairs with each anchor. One corpus pass scores every anchor
+    * (broadcast anchor set, compiled cosine); the per-anchor cut is the
+    * group-limited window, so the shuffle carries O(probes x k x
+    * partitions), not the scored candidates. At 100 TB, swap the exact
+    * scoring pass for [[lshTopKBatch]]-style bucketed candidates — the
+    * anchor/filter/cut shape is unchanged. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nProbes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchors = df.select(col(idCol).cast(LongType).as("probe_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("pv"),
+        col(labelCol).as("probe_label"))
+      .orderBy(md5(concat(col("probe_id").cast(StringType), lit("probe"))
+          .cast(BinaryType)),
+        col("probe_id"))
+      .limit(nProbes)
+    val scored = df.select(col(idCol),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"),
+        col(labelCol).as("neg_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("neg_label") =!= col("probe_label"))
+      .select(col("probe_id"), col(idCol), col("neg_label"),
+        round(cosine(col("__v"), col("pv")), 4).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast(LongType).as("rank"),
+        col(idCol), col("neg_label"), col("cos"))
+  }
+
   /** Precomputed md5-seeded coarse quantizer ([[seedCells]] made
     * caller-visible): pass one instance to several batch ANN calls so
     * the seed fetch runs once per index, not once per method. */

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Tokenizer fitting for LLM training pipelines: byte-pair-encoding
+  * (BPE, Sennrich et al. 2016) learned distributedly over a corpus.
+  *
+  * The classic algorithm operates on the WORD-TYPE frequency table, not
+  * the corpus: each distinct word is a sequence of symbols (initially
+  * its characters), and each round merges the globally most frequent
+  * adjacent symbol pair. That structure is what makes it cheap at
+  * 100 TB:
+  *
+  *  - the corpus is touched ONCE (tokenize + groupBy word) — after
+  *    that, every Lloyd-style merge round runs over the vocabulary
+  *    frame, whose size is bounded by |vocab| (millions), not corpus
+  *    rows (billions); pair counting is a map-side-combinable groupBy
+  *    weighted by word frequency;
+  *  - exactly ONE row (the winning pair) returns to the driver per
+  *    round;
+  *  - applying the learned merges back to documents is a join of
+  *    exploded corpus tokens against the (small, broadcast-able)
+  *    final vocabulary frame.
+  *
+  * Symbol sequences are encoded as strings: symbols joined by TWO
+  * spaces with a single-space sentinel at each end (`" l  o  w "`).
+  * A merge of pair (a, b) is then the literal string replacement
+  * `" a  b " -> " ab "` — the double-space separator guarantees a
+  * match can never straddle a symbol boundary, and the consumed
+  * boundary spaces are restored by the replacement's own sentinels, so
+  * consecutive occurrences (`a a a a` with merge `a+a`) merge exactly
+  * like greedy left-to-right BPE. Both Spark's `replace` and DuckDB's
+  * `replace` scan left-to-right non-overlapping, so the trajectory is
+  * replayable cross-engine (the oracle unrolls it round by round).
+  */
+object Tokenizer {
+
+  /** One learned merge: rank (1-based), the pair's two symbols, the
+    * merged symbol, and the pair's corpus frequency when chosen. */
+  final case class Merge(rank: Int, left: String, right: String,
+      merged: String, count: Long)
+
+  /** Initial symbol-sequence encoding of a word: characters joined by
+    * two spaces, one-space sentinels. */
+  private def charSeq(w: Column): Column =
+    concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(w)),
+        i => w.substr(i, lit(1))), "  "),
+      lit(" "))
+
+  /** Adjacent symbol pairs of a seq as "left right" strings. */
+  private def seqPairs(seq: Column): Column = {
+    val ws = split(trim(seq), "  ")
+    filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)), // concat null-propagates past the end
+      p => p.isNotNull)
+  }
+
+  /** Word-type frequency frame: one row per distinct word with its
+    * corpus count and initial character sequence — the single
+    * corpus-wide scan of the whole fit. */
+  def wordTypes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("seq", charSeq(col("w")))
+
+  /** Corpus-wide adjacent-pair frequencies of a (w, n, seq) vocab
+    * frame, heaviest first (count desc, pair asc). */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(explode(seqPairs(col("seq"))).as("pair"), col("n"))
+      .groupBy("pair").agg(sum("n").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+
+  /** Fit `rounds` BPE merges. Returns the merge table and the final
+    * vocabulary frame (w, n, seq) with all merges applied. The vocab
+    * frame is persisted across rounds (it is vocab-sized, not
+    * corpus-sized); each round reads it once for pair counting and
+    * chains one `replace` onto the lineage. Stops early if no pair is
+    * left to merge. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int)
+      : (Seq[Merge], DataFrame) = {
+    val merges = Seq.newBuilder[Merge]
+    // viaPersisted: the word-type base is cached for the duration of the
+    // rounds, the FINAL vocab is materialized into its own retained
+    // cache (evictable, releaseAll-able), and the base cache is dropped
+    // — the same lifecycle as every other multi-pass dedup stage.
+    val vocabOut = Dedup.viaPersisted(wordTypes(df, textCol)) { base =>
+      var vocab = base
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // exactly one row to the driver per round
+        val top = pairCounts(vocab).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val Array(l, rt) = top(0).getString(0).split(" ", 2)
+          merges += Merge(r, l, rt, l + rt, top(0).getLong(1))
+          vocab = vocab.withColumn("seq",
+            replace(col("seq"), lit(s" $l  $rt "), lit(s" ${l + rt} ")))
+          r += 1
+        }
+      }
+      vocab
+    }
+    (merges.result(), vocabOut)
+  }
+
+  /** Merge table as a DataFrame (merge_rank, left, right, merged,
+    * pair_count) — the artifact a tokenizer consumer ships. */
+  def bpeMergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Apply a fitted vocabulary back to documents: per-doc BPE token
+    * count and chars-per-token compression. The corpus side explodes to
+    * tokens and joins the vocab frame (broadcast-able: |vocab| rows) —
+    * no per-round work ever touches the corpus. */
+  def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(trim(col(textCol)), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val vlen = vocab.select(col("w"),
+      size(split(trim(col("seq")), "  ")).cast("long").as("w_tokens"),
+      length(col("w")).cast("long").as("w_chars"))
+    toks.join(broadcast(vlen), Seq("w"))
+      .groupBy(idCol).agg(
+        sum("w_tokens").as("n_tokens"),
+        sum("w_chars").as("n_chars"))
+      .select(col(idCol), col("n_tokens"), col("n_chars"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4)
+          .as("chars_per_token"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.Tables.r4
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis, Tokenizer}
 import CoreQueries.Q
 
 /** Training-data pipeline operators over the documents/embeddings
@@ -1599,6 +1599,57 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
              |ORDER BY vec_id""".stripMargin)),
 
+    // hard-negative mining for contrastive training: for 20 md5-sampled
+    // anchors, the 5 most cosine-similar vectors with a DIFFERENT label
+    "pl_emb_hard_negatives" -> Q(
+      (s, d) => Similarity.hardNegatives(
+          Tables(s, d, "embeddings"), "vec_id", "embedding", "label",
+          nProbes = 20, k = 5)
+        .orderBy("probe_id", "rank"),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |anch AS (
+             |  SELECT vec_id AS probe_id, v AS pv, label AS probe_label FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'probe'), vec_id LIMIT 20
+             |)
+             |SELECT probe_id, rank, vec_id, neg_label, cos FROM (
+             |  SELECT a.probe_id, e.vec_id, e.label AS neg_label,
+             |    round(list_cosine_similarity(e.v, a.pv), 4) AS cos,
+             |    row_number() OVER (PARTITION BY a.probe_id
+             |      ORDER BY round(list_cosine_similarity(e.v, a.pv), 4) DESC, e.vec_id)
+             |      AS rank
+             |  FROM anch a JOIN emb e ON e.label != a.probe_label
+             |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
+
+    // BPE tokenizer fitting (Sennrich et al. 2016): 6 merge rounds
+    // learned over the word-TYPE frequency table (one corpus scan, then
+    // vocab-sized rounds, one row to the driver per round). The oracle
+    // unrolls the identical trajectory: pair-count -> top-1 (count
+    // desc, pair asc) -> boundary-safe literal replace, per round —
+    // integer counts and literal string surgery only, so it hashes.
+    "pl_bpe_merges" -> Q(
+      (s, d) => {
+        val (merges, _) = Tokenizer.bpeTrain(
+          Tables(s, d, "documents"), "text", rounds = 6)
+        Tokenizer.bpeMergeTable(s, merges)
+          .select(col("merge_rank").cast(LongType).as("merge_rank"),
+            col("left").as("left_sym"), col("right").as("right_sym"),
+            col("merged"), col("pair_count"))
+          .orderBy("merge_rank")
+      },
+      Some(bpeCtes(6) + bpeMergesSelect(6))),
+
+    // applying the fitted vocab back to the corpus: per-doc BPE token
+    // count and chars-per-token compression (the number a tokenizer
+    // consumer actually budgets by)
+    "pl_bpe_encode" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val (_, vocab) = Tokenizer.bpeTrain(docs, "text", rounds = 6)
+        Tokenizer.bpeEncodeStats(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      },
+      Some(bpeCtes(6) + bpeEncodeSelect(6))),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped to LEARNED
     // k-means clusters — no label needed, the cluster id bounds the
     // pair stage. The oracle replays the full 2-iteration spherical
@@ -2292,6 +2343,59 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
 
   val all: Map[String, Q] = base + annRecallEntry
 
+
+  /** DuckDB replay of [[graft.operators.Tokenizer]]'s BPE fit: the
+    * word-type table once (btoks/bwt/bseqs_0), then `rounds` unrolled
+    * (pair-count -> top-1 by count desc, pair asc -> boundary-safe
+    * literal replace) CTE blocks ending at bseqs_`rounds`. Symbol
+    * sequences use the same two-space separator / one-space sentinel
+    * encoding as the engine, so DuckDB's left-to-right non-overlapping
+    * `replace` replays the merge exactly. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH btoks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+        |), bwt AS (
+        |  SELECT w, count(*) AS n FROM btoks WHERE w != '' GROUP BY w
+        |), bseqs_0 AS (
+        |  SELECT w, n, ' ' || array_to_string(
+        |    list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), '  ') || ' ' AS seq
+        |  FROM bwt
+        |)""".stripMargin)
+    for (r <- 1 to rounds) sb ++= s""",
+bpairs_$r AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS p, sum(n) AS cnt FROM (
+    SELECT string_split(trim(seq), '  ') AS ws, n,
+           unnest(range(1, len(string_split(trim(seq), '  ')))) AS i
+    FROM bseqs_${r - 1})
+  GROUP BY p
+),
+btop_$r AS (SELECT p, cnt FROM bpairs_$r ORDER BY cnt DESC, p LIMIT 1),
+bseqs_$r AS (
+  SELECT w, n, replace(seq,
+    ' ' || string_split(p, ' ')[1] || '  ' || string_split(p, ' ')[2] || ' ',
+    ' ' || replace(p, ' ', '') || ' ') AS seq
+  FROM bseqs_${r - 1}, btop_$r
+)"""
+    sb.toString
+  }
+
+  private def bpeMergesSelect(rounds: Int): String =
+    (1 to rounds).map(r =>
+      s"SELECT $r::BIGINT AS merge_rank, string_split(p, ' ')[1] AS left_sym," +
+      s" string_split(p, ' ')[2] AS right_sym, replace(p, ' ', '') AS merged," +
+      s" cnt::BIGINT AS pair_count FROM btop_$r")
+      .mkString("\nSELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY merge_rank")
+
+  private def bpeEncodeSelect(rounds: Int): String =
+    s"""
+SELECT t.doc_id,
+  sum(len(string_split(trim(f.seq), '  ')))::BIGINT AS n_tokens,
+  sum(len(f.w))::BIGINT AS n_chars,
+  round(sum(len(f.w))::DOUBLE / sum(len(string_split(trim(f.seq), '  '))), 4)
+    AS chars_per_token
+FROM btoks t JOIN bseqs_$rounds f ON t.w = f.w
+GROUP BY t.doc_id ORDER BY t.doc_id"""
 
   /** Shared DuckDB replay of the per-subspace PQ Lloyd trajectory
     * (seeds → books0 → two argmin-encode/rounded-means iterations →

@@ -1155,4 +1155,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(minPerCell.subsetOf(semIds))
     Dedup.releaseAll()
   }
+
+  test("hard negatives never share the anchor's label and rank by cosine") {
+    val negs = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      nProbes = 10, k = 5).collect()
+    assert(negs.length == 50)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- negs)
+      assert(labels(r.getAs[Long]("probe_id")) != r.getAs[Int]("neg_label"))
+    // per-probe: ranks 1..k, cosine non-increasing in rank
+    negs.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L))
+      val cs = sorted.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("BPE fit replays the hand-computed trajectory on a toy corpus") {
+    import spark.implicits._
+    // corpus: "aaaa" x3, "ab" x2, "ba" x1
+    //   round 1 pairs: (a,a) 3 words x 3 occurrences... counts are per
+    //   ADJACENT pair in the symbol seq weighted by word freq:
+    //   aaaa -> (a,a) x3 per word x3 words = 9; ab -> (a,b) x2; ba -> (b,a) x1
+    //   merge 1 = (a,a) cnt 9; greedy left-to-right: "a a a a" -> "aa aa"
+    //   round 2 pairs: aaaa=(aa,aa) x3; ab=(a,b) x2; ba=(b,a) x1
+    //   merge 2 = (aa,aa) cnt 3; aaaa -> "aaaa"
+    //   round 3: (a,b) x2 vs (b,a) x1 -> merge 3 = (a,b) cnt 2
+    val df = Seq("aaaa aaaa aaaa ab ab ba").toDF("text")
+    val (merges, vocab) = Tokenizer.bpeTrain(df, "text", rounds = 4)
+    assert(merges.map(m => (m.rank, m.left, m.right, m.merged, m.count)) == Seq(
+      (1, "a", "a", "aa", 9L),
+      (2, "aa", "aa", "aaaa", 3L),
+      (3, "a", "b", "ab", 2L),
+      (4, "b", "a", "ba", 1L)))
+    val seqs = vocab.collect().map(r =>
+      r.getAs[String]("w") -> r.getAs[String]("seq").trim.split("  ").toSeq).toMap
+    assert(seqs("aaaa") == Seq("aaaa"), seqs)
+    assert(seqs("ab") == Seq("ab"))
+    assert(seqs("ba") == Seq("ba"))
+    // boundary safety: a pair must never match across symbol boundaries
+    // ("ya b": the (a, b) merge must not touch the 'a' inside symbol "ya")
+    val df2 = Seq("ya ya ab").toDF("text")
+    val (m2, v2) = Tokenizer.bpeTrain(df2, "text", rounds = 2)
+    assert(m2.head.merged == "ya" && m2.head.count == 2L)
+    val s2 = v2.collect().map(r =>
+      r.getAs[String]("w") -> r.getAs[String]("seq").trim.split("  ").toSeq).toMap
+    assert(s2("ya") == Seq("ya"))
+    assert(s2("ab") == Seq("ab") || s2("ab") == Seq("a", "b"), s2)
+    // encode stats: "aaaa" = 1 token 4 chars, "ab" = 1 token 2 chars
+    val stats = Tokenizer.bpeEncodeStats(
+      df.withColumn("doc_id", lit(0L)), "doc_id", "text", vocab).collect()(0)
+    assert(stats.getAs[Long]("n_tokens") == 6L) // 3 + 2 + 1 words, all single-token
+    assert(stats.getAs[Long]("n_chars") == 3 * 4 + 2 * 2 + 2)
+    Dedup.releaseAll()
+  }
 }
