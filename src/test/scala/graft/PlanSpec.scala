@@ -449,6 +449,50 @@ class PlanSpec extends AnyFunSuite {
       "forced broadcast on a data-dependent removal set:\n" + logical)
   }
 
+  test("hard negatives broadcast the anchor set and cut top-k map-side") {
+    val df = SparkEntry.queries("pl_emb_hard_negatives")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // 20 anchor rows must reach the corpus as a broadcast nested-loop
+    // (label-inequality join), never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "anchor set not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), "shuffled cartesian:\n" + p)
+    // per-anchor top-k prunes to <=k per partition before the shuffle
+    assert(p.contains("WindowGroupLimit"), "top-k not map-side limited:\n" + p)
+  }
+
+  test("BPE pair counting partial-aggregates before its shuffle") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, dir, "documents")
+    val counts = operators.Tokenizer.pairCounts(
+      operators.Tokenizer.wordTypes(docs, "text"))
+    val p = counts.queryExecution.executedPlan.toString
+    // both groupBys (word types, then pair counts) must combine
+    // map-side: the exploded pair stream shrinks to |distinct pairs|
+    // per partition before any wire transfer
+    assert("partial_count|partial_sum".r.findAllIn(p).nonEmpty,
+      "no partial aggregation before shuffle:\n" + p)
+    // the heaviest-first output is a sort of the |pairs|-sized
+    // aggregate, never of the exploded stream: the pair aggregate must
+    // sit ABOVE the pair explode (plans print top-down)
+    val aggIdx = p.indexOf("HashAggregate(keys=[pair")
+    val genIdx = p.indexOf("Generate explode(filter")
+    assert(aggIdx >= 0 && genIdx >= 0 && aggIdx < genIdx,
+      "pair explode must feed the pair aggregate:\n" + p)
+  }
+
+  test("semDeDup pairs only within learned cells, corpus never cross-joins") {
+    val df = SparkEntry.queries("pl_emb_semdedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the pair stage is an equi-join on the cell id — a CartesianProduct
+    // would mean the cluster blocking failed and the corpus went O(n^2)
+    assert(!p.contains("CartesianProduct"), "all-pairs cross join:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on cell:\n" + p)
+  }
+
   test("repeated spans: island merge windows partition by doc id only") {
     // The gaps-and-islands merge must shuffle once on the doc id (grams
     // of one doc co-locate) — a Window without PARTITION BY would pull
