@@ -97,8 +97,28 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // adversarial case for both — every gram is duplicated across the 10
   // copies (the dup set ~= the gram stream) and every doc has 9
   // near-dup partners for the pair stage
-  "pl_dedup_substring", "pl_split_leakage")
+  "pl_dedup_substring", "pl_split_leakage",
+  // r10 additions: BPE fit is one corpus scan + vocab-bounded rounds;
+  // bigram LM is a 64k-table fit + one scoring join; hard negatives one
+  // broadcast-anchor pass; cluster profile trains k-means once
+  "pl_bpe_merges", "pl_text_bigram_ppl", "pl_emb_hard_negatives",
+  "pl_cluster_profile")
   .foreach(time(_))
+
+// semDeDup A/B on nlist — THE scale knob: the query row's nlist=8
+// leaves ~2.5k-row cells on this 20k corpus (quadratic pair mass per
+// cell); nlist=64 shrinks cells ~8x and pair mass ~64x. At 100 TB the
+// paper's regime is ~100k clusters for the same reason.
+{
+  val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+  for ((nl, tag) <- Seq(8 -> "nlist=8", 64 -> "nlist=64"); i <- 1 to 2) {
+    val t0 = System.nanoTime()
+    val n = graft.operators.Dedup.semDeDup(
+      emb, "vec_id", "embedding", nlist = nl, iters = 2, threshold = 0.25).count()
+    println(f"[SF1] pl_emb_semdedup $tag rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    graft.operators.Dedup.releaseAll()
+  }
+}
 
 // pl_emb_nn in the list above now runs the DEFAULT guard (maxBlock=2000
 // since r9): sf1 label blocks are ~1800-2180 rows, so the oversized

@@ -128,11 +128,23 @@ for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")
     graft.operators.Dedup.dropRepeatedSpans(docs, "doc_id", "text", 10, 2)
       .queryExecution.toRdd.count()
   }
+  // r10 tokenizer + bigram LM: both linear — BPE pays one corpus
+  // tokenization, then vocab-bounded merge rounds (the vocab barely
+  // grows with copies, so the rounds are near-constant across scales);
+  // the bigram fit keeps a 64k table and scoring is one join pass
+  time("bpe_fit", scale) {
+    graft.operators.Tokenizer.bpeTrain(docs, "text", rounds = 6)._1.length.toLong
+  }
+  time("bigram_ppl", scale) {
+    graft.operators.TextAnalysis.bigramQualityScore(docs, "doc_id", "text")
+      .queryExecution.toRdd.count()
+  }
 }
 
 println("[SF10] family            10x warm   100x warm   factor")
 for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge",
-    "classifier_score", "dsir_sample", "substring_dedup")) {
+    "classifier_score", "dsir_sample", "substring_dedup", "bpe_fit",
+    "bigram_ppl")) {
   val a = warm((f, "10x")); val b = warm((f, "100x"))
   println(f"[SF10] $f%-16s ${a}%8.2f s ${b}%9.2f s ${b / a}%8.1fx")
 }

@@ -629,6 +629,36 @@ object Similarity {
     topPerProbe(scored, idCol, k)
   }
 
+  /** Per-cluster corpus profile on a learned spherical-k-means
+    * clustering: size, dominant label, and purity (dominant share) per
+    * cell — the triage view a curator reads before setting per-cluster
+    * sampling or filtering rates. Shares [[kmeansCentroids]]'s
+    * deterministic trajectory (and therefore the SemDeDup clustering).
+    * One persisted (id, vec, label) projection serves training and the
+    * final assignment; the result is an nlist-row frame. */
+  def clusterProfile(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nlist: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    Dedup.viaPersisted(
+        df.select(col(idCol), v.as("__v"), col(labelCol).as("__lab"))) { proj =>
+      val centroids = kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val assigned = proj.select(
+        cellAssign(col("__v"), centroids).cast(LongType).as("cell"),
+        col("__lab"))
+      val perLabel = assigned.groupBy("cell", "__lab")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("cell").orderBy(col("n").desc, col("__lab"))
+      val dom = perLabel.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("cell"), col("__lab").as("dom_label"), col("n").as("__domN"))
+      val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("size"))
+      sizes.join(dom, Seq("cell"))
+        .select(col("cell"), col("size"), col("dom_label"),
+          round(col("__domN").cast(DoubleType) / col("size"), 4).as("purity"))
+    }
+  }
+
   /** Hard-negative mining for contrastive training: for each of
     * `nProbes` md5-sampled anchor vectors (same deterministic sample as
     * [[probeRows]]), the `k` most cosine-similar vectors with a

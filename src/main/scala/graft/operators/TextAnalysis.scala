@@ -89,6 +89,55 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram-LM quality score (one order up from
+    * [[unigramQualityScore]], toward the CCNet/KenLM perplexity
+    * filter): fit P(b|a) = c(a,b) / c_ctx(a) on the corpus's adjacent
+    * token pairs, keep the top `tableSize` bigrams (count desc, then
+    * (a, b)), score each doc as the mean log-prob over its bigram
+    * positions with unseen bigrams floored at ln(1/total_pairs), and
+    * report perplexity exp(-mean). Docs with fewer than two tokens
+    * have no bigram positions and drop out.
+    *
+    * Scale: same lifecycle as the unigram fit — the unbounded
+    * distinct-bigram count frame lives only for the fit (persisted
+    * stage inside viaPersisted), what stays retained is the
+    * `tableSize`-row LM slice; scoring is a broadcast-able left join
+    * against it, and the context counts derive from the SAME persisted
+    * counts frame (one corpus tokenization total). */
+  def bigramQualityScore(df: DataFrame, idCol: String, textCol: String,
+      tableSize: Int = 65536): DataFrame = {
+    val ts = split(trim(col(textCol)), " ")
+    // sequence(1, 0) would DESCEND ([1, 0]) for a one-token doc and
+    // push element_at out of bounds — single-token docs get an empty
+    // position array instead (they have no bigram positions)
+    val positions = when(size(ts) >= 2, sequence(lit(1), size(ts) - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    val pairs = df.select(col(idCol),
+        explode(transform(positions,
+          i => struct(element_at(ts, i).as("a"), element_at(ts, i + 1).as("b"))))
+          .as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    var total = 0L
+    val lm = Dedup.viaPersisted(
+        pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))) { counts =>
+      total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      require(total > 0, "corpus has no bigrams")
+      val ctx = counts.groupBy("a").agg(sum("n").as("nc"))
+      counts.orderBy(col("n").desc, col("a"), col("b")).limit(tableSize)
+        .join(ctx, "a")
+        .select(col("a"), col("b"),
+          log(col("n").cast(DoubleType) / col("nc")).as("logp"))
+    }
+    val floor = math.log(1.0 / total)
+    val scored = pairs.join(lm, Seq("a", "b"), "left")
+      .groupBy(idCol)
+      .agg(avg(coalesce(col("logp"), lit(floor))).as("__m"),
+        count(lit(1)).as("n_bigrams"))
+    scored.select(col(idCol), round(col("__m"), 4).as("logprob"),
+      round(exp(-col("__m")), 4).as("ppl"), col("n_bigrams"))
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> enStop,

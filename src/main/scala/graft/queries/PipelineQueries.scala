@@ -1599,6 +1599,38 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
              |ORDER BY vec_id""".stripMargin)),
 
+    // bigram-LM perplexity (one order up from pl_text_lm_quality,
+    // toward the CCNet/KenLM filter): P(b|a)=c(a,b)/c_ctx(a), top-64k
+    // table, unseen floored at ln(1/total), per-doc mean + exp(-mean)
+    "pl_text_bigram_ppl" -> Q(
+      (s, d) => graft.operators.TextAnalysis.bigramQualityScore(
+          Tables(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH btk AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+             |), bpr AS (
+             |  SELECT doc_id, a, b FROM (
+             |    SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM (
+             |      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM btk))
+             |  WHERE a != '' AND b != ''
+             |), bc AS (SELECT a, b, count(*) AS n FROM bpr GROUP BY a, b),
+             |ctx AS (SELECT a, sum(n) AS nc FROM bc GROUP BY a),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bc),
+             |bi AS (
+             |  SELECT t.a, t.b, ln(CAST(t.n AS DOUBLE) / ctx.nc) AS logp
+             |  FROM (SELECT a, b, n FROM bc ORDER BY n DESC, a, b LIMIT 65536) t
+             |  JOIN ctx USING (a)
+             |)
+             |SELECT doc_id, round(m, 4) AS logprob, round(exp(-m), 4) AS ppl,
+             |  n_bigrams
+             |FROM (
+             |  SELECT p.doc_id,
+             |    avg(coalesce(bi.logp, ln(1.0 / (SELECT total FROM tot)))) AS m,
+             |    count(*) AS n_bigrams
+             |  FROM bpr p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
+             |  GROUP BY p.doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // hard-negative mining for contrastive training: for 20 md5-sampled
     // anchors, the 5 most cosine-similar vectors with a DIFFERENT label
     "pl_emb_hard_negatives" -> Q(
@@ -1664,74 +1696,7 @@ object PipelineQueries {
           nlist = AnnParams.IvfNlist, iters = AnnParams.KmIters, threshold = 0.25)
         .select(col("vec_id"), col("cell").cast(LongType).as("cell"), col("label"))
         .orderBy("vec_id"),
-      Some(s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-             |dims AS (SELECT unnest(range(0, len(v))) AS i FROM (SELECT v FROM emb WHERE vec_id = 0)),
-             |seed AS (
-             |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, v
-             |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${AnnParams.IvfNlist}
-             |),
-             |seed_n AS (
-             |  SELECT idx, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm
-             |  FROM seed
-             |),
-             |cent0 AS (SELECT idx, list_transform(v, x -> round(x / nrm, 6)) AS c FROM seed_n),
-             |assign0 AS (
-             |  SELECT vec_id, v, idx AS cell FROM (
-             |    SELECT e.vec_id, e.v, c.idx,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
-             |    FROM emb e CROSS JOIN cent0 c) WHERE rn = 1
-             |),
-             |sd_means1 AS (
-             |  SELECT cell, i AS pos, avg(x) AS m FROM (
-             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign0 a CROSS JOIN dims d
-             |  ) GROUP BY cell, i
-             |),
-             |c1raw AS (
-             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means1 GROUP BY cell
-             |),
-             |c1n AS (
-             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
-             |  FROM c1raw
-             |),
-             |cent1 AS (
-             |  SELECT c0.idx,
-             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
-             |              FROM c1n r WHERE r.idx = c0.idx), c0.c) AS c
-             |  FROM cent0 c0
-             |),
-             |assign1 AS (
-             |  SELECT vec_id, v, idx AS cell FROM (
-             |    SELECT e.vec_id, e.v, c.idx,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
-             |    FROM emb e CROSS JOIN cent1 c) WHERE rn = 1
-             |),
-             |sd_means2 AS (
-             |  SELECT cell, i AS pos, avg(x) AS m FROM (
-             |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign1 a CROSS JOIN dims d
-             |  ) GROUP BY cell, i
-             |),
-             |c2raw AS (
-             |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means2 GROUP BY cell
-             |),
-             |c2n AS (
-             |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
-             |  FROM c2raw
-             |),
-             |cent2 AS (
-             |  SELECT c1.idx,
-             |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
-             |              FROM c2n r WHERE r.idx = c1.idx), c1.c) AS c
-             |  FROM cent1 c1
-             |),
-             |assign2 AS (
-             |  SELECT vec_id, v, idx AS cell FROM (
-             |    SELECT e.vec_id, e.v, c.idx,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
-             |    FROM emb e CROSS JOIN cent2 c) WHERE rn = 1
-             |),
+      Some(kmTrajCtes + """,
              |sd_pairs AS (
              |  SELECT b.vec_id AS rm FROM assign2 a JOIN assign2 b
              |    ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -1741,6 +1706,30 @@ object PipelineQueries {
              |FROM embeddings e JOIN assign2 a ON a.vec_id = e.vec_id
              |WHERE e.vec_id NOT IN (SELECT rm FROM sd_pairs)
              |ORDER BY e.vec_id""".stripMargin)),
+
+    // per-cluster corpus profile on the same learned clustering: size,
+    // dominant label, and purity — the triage view a curator reads
+    // before deciding per-cluster sampling/filtering rates
+    "pl_cluster_profile" -> Q(
+      (s, d) => Similarity.clusterProfile(
+          Tables(s, d, "embeddings"), "vec_id", "embedding", "label",
+          nlist = AnnParams.IvfNlist, iters = AnnParams.KmIters)
+        .orderBy("cell"),
+      Some(kmTrajCtes + """,
+             |csizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS size FROM assign2 GROUP BY cell),
+             |clab AS (
+             |  SELECT a.cell, e.label, count(*) AS n FROM assign2 a
+             |  JOIN embeddings e ON e.vec_id = a.vec_id GROUP BY a.cell, e.label
+             |),
+             |cdom AS (
+             |  SELECT cell, label AS dom_label, n AS dom_n FROM (
+             |    SELECT cell, label, n, row_number() OVER (
+             |      PARTITION BY cell ORDER BY n DESC, label) AS rn FROM clab)
+             |  WHERE rn = 1
+             |)
+             |SELECT s.cell, s.size, d.dom_label,
+             |  round(CAST(d.dom_n AS DOUBLE) / s.size, 4) AS purity
+             |FROM csizes s JOIN cdom d USING (cell) ORDER BY s.cell""".stripMargin)),
 
     // deterministic mixture-rate sampling: md5-bucket rates per source
     // (src0 kept whole, src1 half, src2 nearly dropped, rest at 250 permill)
@@ -2343,6 +2332,81 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
 
   val all: Map[String, Q] = base + annRecallEntry
 
+
+  /** Shared DuckDB replay of the 2-iteration spherical k-means
+    * trajectory over `embeddings` (the same chain as the
+    * pl_emb_ann_ivf_kmeans oracle, without its probe/query CTEs),
+    * ending at `assign2(vec_id, v, cell)` — used by pl_emb_semdedup
+    * and pl_cluster_profile so the two rows can never drift apart. */
+  private lazy val kmTrajCtes: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT unnest(range(0, len(v))) AS i FROM (SELECT v FROM emb WHERE vec_id = 0)),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS idx, v
+       |  FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${AnnParams.IvfNlist}
+       |),
+       |seed_n AS (
+       |  SELECT idx, v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS nrm
+       |  FROM seed
+       |),
+       |cent0 AS (SELECT idx, list_transform(v, x -> round(x / nrm, 6)) AS c FROM seed_n),
+       |assign0 AS (
+       |  SELECT vec_id, v, idx AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.idx,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+       |    FROM emb e CROSS JOIN cent0 c) WHERE rn = 1
+       |),
+       |sd_means1 AS (
+       |  SELECT cell, i AS pos, avg(x) AS m FROM (
+       |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign0 a CROSS JOIN dims d
+       |  ) GROUP BY cell, i
+       |),
+       |c1raw AS (
+       |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means1 GROUP BY cell
+       |),
+       |c1n AS (
+       |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+       |  FROM c1raw
+       |),
+       |cent1 AS (
+       |  SELECT c0.idx,
+       |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+       |              FROM c1n r WHERE r.idx = c0.idx), c0.c) AS c
+       |  FROM cent0 c0
+       |),
+       |assign1 AS (
+       |  SELECT vec_id, v, idx AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.idx,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+       |    FROM emb e CROSS JOIN cent1 c) WHERE rn = 1
+       |),
+       |sd_means2 AS (
+       |  SELECT cell, i AS pos, avg(x) AS m FROM (
+       |    SELECT a.cell, d.i, a.v[d.i + 1] AS x FROM assign1 a CROSS JOIN dims d
+       |  ) GROUP BY cell, i
+       |),
+       |c2raw AS (
+       |  SELECT cell AS idx, list(m ORDER BY pos) AS mv FROM sd_means2 GROUP BY cell
+       |),
+       |c2n AS (
+       |  SELECT idx, mv, sqrt(list_aggregate(list_transform(mv, y -> y * y), 'sum')) AS nrm
+       |  FROM c2raw
+       |),
+       |cent2 AS (
+       |  SELECT c1.idx,
+       |    COALESCE((SELECT list_transform(r.mv, x -> round(x / r.nrm, 6))
+       |              FROM c2n r WHERE r.idx = c1.idx), c1.c) AS c
+       |  FROM cent1 c1
+       |),
+       |assign2 AS (
+       |  SELECT vec_id, v, idx AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.idx,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
+       |    FROM emb e CROSS JOIN cent2 c) WHERE rn = 1
+       |)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Tokenizer]]'s BPE fit: the
     * word-type table once (btoks/bwt/bseqs_0), then `rounds` unrolled

@@ -1156,6 +1156,50 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("bigram LM replays hand-computed probabilities on a toy corpus") {
+    import spark.implicits._
+    // corpus: doc0 "a b a b", doc1 "a b c"
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1; ctx: a->3, b->2; total=5
+    // P(b|a)=3/3=1, P(a|b)=1/2, P(c|b)=1/2
+    // doc0 mean = (ln1 + ln.5 + ln1)/3; doc1 mean = (ln1 + ln.5)/2
+    val df = Seq((0L, "a b a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramQualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    val m0 = (math.log(1.0) + math.log(0.5) + math.log(1.0)) / 3
+    val m1 = (math.log(1.0) + math.log(0.5)) / 2
+    assert(out(0L)._1 == BigDecimal(m0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L)._1 == BigDecimal(m1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0L)._3 == 3L && out(1L)._3 == 2L)
+    // unseen floor: a table cap of 1 keeps only (a,b); the rest floor
+    // at ln(1/5)
+    val capped = TextAnalysis.bigramQualityScore(df, "doc_id", "text", tableSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = math.log(1.0 / 5)
+    val c1 = (math.log(1.0) + f) / 2
+    assert(capped(1L) == BigDecimal(c1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a single-token doc has no bigram positions and drops out
+    val one = TextAnalysis.bigramQualityScore(
+      Seq((0L, "a b"), (1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(one.collect().map(_.getLong(0)).toSet == Set(0L))
+    Dedup.releaseAll()
+  }
+
+  test("cluster profile sizes sum to n and match semDeDup's clustering") {
+    val prof = Similarity.clusterProfile(emb, "vec_id", "embedding", "label",
+      nlist = 8, iters = 2).collect()
+    assert(prof.map(_.getAs[Long]("size")).sum == emb.count())
+    prof.foreach { r =>
+      val p = r.getAs[Double]("purity")
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // the profile's cells are the same learned clustering semDeDup uses
+    val semCells = Dedup.semDeDup(emb, "vec_id", "embedding", 8, 2, 0.25)
+      .select("cell").distinct().collect().map(_.getInt(0).toLong).toSet
+    assert(semCells.subsetOf(prof.map(_.getAs[Long]("cell")).toSet))
+    Dedup.releaseAll()
+  }
+
   test("hard negatives never share the anchor's label and rank by cosine") {
     val negs = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
       nProbes = 10, k = 5).collect()
