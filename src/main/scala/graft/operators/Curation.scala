@@ -546,15 +546,27 @@ object Curation {
     * with pair counts and mean similarity; the off-diagonal rows are
     * the leaks.
     *
-    * Scale: the pair stream comes from the bucketed
-    * [[Dedup.ngramJaccardPairs]] (shingle inverted index — no
-    * all-pairs); the split labels are pure md5 functions of the ids
-    * already on each pair row, so labeling adds ZERO joins and the
-    * only new shuffle is the final tiny |splits|² aggregate. */
+    * Scale: the pair stream defaults to the BANDED MinHash miner
+    * ([[Dedup.minHashLshPairs]], 32 bands x 4 — candidates meet only
+    * inside a (band, bandHash) bucket, so candidate volume tracks true
+    * near-dup density, and the per-pair verification is exact Jaccard;
+    * at threshold 0.5 the deterministic band-miss probability is
+    * < 2e-14, the same argument pl_dedup_minhash's oracle rests on).
+    * The exact shingle inverted index ([[Dedup.ngramJaccardPairs]],
+    * `exact = true`) generates C(df, 2) candidates PER SHARED GRAM —
+    * on a high-duplication corpus that is quadratic in duplication
+    * density (the sf1 10-copy smoke measured ~300 s exact vs seconds
+    * banded for identical output). The split labels are pure md5
+    * functions of the ids already on each pair row, so labeling adds
+    * ZERO joins and the only new shuffle is the final tiny |splits|²
+    * aggregate. */
   def splitLeakage(df: DataFrame, idCol: String, textCol: String,
       splits: Seq[(String, Int)], shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+      threshold: Double = 0.5, exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) Dedup.ngramJaccardPairs(df, idCol, textCol, shingleN, threshold)
+      else Dedup.minHashLshPairs(df, idCol, textCol, shingleN,
+        bands = 32, rowsPerBand = 4, threshold = threshold)
     val sa = splitAssign(col("id_a"), splits)
     val sb = splitAssign(col("id_b"), splits)
     pairs

@@ -1156,6 +1156,18 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("banded split-leakage audit equals the exact-index variant") {
+    val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    def rows(exact: Boolean) = Curation.splitLeakage(
+        docs, "doc_id", "text", splits, shingleN = 3, threshold = 0.5,
+        exact = exact)
+      .orderBy("split_a", "split_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(exact = false) == rows(exact = true))
+    Dedup.releaseAll()
+  }
+
   test("bigram LM replays hand-computed probabilities on a toy corpus") {
     import spark.implicits._
     // corpus: doc0 "a b a b", doc1 "a b c"
