@@ -967,6 +967,38 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): PcmStats = copy(c)
   }
 
+  /** Adjacent word-bigram strings ("a b"), multiplicity-preserving and
+    * in document order — the corpus side of the bigram-LM fit/score.
+    * One tight pass per row; the pure-Column formulation
+    * (transform(sequence, element_at+struct) under an explode) runs the
+    * higher-order function interpreted per element and measured ~2
+    * orders slower on the sf1 smoke corpus. Tokens are `trim.split
+    * ("\\s+")` like every text kernel; docs with fewer than two tokens
+    * return an empty array (no bigram positions). */
+  case class WordBigrams(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == StringType, "word_bigrams", "string", Seq(child.dataType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.toString.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) return ArrayData.toArrayData(
+        Array.empty[org.apache.spark.unsafe.types.UTF8String])
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](toks.length - 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < toks.length - 1) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordBigrams =
+      copy(child = c)
+  }
+
   /** Register the expressions as SQL functions on a session (idempotent).
     * Exposed names double as the SQL surface: graft_simhash64,
     * graft_cosine, graft_dot. */
@@ -1006,6 +1038,8 @@ object VectorExpressions {
       exprs => TokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_fingerprint",
       exprs => TokenFingerprint(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_word_bigrams",
+      exprs => WordBigrams(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_margin",
       exprs => TokenBucketMargin(exprs(0),
         exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
@@ -1038,6 +1072,8 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pcm_stats", c) }
   def token_count(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_count", c) }
+  def word_bigrams(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_word_bigrams", c) }
   def token_fingerprint(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_fingerprint", c) }
   def token_margin(c: Column, weights: Seq[Double], bias: Double): Column =

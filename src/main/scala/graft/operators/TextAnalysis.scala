@@ -106,31 +106,28 @@ object TextAnalysis {
     * counts frame (one corpus tokenization total). */
   def bigramQualityScore(df: DataFrame, idCol: String, textCol: String,
       tableSize: Int = 65536): DataFrame = {
-    val ts = split(trim(col(textCol)), " ")
-    // sequence(1, 0) would DESCEND ([1, 0]) for a one-token doc and
-    // push element_at out of bounds — single-token docs get an empty
-    // position array instead (they have no bigram positions)
-    val positions = when(size(ts) >= 2, sequence(lit(1), size(ts) - 1))
-      .otherwise(array().cast(ArrayType(IntegerType)))
+    // compiled kernel: one tight pass emits "a b" pair strings in
+    // document order with multiplicity (the pure-Column HOF formulation
+    // ran interpreted per element and was the sf1 smoke's slowest
+    // stage); the pair string is also the single join/group key —
+    // its lexicographic order equals (a, b) tuple order because the
+    // space separator sorts below every token byte
     val pairs = df.select(col(idCol),
-        explode(transform(positions,
-          i => struct(element_at(ts, i).as("a"), element_at(ts, i + 1).as("b"))))
-          .as("p"))
-      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
-      .filter(col("a") =!= "" && col("b") =!= "")
+      explode(graft.functions.VectorExpressions.word_bigrams(col(textCol))).as("p"))
     var total = 0L
     val lm = Dedup.viaPersisted(
-        pairs.groupBy("a", "b").agg(count(lit(1)).as("n"))) { counts =>
+        pairs.groupBy("p").agg(count(lit(1)).as("n"))) { counts =>
       total = counts.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       require(total > 0, "corpus has no bigrams")
-      val ctx = counts.groupBy("a").agg(sum("n").as("nc"))
-      counts.orderBy(col("n").desc, col("a"), col("b")).limit(tableSize)
+      val ctx = counts.groupBy(substring_index(col("p"), " ", 1).as("a"))
+        .agg(sum("n").as("nc"))
+      counts.orderBy(col("n").desc, col("p")).limit(tableSize)
+        .withColumn("a", substring_index(col("p"), " ", 1))
         .join(ctx, "a")
-        .select(col("a"), col("b"),
-          log(col("n").cast(DoubleType) / col("nc")).as("logp"))
+        .select(col("p"), log(col("n").cast(DoubleType) / col("nc")).as("logp"))
     }
     val floor = math.log(1.0 / total)
-    val scored = pairs.join(lm, Seq("a", "b"), "left")
+    val scored = pairs.join(lm, Seq("p"), "left")
       .groupBy(idCol)
       .agg(avg(coalesce(col("logp"), lit(floor))).as("__m"),
         count(lit(1)).as("n_bigrams"))
