@@ -967,6 +967,62 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): PcmStats = copy(c)
   }
 
+  /** Nearest-centroid assignment against a flat (nlist x dim) centroid
+    * matrix: argmax of cosine, ties to the smallest index — ONE kernel
+    * per row instead of an nlist-branch array_max-of-structs Column
+    * expression. The Column form generates nlist inline cosine loops;
+    * at nlist=64 the generated method exceeds the JIT's huge-method
+    * limit and runs interpreted (sf1 smoke: 37 s/rep vs ~3 s at
+    * nlist=8) — and at SemDeDup's web-scale regime (~100k clusters) it
+    * would not compile at all. Per-centroid cosine accumulates
+    * (dot, |a|², |b|²) in index order, the same arithmetic order as
+    * [[CosineSimilarity]]'s eval, so assignments are bit-identical to
+    * the Column formulation the oracles replay. A zero-norm pair
+    * (cosine undefined, null in the Column form) never wins the argmax;
+    * if every centroid ties at undefined, cell 0 is assigned. */
+  case class CellAssign(child: Expression, cents: IndexedSeq[Double], nlist: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(child.dataType) && nlist > 0 &&
+        cents.nonEmpty && cents.length % nlist == 0,
+        "cell_assign", "array<float|double> + flat centroid matrix",
+        Seq(child.dataType))
+    override def dataType: DataType = IntegerType
+    private val dim = cents.length / nlist
+    private def elemIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val af = elemIsFloat
+      val n = math.min(a.numElements(), dim)
+      var best = Double.NegativeInfinity
+      var bestIdx = 0
+      var c = 0
+      while (c < nlist) {
+        val off = c * dim
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (af) a.getFloat(i).toDouble else a.getDouble(i)
+          val y = cents(off + i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom != 0.0) {
+          val cos = dot / denom
+          if (cos > best) { best = cos; bestIdx = c }
+        }
+        c += 1
+      }
+      bestIdx
+    }
+    override protected def withNewChildInternal(c: Expression): CellAssign =
+      copy(child = c)
+  }
+
   /** Adjacent word-bigram strings ("a b"), multiplicity-preserving and
     * in document order — the corpus side of the bigram-LM fit/score.
     * One tight pass per row; the pure-Column formulation
@@ -1040,6 +1096,10 @@ object VectorExpressions {
       exprs => TokenFingerprint(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_word_bigrams",
       exprs => WordBigrams(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cell_assign",
+      exprs => CellAssign(exprs(0),
+        exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_margin",
       exprs => TokenBucketMargin(exprs(0),
         exprs(1).eval().asInstanceOf[ArrayData].toDoubleArray().toIndexedSeq,
@@ -1074,6 +1134,10 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_count", c) }
   def word_bigrams(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_word_bigrams", c) }
+  def cell_assign(c: Column, cents: Seq[Double], nlist: Int): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_cell_assign", c,
+      org.apache.spark.sql.functions.lit(cents.toArray),
+      org.apache.spark.sql.functions.lit(nlist)) }
   def token_fingerprint(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_fingerprint", c) }
   def token_margin(c: Column, weights: Seq[Double], bias: Double): Column =

@@ -291,7 +291,10 @@ object Similarity {
       for (_ <- 1 to trainIters) {
         val codes = graft.functions.VectorExpressions.pq_encode(
           col("__v"), flatBooks, ncent, sub)
-        val means = train.select(codes.as("__cs"), posexplode(col("__vn")))
+        // same Generate-barrier as the k-means means pass: encode once
+        // per ROW below the posexplode, not once per exploded dimension
+        val means = train.select(codes.as("__cs"), col("__vn"))
+          .select(col("__cs"), posexplode(col("__vn")))
           .select(expr(s"pos div $sub").as("s"),
             element_at(col("__cs"), expr(s"pos div $sub").cast(IntegerType) + 1).as("c"),
             expr(s"pos % $sub").as("j"), col("col").as("x"))
@@ -434,14 +437,16 @@ object Similarity {
     }
   }
 
-  /** Nearest-centroid cell id as a scan-stage expression: argmax of the
-    * compiled cosine over `cs`, ties to the smallest index. */
-  private[graft] def cellAssign(v: Column, cs: IndexedSeq[Seq[Double]]): Column = {
-    val assigned = array_max(array(cs.zipWithIndex.map { case (c, i) =>
-      struct(cosine(v, array(c.map(lit): _*)).as("cos"), lit(-i).as("negidx"))
-    }: _*))
-    -assigned.getField("negidx")
-  }
+  /** Nearest-centroid cell id as a scan-stage expression: argmax of
+    * cosine over `cs`, ties to the smallest index. ONE compiled kernel
+    * holding the flat centroid matrix ([[graft.functions
+    * .VectorExpressions.CellAssign]]) — the previous array_max-of-
+    * structs form generated nlist inline cosine loops, which blows the
+    * JIT's method limit past nlist≈64 and could never reach SemDeDup's
+    * web-scale regime (~100k clusters). Assignment values are
+    * bit-identical (same per-centroid accumulation order). */
+  private[graft] def cellAssign(v: Column, cs: IndexedSeq[Seq[Double]]): Column =
+    graft.functions.VectorExpressions.cell_assign(v, cs.flatten, cs.length)
 
   /** Spherical-k-means centroids: md5-seeded start, `iters` Lloyd
     * iterations. Each iteration's assignment runs in the scan stage;
@@ -471,9 +476,16 @@ object Similarity {
         seedRows(train, "__id", col("__v"), nlist).map(s => normD(s._2))
       require(centroids.nonEmpty, "k-means training frame is empty")
       for (_ <- 1 to iters) {
-        // per-(cell, dim) means: nlist x dim rows to the driver, bounded
-        val means = train.select(cellAssign(col("__v"), centroids).as("cell"),
-            posexplode(col("__v")))
+        // per-(cell, dim) means: nlist x dim rows to the driver, bounded.
+        // TWO selects, not one: a select that mixes cellAssign with
+        // posexplode plans the assignment in the Project ABOVE the
+        // Generate, re-evaluating the nlist-branch argmax once per
+        // exploded DIMENSION (nlist=64 at the sf1 smoke turned a
+        // seconds-long pass into minutes). The barrier select computes
+        // the cell once per row, below the Generate.
+        val means = train
+          .select(cellAssign(col("__v"), centroids).as("cell"), col("__v"))
+          .select(col("cell"), posexplode(col("__v")))
           .groupBy("cell", "pos").agg(avg("col").as("m"))
           .collect().map(r => ((r.getAs[Number]("cell").intValue(), r.getInt(1)), r.getDouble(2)))
           .toMap

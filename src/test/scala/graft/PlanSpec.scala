@@ -482,6 +482,32 @@ class PlanSpec extends AnyFunSuite {
       "pair explode must feed the pair aggregate:\n" + p)
   }
 
+  test("Lloyd means pass evaluates the cell assignment below the explode") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    // regression gate for the Generate-barrier fix: a select mixing
+    // cellAssign with posexplode plans the nlist-branch argmax in the
+    // Project ABOVE the Generate — re-evaluated once per exploded
+    // DIMENSION (64x redundant at nlist=64; minutes instead of seconds
+    // at the sf1 smoke). The barrier keeps the argmax (the compiled
+    // cellassign kernel) BELOW the Generate: in the top-down plan
+    // print, the Generate line must come first.
+    val emb = Tables(spark, dir, "embeddings")
+    val proj = emb.select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("__v"))
+    val cents = operators.Similarity.kmeansCentroids(proj, "vec_id", "__v", 8, 1)
+    val means = proj
+      .select(operators.Similarity.cellAssign(col("__v"), cents).as("cell"), col("__v"))
+      .select(col("cell"), posexplode(col("__v")))
+      .groupBy("cell", "pos").agg(avg("col").as("m"))
+    val p = means.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate posexplode")
+    val argmax = p.toLowerCase.indexOf("cellassign")
+    assert(gen >= 0 && argmax >= 0 && gen < argmax,
+      "cell assignment must sit below the Generate:\n" + p)
+    operators.Dedup.releaseAll()
+  }
+
   test("semDeDup pairs only within learned cells, corpus never cross-joins") {
     val df = SparkEntry.queries("pl_emb_semdedup")(spark, dir)
     df.collect()
