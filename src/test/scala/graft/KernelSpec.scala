@@ -221,6 +221,46 @@ class KernelSpec extends AnyFunSuite {
     assert(gotF.toSeq == vecs.map(v => ref(v)._1))
   }
 
+  test("WordBigrams matches a driver-side sliding-pair reference") {
+    def ref(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val got = textDf.select(VE.word_bigrams(col("text")).as("b"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == texts.map(ref))
+    // multiplicity preserved: the repeated "the quick" appears twice
+    assert(got(1).count(_ == "the quick") == 2)
+    // fixture spot check: per-doc pair count == tokenCount - 1
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    val sizes = docs.select(size(VE.word_bigrams(col("text"))).cast("long").as("nb"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("nt"))
+      .collect()
+    sizes.foreach(r => assert(r.getLong(0) == r.getLong(1) - 1))
+  }
+
+  test("CellAssign matches the array_max-of-structs Column formulation") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    // deterministic centroids: 16 md5-ordered seeds, normalized
+    val cents = graft.operators.Similarity.kmeansCentroids(
+      emb.select(col("vec_id"), v.as("__v")), "vec_id", "__v", 16, 1)
+    val colForm = {
+      val assigned = array_max(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VE.cosine_sim(v, array(c.map(lit): _*)).as("cos"),
+          lit(-i).as("negidx"))
+      }: _*))
+      -assigned.getField("negidx")
+    }
+    val rows = emb.select(col("vec_id"),
+        VE.cell_assign(v, cents.flatten, cents.length).as("k"),
+        colForm.as("c"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(1) == r.getInt(2), s"vec ${r.getLong(0)}"))
+    Dedup.releaseAll()
+  }
+
   test("kernels reject wrong input types at analysis time") {
     val df = spark.createDataFrame(java.util.List.of(Row(Seq(1, 2), "x")),
       StructType(Seq(StructField("ia", ArrayType(IntegerType)), StructField("s", StringType))))
