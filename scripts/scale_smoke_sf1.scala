@@ -12,41 +12,52 @@
 //     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
 //     -I scripts/scale_smoke_sf1.scala
 //
-// RESULTS (this host, 2026-08-13 r9 run, 50k docs / 20k vectors, warm
-// reps after rep1; same-JVM — host variance is 1.5-3x across JVMs):
-//   pl_curate_pipeline2          rep1 20 s    warm 11-13 s  (~2.5x for 10x data)
+// RESULTS (this host, 2026-08-14 r10 run at HEAD — post cellAssign
+// kernel + Generate barrier + banded split-leakage + word-bigram
+// kernel; 50k docs / 20k vectors, warm = later reps, same JVM; host
+// variance is 1.5-3x across JVMs):
+//   pl_curate_pipeline2          rep1 31 s    warm 12-18 s  (~2.5x for 10x data)
 //   pl_curate_report             rep1  5 s    warm  3-4 s   (~1.3x)
-//   pl_dedup_clusters            rep1 11 s    warm 11-16 s  (10x near-dup pair mass)
-//   pl_dedup_apply_near          rep1  7.6 s  warm  6.9 s   (~5x; AQE LeftAnti)
-//   pl_emb_ann_ivf_kmeans        rep1  7 s    warm  6.5 s   (cached train scan)
-//   pl_emb_ann_recall            rep1 29 s    warm 19.8-20.1 s  (r10
-//     multi-probe: all 5 ANN pipelines + 50-probe exact ground truth;
-//     lsh separates at sf1 — mean 0.948, min 0.3 — while the
-//     quantization methods saturate at 1.0 on this copy-cluster corpus:
-//     each probe's true top-10 are its 10 near-identical copies, always
-//     inside the refine·k shortlist. The natural sf0.1 corpus is where
-//     all five separate: lsh 0.20 / ivfpq 0.42 / ivf 0.50 /
-//     ivf_kmeans 0.54 / pq 0.55 mean recall@10.)
-//   pl_emb_nn (default 2000)     16-18 s — only oversized blocks sub-bucket;
+//   pl_dedup_clusters            rep1 13 s    warm 11-13 s  (10x near-dup pair mass)
+//   pl_dedup_apply_near          9-18 s  (AQE LeftAnti; ~5x for 10x data)
+//   pl_emb_ann_ivf_kmeans        rep1  2.0 s  warm  1.0 s  (was 5-7.4 s
+//     before the r10 CellAssign kernel + Generate-barrier fix)
+//   pl_emb_ann_recall            rep1 13.6 s  warm 10.6-11.3 s  (multi-
+//     probe: all 5 ANN pipelines + 50-probe exact ground truth; lsh
+//     separates at sf1 — the quantization methods saturate on this
+//     copy-cluster corpus; the natural sf0.1 corpus separates all five:
+//     lsh 0.20 / ivfpq 0.42 / ivf 0.50 / ivf_kmeans 0.54 / pq 0.55)
+//   pl_emb_nn (default 2000)     17-21 s — only oversized blocks sub-bucket;
 //     sub-threshold blocks (~1900 rows) pay the documented ~3.6M-pair budget
-//   pl_emb_nn (exact, mb=10000)  29-30 s — 10x rows = 100x pairs; opt-in
-//   pl_emb_nn (maxBlock=500)     2.2-2.8 s — every block sub-bucketed,
-//     10-30x faster at identical output cardinality: the guard is the
+//   pl_emb_nn (exact, mb=10000)  23-25 s — 10x rows = 100x pairs; opt-in
+//   pl_emb_nn (maxBlock=500)     2.0-2.2 s — every block sub-bucketed,
+//     ~10x faster at identical output cardinality: the guard is the
 //     knob that makes bulk NN survive a 100 TB block
-//   pl_text_lm_quality           rep1 2.1 s   warm 1.7 s  (vocab-bounded
-//     lm cache, corpus result stays lazy)
-//   pl_dsir_sample               rep1 3.8 s   warm 2.0-2.4 s  (r10 run;
-//     ~1.5x the sf0.1 fresh cost for 10x data — the LM fit is
-//     vocab-bounded, only the scoring pass scales)
-//   pl_quality_classifier        rep1 12.5 s  warm 8.2-8.8 s  (r10 run;
-//     ~2x for 10x data; every rep RETRAINS the 3 GD rounds over the
-//     10x feature frame, then scores — the production split trains
-//     once on a sample and pays only the scoring pass)
-//   pl_classifier_eval           8.7-11.4 s  (same shape: retrain + one
-//     bounded confusion row)
-//   corpus_diff_10x              0.3-0.7 s  (~linear; (id,hash) shuffle only)
-//   cms_merge_10x                1.7-1.9 s  (~linear; |sources| blobs to driver)
-//   streaming_lsh_dedup_10x      22.3 s / 50k docs, 280k matches
+//   pl_text_lm_quality           1.7-2.4 s  (vocab-bounded lm cache)
+//   pl_dsir_sample               2.1-2.8 s  (bounded LM fit + top-k draw)
+//   pl_quality_classifier        rep1 11.8 s  warm 8.2-9.0 s  (every rep
+//     RETRAINS the 3 GD rounds; production trains once, pays scoring)
+//   pl_classifier_eval           8.5-9.1 s  (same retrain shape)
+//   pl_dedup_substring           20.6-24.2 s  (adversarial: every gram
+//     duplicated across the 10 copies)
+//   pl_split_leakage             rep1 7.9 s  warm 6.2-6.4 s — the r10
+//     banded-MinHash default; the exact inverted index measured
+//     293-336 s/rep on this corpus (C(df,2) candidates per shared gram,
+//     quadratic in duplication density) for IDENTICAL output
+//   pl_bpe_merges                1.4-1.9 s  (6 merge rounds; corpus scan
+//     once, vocab-bounded rounds)
+//   pl_text_bigram_ppl           2.8-3.4 s  (r10 WordBigrams kernel; the
+//     interpreted HOF formulation never finished a rep on this corpus)
+//   pl_emb_hard_negatives        0.95-1.4 s  (broadcast anchors, one pass)
+//   pl_cluster_profile           rep1 1.3 s  warm 0.8 s  (post-kernel;
+//     4.6-5.6 s before)
+//   pl_emb_semdedup nlist=8      2.5-2.9 s;  nlist=64  2.0-2.1 s — MORE
+//     clusters is CHEAPER (smaller quadratic pair cells), the property
+//     that carries SemDeDup to its ~100k-cluster web-scale regime (the
+//     pre-kernel nlist=64 ran 37.7 s; pre-barrier it ran >14 min)
+//   corpus_diff_10x              0.2-0.5 s  (~linear; (id,hash) shuffle only)
+//   cms_merge_10x                1.1-1.4 s  (~linear; |sources| blobs to driver)
+//   streaming_lsh_dedup_10x      19.6 s / 50k docs, 280k matches
 //     (10 micro-batches, simhash chunk-bucketed state)
 import org.apache.spark.sql.functions._
 

@@ -22,21 +22,26 @@
 //     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
 //     -I scripts/scale_smoke_sf10.scala
 //
-// RESULTS (this host, 2026-08-13, r10 rerun AFTER the token + margin
-// kernels; warm = min of reps 2-3, same JVM; see README "sf10 scale
-// smoke" for the table):
+// RESULTS (this host, 2026-08-14, round-10 HEAD rerun — includes the
+// r10 tokenizer + bigram families; warm = min of reps 2-3, same JVM;
+// see README "sf10 scale smoke" for the table):
 //   family            10x warm   100x warm   factor (10x data)
-//   exact_dedup        0.50 s     1.50 s      3.0x
-//   text_stats         1.18 s     8.16 s      6.9x   (was 35.87 s pre-kernel)
-//   corpus_diff        0.50 s     1.46 s      2.9x
-//   cms_merge          1.35 s    10.26 s      7.6x
-//   classifier_score   1.15 s    12.27 s     10.6x  (margin kernel; was 22.8 s)
-//   dsir_sample        1.99 s    14.00 s      7.0x
-//   export_shards_10x  0.6-1.8 s per run; 16/16 shard files
+//   exact_dedup        0.43 s     1.43 s      3.3x
+//   text_stats         1.38 s     9.51 s      6.9x
+//   corpus_diff        0.59 s     1.08 s      1.8x
+//   cms_merge          1.68 s    12.06 s      7.2x
+//   classifier_score   1.29 s    14.04 s     10.9x
+//   dsir_sample        2.14 s    18.59 s      8.7x
+//   substring_dedup   26.05 s   210.77 s      8.1x  (adversarial corpus:
+//     nearly every gram duplicated; the gram-hash shuffle stays ~linear)
+//   bpe_fit            1.96 s     3.73 s      1.9x  (SUB-linear: the
+//     merge rounds are vocab-bounded, only the one corpus scan scales)
+//   bigram_ppl         4.24 s    24.55 s      5.8x  (64k-table fit +
+//     one scoring join)
+//   export_shards_10x  0.5-1.0 s per run; 16/16 shard files
 //     byte-identical across reruns (sha256 of parquet bytes)
-//   All six families grow at or below ~10.6x for 10x data — ~linear
-//   holds through half a million documents; exact_dedup/corpus_diff
-//   are still overhead-dominated even at 500k rows.
+//   All nine families grow at or below ~10.9x for 10x data — ~linear
+//   holds through half a million documents.
 import org.apache.spark.sql.functions._
 
 spark.conf.set("spark.sql.shuffle.partitions", 32)
