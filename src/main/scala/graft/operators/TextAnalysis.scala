@@ -135,6 +135,58 @@ object TextAnalysis {
       round(exp(-col("__m")), 4).as("ppl"), col("n_bigrams"))
   }
 
+  /** Deterministic hashed-projection document embedding — the
+    * "embed raw text without a model" primitive that feeds
+    * [[Dedup.semDeDup]], [[Similarity]] ANN, and diversity sampling
+    * when no embedding column exists. Tokens hash into `buckets` term
+    * frequencies (the [[hashBucket]] md5 scheme the classifier already
+    * uses), which are then projected to `dim` components through a
+    * fixed ±1 sign matrix derived from md5(b:d) — a sparse random
+    * projection (Achlioptas 2003): cosine between projected vectors
+    * approximates cosine between the hashed-tf vectors, so exact
+    * duplicates embed identically and near-dup text embeds nearby.
+    * Components are L2-normalized and rounded to 6 dp.
+    *
+    * Scale: one tokenize + one (id, bucket) partial-agg shuffle; the
+    * (buckets x dim) sign table broadcasts; per-doc output is a
+    * `dim`-float vector. Every hash is md5, so any engine derives the
+    * identical embedding (the oracle replays it end to end; the
+    * residual risk is double-sum order inside the per-(id, d) sums,
+    * ~1e-15 against the 5e-7 rounding boundary — the accepted class).
+    * Docs with no tokens drop out. */
+  def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64, dim: Int = 16): DataFrame = {
+    require(buckets > 0 && dim > 0, "need buckets > 0 and dim > 0")
+    val toks = df.select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks.withColumn("b", hashBucket(col("t"), buckets))
+      .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
+    val nt = counts.groupBy(idCol).agg(sum("c").as("__nt"))
+    val tf = counts.join(nt, idCol).select(col(idCol), col("b"),
+      (col("c").cast(DoubleType) / col("__nt").cast(DoubleType)).as("x"))
+    // fixed sign matrix, driver-built: sign(b, d) = +1 if the first
+    // md5 hex nibble of "b:d" is < 8 else -1
+    val spark = df.sparkSession
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(b: Int, d: Int): Double = {
+      val h = md.digest(s"$b:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+    }
+    val signs = (for (b <- 0 until buckets; d <- 0 until dim)
+      yield (b.toLong, d, sign(b, d))).toDF("b", "d", "sign")
+    val comps = tf.join(broadcast(signs), "b")
+      .groupBy(idCol, "d").agg(sum(col("x") * col("sign")).as("v"))
+    val norms = comps.groupBy(idCol)
+      .agg(sqrt(sum(col("v") * col("v"))).as("__nrm"))
+    comps.join(norms, idCol)
+      .groupBy(idCol)
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), round(col("v") / col("__nrm"), 6).as("v")))),
+        s => s.getField("v")).as("embedding"))
+  }
+
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> enStop,

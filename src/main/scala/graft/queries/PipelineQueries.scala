@@ -1599,6 +1599,42 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
              |ORDER BY vec_id""".stripMargin)),
 
+    // deterministic hashed-projection document embedding (Achlioptas
+    // sparse random projection over md5-hashed token tf): the
+    // embed-raw-text-without-a-model primitive that feeds semdedup /
+    // ANN / diversity when no embedding column exists. Long form
+    // (doc_id, d, v) so the driver compares scalars.
+    "pl_text_embed" -> Q(
+      (s, d) => graft.operators.TextAnalysis.hashedEmbedding(
+          Tables(s, d, "documents"), "doc_id", "text", buckets = 64, dim = 16)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("d"), col("col").as("v"))
+        .orderBy("doc_id", "d"),
+      Some("""WITH etk AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+             |), ecnt AS (
+             |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
+             |    count(*) AS c
+             |  FROM etk WHERE t != '' GROUP BY doc_id, b
+             |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
+             |etf AS (
+             |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
+             |  FROM ecnt e JOIN ent n USING (doc_id)
+             |), sgn AS (
+             |  SELECT b, d,
+             |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
+             |         THEN 1.0 ELSE -1.0 END AS sign
+             |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
+             |), ecomp AS (
+             |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
+             |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
+             |), enrm AS (
+             |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
+             |)
+             |SELECT c.doc_id, c.d::BIGINT AS d, round(c.v / n.nrm, 6) AS v
+             |FROM ecomp c JOIN enrm n USING (doc_id)
+             |ORDER BY doc_id, d""".stripMargin)),
+
     // bigram-LM perplexity (one order up from pl_text_lm_quality,
     // toward the CCNet/KenLM filter): P(b|a)=c(a,b)/c_ctx(a), top-64k
     // table, unseen floored at ln(1/total), per-doc mean + exp(-mean)

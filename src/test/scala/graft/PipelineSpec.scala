@@ -1156,6 +1156,39 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("hashed embedding chains raw text into semDeDup (no model needed)") {
+    // exact-dup texts embed IDENTICALLY (every hash is md5 of content),
+    // so after chaining text -> hashedEmbedding -> semDeDup, at most
+    // one member of each exact-dup family survives. The sf0.001 slice
+    // has no exact dups, so plant five: copies of the first five docs
+    // under fresh ids.
+    val base = docs.select("doc_id", "text")
+    val planted = base.orderBy("doc_id").limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = base.unionByName(planted)
+    val embDf = TextAnalysis.hashedEmbedding(corpus, "doc_id", "text",
+      buckets = 64, dim = 16)
+    assert(embDf.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(16))
+    // unit norm (6-dp rounding tolerance)
+    embDf.select(aggregate(col("embedding"), lit(0.0), (a, v) => a + v * v))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-4))
+    val survivors = Dedup.semDeDup(embDf, "doc_id", "embedding",
+        nlist = 8, iters = 2, threshold = 0.999)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupFamilies = Dedup.exactDuplicates(corpus, "doc_id", "text")
+      .select("n_dups", "keep_id").collect()
+    assert(dupFamilies.length >= 5, "planted dups must be visible")
+    val famIds = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().groupBy(_.getString(1)).values.filter(_.length > 1)
+      .map(_.map(_.getLong(0)).toSet)
+    famIds.foreach { fam =>
+      assert(fam.intersect(survivors).size <= 1,
+        s"dup family $fam kept ${fam.intersect(survivors)}")
+    }
+    Dedup.releaseAll()
+  }
+
   test("banded split-leakage audit equals the exact-index variant") {
     val splits = Seq("train" -> 800, "val" -> 100, "test" -> 100)
     def rows(exact: Boolean) = Curation.splitLeakage(
