@@ -1635,6 +1635,50 @@ object PipelineQueries {
              |FROM ecomp c JOIN enrm n USING (doc_id)
              |ORDER BY doc_id, d""".stripMargin)),
 
+    // end-to-end NO-MODEL semantic retrieval: hashed-projection embed
+    // the corpus, take doc 0's vector as the probe, brute-force cosine
+    // top-10 — the whole text->embedding->search chain in one
+    // cross-engine-gated row
+    "pl_text_semantic_topk" -> Q(
+      (s, d) => {
+        val emb = graft.operators.TextAnalysis.hashedEmbedding(
+          Tables(s, d, "documents"), "doc_id", "text", buckets = 64, dim = 16)
+        val q = emb.filter(col("doc_id") === 0).select("embedding")
+          .head().getSeq[Double](0)
+        Similarity.bruteForceTopKBatch(emb, "doc_id", "embedding",
+            Seq((0L, q)), k = 10)
+          .select(col("doc_id"), col("cos"))
+          .orderBy(col("cos").desc, col("doc_id"))
+      },
+      Some("""WITH etk AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+             |), ecnt AS (
+             |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
+             |    count(*) AS c
+             |  FROM etk WHERE t != '' GROUP BY doc_id, b
+             |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
+             |etf AS (
+             |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
+             |  FROM ecnt e JOIN ent n USING (doc_id)
+             |), sgn AS (
+             |  SELECT b, d,
+             |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
+             |         THEN 1.0 ELSE -1.0 END AS sign
+             |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
+             |), ecomp AS (
+             |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
+             |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
+             |), enrm AS (
+             |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
+             |), evec AS (
+             |  SELECT c.doc_id,
+             |    list(round(c.v / n.nrm, 6) ORDER BY c.d) AS e
+             |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
+             |), eq AS (SELECT e FROM evec WHERE doc_id = 0)
+             |SELECT v.doc_id, round(list_cosine_similarity(v.e, q.e), 4) AS cos
+             |FROM evec v, eq q
+             |ORDER BY cos DESC, v.doc_id LIMIT 10""".stripMargin)),
+
     // bigram-LM perplexity (one order up from pl_text_lm_quality,
     // toward the CCNet/KenLM filter): P(b|a)=c(a,b)/c_ctx(a), top-64k
     // table, unseen floored at ln(1/total), per-doc mean + exp(-mean)
