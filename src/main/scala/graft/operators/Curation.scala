@@ -179,10 +179,21 @@ object Curation {
     * yields the same global running sum, so the sampled range
     * boundaries never show in the output. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      budget: Int, shards: Int = 32): DataFrame = {
+      budget: Int, shards: Int = 32): DataFrame =
+    packSequencesByCount(
+      df.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, "n_tokens", budget, shards)
+
+  /** [[packSequences]] over a caller-supplied (id, token-count) frame —
+    * the variant a FITTED tokenizer feeds: chain
+    * [[Tokenizer.bpeEncodeStats]]'s per-doc BPE token counts in here to
+    * pack training sequences by what the tokenizer will actually emit,
+    * not whitespace tokens. Same two-phase distributed prefix sum. */
+  def packSequencesByCount(countsDf: DataFrame, idCol: String,
+      tokensCol: String, budget: Int, shards: Int = 32): DataFrame = {
     require(budget > 0, "token budget must be positive")
-    Dedup.viaPersisted(df
-      .select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    Dedup.viaPersisted(countsDf
+      .select(col(idCol), col(tokensCol).cast(LongType).as("n_tokens"))
       .repartitionByRange(shards, col(idCol))
       .withColumn("__shard", spark_partition_id())) { base =>
       import org.apache.spark.sql.expressions.Window

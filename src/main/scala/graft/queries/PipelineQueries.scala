@@ -1762,6 +1762,33 @@ object PipelineQueries {
       },
       Some(bpeCtes(6) + bpeEncodeSelect(6))),
 
+    // sequence packing by the FITTED tokenizer's counts: BPE encode the
+    // corpus (6 merges), pack 512-token training sequences over the BPE
+    // token counts — the "make batches with the real tokenizer" step
+    "pl_bpe_pack" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val (_, vocab) = Tokenizer.bpeTrain(docs, "text", rounds = 6)
+        val counts = Tokenizer.bpeEncodeStats(docs, "doc_id", "text", vocab)
+          .select("doc_id", "n_tokens")
+        graft.operators.Curation.packSequencesByCount(
+            counts, "doc_id", "n_tokens", budget = 512)
+          .orderBy("doc_id")
+      },
+      Some(bpeCtes(6) + """,
+bdoc AS (
+  SELECT t.doc_id, sum(len(string_split(trim(f.seq), '  ')))::BIGINT AS n_tokens
+  FROM btoks t JOIN bseqs_6 f ON t.w = f.w GROUP BY t.doc_id
+), bst AS (
+  SELECT doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+  FROM bdoc
+)
+SELECT doc_id, n_tokens, (strt // 512)::BIGINT AS seq_id,
+  (strt % 512)::BIGINT AS seq_offset
+FROM bst ORDER BY doc_id""")),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup scoped to LEARNED
     // k-means clusters — no label needed, the cluster id bounds the
     // pair stage. The oracle replays the full 2-iteration spherical
