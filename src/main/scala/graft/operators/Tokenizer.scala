@@ -116,6 +116,31 @@ object Tokenizer {
     merges.toDF("merge_rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Apply a FITTED merge list to a (possibly different) corpus:
+    * rebuild the word-type frame and replay the merges in rank order —
+    * no pair counting, no driver round-trips. This is the production
+    * "ship the tokenizer" path: fit once ([[bpeTrain]]), persist the
+    * merge table ([[bpeMergeTable]] to parquet), then encode any new
+    * corpus by replaying the merges (words unseen in training still
+    * merge wherever the learned pairs occur). On the training corpus
+    * itself this reproduces [[bpeTrain]]'s final vocabulary exactly
+    * (spec-gated). */
+  def applyMerges(df: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame =
+    merges.sortBy(_.rank).foldLeft(wordTypes(df, textCol)) { (v, m) =>
+      v.withColumn("seq",
+        replace(col("seq"), lit(s" ${m.left}  ${m.right} "), lit(s" ${m.merged} ")))
+    }
+
+  /** Reconstruct a merge list from a persisted [[bpeMergeTable]] frame
+    * (rank order restored; the collect is |merges| rows — the artifact
+    * is vocabulary-sized by definition). */
+  def mergesFromTable(table: DataFrame): Seq[Merge] =
+    table.select("merge_rank", "left", "right", "merged", "pair_count")
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_.rank).toSeq
+
   /** Apply a fitted vocabulary back to documents: per-doc BPE token
     * count and chars-per-token compression. The corpus side explodes to
     * tokens and joins the vocab frame (broadcast-able: |vocab| rows) —

@@ -1156,6 +1156,30 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("shipped BPE merges replay the trained vocabulary exactly") {
+    import spark.implicits._
+    val (merges, vocab) = Tokenizer.bpeTrain(docs, "text", rounds = 6)
+    // round-trip the artifact through parquet (the shippable form)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Tokenizer.bpeMergeTable(spark, merges).write.mode("overwrite").parquet(dir)
+    val shipped = Tokenizer.mergesFromTable(spark.read.parquet(dir))
+    assert(shipped == merges)
+    // replaying on the training corpus reproduces the trained vocab
+    val replayed = Tokenizer.applyMerges(docs, "text", shipped)
+      .select("w", "seq").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val trained = vocab.select("w", "seq").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(replayed == trained)
+    // an UNSEEN word still merges wherever learned pairs occur: the
+    // rank-1 merge is always two single characters, so the novel word
+    // left+right must encode with the merged symbol
+    val novel = Seq(merges.head.left + merges.head.right).toDF("text")
+    val seq = Tokenizer.applyMerges(novel, "text", shipped)
+      .select("seq").head().getString(0).trim.split("  ").toSeq
+    assert(seq == Seq(merges.head.merged), seq)
+    Dedup.releaseAll()
+  }
+
   test("hashed embedding chains raw text into semDeDup (no model needed)") {
     // exact-dup texts embed IDENTICALLY (every hash is md5 of content),
     // so after chaining text -> hashedEmbedding -> semDeDup, at most
