@@ -33,6 +33,67 @@ class KernelPropertySpec extends AnyFunSuite {
     df.select(f(col("v"))).collect()
   }
 
+  test("bpeTrain matches a driver-side greedy BPE reference on random corpora") {
+    import graft.operators.Tokenizer
+    // independent reference: word-type table, per-round pair counts
+    // (adjacent, multiplicity within word, weighted by word count),
+    // winner by (count desc, "l r" string asc), greedy non-overlapping
+    // left-to-right merge within each word
+    def refBpe(words: Map[String, Long], rounds: Int)
+        : (Seq[(String, String, String, Long)], Map[String, Vector[String]]) = {
+      var vocab: Map[String, Vector[String]] =
+        words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+      val merges = Seq.newBuilder[(String, String, String, Long)]
+      var r = 0
+      var done = false
+      while (r < rounds && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((w, syms) <- vocab; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + words(w)
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, rt), c) = counts.minBy { case ((l, rt), c) => (-c, l + " " + rt) }
+          merges += ((l, rt, l + rt, c))
+          vocab = vocab.map { case (w, syms) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rt) {
+                out += (l + rt); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            w -> out.result()
+          }
+          r += 1
+        }
+      }
+      (merges.result(), vocab)
+    }
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, wordGen))
+    val prop = Prop.forAll(corpusGen) { ws =>
+      val text = ws.mkString(" ")
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(Row(text)),
+        StructType(Seq(StructField("text", StringType))))
+      val (merges, vocab) = Tokenizer.bpeTrain(df, "text", rounds = 4)
+      val wordCounts = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (refMerges, refVocab) = refBpe(wordCounts, rounds = 4)
+      val got = merges.map(m => (m.left, m.right, m.merged, m.count))
+      val gotVocab = vocab.select("w", "seq").collect()
+        .map(r => r.getString(0) ->
+          r.getString(1).trim.split("  ").toVector).toMap
+      graft.operators.Dedup.releaseAll()
+      if (got != refMerges || gotVocab != refVocab)
+        println(s"[bpe-prop] corpus='$text'\n  merges $got vs $refMerges\n  vocab $gotVocab vs $refVocab")
+      got == refMerges && gotVocab == refVocab
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"bpe: $res")
+  }
+
   test("PqEncode: codes in range, nearest-centroid invariant on random input") {
     val prop = Prop.forAll(Gen.listOfN(3, vecGen).suchThat(_.nonEmpty)) { vs0 =>
       val dim = vs0.head.length
