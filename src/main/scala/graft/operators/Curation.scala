@@ -549,6 +549,35 @@ object Curation {
       .select(col("id"), col("status"))
   }
 
+  /** Semantic benchmark decontamination over hashed-projection
+    * embeddings: corpus docs whose [[TextAnalysis.hashedEmbedding]]
+    * vector is cosine >= `threshold` to ANY benchmark doc, with the
+    * max matching cosine. Complements the shingle-overlap
+    * [[contaminated]]: token-level rewording moves shingles but barely
+    * moves the bucketed tf vector, so paraphrase-level reuse that
+    * exact n-grams miss still surfaces here. Embeddings depend only on
+    * each doc's own text, so embedding the two slices separately
+    * equals slicing one embedded corpus (the oracle's formulation).
+    *
+    * Scale: the benchmark side is small by definition and broadcasts;
+    * the corpus side is one embed pass + one broadcast nested-loop
+    * scoring pass. For a large benchmark, swap the pair stage for
+    * [[Similarity.knnJoin]]'s LSH buckets — the threshold/max shape is
+    * unchanged. */
+  def contaminatedSemantic(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      threshold: Double, buckets: Int = 64, dim: Int = 16): DataFrame = {
+    val ce = TextAnalysis.hashedEmbedding(corpus, idCol, textCol, buckets, dim)
+    val be = TextAnalysis.hashedEmbedding(bench, benchIdCol, benchTextCol,
+        buckets, dim)
+      .select(col("embedding").as("__bv"))
+    ce.crossJoin(broadcast(be))
+      .select(col(idCol),
+        round(Similarity.cosine(col("embedding"), col("__bv")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(idCol).agg(max("cos").as("max_cos"))
+  }
+
   /** Cross-split leakage audit: near-duplicate pairs whose endpoints
     * land in DIFFERENT splits of [[splitAssign]] leak training text
     * into held-out evaluation — the check to run before trusting a

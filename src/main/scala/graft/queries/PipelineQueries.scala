@@ -1610,30 +1610,35 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode(col("embedding")))
         .select(col("doc_id"), col("pos").cast(LongType).as("d"), col("col").as("v"))
         .orderBy("doc_id", "d"),
-      Some("""WITH etk AS (
-             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
-             |), ecnt AS (
-             |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
-             |    count(*) AS c
-             |  FROM etk WHERE t != '' GROUP BY doc_id, b
-             |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
-             |etf AS (
-             |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
-             |  FROM ecnt e JOIN ent n USING (doc_id)
-             |), sgn AS (
-             |  SELECT b, d,
-             |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
-             |         THEN 1.0 ELSE -1.0 END AS sign
-             |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
-             |), ecomp AS (
-             |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
-             |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
-             |), enrm AS (
-             |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
-             |)
+      Some(hashedEmbedCtes + """
              |SELECT c.doc_id, c.d::BIGINT AS d, round(c.v / n.nrm, 6) AS v
              |FROM ecomp c JOIN enrm n USING (doc_id)
              |ORDER BY doc_id, d""".stripMargin)),
+
+    // semantic benchmark decontamination: corpus docs whose hashed
+    // embedding is cosine >= 0.9 to any benchmark doc (doc_id%10==0
+    // slice) — the paraphrase-level complement of pl_decontaminate's
+    // shingle overlap. Embeddings are per-doc, so the oracle embeds the
+    // whole table once and slices.
+    "pl_decontaminate_semantic" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.operators.Curation.contaminatedSemantic(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            threshold = 0.9)
+          .orderBy("doc_id")
+      },
+      Some(hashedEmbedCtes + """, evs AS (
+             |  SELECT c.doc_id, list(round(c.v / n.nrm, 6) ORDER BY c.d) AS e
+             |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
+             |)
+             |SELECT c.doc_id,
+             |  max(round(list_cosine_similarity(c.e, b.e), 4)) AS max_cos
+             |FROM (SELECT * FROM evs WHERE doc_id % 10 != 0) c,
+             |     (SELECT * FROM evs WHERE doc_id % 10 = 0) b
+             |WHERE round(list_cosine_similarity(c.e, b.e), 4) >= 0.9
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
     // end-to-end NO-MODEL semantic retrieval: hashed-projection embed
     // the corpus, take doc 0's vector as the probe, brute-force cosine
@@ -1650,27 +1655,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("cos"))
           .orderBy(col("cos").desc, col("doc_id"))
       },
-      Some("""WITH etk AS (
-             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
-             |), ecnt AS (
-             |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
-             |    count(*) AS c
-             |  FROM etk WHERE t != '' GROUP BY doc_id, b
-             |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
-             |etf AS (
-             |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
-             |  FROM ecnt e JOIN ent n USING (doc_id)
-             |), sgn AS (
-             |  SELECT b, d,
-             |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
-             |         THEN 1.0 ELSE -1.0 END AS sign
-             |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
-             |), ecomp AS (
-             |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
-             |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
-             |), enrm AS (
-             |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
-             |), evec AS (
+      Some(hashedEmbedCtes + """, evec AS (
              |  SELECT c.doc_id,
              |    list(round(c.v / n.nrm, 6) ORDER BY c.d) AS e
              |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
@@ -2514,6 +2499,35 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
        |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.idx) AS rn
        |    FROM emb e CROSS JOIN cent2 c) WHERE rn = 1
        |)""".stripMargin
+
+  /** Shared DuckDB replay of [[graft.operators.TextAnalysis
+    * .hashedEmbedding]] over `documents` (md5 token buckets -> tf ->
+    * ±1 md5 sign projection), ending at `ecomp(doc_id, d, v)` +
+    * `enrm(doc_id, nrm)` — used by pl_text_embed,
+    * pl_text_semantic_topk, and pl_decontaminate_semantic so the
+    * embedding chain can never drift between rows. */
+  private lazy val hashedEmbedCtes: String =
+    """WITH etk AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS t FROM documents
+      |), ecnt AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
+      |    count(*) AS c
+      |  FROM etk WHERE t != '' GROUP BY doc_id, b
+      |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
+      |etf AS (
+      |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
+      |  FROM ecnt e JOIN ent n USING (doc_id)
+      |), sgn AS (
+      |  SELECT b, d,
+      |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
+      |         THEN 1.0 ELSE -1.0 END AS sign
+      |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
+      |), ecomp AS (
+      |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
+      |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
+      |), enrm AS (
+      |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
+      |)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Tokenizer]]'s BPE fit: the
     * word-type table once (btoks/bwt/bseqs_0), then `rounds` unrolled
