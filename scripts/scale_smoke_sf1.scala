@@ -113,7 +113,11 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // bigram LM is a 64k-table fit + one scoring join; hard negatives one
   // broadcast-anchor pass; cluster profile trains k-means once
   "pl_bpe_merges", "pl_text_bigram_ppl", "pl_emb_hard_negatives",
-  "pl_cluster_profile")
+  "pl_cluster_profile",
+  // r10 embedding chain: hashed projection (one tokenize + bucket agg),
+  // end-to-end retrieval, semantic decontamination, BPE-count packing
+  "pl_text_embed", "pl_text_semantic_topk", "pl_decontaminate_semantic",
+  "pl_bpe_pack")
   .foreach(time(_))
 
 // semDeDup A/B on nlist — THE scale knob: the query row's nlist=8
