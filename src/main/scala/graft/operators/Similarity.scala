@@ -671,6 +671,32 @@ object Similarity {
     }
   }
 
+  /** Embedding-diversity sampling over LEARNED k-means cells: the
+    * [[diversitySample]] upgrade that trains the cells
+    * ([[kmeansCentroids]], deterministic) instead of md5-seeding them,
+    * then keeps an md5-ordered quota per cell — the balanced
+    * topic-mixture sampler (every region of embedding space keeps
+    * representation regardless of its corpus share). One persisted
+    * (id, vec) projection serves training + assignment; the per-cell
+    * cut is a WindowGroupLimit, so map tasks keep only `perCell` rows
+    * per cell. */
+  def diversitySampleKMeans(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    Dedup.viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val centroids = kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val assigned = proj.select(col(idCol),
+        cellAssign(col("__v"), centroids).cast(LongType).as("cell"))
+      val w = Window.partitionBy("cell").orderBy(
+        md5(concat(col(idCol).cast(StringType), lit("div")).cast(BinaryType)),
+        col(idCol))
+      assigned.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= perCell)
+        .select(col(idCol), col("cell"))
+    }
+  }
+
   /** Hard-negative mining for contrastive training: for each of
     * `nProbes` md5-sampled anchor vectors (same deterministic sample as
     * [[probeRows]]), the `k` most cosine-similar vectors with a

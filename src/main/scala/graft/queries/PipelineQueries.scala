@@ -1799,6 +1799,20 @@ FROM bst ORDER BY doc_id""")),
              |WHERE e.vec_id NOT IN (SELECT rm FROM sd_pairs)
              |ORDER BY e.vec_id""".stripMargin)),
 
+    // embedding-diversity sampling over LEARNED k-means cells (the
+    // pl_sample_diverse upgrade: trained cells instead of md5 seeds) —
+    // md5-ordered quota of 10 per cell, the balanced topic-mix sampler
+    "pl_sample_diverse_kmeans" -> Q(
+      (s, d) => Similarity.diversitySampleKMeans(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = AnnParams.IvfNlist, iters = AnnParams.KmIters, perCell = 10)
+        .orderBy("vec_id"),
+      Some(kmTrajCtes + """
+             |SELECT vec_id, cell FROM (
+             |  SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+             |    ORDER BY md5(CAST(vec_id AS VARCHAR) || 'div'), vec_id) AS rk
+             |  FROM assign2) WHERE rk <= 10 ORDER BY vec_id""".stripMargin)),
+
     // per-cluster corpus profile on the same learned clustering: size,
     // dominant label, and purity — the triage view a curator reads
     // before deciding per-cluster sampling/filtering rates
