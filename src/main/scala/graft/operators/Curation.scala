@@ -633,9 +633,12 @@ object Curation {
   def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
       budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
     require(budgetTokens > 0 && alpha > 0, "need budgetTokens>0, alpha>0")
-    val per = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))
+    // persist the |sources|-row aggregate: both the normalizer total
+    // and the output rows derive from it, and without the persist each
+    // branch re-runs the full corpus tokenization scan
+    Dedup.viaPersisted(df.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col(textCol))).as("avail_tokens"))) { per =>
     val tot = per.agg(
       sum(pow(col("avail_tokens").cast(DoubleType), lit(alpha))).as("__tot"))
     per.crossJoin(tot)
@@ -649,5 +652,40 @@ object Curation {
         ceil(col("alloc_tokens").cast(DoubleType) / col("avail_tokens")).cast(LongType))
       .select("source", "n_docs", "avail_tokens", "share",
         "alloc_tokens", "sample_rate", "epochs")
+    }
+  }
+
+  /** Materialize a [[mixturePlan]]: expand each document into
+    * `floor(sample_rate)` guaranteed epochs plus one more with
+    * probability `frac(sample_rate)`, decided by a content-independent
+    * md5-of-id draw in MILLIONTHS (matching the plan's 6-dp
+    * `sample_rate` resolution; the draw is salted with "mix" so it is
+    * independent of [[rateSample]]/[[splitAssign]] decisions on the
+    * same ids). This is the step that turns the per-source allocation
+    * into an actual training corpus: scarce sources up-sample
+    * (rate > 1 repeats docs across epochs), abundant sources
+    * down-sample (rate < 1 drops docs), and the expected token mass
+    * per source lands on the plan's `alloc_tokens`.
+    *
+    * Scale: the plan is a |sources|-row frame joined back unhinted
+    * (AQE broadcasts it); the epoch expansion is a scan-stage
+    * explode(sequence(...)) with NO additional shuffle, and re-running
+    * yields byte-identical output. */
+  def realizeMixture(df: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, budgetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    val plan = mixturePlan(df, sourceCol, textCol, budgetTokens, alpha)
+      .select(col("source").as(sourceCol), col("sample_rate"))
+    val full = floor(col("sample_rate")).cast(LongType)
+    // sample_rate is rounded to 6 dp upstream, so frac·1e6 is integral
+    // up to fp noise; round() makes the millionths threshold exact
+    val fracPpm = round((col("sample_rate") - full) * 1e6).cast(LongType)
+    val draw = conv(substring(md5(
+        concat(col(idCol).cast(StringType), lit("mix")).cast(BinaryType)),
+        1, 8), 16, 10).cast(LongType) % 1000000L
+    df.join(plan, Seq(sourceCol))
+      .withColumn("__n", full + when(draw < fracPpm, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), col("__n") - 1)).as("epoch"))
   }
 }

@@ -135,6 +135,44 @@ object TextAnalysis {
       round(exp(-col("__m")), 4).as("ppl"), col("n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2019): score every
+    * document with the in-engine bigram LM ([[bigramQualityScore]]),
+    * compute per-language head/middle/tail TERTILE thresholds, and
+    * label each doc with its bucket — the canonical "train on
+    * head+middle, drop tail" perplexity filter, with the LM fit on the
+    * corpus itself instead of an external KenLM artifact.
+    *
+    * Thresholds are a |languages|-row aggregate joined back to the
+    * scored scan (AQE broadcasts it), so bucket assignment adds NO
+    * per-language global sort — an ntile() formulation would sort each
+    * whole language partition on a single task, which dies at 100 TB
+    * where one language can be 90% of the corpus. `exact=true` uses the
+    * interpolated exact percentile (oracle-replayable: Spark
+    * `percentile` and DuckDB `quantile_cont` share the p·(n−1)
+    * definition, the pl_profile_quantiles precedent); at cluster scale
+    * flip `exact=false` for the sketch-based `percentile_approx` and
+    * the thresholds stop needing a per-language exact sort entirely.
+    * Docs with fewer than two tokens have no bigram positions and drop
+    * out, matching the scorer. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, tableSize: Int = 65536,
+      exact: Boolean = true): DataFrame = {
+    val scored = bigramQualityScore(df, idCol, textCol, tableSize)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val pcts = "array(CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3)"
+    val q =
+      if (exact) expr(s"percentile(ppl, $pcts)")
+      else expr(s"percentile_approx(ppl, $pcts, 10000)")
+    val th = scored.groupBy(col(langCol))
+      .agg(round(element_at(q, 1), 4).as("__t1"),
+        round(element_at(q, 2), 4).as("__t2"))
+    scored.join(th, Seq(langCol))
+      .select(col(idCol), col(langCol), col("ppl"),
+        when(col("ppl") <= col("__t1"), lit("head"))
+          .when(col("ppl") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Deterministic hashed-projection document embedding — the
     * "embed raw text without a model" primitive that feeds
     * [[Dedup.semDeDup]], [[Similarity]] ANN, and diversity sampling

@@ -1531,22 +1531,40 @@ object PipelineQueries {
           Tables(s, d, "documents"), "source", "text",
           budgetTokens = 100000L, alpha = 0.5)
         .orderBy("source"),
-      Some("""WITH per AS (
-             |  SELECT source, count(*) AS n_docs,
-             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS avail_tokens
-             |  FROM documents GROUP BY source
-             |), tot AS (
-             |  SELECT sum(pow(CAST(avail_tokens AS DOUBLE), 0.5)) AS t FROM per
-             |), sh AS (
-             |  SELECT source, n_docs, avail_tokens,
-             |    round(pow(CAST(avail_tokens AS DOUBLE), 0.5) / t, 6) AS share
-             |  FROM per, tot
-             |)
+      Some(mixturePlanCtes + """
              |SELECT source, n_docs, avail_tokens, share,
              |  CAST(floor(100000 * share) AS BIGINT) AS alloc_tokens,
              |  round(CAST(floor(100000 * share) AS DOUBLE) / avail_tokens, 6) AS sample_rate,
              |  CAST(ceil(CAST(floor(100000 * share) AS DOUBLE) / avail_tokens) AS BIGINT) AS epochs
              |FROM sh ORDER BY source""".stripMargin)),
+
+    // mixture REALIZATION: expand the plan's per-source sample_rate
+    // into an actual epoch-expanded corpus — floor(rate) guaranteed
+    // copies per doc + one md5-drawn fractional copy in millionths
+    // (the plan's own 6-dp resolution, salt "mix"). The oracle replays
+    // the identical plan CTEs, so plan and realization cannot drift.
+    "pl_mixture_realize" -> Q(
+      (s, d) => graft.operators.Curation.realizeMixture(
+          Tables(s, d, "documents"), "source", "doc_id", "text",
+          budgetTokens = 100000L, alpha = 0.5)
+        .orderBy("doc_id", "epoch"),
+      Some(mixturePlanCtes + """, pln AS (
+             |  SELECT source,
+             |    round(CAST(floor(100000 * share) AS DOUBLE) / avail_tokens, 6) AS rate
+             |  FROM sh
+             |), ex AS (
+             |  SELECT d.doc_id, d.source,
+             |    CAST(floor(rate) AS BIGINT) AS fl,
+             |    CAST(round((rate - floor(rate)) * 1000000) AS BIGINT) AS fppm,
+             |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8))::BIGINT % 1000000 AS draw
+             |  FROM documents d JOIN pln USING (source)
+             |), ncp AS (
+             |  SELECT doc_id, source,
+             |    fl + CASE WHEN draw < fppm THEN 1 ELSE 0 END AS n
+             |  FROM ex
+             |)
+             |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+             |FROM ncp WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin)),
 
     // token-window chunking (32-token windows, 8-token overlap)
     "pl_text_chunks" -> Q(
@@ -1671,30 +1689,35 @@ object PipelineQueries {
       (s, d) => graft.operators.TextAnalysis.bigramQualityScore(
           Tables(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
-      Some("""WITH btk AS (
-             |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
-             |), bpr AS (
-             |  SELECT doc_id, a, b FROM (
-             |    SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM (
-             |      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM btk))
-             |  WHERE a != '' AND b != ''
-             |), bc AS (SELECT a, b, count(*) AS n FROM bpr GROUP BY a, b),
-             |ctx AS (SELECT a, sum(n) AS nc FROM bc GROUP BY a),
-             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bc),
-             |bi AS (
-             |  SELECT t.a, t.b, ln(CAST(t.n AS DOUBLE) / ctx.nc) AS logp
-             |  FROM (SELECT a, b, n FROM bc ORDER BY n DESC, a, b LIMIT 65536) t
-             |  JOIN ctx USING (a)
-             |)
+      Some(bigramPplCtes + """
              |SELECT doc_id, round(m, 4) AS logprob, round(exp(-m), 4) AS ppl,
              |  n_bigrams
-             |FROM (
-             |  SELECT p.doc_id,
-             |    avg(coalesce(bi.logp, ln(1.0 / (SELECT total FROM tot)))) AS m,
-             |    count(*) AS n_bigrams
-             |  FROM bpr p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
-             |  GROUP BY p.doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+             |FROM bscored ORDER BY doc_id""".stripMargin)),
+
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2019):
+    // per-language tertile thresholds over the bigram-LM perplexity,
+    // bucket assigned by threshold comparison (NO per-language sort).
+    // The oracle replays the identical LM trajectory (shared CTEs with
+    // pl_text_bigram_ppl) then DuckDB's quantile_cont, which shares
+    // Spark percentile's p·(n−1) interpolation definition.
+    "pl_text_ppl_buckets" -> Q(
+      (s, d) => graft.operators.TextAnalysis.perplexityBuckets(
+          Tables(s, d, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id"),
+      Some(bigramPplCtes + """, wl AS (
+             |  SELECT s.doc_id, d.lang, round(exp(-s.m), 4) AS ppl
+             |  FROM bscored s JOIN documents d USING (doc_id)
+             |), bth AS (
+             |  SELECT lang,
+             |    round(quantile_cont(ppl, CAST(1 AS DOUBLE)/3), 4) AS t1,
+             |    round(quantile_cont(ppl, CAST(2 AS DOUBLE)/3), 4) AS t2
+             |  FROM wl GROUP BY lang
+             |)
+             |SELECT w.doc_id, w.lang, w.ppl,
+             |  CASE WHEN w.ppl <= t1 THEN 'head'
+             |       WHEN w.ppl <= t2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM wl w JOIN bth USING (lang) ORDER BY doc_id""".stripMargin)),
 
     // hard-negative mining for contrastive training: for 20 md5-sampled
     // anchors, the 5 most cosine-similar vectors with a DIFFERENT label
@@ -2438,6 +2461,52 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
 
   val all: Map[String, Q] = base + annRecallEntry
 
+
+  /** Shared DuckDB replay of the α=0.5 / 100k-token mixture plan over
+    * `documents`, ending at `sh(source, n_docs, avail_tokens, share)` —
+    * used by pl_mixture_plan and pl_mixture_realize so the realization
+    * expands EXACTLY the rates the plan row publishes. */
+  private lazy val mixturePlanCtes: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS avail_tokens
+      |  FROM documents GROUP BY source
+      |), tot AS (
+      |  SELECT sum(pow(CAST(avail_tokens AS DOUBLE), 0.5)) AS t FROM per
+      |), sh AS (
+      |  SELECT source, n_docs, avail_tokens,
+      |    round(pow(CAST(avail_tokens AS DOUBLE), 0.5) / t, 6) AS share
+      |  FROM per, tot
+      |)""".stripMargin
+
+  /** Shared DuckDB replay of the bigram-LM fit over `documents`
+    * (P(b|a) = c(a,b)/c_ctx(a), top-64k table, unseen floored at
+    * ln(1/total)), ending at `bscored(doc_id, m, n_bigrams)` — used by
+    * pl_text_bigram_ppl and pl_text_ppl_buckets so the bucket
+    * thresholds are computed over EXACTLY the perplexities the scorer
+    * row publishes. */
+  private lazy val bigramPplCtes: String =
+    """WITH btk AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+      |), bpr AS (
+      |  SELECT doc_id, a, b FROM (
+      |    SELECT doc_id, ts[i] AS a, ts[i + 1] AS b FROM (
+      |      SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM btk))
+      |  WHERE a != '' AND b != ''
+      |), bc AS (SELECT a, b, count(*) AS n FROM bpr GROUP BY a, b),
+      |ctx AS (SELECT a, sum(n) AS nc FROM bc GROUP BY a),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM bc),
+      |bi AS (
+      |  SELECT t.a, t.b, ln(CAST(t.n AS DOUBLE) / ctx.nc) AS logp
+      |  FROM (SELECT a, b, n FROM bc ORDER BY n DESC, a, b LIMIT 65536) t
+      |  JOIN ctx USING (a)
+      |), bscored AS (
+      |  SELECT p.doc_id,
+      |    avg(coalesce(bi.logp, ln(1.0 / (SELECT total FROM tot)))) AS m,
+      |    count(*) AS n_bigrams
+      |  FROM bpr p LEFT JOIN bi ON p.a = bi.a AND p.b = bi.b
+      |  GROUP BY p.doc_id
+      |)""".stripMargin
 
   /** Shared DuckDB replay of the 2-iteration spherical k-means
     * trajectory over `embeddings` (the same chain as the

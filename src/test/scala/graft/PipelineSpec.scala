@@ -1254,6 +1254,70 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("perplexity buckets are per-language tertiles ordered by ppl") {
+    val out = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Double]("ppl"),
+        r.getAs[String]("bucket")))
+    assert(out.length == docs.count(), "every scored doc gets a bucket")
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+      // ordering: every head ppl <= every middle ppl <= every tail ppl
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.max <= m.min, s"$lang head/middle overlap")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.max <= t.min, s"$lang middle/tail overlap")
+      // tertiles: no bucket takes more than ~half of a language unless
+      // ties force it (thresholds are value-based, not rank-based)
+      val n = rows.length
+      if (n >= 9 && rows.map(_._2).distinct.length > n / 2)
+        byBucket.values.foreach(b =>
+          assert(b.length <= n * 2 / 3, s"$lang degenerate tertile split"))
+    }
+    // the approx path buckets with the same labels and stays total
+    val approx = TextAnalysis.perplexityBuckets(
+        docs, "doc_id", "text", "lang", exact = false)
+      .collect()
+    assert(approx.length == out.length)
+    Dedup.releaseAll()
+  }
+
+  test("mixture realization lands each source between floor and ceil of its rate") {
+    val plan = Curation.mixturePlan(docs, "source", "text",
+        budgetTokens = 100000L, alpha = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("sample_rate"), r.getAs[Long]("n_docs"))).toMap
+    val out = Curation.realizeMixture(docs, "source", "doc_id", "text",
+      budgetTokens = 100000L, alpha = 0.5)
+    val copies = out.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .collect()
+    copies.foreach { r =>
+      val (rate, _) = plan(r.getAs[String]("source"))
+      val n = r.getAs[Long]("n")
+      // per-doc expansion is floor(rate) or floor(rate)+1...
+      assert(n == math.floor(rate).toLong || n == math.floor(rate).toLong + 1,
+        s"${r.getAs[String]("source")} doc expanded $n times for rate $rate")
+      // ...with dense epoch numbering 0..n-1
+      assert(r.getAs[Long]("mn") == 0L && r.getAs[Long]("mx") == n - 1)
+    }
+    // aggregate: realized copies per source within 20% of rate * n_docs
+    // (md5 draw is uniform; fixture sources have 10+ docs)
+    val bySource = copies.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    bySource.foreach { case (src, realized) =>
+      val (rate, nDocs) = plan(src)
+      val expected = rate * nDocs
+      assert(math.abs(realized - expected) <= math.max(3.0, expected * 0.2),
+        s"$src realized $realized vs expected $expected")
+    }
+    // deterministic: a rerun is row-identical
+    val again = Curation.realizeMixture(docs, "source", "doc_id", "text",
+      budgetTokens = 100000L, alpha = 0.5)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("cluster profile sizes sum to n and match semDeDup's clustering") {
     val prof = Similarity.clusterProfile(emb, "vec_id", "embedding", "label",
       nlist = 8, iters = 2).collect()

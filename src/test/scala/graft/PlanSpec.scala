@@ -291,6 +291,37 @@ class PlanSpec extends AnyFunSuite {
       "single-partition window leaked into shuffle-shard:\n" + p)
   }
 
+  test("perplexity buckets assign by broadcast thresholds, no per-language sort") {
+    val df = graft.operators.TextAnalysis.perplexityBuckets(
+      graft.Tables(spark, dir, "documents"), "doc_id", "text", "lang")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the bucket label must come from a threshold comparison, not an
+    // ntile()/row_number() window — a per-language window sorts each
+    // whole language partition on one task at 100 TB
+    assert(!p.contains("Window"), "window function leaked into bucketing:\n" + p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global sort leaked into bucketing:\n" + p)
+    // the |languages|-row threshold frame joins back as a broadcast
+    assert(p.contains("BroadcastHashJoin"), "threshold join not broadcast:\n" + p)
+    graft.operators.Dedup.releaseAll()
+  }
+
+  test("mixture realization is scan-stage expansion over a broadcast plan") {
+    val df = graft.operators.Curation.realizeMixture(
+      graft.Tables(spark, dir, "documents"), "source", "doc_id", "text",
+      budgetTokens = 100000L, alpha = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the |sources|-row plan joins back as a broadcast; the epoch
+    // expansion is a Generate in the scan stage, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), "plan join not broadcast:\n" + p)
+    assert(p.contains("Generate explode"), "epoch expansion missing:\n" + p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    // the only hash exchange is the plan's own per-source aggregate
+    assert(shuffles <= 1, s"$shuffles hash exchanges (want <=1):\n$p")
+  }
+
   test("bucketed tables join exchange-free on the bucket key") {
     import org.apache.spark.sql.functions.col
     val o = graft.Tables(spark, dir, "orders")
