@@ -457,6 +457,39 @@ object TextAnalysis {
             d(lit(2) * col("tp") + col("fp") + col("fn"))), 4).as("f1"))
   }
 
+  /** Calibration curve for a trained [[trainClassifier]] model: bucket
+    * the corpus into `bins` equal-width score bins (floor(score·bins),
+    * top bucket capped at bins−1) and report per-bin doc count, mean
+    * score, and observed positive-label rate — the "can the score be
+    * trusted as a keep/drop or sampling weight?" check a
+    * classifier-filtered corpus needs before thresholding (a
+    * well-calibrated model has pos_rate ≈ mean_score per bin). The bin
+    * is integer arithmetic over the same 4-dp rounded probability
+    * [[scoreClassifier]] emits, so a boundary doc buckets identically
+    * in every engine; a weakly-separating model concentrates its
+    * scores, so pick `bins` fine enough to resolve the observed range
+    * (100 resolves 4-dp scores to ~centiles).
+    *
+    * Scale: scoring is the same join-free compiled token-margin scan
+    * as [[scoreClassifier]]; the curve is ONE ≤`bins`-row aggregate —
+    * the driver sees at most `bins` rows for a 100 TB corpus. */
+  def calibrationCurve(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, weights: Array[Double], bias: Double,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0 && bins <= 10000, "bins must be in (0, 10000]")
+    val m = graft.functions.VectorExpressions.token_margin(
+      col(textCol), weights.toSeq, bias)
+    val scored = df.select(labelCol.cast(DoubleType).as("__y"),
+        round(lit(1.0) / (lit(1.0) + exp(-m)), 4).as("p"))
+      .filter(col("p").isNotNull)
+    scored
+      .groupBy(least(floor(col("p") * bins), lit(bins - 1L)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p")), 4).as("mean_score"),
+        round(avg(col("__y")), 4).as("pos_rate"))
+      .orderBy("bin")
+  }
+
   /** Train on `df` and score the same frame — the single-call form the
     * oracle gate exercises end to end. */
   def trainAndScoreClassifier(df: DataFrame, idCol: String, textCol: String,

@@ -2049,6 +2049,35 @@ FROM bst ORDER BY doc_id""")),
              |    ELSE CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) END, 4) AS f1
              |FROM cf""".stripMargin)),
 
+    // calibration curve for the SAME trained model (shared trajectory
+    // CTEs): per-score-bin doc count, mean score, and observed positive
+    // rate — pos_rate ≈ mean_score per bin is what licenses using the
+    // score as a keep/drop threshold or sampling weight. 1000 bins:
+    // this weakly-separating fixture model concentrates its scores in a
+    // ~0.004-wide band, so decile/centile bins collapse to one row
+    // while per-mill bins resolve the curve
+    "pl_classifier_calibration" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val label = (col("lang") === "en").cast(DoubleType)
+        val (w, b) = TextAnalysis.trainClassifier(
+          docs, "doc_id", "text", label, buckets = 64, iters = 3, lr = 5.0)
+        TextAnalysis.calibrationCurve(docs, "doc_id", "text", label, w, b,
+          bins = 1000)
+      },
+      Some(clfTrajectoryCtes + """, msy AS (
+             |  SELECT bk.doc_id, any_value(bk.y) AS y,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
+             |), scd AS (
+             |  SELECT y, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM msy
+             |)
+             |SELECT CAST(least(floor(p * 1000), 999) AS BIGINT) AS bin,
+             |  count(*) AS n_docs,
+             |  round(avg(p), 4) AS mean_score,
+             |  round(avg(y), 4) AS pos_rate
+             |FROM scd GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // substring-level exact dedup (suffix-array semantics declaratively:
     // overlapping 10-gram hashes, corpus-wide occurrence count >= 2,
     // gaps-and-islands merge to maximal spans) — Dedup.repeatedSpans

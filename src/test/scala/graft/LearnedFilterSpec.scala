@@ -114,6 +114,32 @@ class LearnedFilterSpec extends AnyFunSuite {
       s"expected accuracy=f1=1.0, got $r")
   }
 
+  test("calibration curve partitions the corpus into exact score bins") {
+    val (w, b) = TextAnalysis.trainClassifier(
+      clfFixture, "doc_id", "text", col("y"), buckets = 64, iters = 10, lr = 5.0)
+    val curve = TextAnalysis.calibrationCurve(
+        clfFixture, "doc_id", "text", col("y"), w, b, bins = 10)
+      .collect()
+    // total: every scored doc lands in exactly one bin
+    assert(curve.map(_.getAs[Long]("n_docs")).sum == 24)
+    curve.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val ms = r.getAs[Double]("mean_score")
+      // mean of scores inside an equal-width bin stays inside the bin
+      // (the top bin also absorbs score=1.0 exactly)
+      assert(ms >= bin / 10.0 && ms <= (bin + 1) / 10.0,
+        s"bin $bin mean_score $ms outside its bounds")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+    // a separable model is calibrated at the extremes: the lowest bin
+    // is all-negative, the highest all-positive
+    val sorted = curve.sortBy(_.getAs[Long]("bin"))
+    assert(sorted.head.getAs[Double]("pos_rate") == 0.0)
+    assert(sorted.last.getAs[Double]("pos_rate") == 1.0)
+  }
+
   test("classifier scoring matches an independent local replay of the model") {
     // differential: recompute margins in plain Scala from the trained
     // weights + the SAME md5 bucketing, compare to the engine's scores
