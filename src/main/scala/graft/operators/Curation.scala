@@ -309,6 +309,37 @@ object Curation {
       .withColumn("contamination", round(col("n_shared") / col("n_shingles"), 4))
   }
 
+  /** Screen-ablation report: given a set of named boolean quality
+    * screens (true = pass), one row per screen with how many docs fail
+    * it and how many fail ONLY it — the overlap analytics a pipeline
+    * owner reads before re-tuning thresholds (a screen whose removals
+    * are all unique is doing real work; one whose removals are fully
+    * covered by the others is free to drop). A final `__any__` row
+    * carries the union: docs failing at least one screen.
+    *
+    * Scale: the screens evaluate inside ONE scan pass and collapse into
+    * a single global aggregate (2·|screens|+1 counters) — no shuffle of
+    * rows, no per-screen job; the per-screen unpivot runs on the 1-row
+    * aggregate. */
+  def screenAblation(df: DataFrame, screens: Seq[(String, Column)]): DataFrame = {
+    require(screens.nonEmpty, "need at least one screen")
+    val fails = screens.map { case (n, c) =>
+      when(!c, lit(1)).otherwise(lit(0)).as(s"__f_$n") }
+    val flagged = df.select(fails: _*)
+    val nFail = screens.map(s => col(s"__f_${s._1}")).reduce(_ + _)
+    val aggs = screens.flatMap { case (n, _) => Seq(
+      sum(col(s"__f_$n")).as(s"__nf_$n"),
+      sum(when(col(s"__f_$n") === 1 && nFail === 1, 1L).otherwise(0L))
+        .as(s"__uf_$n"))
+    } :+ sum(when(nFail > 0, 1L).otherwise(0L)).as("__nf_any")
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stacked = screens.map { case (n, _) =>
+      s"'$n', __nf_$n, __uf_$n" }.mkString(", ") +
+      s", '__any__', __nf_any, __nf_any"
+    one.select(expr(
+      s"stack(${screens.size + 1}, $stacked) AS (screen, n_fail, n_unique_fail)"))
+  }
+
   /** Deterministic shuffle-and-shard — the last step of every training
     * pipeline: assign each row a pseudorandom shard and a pseudorandom
     * position within it, so the written dataset is globally shuffled

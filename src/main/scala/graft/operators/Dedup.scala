@@ -521,6 +521,40 @@ object Dedup {
     df.join(remove, col(idCol) === col("__rm"), "left_anti")
   }
 
+  /** Priority-aware near-dedup: cluster near-duplicates (connected
+    * components over the LSH-verified pair graph) and keep, per cluster,
+    * the single member with the LOWEST `priority` value (ties: lowest
+    * id) — the cross-source resolution rule real pipelines use when the
+    * same text is crawled from several places ("prefer the curated
+    * source's copy over the crawl's"). [[dropNearDuplicates]]' keep-min-
+    * id rule is the special case priority=const.
+    *
+    * `priority` is any deterministic Column over df's rows (smaller =
+    * better). Unclustered docs always survive.
+    *
+    * Scale: pair mining + CC as in [[nearDupClusters]]; the resolution
+    * itself is one row_number window partitioned by cluster id (clusters
+    * are near-dup families — small and numerous, no skew concern), and
+    * the survivor join is an unhinted equi-join AQE can broadcast when
+    * the clustered fraction is small. */
+  def dropNearDuplicatesByPriority(df: DataFrame, idCol: String, textCol: String,
+      priority: Column, shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = nearDupClusters(
+      minHashLshPairs(df, idCol, textCol, shingleN, bands, rowsPerBand, threshold))
+    // the window runs on CLUSTERED docs only (pair-graph-sized, an inner
+    // join) — a left join + window would put every unclustered doc of
+    // the corpus into one giant NULL partition
+    val member = df.select(col(idCol).as("__mid"), priority.as("__prio"))
+      .join(clusters, col("__mid") === col("doc_id"))
+    val rk = row_number().over(
+      Window.partitionBy("cluster_id").orderBy(col("__prio"), col("__mid")))
+    val losers = member.withColumn("__rk", rk).filter(col("__rk") > 1)
+      .select(col("__mid").as("__rm"))
+    df.join(losers, col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** Apply semantic (embedding-space) dedup: remove the higher id of
     * every near-duplicate pair found by [[embeddingCosinePairs]] —
     * greedy, mirroring [[dropNearDuplicates]] on the text side. Join

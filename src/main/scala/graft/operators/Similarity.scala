@@ -671,6 +671,49 @@ object Similarity {
     }
   }
 
+  /** Prototype-distance pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power-law scaling via data pruning"): train
+    * spherical k-means on the embeddings ([[kmeansCentroids]],
+    * deterministic), score every vector by cosine to its ASSIGNED
+    * centroid (prototypicality), and keep only the `keepPermill`
+    * hardest — least prototypical — members of each cell (ties: lowest
+    * id; every non-empty cell keeps at least one member). This is the
+    * paper's data-rich-regime rule: easy, redundant examples near the
+    * cluster center go, the informative boundary examples stay. The cut
+    * is per-cell rather than global — the paper's class-balanced
+    * variant — which also avoids a global sort of the corpus.
+    *
+    * Scale: one persisted (id, vec) projection serves training,
+    * assignment and scoring; the centroid table (nlist × dim) and the
+    * cell-size table (nlist rows) broadcast; the per-cell cut is a
+    * row_number window partitioned by cell (WindowGroupLimit-friendly).
+    * Returns (idCol, cell, proto_cos) survivors, proto_cos at 6 dp. */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, keepPermill: Int): DataFrame = {
+    require(keepPermill > 0 && keepPermill <= 1000, "keepPermill in (0, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    Dedup.viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val centroids = kmeansCentroids(proj, idCol, "__v", nlist, iters)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centDf = centroids.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("cell", "__c")
+      val scored = proj.select(col(idCol),
+          cellAssign(col("__v"), centroids).cast(LongType).as("cell"), col("__v"))
+        .join(broadcast(centDf), Seq("cell"))
+        .select(col(idCol), col("cell"),
+          round(cosine(col("__v"), col("__c")), 6).as("proto_cos"))
+      val sizes = scored.groupBy("cell").agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy("cell").orderBy(col("proto_cos").asc, col(idCol))
+      scored.join(broadcast(sizes), Seq("cell"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= greatest(lit(1L),
+          expr(s"(__n * $keepPermill) div 1000")))
+        .select(col(idCol), col("cell"), col("proto_cos"))
+    }
+  }
+
   /** Embedding-diversity sampling over LEARNED k-means cells: the
     * [[diversitySample]] upgrade that trains the cells
     * ([[kmeansCentroids]], deterministic) instead of md5-seeding them,

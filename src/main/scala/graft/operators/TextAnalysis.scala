@@ -277,6 +277,89 @@ object TextAnalysis {
     aggregate(Dedup.charShingles(text, 8), lit(Long.MaxValue),
       (acc, s) => least(acc, xxhash64(s)))
 
+  /** Position capacity per document for [[winnowFingerprints]]' packed
+    * (hash, position) ordering key: 2^21 token positions (≈10 MB of
+    * text per doc). hash(40 bit) * 2^21 stays inside a signed long. */
+  private[operators] val WinnowPosRange: Long = 1L << 21
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every OVERLAPPING word
+    * k-gram, then from each sliding window of `w` consecutive gram
+    * hashes keep the minimum, breaking ties toward the RIGHTMOST
+    * position. Guarantee: any token run of length >= w + k - 1 shared
+    * by two documents shares at least one selected fingerprint, at an
+    * expected density of 2/(w+1) of the grams — a compact, alignment-
+    * free sketch for copy detection (the reference's fingerprinting
+    * surface is hash builtins over whole fields, expr/builtins.go;
+    * this is the local-substring analog a crawl pipeline needs).
+    *
+    * Determinism: the rightmost-min rule is realized by ONE packed
+    * integer key `h * 2^21 + (2^21-1-p)` — min(key) == (min hash,
+    * max position) — so a rolling `min` window replays identically in
+    * any engine (no float, no argmin tie ambiguity). Positions beyond
+    * 2^21 would fold into the hash bits; docs that large should be
+    * chunked first ([[graft.operators.Curation.chunkDocuments]]).
+    *
+    * Scale: gram hashing is a per-row transform (scan stage); the only
+    * shuffle is the per-document window (grams of one doc co-locate,
+    * same shape as [[Dedup.repeatedSpans]]' island merge). Output is
+    * ~2/(w+1) of the gram count — the downstream index is ~60% smaller
+    * than a full inverted gram index at w=4. Docs shorter than k
+    * tokens yield no fingerprints (no gram exists).
+    *
+    * Returns (idCol, fp_pos, fp_hash): selected gram start positions
+    * (0-based) and their 40-bit gram hashes. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "need k>0, w>0")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= k)
+    val gramHashes = transform(
+      sequence(lit(0), size(col("__t")) - k),
+      p => conv(substring(md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))
+        .cast(BinaryType)), 1, 10), 16, 10).cast(LongType))
+    val grams = base.select(col(idCol), posexplode(gramHashes).as(Seq("p", "h")))
+    val byPos = Window.partitionBy(idCol).orderBy("p")
+    val sel = grams
+      .withColumn("__k", col("h") * WinnowPosRange + (lit(WinnowPosRange - 1) - col("p")))
+      .withColumn("__m", min(col("__k")).over(byPos.rowsBetween(-(w - 1), 0)))
+      .withColumn("__last", max(col("p")).over(Window.partitionBy(idCol)))
+      // windows are trailing: rows before w-1 see a clipped window that a
+      // full window at p=w-1 re-covers — except in docs with fewer than w
+      // grams, where the LAST row's clipped window spans the whole doc
+      .filter(col("p") >= w - 1 || col("p") === col("__last"))
+      .select(col(idCol), col("__m")).distinct()
+    sel.select(col(idCol),
+      (lit(WinnowPosRange - 1) - (col("__m") % WinnowPosRange)).as("fp_pos"),
+      expr(s"__m div ${WinnowPosRange}L").as("fp_hash"))
+  }
+
+  /** Document-pair overlap from winnowed fingerprints: pairs sharing at
+    * least `minShared` distinct fingerprint hashes, with the shared
+    * count — the MOSS-style copy/plagiarism report over a corpus.
+    *
+    * Scale: the candidate stage is an inverted-index self-join on the
+    * fingerprint hash, C(df,2) pairs per hash — `maxDf` drops hashes
+    * present in more documents than that (boilerplate fingerprints; the
+    * same over-common-feature cut MOSS applies), so candidate volume
+    * tracks true overlap density, not shared-boilerplate frequency. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__h")
+    val idx = fps.join(rare, Seq("__h"), "left_semi")
+    idx.select(col("__id").as("id_a"), col("__h"))
+      .join(idx.select(col("__id").as("id_b"), col("__h")), Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Gopher-style repetition screens: duplicate-word fraction and the
     * character mass of the most frequent word bigram. High values flag
     * boilerplate/spam documents that survive exact dedup (the standard

@@ -1860,6 +1860,33 @@ FROM bst ORDER BY doc_id""")),
              |  round(CAST(d.dom_n AS DOUBLE) / s.size, 4) AS purity
              |FROM csizes s JOIN cdom d USING (cell) ORDER BY s.cell""".stripMargin)),
 
+    // prototype-distance pruning (Sorscher et al. 2022): keep the 70%
+    // LEAST prototypical members of each learned k-means cell (cosine
+    // to assigned centroid, ascending) — easy redundant examples go,
+    // boundary examples stay; shares the k-means trajectory oracle
+    "pl_emb_prototype_prune" -> Q(
+      (s, d) => Similarity.prototypePrune(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = AnnParams.IvfNlist, iters = AnnParams.KmIters,
+          keepPermill = 700)
+        .orderBy("vec_id"),
+      Some(kmTrajCtes + """,
+             |ps AS (
+             |  SELECT a.vec_id, a.cell,
+             |    round(list_cosine_similarity(a.v, c.c), 6) AS proto_cos
+             |  FROM assign2 a JOIN cent2 c ON c.idx = a.cell
+             |), psz AS (
+             |  SELECT cell, count(*) AS n FROM ps GROUP BY cell
+             |), prk AS (
+             |  SELECT p.vec_id, p.cell, p.proto_cos, s.n,
+             |    row_number() OVER (PARTITION BY p.cell
+             |      ORDER BY p.proto_cos ASC, p.vec_id) AS r
+             |  FROM ps p JOIN psz s USING (cell)
+             |)
+             |SELECT vec_id, cell, proto_cos FROM prk
+             |WHERE r <= greatest(1, (n * 700) // 1000)
+             |ORDER BY vec_id""".stripMargin)),
+
     // deterministic mixture-rate sampling: md5-bucket rates per source
     // (src0 kept whole, src1 half, src2 nearly dropped, rest at 250 permill)
     "pl_sample_rate" -> Q(
@@ -2172,6 +2199,170 @@ FROM bst ORDER BY doc_id""")),
           |  round(CAST(coalesce(sum(dup_toks), 0) AS DOUBLE) / sum(toks), 6) AS dup_frac
           |FROM src LEFT JOIN perdoc USING (doc_id)
           |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003): sliding-
+    // window min of word 8-gram hashes, rightmost-min tie rule realized
+    // by one packed integer key — full (pos, hash) replay on a doc slice
+    "pl_fingerprint_winnow" -> Q(
+      (s, d) => TextAnalysis.winnowFingerprints(
+          Tables(s, d, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text", k = 8, w = 4)
+        .orderBy("doc_id", "fp_pos"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE doc_id < 50
+             |), g AS (
+             |  SELECT doc_id, p,
+             |    ('0x' || substr(md5(array_to_string(t[(p+1):(p+8)], ' ')), 1, 10))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p
+             |        FROM tok WHERE len(t) >= 8)
+             |), kk AS (
+             |  SELECT doc_id, p, h * 2097152 + (2097151 - p) AS kv FROM g
+             |), rm AS (
+             |  SELECT doc_id, p,
+             |    min(kv) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+             |    max(p) OVER (PARTITION BY doc_id) AS lastp
+             |  FROM kk
+             |), sel AS (
+             |  SELECT DISTINCT doc_id, m FROM rm WHERE p >= 3 OR p = lastp
+             |)
+             |SELECT doc_id, (2097151 - (m % 2097152)) AS fp_pos,
+             |  (m // 2097152) AS fp_hash
+             |FROM sel ORDER BY doc_id, fp_pos""".stripMargin)),
+
+    // MOSS-style copy report: doc pairs sharing >= 3 winnowed
+    // fingerprints (over-common fingerprints cut at df <= 20 — candidate
+    // volume tracks true overlap, not boilerplate frequency)
+    "pl_winnow_overlap" -> Q(
+      (s, d) => TextAnalysis.winnowOverlapPairs(Tables(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 4, minShared = 3, maxDf = 20)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), g AS (
+             |  SELECT doc_id, p,
+             |    ('0x' || substr(md5(array_to_string(t[(p+1):(p+8)], ' ')), 1, 10))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p
+             |        FROM tok WHERE len(t) >= 8)
+             |), kk AS (
+             |  SELECT doc_id, p, h * 2097152 + (2097151 - p) AS kv FROM g
+             |), rm AS (
+             |  SELECT doc_id, p,
+             |    min(kv) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+             |    max(p) OVER (PARTITION BY doc_id) AS lastp
+             |  FROM kk
+             |), fp AS (
+             |  SELECT DISTINCT doc_id, (m // 2097152) AS h
+             |  FROM rm WHERE p >= 3 OR p = lastp
+             |), rare AS (
+             |  SELECT h FROM fp GROUP BY h HAVING count(*) <= 20
+             |), idx AS (
+             |  SELECT doc_id, h FROM fp SEMI JOIN rare USING (h)
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+             |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // priority-aware near-dedup: per near-dup cluster keep the best-
+    // priority member (prefer-English rule here; prefer-curated-source
+    // in production) — the cross-source resolution real pipelines apply
+    "pl_dedup_apply_priority" -> Q(
+      (s, d) => Dedup.dropNearDuplicatesByPriority(
+          Tables(s, d, "documents"), "doc_id", "text",
+          priority = when(col("lang") === "en", 0)
+            .when(col("lang") === "es", 1).otherwise(2),
+          shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)
+        .select("doc_id", "source", "lang").orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+             |), clusters AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a
+             |), pr AS (
+             |  SELECT doc_id, source, lang,
+             |    CASE WHEN lang = 'en' THEN 0 WHEN lang = 'es' THEN 1 ELSE 2 END AS prio
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT p.doc_id,
+             |    row_number() OVER (PARTITION BY c.cluster_id
+             |      ORDER BY p.prio, p.doc_id) AS rk
+             |  FROM pr p JOIN clusters c USING (doc_id)
+             |), rm AS (
+             |  SELECT doc_id FROM ranked WHERE rk > 1
+             |)
+             |SELECT doc_id, source, lang FROM pr ANTI JOIN rm USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // screen-ablation report: per quality screen, docs failing it and
+    // docs failing ONLY it (is each screen doing unique work?) — all
+    // four screens in integer arithmetic so any engine replays exactly
+    "pl_screen_ablation" -> Q(
+      (s, d) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val ntok = size(toks)
+        val nonspace = length(regexp_replace(col("text"), " ", ""))
+        graft.operators.Curation.screenAblation(Tables(s, d, "documents"), Seq(
+          "len" -> (ntok >= 30 && ntok <= 1000),
+          "wordlen" -> (nonspace * 2 < ntok * 9),
+          "dup" -> (size(array_distinct(toks)) * 20 >= ntok * 9),
+          "stop" -> (size(filter(toks,
+            t => t.isin("the", "a", "of", "to", "in"))) * 20 >= ntok)))
+          .orderBy("screen")
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id, len(tk) AS ntok, ns,
+             |    len(list_distinct(tk)) AS nd,
+             |    len(list_filter(tk, x -> x IN ('the','a','of','to','in'))) AS stop
+             |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk,
+             |          len(replace(text, ' ', '')) AS ns FROM documents)
+             |), f AS (
+             |  SELECT doc_id,
+             |    CASE WHEN ntok BETWEEN 30 AND 1000 THEN 0 ELSE 1 END AS f_len,
+             |    CASE WHEN ns * 2 < ntok * 9 THEN 0 ELSE 1 END AS f_wordlen,
+             |    CASE WHEN nd * 20 >= ntok * 9 THEN 0 ELSE 1 END AS f_dup,
+             |    CASE WHEN stop * 20 >= ntok THEN 0 ELSE 1 END AS f_stop
+             |  FROM m
+             |), g AS (
+             |  SELECT doc_id, f_len, f_wordlen, f_dup, f_stop,
+             |    f_len + f_wordlen + f_dup + f_stop AS nf FROM f
+             |)
+             |SELECT screen, CAST(n_fail AS BIGINT) AS n_fail,
+             |  CAST(n_unique_fail AS BIGINT) AS n_unique_fail FROM (
+             |  SELECT 'len' AS screen, sum(f_len) AS n_fail,
+             |    sum(CASE WHEN f_len = 1 AND nf = 1 THEN 1 ELSE 0 END) AS n_unique_fail FROM g
+             |  UNION ALL
+             |  SELECT 'wordlen', sum(f_wordlen),
+             |    sum(CASE WHEN f_wordlen = 1 AND nf = 1 THEN 1 ELSE 0 END) FROM g
+             |  UNION ALL
+             |  SELECT 'dup', sum(f_dup),
+             |    sum(CASE WHEN f_dup = 1 AND nf = 1 THEN 1 ELSE 0 END) FROM g
+             |  UNION ALL
+             |  SELECT 'stop', sum(f_stop),
+             |    sum(CASE WHEN f_stop = 1 AND nf = 1 THEN 1 ELSE 0 END) FROM g
+             |  UNION ALL
+             |  SELECT '__any__', sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END),
+             |    sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END) FROM g
+             |) ORDER BY screen""".stripMargin)),
   )
 
   /** Multi-probe recall@10 of every ANN method against the exact

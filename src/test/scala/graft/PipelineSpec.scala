@@ -1388,4 +1388,135 @@ class PipelineSpec extends AnyFunSuite {
     assert(stats.getAs[Long]("n_chars") == 3 * 4 + 2 * 2 + 2)
     Dedup.releaseAll()
   }
+
+  /** Driver-side reference winnowing (Schleimer et al. 2003, rightmost-
+    * min tie rule) for the differential test below. */
+  private def winnowLocal(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.trim.split("\\s+")
+    if (toks.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = (0 to toks.length - k).map { p =>
+      val hex = md.digest(toks.slice(p, p + k).mkString(" ")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    val pr = 1L << 21
+    val keys = hashes.zipWithIndex.map { case (h, p) => h * pr + (pr - 1 - p) }
+    val lastWin = keys.length - 1
+    val sel = (0 until keys.length).filter(i => i >= w - 1 || i == lastWin)
+      .map(i => keys.slice(math.max(0, i - w + 1), i + 1).min).toSet
+    sel.map(m => (pr - 1 - (m % pr), m / pr))
+  }
+
+  test("winnowing fingerprints match a driver-side reference implementation") {
+    val sample = docs.filter(col("doc_id") < 20)
+    val got = TextAnalysis.winnowFingerprints(sample, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = sample.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> winnowLocal(r.getString(1), 8, 4)).toMap
+    assert(got.keySet == want.filter(_._2.nonEmpty).keySet)
+    for ((id, fps) <- got) assert(fps == want(id), s"doc $id")
+    // density: winnowing guarantees a selection in every window of w
+    // grams — per doc, between n_grams/w and n_grams fingerprints
+    for ((id, fps) <- want if fps.nonEmpty) {
+      val n = fps.size
+      val nGrams = want(id).map(_._1).max + 1 // at least this many grams
+      assert(n <= nGrams && n >= nGrams / (2 * 4), s"doc $id density off: $n of $nGrams")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a run of w+k-1 tokens share a fingerprint") {
+    val spark2 = spark
+    import spark2.implicits._
+    // k=8, w=4: any shared run of >= 11 tokens must share a fingerprint
+    val shared = (1 to 11).map(i => s"shared$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta eta theta"),
+      (2L, s"one two three four five six $shared seven eight nine ten"),
+      (3L, "completely different text with no overlap at all here okay " +
+        "padding words continue further onward")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowOverlapPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("priority near-dedup keeps exactly the best-priority member per cluster") {
+    val pri = when(col("lang") === "en", 0).when(col("lang") === "es", 1).otherwise(2)
+    val kept = Dedup.dropNearDuplicatesByPriority(docs, "doc_id", "text", pri)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.nearDupClusters(
+        Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.5))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture should contain near-dup clusters")
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def prio(id: Long): Int = langOf(id) match {
+      case "en" => 0; case "es" => 1; case _ => 2 }
+    for ((cid, members) <- byCluster) {
+      val surv = members & kept
+      assert(surv.size == 1, s"cluster $cid kept $surv of $members")
+      val want = members.toSeq.sortBy(id => (prio(id), id)).head
+      assert(surv.head == want, s"cluster $cid kept ${surv.head}, want $want")
+    }
+    // unclustered docs all survive; constant priority = keep-min-id rule
+    val clustered = clusters.map(_._1).toSet
+    assert((langOf.keySet -- clustered).subsetOf(kept))
+    val constKept = Dedup.dropNearDuplicatesByPriority(docs, "doc_id", "text", lit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minIdKept = langOf.keySet -- byCluster.values.flatMap(m => m - m.min)
+    assert(constKept == minIdKept)
+    Dedup.releaseAll()
+  }
+
+  test("screen ablation counts fails and unique fails per screen") {
+    val spark2 = spark
+    import spark2.implicits._
+    // flags (a, b): combinations TT, TF, FT, FF, FF
+    val df = Seq((true, true), (true, false), (false, true),
+      (false, false), (false, false)).toDF("a", "b")
+    val got = Curation.screenAblation(df, Seq(
+        "a" -> col("a"), "b" -> col("b")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("a") == (3L, 1L))      // FT + 2xFF fail a; FT fails ONLY a
+    assert(got("b") == (3L, 1L))      // TF + 2xFF fail b; TF fails ONLY b
+    assert(got("__any__") == (4L, 4L))
+  }
+
+  test("prototype pruning keeps the hardest keepPermill per cell, all at 1000") {
+    val all = Similarity.prototypePrune(emb, "vec_id", "embedding",
+        nlist = 8, iters = 2, keepPermill = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.length == emb.count(), "keepPermill=1000 must keep every vector")
+    val pruned = Similarity.prototypePrune(emb, "vec_id", "embedding",
+        nlist = 8, iters = 2, keepPermill = 700)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val prunedByCell = pruned.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    for ((cell, members) <- all.groupBy(_._2)) {
+      val keepN = math.max(1, members.length * 700 / 1000)
+      val want = members.sortBy(m => (m._3, m._1)).take(keepN).map(_._1).toSet
+      assert(prunedByCell.getOrElse(cell, Set.empty) == want,
+        s"cell $cell: wrong survivor set")
+    }
+    Dedup.releaseAll()
+  }
+
+  test("winnow overlap maxDf cuts boilerplate fingerprints") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the same 11-token boilerplate in every doc: maxDf=2 must drop the
+    // shared fingerprints, so no pair survives; maxDf=10 keeps them all
+    val boiler = (1 to 11).map(i => s"b$i").mkString(" ")
+    val df = (1L to 5L).map(i => (i, s"u${i}a u${i}b u${i}c $boiler u${i}d " +
+      s"u${i}e u${i}f u${i}g u${i}h")).toDF("doc_id", "text")
+    val strict = TextAnalysis.winnowOverlapPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 2).count()
+    val loose = TextAnalysis.winnowOverlapPairs(df, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 10).count()
+    assert(strict == 0, s"maxDf=2 should cut df=5 fingerprints, got $strict pairs")
+    assert(loose == 10L, s"all C(5,2) pairs should share boilerplate, got $loose")
+  }
 }
