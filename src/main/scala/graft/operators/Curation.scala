@@ -414,6 +414,48 @@ object Curation {
         idCol, shards)
     }
 
+  /** End-to-end curation v3 — the classifier-gated funnel (the
+    * GPT-3/CCNet/FineWeb shape): train the hashed-BoW quality
+    * classifier in-engine ([[TextAnalysis.trainClassifier]]), keep the
+    * documents scoring at or above the CORPUS MEAN (a relative gate —
+    * scores are 4-dp, so the mean compare runs in exact integer
+    * arithmetic `si·n >= Σsi` and replays in any engine; a fixed
+    * absolute threshold would not transfer across corpora), exact-dedup
+    * the survivors (keep min id), √-temperature the mixture down to
+    * `targetNum/targetDen` of the gated token mass, and lay out
+    * byte-reproducible shuffle shards.
+    *
+    * Scale: training's driver traffic is ≤`buckets` rows per GD round;
+    * scoring is one scan pass (compiled token-margin kernel, weights as
+    * literals); the mean gate joins a broadcast 1-row aggregate; dedup
+    * is one window on the content hash; the sample + shard stages are
+    * the [[curateV2]] tail. */
+  def curateV3(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, labelCol: Column, targetNum: Long, targetDen: Long,
+      shards: Int, buckets: Int = 64, iters: Int = 3,
+      lr: Double = 5.0): DataFrame = {
+    val (wts, bias) = TextAnalysis.trainClassifier(
+      docs, idCol, textCol, labelCol, buckets, iters, lr)
+    val scored = TextAnalysis.scoreClassifier(docs, idCol, textCol, wts, bias)
+      .withColumn("__si", round(col("score") * 10000, 0).cast(LongType))
+    val stats = scored.agg(sum("__si").as("__tot"), count(lit(1)).as("__n"))
+    val gateIds = scored.crossJoin(broadcast(stats))
+      .filter(col("__si") * col("__n") >= col("__tot"))
+      .select(col(idCol))
+    val gated = docs.join(gateIds, Seq(idCol), "left_semi")
+    val deduped = Dedup.dropExactDuplicates(gated, idCol, textCol)
+    Dedup.viaPersisted(
+        deduped.select(col(idCol), col(textCol), col(sourceCol))) { clean =>
+      val total = clean.agg(coalesce(sum(
+        TextAnalysis.tokenCount(col(textCol))), lit(0L))).head().getLong(0)
+      require(total > 0, "no tokens survive the classifier gate")
+      shuffleShards(
+        temperatureSample(clean, sourceCol, idCol, textCol,
+          total * targetNum / targetDen),
+        idCol, shards)
+    }
+  }
+
   /** One-call training-data export: [[shuffleShards]] layout written to
     * disk — `outPath/shard=N/` directories, rows inside each file in
     * `pos` order (training readers stream a shard sequentially and see

@@ -1419,6 +1419,59 @@ object PipelineQueries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // curation v3: classifier-gated funnel (train in-engine, keep docs
+    // scoring >= the corpus MEAN — integer-exact relative gate — then
+    // exact-dedup, √-temperature to half the token mass, shard); the
+    // oracle replays the whole chain incl. the 3-round GD trajectory
+    "pl_curate_pipeline3" -> Q(
+      (s, d) => graft.operators.Curation.curateV3(
+          Tables(s, d, "documents"), "doc_id", "text", "source",
+          (col("lang") === "en").cast(DoubleType),
+          targetNum = 1, targetDen = 2, shards = 4)
+        .select("doc_id", "source", "shard", "pos").orderBy("doc_id"),
+      Some(clfTrajectoryCtes + """, ms AS (
+             |  SELECT bk.doc_id,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
+             |), sc AS (
+             |  SELECT doc_id,
+             |    CAST(round(round(1.0 / (1.0 + exp(-m)), 4) * 10000, 0) AS BIGINT) AS si
+             |  FROM ms
+             |), st AS (SELECT sum(si) AS tot, count(*) AS n FROM sc),
+             |gate AS (SELECT doc_id FROM sc, st WHERE si * st.n >= st.tot),
+             |gd AS (
+             |  SELECT d.doc_id, d.source, d.text
+             |  FROM documents d SEMI JOIN gate USING (doc_id)
+             |), dd AS (
+             |  SELECT doc_id, source, text FROM (
+             |    SELECT doc_id, source, text,
+             |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+             |    FROM gd) WHERE rk = 1
+             |), v3t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS t FROM dd
+             |), v3src AS (
+             |  SELECT source, sum(t) AS n,
+             |    CAST(floor(sqrt(CAST(sum(t) AS DOUBLE))) AS BIGINT) AS w
+             |  FROM v3t GROUP BY source
+             |), v3r AS (
+             |  SELECT source, least(1000,
+             |    (1000 * ((SELECT sum(t) FROM v3t) // 2) * CAST(w AS HUGEINT))
+             |      // (CAST(sum(w) OVER () AS HUGEINT) * n)) AS permill
+             |  FROM v3src
+             |), v3kept AS (
+             |  SELECT t.doc_id, t.source FROM v3t t JOIN v3r r USING (source)
+             |  WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |    % 1000 < r.permill
+             |)
+             |SELECT doc_id, source,
+             |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+             |    AS INTEGER) AS shard,
+             |  row_number() OVER (
+             |    PARTITION BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+             |FROM v3kept ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: a known PII suffix is appended so the redaction is
     // exercised on every row; both engines apply identical regexes
     "pl_pii_redact" -> Q(

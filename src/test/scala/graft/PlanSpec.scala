@@ -564,4 +564,36 @@ class PlanSpec extends AnyFunSuite {
     specs.foreach(s => assert(s.contains("doc_id"),
       s"window not partitioned by doc id: $s\n" + p))
   }
+
+  test("winnowing: per-doc windows, no cartesian, overlap joins on the fp hash") {
+    // fingerprint selection must window per document (the rolling min
+    // co-locates one doc's grams; a global window is a one-task funnel)
+    val fp = plan("pl_fingerprint_winnow")
+    val specs = """windowspecdefinition\(([^)]*)\)""".r.findAllMatchIn(fp).map(_.group(1)).toList
+    assert(specs.nonEmpty, "expected windowspecdefinition in plan:\n" + fp)
+    specs.foreach(s => assert(s.contains("doc_id"),
+      s"winnow window not partitioned by doc id: $s\n" + fp))
+    // the pair report must meet candidates on the fingerprint-hash
+    // equi-join — never a cartesian/broadcast-nested-loop pair stage
+    val ov = plan("pl_winnow_overlap")
+    assert(!ov.contains("CartesianProduct"), "cartesian in overlap plan:\n" + ov)
+    assert(!ov.contains("BroadcastNestedLoopJoin"), "BNLJ in overlap plan:\n" + ov)
+    assert(ov.contains("SortMergeJoin") || ov.contains("ShuffledHashJoin")
+      || ov.contains("BroadcastHashJoin"), "no equi-join in overlap plan:\n" + ov)
+  }
+
+  test("prototype pruning broadcasts centroids/sizes and cuts per cell") {
+    val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
+    df.collect() // final adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in prune plan:\n" + p)
+    // centroid table and cell-size table join as broadcasts — the
+    // corpus side never shuffles for either join
+    assert(p.contains("BroadcastHashJoin"), "centroid/size joins should broadcast:\n" + p)
+    // the keep cut is a rank window partitioned by cell
+    val specs = """windowspecdefinition\(([^)]*)\)""".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("cell")),
+      s"prune window not partitioned by cell: $specs\n" + p)
+    graft.operators.Dedup.releaseAll()
+  }
 }
