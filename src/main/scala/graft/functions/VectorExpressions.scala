@@ -967,6 +967,47 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): PcmStats = copy(c)
   }
 
+  /** 8×8 average-hash (aHash) over an RGB-raster binary payload — the
+    * classic perceptual image fingerprint: slot i (i = 0..63) sums the
+    * unsigned bytes [3i, 3i+2] (one RGB triplet; absent bytes past the
+    * payload end contribute nothing, so short payloads leave high
+    * slots at 0), bit i is set when slot·64 >= Σ slots (exact integer
+    * compare — no float mean), bits pack LSB-first into one signed
+    * 64-bit value (bit 63 lands on the sign bit; both engines read the
+    * same two's-complement value). Applied to
+    * [[graft.operators.Multimodal.resizeImages]](8, 8) pixel bytes
+    * (192 bytes = 64 RGB triplets) this is exactly average-hash; the
+    * oracle replays it from a hex dump of the payload. An empty (or
+    * all-zero) payload sets every bit — total 0 makes each slot
+    * compare true. One kernel pass per row, CodegenFallback (the
+    * per-byte loop dominates). */
+  case class AvgHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(child.dataType == BinaryType, "avg_hash64", "binary", Seq(child.dataType))
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      val g = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < 64) {
+        var s = 0L
+        var j = 3 * i
+        val end = math.min(3 * i + 3, b.length)
+        while (j < end) { s += (b(j) & 0xff); j += 1 }
+        g(i) = s
+        total += s
+        i += 1
+      }
+      var h = 0L
+      var k = 0
+      while (k < 64) { if (g(k) * 64 >= total) h |= (1L << k); k += 1 }
+      java.lang.Long.valueOf(h)
+    }
+    override protected def withNewChildInternal(c: Expression): AvgHash64 = copy(c)
+  }
+
   /** Nearest-centroid assignment against a flat (nlist x dim) centroid
     * matrix: argmax of cosine, ties to the smallest index — ONE kernel
     * per row instead of an nlist-branch array_max-of-structs Column
@@ -1090,6 +1131,8 @@ object VectorExpressions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_pcm_stats",
       exprs => PcmStats(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_avg_hash64",
+      exprs => AvgHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_count",
       exprs => TokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_token_fingerprint",
@@ -1130,6 +1173,8 @@ object VectorExpressions {
     { ensure(); org.apache.spark.sql.functions.call_function("graft_nfc", c) }
   def pcm_stats(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_pcm_stats", c) }
+  def avg_hash64(c: Column): Column =
+    { ensure(); org.apache.spark.sql.functions.call_function("graft_avg_hash64", c) }
   def token_count(c: Column): Column =
     { ensure(); org.apache.spark.sql.functions.call_function("graft_token_count", c) }
   def word_bigrams(c: Column): Column =

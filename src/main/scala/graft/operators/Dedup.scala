@@ -378,31 +378,41 @@ object Dedup {
     val k = if (blocks <= 0) maxHamming + 1 else blocks
     require(k > maxHamming && k <= 64,
       s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
+    // fingerprint once per doc (compiled md5-shingle + vote kernels),
+    // persisted because the combo keys reference it C(k,m) times — see
+    // class doc
+    viaPersisted(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) {
+      base => hammingPairsOf(base, maxHamming, k)
+    }
+  }
+
+  /** Exact-recall hamming-pair mining over ANY 64-bit fingerprint frame
+    * `(id, sim)` — the block-permutation banding shared by text SimHash
+    * ([[simHashPairs]]) and image perceptual hashes
+    * ([[Multimodal.phashPairs]]). Caller persists `base` (every combo
+    * key re-reads it). */
+  private[operators] def hammingPairsOf(base: DataFrame, maxHamming: Int,
+      k: Int): DataFrame = {
     val chunkBits = 64 / k
     val m = k - maxHamming
     require(m * chunkBits <= 63, s"combo key ($m x $chunkBits bits) must pack into one long")
     val combos = (0 until k).combinations(m).toSeq
-    // fingerprint once per doc (compiled md5-shingle + vote kernels),
-    // persisted because the combo keys reference it C(k,m) times — see
-    // class doc
-    viaPersisted(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) { base =>
-      def chunk(b: Int): Column =
-        call_function("shiftright", col("sim"), lit(b * chunkBits))
-          .bitwiseAND(lit((1L << chunkBits) - 1))
-      // pack each combo's chunk values into one long key (codegen'd,
-      // no struct/array comparator in the join)
-      val keys = combos.map(_.foldLeft(lit(0L): Column)((acc, b) =>
-        call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(chunk(b))))
-      val keyed = base.select(col("id"), col("sim"), posexplode(array(keys: _*)))
-        .withColumnRenamed("pos", "combo").withColumnRenamed("col", "key")
-      val l = keyed.select(col("combo"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-      val r = keyed.select(col("combo"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-      l.join(r, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= maxHamming)
-    }
+    def chunk(b: Int): Column =
+      call_function("shiftright", col("sim"), lit(b * chunkBits))
+        .bitwiseAND(lit((1L << chunkBits) - 1))
+    // pack each combo's chunk values into one long key (codegen'd,
+    // no struct/array comparator in the join)
+    val keys = combos.map(_.foldLeft(lit(0L): Column)((acc, b) =>
+      call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(chunk(b))))
+    val keyed = base.select(col("id"), col("sim"), posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "combo").withColumnRenamed("col", "key")
+    val l = keyed.select(col("combo"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = keyed.select(col("combo"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Apply exact dedup: keep the lowest-id row per content hash.

@@ -220,6 +220,40 @@ object Multimodal {
       .withColumnRenamed("col", "frame_bytes")
   }
 
+  /** Perceptual average-hash (aHash) of a media payload: slot sums of
+    * RGB byte triplets → bits vs the exact integer mean, one compiled
+    * kernel pass per row in the scan stage
+    * ([[graft.functions.VectorExpressions.AvgHash64]]). On a real
+    * corpus run it over [[resizeImages]](8, 8) pixel bytes (192 bytes
+    * = the 8×8 raster), where it is the classic perceptual hash;
+    * on the fixture payloads the bytes stand in for the raster, the
+    * same stub convention as [[sampleFrames]]/[[audioStats]]. */
+  def perceptualHash(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.VectorExpressions.avg_hash64(col(binCol)).as("phash"))
+
+  /** Image near-duplicate pairs by perceptual hash: aHash each payload,
+    * then mine pairs with hamming distance <= `maxHamming` via the
+    * exact-recall block-permutation banding shared with text SimHash
+    * ([[Dedup.hammingPairsOf]] — Manku/Jain/Sarma WWW'07). The
+    * re-encoded/re-compressed-copy detector a multimodal pipeline runs
+    * where exact byte dedup misses.
+    *
+    * Scale: one kernel pass per image for the hash; candidates meet
+    * only inside chunk-combo buckets (no all-pairs stage); `blocks`
+    * trades explode fan-out against bucket crowding exactly as in
+    * [[Dedup.simHashPairs]]. */
+  def phashPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int, blocks: Int = 0): DataFrame = {
+    val k = if (blocks <= 0) maxHamming + 1 else blocks
+    require(k > maxHamming && k <= 64,
+      s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
+    Dedup.viaPersisted(df.select(col(idCol).as("id"),
+        graft.functions.VectorExpressions.avg_hash64(col(binCol)).as("sim"))) {
+      base => Dedup.hammingPairsOf(base, maxHamming, k)
+    }
+  }
+
   /** Audio-waveform statistics over a PCM-16LE payload: sample count,
     * duration at `rateHz`, RMS amplitude, zero-crossing rate. The byte
     * math is REAL (no codec needed — this is what a production pipeline

@@ -135,6 +135,35 @@ object PipelineQueries {
       |  GROUP BY f.b
       |)""".stripMargin
 
+  /** Shared DuckDB replay of the perceptual average-hash
+    * ([[graft.functions.VectorExpressions.AvgHash64]]) over the
+    * documents payload bytes, ending at `ph(doc_id, phash)` — used by
+    * pl_multimodal_phash and pl_multimodal_phash_pairs so the hash and
+    * the pair miner can never drift apart. Bit 63 is emitted as the
+    * signed minimum instead of `1 << 63` (DuckDB checks shift
+    * overflow); the sum is exact in HUGEINT, cast back to BIGINT. */
+  private val phashCtes: String =
+    """WITH b AS (
+      |  SELECT doc_id, hex(text::BLOB) AS hx, octet_length(text::BLOB) AS len
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, unnest(range(0, 64)) AS i, hx, len FROM b
+      |), g AS (
+      |  SELECT doc_id, i,
+      |    (CASE WHEN 3*i   < len THEN ('0x' || substr(hx, 6*i+1, 2))::BIGINT ELSE 0 END
+      |   + CASE WHEN 3*i+1 < len THEN ('0x' || substr(hx, 6*i+3, 2))::BIGINT ELSE 0 END
+      |   + CASE WHEN 3*i+2 < len THEN ('0x' || substr(hx, 6*i+5, 2))::BIGINT ELSE 0 END) AS s
+      |  FROM e
+      |), tot AS (SELECT doc_id, sum(s) AS total FROM g GROUP BY doc_id),
+      |ph AS (
+      |  SELECT g.doc_id,
+      |    CAST(sum(CASE WHEN g.s * 64 >= t.total THEN
+      |      CASE WHEN g.i = 63 THEN -9223372036854775808
+      |           ELSE (1::BIGINT << CAST(g.i AS INTEGER)) END
+      |      ELSE 0 END) AS BIGINT) AS phash
+      |  FROM g JOIN tot t USING (doc_id) GROUP BY g.doc_id
+      |)""".stripMargin
+
   /** Shared oracle prefix for the substring-dedup rows: tokenize,
     * hash all OVERLAPPING 10-grams, keep start positions of grams whose
     * md5 occurs >= 2 times corpus-wide — ends in `dg(doc_id, p)`.
@@ -2016,6 +2045,38 @@ FROM bst ORDER BY doc_id""")),
              |    CAST(len(list_filter(range(1, n), i -> (sm[i + 1] >= 0) != (sm[i] >= 0))) AS DOUBLE) / (n - 1)
              |  END, 4) AS zcr
              |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // perceptual average-hash of media payloads (one compiled kernel
+    // pass; run on resizeImages(8,8) rasters in production — here the
+    // payload bytes stand in, same stub convention as audio/frames)
+    "pl_multimodal_phash" -> Q(
+      (s, d) => Multimodal.perceptualHash(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("text").cast(BinaryType).as("media")),
+          "doc_id", "media")
+        .orderBy("doc_id"),
+      Some(phashCtes +
+        """
+          |SELECT doc_id, phash FROM ph ORDER BY doc_id""".stripMargin)),
+
+    // perceptual near-dup image pairs: hamming <= 3 over the aHash via
+    // the exact-recall block banding (shared with text SimHash); the
+    // oracle verifies against the EXHAUSTIVE pair scan, so banding
+    // recall is proven exact, not assumed
+    "pl_multimodal_phash_pairs" -> Q(
+      (s, d) => Multimodal.phashPairs(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("text").cast(BinaryType).as("media")),
+          "doc_id", "media", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(LongType).as("hamming"))
+        .orderBy("id_a", "id_b"),
+      Some(phashCtes +
+        """
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin)),
 
     // video-frame sampling plumbing: n evenly spaced byte-slices of the
     // payload (stub frames, real timeline spacing + explode shape);

@@ -1504,6 +1504,65 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("perceptual hash: hand values, real re-encode detection, exact banding recall") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    // hand-computed: slots (0, 765, 0...), total 765 -> only bit 1 set;
+    // empty payload -> total 0 -> every bit set -> -1
+    val tiny = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, Array[Byte](0, 0, 0, -1, -1, -1)),
+      org.apache.spark.sql.Row(2L, Array.empty[Byte])), schema)
+    val hand = Multimodal.perceptualHash(tiny, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hand(1L) == 2L, s"hand hash: $hand")
+    assert(hand(2L) == -1L, s"empty-payload hash: $hand")
+
+    // real images: a horizontal luminance gradient as PNG, the SAME
+    // image lossily re-encoded as JPEG, and a vertical gradient;
+    // aHash over the 8x8 resize must put the re-encode near its
+    // original and far from the different image
+    def gradBytes(fmt: String, vertical: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val v = (if (vertical) y else x) * 4
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media3 = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(1L, gradBytes("png", vertical = false)),
+      org.apache.spark.sql.Row(2L, gradBytes("jpg", vertical = false)),
+      org.apache.spark.sql.Row(3L, gradBytes("png", vertical = true))), schema)
+    val dec = new Multimodal.ImageIODecoder()
+    val rasters = Multimodal.resizeImages(media3, "doc_id", "media", 8, 8, dec)
+      .select(col("doc_id"), col("pixel_head").as("media"))
+    val ph = Multimodal.perceptualHash(rasters, "doc_id", "media")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(ph(1L), ph(2L)) <= 8,
+      s"jpeg re-encode drifted: ${ham(ph(1L), ph(2L))} bits")
+    assert(ham(ph(1L), ph(3L)) >= 16,
+      s"different image too close: ${ham(ph(1L), ph(3L))} bits")
+    assert(ham(ph(1L), ph(2L)) < ham(ph(1L), ph(3L)))
+
+    // banding recall is exact: mined pairs == exhaustive pairs
+    val media = docs.select(col("doc_id"), col("text").cast(BinaryType).as("media"))
+    val mined = Multimodal.phashPairs(media, "doc_id", "media", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hashes = Multimodal.perceptualHash(media, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- hashes; b <- hashes
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(brute.nonEmpty, "fixture should contain phash near-dups")
+    assert(mined == brute, s"banding missed ${brute -- mined}, extra ${mined -- brute}")
+    Dedup.releaseAll()
+  }
+
   test("winnow overlap maxDf cuts boilerplate fingerprints") {
     val spark2 = spark
     import spark2.implicits._
