@@ -117,7 +117,17 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // r10 embedding chain: hashed projection (one tokenize + bucket agg),
   // end-to-end retrieval, semantic decontamination, BPE-count packing
   "pl_text_embed", "pl_text_semantic_topk", "pl_decontaminate_semantic",
-  "pl_bpe_pack")
+  "pl_bpe_pack",
+  // late-r10 additions. winnow_overlap and phash_pairs hit this corpus
+  // at its ADVERSARIAL worst: the 10 copies share ~all fingerprints
+  // (and identical phashes — the rev suffix lands past the 192 hashed
+  // bytes), so pair volume is quadratic in family size — the maxDf cut
+  // (winnow) and the banding buckets (phash) are what's being stressed.
+  // pipeline3 retrains the classifier every rep; prototype_prune is one
+  // k-means train + a broadcast-join scan; ablation one scan aggregate.
+  "pl_winnow_overlap", "pl_multimodal_phash_pairs",
+  "pl_dedup_apply_priority", "pl_curate_pipeline3",
+  "pl_emb_prototype_prune", "pl_screen_ablation")
   .foreach(time(_))
 
 // semDeDup A/B on nlist — THE scale knob: the query row's nlist=8

@@ -161,6 +161,74 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** Robust per-group outlier screen (median/MAD — the length-outlier
+    * filter shape of the public curation pipelines): flag rows whose
+    * value deviates from their GROUP's median by more than
+    * k × the median absolute deviation. Median/MAD instead of
+    * mean/stddev because a heavy-tailed crawl source (one 10 MB doc
+    * among tweets) drags a mean/σ filter into passing the garbage —
+    * the median pair is outlier-immune by construction. A zero-MAD
+    * group (over half its rows identical) flags every deviating row —
+    * the conservative reading.
+    *
+    * Determinism: Spark's exact `percentile` interpolates identically
+    * to DuckDB's `quantile_cont` (the q32 mapping), deviations are
+    * exact doubles of integer-valued inputs, and k multiplies exactly
+    * when binary-representable (default 1.5) — the flag compare
+    * replays cross-engine.
+    *
+    * Scale: two exact-percentile aggregates per group (groups =
+    * sources, bounded) + joins of the |groups|-row stat tables that
+    * AQE broadcasts; the flag itself is scan-stage. */
+  def madOutliers(df: DataFrame, idCol: String, groupCol: String,
+      value: Column, k: Double = 1.5): DataFrame = {
+    val vals = df.select(col(idCol), col(groupCol), value.cast(DoubleType).as("v"))
+    val med = vals.groupBy(groupCol).agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = vals.join(med, Seq(groupCol))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(groupCol).agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, Seq(groupCol))
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col(idCol), col(groupCol), col("v"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+  }
+
+  /** Vocabulary-growth profile (the Heaps'-law curve) per source:
+    * order each source's docs deterministically (md5 of id), cut the
+    * sequence into `buckets` equal rank slices, and count how many
+    * DISTINCT tokens appear for the FIRST time in each slice, plus the
+    * cumulative vocabulary. Natural text keeps minting new types
+    * (V ∝ n^β, β≈0.4-0.6); a templated/synthetic/bot source's curve
+    * flattens almost immediately — this is the cheap corpus-level
+    * screen for "does this source actually contain new content".
+    *
+    * Scale: one explode + ONE partial-aggregated shuffle on
+    * (source, token) for the first-occurrence rank; the bucket
+    * aggregate and cumulative window run on ≤ |sources|·buckets rows.
+    * The per-source doc ranking is a window over the doc frame (one
+    * shuffle on source). */
+  def vocabGrowth(df: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "need at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val byRank = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
+    val ranked = df.select(col(idCol), col(sourceCol), col(textCol))
+      .withColumn("__r", row_number().over(byRank))
+    val cnt = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val toks = ranked.select(col(sourceCol), col("__r"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val firstRank = toks.groupBy(col(sourceCol), col("t"))
+      .agg(min("__r").as("__fr"))
+    firstRank.join(cnt, Seq(sourceCol))
+      .withColumn("bucket", expr(s"((__fr - 1) * $buckets) div __n"))
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("new_tokens"))
+      .withColumn("cum_vocab", sum("new_tokens").over(
+        Window.partitionBy(sourceCol).orderBy("bucket")))
+  }
+
   /** Pairwise source-overlap estimation via KMV (bottom-k) sketches:
     * each source keeps the k smallest md5(content) values; for a pair,
     * the k smallest of the merged signatures act as a uniform sample

@@ -2427,6 +2427,62 @@ FROM bst ORDER BY doc_id""")),
              |SELECT doc_id, source, lang FROM pr ANTI JOIN rm USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Heaps'-law vocabulary growth per source: new distinct tokens per
+    // rank decile + cumulative vocab — the "does this source contain
+    // new content or templates" corpus screen
+    "pl_vocab_growth" -> Q(
+      (s, d) => graft.operators.Profiling.vocabGrowth(
+          Tables(s, d, "documents"), "doc_id", "source", "text", buckets = 10)
+        .orderBy("source", "bucket"),
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, source, text, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+             |  FROM documents
+             |), nn AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |tk AS (
+             |  SELECT source, r, unnest(string_split(trim(text), ' ')) AS t
+             |  FROM ranked
+             |), fr AS (
+             |  SELECT source, t, min(r) AS fr FROM tk WHERE t != ''
+             |  GROUP BY source, t
+             |), bk AS (
+             |  SELECT f.source, ((f.fr - 1) * 10) // nn.n AS bucket,
+             |    count(*) AS new_tokens
+             |  FROM fr f JOIN nn USING (source)
+             |  GROUP BY f.source, ((f.fr - 1) * 10) // nn.n
+             |)
+             |SELECT source, CAST(bucket AS BIGINT) AS bucket, new_tokens,
+             |  CAST(sum(new_tokens) OVER (
+             |    PARTITION BY source ORDER BY bucket) AS BIGINT) AS cum_vocab
+             |FROM bk ORDER BY source, bucket""".stripMargin)),
+
+    // robust length-outlier screen: per-source median/MAD flag at
+    // k=1.5 (mean/σ would be dragged by the very outliers it hunts)
+    "pl_stats_outliers" -> Q(
+      (s, d) => graft.operators.Profiling.madOutliers(
+          Tables(s, d, "documents"), "doc_id", "source",
+          TextAnalysis.tokenCount(col("text")), k = 1.5)
+        .select(col("doc_id"), col("source"), col("v").cast(LongType).as("n_tok"),
+          col("med"), col("mad"))
+        .orderBy("doc_id"),
+      Some("""WITH v AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS v
+             |  FROM documents
+             |), m AS (
+             |  SELECT source, quantile_cont(v, 0.5) AS med FROM v GROUP BY source
+             |), dv AS (
+             |  SELECT v.doc_id, v.source, v.v, m.med, abs(v.v - m.med) AS dev
+             |  FROM v JOIN m USING (source)
+             |), md AS (
+             |  SELECT source, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY source
+             |)
+             |SELECT doc_id, source, CAST(v AS BIGINT) AS n_tok,
+             |  round(med, 4) AS med, round(mad, 4) AS mad
+             |FROM dv JOIN md USING (source)
+             |WHERE dev > 1.5 * mad ORDER BY doc_id""".stripMargin)),
+
     // screen-ablation report: per quality screen, docs failing it and
     // docs failing ONLY it (is each screen doing unique work?) — all
     // four screens in integer arithmetic so any engine replays exactly

@@ -1563,6 +1563,36 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("MAD outliers flag the far tail; a zero-MAD group flags any deviant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // g: 10,10,10,10,100 -> med 10, MAD 0 -> the 100 flags (dev > 0)
+    // h: 1..6,100 -> med 4, MAD 2 -> k=1.5 threshold 3 -> only the 100
+    val df = (Seq((1L, "g", 10), (2L, "g", 10), (3L, "g", 10), (4L, "g", 10),
+      (5L, "g", 100), (6L, "h", 1), (7L, "h", 2), (8L, "h", 3), (9L, "h", 4),
+      (10L, "h", 5), (11L, "h", 6), (12L, "h", 100))).toDF("id", "grp", "x")
+    val out = Profiling.madOutliers(df, "id", "grp", col("x"), k = 1.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(5L, 12L), s"flagged $out")
+  }
+
+  test("vocab growth: templated source flattens, natural source keeps minting") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmpl = (1L to 20L).map(i => (i, "tmpl", "alpha beta gamma delta"))
+    val nat = (1L to 20L).map(i => (i + 100L, "nat", s"w${i}a w${i}b w${i}c"))
+    val g = Profiling.vocabGrowth((tmpl ++ nat).toDF("id", "src", "text"),
+        "id", "src", "text", buckets = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val tmplRows = g.filter(_._1 == "tmpl")
+    assert(tmplRows.toSeq == Seq(("tmpl", 0L, 4L, 4L)),
+      s"templated source should mint only in bucket 0: ${tmplRows.toSeq}")
+    val natRows = g.filter(_._1 == "nat").sortBy(_._2)
+    assert(natRows.length == 5 && natRows.forall(_._3 == 12L),
+      s"natural source should mint 12 types per bucket: ${natRows.toSeq}")
+    assert(natRows.last._4 == 60L)
+  }
+
   test("winnow overlap maxDf cuts boilerplate fingerprints") {
     val spark2 = spark
     import spark2.implicits._
