@@ -360,6 +360,43 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Directed containment detection over winnowed fingerprints: emit
+    * (id_sub, id_super) when at least `minPermill`/1000 of id_sub's
+    * distinct fingerprints also appear in id_super — the ASYMMETRIC
+    * complement of [[winnowOverlapPairs]] (a short quote scores high
+    * containment in its source while their symmetric overlap stays
+    * low). The screen that finds subset/excerpt documents worth
+    * dropping in favor of their superset.
+    *
+    * The threshold compare is integer-exact (`shared·1000 >=
+    * minPermill·|fp(sub)|`); the reported `containment` is one IEEE
+    * long/long division rounded to 4 dp. Same inverted-index shape and
+    * `maxDf` boilerplate cut as the overlap report; the directed pair
+    * stream is both orientations of each undirected candidate. The
+    * denominator deliberately counts sub's fingerprints BEFORE the
+    * maxDf cut: a doc made of boilerplate scores containment ~0
+    * everywhere instead of a false 1.0 against every other
+    * boilerplate carrier. */
+  def winnowContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minPermill: Int = 800, maxDf: Int = 1000): DataFrame = {
+    require(minPermill > 0 && minPermill <= 1000, "minPermill in (0, 1000]")
+    require(maxDf > 1, "need maxDf>1")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    val nFp = fps.groupBy("__id").agg(count(lit(1)).as("__nfp"))
+    val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__h")
+    val idx = fps.join(rare, Seq("__h"), "left_semi")
+    idx.select(col("__id").as("id_sub"), col("__h"))
+      .join(idx.select(col("__id").as("id_super"), col("__h")), Seq("__h"))
+      .filter(col("id_sub") =!= col("id_super"))
+      .groupBy("id_sub", "id_super").agg(count(lit(1)).as("n_shared"))
+      .join(nFp.withColumnRenamed("__id", "id_sub"), Seq("id_sub"))
+      .filter(col("n_shared") * 1000 >= lit(minPermill) * col("__nfp"))
+      .select(col("id_sub"), col("id_super"), col("n_shared"),
+        round(col("n_shared").cast(DoubleType) / col("__nfp"), 4).as("containment"))
+  }
+
   /** Gopher-style repetition screens: duplicate-word fraction and the
     * character mass of the most frequent word bigram. High values flag
     * boilerplate/spam documents that survive exact dedup (the standard

@@ -2380,6 +2380,48 @@ FROM bst ORDER BY doc_id""")),
              |GROUP BY 1, 2 HAVING count(*) >= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // directed containment (quote/excerpt detection): >= 80% of the
+    // subject doc's winnowed fingerprints present in the other doc —
+    // asymmetric, unlike the overlap report; denominator is pre-cut
+    "pl_winnow_containment" -> Q(
+      (s, d) => TextAnalysis.winnowContainmentPairs(Tables(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 4, minPermill = 800, maxDf = 20)
+        .orderBy("id_sub", "id_super"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), g AS (
+             |  SELECT doc_id, p,
+             |    ('0x' || substr(md5(array_to_string(t[(p+1):(p+8)], ' ')), 1, 10))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p
+             |        FROM tok WHERE len(t) >= 8)
+             |), kk AS (
+             |  SELECT doc_id, p, h * 2097152 + (2097151 - p) AS kv FROM g
+             |), rm AS (
+             |  SELECT doc_id, p,
+             |    min(kv) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+             |    max(p) OVER (PARTITION BY doc_id) AS lastp
+             |  FROM kk
+             |), fp AS (
+             |  SELECT DISTINCT doc_id, (m // 2097152) AS h
+             |  FROM rm WHERE p >= 3 OR p = lastp
+             |), nfp AS (
+             |  SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id
+             |), rare AS (
+             |  SELECT h FROM fp GROUP BY h HAVING count(*) <= 20
+             |), idx AS (
+             |  SELECT doc_id, h FROM fp SEMI JOIN rare USING (h)
+             |), pr AS (
+             |  SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS n_shared
+             |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id != b.doc_id
+             |  GROUP BY 1, 2
+             |)
+             |SELECT p.id_sub, p.id_super, p.n_shared,
+             |  round(CAST(p.n_shared AS DOUBLE) / f.nfp, 4) AS containment
+             |FROM pr p JOIN nfp f ON f.doc_id = p.id_sub
+             |WHERE p.n_shared * 1000 >= 800 * f.nfp
+             |ORDER BY id_sub, id_super""".stripMargin)),
+
     // priority-aware near-dedup: per near-dup cluster keep the best-
     // priority member (prefer-English rule here; prefer-curated-source
     // in production) — the cross-source resolution real pipelines apply

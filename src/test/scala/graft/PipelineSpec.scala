@@ -1593,6 +1593,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("winnow containment: a quote is contained in its source, not vice versa") {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = (1 to 40).map(i => s"tok$i")
+    val longDoc = words.mkString(" ")
+    val quote = words.slice(10, 30).mkString(" ") // 20-token verbatim excerpt
+    val other = (1 to 20).map(i => s"oth$i").mkString(" ")
+    val df = Seq((1L, longDoc), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowContainmentPairs(df, "doc_id", "text",
+        k = 8, w = 4, minPermill = 800, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    // every full window of the quote is a window of the source, so each
+    // quote-selected fingerprint is selected there too: containment 1.0
+    assert(got.map(t => (t._1, t._2)) == List((2L, 1L)), s"pairs: $got")
+    assert(got.head._3 == 1.0, s"containment: $got")
+  }
+
   test("winnow overlap maxDf cuts boilerplate fingerprints") {
     val spark2 = spark
     import spark2.implicits._
