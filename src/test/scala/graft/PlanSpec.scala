@@ -582,6 +582,29 @@ class PlanSpec extends AnyFunSuite {
       || ov.contains("BroadcastHashJoin"), "no equi-join in overlap plan:\n" + ov)
   }
 
+  test("MAD outliers broadcast the per-group stat tables, no corpus sort") {
+    val df = SparkEntry.queries("pl_stats_outliers")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the |groups|-row med/mad tables join as broadcasts; the corpus
+    // side must never shuffle for them
+    assert(p.contains("BroadcastHashJoin"), "stat joins should broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab growth: first-occurrence aggregate is partial+final, windows per source") {
+    val df = SparkEntry.queries("pl_vocab_growth")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the (source, token) min-rank aggregate must partial-aggregate
+    // before its shuffle (map-side combine collapses repeated tokens)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "first-occurrence agg should be two-phase:\n" + p)
+    val specs = """windowspecdefinition\(([^)]*)\)""".r.findAllMatchIn(p).map(_.group(1)).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("source")),
+      s"growth windows must partition by source: $specs\n" + p)
+  }
+
   test("prototype pruning broadcasts centroids/sizes and cuts per cell") {
     val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
     df.collect() // final adaptive plan
