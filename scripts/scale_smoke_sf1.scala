@@ -59,6 +59,33 @@
 //   cms_merge_10x                1.1-1.4 s  (~linear; |sources| blobs to driver)
 //   streaming_lsh_dedup_10x      19.6 s / 50k docs, 280k matches
 //     (10 micro-batches, simhash chunk-bucketed state)
+//
+// Late-r10 operators (same host, 2026-08-14, via scripts/ab_late_r10
+// .scala — warm = later reps; this copy corpus is the ADVERSARIAL
+// case for the pair miners, every doc has 9 near-identical partners):
+//   pl_fingerprint_winnow        0.6-0.8 s  (50-doc slice)
+//   pl_winnow_overlap            11-20 s, 232,579 pairs — pair volume
+//     quadratic in copy-family size; maxDf=20 keeps corpus-wide
+//     boilerplate out but in-family fingerprints are df=10 < 20 by
+//     design here, so families pair fully (the honest worst case)
+//   pl_winnow_containment        8-17 s, 477,312 directed pairs (2x
+//     overlap's volume: both orientations + the 800-permill gate)
+//   pl_dedup_apply_priority      10-14 s  (pair mine + CC + rank; same
+//     mass as pl_dedup_clusters + one window)
+//   pl_curate_pipeline3          13-16 s  (every rep RETRAINS the 3 GD
+//     rounds, then gate → dedup → temperature → shard)
+//   pl_emb_prototype_prune       1.2-3.0 s  (k-means train + broadcast
+//     scoring scan, WindowGroupLimit cut)
+//   pl_screen_ablation           1.5-2.3 s  (one scan aggregate)
+//   pl_stats_outliers            0.7-1.0 s  (two percentile aggs)
+//   pl_vocab_growth              0.75-1.25 s (one (source,token) agg)
+//   pl_multimodal_phash          0.13-0.18 s / 50k docs (kernel scan)
+//   pl_multimodal_phash_pairs    24-30 s, 9,931,396 pairs — the copies
+//     have IDENTICAL phashes (the rev suffix lands past the 192 hashed
+//     bytes), so every 10-copy family pairs completely AND the sf0.1
+//     cross-pairs multiply 100x: candidate volume tracks duplication
+//     density exactly as documented; real corpora de-duplicate exact
+//     bytes first
 import org.apache.spark.sql.functions._
 
 val src = "/root/testdata/sf0.1"
