@@ -40,8 +40,16 @@
 //     one scoring join)
 //   export_shards_10x  0.5-1.0 s per run; 16/16 shard files
 //     byte-identical across reruns (sha256 of parquet bytes)
-//   All nine families grow at or below ~10.9x for 10x data — ~linear
-//   holds through half a million documents.
+//   Late-r10 additions (2026-08-14, targeted rerun, same harness):
+//   phash              0.13 s     0.44 s      3.4x  (kernel scan)
+//   screen_ablation    1.58 s    12.18 s      7.7x  (one scan agg)
+//   stats_outliers     0.70 s     1.72 s      2.5x  (bounded-group
+//     percentile aggs dominate less as the scan amortizes)
+//   vocab_growth       0.60 s     1.65 s      2.7x  (the (source,
+//     token) partial agg collapses repeats map-side — the type table
+//     barely grows with copies)
+//   All thirteen families grow at or below ~10.9x for 10x data —
+//   ~linear holds through half a million documents.
 import org.apache.spark.sql.functions._
 
 spark.conf.set("spark.sql.shuffle.partitions", 32)
@@ -144,12 +152,32 @@ for ((scale, dir) <- Seq("10x" -> "/tmp/graft_sf1", "100x" -> "/tmp/graft_sf10")
     graft.operators.TextAnalysis.bigramQualityScore(docs, "doc_id", "text")
       .queryExecution.toRdd.count()
   }
+  // late-r10 linear families: phash is one kernel pass per row;
+  // ablation one scan aggregate; outliers two bounded-group percentile
+  // aggs; vocab growth one (source, token) partial-agg shuffle
+  time("phash", scale) {
+    graft.operators.Multimodal.perceptualHash(
+        docs.select(col("doc_id"), col("text").cast("binary").as("media")),
+        "doc_id", "media")
+      .queryExecution.toRdd.count()
+  }
+  time("screen_ablation", scale) {
+    graft.SparkEntry.queries("pl_screen_ablation")(spark, dir).count()
+  }
+  time("stats_outliers", scale) {
+    graft.operators.Profiling.madOutliers(docs, "doc_id", "source",
+      graft.operators.TextAnalysis.tokenCount(col("text")), 1.5).count()
+  }
+  time("vocab_growth", scale) {
+    graft.operators.Profiling.vocabGrowth(docs, "doc_id", "source", "text", 10).count()
+  }
 }
 
 println("[SF10] family            10x warm   100x warm   factor")
 for (f <- Seq("exact_dedup", "text_stats", "corpus_diff", "cms_merge",
     "classifier_score", "dsir_sample", "substring_dedup", "bpe_fit",
-    "bigram_ppl")) {
+    "bigram_ppl", "phash", "screen_ablation", "stats_outliers",
+    "vocab_growth")) {
   val a = warm((f, "10x")); val b = warm((f, "100x"))
   println(f"[SF10] $f%-16s ${a}%8.2f s ${b}%9.2f s ${b / a}%8.1fx")
 }
