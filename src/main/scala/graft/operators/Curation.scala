@@ -414,6 +414,45 @@ object Curation {
         idCol, shards)
     }
 
+  /** Per-document drop attribution through the standard curation
+    * cascade (quality screen → exact dedup keep-min-id → per-source
+    * quota): for EVERY input document, the FIRST stage that drops it,
+    * or `kept` — the lineage report that answers "why is my document
+    * not in the training set" without replaying the funnel by hand.
+    * Stage semantics are the cascade's own: a doc failing quality
+    * reads `quality` even if it is also a duplicate; dedup ranks only
+    * among quality survivors; quota ranks only among dedup survivors —
+    * so the `kept` set is identical to
+    * quotaSample∘dropExactDuplicates∘screen (spec-gated).
+    *
+    * Scale: the cascade's own shuffles (dedup hash window, quota
+    * window — both WindowGroupLimit-friendly rank-1 shapes) plus two
+    * id-keyed hash joins attaching the stage ranks back to the full
+    * corpus. */
+  def dropReasons(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minQuality: Double = 0.6667,
+      quotaK: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qpass = TextAnalysis.qualityScore(col(textCol)) >= minQuality
+    val base = df.select(col(idCol), col(sourceCol), col(textCol), qpass.as("__q"))
+    val dedupW = Window.partitionBy(md5(col(textCol).cast(BinaryType)))
+      .orderBy(col(idCol))
+    val dd = base.filter(col("__q")).withColumn("__dr", row_number().over(dedupW))
+    val quotaW = Window.partitionBy(sourceCol)
+      .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
+    val qt = dd.filter(col("__dr") === 1).withColumn("__qr", row_number().over(quotaW))
+    base
+      .join(dd.select(col(idCol).as("__did"), col("__dr")),
+        col(idCol) === col("__did"), "left")
+      .join(qt.select(col(idCol).as("__tid"), col("__qr")),
+        col(idCol) === col("__tid"), "left")
+      .select(col(idCol), col(sourceCol),
+        when(!col("__q"), lit("quality"))
+          .when(col("__dr") > 1, lit("dedup"))
+          .when(col("__qr") > quotaK, lit("quota"))
+          .otherwise(lit("kept")).as("stage"))
+  }
+
   /** End-to-end curation v3 — the classifier-gated funnel (the
     * GPT-3/CCNet/FineWeb shape): train the hashed-BoW quality
     * classifier in-engine ([[TextAnalysis.trainClassifier]]), keep the

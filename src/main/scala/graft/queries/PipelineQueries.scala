@@ -1448,6 +1448,44 @@ object PipelineQueries {
              |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
              |FROM kept ORDER BY doc_id""".stripMargin)),
 
+    // per-doc drop attribution: FIRST stage of the quality→dedup→quota
+    // cascade that drops each document, or 'kept' — the lineage audit;
+    // stage ranks replay the pl_curate_pipeline cascade exactly
+    "pl_drop_reasons" -> Q(
+      (s, d) => graft.operators.Curation.dropReasons(
+          Tables(s, d, "documents"), "doc_id", "text", "source",
+          minQuality = 0.6667, quotaK = 15)
+        .orderBy("doc_id"),
+      Some("""WITH q AS (
+             |  SELECT doc_id, source, text,
+             |    round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN list_avg(list_transform(string_split(trim(text), ' '), t -> length(t)))
+             |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+             |  FROM documents
+             |), qf AS (
+             |  SELECT * FROM q WHERE quality >= 0.6667
+             |), dd AS (
+             |  SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dr
+             |  FROM qf
+             |), qt AS (
+             |  SELECT doc_id, row_number() OVER (
+             |    PARTITION BY source
+             |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qr
+             |  FROM dd WHERE dr = 1
+             |)
+             |SELECT q.doc_id, q.source,
+             |  CASE WHEN q.quality < 0.6667 THEN 'quality'
+             |       WHEN d.dr > 1 THEN 'dedup'
+             |       WHEN t.qr > 15 THEN 'quota'
+             |       ELSE 'kept' END AS stage
+             |FROM q
+             |LEFT JOIN (SELECT doc_id, dr FROM dd) d ON d.doc_id = q.doc_id
+             |LEFT JOIN qt t ON t.doc_id = q.doc_id
+             |ORDER BY q.doc_id""".stripMargin)),
+
     // curation v3: classifier-gated funnel (train in-engine, keep docs
     // scoring >= the corpus MEAN — integer-exact relative gate — then
     // exact-dedup, √-temperature to half the token mass, shard); the

@@ -1593,6 +1593,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("drop reasons: kept set equals the composed cascade, stages are first-fail") {
+    val reasons = Curation.dropReasons(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(reasons.size == docs.count(), "one attribution row per input doc")
+    val kept = reasons.filter(_._2 == "kept").keySet
+    val want = Curation.quotaSample(
+        Dedup.dropExactDuplicates(
+          docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.6667),
+          "doc_id", "text"),
+        "source", "doc_id", 15)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == want, s"kept mismatch: extra ${kept -- want}, missing ${want -- kept}")
+    // every quality-failing doc reads 'quality' regardless of later stages
+    val qFail = docs.filter(TextAnalysis.qualityScore(col("text")) < 0.6667)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(qFail.forall(reasons(_) == "quality"))
+    assert(reasons.values.toSet.subsetOf(Set("quality", "dedup", "quota", "kept")))
+  }
+
   test("winnow containment: a quote is contained in its source, not vice versa") {
     val spark2 = spark
     import spark2.implicits._
