@@ -579,6 +579,40 @@ object Dedup {
     df.join(remove, col(idCol) === col("__rm"), "left_anti")
   }
 
+  /** Incremental semantic dedup — the embedding-space twin of
+    * [[dropIncrementNearDuplicates]] for continuous ingestion: drop
+    * increment vectors whose cosine to EITHER any existing-corpus
+    * vector OR a lower-id increment vector reaches `threshold`. The
+    * existing corpus is immutable and its pair space is never touched
+    * — work is O(increment × bucket collisions), not O(corpus²).
+    * Blocking is the deterministic hyperplane LSH bucket (no label
+    * column needed — raw crawls don't have one); recall is the
+    * single-bucket LSH trade, raise it by lowering `nPlanes`.
+    * Vectors L2-normalize once per row; the pair stages pay one dot
+    * product each. */
+  def dropIncrementEmbeddingNearDuplicates(existing: DataFrame,
+      increment: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = 4): DataFrame = {
+    def prep(df: DataFrame, idAs: String, vAs: String): DataFrame = {
+      val v = col(vecCol).cast(ArrayType(DoubleType))
+      df.select(Similarity.hyperplaneBucket(v, nPlanes).as("blk"),
+        col(idCol).as(idAs), VectorExpressions.l2_normalize(col(vecCol)).as(vAs))
+    }
+    val inc = prep(increment, "id_i", "v_i")
+    val ex = prep(existing, "id_e", "v_e")
+    val crossRm = inc.join(ex, Seq("blk"))
+      .filter(Similarity.dot(col("v_i"), col("v_e")) >= threshold)
+      .select(col("id_i").as("__rm"))
+    val intraRm = inc
+      .join(inc.select(col("blk"), col("id_i").as("id_j"), col("v_i").as("v_j")),
+        Seq("blk"))
+      .filter(col("id_i") > col("id_j"))
+      .filter(Similarity.dot(col("v_i"), col("v_j")) >= threshold)
+      .select(col("id_i").as("__rm"))
+    increment.join(crossRm.unionByName(intraRm).distinct(),
+      col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs by cosine similarity within a
     * blocking key (at scale: replace the blocking column with an LSH
     * bucket from Similarity.hyperplaneBucket).

@@ -1737,6 +1737,38 @@ object PipelineQueries {
              |  WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25)
              |ORDER BY vec_id""".stripMargin)),
 
+    // incremental semantic dedup: a delta batch (vec_id%5==0) against
+    // the immutable corpus — drop delta vectors near an existing OR a
+    // lower-id delta vector; LSH-bucket blocked, existing×existing
+    // never paired; oracle replays the bucket chain (lshBucketCtes)
+    "pl_emb_dedup_incr" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Dedup.dropIncrementEmbeddingNearDuplicates(
+            emb.filter(col("vec_id") % 5 =!= 0),
+            emb.filter(col("vec_id") % 5 === 0),
+            "vec_id", "embedding", threshold = 0.25, nPlanes = 4)
+          .select("vec_id", "label").orderBy("vec_id")
+      },
+      Some(lshBucketCtes + """,
+             |inc AS (
+             |  SELECT e.vec_id, e.v, b.bucket FROM emb e JOIN buckets b USING (vec_id)
+             |  WHERE e.vec_id % 5 = 0
+             |), ex AS (
+             |  SELECT e.vec_id, e.v, b.bucket FROM emb e JOIN buckets b USING (vec_id)
+             |  WHERE e.vec_id % 5 != 0
+             |), rm AS (
+             |  SELECT i.vec_id FROM inc i JOIN ex x ON i.bucket = x.bucket
+             |  WHERE list_cosine_similarity(i.v, x.v) >= 0.25
+             |  UNION
+             |  SELECT a.vec_id FROM inc a JOIN inc b2
+             |    ON a.bucket = b2.bucket AND a.vec_id > b2.vec_id
+             |  WHERE list_cosine_similarity(a.v, b2.v) >= 0.25
+             |)
+             |SELECT e.vec_id, e.label FROM embeddings e
+             |WHERE e.vec_id % 5 = 0 AND e.vec_id NOT IN (SELECT vec_id FROM rm)
+             |ORDER BY vec_id""".stripMargin)),
+
     // deterministic hashed-projection document embedding (Achlioptas
     // sparse random projection over md5-hashed token tf): the
     // embed-raw-text-without-a-model primitive that feeds semdedup /

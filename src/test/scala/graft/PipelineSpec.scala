@@ -1593,6 +1593,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("incremental embedding dedup: cross and intra rules, existing untouched") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def row(id: Long, v: Array[Float]) =
+      org.apache.spark.sql.Row(id, v.toSeq)
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val ortho = Array(0f, 0f, 0f, 1f)
+    val existing = spark.createDataFrame(
+      java.util.List.of(row(1L, e1)), schema)
+    val increment = spark.createDataFrame(java.util.List.of(
+      row(10L, e1),          // duplicates existing -> dropped (cross)
+      row(11L, ortho),       // novel -> kept
+      row(12L, ortho)),      // duplicates lower-id increment -> dropped (intra)
+      schema)
+    val kept = Dedup.dropIncrementEmbeddingNearDuplicates(
+        existing, increment, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"kept $kept")
+    // empty existing: only the intra rule applies
+    val keptNoEx = Dedup.dropIncrementEmbeddingNearDuplicates(
+        existing.limit(0), increment, "vec_id", "embedding", threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptNoEx == Set(10L, 11L), s"kept $keptNoEx")
+  }
+
   test("drop reasons: kept set equals the composed cascade, stages are first-fail") {
     val reasons = Curation.dropReasons(docs, "doc_id", "text", "source")
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
