@@ -229,6 +229,51 @@ object Profiling {
         Window.partitionBy(sourceCol).orderBy("bucket")))
   }
 
+  /** Distribution-drift monitor (the PSI — population stability index
+    * — shape): exact fixed-width histograms of `value` over two corpus
+    * slices, joined per bin, with each bin's shares and its PSI term
+    * `(p−q)·ln(p/q)`. Emitted PER BIN rather than summed: the per-bin
+    * rows are what an operator actually reads ("where did the mass
+    * move"), and skipping the cross-bin sum keeps the output free of
+    * float-summation-order sensitivity (each term is one exact-ratio
+    * division + one ln, rounded — engine-replayable; the
+    * conventional PSI>0.2 alarm is the sum of the term column). Bins
+    * present on only one side carry a NULL term (ln 0 undefined — the
+    * standard epsilon fudge hides exactly the mass a drift monitor
+    * must surface) with the one-sided counts still visible.
+    *
+    * Scale: two partial-aggregated histogram shuffles of |bins| rows
+    * each, a full outer join of two tiny frames, scalar math. */
+  def distributionDrift(oldDf: DataFrame, newDf: DataFrame, value: Column,
+      width: Int): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    def histo(df: DataFrame, cnt: String): DataFrame =
+      df.select(value.cast(LongType).as("__v"))
+        .groupBy(expr(s"__v div $width").as("bucket"))
+        .agg(count(lit(1)).as(cnt))
+    val joined = histo(oldDf, "n_old").join(histo(newDf, "n_new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    // totals via window over the tiny bin frame (one aggregate pass,
+    // no driver round-trip, no second scan of the inputs)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    joined
+      .withColumn("__to", sum("n_old").over(w))
+      .withColumn("__tn", sum("n_new").over(w))
+      .withColumn("p", round(col("n_old").cast(DoubleType) / col("__to"), 6))
+      .withColumn("q", round(col("n_new").cast(DoubleType) / col("__tn"), 6))
+      .withColumn("psi_term",
+        when(col("n_old") > 0 && col("n_new") > 0,
+          round((col("n_old").cast(DoubleType) / col("__to")
+            - col("n_new").cast(DoubleType) / col("__tn"))
+            * log(col("n_old").cast(DoubleType) * col("__tn")
+              / (col("n_new").cast(DoubleType) * col("__to"))), 6)))
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        col("p"), col("q"), col("psi_term"))
+  }
+
   /** Pairwise source-overlap estimation via KMV (bottom-k) sketches:
     * each source keeps the k smallest md5(content) values; for a pair,
     * the k smallest of the merged signatures act as a uniform sample

@@ -2539,6 +2539,46 @@ FROM bst ORDER BY doc_id""")),
              |SELECT doc_id, source, lang FROM pr ANTI JOIN rm USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // distribution-drift monitor (PSI shape): token-count histograms of
+    // the src0-9 slice vs the src10-19 slice, per-bin shares + PSI term
+    // (per-bin, not summed — no float-summation-order sensitivity;
+    // one-sided bins carry NULL terms with counts still visible)
+    "pl_dist_drift" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        graft.operators.Profiling.distributionDrift(
+            docs.filter(length(col("source")) === 4),
+            docs.filter(length(col("source")) === 5),
+            TextAnalysis.tokenCount(col("text")), width = 10)
+          .orderBy("bucket")
+      },
+      Some("""WITH v AS (
+             |  SELECT CASE WHEN length(source) = 4 THEN 0 ELSE 1 END AS side,
+             |    len(string_split(trim(text), ' '))::BIGINT AS v
+             |  FROM documents
+             |), ho AS (
+             |  SELECT v // 10 AS bucket, count(*) AS n_old FROM v
+             |  WHERE side = 0 GROUP BY v // 10
+             |), hn AS (
+             |  SELECT v // 10 AS bucket, count(*) AS n_new FROM v
+             |  WHERE side = 1 GROUP BY v // 10
+             |), j AS (
+             |  SELECT coalesce(ho.bucket, hn.bucket) AS bucket,
+             |    coalesce(n_old, 0)::BIGINT AS n_old,
+             |    coalesce(n_new, 0)::BIGINT AS n_new
+             |  FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket
+             |), t AS (
+             |  SELECT sum(n_old)::BIGINT AS t_o, sum(n_new)::BIGINT AS t_n FROM j
+             |)
+             |SELECT j.bucket, j.n_old, j.n_new,
+             |  round(CAST(j.n_old AS DOUBLE) / t.t_o, 6) AS p,
+             |  round(CAST(j.n_new AS DOUBLE) / t.t_n, 6) AS q,
+             |  CASE WHEN j.n_old > 0 AND j.n_new > 0 THEN
+             |    round((CAST(j.n_old AS DOUBLE) / t.t_o - CAST(j.n_new AS DOUBLE) / t.t_n)
+             |      * ln(CAST(j.n_old AS DOUBLE) * t.t_n / (CAST(j.n_new AS DOUBLE) * t.t_o)), 6)
+             |  END AS psi_term
+             |FROM j, t ORDER BY bucket""".stripMargin)),
+
     // Heaps'-law vocabulary growth per source: new distinct tokens per
     // rank decile + cumulative vocab — the "does this source contain
     // new content or templates" corpus screen

@@ -1593,6 +1593,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("distribution drift: identical slices yield zero terms, disjoint yield nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 40).map(i => i % 4 * 10 + 5).toDF("x") // buckets 0..3, equal mass
+    val same = Profiling.distributionDrift(a, a, col("x"), width = 10).collect()
+    assert(same.length == 4)
+    assert(same.forall(r => r.getDouble(5) == 0.0), "identical slices must score 0")
+    val b = (1 to 40).map(i => 100 + i % 4 * 10).toDF("x") // disjoint buckets 10..13
+    val disj = Profiling.distributionDrift(a, b, col("x"), width = 10).collect()
+    assert(disj.length == 8)
+    assert(disj.forall(_.isNullAt(5)), "one-sided bins must carry NULL terms")
+    // mass conservation: shares sum to 1 on each side
+    assert(math.abs(disj.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(disj.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
   test("incremental embedding dedup: cross and intra rules, existing untouched") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
