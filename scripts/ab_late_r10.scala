@@ -45,6 +45,7 @@ def time(name: String, reps: Int = 3): Unit = {
 Seq("pl_fingerprint_winnow", "pl_winnow_overlap", "pl_winnow_containment",
   "pl_dedup_apply_priority", "pl_curate_pipeline3", "pl_emb_prototype_prune",
   "pl_screen_ablation", "pl_stats_outliers", "pl_vocab_growth",
-  "pl_multimodal_phash", "pl_multimodal_phash_pairs")
+  "pl_multimodal_phash", "pl_multimodal_phash_pairs",
+  "pl_emb_dedup_incr", "pl_dist_drift", "pl_drop_reasons")
   .foreach(time(_))
 System.exit(0)
