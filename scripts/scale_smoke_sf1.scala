@@ -80,6 +80,11 @@
 //   pl_stats_outliers            0.7-1.0 s  (two percentile aggs)
 //   pl_vocab_growth              0.75-1.25 s (one (source,token) agg)
 //   pl_multimodal_phash          0.13-0.18 s / 50k docs (kernel scan)
+//   pl_emb_dedup_incr            1.25-1.7 s warm — delta (4k vectors)
+//     vs immutable corpus (16k) in LSH buckets; on this copy corpus
+//     nearly every delta vector near-dups something (4 survive)
+//   pl_dist_drift                0.4-0.5 s warm — two tiny histograms
+//   pl_drop_reasons              1.8-2.0 s warm / 50k attributions
 //   pl_multimodal_phash_pairs    24-30 s, 9,931,396 pairs — the copies
 //     have IDENTICAL phashes (the rev suffix lands past the 192 hashed
 //     bytes), so every 10-copy family pairs completely AND the sf0.1
