@@ -773,6 +773,49 @@ object Similarity {
         col(idCol), col("neg_label"), col("cos"))
   }
 
+  /** Contrastive training triplets — the (anchor, positive, hard
+    * negative) tuples an embedding-model trainer consumes, mined by
+    * the engine: for each md5-sampled anchor (same deterministic draw
+    * as [[hardNegatives]]), its most-cosine-similar SAME-label vector
+    * (the positive; the anchor itself excluded) joined with its
+    * `kNeg` most-similar DIFFERENT-label vectors (the hard negatives).
+    * An anchor whose label has no other member yields no triplets.
+    *
+    * Scale: ONE corpus pass scores every candidate against the
+    * broadcast anchor set (compiled cosine); the positive and negative
+    * cuts are group-limited windows over the same scored frame, and
+    * the final positive×negative join runs on nProbes-keyed rows. */
+  def contrastiveTriplets(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nProbes: Int, kNeg: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbes > 0 && kNeg > 0, "need nProbes>0, kNeg>0")
+    val anchors = df.select(col(idCol).cast(LongType).as("probe_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("pv"),
+        col(labelCol).as("probe_label"))
+      .orderBy(md5(concat(col("probe_id").cast(StringType), lit("probe"))
+          .cast(BinaryType)),
+        col("probe_id"))
+      .limit(nProbes)
+    val scored = df.select(col(idCol).cast(LongType).as("cand_id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("__v"),
+        col(labelCol).as("cand_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("cand_id"),
+        col("cand_label"), round(cosine(col("__v"), col("pv")), 4).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id"))
+    val pos = scored.filter(col("cand_label") === col("probe_label"))
+      .withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("probe_id"), col("cand_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = scored.filter(col("cand_label") =!= col("probe_label"))
+      .withColumn("neg_rank", row_number().over(w)).filter(col("neg_rank") <= kNeg)
+      .select(col("probe_id"), col("neg_rank").cast(LongType).as("neg_rank"),
+        col("cand_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("probe_id"))
+      .select(col("probe_id"), col("pos_id"), col("pos_cos"),
+        col("neg_rank"), col("neg_id"), col("neg_cos"))
+  }
+
   /** Precomputed md5-seeded coarse quantizer ([[seedCells]] made
     * caller-visible): pass one instance to several batch ANN calls so
     * the seed fetch runs once per index, not once per method. */

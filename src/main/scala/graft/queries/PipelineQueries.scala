@@ -1892,6 +1892,38 @@ object PipelineQueries {
              |  FROM anch a JOIN emb e ON e.label != a.probe_label
              |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin)),
 
+    // contrastive triplets: per md5-sampled anchor, the nearest SAME-
+    // label vector (positive) x its 5 hardest different-label vectors —
+    // training pairs FOR an embedding model, mined in-engine
+    "pl_emb_triplets" -> Q(
+      (s, d) => Similarity.contrastiveTriplets(
+          Tables(s, d, "embeddings"), "vec_id", "embedding", "label",
+          nProbes = 20, kNeg = 5)
+        .orderBy("probe_id", "neg_rank"),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             |anch AS (
+             |  SELECT vec_id AS probe_id, v AS pv, label AS probe_label FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'probe'), vec_id LIMIT 20
+             |), sc AS (
+             |  SELECT a.probe_id, a.probe_label, e.vec_id AS cand_id,
+             |    e.label AS cand_label,
+             |    round(list_cosine_similarity(e.v, a.pv), 4) AS cos
+             |  FROM anch a JOIN emb e ON e.vec_id != a.probe_id
+             |), pos AS (
+             |  SELECT probe_id, cand_id AS pos_id, cos AS pos_cos FROM (
+             |    SELECT probe_id, cand_id, cos, row_number() OVER (
+             |      PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS r
+             |    FROM sc WHERE cand_label = probe_label) WHERE r = 1
+             |), neg AS (
+             |  SELECT probe_id, r AS neg_rank, cand_id AS neg_id, cos AS neg_cos FROM (
+             |    SELECT probe_id, cand_id, cos, row_number() OVER (
+             |      PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS r
+             |    FROM sc WHERE cand_label != probe_label) WHERE r <= 5
+             |)
+             |SELECT p.probe_id, p.pos_id, p.pos_cos, n.neg_rank, n.neg_id, n.neg_cos
+             |FROM pos p JOIN neg n USING (probe_id)
+             |ORDER BY probe_id, neg_rank""".stripMargin)),
+
     // BPE tokenizer fitting (Sennrich et al. 2016): 6 merge rounds
     // learned over the word-TYPE frequency table (one corpus scan, then
     // vocab-sized rounds, one row to the driver per round). The oracle

@@ -1593,6 +1593,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("contrastive triplets: positive shares the label, negatives never do") {
+    val trip = Similarity.contrastiveTriplets(emb, "vec_id", "embedding", "label",
+        nProbes = 10, kNeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(trip.nonEmpty)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((a, p, pc, _, n, nc) <- trip) {
+      assert(labels(p) == labels(a), s"positive label mismatch for anchor $a")
+      assert(labels(n) != labels(a), s"negative shares label for anchor $a")
+      assert(p != a && n != a)
+      assert(pc >= -1.0001 && pc <= 1.0001 && nc >= -1.0001 && nc <= 1.0001)
+    }
+    // each anchor contributes exactly kNeg rows with one shared positive
+    for ((_, rows) <- trip.groupBy(_._1)) {
+      assert(rows.length == 3 && rows.map(_._2).distinct.length == 1)
+      assert(rows.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("distribution drift: identical slices yield zero terms, disjoint yield nulls") {
     val spark2 = spark
     import spark2.implicits._
