@@ -360,6 +360,34 @@ object TextAnalysis {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Matched-region bounds per overlapping pair — the report a
+    * MOSS-style tool renders: for each pair passing the
+    * [[winnowOverlapPairs]] gate, the min/max token positions of the
+    * SHARED fingerprints on each side (the approximate extent of the
+    * copied region; for verbatim copies shared fingerprint positions
+    * always lie inside the true match). Same inverted-index shape and
+    * `maxDf` cut; the position aggregates ride the pair groupBy for
+    * free. */
+  def winnowMatchedRegions(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_pos").as("__p"), col("fp_hash").as("__h"))
+    val rare = fps.select("__id", "__h").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__h")
+    val idx = fps.join(rare, Seq("__h"), "left_semi")
+    idx.select(col("__id").as("id_a"), col("__h"), col("__p").as("pa"))
+      .join(idx.select(col("__id").as("id_b"), col("__h"), col("__p").as("pb")),
+        Seq("__h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("__h")).as("n_shared"),
+        min("pa").as("a_start"), max("pa").as("a_end"),
+        min("pb").as("b_start"), max("pb").as("b_end"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Directed containment detection over winnowed fingerprints: emit
     * (id_sub, id_super) when at least `minPermill`/1000 of id_sub's
     * distinct fingerprints also appear in id_super — the ASYMMETRIC
@@ -538,6 +566,33 @@ object TextAnalysis {
     df.select(col(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-m)), 4).as("score"))
       .filter(col("score").isNotNull)
+  }
+
+  /** Per-source rank normalization of a score column: each doc's
+    * percentile rank WITHIN its source (0 = worst, 1 = best; ties
+    * break by id, single-doc sources score 1.0) — the cross-source
+    * calibration step a curation pipeline applies before thresholding
+    * a learned score globally: raw classifier scores shift with each
+    * source's token statistics (a fixed absolute cut keeps all of one
+    * source and none of another), while "top 30% of every source"
+    * composes fairly. Rank arithmetic is integer-exact
+    * ((rank−1)/(n−1), one IEEE division, 6 dp).
+    *
+    * Scale: one rank window + one count per source (broadcast-joined
+    * back); the score column is any deterministic Column —
+    * [[scoreClassifier]]'s output being the intended one. */
+  def rankNormalize(df: DataFrame, idCol: String, sourceCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    df.select(col(idCol), col(sourceCol), score.as("score"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(sourceCol).orderBy(col("score").asc, col(idCol))))
+      .join(broadcast(n), Seq(sourceCol))
+      .withColumn("src_pct",
+        when(col("__n") === 1, lit(1.0)).otherwise(
+          round((col("__r") - 1).cast(DoubleType) / (col("__n") - 1), 6)))
+      .select(col(idCol), col(sourceCol), col("score"), col("src_pct"))
   }
 
   /** Evaluate a trained [[trainClassifier]] model against labels at a

@@ -1486,6 +1486,35 @@ object PipelineQueries {
              |LEFT JOIN qt t ON t.doc_id = q.doc_id
              |ORDER BY q.doc_id""".stripMargin)),
 
+    // per-source rank normalization of the quality score: "top X% of
+    // every source" composes fairly where an absolute threshold keeps
+    // all of one source and none of another (raw score centers shift
+    // with each source's token statistics)
+    "pl_quality_rank_norm" -> Q(
+      (s, d) => TextAnalysis.rankNormalize(
+          Tables(s, d, "documents"), "doc_id", "source",
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id"),
+      Some("""WITH q AS (
+             |  SELECT doc_id, source,
+             |    round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+             |          / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+             |      + (CASE WHEN list_avg(list_transform(string_split(trim(text), ' '), t -> length(t)))
+             |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS score
+             |  FROM documents
+             |), nn AS (
+             |  SELECT source, count(*) AS n FROM documents GROUP BY source
+             |), r AS (
+             |  SELECT doc_id, source, score, row_number() OVER (
+             |    PARTITION BY source ORDER BY score ASC, doc_id) AS r
+             |  FROM q
+             |)
+             |SELECT r.doc_id, r.source, r.score,
+             |  CASE WHEN nn.n = 1 THEN 1.0
+             |       ELSE round(CAST(r.r - 1 AS DOUBLE) / (nn.n - 1), 6) END AS src_pct
+             |FROM r JOIN nn USING (source) ORDER BY doc_id""".stripMargin)),
+
     // curation v3: classifier-gated funnel (train in-engine, keep docs
     // scoring >= the corpus MEAN — integer-exact relative gate — then
     // exact-dedup, √-temperature to half the token mass, shard); the
@@ -2480,6 +2509,46 @@ FROM bst ORDER BY doc_id""")),
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
              |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // matched-region bounds per overlapping pair: min/max positions of
+    // the shared fingerprints on each side — the extent report a
+    // MOSS-style tool renders next to the pair list
+    "pl_winnow_regions" -> Q(
+      (s, d) => TextAnalysis.winnowMatchedRegions(Tables(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 4, minShared = 3, maxDf = 20)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), g AS (
+             |  SELECT doc_id, p,
+             |    ('0x' || substr(md5(array_to_string(t[(p+1):(p+8)], ' ')), 1, 10))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p
+             |        FROM tok WHERE len(t) >= 8)
+             |), kk AS (
+             |  SELECT doc_id, p, h * 2097152 + (2097151 - p) AS kv FROM g
+             |), rm AS (
+             |  SELECT doc_id, p,
+             |    min(kv) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+             |    max(p) OVER (PARTITION BY doc_id) AS lastp
+             |  FROM kk
+             |), fp AS (
+             |  SELECT DISTINCT doc_id, (2097151 - (m % 2097152)) AS fpp,
+             |    (m // 2097152) AS h
+             |  FROM rm WHERE p >= 3 OR p = lastp
+             |), rare AS (
+             |  SELECT h FROM (SELECT DISTINCT doc_id, h FROM fp)
+             |  GROUP BY h HAVING count(*) <= 20
+             |), idx AS (
+             |  SELECT doc_id, fpp, h FROM fp SEMI JOIN rare USING (h)
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  count(DISTINCT a.h) AS n_shared,
+             |  min(a.fpp) AS a_start, max(a.fpp) AS a_end,
+             |  min(b.fpp) AS b_start, max(b.fpp) AS b_end
+             |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(DISTINCT a.h) >= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // directed containment (quote/excerpt detection): >= 80% of the

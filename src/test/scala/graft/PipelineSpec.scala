@@ -1593,6 +1593,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("rank normalization: per-source percentiles, single-doc source scores 1.0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "a", 0.1), (2L, "a", 0.5), (3L, "a", 0.9), (4L, "b", 0.7))
+      .toDF("id", "src", "s")
+    val got = TextAnalysis.rankNormalize(df, "id", "src", col("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 0.5, 3L -> 1.0, 4L -> 1.0), got.toString)
+  }
+
+  test("matched regions sit inside the true copied span") {
+    val spark2 = spark
+    import spark2.implicits._
+    val words = (1 to 40).map(i => s"tok$i")
+    val df = Seq((1L, words.mkString(" ")),
+      (2L, words.slice(10, 30).mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.winnowMatchedRegions(df, "doc_id", "text",
+        k = 8, w = 4, minShared = 1, maxDf = 100)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1)) == (1L, 2L))
+    // grams fully inside the copied run start at positions 10..22 in the
+    // source and 0..12 in the quote — the reported bounds must sit there
+    assert(row.getLong(3) >= 10 && row.getLong(4) <= 22,
+      s"source-side bounds: ${row.getLong(3)}..${row.getLong(4)}")
+    assert(row.getLong(5) >= 0 && row.getLong(6) <= 12,
+      s"quote-side bounds: ${row.getLong(5)}..${row.getLong(6)}")
+    assert(row.getLong(2) >= 1)
+  }
+
   test("contrastive triplets: positive shares the label, negatives never do") {
     val trip = Similarity.contrastiveTriplets(emb, "vec_id", "embedding", "label",
         nProbes = 10, kNeg = 3)
