@@ -226,4 +226,63 @@ class KernelPropertySpec extends AnyFunSuite {
     }
     check(prop, "pcm_stats")
   }
+
+  test("avg_hash64 matches a driver-side reference on random payloads") {
+    def ref(b: Array[Byte]): Long = {
+      val g = new Array[Long](64)
+      var total = 0L
+      for (i <- 0 until 64) {
+        var s = 0L
+        var j = 3 * i
+        while (j < math.min(3 * i + 3, b.length)) { s += (b(j) & 0xff); j += 1 }
+        g(i) = s; total += s
+      }
+      var h = 0L
+      for (k <- 0 until 64) if (g(k) * 64 >= total) h |= (1L << k)
+      h
+    }
+    val byteGen = Gen.choose(0, 400)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
+    val prop = Prop.forAll(byteGen) { bl =>
+      val b = bl.toArray
+      val df = spark.createDataFrame(java.util.Arrays.asList(Row(b)),
+        StructType(Seq(StructField("p", BinaryType))))
+      df.select(VE.avg_hash64(col("p"))).head().getLong(0) == ref(b)
+    }
+    check(prop, "avg_hash64")
+  }
+
+  test("winnowFingerprints matches a driver-side reference on random docs") {
+    import graft.operators.TextAnalysis
+    def ref(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = text.trim.split("\\s+")
+      if (toks.length < k) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hashes = (0 to toks.length - k).map { p =>
+        val hex = md.digest(toks.slice(p, p + k).mkString(" ")
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(10), 16)
+      }
+      val pr = 1L << 21
+      val keys = hashes.zipWithIndex.map { case (h, p) => h * pr + (pr - 1 - p) }
+      val sel = keys.indices.filter(i => i >= w - 1 || i == keys.length - 1)
+        .map(i => keys.slice(math.max(0, i - w + 1), i + 1).min).toSet
+      sel.map(m => (pr - 1 - (m % pr), m / pr))
+    }
+    val gen = for {
+      k <- Gen.choose(2, 5)
+      w <- Gen.choose(1, 5)
+      n <- Gen.choose(0, 40)
+      // tiny alphabet so duplicate grams (the tie/rightmost paths) occur
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "aa", "bb"))
+    } yield (k, w, toks.mkString(" "))
+    val prop = Prop.forAll(gen) { case (k, w, text) =>
+      val df = spark.createDataFrame(java.util.Arrays.asList(Row(0L, text)),
+        StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+      val got = TextAnalysis.winnowFingerprints(df, "id", "t", k, w)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      got == ref(text, k, w)
+    }
+    check(prop, "winnow")
+  }
 }
