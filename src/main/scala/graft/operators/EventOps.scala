@@ -16,6 +16,29 @@ import org.apache.spark.sql.expressions.Window
   */
 object EventOps {
 
+  /** Weekly cohort-retention matrix — the classic product-analytics
+    * view: users grouped by their first-activity week (the cohort),
+    * counted in every subsequent week they return. Row (cohort_week,
+    * weeks_since, n_users) = how many of that cohort were active
+    * weeks_since weeks later; weeks truncate to Mondays (both engines'
+    * date_trunc convention) so the day difference is an exact multiple
+    * of 7 and the division is integer-exact.
+    *
+    * Scale: one distinct over (user, week) — the ONLY shuffle that
+    * sees event volume; the per-user cohort min and the matrix
+    * aggregate run on user×weeks rows, and the result is bounded by
+    * cohorts × horizon, independent of event count. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weeks = df.select(col(userCol).as("__u"),
+        date_trunc("week", col(tsCol)).cast("date").as("__wk"))
+      .distinct()
+    val cohort = weeks.groupBy("__u").agg(min("__wk").as("cohort_week"))
+    weeks.join(cohort, Seq("__u"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(__wk, cohort_week) div 7").as("weeks_since"))
+      .agg(countDistinct(col("__u")).as("n_users"))
+  }
+
   /** Ordered-funnel analysis: for each user, the earliest
     * strictly-increasing chain of `steps` event types (classic
     * signup→click→purchase conversion). Emits one row per user with

@@ -780,6 +780,25 @@ object PipelineQueries {
              |LEFT JOIN t3 ON u.user_id = t3.user_id
              |ORDER BY u.user_id""".stripMargin)),
 
+    // weekly cohort retention: users bucketed by first-activity week,
+    // counted in each later week they return (Monday-truncated weeks,
+    // integer-exact week arithmetic)
+    "pl_cohort_retention" -> Q(
+      (s, d) => graft.operators.EventOps.cohortRetention(
+          Tables(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "weeks_since"),
+      Some("""WITH w AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+             |  FROM events
+             |), c AS (
+             |  SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id
+             |)
+             |SELECT c.cohort_week,
+             |  date_diff('day', c.cohort_week, w.wk) // 7 AS weeks_since,
+             |  count(DISTINCT w.user_id) AS n_users
+             |FROM w JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // gap-based sessionization (30-minute inactivity gap)
     "pl_sessionize" -> Q(
       (s, d) => graft.operators.EventOps.gapSessionIds(

@@ -1593,6 +1593,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(natRows.last._4 == 60L)
   }
 
+  test("cohort retention: first-week cohorts, integer week offsets") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // u1 joins week of Jan 1 (Mon), returns wk+2; u2 joins week of Jan 8
+    val df = Seq((1L, ts(2)), (1L, ts(16)), (2L, ts(9)), (2L, ts(10)))
+      .toDF("user_id", "ts")
+    val got = EventOps.cohortRetention(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)), got.toString)
+  }
+
   test("rank normalization: per-source percentiles, single-doc source scores 1.0") {
     val spark2 = spark
     import spark2.implicits._
