@@ -52,6 +52,7 @@ final case class BuildCtx(
 object ColumnBuilder {
 
   def build(node: Node, ctx: BuildCtx = BuildCtx()): Column = node match {
+    case w: WindowNode       => window(w, ctx)
     case IdentityNode(parts) => identity(parts, ctx)
     case StringNode(v)       => lit(v)
     case NumberNode(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
@@ -95,6 +96,59 @@ object ColumnBuilder {
   }
 
   // ---- identities ----------------------------------------------------
+
+  /** `func(args) OVER (PARTITION BY … ORDER BY …)` onto Spark's Window
+    * operator. Ranking/offset functions map by name; the agg trio (+
+    * min/max/count) become running aggregates under Spark's default
+    * frame. Anything else is an analysis-time error — silently treating
+    * an unknown name as a scalar would drop the OVER. */
+  private def window(w: WindowNode, ctx: BuildCtx): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(w.partitionBy.map(build(_, ctx)): _*)
+    val spec =
+      if (w.orderBy.isEmpty) base
+      else base.orderBy(w.orderBy.map { case (n, asc) =>
+        val c = build(n, ctx); if (asc) c.asc else c.desc }: _*)
+    val f = w.func
+    def arg0: Column = build(f.args.head, ctx)
+    def offsetArg: Int = f.args.lift(1) match {
+      case Some(NumberNode(d, true)) => d.toInt
+      case None => 1
+      case Some(other) => throw new IllegalArgumentException(
+        s"${f.name} offset must be an integer literal, got: ${other.text}")
+    }
+    val name = f.name.toLowerCase
+    val fn = name match {
+      case "row_number" => row_number()
+      case "rank" => rank()
+      case "dense_rank" => dense_rank()
+      case "percent_rank" => percent_rank()
+      case "ntile" => f.args.head match {
+        case NumberNode(d, true) => ntile(d.toInt)
+        case other => throw new IllegalArgumentException(
+          s"ntile needs an integer literal, got: ${other.text}")
+      }
+      case "lag" => lag(arg0, offsetArg)
+      case "lead" => lead(arg0, offsetArg)
+      case "sum" => sum(arg0)
+      case "avg" => avg(arg0)
+      case "min" => min(arg0)
+      case "max" => max(arg0)
+      case "count" => f.args.headOption match {
+        case None | Some(IdentityNode(Seq("*"))) => count(lit(1))
+        case Some(a) => count(build(a, ctx))
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported window function: $other")
+    }
+    val out = fn.over(spec)
+    // ranking functions cast to long AFTER the window applies: Spark
+    // returns int32 where every other engine (and this dialect's
+    // count()) speaks int64
+    if (Set("row_number", "rank", "dense_rank", "ntile")(name))
+      out.cast(LongType)
+    else out
+  }
 
   private def identity(parts: Seq[String], ctx: BuildCtx): Column = {
     val name = parts.mkString(".")
@@ -373,6 +427,7 @@ object ColumnBuilder {
 
   /** Best-effort static type of a node under the build context. */
   def typeOf(n: Node, ctx: BuildCtx): Option[DataType] = n match {
+    case _: WindowNode => None
     case NumberNode(_, isInt) => Some(if (isInt) LongType else DoubleType)
     case StringNode(_) => Some(StringType)
     case BoolNode(_)   => Some(BooleanType)

@@ -53,6 +53,7 @@ object LocalEval {
       if (neg) r.map(!_) else r
     case t: TriNode  => throw Unsupported(s"ternary ${t.op}")
     case f: FuncNode => func(f, ctx)
+    case _: WindowNode   => throw Unsupported("window function") // needs a partition, not a row
     case _: SubqueryNode => throw Unsupported("subquery")
     case _: IncludeNode  => throw Unsupported("INCLUDE") // needs session includer
   }

@@ -89,6 +89,28 @@ final case class FuncNode(name: String, args: Seq[Node]) extends Node {
   def text: String = args.map(_.text).mkString(s"$name(", ", ", ")")
 }
 
+/** Window-function application: `func(args) OVER (PARTITION BY …
+  * ORDER BY … [ASC|DESC])` — beyond the reference dialect (qlbridge
+  * has no OVER; its engine evaluates row-at-a-time and cannot see a
+  * partition), planned onto Spark's Window operator. Frame clauses are
+  * not parsed: ranking/offset functions ignore frames and the
+  * default RANGE UNBOUNDED PRECEDING..CURRENT ROW is what running
+  * aggregates mean; orderBy pairs are (expr, ascending). */
+final case class WindowNode(func: FuncNode, partitionBy: Seq[Node],
+    orderBy: Seq[(Node, Boolean)]) extends Node {
+  def text: String = {
+    val clauses = Seq(
+      if (partitionBy.nonEmpty)
+        Some("PARTITION BY " + partitionBy.map(_.text).mkString(", "))
+      else None,
+      if (orderBy.nonEmpty)
+        Some("ORDER BY " + orderBy.map { case (n, asc) =>
+          n.text + (if (asc) " ASC" else " DESC") }.mkString(", "))
+      else None).flatten
+    s"${func.text} OVER (${clauses.mkString(" ")})"
+  }
+}
+
 /** Captured `(SELECT …)` token stream appearing inside an expression
   * (e.g. `WHERE x IN (SELECT …)`) — parsed lazily by the SQL layer.
   * The reference parses this shape but never implemented it

@@ -42,6 +42,26 @@ object EngineQueries {
              |FROM lineitem GROUP BY l_returnflag
              |HAVING count(*) > 10 ORDER BY l_returnflag""".stripMargin)),
 
+    // engine: window functions through the DIALECT (OVER — beyond the
+    // reference, whose row-at-a-time VM cannot see a partition):
+    // ranking, running aggregate, and offset in one statement
+    "ql_window" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey,
+          |  row_number() OVER (PARTITION BY o_orderpriority
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+          |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS run_spend,
+          |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+          |FROM orders WHERE o_orderkey < 500
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+             |  sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS run_spend,
+             |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+             |FROM orders WHERE o_orderkey < 500
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // engine: join through the dialect (expression keys resolved by alias)
     "ql_join" -> Q(
       (s, d) => session(s, d).sql(

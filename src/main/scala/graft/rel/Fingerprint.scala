@@ -23,6 +23,10 @@ object Fingerprint {
     case TriNode(op, a, b, c, neg) =>
       s"${norm(a)} ${if (neg) "NOT " else ""}$op ${norm(b)} AND ${norm(c)}"
     case FuncNode(name, args) => args.map(norm).mkString(s"$name(", ", ", ")")
+    case WindowNode(f, parts, ord) =>
+      norm(f) + " over (" + parts.map(norm).mkString(", ") + " ; " +
+        ord.map { case (n, asc) => norm(n) + (if (asc) " asc" else " desc") }
+          .mkString(", ") + ")"
     case SubqueryNode(tokens) => "(" + tokens.map { t =>
       t.kind match {
         // literals inside the subquery erase like any other literal;

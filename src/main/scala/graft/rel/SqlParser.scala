@@ -28,7 +28,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION")
 
   def parseStatement(): Statement = {
     val st =
@@ -132,7 +132,11 @@ final class SqlParser(tokens: Vector[Token]) {
     val out = collection.mutable.ArrayBuffer[SelectColumn]()
     var done = false
     while (!done) {
-      val expr = ep.parseExpr()
+      var expr = ep.parseExpr()
+      // window suffix `OVER (PARTITION BY ... ORDER BY ...)` — beyond
+      // the reference dialect (qlbridge's row-at-a-time VM cannot see a
+      // partition); planned onto Spark's Window operator
+      if (kw("OVER")) expr = parseWindowSuffix(expr)
       // column guard `IF boolexpr` (rel/sql.go:259 Guard) and AS alias
       // accepted in EITHER order, like the reference's column loop
       // (rel/parse_sql.go:960-1000 switches on AS/IF repeatedly)
@@ -151,6 +155,41 @@ final class SqlParser(tokens: Vector[Token]) {
       done = !eat(",")
     }
     out.toSeq
+  }
+
+  /** `OVER (PARTITION BY e, ... ORDER BY e [ASC|DESC], ...)` after a
+    * select-column function call. Frame clauses are not accepted —
+    * ranking/offset functions ignore frames, and running aggregates
+    * get Spark's default frame. */
+  private def parseWindowSuffix(fn: graft.expr.Node): graft.expr.Node = {
+    val f = fn match {
+      case fc: graft.expr.FuncNode => fc
+      case other => throw new IllegalArgumentException(
+        s"OVER requires a function call, got: ${other.text}")
+    }
+    expect("OVER")
+    expect("(")
+    val parts = collection.mutable.ArrayBuffer[graft.expr.Node]()
+    val orders = collection.mutable.ArrayBuffer[(graft.expr.Node, Boolean)]()
+    if (kw("PARTITION")) {
+      next(); expect("BY")
+      parts += ep.parseExpr()
+      while (eat(",")) parts += ep.parseExpr()
+    }
+    if (kw("ORDER")) {
+      next(); expect("BY")
+      var more = true
+      while (more) {
+        val e = ep.parseExpr()
+        val asc =
+          if (kw("DESC")) { next(); false }
+          else { if (kw("ASC")) next(); true }
+        orders += ((e, asc))
+        more = eat(",")
+      }
+    }
+    expect(")")
+    graft.expr.WindowNode(f, parts.toSeq, orders.toSeq)
   }
 
   private def parseFrom(): Seq[FromSource] = {

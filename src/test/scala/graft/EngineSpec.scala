@@ -57,6 +57,31 @@ class EngineSpec extends AnyFunSuite {
     testSelect("SELECT 1 + 1 AS two, 'x' AS s", Seq(Seq(2L, "x")))
   }
 
+  test("window functions through the dialect (OVER — beyond ref)") {
+    // ranking + running aggregate + offset per partition, via GraftSession.sql
+    testSelect(
+      """SELECT order_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY price, order_id) AS rk,
+        |  sum(price) OVER (PARTITION BY user_id ORDER BY order_id) AS run,
+        |  lag(price) OVER (PARTITION BY user_id ORDER BY order_id) AS prev
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 1L, 22.50, null), Seq(2L, 2L, 60.0, 22.50),
+        Seq(3L, 1L, 22.50, null)))
+    // count(*) window and global (no PARTITION BY) window
+    testSelect(
+      """SELECT order_id, count(*) OVER (PARTITION BY user_id) AS n
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 2L), Seq(2L, 2L), Seq(3L, 1L)))
+    // print -> parse round trip preserves the window clause
+    val stmt = graft.rel.SqlParser.parse(
+      "SELECT order_id, rank() OVER (PARTITION BY user_id ORDER BY price DESC) AS rk FROM orders")
+    val printed = graft.rel.SqlWriter.toSql(stmt)
+    assert(printed.contains("OVER (PARTITION BY"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+    // an unknown window function fails loudly instead of dropping OVER
+    testSelectErr("SELECT todays_date() OVER (ORDER BY order_id) AS x FROM orders")
+  }
+
   test("reference README flagship demo (user UDF + funcs in select/where)") {
     // README.md:127-213 / examples/qlcsv: register a custom function via
     // the expr.FuncAdd surface, then use it in WHERE with builtins in
