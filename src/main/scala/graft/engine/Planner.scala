@@ -133,7 +133,7 @@ final class Planner(catalog: String => DataFrame,
           out = out.select(cols.map(c => col(c.outputName)): _*)
         }
       }
-      applyLimit(out, sel)
+      applyLimit(applyQualify(out, sel), sel)
     } else {
       // ---- group by / aggregation (exec/groupby.go) -------------------
       val keyNodes = sel.groupBy
@@ -194,9 +194,18 @@ final class Planner(catalog: String => DataFrame,
       }
       out = out.select(finalNames.map(col): _*)
       if (sel.distinct) out = out.distinct()
-      applyLimit(out, sel)
+      applyLimit(applyQualify(out, sel), sel)
     }
   }
+
+  /** QUALIFY: filter the PROJECTED frame (select aliases and plain
+    * columns are in scope — `QUALIFY rk == 1` after a ranking window
+    * is the dedup idiom). Runs before LIMIT, after ORDER BY; Catalyst
+    * pushes the filter below the sort, preserving order. */
+  private def applyQualify(df: DataFrame, sel: SqlSelect): DataFrame =
+    sel.qualify.foldLeft(df)((d, q) =>
+      d.filter(ColumnBuilder.build(q, BuildCtx(schema = Some(d.schema)))
+        .cast(org.apache.spark.sql.types.BooleanType)))
 
   // ---- helpers --------------------------------------------------------
 

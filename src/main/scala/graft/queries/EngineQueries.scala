@@ -62,6 +62,21 @@ object EngineQueries {
              |FROM orders WHERE o_orderkey < 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine: QUALIFY — the window-dedup idiom through the dialect
+    // (keep each customer's priciest order); DuckDB speaks QUALIFY too
+    "ql_qualify" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey, o_orderkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          |FROM orders QUALIFY rk == 1
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |FROM orders QUALIFY rk = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine: join through the dialect (expression keys resolved by alias)
     "ql_join" -> Q(
       (s, d) => session(s, d).sql(

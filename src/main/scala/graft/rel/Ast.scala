@@ -52,7 +52,11 @@ final case class SqlSelect(
     orderBy: Seq[(Node, Boolean)] = Nil, // (expr, ascending)
     limit: Option[Int] = None,
     offset: Option[Int] = None,
-    into: Option[String] = None) extends Statement
+    into: Option[String] = None,
+    // QUALIFY predicate over the PROJECTED row (post-window filter,
+    // Snowflake/DuckDB-style; beyond the reference) — may reference
+    // select aliases and plain columns
+    qualify: Option[Node] = None) extends Statement
 
 /** UNION / INTERSECT / EXCEPT [ALL] chain — beyond the reference (its
   * dialect has no set ops, SURVEY §2.7); trailing ORDER BY/LIMIT of the

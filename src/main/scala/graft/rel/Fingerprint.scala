@@ -62,6 +62,7 @@ object Fingerprint {
         sel.where.map("WHERE " + norm(_)).getOrElse(""),
         if (sel.groupBy.nonEmpty) "GROUP BY " + sel.groupBy.map(norm).mkString(", ") else "",
         sel.having.map("HAVING " + norm(_)).getOrElse(""),
+        sel.qualify.map("QUALIFY " + norm(_)).getOrElse(""),
         if (sel.orderBy.nonEmpty)
           "ORDER BY " + sel.orderBy.map { case (n, asc) =>
             norm(n) + (if (asc) " ASC" else " DESC") }.mkString(", ")

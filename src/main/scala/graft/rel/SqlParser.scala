@@ -28,7 +28,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY")
 
   def parseStatement(): Statement = {
     val st =
@@ -100,13 +100,17 @@ final class SqlParser(tokens: Vector[Token]) {
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     val groupBy = if (kw("GROUP")) { next(); expect("BY"); parseExprList() } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
+    // QUALIFY: filter on the projected row (post-window predicate —
+    // `QUALIFY rk == 1` is the window-dedup idiom; beyond the reference)
+    val qualify = if (eat("QUALIFY")) Some(ep.parseExpr()) else None
     // no SORT BY: the reference rejects it as an unknown keyword
     // (rel/parse_sql_test.go:402 "Must fail parse")
     val orderBy = if (kw("ORDER")) { next(); expect("BY"); parseOrderList() } else Nil
     val (limit, offset) = parseLimitOffset()
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
-    SqlSelect(cols, from, distinct, where, groupBy, having, orderBy, limit, offset, into)
+    SqlSelect(cols, from, distinct, where, groupBy, having, orderBy, limit, offset, into,
+      qualify)
   }
 
   /** Optional `WITH key = value, …` statement config

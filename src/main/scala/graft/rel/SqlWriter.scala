@@ -48,6 +48,7 @@ object SqlWriter {
         s.where.map("WHERE " + _.text).getOrElse(""),
         if (s.groupBy.nonEmpty) "GROUP BY " + s.groupBy.map(_.text).mkString(", ") else "",
         s.having.map("HAVING " + _.text).getOrElse(""),
+        s.qualify.map("QUALIFY " + _.text).getOrElse(""),
         if (s.orderBy.nonEmpty) "ORDER BY " + orderBy(s.orderBy) else "",
         s.limit.map("LIMIT " + _).getOrElse(""),
         s.offset.map("OFFSET " + _).getOrElse(""))

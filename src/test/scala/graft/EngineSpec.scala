@@ -82,6 +82,23 @@ class EngineSpec extends AnyFunSuite {
     testSelectErr("SELECT todays_date() OVER (ORDER BY order_id) AS x FROM orders")
   }
 
+  test("QUALIFY filters on window results (dialect)") {
+    // the window-dedup idiom: keep each user's priciest order
+    testSelect(
+      """SELECT user_id, order_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY price DESC, order_id) AS rk
+        |FROM orders QUALIFY rk == 1 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L, 1L), Seq("abcabcabc", 3L, 1L)))
+    // QUALIFY may reference plain columns too, and prints/reparses
+    testSelect(
+      "SELECT order_id, price FROM orders QUALIFY price > 30 ORDER BY order_id",
+      Seq(Seq(2L, 37.50)))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT order_id, row_number() OVER (ORDER BY order_id) AS rk FROM orders QUALIFY rk == 1"))
+    assert(printed.contains("QUALIFY"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("reference README flagship demo (user UDF + funcs in select/where)") {
     // README.md:127-213 / examples/qlcsv: register a custom function via
     // the expr.FuncAdd surface, then use it in WHERE with builtins in
