@@ -144,6 +144,33 @@ final class GraftSession(val spark: SparkSession) {
 
   private def planner = new Planner(table, sessionVars.toMap, includer)
 
+  /** Plan a `WITH … SELECT` chain: each CTE plans against a catalog
+    * overlay holding the CTEs before it (sequential scope, no
+    * recursion), then the body plans with every CTE visible. CTE names
+    * shadow registered tables for the statement's duration only —
+    * nothing enters the session registry. */
+  private def runWith(w: SqlWith): DataFrame = {
+    val overlay = collection.mutable.Map[String, DataFrame]()
+    def lookup(n: String): DataFrame =
+      overlay.getOrElse(n.toLowerCase, table(n))
+    for ((name, st) <- w.ctes) {
+      val df = new Planner(lookup, sessionVars.toMap, includer).planStatement(st)
+      overlay(name.toLowerCase) = df
+    }
+    val p = new Planner(lookup, sessionVars.toMap, includer)
+    w.body match {
+      case sel: SqlSelect =>
+        val df = p.plan(sel)
+        sel.into match {
+          case Some(t) => val m = df.cache(); registerTable(t, m); m
+          case None => df
+        }
+      case _: SqlWith =>
+        throw BuildException("nested WITH is not supported; merge the CTE lists")
+      case other => p.planStatement(other)
+    }
+  }
+
   // ---- statement dispatch (exec/executor.go WalkPlan ≙) ---------------
 
   def sql(text: String): DataFrame = run(SqlParser.parse(text))
@@ -156,6 +183,7 @@ final class GraftSession(val spark: SparkSession) {
         case None => df
       }
     case sop: SqlSetOp => planner.planStatement(sop)
+    case w: SqlWith => runWith(w)
     case f: FilterStatement => filterDf(f)
     case fs: FilterSelect =>
       val base = fs.from.map(table).getOrElse(emptyDf())

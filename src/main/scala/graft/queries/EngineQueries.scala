@@ -62,6 +62,30 @@ object EngineQueries {
              |FROM orders WHERE o_orderkey < 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine: WITH common table expressions through the dialect
+    // (chained CTEs + a join against a base table; aggregates are
+    // order-insensitive — count/max — so the row hashes cross-engine)
+    "ql_cte" -> Q(
+      (s, d) => session(s, d).sql(
+        """WITH highval AS (
+          |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+          |), agg AS (
+          |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS top
+          |  FROM highval GROUP BY o_custkey
+          |)
+          |SELECT c.c_name, a.n, a.top
+          |FROM customer c JOIN agg a ON c.c_custkey == a.o_custkey
+          |ORDER BY c.c_name""".stripMargin),
+      Some("""WITH highval AS (
+             |  SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 150000
+             |), agg AS (
+             |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS top
+             |  FROM highval GROUP BY o_custkey
+             |)
+             |SELECT c.c_name, a.n, a.top
+             |FROM customer c JOIN agg a ON c.c_custkey = a.o_custkey
+             |ORDER BY c.c_name""".stripMargin)),
+
     // engine: QUALIFY — the window-dedup idiom through the dialect
     // (keep each customer's priciest order); DuckDB speaks QUALIFY too
     "ql_qualify" -> Q(

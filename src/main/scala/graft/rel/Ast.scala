@@ -58,6 +58,13 @@ final case class SqlSelect(
     // select aliases and plain columns
     qualify: Option[Node] = None) extends Statement
 
+/** `WITH name AS (SELECT …)[, …] <body>` — non-recursive common table
+  * expressions (beyond the reference dialect, which has no WITH-prefix
+  * statement form; its only WITH is the `key = value` statement-config
+  * tail). Each CTE is in scope for the CTEs after it and for the body;
+  * a CTE name shadows a registered table of the same name. */
+final case class SqlWith(ctes: Seq[(String, Statement)], body: Statement) extends Statement
+
 /** UNION / INTERSECT / EXCEPT [ALL] chain — beyond the reference (its
   * dialect has no set ops, SURVEY §2.7); trailing ORDER BY/LIMIT of the
   * right-most SELECT applies to the whole result. */

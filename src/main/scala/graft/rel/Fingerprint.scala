@@ -40,6 +40,10 @@ object Fingerprint {
   }
 
   private def normStmt(s: Statement): String = s match {
+    case SqlWith(ctes, body) =>
+      "WITH " + ctes.map { case (n, st) =>
+        n.toLowerCase + " AS (" + normStmt(st) + ")" }.mkString(", ") +
+        " " + normStmt(body)
     case sel: SqlSelect =>
       val cols = sel.columns.map { c =>
         norm(c.expr) +

@@ -33,6 +33,7 @@ final class SqlParser(tokens: Vector[Token]) {
   def parseStatement(): Statement = {
     val st =
       if (kw("SELECT")) parseSelectChain()
+      else if (kw("WITH")) parseWith()
       else if (kw("FILTER")) parseFilter()
       else if (kw("INSERT")) parseInsert()
       else if (kw("UPSERT")) parseUpsert()
@@ -65,6 +66,27 @@ final class SqlParser(tokens: Vector[Token]) {
   /** SELECT possibly chained with UNION / INTERSECT / EXCEPT [ALL];
     * or the FilterQL select form `SELECT cols FROM t FILTER expr`
     * (rel/filter.go:30-33 FilterSelect). */
+  /** Statement-leading `WITH name AS (select)[, …]` — non-recursive
+    * CTE prefix; the body is any further statement (usually SELECT,
+    * possibly another chain). Distinct from the reference's
+    * `WITH key = value` statement-config TAIL (consumeWith), which
+    * only ever appears after the clauses. */
+  private def parseWith(): Statement = {
+    expect("WITH")
+    val ctes = collection.mutable.ArrayBuffer[(String, Statement)]()
+    var more = true
+    while (more) {
+      val name = ident()
+      expect("AS")
+      expect("(")
+      val sub = parseSelectChain()
+      expect(")")
+      ctes += ((name, sub))
+      more = eat(",")
+    }
+    SqlWith(ctes.toSeq, parseStatement())
+  }
+
   private def parseSelectChain(): Statement = {
     var left: Statement = parseSelect()
     if (kw("FILTER")) {

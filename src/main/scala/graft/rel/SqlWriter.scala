@@ -53,6 +53,9 @@ object SqlWriter {
         s.limit.map("LIMIT " + _).getOrElse(""),
         s.offset.map("OFFSET " + _).getOrElse(""))
         .filter(_.nonEmpty).mkString(" ")
+    case SqlWith(ctes, body) =>
+      "WITH " + ctes.map { case (n, st) => s"$n AS (${toSql(st)})" }
+        .mkString(", ") + " " + toSql(body)
     case SqlSetOp(op, all, l, r, ob, lim) =>
       toSql(l) + s" $op${if (all) " ALL" else ""} " + toSql(r) +
         (if (ob.nonEmpty) " ORDER BY " + orderBy(ob) else "") +

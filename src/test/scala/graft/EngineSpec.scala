@@ -82,6 +82,32 @@ class EngineSpec extends AnyFunSuite {
     testSelectErr("SELECT todays_date() OVER (ORDER BY order_id) AS x FROM orders")
   }
 
+  test("WITH common table expressions (dialect)") {
+    // one CTE, referenced by the body
+    testSelect(
+      """WITH big AS (SELECT order_id, price FROM orders WHERE price > 30)
+        |SELECT order_id FROM big ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L)))
+    // chained CTEs: the second reads the first; body joins a real table
+    testSelect(
+      """WITH expensive AS (SELECT user_id, price FROM orders WHERE price > 30),
+        |  cnt AS (SELECT user_id, count(*) AS n FROM expensive GROUP BY user_id)
+        |SELECT u.user_id, c.n FROM users u JOIN cnt c ON u.user_id == c.user_id
+        |ORDER BY u.user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L)))
+    // a CTE shadows a registered table for the statement only
+    testSelect(
+      """WITH orders AS (SELECT order_id FROM orders WHERE order_id == 3)
+        |SELECT order_id FROM orders""".stripMargin,
+      Seq(Seq(3L)))
+    testSelect("SELECT count(*) AS n FROM orders", Seq(Seq(3L)))
+    // print -> parse roundtrip
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "WITH t AS (SELECT order_id FROM orders) SELECT order_id FROM t"))
+    assert(printed.startsWith("WITH t AS ("), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("QUALIFY filters on window results (dialect)") {
     // the window-dedup idiom: keep each user's priciest order
     testSelect(
