@@ -288,6 +288,9 @@ final class GraftSession(val spark: SparkSession) {
       TriNode(op, resolveIncludes(a), resolveIncludes(b), resolveIncludes(c), neg)
     case FuncNode(name, args) => FuncNode(name, args.map(resolveIncludes))
     case ArrayNode(items) => ArrayNode(items.map(resolveIncludes))
+    case CaseNode(bs, e) =>
+      CaseNode(bs.map { case (c, v) => (resolveIncludes(c), resolveIncludes(v)) },
+        e.map(resolveIncludes))
     case other => other
   }
 

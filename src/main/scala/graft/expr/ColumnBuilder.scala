@@ -53,6 +53,12 @@ object ColumnBuilder {
 
   def build(node: Node, ctx: BuildCtx = BuildCtx()): Column = node match {
     case w: WindowNode       => window(w, ctx)
+    case CaseNode(branches, els) =>
+      val first = when(build(branches.head._1, ctx).cast(BooleanType),
+        build(branches.head._2, ctx))
+      val chained = branches.tail.foldLeft(first) { case (acc, (c, v)) =>
+        acc.when(build(c, ctx).cast(BooleanType), build(v, ctx)) }
+      els.map(e => chained.otherwise(build(e, ctx))).getOrElse(chained)
     case IdentityNode(parts) => identity(parts, ctx)
     case StringNode(v)       => lit(v)
     case NumberNode(d, isInt) => if (isInt) lit(d.toLong) else lit(d)
@@ -428,6 +434,7 @@ object ColumnBuilder {
   /** Best-effort static type of a node under the build context. */
   def typeOf(n: Node, ctx: BuildCtx): Option[DataType] = n match {
     case _: WindowNode => None
+    case CaseNode(branches, _) => typeOf(branches.head._2, ctx)
     case NumberNode(_, isInt) => Some(if (isInt) LongType else DoubleType)
     case StringNode(_) => Some(StringType)
     case BoolNode(_)   => Some(BooleanType)

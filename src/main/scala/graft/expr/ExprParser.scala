@@ -179,6 +179,30 @@ final class ExprParser(tokens: Vector[Token]) {
         advance()
         if (cur.kind != TIdent) fail("expected identifier after INCLUDE")
         IncludeNode(advance().text)
+      } else if (t.isKeyword("CASE")) {
+        advance()
+        // simple form carries an operand before the first WHEN;
+        // searched form starts at WHEN directly
+        val operand: Option[Node] =
+          if (cur.isKeyword("WHEN")) None else Some(parseExpr())
+        val branches = collection.mutable.ArrayBuffer[(Node, Node)]()
+        while (cur.isKeyword("WHEN")) {
+          advance()
+          val v = parseExpr()
+          val cond = operand match {
+            case Some(op) => BinaryNode("==", op, v)
+            case None => v
+          }
+          if (!cur.isKeyword("THEN")) fail("expected THEN in CASE")
+          advance()
+          branches += ((cond, parseExpr()))
+        }
+        if (branches.isEmpty) fail("CASE needs at least one WHEN")
+        val els =
+          if (cur.isKeyword("ELSE")) { advance(); Some(parseExpr()) } else None
+        if (!cur.isKeyword("END")) fail("expected END to close CASE")
+        advance()
+        CaseNode(branches.toSeq, els)
       } else if (t.isKeyword("NOT") && tokens(p + 1).is("(")) {
         advance(); // FilterQL `NOT ( expr )` / `NOT(expr)`
         val args = parseParenList()

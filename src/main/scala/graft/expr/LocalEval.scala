@@ -53,6 +53,10 @@ object LocalEval {
       if (neg) r.map(!_) else r
     case t: TriNode  => throw Unsupported(s"ternary ${t.op}")
     case f: FuncNode => func(f, ctx)
+    case CaseNode(branches, els) =>
+      branches.collectFirst {
+        case (c, v) if eval(c, ctx).contains(true) => eval(v, ctx)
+      }.getOrElse(els.flatMap(e => Some(eval(e, ctx))).getOrElse(None))
     case _: WindowNode   => throw Unsupported("window function") // needs a partition, not a row
     case _: SubqueryNode => throw Unsupported("subquery")
     case _: IncludeNode  => throw Unsupported("INCLUDE") // needs session includer

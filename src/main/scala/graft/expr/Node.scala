@@ -89,6 +89,17 @@ final case class FuncNode(name: String, args: Seq[Node]) extends Node {
   def text: String = args.map(_.text).mkString(s"$name(", ", ", ")")
 }
 
+/** `CASE [operand] WHEN … THEN … [ELSE …] END` — searched and simple
+  * forms; the simple form desugars to `operand == v` per branch at
+  * parse time, so only the searched shape exists in the tree (and in
+  * the printed text — semantically lossless). Beyond the reference
+  * dialect (qlbridge has no CASE). */
+final case class CaseNode(branches: Seq[(Node, Node)], elseNode: Option[Node]) extends Node {
+  def text: String = "CASE " +
+    branches.map { case (c, v) => s"WHEN ${c.text} THEN ${v.text}" }.mkString(" ") +
+    elseNode.map(e => s" ELSE ${e.text}").getOrElse("") + " END"
+}
+
 /** Window-function application: `func(args) OVER (PARTITION BY …
   * ORDER BY … [ASC|DESC])` — beyond the reference dialect (qlbridge
   * has no OVER; its engine evaluates row-at-a-time and cannot see a
@@ -147,6 +158,11 @@ object Node {
     case TriNode(_, a, b, c, _) => findIncludes(a) ++ findIncludes(b) ++ findIncludes(c)
     case FuncNode(_, args) => args.flatMap(findIncludes)
     case ArrayNode(items) => items.flatMap(findIncludes)
+    case CaseNode(bs, e) =>
+      bs.flatMap { case (c, v) => findIncludes(c) ++ findIncludes(v) } ++
+        e.toSeq.flatMap(findIncludes)
+    case WindowNode(f, parts, ord) =>
+      findIncludes(f) ++ parts.flatMap(findIncludes) ++ ord.flatMap(o => findIncludes(o._1))
     case _ => Nil
   }
 }

@@ -62,6 +62,23 @@ object EngineQueries {
              |FROM orders WHERE o_orderkey < 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine: CASE expressions through the dialect (searched + simple
+    // forms — the simple form desugars to equality at parse time)
+    "ql_case" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  CASE WHEN l_quantity > 45 THEN "bulk"
+          |       WHEN l_quantity > 20 THEN "mid" ELSE "small" END AS band,
+          |  CASE l_returnflag WHEN "R" THEN 1 ELSE 0 END AS returned
+          |FROM lineitem WHERE l_orderkey < 100
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity > 45 THEN 'bulk'
+             |       WHEN l_quantity > 20 THEN 'mid' ELSE 'small' END AS band,
+             |  CAST(CASE l_returnflag WHEN 'R' THEN 1 ELSE 0 END AS BIGINT) AS returned
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // engine: WITH common table expressions through the dialect
     // (chained CTEs + a join against a base table; aggregates are
     // order-insensitive — count/max — so the row hashes cross-engine)

@@ -23,6 +23,10 @@ object Fingerprint {
     case TriNode(op, a, b, c, neg) =>
       s"${norm(a)} ${if (neg) "NOT " else ""}$op ${norm(b)} AND ${norm(c)}"
     case FuncNode(name, args) => args.map(norm).mkString(s"$name(", ", ", ")")
+    case CaseNode(branches, els) =>
+      "case " + branches.map { case (c, v) =>
+        "when " + norm(c) + " then " + norm(v) }.mkString(" ") +
+        els.map(e => " else " + norm(e)).getOrElse("") + " end"
     case WindowNode(f, parts, ord) =>
       norm(f) + " over (" + parts.map(norm).mkString(", ") + " ; " +
         ord.map { case (n, asc) => norm(n) + (if (asc) " asc" else " desc") }

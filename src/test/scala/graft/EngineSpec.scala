@@ -82,6 +82,34 @@ class EngineSpec extends AnyFunSuite {
     testSelectErr("SELECT todays_date() OVER (ORDER BY order_id) AS x FROM orders")
   }
 
+  test("CASE WHEN expressions (dialect)") {
+    // searched form with ELSE
+    testSelect(
+      """SELECT order_id,
+        |  CASE WHEN price > 30 THEN "high" WHEN price > 20 THEN "mid"
+        |    ELSE "low" END AS band
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, "mid"), Seq(2L, "high"), Seq(3L, "mid")))
+    // simple form desugars to equality; missing ELSE yields NULL
+    testSelect(
+      """SELECT order_id, CASE item_id WHEN 1 THEN "one" END AS w
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, "one"), Seq(2L, null), Seq(3L, "one")))
+    // CASE works in WHERE and round-trips through the printer
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE CASE WHEN item_id == 2 THEN true ELSE false END
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L)))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT CASE WHEN a > 1 THEN 2 ELSE 3 END AS x FROM t"))
+    assert(printed.contains("CASE WHEN"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+    // single-row eval path (LocalEval) takes the first true branch
+    assert(session.compile("CASE WHEN x > 5 THEN \"big\" ELSE \"small\" END")(
+      Map("x" -> 10L)) == "big")
+  }
+
   test("WITH common table expressions (dialect)") {
     // one CTE, referenced by the body
     testSelect(
