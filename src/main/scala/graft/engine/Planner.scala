@@ -165,6 +165,8 @@ final class Planner(catalog: String => DataFrame,
         // GROUP BY with no aggregate columns (key-only select) is a
         // distinct over the keys
         else if (aggAll.isEmpty) df.select(keyCols: _*).distinct()
+        else if (sel.groupByRollup)
+          df.rollup(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
 
       // substitution map: agg/select expr text → output column name

@@ -62,6 +62,18 @@ object EngineQueries {
              |FROM orders WHERE o_orderkey < 500
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine: GROUP BY ROLLUP through the dialect — subtotal grouping
+    // sets (beyond ref); the driver's order-insensitive compare absorbs
+    // the engines' different NULL sort positions
+    "ql_rollup" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // engine: CASE expressions through the dialect (searched + simple
     // forms — the simple form desugars to equality at parse time)
     "ql_case" -> Q(

@@ -48,6 +48,8 @@ final case class SqlSelect(
     distinct: Boolean = false,
     where: Option[Node] = None,
     groupBy: Seq[Node] = Nil,
+    // GROUP BY ROLLUP(...) — subtotal grouping sets (beyond ref)
+    groupByRollup: Boolean = false,
     having: Option[Node] = None,
     orderBy: Seq[(Node, Boolean)] = Nil, // (expr, ascending)
     limit: Option[Int] = None,

@@ -68,7 +68,10 @@ object Fingerprint {
         sel.into.map("INTO " + _.toLowerCase).getOrElse(""),
         "FROM", from,
         sel.where.map("WHERE " + norm(_)).getOrElse(""),
-        if (sel.groupBy.nonEmpty) "GROUP BY " + sel.groupBy.map(norm).mkString(", ") else "",
+        if (sel.groupBy.nonEmpty)
+          "GROUP BY " + (if (sel.groupByRollup) "ROLLUP " else "") +
+            sel.groupBy.map(norm).mkString(", ")
+        else "",
         sel.having.map("HAVING " + norm(_)).getOrElse(""),
         sel.qualify.map("QUALIFY " + norm(_)).getOrElse(""),
         if (sel.orderBy.nonEmpty)

@@ -120,7 +120,17 @@ final class SqlParser(tokens: Vector[Token]) {
     val into = if (eat("INTO")) Some(ident()) else None
     val from = if (kw("FROM")) parseFrom() else Nil
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
-    val groupBy = if (kw("GROUP")) { next(); expect("BY"); parseExprList() } else Nil
+    var groupByRollup = false
+    val groupBy = if (kw("GROUP")) {
+      next(); expect("BY")
+      if (kw("ROLLUP")) {
+        next(); groupByRollup = true
+        expect("(")
+        val keys = parseExprList()
+        expect(")")
+        keys
+      } else parseExprList()
+    } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
     // QUALIFY: filter on the projected row (post-window predicate —
     // `QUALIFY rk == 1` is the window-dedup idiom; beyond the reference)
@@ -131,8 +141,8 @@ final class SqlParser(tokens: Vector[Token]) {
     val (limit, offset) = parseLimitOffset()
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
-    SqlSelect(cols, from, distinct, where, groupBy, having, orderBy, limit, offset, into,
-      qualify)
+    SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, having,
+      orderBy, limit, offset, into, qualify)
   }
 
   /** Optional `WITH key = value, …` statement config

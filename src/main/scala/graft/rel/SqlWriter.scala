@@ -46,7 +46,10 @@ object SqlWriter {
         s.into.map("INTO " + _).getOrElse(""),
         if (s.from.nonEmpty) "FROM " + from(s.from) else "",
         s.where.map("WHERE " + _.text).getOrElse(""),
-        if (s.groupBy.nonEmpty) "GROUP BY " + s.groupBy.map(_.text).mkString(", ") else "",
+        if (s.groupBy.nonEmpty) {
+          val keys = s.groupBy.map(_.text).mkString(", ")
+          if (s.groupByRollup) s"GROUP BY ROLLUP($keys)" else "GROUP BY " + keys
+        } else "",
         s.having.map("HAVING " + _.text).getOrElse(""),
         s.qualify.map("QUALIFY " + _.text).getOrElse(""),
         if (s.orderBy.nonEmpty) "ORDER BY " + orderBy(s.orderBy) else "",

@@ -136,6 +136,19 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("GROUP BY ROLLUP produces subtotal rows (dialect)") {
+    // per-user counts plus the grand-total row (null user_id); Spark
+    // sorts nulls first ascending
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders
+        |GROUP BY ROLLUP(user_id) ORDER BY user_id""".stripMargin,
+      Seq(Seq(null, 3L), Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 1L)))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT user_id, count(*) AS n FROM orders GROUP BY ROLLUP(user_id)"))
+    assert(printed.contains("GROUP BY ROLLUP("), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("QUALIFY filters on window results (dialect)") {
     // the window-dedup idiom: keep each user's priciest order
     testSelect(
