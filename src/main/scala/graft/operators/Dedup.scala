@@ -307,6 +307,74 @@ object Dedup {
     }
   }
 
+  /** Persistable MinHash index artifact: the NARROW (id, band, bh)
+    * candidate table plus the (id, sh) shingle table for verification —
+    * two frames because gluing shingle arrays onto the banded rows
+    * would replicate the document payload ×bands (the exact layout sin
+    * the banded shuffle exists to avoid). Write both to parquet (bucket
+    * `banded` by (band, bh)); load them back for any number of delta
+    * mines. Mirrors the BPE merge-table "ship the artifact" path. */
+  final case class MinHashIndex(banded: DataFrame, shingles: DataFrame)
+
+  /** Build the [[MinHashIndex]] artifact for a corpus — one signature
+    * scan, done once; every future delta then mines against the stored
+    * index with [[minHashLshPairsWithIndex]] instead of re-signing the
+    * corpus per call (what [[minHashLshPairsIncremental]] pays). */
+  def buildMinHashIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4): MinHashIndex = {
+    val k = bands * rowsPerBand
+    val base = df.select(col(idCol).as("id"),
+        VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        VectorExpressions.minhash_sig(col("sh"), k).as("sig"))
+    val banded = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    MinHashIndex(banded, base.select("id", "sh"))
+  }
+
+  /** Mine delta-touching near-dup pairs against a PREBUILT
+    * [[MinHashIndex]]: only the increment is shingled and signed;
+    * the corpus contributes its stored (id, band, bh) rows to the
+    * candidate join and its stored shingles to verification. Output is
+    * identical to [[minHashLshPairsIncremental]] over the same corpus
+    * (spec-gated equivalence) at a fraction of the work: the corpus
+    * side is a table READ, not a signature recompute — the daily-delta
+    * production shape at 100 TB. */
+  def minHashLshPairsWithIndex(index: MinHashIndex, increment: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    viaPersisted(increment.select(col(idCol).as("id"),
+        VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
+      .select(col("id"), col("sh"),
+        VectorExpressions.minhash_sig(col("sh"), k).as("sig"))) { delta =>
+      val deltaBanded = delta.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val l = deltaBanded.select(col("band"), col("bh"), col("id").as("id_l"))
+      val r = index.banded.select(col("band"), col("bh"), col("id").as("id_r"))
+        .unionByName(deltaBanded.select(col("band"), col("bh"), col("id").as("id_r")))
+      val candPairs = l.join(r, Seq("band", "bh"))
+        .filter(col("id_l") =!= col("id_r"))
+        .select(least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"))
+        .distinct()
+      val allSh = delta.select(col("id"), col("sh"))
+        .unionByName(index.shingles.select(col("id"), col("sh")))
+      val aSide = allSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(candPairs, "id_a")
+      aSide.join(allSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("shared", VectorExpressions.intersect_count(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard", col("shared").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+  }
+
   /** Apply incremental dedup: the increment minus every document that
     * near-duplicates the existing corpus or a smaller-id increment doc.
     * The existing corpus is never touched — the stability property a

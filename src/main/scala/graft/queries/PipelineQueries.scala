@@ -244,6 +244,36 @@ object PipelineQueries {
              |HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ship-the-index path: the same delta mine against a PREBUILT
+    // MinHash band/shingle artifact — the corpus is a table read, not a
+    // signature recompute; output identical to the incremental miner
+    // (same oracle), so the artifact path can never drift
+    "pl_dedup_index_ship" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val index = Dedup.buildMinHashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3, 32, 4)
+        Dedup.minHashLshPairsWithIndex(index,
+            docs.filter(col("doc_id") % 2 === 1),
+            "doc_id", "text", 3, 32, 4, 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)), 4) AS jaccard
+             |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |GROUP BY a.doc_id, b.doc_id
+             |HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // applying the delta dedup: the increment minus docs that duplicate
     // the existing corpus or a smaller-id increment doc — the existing
     // side is never modified (rolling-pipeline stability)

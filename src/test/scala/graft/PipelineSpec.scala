@@ -1674,6 +1674,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(disj.map(_.getDouble(4)).sum - 1.0) < 1e-9)
   }
 
+  test("minhash index ship path equals the incremental miner, survives parquet") {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+    val direct = Dedup.minHashLshPairsIncremental(existing, delta,
+        "doc_id", "text", 3, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Dedup.buildMinHashIndex(existing, "doc_id", "text", 3, 32, 4)
+    val viaIndex = Dedup.minHashLshPairsWithIndex(index, delta,
+        "doc_id", "text", 3, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(direct.nonEmpty && viaIndex == direct,
+      s"index path drift: extra ${viaIndex -- direct}, missing ${direct -- viaIndex}")
+    // the artifact survives a parquet round trip (the actual ship path)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    index.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    index.shingles.write.mode("overwrite").parquet(s"$dir/shingles")
+    val loaded = Dedup.MinHashIndex(
+      spark.read.parquet(s"$dir/banded"), spark.read.parquet(s"$dir/shingles"))
+    val viaLoaded = Dedup.minHashLshPairsWithIndex(loaded, delta,
+        "doc_id", "text", 3, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoaded == direct)
+    Dedup.releaseAll()
+  }
+
   test("incremental embedding dedup: cross and intra rules, existing untouched") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
