@@ -167,6 +167,8 @@ final class Planner(catalog: String => DataFrame,
         else if (aggAll.isEmpty) df.select(keyCols: _*).distinct()
         else if (sel.groupByRollup)
           df.rollup(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+        else if (sel.groupByCube)
+          df.cube(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
 
       // substitution map: agg/select expr text → output column name

@@ -74,6 +74,16 @@ object EngineQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // engine: GROUP BY CUBE — all grouping-set combinations (beyond ref)
+    "ql_cube" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // engine: CASE expressions through the dialect (searched + simple
     // forms — the simple form desugars to equality at parse time)
     "ql_case" -> Q(

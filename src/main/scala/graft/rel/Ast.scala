@@ -48,8 +48,10 @@ final case class SqlSelect(
     distinct: Boolean = false,
     where: Option[Node] = None,
     groupBy: Seq[Node] = Nil,
-    // GROUP BY ROLLUP(...) — subtotal grouping sets (beyond ref)
+    // GROUP BY ROLLUP(...) / CUBE(...) — subtotal grouping sets
+    // (beyond ref); at most one of the two is set
     groupByRollup: Boolean = false,
+    groupByCube: Boolean = false,
     having: Option[Node] = None,
     orderBy: Seq[(Node, Boolean)] = Nil, // (expr, ascending)
     limit: Option[Int] = None,

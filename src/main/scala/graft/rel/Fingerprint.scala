@@ -69,7 +69,8 @@ object Fingerprint {
         "FROM", from,
         sel.where.map("WHERE " + norm(_)).getOrElse(""),
         if (sel.groupBy.nonEmpty)
-          "GROUP BY " + (if (sel.groupByRollup) "ROLLUP " else "") +
+          "GROUP BY " + (if (sel.groupByRollup) "ROLLUP "
+            else if (sel.groupByCube) "CUBE " else "") +
             sel.groupBy.map(norm).mkString(", ")
         else "",
         sel.having.map("HAVING " + norm(_)).getOrElse(""),

@@ -121,10 +121,12 @@ final class SqlParser(tokens: Vector[Token]) {
     val from = if (kw("FROM")) parseFrom() else Nil
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     var groupByRollup = false
+    var groupByCube = false
     val groupBy = if (kw("GROUP")) {
       next(); expect("BY")
-      if (kw("ROLLUP")) {
-        next(); groupByRollup = true
+      if (kw("ROLLUP") || kw("CUBE")) {
+        if (kw("CUBE")) groupByCube = true else groupByRollup = true
+        next()
         expect("(")
         val keys = parseExprList()
         expect(")")
@@ -141,8 +143,8 @@ final class SqlParser(tokens: Vector[Token]) {
     val (limit, offset) = parseLimitOffset()
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
-    SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, having,
-      orderBy, limit, offset, into, qualify)
+    SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, groupByCube,
+      having, orderBy, limit, offset, into, qualify)
   }
 
   /** Optional `WITH key = value, …` statement config

@@ -48,7 +48,9 @@ object SqlWriter {
         s.where.map("WHERE " + _.text).getOrElse(""),
         if (s.groupBy.nonEmpty) {
           val keys = s.groupBy.map(_.text).mkString(", ")
-          if (s.groupByRollup) s"GROUP BY ROLLUP($keys)" else "GROUP BY " + keys
+          if (s.groupByRollup) s"GROUP BY ROLLUP($keys)"
+          else if (s.groupByCube) s"GROUP BY CUBE($keys)"
+          else "GROUP BY " + keys
         } else "",
         s.having.map("HAVING " + _.text).getOrElse(""),
         s.qualify.map("QUALIFY " + _.text).getOrElse(""),
