@@ -69,15 +69,29 @@ final class Planner(catalog: String => DataFrame,
     }
     val ctx = mkCtx(df)
 
-    // ---- where (exec/where.go); IN-subqueries → semi/anti joins -------
+    // ---- where (exec/where.go); IN-subqueries → semi/anti joins,
+    // scalar comparisons against (SELECT agg …) → broadcast 1-row join
     sel.where.foreach { w =>
-      val (subqs, rest) = splitSubqueries(w)
+      val (subqs, scalars, rest) = splitSubqueries(w)
       for ((left, sub, negated) <- subqs) {
         val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
         val subCol = subDf.columns.head
         val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
         df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
           if (negated) "left_anti" else "left_semi")
+      }
+      // uncorrelated scalar subqueries: the subquery must yield one row
+      // (an aggregate does); its single value broadcast-joins onto every
+      // row and the comparison evaluates with full dialect coercions by
+      // rebuilding the BinaryNode against the joined frame
+      for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
+        val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
+        val sc = s"__scalar_$i"
+        df = df.crossJoin(broadcast(
+          subDf.select(col(subDf.columns.head).as(sc)).limit(1)))
+        val cmp = ColumnBuilder.build(
+          BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
+        df = df.filter(cmp.cast("boolean")).drop(sc)
       }
       rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
     }
@@ -271,15 +285,20 @@ final class Planner(catalog: String => DataFrame,
   }
 
   /** Split top-level AND conjuncts into IN-subquery terms and the rest. */
-  private def splitSubqueries(w: Node): (Seq[(Node, SubqueryNode, Boolean)], Option[Node]) = {
+  private val scalarSubOps = Set(">", ">=", "<", "<=", "=", "==", "!=", "<>")
+  private def splitSubqueries(w: Node): (Seq[(Node, SubqueryNode, Boolean)],
+      Seq[(String, Node, SubqueryNode, Boolean)], Option[Node]) = {
     val conjuncts = w match {
       case BooleanNode("AND", args, false) => args
       case other => Seq(other)
     }
     val subqs = collection.mutable.ArrayBuffer[(Node, SubqueryNode, Boolean)]()
+    val scalars = collection.mutable.ArrayBuffer[(String, Node, SubqueryNode, Boolean)]()
     val rest = collection.mutable.ArrayBuffer[Node]()
     conjuncts.foreach {
       case BinaryNode("IN", l, s: SubqueryNode, neg) => subqs += ((l, s, neg))
+      case BinaryNode(op, l, s: SubqueryNode, neg) if scalarSubOps(op) =>
+        scalars += ((op, l, s, neg))
       case other => rest += other
     }
     val restNode = rest.size match {
@@ -287,7 +306,7 @@ final class Planner(catalog: String => DataFrame,
       case 1 => Some(rest.head)
       case _ => Some(BooleanNode("AND", rest.toSeq))
     }
-    (subqs.toSeq, restNode)
+    (subqs.toSeq, scalars.toSeq, restNode)
   }
 
   private def parseSub(s: SubqueryNode): SqlSelect =

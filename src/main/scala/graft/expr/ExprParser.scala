@@ -87,7 +87,10 @@ final class ExprParser(tokens: Vector[Token]) {
     if (cur.kind == TOp && cmpOps.contains(cur.text)) {
       if (negated) fail("NOT before comparison operator")
       val op = advance().text
-      BinaryNode(op, left, parseAdditive())
+      // `x > (SELECT …)` — uncorrelated scalar subquery on the right
+      if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
+        BinaryNode(op, left, captureSubquery())
+      else BinaryNode(op, left, parseAdditive())
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
     else if (cur.isKeyword("CONTAINS")) { advance(); BinaryNode("CONTAINS", left, parseAdditive(), negated) }
     else if (cur.isKeyword("INTERSECTS")) {

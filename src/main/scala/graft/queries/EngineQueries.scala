@@ -74,6 +74,18 @@ object EngineQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // engine: uncorrelated scalar subquery in WHERE (beyond ref) —
+    // max(), not avg(): aggregate must be float-sum-order insensitive
+    // for the cross-engine hash
+    "ql_scalar_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_quantity >= (SELECT max(l_quantity) FROM lineitem)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity >= (SELECT max(l_quantity) FROM lineitem)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // engine: GROUP BY CUBE — all grouping-set combinations (beyond ref)
     "ql_cube" -> Q(
       (s, d) => session(s, d).sql(

@@ -136,6 +136,20 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("scalar subqueries in WHERE (dialect)") {
+    // orders above the average price: avg = 27.5, only order 2 qualifies
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price > (SELECT avg(price) FROM orders) ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L)))
+    // combinable with plain predicates in the same AND chain
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price >= (SELECT min(price) FROM orders) AND item_id == 1
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(3L)))
+  }
+
   test("GROUP BY ROLLUP produces subtotal rows (dialect)") {
     // per-user counts plus the grand-total row (null user_id); Spark
     // sorts nulls first ascending
