@@ -605,6 +605,21 @@ class PlanSpec extends AnyFunSuite {
       s"growth windows must partition by source: $specs\n" + p)
   }
 
+  test("dialect windows: Window operator, pushed scan filter, no cartesian") {
+    val p = plan("ql_window")
+    assert(p.contains("Window"), "dialect OVER should plan a Window operator:\n" + p)
+    // the WHERE o_orderkey < 500 reaches the parquet scan despite the
+    // window stage above it
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(o_orderkey"),
+      "scan filter should push below the window:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // QUALIFY plans as a filter over the SAME single scan, not a rescan
+    val q = plan("ql_qualify")
+    assert(q.contains("Window") && q.contains("Filter"), q)
+    assert("FileScan parquet".r.findAllMatchIn(q).size == 1,
+      "QUALIFY must not rescan the table:\n" + q)
+  }
+
   test("prototype pruning broadcasts centroids/sizes and cuts per cell") {
     val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
     df.collect() // final adaptive plan
