@@ -177,6 +177,24 @@ class ParseAcceptSpec extends AnyFunSuite {
     """SELECT a FROM t1 LEFT JOIN t2 WHERE t1.x = 1""",
     """SELECT a FROM t1 INNER JOIN t2 LIMIT 5""")
 
+  test("modern-dialect syntax: accepted shapes parse, malformed ones raise") {
+    parses("SELECT a, row_number() OVER (PARTITION BY b ORDER BY c DESC) AS rk FROM t")
+    parses("SELECT a FROM t QUALIFY a > 1 ORDER BY a")
+    parses("WITH x AS (SELECT 1 AS a), y AS (SELECT a FROM x) SELECT a FROM y")
+    parses("SELECT CASE WHEN a > 1 THEN 2 ELSE 3 END AS v FROM t")
+    parses("SELECT CASE a WHEN 1 THEN \"one\" END AS v FROM t")
+    parses("SELECT a, count(*) AS n FROM t GROUP BY ROLLUP(a)")
+    parses("SELECT a, count(*) AS n FROM t GROUP BY CUBE(a, b)")
+    parses("SELECT a FROM t WHERE a > (SELECT max(a) FROM t)")
+    fails("SELECT a OVER (ORDER BY b) FROM t")          // OVER without a function
+    fails("SELECT row_number() OVER PARTITION BY b FROM t") // missing parens
+    fails("SELECT CASE WHEN a THEN 1 FROM t")           // unclosed CASE
+    fails("SELECT CASE END FROM t")                     // no WHEN branch
+    fails("WITH x (SELECT 1) SELECT 1")                 // missing AS
+    fails("WITH x AS SELECT 1 SELECT 1")                // missing parens
+    fails("SELECT a FROM t GROUP BY ROLLUP a")          // ROLLUP needs parens
+  }
+
   test("CROSS JOIN and comma-FROM still parse without ON") {
     parses("""SELECT a FROM t1 CROSS JOIN t2""")
     parses("""SELECT a FROM t1, t2 WHERE t1.x = t2.x""")
