@@ -625,6 +625,48 @@ object Similarity {
     topPerProbe(scored, idCol, k)
   }
 
+  /** Dimension-truncation recall ablation — the matryoshka-embedding
+    * question: how many LEADING dimensions still retrieve what the
+    * full vectors retrieve? For `nProbes` md5-sampled probes, the
+    * exact top-k under each truncated prefix length is compared to the
+    * full-dimension exact top-k; one row per dim with mean/min
+    * recall@k. This is the measurement that licenses storing and
+    * searching a prefix at a fraction of the memory and flops.
+    *
+    * Determinism: every ranking is (round(cos,4) desc, id) like the
+    * other exact paths; recall arithmetic is integer hit counts over
+    * k·probes with one final division — replayable in any engine.
+    *
+    * Scale: one scored corpus pass per dim (probes broadcast, per-probe
+    * group-limited top-k); driver traffic is probes×k ids per dim. */
+  def dimAblation(df: DataFrame, idCol: String, vecCol: String,
+      nProbes: Int, k: Int, dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && nProbes > 0 && k > 0, "need dims, probes, k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probes = probeRows(df, idCol, vecCol, nProbes)
+    def topIds(frame: DataFrame, vc: String, ps: Seq[(Long, Seq[Double])]): Array[(Long, Long)] =
+      bruteForceTopKBatch(frame, idCol, vc, ps, k)
+        .select(col("probe_id"), col(idCol).cast(LongType))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = topIds(df, vecCol, probes).toSet
+    val rows = dims.map { d =>
+      val truncated = df.select(col(idCol),
+        slice(col(vecCol).cast(ArrayType(DoubleType)), 1, d).as("__tv"))
+      val got = topIds(truncated, "__tv", probes.map { case (id, v) => (id, v.take(d)) })
+      val hitsByProbe = got.groupBy(_._1).map { case (pid, g) =>
+        pid -> g.count(full.contains) }
+      val totalHits = probes.map { case (pid, _) => hitsByProbe.getOrElse(pid, 0) }.sum
+      val minHits = probes.map { case (pid, _) => hitsByProbe.getOrElse(pid, 0) }.min
+      (d.toLong,
+        BigDecimal(totalHits.toDouble / (k.toLong * probes.size))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(minHits.toDouble / k)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    rows.toDF("dim", "mean_recall", "min_recall")
+  }
+
   /** Batch LSH ANN: corpus and probes hash into the same deterministic
     * hyperplane buckets; candidates meet only inside their bucket
     * (broadcast hash join on the bucket key — no shuffle of the

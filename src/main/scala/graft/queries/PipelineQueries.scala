@@ -2122,6 +2122,43 @@ FROM bst ORDER BY doc_id""")),
              |  round(CAST(d.dom_n AS DOUBLE) / s.size, 4) AS purity
              |FROM csizes s JOIN cdom d USING (cell) ORDER BY s.cell""".stripMargin)),
 
+    // matryoshka-style dimension ablation: exact recall@10 of prefix-
+    // truncated embeddings (8/16/32 of 64 dims) vs the full vectors —
+    // the measurement that licenses searching a prefix at a fraction
+    // of the memory/flops
+    "pl_emb_dim_ablation" -> Q(
+      (s, d) => Similarity.dimAblation(
+          Tables(s, d, "embeddings"), "vec_id", "embedding",
+          nProbes = 20, k = 10, dims = Seq(8, 16, 32))
+        .orderBy("dim"),
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |anch AS (
+             |  SELECT vec_id AS probe_id, v AS pv FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR) || 'probe'), vec_id LIMIT 20
+             |), ftk AS (
+             |  SELECT probe_id, vec_id FROM (
+             |    SELECT a.probe_id, e.vec_id, row_number() OVER (
+             |      PARTITION BY a.probe_id
+             |      ORDER BY round(list_cosine_similarity(e.v, a.pv), 4) DESC, e.vec_id) AS r
+             |    FROM anch a CROSS JOIN emb e) WHERE r <= 10
+             |), dtk AS (
+             |  SELECT dim, probe_id, vec_id FROM (
+             |    SELECT dd.d AS dim, a.probe_id, e.vec_id, row_number() OVER (
+             |      PARTITION BY dd.d, a.probe_id
+             |      ORDER BY round(list_cosine_similarity(e.v[1:dd.d], a.pv[1:dd.d]), 4)
+             |        DESC, e.vec_id) AS r
+             |    FROM (VALUES (8), (16), (32)) dd(d), anch a, emb e) WHERE r <= 10
+             |), hits AS (
+             |  SELECT t.dim, t.probe_id, count(f.vec_id) AS h
+             |  FROM dtk t LEFT JOIN ftk f
+             |    ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+             |  GROUP BY t.dim, t.probe_id
+             |)
+             |SELECT CAST(dim AS BIGINT) AS dim,
+             |  round(CAST(sum(h) AS DOUBLE) / (10 * 20), 4) AS mean_recall,
+             |  round(CAST(min(h) AS DOUBLE) / 10, 4) AS min_recall
+             |FROM hits GROUP BY dim ORDER BY dim""".stripMargin)),
+
     // prototype-distance pruning (Sorscher et al. 2022): keep the 70%
     // LEAST prototypical members of each learned k-means cell (cosine
     // to assigned centroid, ascending) — easy redundant examples go,

@@ -1674,6 +1674,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(disj.map(_.getDouble(4)).sum - 1.0) < 1e-9)
   }
 
+  test("dim ablation: full-length truncation is the identity (recall 1.0)") {
+    val r = Similarity.dimAblation(emb, "vec_id", "embedding",
+        nProbes = 5, k = 5, dims = Seq(64, 8))
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(64L) == ((1.0, 1.0)), s"full-dim must be the identity: $r")
+    assert(r(8L)._1 >= 0.0 && r(8L)._1 <= 1.0 && r(8L)._2 <= r(8L)._1)
+  }
+
   test("minhash index ship path equals the incremental miner, survives parquet") {
     val existing = docs.filter(col("doc_id") % 2 === 0)
     val delta = docs.filter(col("doc_id") % 2 === 1)
