@@ -375,6 +375,29 @@ object Dedup {
     }
   }
 
+  /** Apply form of the ship-the-index path: the increment minus every
+    * document near-duplicating the indexed corpus or a smaller-id
+    * increment doc — [[dropIncrementNearDuplicates]] semantics
+    * (spec-gated equal) with the corpus side read from the stored
+    * [[MinHashIndex]] instead of re-signed. */
+  def dropIncrementNearDuplicatesWithIndex(index: MinHashIndex,
+      increment: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 32, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minHashLshPairsWithIndex(index, increment,
+      idCol, textCol, shingleN, bands, rowsPerBand, threshold)
+    val newIds = increment.select(col(idCol).as("__nid"))
+    val remove = pairs.join(newIds, col("id_b") === col("__nid"), "left_semi")
+      .select(col("id_b").as("__rm"))
+      .unionByName(
+        pairs.join(newIds, col("id_a") === col("__nid"), "left_semi")
+          .join(newIds.withColumnRenamed("__nid", "__bnid"),
+            col("id_b") === col("__bnid"), "left_anti")
+          .select(col("id_a").as("__rm")))
+      .distinct()
+    increment.join(remove, col(idCol) === col("__rm"), "left_anti")
+  }
+
   /** Apply incremental dedup: the increment minus every document that
     * near-duplicates the existing corpus or a smaller-id increment doc.
     * The existing corpus is never touched — the stability property a

@@ -1704,6 +1704,13 @@ class PipelineSpec extends AnyFunSuite {
         "doc_id", "text", 3, 32, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaLoaded == direct)
+    // the APPLY form matches the re-signing apply form too
+    val applyDirect = Dedup.dropIncrementNearDuplicates(existing, delta,
+        "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    val applyIndexed = Dedup.dropIncrementNearDuplicatesWithIndex(loaded, delta,
+        "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(applyIndexed == applyDirect,
+      s"apply drift: extra ${applyIndexed -- applyDirect}, missing ${applyDirect -- applyIndexed}")
     Dedup.releaseAll()
   }
 
