@@ -6,9 +6,16 @@ Usage: python3 scripts/verify_local.py <outDir> <sfDir>
 Reads each <outDir>/<name> parquet dir written by graft.Verify, runs the
 matching SQL from <outDir>/oracle_sql.json in DuckDB against the parquet
 tables in <sfDir>, and compares values column-sorted-by-name.
+
+Floats compare BIT-EXACT (IEEE payload bytes), so -0.0 != +0.0 and any
+sum-order noise fails — strictly at least as strict as the driver's
+hash. Round-10 lesson: a pandas value-compare with round(6) passed
+while the driver's hash failed on 84 signed zeros (pl_text_embed); any
+row green here is green under ANY serialization the driver hashes.
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -18,7 +25,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            # bit-exact: compare the IEEE-754 payload, not the value.
+            # NaN stays NaN-for-NaN comparable because tobytes of the
+            # same canonical NaN matches; -0.0 vs +0.0 differ.
+            df[c] = df[c].astype("float64").map(
+                lambda v: np.float64(v).tobytes().hex())
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: v.decode() if isinstance(v, bytes) else v)
             if df[c].map(lambda v: v is None or hasattr(v, "toordinal")).all():

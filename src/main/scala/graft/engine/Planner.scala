@@ -80,15 +80,21 @@ final class Planner(catalog: String => DataFrame,
         df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
           if (negated) "left_anti" else "left_semi")
       }
-      // uncorrelated scalar subqueries: the subquery must yield one row
-      // (an aggregate does); its single value broadcast-joins onto every
-      // row and the comparison evaluates with full dialect coercions by
-      // rebuilding the BinaryNode against the joined frame
+      // uncorrelated scalar subqueries: the subquery must yield at most
+      // one row (an aggregate does — and a multi-row frame comparing
+      // against an arbitrary row would be silently nondeterministic, so
+      // it raises instead, matching standard SQL); the single value
+      // broadcast-joins onto every row and the comparison evaluates
+      // with full dialect coercions by rebuilding the BinaryNode
+      // against the joined frame. The limit(2) cap bounds the check:
+      // one extra row is enough to prove the violation.
       for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
         val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
         val sc = s"__scalar_$i"
-        df = df.crossJoin(broadcast(
-          subDf.select(col(subDf.columns.head).as(sc)).limit(1)))
+        val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
+        if (firstTwo.count() > 1)
+          throw BuildException("scalar subquery returned more than one row")
+        df = df.crossJoin(broadcast(firstTwo))
         val cmp = ColumnBuilder.build(
           BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
         df = df.filter(cmp.cast("boolean")).drop(sc)
@@ -222,7 +228,9 @@ final class Planner(catalog: String => DataFrame,
     * pushes the filter below the sort, preserving order. */
   private def applyQualify(df: DataFrame, sel: SqlSelect): DataFrame =
     sel.qualify.foldLeft(df)((d, q) =>
-      d.filter(ColumnBuilder.build(q, BuildCtx(schema = Some(d.schema)))
+      // full ctx (vars + includer): QUALIFY referencing @var or INCLUDE
+      // works exactly as it does in WHERE/HAVING
+      d.filter(ColumnBuilder.build(q, BuildCtx(Some(d.schema), vars, includer))
         .cast(org.apache.spark.sql.types.BooleanType)))
 
   // ---- helpers --------------------------------------------------------
@@ -321,6 +329,9 @@ final class Planner(catalog: String => DataFrame,
     case BooleanNode(_, args, _) => args.exists(containsAgg)
     case UnaryNode(_, c) => containsAgg(c)
     case TriNode(_, a, b, c, _) => containsAgg(a) || containsAgg(b) || containsAgg(c)
+    case CaseNode(branches, els) =>
+      branches.exists { case (w, t) => containsAgg(w) || containsAgg(t) } ||
+        els.exists(containsAgg)
     case _ => false
   }
 
@@ -331,6 +342,9 @@ final class Planner(catalog: String => DataFrame,
     case BooleanNode(_, args, _) => args.flatMap(collectAggs)
     case UnaryNode(_, c) => collectAggs(c)
     case TriNode(_, a, b, c, _) => collectAggs(a) ++ collectAggs(b) ++ collectAggs(c)
+    case CaseNode(branches, els) =>
+      branches.flatMap { case (w, t) => collectAggs(w) ++ collectAggs(t) } ++
+        els.toSeq.flatMap(collectAggs)
     case _ => Nil
   }
 

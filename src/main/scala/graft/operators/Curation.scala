@@ -323,6 +323,12 @@ object Curation {
     * aggregate. */
   def screenAblation(df: DataFrame, screens: Seq[(String, Column)]): DataFrame = {
     require(screens.nonEmpty, "need at least one screen")
+    // screen names flow into stack() SQL text and generated column
+    // names — restrict to identifier characters so a quote/space/
+    // backtick can't break the expr or forge columns
+    screens.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"screen name must match [A-Za-z0-9_]+: '$n'") }
     val fails = screens.map { case (n, c) =>
       when(!c, lit(1)).otherwise(lit(0)).as(s"__f_$n") }
     val flagged = df.select(fails: _*)

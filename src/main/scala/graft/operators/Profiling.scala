@@ -247,9 +247,14 @@ object Profiling {
   def distributionDrift(oldDf: DataFrame, newDf: DataFrame, value: Column,
       width: Int): DataFrame = {
     require(width > 0, "bucket width must be positive")
+    // FLOOR division (DuckDB `//` semantics), not Spark's `div` which
+    // truncates toward zero: a negative value one bucket below zero
+    // must land in bucket -1, not bucket 0, on both engines
     def histo(df: DataFrame, cnt: String): DataFrame =
       df.select(value.cast(LongType).as("__v"))
-        .groupBy(expr(s"__v div $width").as("bucket"))
+        .groupBy(expr(
+          s"CASE WHEN __v % $width < 0 THEN __v div $width - 1 ELSE __v div $width END")
+          .as("bucket"))
         .agg(count(lit(1)).as(cnt))
     val joined = histo(oldDf, "n_old").join(histo(newDf, "n_new"), Seq("bucket"), "full_outer")
       .select(col("bucket"),

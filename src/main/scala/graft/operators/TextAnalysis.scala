@@ -187,11 +187,15 @@ object TextAnalysis {
     *
     * Scale: one tokenize + one (id, bucket) partial-agg shuffle; the
     * (buckets x dim) sign table broadcasts; per-doc output is a
-    * `dim`-float vector. Every hash is md5, so any engine derives the
-    * identical embedding (the oracle replays it end to end; the
-    * residual risk is double-sum order inside the per-(id, d) sums,
-    * ~1e-15 against the 5e-7 rounding boundary — the accepted class).
-    * Docs with no tokens drop out. */
+    * `dim`-float vector. Every hash is md5, and the component sums are
+    * INTEGER-exact: with tf x = c/nt, the L2-normalized component is
+    * (Σ c·sign)/nt ÷ (sqrt(Σ(Σ c·sign)²)/nt) = S_d/sqrt(Σ S_d²) with
+    * S_d a LongType sum — the nt normalization cancels, so no
+    * cross-row float accumulation exists anywhere in the chain (the
+    * one float op is a correctly-rounded divide of exact integers,
+    * bit-identical on any IEEE engine). The final `+ 0.0` folds -0.0
+    * to +0.0 so a tiny-negative component that rounds to zero hashes
+    * identically across engines. Docs with no tokens drop out. */
   def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 64, dim: Int = 16): DataFrame = {
     require(buckets > 0 && dim > 0, "need buckets > 0 and dim > 0")
@@ -200,28 +204,26 @@ object TextAnalysis {
       .filter(col("t") =!= "")
     val counts = toks.withColumn("b", hashBucket(col("t"), buckets))
       .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
-    val nt = counts.groupBy(idCol).agg(sum("c").as("__nt"))
-    val tf = counts.join(nt, idCol).select(col(idCol), col("b"),
-      (col("c").cast(DoubleType) / col("__nt").cast(DoubleType)).as("x"))
     // fixed sign matrix, driver-built: sign(b, d) = +1 if the first
     // md5 hex nibble of "b:d" is < 8 else -1
     val spark = df.sparkSession
     import spark.implicits._
     val md = java.security.MessageDigest.getInstance("MD5")
-    def sign(b: Int, d: Int): Double = {
+    def sign(b: Int, d: Int): Long = {
       val h = md.digest(s"$b:$d".getBytes("UTF-8"))
-      if (((h(0) >> 4) & 0xF) < 8) 1.0 else -1.0
+      if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
     }
     val signs = (for (b <- 0 until buckets; d <- 0 until dim)
       yield (b.toLong, d, sign(b, d))).toDF("b", "d", "sign")
-    val comps = tf.join(broadcast(signs), "b")
-      .groupBy(idCol, "d").agg(sum(col("x") * col("sign")).as("v"))
+    val comps = counts.join(broadcast(signs), "b")
+      .groupBy(idCol, "d").agg(sum(col("c") * col("sign")).as("sv"))
     val norms = comps.groupBy(idCol)
-      .agg(sqrt(sum(col("v") * col("v"))).as("__nrm"))
+      .agg(sqrt(sum(col("sv") * col("sv")).cast(DoubleType)).as("__nrm"))
     comps.join(norms, idCol)
       .groupBy(idCol)
       .agg(transform(
-        array_sort(collect_list(struct(col("d"), round(col("v") / col("__nrm"), 6).as("v")))),
+        array_sort(collect_list(struct(col("d"),
+          (round(col("sv").cast(DoubleType) / col("__nrm"), 6) + lit(0.0)).as("v")))),
         s => s.getField("v")).as("embedding"))
   }
 

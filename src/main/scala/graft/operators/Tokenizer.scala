@@ -90,6 +90,7 @@ object Tokenizer {
     // — the same lifecycle as every other multi-pass dedup stage.
     val vocabOut = Dedup.viaPersisted(wordTypes(df, textCol)) { base =>
       var vocab = base
+      var checkpoint: DataFrame = null // re-persisted vocab, rotated
       var r = 1
       var exhausted = false
       while (r <= rounds && !exhausted) {
@@ -101,9 +102,29 @@ object Tokenizer {
           merges += Merge(r, l, rt, l + rt, top(0).getLong(1))
           vocab = vocab.withColumn("seq",
             replace(col("seq"), lit(s" $l  $rt "), lit(s" ${l + rt} ")))
+          // re-persist every 32 merges: without this, round r chains r
+          // prior replaces onto the lineage and re-executes them over
+          // the base each pair-count — O(rounds²) replace work plus an
+          // analyzer/codegen depth that falls over near a realistic
+          // 32k-merge vocab. The persisted cut keeps per-round cost
+          // flat: each pair-count reads a vocab-sized cache and applies
+          // at most 32 pending replaces.
+          if (r % 32 == 0) {
+            val cut = vocab.persist(StorageLevel.MEMORY_AND_DISK)
+            cut.count() // materialize while the previous cut is live
+            if (checkpoint != null) checkpoint.unpersist(blocking = false)
+            checkpoint = cut
+            vocab = cut
+          }
           r += 1
         }
       }
+      // drop the last cut (async): viaPersisted materializes the result
+      // right after this body returns, usually hitting the still-warm
+      // cache; if eviction wins the race, the cut's lineage (base + its
+      // replace chain) recomputes correctly over the still-persisted
+      // base — one linear replay at most, never per-round
+      if (checkpoint != null) checkpoint.unpersist(blocking = false)
       vocab
     }
     (merges.result(), vocabOut)

@@ -1859,7 +1859,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("pos").cast(LongType).as("d"), col("col").as("v"))
         .orderBy("doc_id", "d"),
       Some(hashedEmbedCtes + """
-             |SELECT c.doc_id, c.d::BIGINT AS d, round(c.v / n.nrm, 6) AS v
+             |SELECT c.doc_id, c.d::BIGINT AS d,
+             |  round(c.sv::DOUBLE / n.nrm, 6) + 0.0 AS v
              |FROM ecomp c JOIN enrm n USING (doc_id)
              |ORDER BY doc_id, d""".stripMargin)),
 
@@ -1878,7 +1879,8 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some(hashedEmbedCtes + """, evs AS (
-             |  SELECT c.doc_id, list(round(c.v / n.nrm, 6) ORDER BY c.d) AS e
+             |  SELECT c.doc_id,
+             |    list(round(c.sv::DOUBLE / n.nrm, 6) + 0.0 ORDER BY c.d) AS e
              |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
              |)
              |SELECT c.doc_id,
@@ -1905,7 +1907,7 @@ object PipelineQueries {
       },
       Some(hashedEmbedCtes + """, evec AS (
              |  SELECT c.doc_id,
-             |    list(round(c.v / n.nrm, 6) ORDER BY c.d) AS e
+             |    list(round(c.sv::DOUBLE / n.nrm, 6) + 0.0 ORDER BY c.d) AS e
              |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
              |), eq AS (SELECT e FROM evec WHERE doc_id = 0)
              |SELECT v.doc_id, round(list_cosine_similarity(v.e, q.e), 4) AS cos
@@ -3313,8 +3315,9 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
        |)""".stripMargin
 
   /** Shared DuckDB replay of [[graft.operators.TextAnalysis
-    * .hashedEmbedding]] over `documents` (md5 token buckets -> tf ->
-    * ±1 md5 sign projection), ending at `ecomp(doc_id, d, v)` +
+    * .hashedEmbedding]] over `documents` (md5 token buckets -> ±1 md5
+    * sign projection; tf normalization cancels under L2, so component
+    * numerators are INTEGER-exact), ending at `ecomp(doc_id, d, sv)` +
     * `enrm(doc_id, nrm)` — used by pl_text_embed,
     * pl_text_semantic_topk, and pl_decontaminate_semantic so the
     * embedding chain can never drift between rows. */
@@ -3325,20 +3328,16 @@ SELECT method, n_probes, k, mean_recall, min_recall FROM (
       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS b,
       |    count(*) AS c
       |  FROM etk WHERE t != '' GROUP BY doc_id, b
-      |), ent AS (SELECT doc_id, sum(c) AS nt FROM ecnt GROUP BY doc_id),
-      |etf AS (
-      |  SELECT e.doc_id, e.b, e.c::DOUBLE / n.nt AS x
-      |  FROM ecnt e JOIN ent n USING (doc_id)
       |), sgn AS (
       |  SELECT b, d,
       |    CASE WHEN ('0x' || substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 1))::BIGINT < 8
-      |         THEN 1.0 ELSE -1.0 END AS sign
+      |         THEN 1::BIGINT ELSE -1::BIGINT END AS sign
       |  FROM (SELECT unnest(range(0, 64)) AS b), (SELECT unnest(range(0, 16)) AS d)
       |), ecomp AS (
-      |  SELECT t.doc_id, s.d, sum(t.x * s.sign) AS v
-      |  FROM etf t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
+      |  SELECT t.doc_id, s.d, sum(t.c * s.sign)::BIGINT AS sv
+      |  FROM ecnt t JOIN sgn s USING (b) GROUP BY t.doc_id, s.d
       |), enrm AS (
-      |  SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM ecomp GROUP BY doc_id
+      |  SELECT doc_id, sqrt(sum(sv * sv)::DOUBLE) AS nrm FROM ecomp GROUP BY doc_id
       |)""".stripMargin
 
   /** DuckDB replay of [[graft.operators.Tokenizer]]'s BPE fit: the
