@@ -85,12 +85,14 @@
 //     nearly every delta vector near-dups something (4 survive)
 //   pl_dist_drift                0.4-0.5 s warm — two tiny histograms
 //   pl_drop_reasons              1.8-2.0 s warm / 50k attributions
-//   pl_multimodal_phash_pairs    24-30 s, 9,931,396 pairs — the copies
-//     have IDENTICAL phashes (the rev suffix lands past the 192 hashed
-//     bytes), so every 10-copy family pairs completely AND the sf0.1
-//     cross-pairs multiply 100x: candidate volume tracks duplication
-//     density exactly as documented; real corpora de-duplicate exact
-//     bytes first
+//   pl_multimodal_phash_pairs    r10: 24-30 s, 9,931,396 pairs (exact
+//     banding; copies share IDENTICAL phashes — the rev suffix lands
+//     past the 192 hashed bytes — so identical-hash groups multiply to
+//     >64 members and their cliques dominate). r11 default budgets
+//     (maxClique=64 star-collapse + maxBucket=2000 sub-banding):
+//     rep1 10.7 s, warm 2.4-2.7 s, 361,666 pairs — 27x less output,
+//     ~10x faster, connected components IDENTICAL to the exact list's
+//     (spec-gated); exact list back via maxClique=0
 import org.apache.spark.sql.functions._
 
 val src = "/root/testdata/sf0.1"
@@ -107,17 +109,31 @@ if (!new java.io.File(s"$dst/documents.parquet/_SUCCESS").exists) {
     .withColumn("text", concat(col("text"), lit(" rev"), col("__copy")))
     .drop("__copy")
     .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+  println(s"[SF1] built docs: " +
+    spark.read.parquet(s"$dst/documents.parquet").count())
+}
+if (!new java.io.File(s"$dst/embeddings.parquet/_SUCCESS").exists) {
+  val ids = spark.range(copies).select(col("id").as("__copy"))
   val emb = spark.read.parquet(s"$src/embeddings.parquet")
   val maxV = emb.agg(max("vec_id")).head().getLong(0) + 1
+  // md5-derived per-(vec, component) noise, NOT a per-copy constant
+  // shift: the r10 corpus (x + copy*0.001) left every copy inside its
+  // source's quantization cell, so pq/ivf saturated recall 1.0 at sf1
+  // (README r10). ±0.1 uniform per-component noise (noise-vector norm
+  // ~0.46 against the unit-norm signal) pushes copies across cell/code
+  // boundaries, so the recall ladder
+  // separates at 10x the way it does at sf0.1 — while staying fully
+  // deterministic (same corpus every run, any engine).
   emb.crossJoin(ids)
     .withColumn("vec_id", col("vec_id") + col("__copy") * maxV)
-    .withColumn("embedding", transform(col("embedding"),
-      x => (x + col("__copy").cast("float") * lit(0.001f)).cast("float")))
+    .withColumn("embedding", transform(col("embedding"), (x, i) =>
+      (x + (conv(substring(md5(concat_ws(":", col("vec_id"), i)), 1, 6), 16, 10)
+          .cast("double") / lit(16777215.0) - 0.5) * lit(0.2))
+        .cast("float")))
     .drop("__copy")
     .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-  println(s"[SF1] built $dst: " +
-    spark.read.parquet(s"$dst/documents.parquet").count() + " docs, " +
-    spark.read.parquet(s"$dst/embeddings.parquet").count() + " vectors")
+  println(s"[SF1] built embeddings: " +
+    spark.read.parquet(s"$dst/embeddings.parquet").count())
 }
 
 def time(name: String, reps: Int = 3): Unit = {
@@ -161,6 +177,26 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   "pl_dedup_apply_priority", "pl_curate_pipeline3",
   "pl_emb_prototype_prune", "pl_screen_ablation")
   .foreach(time(_))
+
+// BPE merge-round scaling (VERDICT r10 #6): per-round cost must be
+// FLAT in the merge count — the r10 lineage chained r replaces by
+// round r (O(rounds²) work + unbounded analyzer depth); since r11 the
+// vocab localCheckpoints every 32 merges. Evidence: amortized
+// per-round time of rounds 9-64 vs rounds 1-8 (the fixed corpus-scan
+// cost amortizes away in the tail; ratio ~1 = flat, ~4+ = quadratic).
+{
+  val docs = spark.read.parquet(s"$dst/documents.parquet")
+  def train(r: Int): Double = {
+    val t0 = System.nanoTime()
+    graft.operators.Tokenizer.bpeTrain(docs, "text", rounds = r)
+    graft.operators.Dedup.releaseAll()
+    (System.nanoTime() - t0) / 1e9
+  }
+  train(2) // JIT/codegen warm
+  val t8 = train(8); val t64 = train(64)
+  println(f"[SF1] bpe_train rounds=8: $t8%.1f s; rounds=64: $t64%.1f s; " +
+    f"tail per-round ${(t64 - t8) / 56}%.3f s vs head ${t8 / 8}%.3f s")
+}
 
 // semDeDup A/B on nlist — THE scale knob: the query row's nlist=8
 // leaves ~2.5k-row cells on this 20k corpus (quadratic pair mass per

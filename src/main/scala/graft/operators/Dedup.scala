@@ -481,9 +481,55 @@ object Dedup {
     * `(id, sim)` — the block-permutation banding shared by text SimHash
     * ([[simHashPairs]]) and image perceptual hashes
     * ([[Multimodal.phashPairs]]). Caller persists `base` (every combo
-    * key re-reads it). */
-  private[operators] def hammingPairsOf(base: DataFrame, maxHamming: Int,
-      k: Int): DataFrame = {
+    * key re-reads it).
+    *
+    * Pair budget (`maxBucket > 0`): a (combo, key) bucket holding more
+    * than `maxBucket` fingerprints would mine quadratically (a dense
+    * duplicate family at corpus scale crowds one bucket with 10^5 rows
+    * → 10^10 candidate pairs). Oversized buckets are sub-banded by a
+    * deterministic EXTENSION chunk — the lowest chunk index outside the
+    * combo — so the bucket splits into 2^chunkBits sub-buckets.
+    * Recall under the budget: identical fingerprints (the exact
+    * re-encode mass that causes crowding; hamming 0) agree on every
+    * chunk and always stay together, and a qualifying pair is missed
+    * only if EVERY one of its >= 1 identical-chunk combos lands in a
+    * crowded bucket AND the pair differs in each such combo's extension
+    * chunk. Small buckets are untouched, so output == exact whenever no
+    * bucket exceeds the budget. `maxBucket <= 0` disables (exact).
+    *
+    * Clique budget (`maxClique > 0`): an identical-fingerprint group of
+    * n rows emits C(n,2) hamming-0 pairs — at duplication density this
+    * clique mass dominates the output (the sf1 smoke's 9.93M pairs are
+    * mostly blown-up identical groups) and no banding can cut it
+    * because the pairs are REAL. Groups larger than `maxClique`
+    * instead emit a STAR (min-id rep paired to each member, n-1 rows)
+    * and send ONLY the rep into banding: connected components — what
+    * the pair list feeds ([[nearDupClusters]] / [[applyNearDedup]]) —
+    * are IDENTICAL to the exhaustive list's (any member reaches the
+    * rep in one hop, and every cross-hash pair of a member is
+    * hamming-equal to the rep's), while the output and the banding
+    * work both turn linear in group size. Groups <= `maxClique` emit
+    * full cliques, so output == exact whenever no group exceeds it.
+    * `maxClique <= 0` disables (exact pair list). */
+  private[graft] def hammingPairsOf(base: DataFrame, maxHamming: Int,
+      k: Int, maxBucket: Int = 0, maxClique: Int = 0): DataFrame = {
+    if (maxClique > 0) {
+      // one |groups|-row aggregate on sim; the join back co-partitions
+      // on the same key, so the collapse costs one shuffle of (id, sim)
+      val large = base.groupBy("sim")
+        .agg(count(lit(1)).as("__gn"), min("id").as("__rep"))
+        .filter(col("__gn") > maxClique)
+        .select(col("sim"), col("__rep"))
+      val tagged = base.join(large, Seq("sim"), "left")
+      val star = tagged.filter(col("__rep").isNotNull && col("id") =!= col("__rep"))
+        .select(col("__rep").as("id_a"), col("id").as("id_b"),
+          lit(0).as("hamming"))
+      val bandBase = tagged
+        .filter(col("__rep").isNull || col("id") === col("__rep"))
+        .select("id", "sim")
+      return hammingPairsOf(bandBase, maxHamming, k, maxBucket)
+        .unionByName(star)
+    }
     val chunkBits = 64 / k
     val m = k - maxHamming
     require(m * chunkBits <= 63, s"combo key ($m x $chunkBits bits) must pack into one long")
@@ -495,11 +541,27 @@ object Dedup {
     // no struct/array comparator in the join)
     val keys = combos.map(_.foldLeft(lit(0L): Column)((acc, b) =>
       call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(chunk(b))))
-    val keyed = base.select(col("id"), col("sim"), posexplode(array(keys: _*)))
+    // per-combo extension chunk for the sub-band fallback
+    val extChunks = combos.map(c => (0 until k).find(!c.contains(_)).getOrElse(0))
+    val keyed0 = base.select(col("id"), col("sim"),
+        posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "combo").withColumnRenamed("col", "key")
-    val l = keyed.select(col("combo"), col("key"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val r = keyed.select(col("combo"), col("key"), col("id").as("id_b"), col("sim").as("sim_b"))
-    l.join(r, Seq("combo", "key")).filter(col("id_a") < col("id_b"))
+    val keyed =
+      if (maxBucket <= 0) keyed0.withColumn("sub", lit(0L))
+      else {
+        // bucket census: one partial-agg shuffle on the SAME (combo,
+        // key) the mining join shuffles on; the join back reuses that
+        // partitioning, so the budget costs one extra |buckets|-row agg
+        val counts = keyed0.groupBy("combo", "key").agg(count(lit(1)).as("__bn"))
+        val extVal = element_at(
+          array(extChunks.map(chunk): _*), col("combo").cast("int") + 1)
+        keyed0.join(counts, Seq("combo", "key"))
+          .withColumn("sub", when(col("__bn") <= maxBucket, lit(0L)).otherwise(extVal))
+          .drop("__bn")
+      }
+    val l = keyed.select(col("combo"), col("key"), col("sub"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val r = keyed.select(col("combo"), col("key"), col("sub"), col("id").as("id_b"), col("sim").as("sim_b"))
+    l.join(r, Seq("combo", "key", "sub")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()

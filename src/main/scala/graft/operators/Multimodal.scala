@@ -242,15 +242,30 @@ object Multimodal {
     * Scale: one kernel pass per image for the hash; candidates meet
     * only inside chunk-combo buckets (no all-pairs stage); `blocks`
     * trades explode fan-out against bucket crowding exactly as in
-    * [[Dedup.simHashPairs]]. */
+    * [[Dedup.simHashPairs]].
+    *
+    * Pair budgets DEFAULT-ON (exact opt-in by zeroing both):
+    *  - `maxClique = 64`: identical-aHash groups over the budget (the
+    *    re-encode/copy mass — the sf1 smoke's 9.93M pairs are mostly
+    *    blown-up identical groups) emit a min-id STAR (n-1 rows)
+    *    instead of a C(n,2) clique and send one representative into
+    *    banding. Connected components are IDENTICAL to the exhaustive
+    *    list's ([[Dedup.hammingPairsOf]]), so downstream clustering /
+    *    apply-dedup see the same result with linear output. Exhaustive
+    *    whenever no group exceeds 64 (every driver SF: max group 38 at
+    *    sf0.1).
+    *  - `maxBucket = 2000`: crowded (combo, key) candidate buckets
+    *    sub-band on an extension chunk; identical-hash pairs always
+    *    survive, output exact whenever no bucket exceeds the budget. */
   def phashPairs(df: DataFrame, idCol: String, binCol: String,
-      maxHamming: Int, blocks: Int = 0): DataFrame = {
+      maxHamming: Int, blocks: Int = 0, maxBucket: Int = 2000,
+      maxClique: Int = 64): DataFrame = {
     val k = if (blocks <= 0) maxHamming + 1 else blocks
     require(k > maxHamming && k <= 64,
       s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
     Dedup.viaPersisted(df.select(col(idCol).as("id"),
         graft.functions.VectorExpressions.avg_hash64(col(binCol)).as("sim"))) {
-      base => Dedup.hammingPairsOf(base, maxHamming, k)
+      base => Dedup.hammingPairsOf(base, maxHamming, k, maxBucket, maxClique)
     }
   }
 

@@ -348,16 +348,62 @@ object TextAnalysis {
     * same over-common-feature cut MOSS applies), so candidate volume
     * tracks true overlap density, not shared-boilerplate frequency. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame =
+    winnowOverlapPairsFromIndex(
+      winnowFingerprints(df, idCol, textCol, k, w), idCol, minShared, maxDf)
+
+  /** [[winnowOverlapPairs]] over an already-built fingerprint frame —
+    * the ship-the-index path: [[winnowFingerprints]]' output IS the
+    * persistable artifact (a narrow (id, fp_pos, fp_hash) table,
+    * parquet round-trip safe — integers only), so a corpus is
+    * fingerprinted ONCE and every later overlap/containment/delta call
+    * reads the stored frame instead of re-running the gram window over
+    * 100 TB of text. Mirrors [[Dedup.MinHashIndex]]. */
+  def winnowOverlapPairsFromIndex(fps: DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-    val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val f = fps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    val rare = f.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("__h")
-    val idx = fps.join(rare, Seq("__h"), "left_semi")
+    val idx = f.join(rare, Seq("__h"), "left_semi")
     idx.select(col("__id").as("id_a"), col("__h"))
       .join(idx.select(col("__id").as("id_b"), col("__h")), Seq("__h"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Delta-mine against a stored winnow index: fingerprint ONLY the
+    * `delta` docs, then report overlap pairs that TOUCH the delta
+    * (delta-vs-corpus and delta-vs-delta; corpus-corpus pairs are the
+    * stored index's business and are never re-mined). The `maxDf`
+    * boilerplate cut is computed over the COMBINED corpus+delta
+    * document frequency, so a fingerprint that becomes boilerplate
+    * only once the delta arrives is cut exactly as a full rebuild
+    * would cut it.
+    *
+    * Scale: the corpus side contributes only its (id, hash) index rows
+    * to the join — no text, no gram window; the corpus-corpus join
+    * product is never formed (left side of the candidate join is
+    * delta-only). */
+  def winnowOverlapPairsDelta(indexFps: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, k: Int = 8, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+    require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
+    val dFps = winnowFingerprints(delta, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    val cFps = indexFps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    val all = cFps.unionByName(dFps)
+    val rare = all.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("__h")
+    val dIdx = dFps.join(rare, Seq("__h"), "left_semi")
+    val allIdx = all.join(rare, Seq("__h"), "left_semi")
+    dIdx.select(col("__id").as("id_l"), col("__h"))
+      .join(allIdx.select(col("__id").as("id_r"), col("__h")), Seq("__h"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"), col("__h"))
+      .distinct() // delta-delta pairs surface once from each side
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
@@ -371,9 +417,16 @@ object TextAnalysis {
     * `maxDf` cut; the position aggregates ride the pair groupBy for
     * free. */
   def winnowMatchedRegions(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
+      k: Int = 8, w: Int = 4, minShared: Int = 2, maxDf: Int = 1000): DataFrame =
+    winnowMatchedRegionsFromIndex(
+      winnowFingerprints(df, idCol, textCol, k, w), idCol, minShared, maxDf)
+
+  /** [[winnowMatchedRegions]] over a stored fingerprint frame (ship-
+    * the-index path; needs fp_pos, which the artifact carries). */
+  def winnowMatchedRegionsFromIndex(fps0: DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val fps = fps0
       .select(col(idCol).as("__id"), col("fp_pos").as("__p"), col("fp_hash").as("__h"))
     val rare = fps.select("__id", "__h").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__df"))
@@ -408,10 +461,17 @@ object TextAnalysis {
     * everywhere instead of a false 1.0 against every other
     * boilerplate carrier. */
   def winnowContainmentPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minPermill: Int = 800, maxDf: Int = 1000): DataFrame = {
+      k: Int = 8, w: Int = 4, minPermill: Int = 800, maxDf: Int = 1000): DataFrame =
+    winnowContainmentPairsFromIndex(
+      winnowFingerprints(df, idCol, textCol, k, w), idCol, minPermill, maxDf)
+
+  /** [[winnowContainmentPairs]] over a stored fingerprint frame
+    * (ship-the-index path). */
+  def winnowContainmentPairsFromIndex(fps0: DataFrame, idCol: String,
+      minPermill: Int = 800, maxDf: Int = 1000): DataFrame = {
     require(minPermill > 0 && minPermill <= 1000, "minPermill in (0, 1000]")
     require(maxDf > 1, "need maxDf>1")
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    val fps = fps0
       .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
     val nFp = fps.groupBy("__id").agg(count(lit(1)).as("__nfp"))
     val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))

@@ -102,16 +102,31 @@ object Tokenizer {
           merges += Merge(r, l, rt, l + rt, top(0).getLong(1))
           vocab = vocab.withColumn("seq",
             replace(col("seq"), lit(s" $l  $rt "), lit(s" ${l + rt} ")))
-          // re-persist every 32 merges: without this, round r chains r
-          // prior replaces onto the lineage and re-executes them over
-          // the base each pair-count — O(rounds²) replace work plus an
-          // analyzer/codegen depth that falls over near a realistic
-          // 32k-merge vocab. The persisted cut keeps per-round cost
-          // flat: each pair-count reads a vocab-sized cache and applies
-          // at most 32 pending replaces.
+          // checkpoint every 32 merges: without this, round r chains r
+          // prior replaces onto the lineage, so each pair-count
+          // re-executes (absent a cache hit) AND re-analyzes an
+          // r-deep plan — O(rounds²) work that falls over near a
+          // realistic 32k-merge vocab. The checkpoint TRUNCATES the
+          // plan (persist alone would keep analyzer cost growing), so
+          // every round reads a vocab-sized cut plus at most 32
+          // pending replaces. Reliable checkpoint when a dir is set
+          // (production: survives executor loss); localCheckpoint
+          // otherwise (local mode).
           if (r % 32 == 0) {
-            val cut = vocab.persist(StorageLevel.MEMORY_AND_DISK)
-            cut.count() // materialize while the previous cut is live
+            // eager by default, so cut_r is fully materialized HERE —
+            // only then is dropping cut_{r-32} safe (cut_r is a leaf:
+            // nothing recomputes through the old one; localCheckpoint
+            // storage includes disk, so memory pressure demotes, never
+            // loses). The LAST cut is deliberately never unpersisted:
+            // the returned vocab reads through it, and a localCheckpoint
+            // has no lineage to fall back on if its cache died — one
+            // vocab-sized block per bpeTrain call is the price of a
+            // race-free lifecycle (reliable checkpoint files, when a
+            // dir is set, persist regardless).
+            val cut =
+              if (vocab.sparkSession.sparkContext.getCheckpointDir.isDefined)
+                vocab.checkpoint()
+              else vocab.localCheckpoint()
             if (checkpoint != null) checkpoint.unpersist(blocking = false)
             checkpoint = cut
             vocab = cut
@@ -119,12 +134,6 @@ object Tokenizer {
           r += 1
         }
       }
-      // drop the last cut (async): viaPersisted materializes the result
-      // right after this body returns, usually hitting the still-warm
-      // cache; if eviction wins the race, the cut's lineage (base + its
-      // replace chain) recomputes correctly over the still-persisted
-      // base — one linear replay at most, never per-round
-      if (checkpoint != null) checkpoint.unpersist(blocking = false)
       vocab
     }
     (merges.result(), vocabOut)

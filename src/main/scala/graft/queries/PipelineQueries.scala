@@ -2681,6 +2681,52 @@ FROM bst ORDER BY doc_id""")),
              |WHERE p.n_shared * 1000 >= 800 * f.nfp
              |ORDER BY id_sub, id_super""".stripMargin)),
 
+    // ship-the-winnow-index: even doc_ids are the stored corpus
+    // (fingerprinted ONCE via the persistable (id, fp_pos, fp_hash)
+    // artifact), odd doc_ids the delta — mine only delta-touching
+    // overlap pairs against the index; the corpus text is never
+    // re-fingerprinted. Oracle: the full-corpus overlap report minus
+    // corpus-corpus pairs (df cut over the combined set, exactly what
+    // the delta path computes).
+    "pl_winnow_index_ship" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val indexFps = TextAnalysis.winnowFingerprints(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 8, w = 4)
+        TextAnalysis.winnowOverlapPairsDelta(indexFps,
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            k = 8, w = 4, minShared = 3, maxDf = 20)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+             |), g AS (
+             |  SELECT doc_id, p,
+             |    ('0x' || substr(md5(array_to_string(t[(p+1):(p+8)], ' ')), 1, 10))::BIGINT AS h
+             |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p
+             |        FROM tok WHERE len(t) >= 8)
+             |), kk AS (
+             |  SELECT doc_id, p, h * 2097152 + (2097151 - p) AS kv FROM g
+             |), rm AS (
+             |  SELECT doc_id, p,
+             |    min(kv) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+             |    max(p) OVER (PARTITION BY doc_id) AS lastp
+             |  FROM kk
+             |), fp AS (
+             |  SELECT DISTINCT doc_id, (m // 2097152) AS h
+             |  FROM rm WHERE p >= 3 OR p = lastp
+             |), rare AS (
+             |  SELECT h FROM fp GROUP BY h HAVING count(*) <= 20
+             |), idx AS (
+             |  SELECT doc_id, h FROM fp SEMI JOIN rare USING (h)
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+             |FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+             |WHERE NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // priority-aware near-dedup: per near-dup cluster keep the best-
     // priority member (prefer-English rule here; prefer-curated-source
     // in production) — the cross-source resolution real pipelines apply

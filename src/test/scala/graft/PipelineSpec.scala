@@ -1156,6 +1156,32 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("bpeTrain checkpoints truncate the vocab lineage every 32 merges") {
+    val spark2 = spark
+    import spark2.implicits._
+    // enough distinct pair types to sustain 40 merges
+    val words = (0 until 120).map(i => s"w${('a' + i % 26).toChar}${i}xyz")
+    val df = Seq.tabulate(40)(i =>
+      (i.toLong, words.drop(i % 20).take(60).mkString(" "))).toDF("doc_id", "text")
+    val (merges, vocab) = Tokenizer.bpeTrain(df, "text", rounds = 40)
+    assert(merges.size == 40, s"expected 40 merges, got ${merges.size}")
+    // the final vocab plan reads the round-32 checkpoint + the 8
+    // pending replaces — NOT a 40-deep replace chain (per-round cost
+    // and analyzer depth both stay flat at any merge count)
+    val planReplaces = "(?i)replace".r
+      .findAllIn(vocab.queryExecution.analyzed.toString).size
+    assert(planReplaces <= 16, // 8 expected; slack for expr printing
+      s"lineage not truncated: $planReplaces replace nodes in plan")
+    // and the checkpointed path still trains the same table a full
+    // replay of the shipped merges produces
+    val replayed = Tokenizer.applyMerges(df, "text", merges)
+      .select("w", "seq").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val trained = vocab.select("w", "seq").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(replayed == trained)
+    Dedup.releaseAll()
+  }
+
   test("shipped BPE merges replay the trained vocabulary exactly") {
     import spark.implicits._
     val (merges, vocab) = Tokenizer.bpeTrain(docs, "text", rounds = 6)
@@ -1443,6 +1469,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
   }
 
+  test("winnow ship-the-index: parquet round-trip replays overlap/containment/regions; delta mine matches full") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    // the artifact: fingerprint once, write, read back
+    val fps = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+    val dir = java.nio.file.Files.createTempDirectory("winnow_idx").toString
+    fps.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    assert(rows(TextAnalysis.winnowOverlapPairsFromIndex(stored, "doc_id", 3, 20)) ==
+      rows(TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text", 8, 4, 3, 20)))
+    assert(rows(TextAnalysis.winnowContainmentPairsFromIndex(stored, "doc_id", 800, 20)) ==
+      rows(TextAnalysis.winnowContainmentPairs(docs, "doc_id", "text", 8, 4, 800, 20)))
+    assert(rows(TextAnalysis.winnowMatchedRegionsFromIndex(stored, "doc_id", 3, 20)) ==
+      rows(TextAnalysis.winnowMatchedRegions(docs, "doc_id", "text", 8, 4, 3, 20)))
+    // delta mine against the even-id index == full mine minus
+    // corpus-corpus pairs (df cut over the combined set on both sides)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val idxEven = TextAnalysis.winnowFingerprints(even, "doc_id", "text", 8, 4)
+    val delta = rows(TextAnalysis.winnowOverlapPairsDelta(
+      idxEven, odd, "doc_id", "text", 8, 4, 3, 20))
+    val fullTouchingOdd = rows(
+      TextAnalysis.winnowOverlapPairs(docs, "doc_id", "text", 8, 4, 3, 20)
+        .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1))
+    assert(delta == fullTouchingOdd,
+      s"delta missing ${fullTouchingOdd -- delta}, extra ${delta -- fullTouchingOdd}")
+  }
+
   test("priority near-dedup keeps exactly the best-priority member per cluster") {
     val pri = when(col("lang") === "en", 0).when(col("lang") === "es", 1).otherwise(2)
     val kept = Dedup.dropNearDuplicatesByPriority(docs, "doc_id", "text", pri)
@@ -1560,6 +1614,49 @@ class PipelineSpec extends AnyFunSuite {
     } yield (a._1, b._1)).toSet
     assert(brute.nonEmpty, "fixture should contain phash near-dups")
     assert(mined == brute, s"banding missed ${brute -- mined}, extra ${mined -- brute}")
+    Dedup.releaseAll()
+  }
+
+  test("hamming pair budgets: clique star-collapse keeps components, bucket sub-band keeps hamming-0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group A: 300 identical fingerprints; group B: 10 at hamming 2
+    // (bits 0,1 flipped -> chunk 0 differs under k=4/16-bit chunks)
+    val base = ((1L to 300L).map(i => (i, 0L)) ++
+      (301L to 310L).map(i => (i, 3L))).toDF("id", "sim")
+    def pairs(maxBucket: Int, maxClique: Int): Set[(Long, Long)] =
+      Dedup.hammingPairsOf(base, maxHamming = 3, k = 4, maxBucket, maxClique)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0, 0)
+    assert(exact.size == 300 * 299 / 2 + 10 * 9 / 2 + 300 * 10)
+
+    // clique budget: A (300 > 50) collapses to a star on id 1 and is
+    // represented by id 1 in banding; B (10 <= 50) keeps its clique
+    val clq = pairs(0, 50)
+    val star = (2L to 300L).map(i => (1L, i)).toSet
+    val bClique = (for (a <- 301L to 310L; b <- (a + 1) to 310L) yield (a, b)).toSet
+    val cross = (301L to 310L).map(i => (1L, i)).toSet
+    assert(clq == star ++ bClique ++ cross,
+      s"missing ${(star ++ bClique ++ cross) -- clq}, extra ${clq -- (star ++ bClique ++ cross)}")
+    // connected components identical to the exhaustive list's
+    def comps(p: Set[(Long, Long)]): Map[Long, Long] =
+      Dedup.nearDupClusters(p.toSeq.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(clq) == comps(exact))
+
+    // bucket budget: 60+60 rows share key 0 on combos 1..3 (bucket 120
+    // > 100 -> sub-band on chunk 0, which separates the groups), while
+    // combo 0 buckets stay small and exact -> hamming-0 cliques
+    // survive in full, only crowded-bucket cross pairs are shed
+    val base2 = ((1L to 60L).map(i => (i, 0L)) ++
+      (61L to 120L).map(i => (i, 3L))).toDF("id", "sim")
+    val sub = Dedup.hammingPairsOf(base2, maxHamming = 3, k = 4, 100, 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h0 = (for (a <- 1L to 60L; b <- (a + 1) to 60L) yield (a, b)).toSet ++
+      (for (a <- 61L to 120L; b <- (a + 1) to 120L) yield (a, b)).toSet
+    assert(sub == h0, s"sub-banding lost hamming-0 pairs: ${h0 -- sub}; extra ${sub -- h0}")
     Dedup.releaseAll()
   }
 
