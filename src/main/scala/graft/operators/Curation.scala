@@ -130,6 +130,34 @@ object Curation {
     }
   }
 
+  /** Dedup-aware train/eval split: [[splitAssign]] hashes the near-dup
+    * CLUSTER id, not the document id, so a document and its near
+    * duplicates always land in the SAME split — the leakage
+    * [[splitLeakage]] measures is zero by construction instead of
+    * audited after the fact. Documents in no near-dup pair form their
+    * own singleton cluster (hash of their own id — identical to plain
+    * [[splitAssign]] for them, so adding dedup awareness never
+    * reshuffles the unduplicated majority of the corpus).
+    *
+    * Scale: one LSH pair mine ([[Dedup.minHashLshPairs]], banded — no
+    * all-pairs), a CC loop over the pair graph (orders of magnitude
+    * smaller than the corpus), one left join of the cluster labels, and
+    * a scan-stage md5 split — the same cost class as the leakage audit
+    * itself. */
+  def dedupAwareSplit(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], shingleN: Int = 3, bands: Int = 32,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(df, idCol, textCol,
+      shingleN, bands, rowsPerBand, threshold)
+    val clusters = Dedup.nearDupClusters(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("split", splitAssign(col("cluster_id"), splits))
+  }
+
   /** Token-window chunking for sequence packing: split each document
     * into windows of `size` tokens advancing by `size - overlap`. The
     * training-side operator that turns a variable-length corpus into

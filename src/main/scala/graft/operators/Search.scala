@@ -76,4 +76,49 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    * 2009): fuse the BM25 keyword ranking with a no-model semantic
+    * ranking ([[TextAnalysis.hashedEmbedding]] cosine against the
+    * `probeId` document's embedding) by RRF score
+    * Σ 1/(rrfK + rank) over the lists a doc appears in — the standard
+    * union of lexical and semantic evidence a curation pipeline uses
+    * when either signal alone misses ("about X" keyword hits plus
+    * paraphrases that share no keyword).
+    *
+    * Determinism: both source rankings cut and rank by (rounded score
+    * desc, id); RRF is a fixed-order sum of two exact-integer-
+    * denominator terms per row (never a cross-row float sum), rounded
+    * to 6 — replayable in any engine.
+    *
+    * Scale: BM25 is one bounded stats aggregate + a scan-stage score +
+    * top-kEach heap; the semantic side is one embed pass + a broadcast
+    * single-probe scored scan + top-kEach heap; fusion joins two
+    * ≤ kEach-row frames. Nothing quadratic, no global sort. */
+  def hybridTopKRrf(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], probeId: Long, kEach: Int = 50, k: Int = 10,
+      rrfK: Int = 60, buckets: Int = 64, dim: Int = 16): DataFrame = {
+    require(kEach > 0 && k > 0 && rrfK > 0, "need kEach, k, rrfK > 0")
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(df, idCol, textCol, terms, kEach)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast(LongType))
+      .select(col(idCol), col("lex_rank"))
+    val emb = TextAnalysis.hashedEmbedding(df, idCol, textCol, buckets, dim)
+    val q = emb.filter(col(idCol) === probeId).select("embedding")
+      .head().getSeq[Double](0)
+    val sem = Similarity.bruteForceTopKBatch(emb, idCol, "embedding",
+        Seq((0L, q)), kEach)
+      .withColumn("sem_rank", row_number()
+        .over(Window.orderBy(col("cos").desc, col(idCol))).cast(LongType))
+      .select(col(idCol), col("sem_rank"))
+    lex.join(sem, Seq(idCol), "full_outer")
+      .select(col(idCol), col("lex_rank"), col("sem_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK).cast(DoubleType) + col("lex_rank").cast(DoubleType)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK).cast(DoubleType) + col("sem_rank").cast(DoubleType)), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

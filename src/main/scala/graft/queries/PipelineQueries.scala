@@ -1006,6 +1006,70 @@ object PipelineQueries {
              |SELECT doc_id, score FROM scored WHERE score > 0
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
 
+    // hybrid retrieval (RRF, Cormack et al. 2009): BM25 keyword ranks
+    // fused with no-model semantic ranks (hashed-embedding cosine to
+    // doc 0's vector) by sum of 1/(60+rank) — the lexical+semantic
+    // union a curation pipeline runs when either signal alone misses.
+    // Both rank lists and the fixed-order two-term fusion replay
+    // engine-exactly (integer ranks, per-row sum only).
+    "pl_search_hybrid_rrf" -> Q(
+      (s, d) => graft.operators.Search.hybridTopKRrf(
+          Tables(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "window", "hash"), probeId = 0L, kEach = 50, k = 10)
+        .orderBy(col("rrf").desc, col("doc_id")),
+      Some(hashedEmbedCtes + """, evec AS (
+             |  SELECT c.doc_id,
+             |    list(round(c.sv::DOUBLE / n.nrm, 6) + 0.0 ORDER BY c.d) AS e
+             |  FROM ecomp c JOIN enrm n USING (doc_id) GROUP BY c.doc_id
+             |), eq AS (SELECT e FROM evec WHERE doc_id = 0),
+             |semtop AS (
+             |  SELECT v.doc_id, round(list_cosine_similarity(v.e, q.e), 4) AS cos
+             |  FROM evec v, eq q ORDER BY cos DESC, v.doc_id LIMIT 50
+             |), sem AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+             |  FROM semtop
+             |), btok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t,
+             |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl
+             |  FROM documents
+             |), bstats AS (
+             |  SELECT CAST(count(*) AS DOUBLE) AS n,
+             |    sum(dl) / count(*) AS avgdl,
+             |    CAST(sum(CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             |    CAST(sum(CASE WHEN list_contains(t, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             |    CAST(sum(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+             |  FROM btok
+             |), bscored AS (
+             |  SELECT doc_id, round(
+             |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'spark')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'spark')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'window')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'window')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+             |      * (CAST(len(list_filter(t, w -> w = 'hash')) AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1))
+             |      / (CAST(len(list_filter(t, w -> w = 'hash')) AS DOUBLE)
+             |         + CAST(1.2 AS DOUBLE) * ((1 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+             |    , 6) AS score
+             |  FROM btok, bstats
+             |), lextop AS (
+             |  SELECT doc_id, score FROM bscored WHERE score > 0
+             |  ORDER BY score DESC, doc_id LIMIT 50
+             |), lex AS (
+             |  SELECT doc_id,
+             |    row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+             |  FROM lextop
+             |)
+             |SELECT doc_id, l.lex_rank, s.sem_rank,
+             |  round(COALESCE(CAST(1 AS DOUBLE) / CAST(60 + l.lex_rank AS DOUBLE), 0)
+             |      + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s.sem_rank AS DOUBLE), 0), 6) AS rrf
+             |FROM lex l FULL JOIN sem s USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)),
+
     // sketch profiling: HLL distinct + quantile sketches per source.
     // The sketch VALUES are Spark-internal, but the CONTRACT hashes:
     // exact n_docs/n_tokens (DuckDB replays), plus Spark-side booleans
@@ -2773,6 +2837,48 @@ FROM bst ORDER BY doc_id""")),
              |)
              |SELECT doc_id, source, lang FROM pr ANTI JOIN rm USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // dedup-aware split: the split hash reads the near-dup CLUSTER id,
+    // so a doc and its near-duplicates land in the SAME split by
+    // construction (zero pl_split_leakage-style straddle); singleton
+    // docs hash their own id, identical to the plain splitAssign
+    "pl_split_dedup_aware" -> Q(
+      (s, d) => graft.operators.Curation.dedupAwareSplit(
+          Tables(s, d, "documents"), "doc_id", "text",
+          Seq("train" -> 900, "eval" -> 100),
+          shingleN = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')) - 1, 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+2], ' '))) AS s
+             |  FROM documents
+             |), inv AS (
+             |  SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh
+             |), pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id
+             |  HAVING count(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - count(*)) >= 0.5
+             |), edges AS (
+             |  SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs
+             |), reach(a, b) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+             |), clusters AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a
+             |), assigned AS (
+             |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN clusters c USING (doc_id)
+             |)
+             |SELECT doc_id, cluster_id,
+             |  CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+             |            % 1000 < 900
+             |       THEN 'train' ELSE 'eval' END AS split
+             |FROM assigned ORDER BY doc_id""".stripMargin)),
 
     // distribution-drift monitor (PSI shape): token-count histograms of
     // the src0-9 slice vs the src10-19 slice, per-bin shares + PSI term

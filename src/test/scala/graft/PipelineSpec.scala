@@ -1497,6 +1497,60 @@ class PipelineSpec extends AnyFunSuite {
       s"delta missing ${fullTouchingOdd -- delta}, extra ${delta -- fullTouchingOdd}")
   }
 
+  test("dedup-aware split: no near-dup pair straddles splits; singletons match plain splitAssign") {
+    val splits = Seq("train" -> 900, "eval" -> 100)
+    val out = Curation.dedupAwareSplit(docs, "doc_id", "text", splits)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should contain near-duplicates")
+    val straddling = pairs.filter { case (a, b) => out(a)._2 != out(b)._2 }
+    assert(straddling.isEmpty, s"pairs straddle splits: ${straddling.take(5).toSeq}")
+    // a plain per-doc split DOES straddle on this fixture — the
+    // property being bought is not vacuous
+    val plain = docs.select(col("doc_id"),
+        Curation.splitAssign(col("doc_id"), splits).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists { case (a, b) => plain(a) != plain(b) },
+      "fixture never straddles under plain split; straddle-free is untested")
+    // singletons (in no pair) hash their own id = plain assignment
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    out.collect { case (id, (cl, sp)) if !paired.contains(id) =>
+      assert(cl == id && sp == plain(id), s"singleton $id diverged") }
+    Dedup.releaseAll()
+  }
+
+  test("hybrid RRF fuses the BM25 and semantic rankings exactly") {
+    val terms = Seq("spark", "window", "hash")
+    val lex = Search.bm25TopK(docs, "doc_id", "text", terms, 50)
+      .collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val emb = TextAnalysis.hashedEmbedding(docs, "doc_id", "text", 64, 16)
+    val q = emb.filter(col("doc_id") === 0).select("embedding")
+      .head().getSeq[Double](0)
+    val sem = Similarity.bruteForceTopKBatch(emb, "doc_id", "embedding",
+        Seq((0L, q)), 50)
+      .orderBy(col("cos").desc, col("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    def rrf(id: Long): Double =
+      lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+    val expected = (lex.keySet ++ sem.keySet).toSeq
+      .map(id => (id, BigDecimal(rrf(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Search.hybridTopKRrf(docs, "doc_id", "text", terms, 0L)
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getAs[Double]("rrf"))))
+    assert(got.map(_._1).toSeq == expected.map(_._1),
+      s"got ${got.map(_._1).toSeq}, expected ${expected.map(_._1)}")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert((g - e).abs < BigDecimal(1e-9), s"rrf $g != $e") }
+    // the fusion is a real union: the winner set draws on both signals
+    val topIds = got.map(_._1).toSet
+    assert(topIds.exists(lex.contains) && topIds.exists(sem.contains))
+    Dedup.releaseAll()
+  }
+
   test("priority near-dedup keeps exactly the best-priority member per cluster") {
     val pri = when(col("lang") === "en", 0).when(col("lang") === "es", 1).otherwise(2)
     val kept = Dedup.dropNearDuplicatesByPriority(docs, "doc_id", "text", pri)
