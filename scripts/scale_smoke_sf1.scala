@@ -183,7 +183,13 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // k-means train + a broadcast-join scan; ablation one scan aggregate.
   "pl_winnow_overlap", "pl_multimodal_phash_pairs",
   "pl_dedup_apply_priority", "pl_curate_pipeline3",
-  "pl_emb_prototype_prune", "pl_screen_ablation")
+  "pl_emb_prototype_prune", "pl_screen_ablation",
+  // r11 additions: both ship-the-index delta mines fingerprint only
+  // the odd-id half and join the stored even-id index; hybrid RRF is
+  // two bounded top-k chains + a tiny fusion join; dedup-aware split
+  // is the LSH pair mine + CC + a scan-stage md5 of the cluster id
+  "pl_winnow_index_ship", "pl_dedup_simhash_ship",
+  "pl_search_hybrid_rrf", "pl_split_dedup_aware")
   .foreach(time(_))
 
 // BPE merge-round scaling (VERDICT r10 #6): per-round cost must be

@@ -72,7 +72,7 @@ final class Planner(catalog: String => DataFrame,
     // ---- where (exec/where.go); IN-subqueries → semi/anti joins,
     // scalar comparisons against (SELECT agg …) → broadcast 1-row join
     sel.where.foreach { w =>
-      val (subqs, scalars, rest) = splitSubqueries(w)
+      val (subqs, scalars, existsSubs, rest) = splitSubqueries(w)
       for ((left, sub, negated) <- subqs) {
         val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
         val subCol = subDf.columns.head
@@ -98,6 +98,77 @@ final class Planner(catalog: String => DataFrame,
         val cmp = ColumnBuilder.build(
           BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
         df = df.filter(cmp.cast("boolean")).drop(sc)
+      }
+      // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
+      // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
+      // Catalyst's own strategy for EXISTS, broadcastable when the
+      // inner side is small; a subquery with no correlation is a
+      // whole-corpus existence fact, answered by ONE bounded
+      // limit(1)-count probe. SQL scoping decides correlation: an
+      // unqualified name that resolves in the inner scope belongs to
+      // it, so only names the inner frame CANNOT resolve reach out.
+      for (((sub, negated), i) <- existsSubs.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val innerAliases = innerSel.from.map(_.aliasName).toSet
+        val outerAliases = sel.from.map(_.aliasName).toSet
+        val star = Seq(SelectColumn(IdentityNode(Seq("*")), None, None))
+        val probeSchema = innerPlanner.plan(innerSel.copy(columns = star,
+          distinct = false, where = None, groupBy = Nil,
+          groupByRollup = false, groupByCube = false, having = None,
+          orderBy = Nil, limit = None, offset = None, qualify = None)).schema
+        def identOf(n: Node): Option[Seq[String]] = n match {
+          case IdentityNode(p) if !p.mkString(".").startsWith("@") => Some(p)
+          case _ => None
+        }
+        val conjs = innerSel.where.toSeq.flatMap {
+          case BooleanNode("AND", args, false) => args
+          case other => Seq(other)
+        }
+        val (corr, innerOnly) = conjs.partition {
+          case BinaryNode("==" | "=", l, r, false) =>
+            (identOf(l), identOf(r)) match {
+              case (Some(lp), Some(rp)) =>
+                val lIn = resolvesIn(lp, probeSchema, innerAliases)
+                val rIn = resolvesIn(rp, probeSchema, innerAliases)
+                (lIn && !rIn && resolvesIn(rp, df.schema, outerAliases)) ||
+                  (rIn && !lIn && resolvesIn(lp, df.schema, outerAliases))
+              case _ => false
+            }
+          case _ => false
+        }
+        if (corr.isEmpty) {
+          val nonEmpty = innerPlanner.plan(innerSel).limit(1).count() > 0
+          if (nonEmpty == negated) df = df.filter(lit(false))
+        } else {
+          if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+            throw BuildException(
+              "correlated EXISTS with GROUP BY/HAVING is not supported")
+          val innerWhere = innerOnly match {
+            case Nil => None
+            case Seq(one) => Some(one)
+            case many => Some(BooleanNode("AND", many))
+          }
+          val innerDf = innerPlanner.plan(innerSel.copy(columns = star,
+            distinct = false, where = innerWhere,
+            orderBy = Nil, limit = None, offset = None, qualify = None))
+          // (innerField, outerNode) per correlation conjunct (the
+          // partition above admits only binary equalities here)
+          val keys = corr.collect { case BinaryNode(_, l, r, _) =>
+            val lp = identOf(l).get; val rp = identOf(r).get
+            if (resolvesIn(lp, probeSchema, innerAliases)) (fieldNameIn(lp, probeSchema), r)
+            else (fieldNameIn(rp, probeSchema), l)
+          }
+          // prefix-rename the inner key columns so the join condition
+          // can never capture an identically-named outer column
+          val innerKeys = innerDf.select(keys.map(_._1).distinct.map(f =>
+            col(f).as(s"__ex${i}_$f")): _*)
+          val outerCtx = mkCtx(df)
+          val cond = keys.map { case (f, outerNode) =>
+            ColumnBuilder.build(outerNode, outerCtx) === innerKeys(s"__ex${i}_$f")
+          }.reduce(_ && _)
+          df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
+        }
       }
       rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
     }
@@ -295,18 +366,23 @@ final class Planner(catalog: String => DataFrame,
   /** Split top-level AND conjuncts into IN-subquery terms and the rest. */
   private val scalarSubOps = Set(">", ">=", "<", "<=", "=", "==", "!=", "<>")
   private def splitSubqueries(w: Node): (Seq[(Node, SubqueryNode, Boolean)],
-      Seq[(String, Node, SubqueryNode, Boolean)], Option[Node]) = {
+      Seq[(String, Node, SubqueryNode, Boolean)],
+      Seq[(SubqueryNode, Boolean)], Option[Node]) = {
     val conjuncts = w match {
       case BooleanNode("AND", args, false) => args
       case other => Seq(other)
     }
     val subqs = collection.mutable.ArrayBuffer[(Node, SubqueryNode, Boolean)]()
     val scalars = collection.mutable.ArrayBuffer[(String, Node, SubqueryNode, Boolean)]()
+    val existsSubs = collection.mutable.ArrayBuffer[(SubqueryNode, Boolean)]()
     val rest = collection.mutable.ArrayBuffer[Node]()
     conjuncts.foreach {
       case BinaryNode("IN", l, s: SubqueryNode, neg) => subqs += ((l, s, neg))
       case BinaryNode(op, l, s: SubqueryNode, neg) if scalarSubOps(op) =>
         scalars += ((op, l, s, neg))
+      case UnaryNode("EXISTS", s: SubqueryNode) => existsSubs += ((s, false))
+      case UnaryNode("NOT" | "!", UnaryNode("EXISTS", s: SubqueryNode)) =>
+        existsSubs += ((s, true))
       case other => rest += other
     }
     val restNode = rest.size match {
@@ -314,7 +390,35 @@ final class Planner(catalog: String => DataFrame,
       case 1 => Some(rest.head)
       case _ => Some(BooleanNode("AND", rest.toSeq))
     }
-    (subqs.toSeq, scalars.toSeq, restNode)
+    (subqs.toSeq, scalars.toSeq, existsSubs.toSeq, restNode)
+  }
+
+  /** Does a column path resolve against this scope? Full-name match; a
+    * head segment naming a (struct/map) field; or a qualified `t.col`
+    * whose qualifier names one of the scope's FROM aliases and whose
+    * last segment is a field — the qualifier is what keeps
+    * `users.user_id` from resolving inside a subquery over `orders`
+    * even though both tables carry a `user_id` column. */
+  private def resolvesIn(parts: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      aliases: Set[String]): Boolean = {
+    val name = parts.mkString(".")
+    if (schema.fieldNames.exists(_.equalsIgnoreCase(name))) true
+    else if (parts.length > 1) {
+      schema.fieldNames.exists(_.equalsIgnoreCase(parts.head)) ||
+        (aliases.exists(_.equalsIgnoreCase(parts.head)) &&
+          schema.fieldNames.exists(_.equalsIgnoreCase(parts.last)))
+    } else false
+  }
+
+  /** The schema field name a path denotes (full-name match wins, then
+    * the qualified last segment). */
+  private def fieldNameIn(parts: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val name = parts.mkString(".")
+    schema.fieldNames.find(_.equalsIgnoreCase(name))
+      .orElse(schema.fieldNames.find(_.equalsIgnoreCase(parts.last)))
+      .getOrElse(name)
   }
 
   private def parseSub(s: SubqueryNode): SqlSelect =

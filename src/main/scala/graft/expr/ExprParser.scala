@@ -155,7 +155,15 @@ final class ExprParser(tokens: Vector[Token]) {
   private def parseUnary(): Node = {
     if (cur.is("!")) { advance(); UnaryNode("!", parseUnary()) }
     else if (cur.is("-")) { advance(); UnaryNode("-", parseUnary()) }
-    else if (cur.isKeyword("EXISTS")) { advance(); UnaryNode("EXISTS", parseUnary()) }
+    else if (cur.isKeyword("EXISTS")) {
+      advance()
+      // `EXISTS (SELECT …)` — subquery form (planned as a semi join /
+      // existence gate by the SQL layer); `EXISTS ident` stays the
+      // FilterQL field-presence test
+      if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
+        UnaryNode("EXISTS", captureSubquery())
+      else UnaryNode("EXISTS", parseUnary())
+    }
     else parsePrimary()
   }
 

@@ -568,6 +568,108 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Delta-mine hamming pairs against a stored fingerprint index — the
+    * ship-the-index path for the 64-bit-fingerprint family (text
+    * SimHash via [[simHashPairsDelta]], image aHash via
+    * [[Multimodal.phashPairsDelta]]): the corpus is fingerprinted ONCE
+    * (the narrow (id, sim) frame IS the parquet artifact, mirroring
+    * [[MinHashIndex]] and the winnow index), and every later increment
+    * mines only delta-vs-corpus + delta-vs-delta pairs. Corpus-corpus
+    * pairs are the stored index's business and are never re-formed —
+    * the banding join's left side is delta-only, so its output is
+    * O(delta × collisions), not O(corpus²).
+    *
+    * Budgets compose exactly as in [[hammingPairsOf]], computed over
+    * the COMBINED corpus+delta set (a group or bucket that crosses the
+    * budget only once the delta arrives is collapsed exactly as a full
+    * rebuild would collapse it); under `maxClique` the star pairs
+    * emitted are those touching the delta (new member, or a new rep
+    * adopting stored members). */
+  private[graft] def hammingPairsDelta(indexFps: DataFrame, deltaFps: DataFrame,
+      maxHamming: Int, k: Int, maxBucket: Int = 0, maxClique: Int = 0): DataFrame = {
+    val all = indexFps.select(col("id"), col("sim")).withColumn("__new", lit(false))
+      .unionByName(deltaFps.select(col("id"), col("sim")).withColumn("__new", lit(true)))
+    if (maxClique > 0) {
+      val groups = all.groupBy("sim")
+        .agg(count(lit(1)).as("__gn"), min("id").as("__rep"))
+        .filter(col("__gn") > maxClique)
+        .select(col("sim"), col("__rep"))
+      val tagged = all.join(groups, Seq("sim"), "left")
+      val repNew = tagged
+        .filter(col("__rep").isNotNull && col("id") === col("__rep"))
+        .select(col("sim"), col("__new").as("__repNew"))
+      val t2 = tagged.join(repNew, Seq("sim"), "left")
+      val star = t2.filter(col("__rep").isNotNull && col("id") =!= col("__rep") &&
+          (col("__new") || col("__repNew")))
+        .select(col("__rep").as("id_a"), col("id").as("id_b"), lit(0).as("hamming"))
+      val bandBase = t2.filter(col("__rep").isNull || col("id") === col("__rep"))
+        .select(col("id"), col("sim"), col("__new"))
+      return bandedDeltaJoin(bandBase, maxHamming, k, maxBucket).unionByName(star)
+    }
+    bandedDeltaJoin(all, maxHamming, k, maxBucket)
+  }
+
+  /** The [[hammingPairsOf]] banding machinery with a delta-only left
+    * side: `base` carries (id, sim, __new); only pairs with at least
+    * one `__new` endpoint form. */
+  private def bandedDeltaJoin(base: DataFrame, maxHamming: Int, k: Int,
+      maxBucket: Int): DataFrame = {
+    val chunkBits = 64 / k
+    val m = k - maxHamming
+    require(m * chunkBits <= 63, s"combo key ($m x $chunkBits bits) must pack into one long")
+    val combos = (0 until k).combinations(m).toSeq
+    def chunk(b: Int): Column =
+      call_function("shiftright", col("sim"), lit(b * chunkBits))
+        .bitwiseAND(lit((1L << chunkBits) - 1))
+    val keys = combos.map(_.foldLeft(lit(0L): Column)((acc, b) =>
+      call_function("shiftleft", acc, lit(chunkBits)).bitwiseOR(chunk(b))))
+    val extChunks = combos.map(c => (0 until k).find(!c.contains(_)).getOrElse(0))
+    val keyed0 = base.select(col("id"), col("sim"), col("__new"),
+        posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "combo").withColumnRenamed("col", "key")
+    val keyed =
+      if (maxBucket <= 0) keyed0.withColumn("sub", lit(0L))
+      else {
+        val counts = keyed0.groupBy("combo", "key").agg(count(lit(1)).as("__bn"))
+        val extVal = element_at(
+          array(extChunks.map(chunk): _*), col("combo").cast("int") + 1)
+        keyed0.join(counts, Seq("combo", "key"))
+          .withColumn("sub", when(col("__bn") <= maxBucket, lit(0L)).otherwise(extVal))
+          .drop("__bn")
+      }
+    val l = keyed.filter(col("__new"))
+      .select(col("combo"), col("key"), col("sub"), col("id").as("id_l"), col("sim").as("sim_l"))
+    val r = keyed
+      .select(col("combo"), col("key"), col("sub"), col("id").as("id_r"), col("sim").as("sim_r"))
+    l.join(r, Seq("combo", "key", "sub")).filter(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        call_function("bit_count", col("sim_l").bitwiseXOR(col("sim_r"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Build the shippable SimHash fingerprint index for a corpus: the
+    * narrow (id, sim) frame, parquet-safe. Mine later increments with
+    * [[simHashPairsDelta]]. */
+  def simHashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))
+
+  /** Delta-mine SimHash near-dup pairs against a stored
+    * [[simHashIndex]] frame: only the increment is fingerprinted; the
+    * output is every pair touching the increment (the stored corpus's
+    * internal pairs were mined when the index was built). */
+  def simHashPairsDelta(indexFps: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int, blocks: Int = 0,
+      maxBucket: Int = 0, maxClique: Int = 0): DataFrame = {
+    val k = if (blocks <= 0) maxHamming + 1 else blocks
+    require(k > maxHamming && k <= 64,
+      s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
+    viaPersisted(delta.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) {
+      deltaFps => hammingPairsDelta(indexFps, deltaFps, maxHamming, k, maxBucket, maxClique)
+    }
+  }
+
   /** Apply exact dedup: keep the lowest-id row per content hash.
     *
     * rank-1 window instead of groupBy(min) + semi join: ONE scan and

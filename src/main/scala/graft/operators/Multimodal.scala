@@ -269,6 +269,30 @@ object Multimodal {
     }
   }
 
+  /** Build the shippable perceptual-hash index for a media corpus: the
+    * narrow (id, sim) aHash frame, parquet-safe — hash every payload
+    * ONCE, then mine increments with [[phashPairsDelta]] instead of
+    * re-hashing the corpus per batch (the multimodal mirror of
+    * [[Dedup.simHashIndex]] / [[Dedup.MinHashIndex]]). */
+  def phashIndex(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.avg_hash64(col(binCol)).as("sim"))
+
+  /** Delta-mine perceptual near-dup pairs against a stored
+    * [[phashIndex]] frame: only the increment's payloads are hashed;
+    * output is every pair touching the increment. Budgets default on
+    * exactly as in [[phashPairs]]. */
+  def phashPairsDelta(indexFps: DataFrame, delta: DataFrame,
+      idCol: String, binCol: String, maxHamming: Int, blocks: Int = 0,
+      maxBucket: Int = 2000, maxClique: Int = 64): DataFrame = {
+    val k = if (blocks <= 0) maxHamming + 1 else blocks
+    require(k > maxHamming && k <= 64,
+      s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
+    Dedup.viaPersisted(phashIndex(delta, idCol, binCol)) { deltaFps =>
+      Dedup.hammingPairsDelta(indexFps, deltaFps, maxHamming, k, maxBucket, maxClique)
+    }
+  }
+
   /** Audio-waveform statistics over a PCM-16LE payload: sample count,
     * duration at `rateHz`, RMS amplitude, zero-crossing rate. The byte
     * math is REAL (no codec needed — this is what a production pipeline

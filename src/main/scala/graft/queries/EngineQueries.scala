@@ -190,6 +190,29 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: correlated EXISTS planned as left_semi on the equality
+    // conjunct (inner-only predicates stay inside the subquery frame)
+    "ql_exists_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // engine: correlated NOT EXISTS planned as left_anti (customers
+    // without any large order — the complement of ql_exists_subquery,
+    // non-empty on every fixture)
+    "ql_not_exists_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // scalar builtin families through the dialect: array/string/cast
     "ql_scalar_funcs" -> Q(
       (s, d) => session(s, d).sql(

@@ -363,6 +363,45 @@ object PipelineQueries {
              |WHERE bit_count(xor(a.s, b.s)) <= 7
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ship-the-simhash-index: even doc_ids are the stored (id, sim)
+    // fingerprint artifact, odd ids the increment — only the increment
+    // is fingerprinted and only increment-touching pairs mine (the
+    // hamming-family mirror of pl_dedup_index_ship / the winnow ship).
+    // Oracle: the exhaustive fingerprint pair scan minus corpus-corpus
+    // pairs.
+    "pl_dedup_simhash_ship" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val index = Dedup.simHashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        Dedup.simHashPairsDelta(index,
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+            maxHamming = 7, blocks = 9)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(string_split(trim(text), ' ')), 2)),
+             |    i -> array_to_string(string_split(trim(text), ' ')[i:i+1], ' '))) AS grams
+             |  FROM documents
+             |), hx AS (
+             |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS x
+             |  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+             |), bits AS (
+             |  SELECT doc_id, b,
+             |    CASE WHEN 2 * sum((x >> b) & 1) >= count(*) THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bit
+             |  FROM hx CROSS JOIN range(0, 60) AS r(b)
+             |  GROUP BY doc_id, b
+             |), sim AS (
+             |  SELECT doc_id, sum(bit)::BIGINT AS s FROM bits GROUP BY doc_id
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  bit_count(xor(a.s, b.s))::INT AS hamming
+             |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.s, b.s)) <= 7
+             |  AND NOT (a.doc_id % 2 = 0 AND b.doc_id % 2 = 0)
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // per-document text stats (token count, chars, order-insensitive
     // fingerprint)
     "pl_text_stats" -> Q(

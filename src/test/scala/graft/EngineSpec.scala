@@ -150,6 +150,47 @@ class EngineSpec extends AnyFunSuite {
       Seq(Seq(1L), Seq(3L)))
   }
 
+  test("EXISTS subqueries in WHERE (dialect)") {
+    // correlated EXISTS → left_semi on the equality conjunct: users
+    // with at least one order over 30
+    testSelect(
+      """SELECT user_id FROM users
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id AND price > 30)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // correlated NOT EXISTS → left_anti: users with no order at all
+    testSelect(
+      """SELECT user_id FROM users
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    // the plan is the join Catalyst would pick itself, not a loop
+    val plan = session.sql(
+      """SELECT user_id FROM users
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id)""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    // uncorrelated EXISTS is a whole-corpus existence gate
+    testSelect(
+      "SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE referral_count > 50) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    testSelect(
+      "SELECT order_id FROM orders WHERE EXISTS (SELECT 1 FROM users WHERE referral_count > 500)",
+      Seq())
+    testSelect(
+      "SELECT order_id FROM orders WHERE NOT EXISTS (SELECT 1 FROM users WHERE referral_count > 500) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // FilterQL field-presence EXISTS is untouched by the subquery form
+    testSelect(
+      "SELECT user_id FROM users WHERE EXISTS interests ORDER BY user_id",
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("hT2impsOPUREcVPc")))
+    // print -> parse roundtrip keeps the subquery
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT user_id FROM users WHERE EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id)"))
+    assert(printed.contains("EXISTS (SELECT"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("GROUP BY ROLLUP produces subtotal rows (dialect)") {
     // per-user counts plus the grand-total row (null user_id); Spark
     // sorts nulls first ascending

@@ -1469,6 +1469,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
   }
 
+  test("hamming ship-the-index: parquet round-trip delta mine == full mine minus corpus-corpus; budgets compose") {
+    val spark2 = spark
+    import spark2.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("simhash_idx").toString
+    Dedup.simHashIndex(even, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val delta = rows(Dedup.simHashPairsDelta(stored, odd, "doc_id", "text", 7, blocks = 9))
+    val full = rows(Dedup.simHashPairs(docs, "doc_id", "text", 7, blocks = 9)
+      .filter(col("id_a") % 2 === 1 || col("id_b") % 2 === 1))
+    assert(delta == full, s"delta missing ${full -- delta}, extra ${delta -- full}")
+    assert(delta.nonEmpty, "fixture should contain cross-parity simhash pairs")
+    // budgets compose under delta: the synthetic 300-clique splits into
+    // a stored half and a new half; the delta list must equal the full
+    // budget-mined list restricted to pairs touching the new ids
+    val idxFps = (1L to 150L).map(i => (i, 0L)).toDF("id", "sim")
+    val deltaFps = ((151L to 300L).map(i => (i, 0L)) ++
+      (301L to 310L).map(i => (i, 3L))).toDF("id", "sim")
+    val allFps = idxFps.unionByName(deltaFps)
+    def p(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dlt = p(Dedup.hammingPairsDelta(idxFps, deltaFps, 3, 4, 0, 50))
+    val fullBudget = p(Dedup.hammingPairsOf(allFps, 3, 4, 0, 50))
+      .filter { case (a, b) => a > 150 || b > 150 }
+    assert(dlt == fullBudget, s"missing ${fullBudget -- dlt}, extra ${dlt -- fullBudget}")
+    Dedup.releaseAll()
+  }
+
   test("winnow ship-the-index: parquet round-trip replays overlap/containment/regions; delta mine matches full") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.mkString("|")).toSet
