@@ -44,7 +44,8 @@ final class Planner(catalog: String => DataFrame,
     case other => throw BuildException(s"not a plannable statement: $other")
   }
 
-  def plan(sel: SqlSelect): DataFrame = {
+  def plan(sel0: SqlSelect): DataFrame = {
+    val sel = substituteSelectScalars(sel0)
     if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
       val ctx = BuildCtx(None, vars, includer)
       return applyLimit(catalogFreeRow().select(projCols(sel.columns, ctx): _*), sel)
@@ -73,12 +74,41 @@ final class Planner(catalog: String => DataFrame,
     // scalar comparisons against (SELECT agg …) → broadcast 1-row join
     sel.where.foreach { w =>
       val (subqs, scalars, existsSubs, rest) = splitSubqueries(w)
-      for ((left, sub, negated) <- subqs) {
-        val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
-        val subCol = subDf.columns.head
-        val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
-        df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
-          if (negated) "left_anti" else "left_semi")
+      for (((left, sub, negated), i) <- subqs.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (c.keys.isEmpty) {
+          val subDf = innerPlanner.plan(innerSel)
+          val subCol = subDf.columns.head
+          val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
+          df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
+            if (negated) "left_anti" else "left_semi")
+        } else {
+          // correlated IN: semi/anti join on the value column AND the
+          // correlation equalities; the subquery's own projection
+          // supplies the value expression, evaluated in the INNER scope
+          if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+            throw BuildException(
+              "correlated IN-subquery with GROUP BY/HAVING is not supported")
+          if (innerSel.columns.size != 1)
+            throw BuildException("IN-subquery must select exactly one column")
+          val valueCol =
+            SelectColumn(innerSel.columns.head.expr, Some(s"__inq${i}_key"), None)
+          val corrCols = c.keys.map(_._1).distinct.map(f =>
+            SelectColumn(IdentityNode(Seq(f)), Some(s"__inq${i}_$f"), None))
+          val innerDf = innerPlanner.plan(innerSel.copy(
+            columns = valueCol +: corrCols, distinct = false,
+            where = c.innerWhere, orderBy = Nil, limit = None,
+            offset = None, qualify = None))
+          val outerCtx = mkCtx(df)
+          val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
+            c.keys.map { case (f, outerNode) =>
+              ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__inq${i}_$f")
+            }
+          df = df.join(innerDf, cond.reduce(_ && _),
+            if (negated) "left_anti" else "left_semi")
+        }
       }
       // uncorrelated scalar subqueries: the subquery must yield at most
       // one row (an aggregate does — and a multi-row frame comparing
@@ -110,61 +140,24 @@ final class Planner(catalog: String => DataFrame,
       for (((sub, negated), i) <- existsSubs.zipWithIndex) {
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
-        val innerAliases = innerSel.from.map(_.aliasName).toSet
-        val outerAliases = sel.from.map(_.aliasName).toSet
-        val star = Seq(SelectColumn(IdentityNode(Seq("*")), None, None))
-        val probeSchema = innerPlanner.plan(innerSel.copy(columns = star,
-          distinct = false, where = None, groupBy = Nil,
-          groupByRollup = false, groupByCube = false, having = None,
-          orderBy = Nil, limit = None, offset = None, qualify = None)).schema
-        def identOf(n: Node): Option[Seq[String]] = n match {
-          case IdentityNode(p) if !p.mkString(".").startsWith("@") => Some(p)
-          case _ => None
-        }
-        val conjs = innerSel.where.toSeq.flatMap {
-          case BooleanNode("AND", args, false) => args
-          case other => Seq(other)
-        }
-        val (corr, innerOnly) = conjs.partition {
-          case BinaryNode("==" | "=", l, r, false) =>
-            (identOf(l), identOf(r)) match {
-              case (Some(lp), Some(rp)) =>
-                val lIn = resolvesIn(lp, probeSchema, innerAliases)
-                val rIn = resolvesIn(rp, probeSchema, innerAliases)
-                (lIn && !rIn && resolvesIn(rp, df.schema, outerAliases)) ||
-                  (rIn && !lIn && resolvesIn(lp, df.schema, outerAliases))
-              case _ => false
-            }
-          case _ => false
-        }
-        if (corr.isEmpty) {
+        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (c.keys.isEmpty) {
           val nonEmpty = innerPlanner.plan(innerSel).limit(1).count() > 0
           if (nonEmpty == negated) df = df.filter(lit(false))
         } else {
           if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
             throw BuildException(
               "correlated EXISTS with GROUP BY/HAVING is not supported")
-          val innerWhere = innerOnly match {
-            case Nil => None
-            case Seq(one) => Some(one)
-            case many => Some(BooleanNode("AND", many))
-          }
-          val innerDf = innerPlanner.plan(innerSel.copy(columns = star,
-            distinct = false, where = innerWhere,
+          val innerDf = innerPlanner.plan(innerSel.copy(
+            columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+            distinct = false, where = c.innerWhere,
             orderBy = Nil, limit = None, offset = None, qualify = None))
-          // (innerField, outerNode) per correlation conjunct (the
-          // partition above admits only binary equalities here)
-          val keys = corr.collect { case BinaryNode(_, l, r, _) =>
-            val lp = identOf(l).get; val rp = identOf(r).get
-            if (resolvesIn(lp, probeSchema, innerAliases)) (fieldNameIn(lp, probeSchema), r)
-            else (fieldNameIn(rp, probeSchema), l)
-          }
           // prefix-rename the inner key columns so the join condition
           // can never capture an identically-named outer column
-          val innerKeys = innerDf.select(keys.map(_._1).distinct.map(f =>
+          val innerKeys = innerDf.select(c.keys.map(_._1).distinct.map(f =>
             col(f).as(s"__ex${i}_$f")): _*)
           val outerCtx = mkCtx(df)
-          val cond = keys.map { case (f, outerNode) =>
+          val cond = c.keys.map { case (f, outerNode) =>
             ColumnBuilder.build(outerNode, outerCtx) === innerKeys(s"__ex${i}_$f")
           }.reduce(_ && _)
           df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
@@ -391,6 +384,131 @@ final class Planner(catalog: String => DataFrame,
       case _ => Some(BooleanNode("AND", rest.toSeq))
     }
     (subqs.toSeq, scalars.toSeq, existsSubs.toSeq, restNode)
+  }
+
+  /** Scalar subqueries in expression position (SELECT list, HAVING,
+    * ORDER BY, column guards): each `(SELECT …)` plans independently,
+    * is required to yield at most one row and one column, and its
+    * single VALUE substitutes into the AST as a literal — downstream
+    * projection/aggregation/windows then treat it like any constant
+    * (one bounded driver probe per subquery, the same cost class as
+    * the WHERE-clause scalar check). WHERE keeps its own richer path
+    * (broadcast join + full coercions) — splitSubqueries extracts
+    * those before this rewrite ever sees them, so only non-WHERE
+    * positions substitute here. */
+  private def substituteSelectScalars(sel: SqlSelect): SqlSelect = {
+    def hasSub(n: Node): Boolean = n match {
+      case _: SubqueryNode => true
+      case BinaryNode(_, l, r, _) => hasSub(l) || hasSub(r)
+      case BooleanNode(_, args, _) => args.exists(hasSub)
+      case UnaryNode(_, c) => hasSub(c)
+      case TriNode(_, a, b, c, _) => hasSub(a) || hasSub(b) || hasSub(c)
+      case FuncNode(_, args) => args.exists(hasSub)
+      case CaseNode(branches, els) =>
+        branches.exists { case (w, t) => hasSub(w) || hasSub(t) } || els.exists(hasSub)
+      case ArrayNode(items) => items.exists(hasSub)
+      case WindowNode(f, pb, ob) =>
+        hasSub(f) || pb.exists(hasSub) || ob.exists(p => hasSub(p._1))
+      case _ => false
+    }
+    val needed = sel.columns.exists(c =>
+      hasSub(c.expr) || c.guard.exists(hasSub)) ||
+      sel.having.exists(hasSub) || sel.orderBy.exists(p => hasSub(p._1)) ||
+      sel.qualify.exists(hasSub)
+    if (!needed) return sel
+    def literalOf(s: SubqueryNode): Node = {
+      val sub = parseSub(s)
+      val subDf = new Planner(catalog, vars, includer).plan(sub)
+      if (subDf.columns.length != 1)
+        throw BuildException("scalar subquery must return one column")
+      val rows = subDf.limit(2).collect()
+      if (rows.length > 1)
+        throw BuildException("scalar subquery returned more than one row")
+      if (rows.isEmpty || rows(0).isNullAt(0)) NullNode
+      else rows(0).get(0) match {
+        case v: Long => NumberNode(v.toDouble, isInt = true)
+        case v: Int => NumberNode(v.toDouble, isInt = true)
+        case v: Short => NumberNode(v.toDouble, isInt = true)
+        case v: Byte => NumberNode(v.toDouble, isInt = true)
+        case v: Double => NumberNode(v, isInt = false)
+        case v: Float => NumberNode(v.toDouble, isInt = false)
+        case v: java.math.BigDecimal => NumberNode(v.doubleValue, isInt = false)
+        case v: String => StringNode(v)
+        case v: Boolean => BoolNode(v)
+        case other => throw BuildException(
+          s"unsupported scalar subquery type: ${other.getClass.getSimpleName}")
+      }
+    }
+    def subst(n: Node): Node = n match {
+      case s: SubqueryNode => literalOf(s)
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l), subst(r), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst), neg)
+      case UnaryNode(op, c) => UnaryNode(op, subst(c))
+      case TriNode(op, a, b, c, neg) => TriNode(op, subst(a), subst(b), subst(c), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(subst))
+      case CaseNode(branches, els) => CaseNode(
+        branches.map { case (w, t) => (subst(w), subst(t)) }, els.map(subst))
+      case ArrayNode(items) => ArrayNode(items.map(subst))
+      case WindowNode(f, pb, ob) => WindowNode(
+        subst(f).asInstanceOf[FuncNode], pb.map(subst),
+        ob.map { case (e, asc) => (subst(e), asc) })
+      case other => other
+    }
+    sel.copy(
+      columns = sel.columns.map(c =>
+        c.copy(expr = subst(c.expr), guard = c.guard.map(subst))),
+      having = sel.having.map(subst),
+      orderBy = sel.orderBy.map { case (e, asc) => (subst(e), asc) },
+      qualify = sel.qualify.map(subst))
+  }
+
+  /** Correlation analysis of a subquery's WHERE against the outer
+    * frame: `keys` are (innerField, outerNode) pairs from equality
+    * conjuncts whose one side ONLY the outer scope can bind;
+    * `innerWhere` is the remaining inner-only predicate. */
+  private final case class Correlation(keys: Seq[(String, Node)],
+      innerWhere: Option[Node])
+
+  private def analyzeCorrelation(innerSel: SqlSelect, innerPlanner: Planner,
+      outerSel: SqlSelect, outerDf: DataFrame): Correlation = {
+    val innerAliases = innerSel.from.map(_.aliasName).toSet
+    val outerAliases = outerSel.from.map(_.aliasName).toSet
+    val probeSchema = innerPlanner.plan(innerSel.copy(
+      columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+      distinct = false, where = None, groupBy = Nil,
+      groupByRollup = false, groupByCube = false, having = None,
+      orderBy = Nil, limit = None, offset = None, qualify = None)).schema
+    def identOf(n: Node): Option[Seq[String]] = n match {
+      case IdentityNode(p) if !p.mkString(".").startsWith("@") => Some(p)
+      case _ => None
+    }
+    val conjs = innerSel.where.toSeq.flatMap {
+      case BooleanNode("AND", args, false) => args
+      case other => Seq(other)
+    }
+    val (corr, innerOnly) = conjs.partition {
+      case BinaryNode("==" | "=", l, r, false) =>
+        (identOf(l), identOf(r)) match {
+          case (Some(lp), Some(rp)) =>
+            val lIn = resolvesIn(lp, probeSchema, innerAliases)
+            val rIn = resolvesIn(rp, probeSchema, innerAliases)
+            (lIn && !rIn && resolvesIn(rp, outerDf.schema, outerAliases)) ||
+              (rIn && !lIn && resolvesIn(lp, outerDf.schema, outerAliases))
+          case _ => false
+        }
+      case _ => false
+    }
+    val keys = corr.collect { case BinaryNode(_, l, r, _) =>
+      val lp = identOf(l).get; val rp = identOf(r).get
+      if (resolvesIn(lp, probeSchema, innerAliases)) (fieldNameIn(lp, probeSchema), r)
+      else (fieldNameIn(rp, probeSchema), l)
+    }
+    val innerWhere = innerOnly match {
+      case Nil => None
+      case Seq(one) => Some(one)
+      case many => Some(BooleanNode("AND", many))
+    }
+    Correlation(keys, innerWhere)
   }
 
   /** Does a column path resolve against this scope? Full-name match; a

@@ -234,8 +234,13 @@ final class ExprParser(tokens: Vector[Token]) {
         } else IdentityNode(parts.toSeq)
       }
     case TOp if cur.text == "(" =>
-      val items = parseParenList()
-      if (items.size == 1) items.head else ArrayNode(items)
+      // `(SELECT …)` as a primary — scalar subquery in a SELECT list /
+      // expression position (substituted by the SQL planner)
+      if (tokens(p + 1).isKeyword("SELECT")) captureSubquery()
+      else {
+        val items = parseParenList()
+        if (items.size == 1) items.head else ArrayNode(items)
+      }
     case TOp if cur.text == "[" =>
       advance()
       val items = collection.mutable.ArrayBuffer[Node]()

@@ -190,6 +190,30 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: CORRELATED IN-subquery — the equality conjunct pins the
+    // subquery to the outer row; plans as one semi join on
+    // (value, correlation) keys
+    "ql_corr_in_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine: scalar subqueries in the SELECT list (beyond ref) — the
+    // value substitutes as a literal, whole-column and inside
+    // arithmetic; one bounded probe per subquery
+    "ql_select_scalar_subquery" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, (SELECT max(o_totalprice) FROM orders) AS top_order,
+          |  c_acctbal - (SELECT min(c_acctbal) FROM customer) AS bal_over_min
+          |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, (SELECT max(o_totalprice) FROM orders) AS top_order,
+             |  c_acctbal - (SELECT min(c_acctbal) FROM customer) AS bal_over_min
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // engine: correlated EXISTS planned as left_semi on the equality
     // conjunct (inner-only predicates stay inside the subquery frame)
     "ql_exists_subquery" -> Q(

@@ -191,6 +191,50 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("correlated IN-subqueries in WHERE (dialect)") {
+    // users whose own orders include item 2 — the correlation pins the
+    // subquery to each outer row's user
+    testSelect(
+      """SELECT user_id FROM users
+        |WHERE user_id IN (SELECT orders.user_id FROM orders WHERE orders.user_id = users.user_id AND item_id == 2)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // NOT IN with correlation → anti join
+    testSelect(
+      """SELECT user_id FROM users
+        |WHERE user_id NOT IN (SELECT orders.user_id FROM orders WHERE orders.user_id = users.user_id)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    // the uncorrelated form still plans the plain semi join
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE user_id IN (SELECT user_id FROM users WHERE referral_count > 50)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(2L)))
+  }
+
+  test("scalar subqueries in the SELECT list (dialect)") {
+    // whole-column and nested-in-expression forms; the value is a
+    // plain literal downstream (works under aggregation too)
+    testSelect(
+      """SELECT order_id, (SELECT max(price) FROM orders) AS top_price,
+        |  price - (SELECT min(price) FROM orders) AS over_min
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 37.50, 0.0), Seq(2L, 37.50, 15.0), Seq(3L, 37.50, 0.0)))
+    testSelect(
+      """SELECT count(*) AS n, (SELECT count(*) FROM users) AS n_users
+        |FROM orders""".stripMargin,
+      Seq(Seq(3L, 3L)))
+    // >1 row raises, like the WHERE form
+    testSelectErr("SELECT (SELECT order_id FROM orders) AS x FROM users")
+    // string-typed scalar and HAVING position
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |HAVING count(*) >= (SELECT count(*) FROM users WHERE referral_count < 50)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L)))
+  }
+
   test("GROUP BY ROLLUP produces subtotal rows (dialect)") {
     // per-user counts plus the grand-total row (null user_id); Spark
     // sorts nulls first ascending
