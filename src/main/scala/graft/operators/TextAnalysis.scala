@@ -630,6 +630,29 @@ object TextAnalysis {
       .filter(col("score").isNotNull)
   }
 
+  /** The trained [[trainClassifier]] model as a shippable table: one
+    * (slot, weight) row per hashed-feature slot, the bias at slot
+    * `buckets` — written to parquet once, loaded by any later job to
+    * score any corpus via [[classifierFromTable]] +
+    * [[scoreClassifier]], the same fit-once/apply-forever contract as
+    * the BPE merge table and the dedup/winnow indexes. */
+  def classifierToTable(spark: org.apache.spark.sql.SparkSession,
+      weights: Array[Double], bias: Double): DataFrame = {
+    import spark.implicits._
+    (weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq :+
+      ((weights.length.toLong, bias))).toDF("slot", "weight")
+  }
+
+  /** Reconstruct (weights, bias) from a persisted
+    * [[classifierToTable]] frame (the collect is model-sized —
+    * buckets+1 rows — by definition). */
+  def classifierFromTable(table: DataFrame): (Array[Double], Double) = {
+    val all = table.select("slot", "weight").collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).sortBy(_._1).map(_._2)
+    require(all.length >= 2, "classifier table needs at least one weight + bias")
+    (all.init, all.last)
+  }
+
   /** Per-source rank normalization of a score column: each doc's
     * percentile rank WITHIN its source (0 = worst, 1 = best; ties
     * break by id, single-doc sources score 1.0) — the cross-source

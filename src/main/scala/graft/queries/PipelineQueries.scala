@@ -2478,6 +2478,31 @@ FROM bst ORDER BY doc_id""")),
              |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
              |FROM ms ORDER BY doc_id""".stripMargin)),
 
+    // ship-the-classifier: train once, round-trip the (slot, weight)
+    // model table through parquet, score from the LOADED model — same
+    // oracle as pl_quality_classifier, so a drift anywhere in the
+    // artifact path turns this row red while the direct row stays green
+    "pl_classifier_ship" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val (w, b) = TextAnalysis.trainClassifier(docs, "doc_id", "text",
+          (col("lang") === "en").cast(DoubleType),
+          buckets = 64, iters = 3, lr = 5.0)
+        val dir = java.nio.file.Files.createTempDirectory("clf_ship").toString
+        TextAnalysis.classifierToTable(s, w, b)
+          .write.mode("overwrite").parquet(dir)
+        val (w2, b2) = TextAnalysis.classifierFromTable(s.read.parquet(dir))
+        TextAnalysis.scoreClassifier(docs, "doc_id", "text", w2, b2)
+          .orderBy("doc_id")
+      },
+      Some(clfTrajectoryCtes + """, ms AS (
+             |  SELECT bk.doc_id,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
+             |)
+             |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
+             |FROM ms ORDER BY doc_id""".stripMargin)),
+
     // held-out evaluation of the SAME trained model (shared trajectory
     // CTEs): confusion counts + exact-ratio metrics in one bounded row
     "pl_classifier_eval" -> Q(

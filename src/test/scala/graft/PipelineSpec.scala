@@ -1182,6 +1182,21 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("shipped classifier model replays the trained scores exactly") {
+    val label = (col("lang") === "en").cast(DoubleType)
+    val (w, b) = TextAnalysis.trainClassifier(docs, "doc_id", "text", label,
+      buckets = 64, iters = 2, lr = 5.0)
+    val dir = java.nio.file.Files.createTempDirectory("clf").toString
+    TextAnalysis.classifierToTable(spark, w, b).write.mode("overwrite").parquet(dir)
+    val (w2, b2) = TextAnalysis.classifierFromTable(spark.read.parquet(dir))
+    assert(w2.toSeq == w.toSeq && b2 == b)
+    val direct = TextAnalysis.scoreClassifier(docs, "doc_id", "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shipped = TextAnalysis.scoreClassifier(docs, "doc_id", "text", w2, b2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(direct == shipped)
+  }
+
   test("shipped BPE merges replay the trained vocabulary exactly") {
     import spark.implicits._
     val (merges, vocab) = Tokenizer.bpeTrain(docs, "text", rounds = 6)
