@@ -312,6 +312,61 @@ final class Planner(catalog: String => DataFrame,
         alias.map(d.alias).getOrElse(d.alias(name))
       case SubquerySource(sub, alias, _, _) =>
         new Planner(catalog, vars, includer).plan(sub).alias(alias)
+      case PivotSource(inner, agg, forCol, values, alias, _, _) =>
+        // SQL-standard pivot: group by every column that is neither the
+        // pivot column nor referenced by the aggregate, one output
+        // column per IN value (named by the value or its AS alias) —
+        // Spark's RelationalGroupedDataset.pivot with EXPLICIT values,
+        // so no extra distinct-scan job and the output schema is fixed
+        // up front (the form that scales; an open-ended pivot would
+        // also make the column set data-dependent)
+        val base = source(inner)
+        val ctx = BuildCtx(Some(base.schema), vars, includer)
+        val aggCol = ColumnBuilder.build(agg, ctx)
+        def refs(n: Node): Set[String] = n match {
+          case IdentityNode(p) => Set(p.last.toLowerCase)
+          case BinaryNode(_, l, r, _) => refs(l) ++ refs(r)
+          case BooleanNode(_, args, _) => args.flatMap(refs).toSet
+          case UnaryNode(_, c) => refs(c)
+          case TriNode(_, a, b, c, _) => refs(a) ++ refs(b) ++ refs(c)
+          case FuncNode(_, args) => args.flatMap(refs).toSet
+          case CaseNode(bs, e) =>
+            bs.flatMap { case (w, t) => refs(w) ++ refs(t) }.toSet ++
+              e.toSeq.flatMap(refs)
+          case _ => Set.empty
+        }
+        val aggRefs = refs(agg)
+        val keys = base.columns.filterNot(c =>
+          c.equalsIgnoreCase(forCol) || aggRefs.contains(c.toLowerCase))
+        if (keys.isEmpty)
+          throw BuildException("PIVOT leaves no grouping columns")
+        def litOf(n: Node): Any = n match {
+          case NumberNode(d, isInt) => if (isInt) d.toLong else d
+          case StringNode(v) => v
+          case BoolNode(v) => v
+          case other => throw BuildException(
+            s"PIVOT IN values must be literals, got ${other.text}")
+        }
+        var out = base.groupBy(keys.map(col): _*)
+          .pivot(forCol, values.map(v => litOf(v._1)))
+          .agg(aggCol)
+        for ((v, Some(a)) <- values)
+          out = out.withColumnRenamed(litOf(v).toString, a)
+        alias.map(out.alias).getOrElse(out)
+      case UnpivotSource(inner, valCol, keyCol, cols, alias, _, _) =>
+        // melt via Dataset.unpivot; NULL cells filtered to match the
+        // SQL-standard EXCLUDE NULLS default (and DuckDB)
+        val base = source(inner)
+        val missing = cols.map(_._1).filterNot(c =>
+          base.columns.exists(_.equalsIgnoreCase(c)))
+        if (missing.nonEmpty)
+          throw BuildException(s"UNPIVOT columns not found: ${missing.mkString(", ")}")
+        val ids = base.columns.filterNot(c =>
+          cols.exists(_._1.equalsIgnoreCase(c))).map(col)
+        val vals = cols.map { case (c, a) => a.map(col(c).as(_)).getOrElse(col(c)) }
+        val out = base.unpivot(ids.toArray, vals.toArray, keyCol, valCol)
+          .filter(col(valCol).isNotNull)
+        alias.map(out.alias).getOrElse(out)
     }
     aliasSchemas.put(src.aliasName, df.schema)
     df

@@ -174,6 +174,12 @@ object Builtins {
     add("string.split", returnType = Some(ArrayType(StringType))) { a =>
       filter(split(a(0).cast(StringType), regexQuote(a(1))), e => e =!= "")
     }
+    // generators (beyond ref — the dialect's UNNEST): one row per array
+    // element; Spark's analyzer enforces generator placement (SELECT
+    // list only, one per statement) with its own clear errors
+    add("explode")(a => explode(a.head))
+    add("explode_outer")(a => explode_outer(a.head))
+    add("unnest")(a => explode(a.head))
     add("strip", returnType = Some(StringType))(a => trim(a.head.cast(StringType)))
     add("string.strip", returnType = Some(StringType))(a => trim(a.head.cast(StringType)))
     add("replace", returnType = Some(StringType)) { a =>

@@ -190,6 +190,43 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: SQL-standard PIVOT through the dialect (beyond ref) —
+    // explicit IN values so the output schema is fixed up front (no
+    // distinct-scan job); sum over integer-valued doubles stays exact
+    "ql_pivot" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT * FROM (SELECT l_linestatus, l_returnflag, l_quantity FROM lineitem) t
+          |PIVOT (sum(l_quantity) FOR l_returnflag IN ("A" AS qty_a, "N" AS qty_n, "R" AS qty_r))
+          |ORDER BY l_linestatus""".stripMargin),
+      Some("""SELECT l_linestatus, "A" AS qty_a, "N" AS qty_n, "R" AS qty_r
+             |FROM (SELECT l_linestatus, l_returnflag, l_quantity FROM lineitem) t
+             |PIVOT (sum(l_quantity) FOR l_returnflag IN ('A', 'N', 'R'))
+             |ORDER BY l_linestatus""".stripMargin)),
+
+    // engine: SQL-standard UNPIVOT (beyond ref) — melt two measure
+    // columns into (metric, v) rows, NULLs excluded per the standard
+    "ql_unpivot" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber, metric, v
+          |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem) t
+          |UNPIVOT (v FOR metric IN (l_quantity AS qty, l_extendedprice AS price))
+          |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, metric, v
+             |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem) t
+             |UNPIVOT (v FOR metric IN (l_quantity AS 'qty', l_extendedprice AS 'price'))
+             |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+
+    // engine: explode/unnest generator through the dialect (beyond
+    // ref) — one row per array element, the SQL surface of the
+    // tokenize-and-count shape every pipeline op uses internally
+    "ql_explode" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT doc_id, explode(split(text, " ")) AS tok
+          |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin),
+      Some("""SELECT doc_id,
+             |  unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+             |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin)),
+
     // engine: CORRELATED IN-subquery — the equality conjunct pins the
     // subquery to the outer row; plans as one semi join on
     // (value, correlation) keys

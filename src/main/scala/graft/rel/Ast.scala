@@ -41,6 +41,24 @@ final case class SubquerySource(select: SqlSelect, alias: String,
     joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
   def aliasName: String = alias
 }
+/** SQL-standard `<source> PIVOT (agg FOR col IN (v1 [AS a1], …))`
+  * (beyond the reference dialect): the source's remaining columns
+  * group implicitly, one output column per IN value named by the
+  * value (or its alias). */
+final case class PivotSource(source: FromSource, agg: Node, forCol: String,
+    values: Seq[(Node, Option[String])], alias: Option[String] = None,
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = alias.getOrElse(source.aliasName)
+}
+/** SQL-standard `<source> UNPIVOT (val FOR key IN (c1 [AS l1], …))`
+  * (beyond the reference dialect): melts the named columns into
+  * (key, val) rows, key labeled by the column name or its alias;
+  * NULL cells are excluded (the standard default, and DuckDB's). */
+final case class UnpivotSource(source: FromSource, valCol: String, keyCol: String,
+    cols: Seq[(String, Option[String])], alias: Option[String] = None,
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = alias.getOrElse(source.aliasName)
+}
 
 final case class SqlSelect(
     columns: Seq[SelectColumn],

@@ -28,7 +28,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT")
 
   def parseStatement(): Statement = {
     val st =
@@ -258,6 +258,8 @@ final class SqlParser(tokens: Vector[Token]) {
             out += (src match {
               case ts: TableSource => ts.copy(joinType = t, joinOn = onExpr)
               case ss: SubquerySource => ss.copy(joinType = t, joinOn = onExpr)
+              case ps: PivotSource => ps.copy(joinType = t, joinOn = onExpr)
+              case us: UnpivotSource => us.copy(joinType = t, joinOn = onExpr)
             })
           }
         } else if (jt.isDefined) throw ParseException("expected JOIN")
@@ -268,23 +270,78 @@ final class SqlParser(tokens: Vector[Token]) {
   }
 
   private def parseOneSource(jt: JoinType, on: Option[Node]): FromSource = {
-    if (cur.is("(")) {
+    val base: FromSource = if (cur.is("(")) {
       next()
       val sub = parseSelect()
       expect(")")
-      eat("AS")
-      val alias = ident()
-      SubquerySource(sub, alias, jt, on)
+      if (kw("PIVOT") || kw("UNPIVOT")) SubquerySource(sub, "__pvt_src", jt, on)
+      else {
+        eat("AS")
+        SubquerySource(sub, ident(), jt, on)
+      }
     } else {
       // schema-qualified names: `mockcsv.users` (reference schema.table)
       var name = ident()
       while (cur.is(".") && { next(); true }) name = name + "." + ident()
       val alias =
-        if (eat("AS")) Some(ident())
+        if (kw("PIVOT") || kw("UNPIVOT")) None
+        else if (eat("AS")) Some(ident())
         else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
         else None
       TableSource(name, alias, jt, on)
     }
+    maybePivot(base, jt, on)
+  }
+
+  /** `<source> PIVOT (agg FOR col IN (v1 [AS a1], …)) [AS alias]` —
+    * SQL-standard pivot (beyond ref; DuckDB speaks the same shape). */
+  private def maybePivot(src: FromSource, jt: JoinType, on: Option[Node]): FromSource = {
+    if (kw("UNPIVOT")) return parseUnpivot(src, jt, on)
+    if (!kw("PIVOT")) return src
+    next(); expect("(")
+    val agg = ep.parseExpr()
+    expect("FOR")
+    val forCol = ident()
+    expect("IN"); expect("(")
+    val values = collection.mutable.ArrayBuffer[(Node, Option[String])]()
+    var more = true
+    while (more) {
+      val v = ep.parseExpr()
+      val a = if (eat("AS")) Some(ident()) else None
+      values += ((v, a))
+      more = eat(",")
+    }
+    expect(")"); expect(")")
+    val alias =
+      if (eat("AS")) Some(ident())
+      else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
+      else None
+    PivotSource(src, agg, forCol, values.toSeq, alias, jt, on)
+  }
+
+  /** `<source> UNPIVOT (val FOR key IN (c1 [AS l1], …)) [AS alias]`. */
+  private def parseUnpivot(src: FromSource, jt: JoinType, on: Option[Node]): FromSource = {
+    next(); expect("(")
+    val valCol = ident()
+    expect("FOR")
+    val keyCol = ident()
+    expect("IN"); expect("(")
+    val cols = collection.mutable.ArrayBuffer[(String, Option[String])]()
+    var more = true
+    while (more) {
+      val c = ident()
+      val a = if (eat("AS")) Some(
+        if (cur.kind == graft.expr.Lexer.TString) { val t = cur.text; next(); t }
+        else ident()) else None
+      cols += ((c, a))
+      more = eat(",")
+    }
+    expect(")"); expect(")")
+    val alias =
+      if (eat("AS")) Some(ident())
+      else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
+      else None
+    UnpivotSource(src, valCol, keyCol, cols.toSeq, alias, jt, on)
   }
 
   /** WHERE expr — also allows `WHERE x IN (SELECT …)` by detecting a

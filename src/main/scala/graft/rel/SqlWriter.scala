@@ -30,6 +30,31 @@ object SqlWriter {
           graft.expr.StringUtil.identityMaybeQuote('`', name) +
             alias.map(" AS " + _).getOrElse("")
         case SubquerySource(sub, alias, _, _) => s"(${toSql(sub)}) AS $alias"
+        case PivotSource(src, agg, forCol, values, alias, _, _) =>
+          val inner = src match {
+            case TableSource(name, a, _, _) =>
+              graft.expr.StringUtil.identityMaybeQuote('`', name) +
+                a.map(" AS " + _).getOrElse("")
+            case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
+            case p: PivotSource => throw new IllegalStateException(
+              s"nested PIVOT cannot print: $p")
+          }
+          val vals = values.map { case (v, a) =>
+            v.text + a.map(" AS " + _).getOrElse("") }.mkString(", ")
+          s"$inner PIVOT (${agg.text} FOR $forCol IN ($vals))" +
+            alias.map(" AS " + _).getOrElse("")
+        case UnpivotSource(src, valCol, keyCol, cols, alias, _, _) =>
+          val inner = src match {
+            case TableSource(name, a, _, _) =>
+              graft.expr.StringUtil.identityMaybeQuote('`', name) +
+                a.map(" AS " + _).getOrElse("")
+            case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
+            case p => throw new IllegalStateException(s"nested pivot cannot print: $p")
+          }
+          val cs = cols.map { case (c, a) =>
+            c + a.map(" AS " + _).getOrElse("") }.mkString(", ")
+          s"$inner UNPIVOT ($valCol FOR $keyCol IN ($cs))" +
+            alias.map(" AS " + _).getOrElse("")
       }
       val on = f.joinOn.map(o => " ON " + o.text).getOrElse("")
       if (i == 0) base else s"${joinKw(f.joinType)} $base$on"

@@ -191,6 +191,42 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("PIVOT through the dialect") {
+    // per-user item-count pivot: remaining column (user_id) groups
+    testSelect(
+      """SELECT * FROM (SELECT user_id, item_id, price FROM orders) t
+        |PIVOT (sum(price) FOR item_id IN (1 AS i1, 2 AS i2))
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 22.50, 37.50), Seq("abcabcabc", 22.50, null)))
+    // count aggregate; absent combos are null (no rows to count)
+    testSelect(
+      """SELECT * FROM (SELECT user_id, item_id FROM orders) t
+        |PIVOT (count(*) FOR item_id IN (1, 2)) ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L, 1L), Seq("abcabcabc", 1L, null)))
+    // print -> parse roundtrip
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT * FROM (SELECT user_id, item_id, price FROM orders) t PIVOT (sum(price) FOR item_id IN (1 AS i1, 2)) ORDER BY user_id"))
+    assert(printed.contains("PIVOT (sum(price) FOR item_id IN (1 AS i1, 2))"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
+  test("UNPIVOT through the dialect") {
+    // melt price/item_count into (metric, v) rows; ids = the rest
+    testSelect(
+      """SELECT order_id, metric, v
+        |FROM (SELECT order_id, price, item_count FROM orders) t
+        |UNPIVOT (v FOR metric IN (price, item_count AS items))
+        |ORDER BY order_id, metric""".stripMargin,
+      Seq(Seq(1L, "items", 82.0), Seq(1L, "price", 22.50),
+        Seq(2L, "items", 82.0), Seq(2L, "price", 37.50),
+        Seq(3L, "items", 82.0), Seq(3L, "price", 22.50)))
+    // print -> parse roundtrip
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT * FROM (SELECT order_id, price, item_count FROM orders) t UNPIVOT (v FOR metric IN (price, item_count AS items)) ORDER BY order_id"))
+    assert(printed.contains("UNPIVOT (v FOR metric IN (price, item_count AS items))"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("correlated IN-subqueries in WHERE (dialect)") {
     // users whose own orders include item 2 — the correlation pins the
     // subquery to each outer row's user
