@@ -174,7 +174,14 @@ object Tokenizer {
   /** Apply a fitted vocabulary back to documents: per-doc BPE token
     * count and chars-per-token compression. The corpus side explodes to
     * tokens and joins the vocab frame (broadcast-able: |vocab| rows) —
-    * no per-round work ever touches the corpus. */
+    * no per-round work ever touches the corpus.
+    *
+    * Words absent from the vocab frame (possible only when the vocab
+    * was fitted on a DIFFERENT corpus and applied directly, without
+    * [[applyMerges]] re-deriving word types) fall back to
+    * character-level tokens (n_tokens = word length) instead of
+    * silently vanishing from the counts — the honest worst case a BPE
+    * encoder produces for a fully-unseen word. */
   def bpeEncodeStats(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
@@ -183,10 +190,10 @@ object Tokenizer {
     val vlen = vocab.select(col("w"),
       size(split(trim(col("seq")), "  ")).cast("long").as("w_tokens"),
       length(col("w")).cast("long").as("w_chars"))
-    toks.join(broadcast(vlen), Seq("w"))
+    toks.join(broadcast(vlen), Seq("w"), "left")
       .groupBy(idCol).agg(
-        sum("w_tokens").as("n_tokens"),
-        sum("w_chars").as("n_chars"))
+        sum(coalesce(col("w_tokens"), length(col("w")).cast("long"))).as("n_tokens"),
+        sum(coalesce(col("w_chars"), length(col("w")).cast("long"))).as("n_chars"))
       .select(col(idCol), col("n_tokens"), col("n_chars"),
         round(col("n_chars").cast("double") / col("n_tokens"), 4)
           .as("chars_per_token"))

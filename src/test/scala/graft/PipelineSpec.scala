@@ -1182,6 +1182,22 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("bpeEncodeStats: unseen words fall back to character tokens, never vanish") {
+    val spark2 = spark
+    import spark2.implicits._
+    val train = Seq((1L, "aa bb aa bb")).toDF("doc_id", "text")
+    val (_, vocab) = Tokenizer.bpeTrain(train, "text", rounds = 1)
+    // "zzz" is not in the trained vocab: 3 char tokens, 3 chars
+    val apply = Seq((7L, "aa zzz")).toDF("doc_id", "text")
+    val r = Tokenizer.bpeEncodeStats(apply, "doc_id", "text", vocab)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // "aa" merged to 1 token (rank-1 merge is a+a or b+b); zzz -> 3
+    val Seq((_, nTok, nChars)) = r
+    assert(nChars == 5, s"chars $nChars")
+    assert(nTok == 1 + 3 || nTok == 2 + 3, s"tokens $nTok") // aa may or may not have merged
+    Dedup.releaseAll()
+  }
+
   test("shipped classifier model replays the trained scores exactly") {
     val label = (col("lang") === "en").cast(DoubleType)
     val (w, b) = TextAnalysis.trainClassifier(docs, "doc_id", "text", label,

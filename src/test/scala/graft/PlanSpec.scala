@@ -620,6 +620,48 @@ class PlanSpec extends AnyFunSuite {
       "QUALIFY must not rescan the table:\n" + q)
   }
 
+  test("EXISTS and correlated IN plan as broadcast semi/anti joins, never loops") {
+    for (q <- Seq("ql_exists_subquery", "ql_corr_in_subquery")) {
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q missing semi join:\n" + p)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degenerated to a loop join:\n" + p)
+    }
+    val anti = plan("ql_not_exists_subquery")
+    assert(anti.contains("LeftAnti"), "NOT EXISTS missing anti join:\n" + anti)
+  }
+
+  test("hybrid RRF ends in bounded top-k heaps, no global sort of the corpus") {
+    val df = SparkEntry.queries("pl_search_hybrid_rrf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both ranking arms cut with TakeOrderedAndProject before fusion
+    assert("TakeOrderedAndProject".r.findAllMatchIn(p).size >= 2,
+      "missing top-k heaps:\n" + p)
+    graft.operators.Dedup.releaseAll()
+  }
+
+  test("dedup-aware split md5-assigns in the scan stage after one cluster join") {
+    val df = SparkEntry.queries("pl_split_dedup_aware")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in split plan:\n" + p)
+    // the split label is computed from md5(cluster_id) inline — no
+    // extra exchange beyond the pair mine + cc + label join
+    assert(p.contains("md5"), "split hash not inline:\n" + p)
+    graft.operators.Dedup.releaseAll()
+  }
+
+  test("PIVOT is one partial+final aggregate, UNPIVOT one generate — no joins") {
+    val pv = plan("ql_pivot")
+    assert(pv.contains("HashAggregate") && !pv.contains("Join"),
+      "pivot should be a single aggregation:\n" + pv)
+    val up = plan("ql_unpivot")
+    assert(up.contains("Expand") || up.contains("Generate"),
+      "unpivot should expand rows:\n" + up)
+    assert(!up.contains("Join"), "unpivot must not join:\n" + up)
+  }
+
   test("prototype pruning broadcasts centroids/sizes and cuts per cell") {
     val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
     df.collect() // final adaptive plan
