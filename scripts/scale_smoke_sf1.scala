@@ -13,6 +13,18 @@
 //     --jars target/scala-2.13/qlbridgespark_2.13-0.1.0.jar \
 //     -I scripts/scale_smoke_sf1.scala
 //
+// FULL r11 RUN (this host, 2026-08-14, end-to-end at r11 HEAD): every
+// family within the bands below; r11 additions measured —
+//   pl_winnow_index_ship   6.5-9.4 s, 120,676 delta-touching pairs
+//   pl_dedup_simhash_ship  4.6-9.0 s, 119,623 delta-touching pairs
+//   pl_search_hybrid_rrf   9.4-10.4 s (two ranking chains + fusion)
+//   pl_split_dedup_aware   10.1-11.6 s / 50k docs (pair mine + CC + md5)
+//   pl_multimodal_phash_pairs 1.85-3.5 s, 361,666 pairs (budgets live;
+//     r10 exact: 24-30 s, 9.93M)
+//   bpe_train rounds=64    12.2 s; tail 0.180 s/round vs head 0.261 (flat)
+//   pl_emb_ann_recall      separates all 5 methods on the r11 noise
+//     corpus (lsh 0.296 / ivfpq 0.464 / pq 0.58 / ivf 0.63 / km 0.65)
+//
 // RESULTS (this host, 2026-08-14 r10 run at HEAD — post cellAssign
 // kernel + Generate barrier + banded split-leakage + word-bigram
 // kernel; 50k docs / 20k vectors, warm = later reps, same JVM; host

@@ -253,6 +253,25 @@ final class Planner(catalog: String => DataFrame,
           df.rollup(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
         else if (sel.groupByCube)
           df.cube(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+        else if (sel.groupingSets.nonEmpty) {
+          // GROUPING SETS: Spark's native grouping-set aggregation (one
+          // Expand + one aggregate — NOT a union of per-set scans).
+          // Grouping expressions must be UNALIASED — an alias makes the
+          // analyzer treat the set key as unrelated to the groupBy key
+          // and null it in every set (probed on this Spark) — so alias
+          // the key outputs positionally afterward (grouping columns
+          // lead the output schema in groupBy order).
+          val unaliased = keyNodes.map(k => ColumnBuilder.build(k, postWhereCtx))
+          val byText = keyNodes.zip(unaliased).map { case (k, c) => k.text -> c }.toMap
+          val keyNames = keyNodes.map(k =>
+            cols.find(c => sameExpr(k, c.expr, cols)).map(_.outputName)
+              .getOrElse(Ast.defaultName(k)))
+          val grouped = df.groupingSets(
+              sel.groupingSets.map(_.map(k => byText(k.text))),
+              unaliased: _*)
+            .agg(aggAll.head, aggAll.tail: _*)
+          grouped.toDF(keyNames ++ grouped.columns.drop(keyNodes.size): _*)
+        }
         else df.groupBy(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
 
       // substitution map: agg/select expr text → output column name
@@ -462,7 +481,7 @@ final class Planner(catalog: String => DataFrame,
       case CaseNode(branches, els) =>
         branches.exists { case (w, t) => hasSub(w) || hasSub(t) } || els.exists(hasSub)
       case ArrayNode(items) => items.exists(hasSub)
-      case WindowNode(f, pb, ob) =>
+      case WindowNode(f, pb, ob, _) =>
         hasSub(f) || pb.exists(hasSub) || ob.exists(p => hasSub(p._1))
       case _ => false
     }
@@ -504,9 +523,9 @@ final class Planner(catalog: String => DataFrame,
       case CaseNode(branches, els) => CaseNode(
         branches.map { case (w, t) => (subst(w), subst(t)) }, els.map(subst))
       case ArrayNode(items) => ArrayNode(items.map(subst))
-      case WindowNode(f, pb, ob) => WindowNode(
+      case WindowNode(f, pb, ob, fr) => WindowNode(
         subst(f).asInstanceOf[FuncNode], pb.map(subst),
-        ob.map { case (e, asc) => (subst(e), asc) })
+        ob.map { case (e, asc) => (subst(e), asc) }, fr)
       case other => other
     }
     sel.copy(

@@ -111,10 +111,23 @@ object ColumnBuilder {
   private def window(w: WindowNode, ctx: BuildCtx): Column = {
     import org.apache.spark.sql.expressions.Window
     val base = Window.partitionBy(w.partitionBy.map(build(_, ctx)): _*)
-    val spec =
+    val ordered =
       if (w.orderBy.isEmpty) base
       else base.orderBy(w.orderBy.map { case (n, asc) =>
         val c = build(n, ctx); if (asc) c.asc else c.desc }: _*)
+    // frame clause: aggregate window functions only — ranking/offset
+    // functions define their own frame and must refuse one loudly
+    // (matching Spark SQL's own analyzer rule)
+    val aggWindowFns = Set("sum", "avg", "min", "max", "count")
+    val spec = w.frame match {
+      case None => ordered
+      case Some((unit, s, e)) =>
+        if (!aggWindowFns.contains(w.func.name.toLowerCase))
+          throw new IllegalArgumentException(
+            s"${w.func.name} does not accept a frame clause")
+        if (unit == "ROWS") ordered.rowsBetween(s, e)
+        else ordered.rangeBetween(s, e)
+    }
     val f = w.func
     def arg0: Column = build(f.args.head, ctx)
     def offsetArg: Int = f.args.lift(1) match {

@@ -101,14 +101,24 @@ final case class CaseNode(branches: Seq[(Node, Node)], elseNode: Option[Node]) e
 }
 
 /** Window-function application: `func(args) OVER (PARTITION BY …
-  * ORDER BY … [ASC|DESC])` — beyond the reference dialect (qlbridge
-  * has no OVER; its engine evaluates row-at-a-time and cannot see a
-  * partition), planned onto Spark's Window operator. Frame clauses are
-  * not parsed: ranking/offset functions ignore frames and the
-  * default RANGE UNBOUNDED PRECEDING..CURRENT ROW is what running
-  * aggregates mean; orderBy pairs are (expr, ascending). */
+  * ORDER BY … [ASC|DESC] [ROWS|RANGE BETWEEN … AND …])` — beyond the
+  * reference dialect (qlbridge has no OVER; its engine evaluates
+  * row-at-a-time and cannot see a partition), planned onto Spark's
+  * Window operator. `frame` is (unit, start, end) with the Spark
+  * sentinels Long.MinValue = UNBOUNDED PRECEDING, 0 = CURRENT ROW,
+  * Long.MaxValue = UNBOUNDED FOLLOWING; None = Spark's default frame
+  * (what running aggregates mean). Frames apply to aggregate window
+  * functions only — ranking/offset functions refuse one loudly. */
 final case class WindowNode(func: FuncNode, partitionBy: Seq[Node],
-    orderBy: Seq[(Node, Boolean)]) extends Node {
+    orderBy: Seq[(Node, Boolean)],
+    frame: Option[(String, Long, Long)] = None) extends Node {
+  private def bound(v: Long, following: String): String = v match {
+    case Long.MinValue => "UNBOUNDED PRECEDING"
+    case Long.MaxValue => "UNBOUNDED FOLLOWING"
+    case 0 => "CURRENT ROW"
+    case n if n < 0 => s"${-n} PRECEDING"
+    case n => s"$n $following"
+  }
   def text: String = {
     val clauses = Seq(
       if (partitionBy.nonEmpty)
@@ -117,7 +127,10 @@ final case class WindowNode(func: FuncNode, partitionBy: Seq[Node],
       if (orderBy.nonEmpty)
         Some("ORDER BY " + orderBy.map { case (n, asc) =>
           n.text + (if (asc) " ASC" else " DESC") }.mkString(", "))
-      else None).flatten
+      else None,
+      frame.map { case (u, s, e) =>
+        s"$u BETWEEN ${bound(s, "FOLLOWING")} AND ${bound(e, "FOLLOWING")}" })
+      .flatten
     s"${func.text} OVER (${clauses.mkString(" ")})"
   }
 }
@@ -161,7 +174,7 @@ object Node {
     case CaseNode(bs, e) =>
       bs.flatMap { case (c, v) => findIncludes(c) ++ findIncludes(v) } ++
         e.toSeq.flatMap(findIncludes)
-    case WindowNode(f, parts, ord) =>
+    case WindowNode(f, parts, ord, _) =>
       findIncludes(f) ++ parts.flatMap(findIncludes) ++ ord.flatMap(o => findIncludes(o._1))
     case _ => Nil
   }

@@ -190,6 +190,38 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: GROUP BY GROUPING SETS — the general grouping-set form
+    // (ROLLUP/CUBE are its special cases); one Expand + one aggregate,
+    // never a union of per-set scans
+    "ql_grouping_sets" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // engine: window FRAME clauses (ROWS BETWEEN) through the dialect —
+    // trailing sum over integer-valued doubles (exact in fp regardless
+    // of the engines' frame-evaluation association order)
+    "ql_window_frame" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber,
+          |  sum(l_quantity) OVER (PARTITION BY l_orderkey
+          |    ORDER BY l_linenumber, l_quantity
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3
+          |FROM lineitem WHERE l_orderkey < 500
+          |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  sum(l_quantity) OVER (PARTITION BY l_orderkey
+             |    ORDER BY l_linenumber, l_quantity
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS trail3
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)),
+
     // engine: SQL-standard PIVOT through the dialect (beyond ref) —
     // explicit IN values so the output schema is fixed up front (no
     // distinct-scan job); sum over integer-valued doubles stays exact

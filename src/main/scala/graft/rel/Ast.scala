@@ -70,6 +70,10 @@ final case class SqlSelect(
     // (beyond ref); at most one of the two is set
     groupByRollup: Boolean = false,
     groupByCube: Boolean = false,
+    // GROUP BY GROUPING SETS ((a, b), (a), ()) — the general grouping-
+    // set form (beyond ref); groupBy holds the distinct keys in first-
+    // appearance order, groupingSets the per-set key lists
+    groupingSets: Seq[Seq[Node]] = Nil,
     having: Option[Node] = None,
     orderBy: Seq[(Node, Boolean)] = Nil, // (expr, ascending)
     limit: Option[Int] = None,

@@ -27,10 +27,11 @@ object Fingerprint {
       "case " + branches.map { case (c, v) =>
         "when " + norm(c) + " then " + norm(v) }.mkString(" ") +
         els.map(e => " else " + norm(e)).getOrElse("") + " end"
-    case WindowNode(f, parts, ord) =>
+    case WindowNode(f, parts, ord, frame) =>
       norm(f) + " over (" + parts.map(norm).mkString(", ") + " ; " +
         ord.map { case (n, asc) => norm(n) + (if (asc) " asc" else " desc") }
-          .mkString(", ") + ")"
+          .mkString(", ") +
+        frame.map { case (u, s, e) => s" ; ${u.toLowerCase} $s $e" }.getOrElse("") + ")"
     case SubqueryNode(tokens) => "(" + tokens.map { t =>
       t.kind match {
         // literals inside the subquery erase like any other literal;

@@ -122,6 +122,7 @@ final class SqlParser(tokens: Vector[Token]) {
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     var groupByRollup = false
     var groupByCube = false
+    var groupingSets: Seq[Seq[graft.expr.Node]] = Nil
     val groupBy = if (kw("GROUP")) {
       next(); expect("BY")
       if (kw("ROLLUP") || kw("CUBE")) {
@@ -131,6 +132,23 @@ final class SqlParser(tokens: Vector[Token]) {
         val keys = parseExprList()
         expect(")")
         keys
+      } else if (kw("GROUPING")) {
+        next(); expect("SETS"); expect("(")
+        val sets = collection.mutable.ArrayBuffer[Seq[graft.expr.Node]]()
+        var more = true
+        while (more) {
+          expect("(")
+          val set = if (cur.is(")")) Nil else parseExprList()
+          expect(")")
+          sets += set
+          more = eat(",")
+        }
+        expect(")")
+        groupingSets = sets.toSeq
+        // distinct keys in first-appearance order
+        val seen = collection.mutable.LinkedHashMap[String, graft.expr.Node]()
+        for (set <- groupingSets; k <- set if !seen.contains(k.text)) seen(k.text) = k
+        seen.values.toSeq
       } else parseExprList()
     } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
@@ -144,7 +162,7 @@ final class SqlParser(tokens: Vector[Token]) {
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
     SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, groupByCube,
-      having, orderBy, limit, offset, into, qualify)
+      groupingSets, having, orderBy, limit, offset, into, qualify)
   }
 
   /** Optional `WITH key = value, …` statement config
@@ -226,8 +244,31 @@ final class SqlParser(tokens: Vector[Token]) {
         more = eat(",")
       }
     }
+    val frame: Option[(String, Long, Long)] =
+      if (kw("ROWS") || kw("RANGE")) {
+        val unit = next().text.toUpperCase
+        def bound(): Long = {
+          if (kw("UNBOUNDED")) {
+            next()
+            if (kw("PRECEDING")) { next(); Long.MinValue }
+            else { expect("FOLLOWING"); Long.MaxValue }
+          } else if (kw("CURRENT")) { next(); expect("ROW"); 0L }
+          else {
+            val n = cur.text.toLongOption.getOrElse(
+              throw ParseException(s"expected frame bound, got '${cur.text}'"))
+            next()
+            if (kw("PRECEDING")) { next(); -n }
+            else { expect("FOLLOWING"); n }
+          }
+        }
+        if (kw("BETWEEN")) {
+          next()
+          val lo = bound(); expect("AND"); val hi = bound()
+          Some((unit, lo, hi))
+        } else Some((unit, bound(), 0L)) // shorthand: <bound> = BETWEEN <bound> AND CURRENT ROW
+      } else None
     expect(")")
-    graft.expr.WindowNode(f, parts.toSeq, orders.toSeq)
+    graft.expr.WindowNode(f, parts.toSeq, orders.toSeq, frame)
   }
 
   private def parseFrom(): Seq[FromSource] = {

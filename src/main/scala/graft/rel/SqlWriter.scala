@@ -75,6 +75,9 @@ object SqlWriter {
           val keys = s.groupBy.map(_.text).mkString(", ")
           if (s.groupByRollup) s"GROUP BY ROLLUP($keys)"
           else if (s.groupByCube) s"GROUP BY CUBE($keys)"
+          else if (s.groupingSets.nonEmpty)
+            "GROUP BY GROUPING SETS (" + s.groupingSets.map(
+              _.map(_.text).mkString("(", ", ", ")")).mkString(", ") + ")"
           else "GROUP BY " + keys
         } else "",
         s.having.map("HAVING " + _.text).getOrElse(""),

@@ -191,6 +191,30 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("window frame clauses (ROWS BETWEEN) through the dialect") {
+    // 2-row trailing sum per user: row n sums rows n-1..n
+    testSelect(
+      """SELECT order_id,
+        |  sum(price) OVER (PARTITION BY user_id ORDER BY order_id
+        |    ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS trail2
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 22.50), Seq(2L, 60.0), Seq(3L, 22.50)))
+    // shorthand `ROWS n PRECEDING` = BETWEEN n PRECEDING AND CURRENT ROW
+    testSelect(
+      """SELECT order_id,
+        |  count(*) OVER (ORDER BY order_id ROWS UNBOUNDED PRECEDING) AS running
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 1L), Seq(2L, 2L), Seq(3L, 3L)))
+    // ranking functions refuse a frame loudly
+    testSelectErr(
+      "SELECT row_number() OVER (ORDER BY order_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM orders")
+    // print -> parse roundtrip keeps the frame
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT sum(price) OVER (PARTITION BY user_id ORDER BY order_id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM orders"))
+    assert(printed.contains("ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("PIVOT through the dialect") {
     // per-user item-count pivot: remaining column (user_id) groups
     testSelect(
@@ -281,6 +305,26 @@ class EngineSpec extends AnyFunSuite {
     val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
       "SELECT user_id, count(*) AS n FROM orders GROUP BY ROLLUP(user_id)"))
     assert(printed.contains("GROUP BY ROLLUP("), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
+  test("GROUP BY GROUPING SETS produces exactly the named sets (dialect)") {
+    // sets: (user_id), () — per-user counts plus the grand total, but
+    // NOT the per-(user,item) rows a CUBE would add
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((user_id), ()) ORDER BY user_id""".stripMargin,
+      Seq(Seq(null, 3L), Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 1L)))
+    // two single-key sets = the union of two groupings, one pass
+    testSelect(
+      """SELECT user_id, item_id, count(*) AS n FROM orders
+        |GROUP BY GROUPING SETS ((user_id), (item_id))
+        |ORDER BY user_id, item_id""".stripMargin,
+      Seq(Seq(null, 1L, 2L), Seq(null, 2L, 1L),
+        Seq("9Ip1aKbeZe2njCDM", null, 2L), Seq("abcabcabc", null, 1L)))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT user_id, count(*) AS n FROM orders GROUP BY GROUPING SETS ((user_id), ())"))
+    assert(printed.contains("GROUP BY GROUPING SETS ((user_id), ())"), printed)
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
