@@ -57,6 +57,11 @@ final class Planner(catalog: String => DataFrame,
       val right = source(src)
       val joined = (src.joinType, src.joinOn) match {
         case (JoinType.Cross, None) => df.crossJoin(right)
+        case (jt, Some(FuncNode("__using", args))) =>
+          // USING join: Spark's Seq-of-names form coalesces the key
+          // columns into one, per the standard
+          val names = args.collect { case IdentityNode(p) => p.mkString(".") }
+          df.join(right, names, JoinType.spark(jt))
         case (jt, Some(on)) =>
           val ctx = mkCtx(df, right)
           df.join(right, ColumnBuilder.build(on, ctx), JoinType.spark(jt))

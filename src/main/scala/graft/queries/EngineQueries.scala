@@ -190,6 +190,19 @@ object EngineQueries {
              |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: JOIN ... USING — coalesced key column, standard
+    // semantics (TPC-H prefixes every column, so the shared name comes
+    // from renaming subqueries; DuckDB runs the identical statement)
+    "ql_join_using" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT custkey, c_name, o_orderkey
+          |FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+          |JOIN (SELECT o_custkey AS custkey, o_orderkey FROM orders) o USING (custkey)
+          |ORDER BY custkey, o_orderkey""".stripMargin),
+      Some("""SELECT custkey, c_name, o_orderkey
+             |FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+             |JOIN (SELECT o_custkey AS custkey, o_orderkey FROM orders) o USING (custkey)
+             |ORDER BY custkey, o_orderkey""".stripMargin)),
     // engine: GROUP BY GROUPING SETS — the general grouping-set form
     // (ROLLUP/CUBE are its special cases); one Expand + one aggregate,
     // never a union of per-set scans

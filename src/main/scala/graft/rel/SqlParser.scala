@@ -28,7 +28,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING")
 
   def parseStatement(): Statement = {
     val st =
@@ -289,9 +289,21 @@ final class SqlParser(tokens: Vector[Token]) {
         if (kw("JOIN")) {
           next()
           val t = jt.getOrElse(JoinType.Inner)
-          val on = { // parse source first, then ON
+          val on = { // parse source first, then ON / USING
             val src = parseOneSource(t, None)
-            val onExpr = if (eat("ON")) Some(ep.parseExpr()) else None
+            val onExpr =
+              if (eat("ON")) Some(ep.parseExpr())
+              else if (eat("USING")) {
+                // USING (a, b): equality on the shared names, key columns
+                // coalesced in the output (standard semantics) — encoded
+                // as the __using marker the planner and writer recognize
+                expect("(")
+                val names = collection.mutable.ArrayBuffer(ident())
+                while (eat(",")) names += ident()
+                expect(")")
+                Some(graft.expr.FuncNode("__using",
+                  names.toSeq.map(n => graft.expr.IdentityNode(Seq(n)))))
+              } else None
             // reference/rel/parse_sql.go:1264-1291 refuses a JOIN with no
             // ON clause; only CROSS JOIN (and comma-FROM) may omit it.
             if (onExpr.isEmpty && t != JoinType.Cross)

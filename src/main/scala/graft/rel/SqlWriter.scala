@@ -56,7 +56,11 @@ object SqlWriter {
           s"$inner UNPIVOT ($valCol FOR $keyCol IN ($cs))" +
             alias.map(" AS " + _).getOrElse("")
       }
-      val on = f.joinOn.map(o => " ON " + o.text).getOrElse("")
+      val on = f.joinOn.map {
+        case graft.expr.FuncNode("__using", args) =>
+          " USING (" + args.map(_.text).mkString(", ") + ")"
+        case o => " ON " + o.text
+      }.getOrElse("")
       if (i == 0) base else s"${joinKw(f.joinType)} $base$on"
     }.mkString(" ")
 

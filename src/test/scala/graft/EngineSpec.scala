@@ -215,6 +215,23 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("JOIN USING coalesces the key column (dialect)") {
+    testSelect(
+      """SELECT user_id, order_id, email FROM orders
+        |JOIN users USING (user_id) ORDER BY order_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L, "aaron@email.com"),
+        Seq("9Ip1aKbeZe2njCDM", 2L, "aaron@email.com")))
+    // LEFT JOIN USING keeps unmatched left rows
+    testSelect(
+      """SELECT order_id, email FROM orders
+        |LEFT JOIN users USING (user_id) ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, "aaron@email.com"), Seq(2L, "aaron@email.com"), Seq(3L, null)))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT order_id FROM orders JOIN users USING (user_id)"))
+    assert(printed.contains("JOIN users USING (user_id)"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("PIVOT through the dialect") {
     // per-user item-count pivot: remaining column (user_id) groups
     testSelect(
