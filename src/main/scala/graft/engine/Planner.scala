@@ -57,6 +57,15 @@ final class Planner(catalog: String => DataFrame,
       val right = source(src)
       val joined = (src.joinType, src.joinOn) match {
         case (JoinType.Cross, None) => df.crossJoin(right)
+        case (jt, Some(FuncNode("__natural", _))) =>
+          // NATURAL JOIN: USING over every shared column name; refuse
+          // loudly when there is none (a silent cartesian is the classic
+          // NATURAL-JOIN footgun)
+          val shared = df.columns.filter(c =>
+            right.columns.exists(_.equalsIgnoreCase(c))).toSeq
+          if (shared.isEmpty)
+            throw BuildException("NATURAL JOIN with no shared column names")
+          df.join(right, shared, JoinType.spark(jt))
         case (jt, Some(FuncNode("__using", args))) =>
           // USING join: Spark's Seq-of-names form coalesces the key
           // columns into one, per the standard

@@ -28,7 +28,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL")
 
   def parseStatement(): Statement = {
     val st =
@@ -280,6 +280,8 @@ final class SqlParser(tokens: Vector[Token]) {
       if (eat(",")) out += parseOneSource(JoinType.Cross, None) // comma join
       else {
         var jt: Option[JoinType] = None
+        var natural = false
+        if (kw("NATURAL")) { next(); natural = true }
         if (kw("INNER")) { next(); jt = Some(JoinType.Inner) }
         else if (kw("LEFT")) { next(); eat("OUTER"); jt = Some(JoinType.Left) }
         else if (kw("RIGHT")) { next(); eat("OUTER"); jt = Some(JoinType.Right) }
@@ -292,7 +294,14 @@ final class SqlParser(tokens: Vector[Token]) {
           val on = { // parse source first, then ON / USING
             val src = parseOneSource(t, None)
             val onExpr =
-              if (eat("ON")) Some(ep.parseExpr())
+              if (natural) {
+                if (kw("ON") || kw("USING"))
+                  throw ParseException("NATURAL JOIN takes no ON/USING clause")
+                // shared key names resolve at plan time, when both
+                // schemas are known
+                Some(graft.expr.FuncNode("__natural", Nil))
+              }
+              else if (eat("ON")) Some(ep.parseExpr())
               else if (eat("USING")) {
                 // USING (a, b): equality on the shared names, key columns
                 // coalesced in the output (standard semantics) — encoded
@@ -315,7 +324,7 @@ final class SqlParser(tokens: Vector[Token]) {
               case us: UnpivotSource => us.copy(joinType = t, joinOn = onExpr)
             })
           }
-        } else if (jt.isDefined) throw ParseException("expected JOIN")
+        } else if (jt.isDefined || natural) throw ParseException("expected JOIN")
         else more = false
       }
     }

@@ -57,11 +57,15 @@ object SqlWriter {
             alias.map(" AS " + _).getOrElse("")
       }
       val on = f.joinOn.map {
+        case graft.expr.FuncNode("__natural", _) => ""
         case graft.expr.FuncNode("__using", args) =>
           " USING (" + args.map(_.text).mkString(", ") + ")"
         case o => " ON " + o.text
       }.getOrElse("")
-      if (i == 0) base else s"${joinKw(f.joinType)} $base$on"
+      val natural = f.joinOn.exists {
+        case graft.expr.FuncNode("__natural", _) => true; case _ => false }
+      if (i == 0) base
+      else s"${if (natural) "NATURAL " else ""}${joinKw(f.joinType)} $base$on"
     }.mkString(" ")
 
   private def orderBy(o: Seq[(Node, Boolean)]): String =

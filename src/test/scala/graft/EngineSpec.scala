@@ -232,6 +232,21 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("NATURAL JOIN joins on every shared name, refuses when none (dialect)") {
+    // users/orders share only user_id
+    testSelect(
+      """SELECT order_id, email FROM orders
+        |NATURAL JOIN users ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, "aaron@email.com"), Seq(2L, "aaron@email.com")))
+    // no shared columns -> loud error, never a silent cartesian
+    testSelectErr(
+      "SELECT 1 FROM (SELECT order_id FROM orders) a NATURAL JOIN (SELECT user_id FROM users) b")
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT order_id FROM orders NATURAL JOIN users"))
+    assert(printed.contains("NATURAL INNER JOIN users"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("PIVOT through the dialect") {
     // per-user item-count pivot: remaining column (user_id) groups
     testSelect(
