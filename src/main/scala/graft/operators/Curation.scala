@@ -396,6 +396,42 @@ object Curation {
       .withColumn("pos", row_number().over(w).cast(LongType))
   }
 
+  /** Curriculum-ordered shuffle-shard: [[shuffleShards]] whose
+    * within-shard position follows the CURRICULUM — easy stages first
+    * (Bengio et al. 2009) — while staying byte-reproducible. `stage` =
+    * which of the `stages` exact-percentile difficulty bands the doc
+    * falls in (thresholds rounded to 4 dp, ties land in the LOWER
+    * stage — the [[TextAnalysis.perplexityBuckets]] discipline), shard
+    * = md5 bucket of the id, and in-shard order is (stage asc, md5) —
+    * training readers stream each shard in `pos` order and see
+    * easy→hard with md5-decorrelated order inside each stage.
+    *
+    * Scale: ONE bounded percentile aggregate (stages−1 thresholds,
+    * broadcast), the stage compare in the scan stage, and one
+    * per-shard rank window (parallelism = `shards`) — no global sort,
+    * same cost shape as [[shuffleShards]]. */
+  def curriculumShards(df: DataFrame, idCol: String, difficulty: Column,
+      shards: Int, stages: Int = 10): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    require(stages > 1 && stages <= 1000, "stages in (1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), difficulty.cast(DoubleType).as("__d"))
+    val pcts = (1 until stages)
+      .map(i => s"CAST($i AS DOUBLE)/$stages").mkString(", ")
+    val th = base
+      .agg(expr(s"percentile(__d, array($pcts))").as("__th"))
+      .select(transform(col("__th"), t => round(t, 4)).as("__th"))
+    val h = md5(col(idCol).cast(StringType).cast(BinaryType))
+    val shard = (conv(substring(h, 1, 8), 16, 10).cast(LongType) % shards).cast(IntegerType)
+    val w = Window.partitionBy(col("shard")).orderBy(col("stage"), h, col(idCol))
+    base.crossJoin(broadcast(th))
+      .withColumn("stage",
+        size(filter(col("__th"), t => col("__d") > t)).cast(LongType))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col(idCol), col("stage"), col("shard"), col("pos"))
+  }
+
   /** Curation funnel report — pipeline observability: one row per
     * screen with its survivor count, so a corpus run shows where
     * documents die (the number every pipeline owner asks for first).

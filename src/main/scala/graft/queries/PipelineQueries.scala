@@ -1429,6 +1429,37 @@ object PipelineQueries {
              |  row_number() OVER (PARTITION BY shard ORDER BY hv, doc_id) AS pos
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // curriculum-ordered shards: within-shard position runs easy->hard
+    // by token-count percentile stage, md5-decorrelated inside each
+    // stage — the byte-reproducible curriculum a training reader
+    // streams directly (Bengio et al. 2009 ordering, shuffleShards
+    // reproducibility)
+    "pl_curriculum_shard" -> Q(
+      (s, d) => graft.operators.Curation.curriculumShards(
+          Tables(s, d, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), shards = 8, stages = 4)
+        .orderBy("doc_id"),
+      Some("""WITH cd AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS d
+             |  FROM documents
+             |), cth AS (
+             |  SELECT list_transform(quantile_cont(d,
+             |    [CAST(1 AS DOUBLE)/4, CAST(2 AS DOUBLE)/4, CAST(3 AS DOUBLE)/4]),
+             |    t -> round(t, 4)) AS th
+             |  FROM cd
+             |), cst AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(th, t -> d > t)) AS BIGINT) AS stage,
+             |    md5(CAST(doc_id AS VARCHAR)) AS hv,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+             |      AS INTEGER) AS shard
+             |  FROM cd, cth
+             |)
+             |SELECT doc_id, stage, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY stage, hv, doc_id) AS pos
+             |FROM cst ORDER BY doc_id""".stripMargin)),
+
     // normalized exact dedup: hash the CANONICAL form — catches the
     // case/spacing/unicode-form variants a raw-byte hash misses
     "pl_dedup_exact_normalized" -> Q(

@@ -1559,6 +1559,26 @@ class PipelineSpec extends AnyFunSuite {
       s"delta missing ${fullTouchingOdd -- delta}, extra ${delta -- fullTouchingOdd}")
   }
 
+  test("curriculum shards: pos order is easy-to-hard within every shard, stages balanced") {
+    val out = Curation.curriculumShards(docs, "doc_id",
+        TextAnalysis.tokenCount(col("text")), shards = 4, stages = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.length == docs.count())
+    // within each shard, pos order never goes back to an easier stage
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      val stagesInPosOrder = rows.sortBy(_._4).map(_._2)
+      assert(stagesInPosOrder.sameElements(stagesInPosOrder.sorted),
+        s"shard $shard not curriculum-ordered: ${stagesInPosOrder.toSeq}")
+      // and positions are dense 1..n
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length))
+    }
+    // percentile stages are roughly balanced (exact quartiles; ties
+    // can skew a band but never empty the extremes on this corpus)
+    val byStage = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStage.keySet == Set(0L, 1L, 2L, 3L), s"stages: $byStage")
+    Dedup.releaseAll()
+  }
+
   test("dedup-aware split: no near-dup pair straddles splits; singletons match plain splitAssign") {
     val splits = Seq("train" -> 900, "eval" -> 100)
     val out = Curation.dedupAwareSplit(docs, "doc_id", "text", splits)
