@@ -868,6 +868,44 @@ object Similarity {
     IvfSeedIndex(seeds, cell)
   }
 
+  /** Persistable IVF index artifact: `centroids` (cid, c) and the
+    * PRE-ASSIGNED corpus `assignments` (id, cell, v) — both parquet
+    * round-trip safe. The build-once/search-forever contract the other
+    * shipped artifacts follow (MinHash, winnow, hamming, BPE,
+    * classifier): a query never re-runs the quantizer over the corpus,
+    * it reads the stored cell column and scans only the probed cells.
+    * At 100 TB, write `assignments` partitioned (or bucketed) BY
+    * `cell` and a search touches only nprobe/nlist of the files. */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** Build the [[IvfIndex]]: one corpus pass assigns every vector to
+    * its nearest md5-seeded centroid (the [[ivfSeedIndex]] quantizer,
+    * so seeded searches and shipped searches agree exactly). */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfIndex = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val (seeds, cell) = seedCells(df, idCol, vecCol, nlist)
+    val spark = df.sparkSession
+    import spark.implicits._
+    IvfIndex(seeds.toDF("cid", "c"),
+      df.select(col(idCol).as("id"), v.as("v"), cell.as("cell")))
+  }
+
+  /** IVF top-k from a stored [[IvfIndex]]: probe selection reads the
+    * |nlist|-row centroid table (bounded collect), the corpus side
+    * reads only the probed cells of the stored assignments — identical
+    * output to [[ivfTopK]] on the same corpus (spec-gated). */
+  def ivfTopKFromIndex(index: IvfIndex, query: Seq[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val seeds = index.centroids.select("cid", "c").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).sortBy(_._1).toSeq
+    val probed = probeCellsD(seeds, query.map(_.toDouble), nprobe)
+    index.assignments.filter(col("cell").isin(probed: _*))
+      .select(col("id"), round(cosine(col("v"), litVec(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** Batch seeded-IVF ANN: one md5-seeded quantizer serves every probe;
     * per-probe cell selection happens on the driver (nlist × probes
     * cosines) and joins back as a broadcast (probe_id, cell, pv) frame,

@@ -768,6 +768,51 @@ object PipelineQueries {
              |FROM assign2 a JOIN probe p ON a.cell = p.idx, q
              |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin)),
 
+    // ship-the-ANN-index: centroids + pre-assigned corpus round-trip
+    // through parquet; the search reads ONLY the probed cells of the
+    // stored assignments — same oracle as pl_emb_ann_ivf, so any drift
+    // in the artifact path turns this row red while the direct row
+    // stays green
+    "pl_emb_ann_index_ship" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          nlist = AnnParams.IvfNlist)
+        val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        idx.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+        val stored = Similarity.IvfIndex(
+          s.read.parquet(s"$dir/centroids"),
+          s.read.parquet(s"$dir/assignments"))
+        Similarity.ivfTopKFromIndex(stored, q, k = 10,
+            nprobe = AnnParams.IvfNprobe)
+          .withColumnRenamed("id", "vec_id")
+      },
+      Some("""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT vec_id AS cid, v AS c FROM emb
+             |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+             |),
+             |assign AS (
+             |  SELECT vec_id, v, cid FROM (
+             |    SELECT e.vec_id, e.v, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY list_cosine_similarity(e.v, c.c) DESC, c.cid) AS rn
+             |    FROM emb e CROSS JOIN cent c) WHERE rn = 1
+             |),
+             |probe AS (
+             |  SELECT cid FROM (
+             |    SELECT c.cid, row_number() OVER (
+             |      ORDER BY list_cosine_similarity(c.c, q.v) DESC, c.cid) AS rn
+             |    FROM cent c, emb q WHERE q.vec_id = 0) WHERE rn <= 2
+             |)
+             |SELECT a.vec_id, round(list_cosine_similarity(a.v, q.v), 4) AS cos
+             |FROM assign a JOIN probe p ON a.cid = p.cid, emb q
+             |WHERE q.vec_id = 0
+             |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin)),
+
     "pl_emb_ann_ivf" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")

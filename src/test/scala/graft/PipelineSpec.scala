@@ -1559,6 +1559,23 @@ class PipelineSpec extends AnyFunSuite {
       s"delta missing ${fullTouchingOdd -- delta}, extra ${delta -- fullTouchingOdd}")
   }
 
+  test("IVF ship-the-index: stored centroids+assignments replay ivfTopK exactly") {
+    val q = emb.filter(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val direct = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+        k = 10, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/c")
+    idx.assignments.write.mode("overwrite").parquet(s"$dir/a")
+    val stored = Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/c"), spark.read.parquet(s"$dir/a"))
+    val shipped = Similarity.ivfTopKFromIndex(stored, q, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(shipped == direct, s"shipped $shipped != direct $direct")
+  }
+
   test("curriculum shards: pos order is easy-to-hard within every shard, stages balanced") {
     val out = Curation.curriculumShards(docs, "doc_id",
         TextAnalysis.tokenCount(col("text")), shards = 4, stages = 4)
