@@ -145,17 +145,23 @@ final class GraftSession(val spark: SparkSession) {
   private def planner = new Planner(table, sessionVars.toMap, includer)
 
   /** Plan a `WITH … SELECT` chain: each CTE plans against a catalog
-    * overlay holding the CTEs before it (sequential scope, no
-    * recursion), then the body plans with every CTE visible. CTE names
-    * shadow registered tables for the statement's duration only —
-    * nothing enters the session registry. */
+    * overlay holding the CTEs before it (sequential scope), then the
+    * body plans with every CTE visible. CTE names shadow registered
+    * tables for the statement's duration only — nothing enters the
+    * session registry. Under WITH RECURSIVE, a self-referencing CTE is
+    * evaluated to fixpoint by [[planRecursiveCte]]. */
   private def runWith(w: SqlWith): DataFrame = {
     val overlay = collection.mutable.Map[String, DataFrame]()
     def lookup(n: String): DataFrame =
       overlay.getOrElse(n.toLowerCase, table(n))
-    for ((name, st) <- w.ctes) {
-      val df = new Planner(lookup, sessionVars.toMap, includer).planStatement(st)
-      overlay(name.toLowerCase) = df
+    for (cte <- w.ctes) {
+      val df =
+        if (w.recursive && Planner.referencesTable(cte.stmt, cte.name))
+          planRecursiveCte(cte, overlay, lookup)
+        else applyCteCols(
+          new Planner(lookup, sessionVars.toMap, includer).planStatement(cte.stmt),
+          cte)
+      overlay(cte.name.toLowerCase) = df
     }
     val p = new Planner(lookup, sessionVars.toMap, includer)
     w.body match {
@@ -169,6 +175,78 @@ final class GraftSession(val spark: SparkSession) {
         throw BuildException("nested WITH is not supported; merge the CTE lists")
       case other => p.planStatement(other)
     }
+  }
+
+  /** Positional column aliases from `name(col, …) AS (…)`. */
+  private def applyCteCols(df: DataFrame, cte: CteDef): DataFrame =
+    if (cte.cols.isEmpty) df
+    else if (cte.cols.length != df.columns.length)
+      throw BuildException(s"CTE ${cte.name} declares ${cte.cols.length} " +
+        s"columns but its query produces ${df.columns.length}")
+    else df.toDF(cte.cols: _*)
+
+  /** Fixpoint evaluation of a recursive CTE (`base UNION [ALL] rec`),
+    * semi-naive: iteration i plans the recursive term with the CTE name
+    * bound to iteration i-1's NEW rows only, so work per round is
+    * proportional to the frontier, not the accumulated result. UNION
+    * (distinct) additionally anti-joins each frontier against
+    * everything seen (`except`), which is what terminates cyclic
+    * graphs. Every frontier is localCheckpoint-ed: the plan stays one
+    * iteration deep instead of towering (the bpeTrain lineage lesson),
+    * and the accumulated result is a flat union of checkpointed
+    * frontiers. Iterations are distributed jobs; the only driver-side
+    * values are the per-round emptiness probes. Depth is capped
+    * (default 200, `SET @@max_recursion = n` to change) — a cyclic
+    * UNION ALL raises instead of spinning forever. */
+  private def planRecursiveCte(cte: CteDef,
+      overlay: collection.mutable.Map[String, DataFrame],
+      lookup: String => DataFrame): DataFrame = {
+    val (baseStmt, recStmt, all) = cte.stmt match {
+      case SqlSetOp(op, a, l, r, ob, lim) if op == "UNION" =>
+        if (ob.nonEmpty || lim.isDefined)
+          throw BuildException(s"WITH RECURSIVE ${cte.name}: ORDER BY/LIMIT " +
+            "on the recursive body is not supported; wrap the CTE instead")
+        if (Planner.referencesTable(l, cte.name))
+          throw BuildException(s"WITH RECURSIVE ${cte.name}: the self-" +
+            "reference must appear only in the final UNION term")
+        (l, r, a)
+      case _ =>
+        throw BuildException(s"WITH RECURSIVE ${cte.name}: body must be " +
+          "<base> UNION [ALL] <recursive term>")
+    }
+    val maxIter = sessionVars.get("max_recursion") match {
+      case Some(v) => v.toString.toDouble.toInt
+      case None => 200
+    }
+    val planner = new Planner(lookup, sessionVars.toMap, includer)
+    var result = applyCteCols(planner.planStatement(baseStmt), cte)
+    if (!all) result = result.distinct()
+    result = result.localCheckpoint(true)
+    var frontier = result
+    val key = cte.name.toLowerCase
+    var iter = 0
+    var done = frontier.isEmpty
+    while (!done) {
+      iter += 1
+      if (iter > maxIter)
+        throw BuildException(s"WITH RECURSIVE ${cte.name}: no fixpoint " +
+          s"after $maxIter iterations (SET @@max_recursion to raise)")
+      overlay(key) = frontier
+      var next = new Planner(lookup, sessionVars.toMap, includer)
+        .planStatement(recStmt)
+      if (next.columns.length != result.columns.length)
+        throw BuildException(s"WITH RECURSIVE ${cte.name}: recursive term " +
+          s"produces ${next.columns.length} columns, base ${result.columns.length}")
+      next = next.toDF(result.columns.toIndexedSeq: _*)
+      if (!all) next = next.distinct().except(result)
+      next = next.localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        result = result.union(next)
+        frontier = next
+      }
+    }
+    result
   }
 
   // ---- statement dispatch (exec/executor.go WalkPlan ≙) ---------------

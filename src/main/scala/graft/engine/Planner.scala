@@ -688,3 +688,25 @@ final class Planner(catalog: String => DataFrame,
       }
     }
 }
+
+object Planner {
+  /** Does `st` read table `name` anywhere in its FROM tree? Drives
+    * WITH RECURSIVE detection (a CTE whose statement reads its own
+    * name) and the base/recursive-term split validation. */
+  def referencesTable(st: Statement, name: String): Boolean = {
+    val n = name.toLowerCase
+    def inSource(fs: FromSource): Boolean = fs match {
+      case t: TableSource => t.name.toLowerCase == n
+      case s: SubquerySource => refs(s.select)
+      case p: PivotSource => inSource(p.source)
+      case u: UnpivotSource => inSource(u.source)
+    }
+    def refs(s: Statement): Boolean = s match {
+      case sel: SqlSelect => sel.from.exists(inSource)
+      case SqlSetOp(_, _, l, r, _, _) => refs(l) || refs(r)
+      case SqlWith(ctes, body, _) => ctes.exists(c => refs(c.stmt)) || refs(body)
+      case _ => false
+    }
+    refs(st)
+  }
+}

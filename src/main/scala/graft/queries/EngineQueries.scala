@@ -492,5 +492,75 @@ object EngineQueries {
              |   '{"size":0,"filter":{"bool":{"must":[{"range":{"age":{"gte":1}}},{"term":{"gone_column":2}}]}}}',
              |   '{"size":0,"filter":{"bool":{"filter":[{"range":{"age":{"gte":1}}},{"bool":{"must_not":{"match_all":{}}}}]}}}')
              |) AS t(name, es5, es2) ORDER BY name""".stripMargin)),
+
+    // engine: WITH RECURSIVE through the dialect (beyond ref AND beyond
+    // stock Spark SQL, which has no recursive CTE) — a hierarchy walk:
+    // parent(nk) = nk intdiv 2 shapes the 25 nations into a binary
+    // tree; recursion labels every node with its depth. UNION ALL path.
+    "ql_recursive_tree" -> Q(
+      (s, d) => session(s, d).sql(
+        """WITH RECURSIVE walk(nk, depth) AS (
+          |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey == 0
+          |  UNION ALL
+          |  SELECT n.n_nationkey, w.depth + 1 FROM nation n
+          |  JOIN walk w ON toint(n.n_nationkey / 2) == w.nk AND n.n_nationkey != 0
+          |)
+          |SELECT toint(w.nk) AS nk, toint(w.depth) AS depth, n.n_name
+          |FROM walk w
+          |JOIN nation n ON n.n_nationkey == w.nk
+          |ORDER BY nk""".stripMargin),
+      Some("""WITH RECURSIVE walk(nk, depth) AS (
+             |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT n.n_nationkey, w.depth + 1 FROM nation n
+             |  JOIN walk w ON n.n_nationkey // 2 = w.nk AND n.n_nationkey <> 0
+             |)
+             |SELECT CAST(w.nk AS BIGINT) AS nk, CAST(w.depth AS BIGINT) AS depth,
+             |  n.n_name
+             |FROM walk w
+             |JOIN nation n ON n.n_nationkey = w.nk
+             |ORDER BY nk""".stripMargin)),
+
+    // engine: WITH RECURSIVE, UNION-distinct fixpoint — the functional
+    // graph nk -> (2*nk+1) mod 25 cycles; distinct semantics (each
+    // frontier EXCEPTs everything seen) is what terminates the walk
+    "ql_recursive_fixpoint" -> Q(
+      (s, d) => session(s, d).sql(
+        """WITH RECURSIVE reach(nk) AS (
+          |  SELECT n_nationkey FROM nation WHERE n_nationkey == 0
+          |  UNION
+          |  SELECT (reach.nk * 2 + 1) % 25 FROM reach
+          |)
+          |SELECT toint(r.nk) AS nk, n.n_name FROM reach r
+          |JOIN nation n ON n.n_nationkey == r.nk
+          |ORDER BY nk""".stripMargin),
+      Some("""WITH RECURSIVE reach(nk) AS (
+             |  SELECT n_nationkey FROM nation WHERE n_nationkey = 0
+             |  UNION
+             |  SELECT (reach.nk * 2 + 1) % 25 FROM reach
+             |)
+             |SELECT CAST(r.nk AS BIGINT) AS nk, n.n_name FROM reach r
+             |JOIN nation n ON n.n_nationkey = r.nk
+             |ORDER BY nk""".stripMargin)),
+
+    // engine: WITH RECURSIVE arithmetic series (multi-column recursion
+    // with a stop predicate in the recursive term) — factorials to 12!,
+    // which stays inside int32 on both engines
+    "ql_recursive_series" -> Q(
+      (s, d) => session(s, d).sql(
+        """WITH RECURSIVE f(i, fact) AS (
+          |  SELECT 1, 1
+          |  UNION ALL
+          |  SELECT f.i + 1, f.fact * (f.i + 1) FROM f WHERE f.i < 12
+          |)
+          |SELECT toint(f.i) AS i, toint(f.fact) AS fact FROM f
+          |ORDER BY i""".stripMargin),
+      Some("""WITH RECURSIVE f(i, fact) AS (
+             |  SELECT 1, 1
+             |  UNION ALL
+             |  SELECT f.i + 1, f.fact * (f.i + 1) FROM f WHERE f.i < 12
+             |)
+             |SELECT CAST(i AS BIGINT) AS i, CAST(fact AS BIGINT) AS fact
+             |FROM f ORDER BY i""".stripMargin)),
   )
 }

@@ -84,12 +84,22 @@ final case class SqlSelect(
     // select aliases and plain columns
     qualify: Option[Node] = None) extends Statement
 
-/** `WITH name AS (SELECT …)[, …] <body>` — non-recursive common table
-  * expressions (beyond the reference dialect, which has no WITH-prefix
-  * statement form; its only WITH is the `key = value` statement-config
-  * tail). Each CTE is in scope for the CTEs after it and for the body;
-  * a CTE name shadows a registered table of the same name. */
-final case class SqlWith(ctes: Seq[(String, Statement)], body: Statement) extends Statement
+/** One common table expression: `name[(col, …)] AS (stmt)`. The
+  * optional column alias list renames the CTE's output positionally
+  * (required in practice for recursive CTEs, where the recursive term
+  * must see stable column names). */
+final case class CteDef(name: String, cols: Seq[String], stmt: Statement)
+
+/** `WITH [RECURSIVE] name[(cols)] AS (SELECT …)[, …] <body>` — common
+  * table expressions (beyond the reference dialect, which has no
+  * WITH-prefix statement form; its only WITH is the `key = value`
+  * statement-config tail). Each CTE is in scope for the CTEs after it
+  * and for the body; a CTE name shadows a registered table of the same
+  * name. With RECURSIVE, a CTE whose UNION [ALL] chain's final term
+  * references its own name is evaluated to fixpoint (semi-naive:
+  * each iteration sees only the previous iteration's new rows). */
+final case class SqlWith(ctes: Seq[CteDef], body: Statement,
+    recursive: Boolean = false) extends Statement
 
 /** UNION / INTERSECT / EXCEPT [ALL] chain — beyond the reference (its
   * dialect has no set ops, SURVEY §2.7); trailing ORDER BY/LIMIT of the

@@ -45,9 +45,12 @@ object Fingerprint {
   }
 
   private def normStmt(s: Statement): String = s match {
-    case SqlWith(ctes, body) =>
-      "WITH " + ctes.map { case (n, st) =>
-        n.toLowerCase + " AS (" + normStmt(st) + ")" }.mkString(", ") +
+    case SqlWith(ctes, body, recursive) =>
+      "WITH " + (if (recursive) "RECURSIVE " else "") +
+        ctes.map { case CteDef(n, cols, st) =>
+          n.toLowerCase +
+            (if (cols.nonEmpty) cols.map(_.toLowerCase).mkString("(", ", ", ")") else "") +
+            " AS (" + normStmt(st) + ")" }.mkString(", ") +
         " " + normStmt(body)
     case sel: SqlSelect =>
       val cols = sel.columns.map { c =>

@@ -66,25 +66,39 @@ final class SqlParser(tokens: Vector[Token]) {
   /** SELECT possibly chained with UNION / INTERSECT / EXCEPT [ALL];
     * or the FilterQL select form `SELECT cols FROM t FILTER expr`
     * (rel/filter.go:30-33 FilterSelect). */
-  /** Statement-leading `WITH name AS (select)[, …]` — non-recursive
-    * CTE prefix; the body is any further statement (usually SELECT,
-    * possibly another chain). Distinct from the reference's
+  /** Statement-leading `WITH [RECURSIVE] name[(col, …)] AS (select)
+    * [, …]` — CTE prefix; the body is any further statement (usually
+    * SELECT, possibly another chain). Distinct from the reference's
     * `WITH key = value` statement-config TAIL (consumeWith), which
     * only ever appears after the clauses. */
   private def parseWith(): Statement = {
     expect("WITH")
-    val ctes = collection.mutable.ArrayBuffer[(String, Statement)]()
+    // `RECURSIVE` is a soft keyword: only the flag when NOT itself a
+    // CTE name (i.e. not directly followed by AS or a column list)
+    val recursive = cur.kind == TIdent &&
+      cur.text.equalsIgnoreCase("RECURSIVE") && {
+        val after = tokens.lift(ep.pos + 1).map(_.text.toUpperCase)
+        !after.contains("AS") && !after.contains("(")
+      } && eat("RECURSIVE")
+    val ctes = collection.mutable.ArrayBuffer[CteDef]()
     var more = true
     while (more) {
       val name = ident()
+      val cols =
+        if (eat("(")) {
+          val cs = collection.mutable.ArrayBuffer[String](ident())
+          while (eat(",")) cs += ident()
+          expect(")")
+          cs.toSeq
+        } else Nil
       expect("AS")
       expect("(")
       val sub = parseSelectChain()
       expect(")")
-      ctes += ((name, sub))
+      ctes += CteDef(name, cols, sub)
       more = eat(",")
     }
-    SqlWith(ctes.toSeq, parseStatement())
+    SqlWith(ctes.toSeq, parseStatement(), recursive)
   }
 
   private def parseSelectChain(): Statement = {

@@ -94,9 +94,12 @@ object SqlWriter {
         s.limit.map("LIMIT " + _).getOrElse(""),
         s.offset.map("OFFSET " + _).getOrElse(""))
         .filter(_.nonEmpty).mkString(" ")
-    case SqlWith(ctes, body) =>
-      "WITH " + ctes.map { case (n, st) => s"$n AS (${toSql(st)})" }
-        .mkString(", ") + " " + toSql(body)
+    case SqlWith(ctes, body, recursive) =>
+      "WITH " + (if (recursive) "RECURSIVE " else "") +
+        ctes.map { case CteDef(n, cols, st) =>
+          val cl = if (cols.nonEmpty) cols.mkString("(", ", ", ")") else ""
+          s"$n$cl AS (${toSql(st)})"
+        }.mkString(", ") + " " + toSql(body)
     case SqlSetOp(op, all, l, r, ob, lim) =>
       toSql(l) + s" $op${if (all) " ALL" else ""} " + toSql(r) +
         (if (ob.nonEmpty) " ORDER BY " + orderBy(ob) else "") +

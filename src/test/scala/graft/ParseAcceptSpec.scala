@@ -192,6 +192,10 @@ class ParseAcceptSpec extends AnyFunSuite {
     fails("SELECT CASE END FROM t")                     // no WHEN branch
     fails("WITH x (SELECT 1) SELECT 1")                 // missing AS
     fails("WITH x AS SELECT 1 SELECT 1")                // missing parens
+    parses("WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT r.n + 1 FROM r WHERE r.n < 5) SELECT n FROM r")
+    parses("WITH x(a, b) AS (SELECT 1, 2) SELECT a FROM x") // CTE column list
+    parses("WITH recursive AS (SELECT 1 AS a) SELECT a FROM recursive") // soft keyword
+    fails("WITH RECURSIVE r() AS (SELECT 1) SELECT 1")  // empty column list
     fails("SELECT a FROM t GROUP BY ROLLUP a")          // ROLLUP needs parens
   }
 
