@@ -45,7 +45,16 @@ final class Planner(catalog: String => DataFrame,
   }
 
   def plan(sel0: SqlSelect): DataFrame = {
-    val sel = substituteSelectScalars(sel0)
+    val sel1 = substituteSelectScalars(sel0)
+    // GROUP BY ALL (DuckDB dialect): keys = every select expression
+    // with no aggregate in it — window expressions and `*` excluded
+    // (Spark's analyzer rejects either as a grouping key loudly)
+    val sel = if (!sel1.groupByAll) sel1 else sel1.copy(
+      groupBy = sel1.columns.collect {
+        case c if c.expr != IdentityNode(Seq("*")) &&
+          !c.expr.isInstanceOf[WindowNode] && !containsAgg(c.expr) => c.expr
+      },
+      groupByAll = false)
     if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
       val ctx = BuildCtx(None, vars, includer)
       return applyLimit(catalogFreeRow().select(projCols(sel.columns, ctx): _*), sel)
@@ -178,6 +187,30 @@ final class Planner(catalog: String => DataFrame,
         }
       }
       rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
+    }
+
+    // ---- DISTINCT ON (DuckDB/Postgres dialect, beyond ref): one
+    // window per key tuple over the PRE-projection frame — the kept
+    // row is the first under the statement's ORDER BY, which must be
+    // present (nondeterministic winners never survive an oracle
+    // replay) and must reference source columns
+    if (sel.distinctOn.nonEmpty) {
+      if (sel.distinct || sel.groupBy.nonEmpty)
+        throw BuildException(
+          "DISTINCT ON cannot combine with DISTINCT or GROUP BY")
+      if (sel.orderBy.isEmpty)
+        throw BuildException(
+          "DISTINCT ON requires ORDER BY to make the kept row deterministic")
+      val donCtx = mkCtx(df)
+      val parts = sel.distinctOn.map(ColumnBuilder.build(_, donCtx))
+      val ords = sel.orderBy.map { case (n, asc) =>
+        val c = ColumnBuilder.build(resolveAlias(n, sel.columns), donCtx)
+        if (asc) c.asc else c.desc
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(parts: _*).orderBy(ords: _*)
+      df = df.withColumn("__don_rk", row_number().over(w))
+        .filter(col("__don_rk") === 1).drop("__don_rk")
     }
 
     val postWhereCtx = mkCtx(df)
@@ -345,6 +378,16 @@ final class Planner(catalog: String => DataFrame,
         alias.map(d.alias).getOrElse(d.alias(name))
       case SubquerySource(sub, alias, _, _) =>
         new Planner(catalog, vars, includer).plan(sub).alias(alias)
+      case ValuesSource(rows, alias, colNames, _, _) =>
+        // inline literal table: each row is a projection over the shared
+        // 1-row frame, unioned — a LocalRelation after constant folding,
+        // never a scan. Arity is parse-checked; VALUES is by nature
+        // driver-sized (a literal list in the statement text).
+        val ctx = BuildCtx(None, vars, includer)
+        rows.map { r =>
+          catalogFreeRow().select(r.zip(colNames).map { case (n, cn) =>
+            ColumnBuilder.build(n, ctx).as(cn) }: _*)
+        }.reduce(_.union(_)).alias(alias)
       case PivotSource(inner, agg, forCol, values, alias, _, _) =>
         // SQL-standard pivot: group by every column that is neither the
         // pivot column nor referenced by the aggregate, one output
@@ -424,16 +467,41 @@ final class Planner(catalog: String => DataFrame,
   }
 
   private def projCols(cols: Seq[SelectColumn], ctx: BuildCtx): Seq[Column] =
-    cols.map { c =>
+    cols.flatMap { c =>
       c.expr match {
-        case IdentityNode(Seq("*")) => col("*")
+        case IdentityNode(Seq("*"))
+            if c.starExclude.nonEmpty || c.starReplace.nonEmpty =>
+          // DuckDB star modifiers: expand `*` against the input schema,
+          // EXCLUDE drops, REPLACE substitutes in place keeping the
+          // column's name; unknown names refuse loudly (a silently
+          // ignored EXCLUDE is how a dropped-PII column comes back)
+          val schema = ctx.schema.getOrElse(
+            throw BuildException("* EXCLUDE/REPLACE requires a FROM"))
+          // mkCtx appends alias-QUALIFIED synthetic fields (a.b) after
+          // the real columns so qualified idents resolve; the star
+          // expands over the real (unqualified) columns only
+          val fieldNames = schema.fieldNames.toSeq.filterNot(_.contains("."))
+          val known = fieldNames.map(_.toLowerCase).toSet
+          val excl = c.starExclude.map(_.toLowerCase).toSet
+          val repl = c.starReplace.map { case (n, name) => name.toLowerCase -> n }.toMap
+          (excl ++ repl.keySet).find(!known.contains(_)).foreach(m =>
+            throw BuildException(s"* modifier references unknown column '$m'"))
+          fieldNames
+            .filterNot(f => excl.contains(f.toLowerCase))
+            .map { f =>
+              repl.get(f.toLowerCase) match {
+                case Some(n) => ColumnBuilder.build(n, ctx).as(f)
+                case None => col(f)
+              }
+            }
+        case IdentityNode(Seq("*")) => Seq(col("*"))
         case _ =>
           val base = ColumnBuilder.build(c.expr, ctx)
           val guarded = c.guard match {
             case Some(g) => when(ColumnBuilder.build(g, ctx).cast("boolean"), base)
             case None => base
           }
-          guarded.as(c.outputName)
+          Seq(guarded.as(c.outputName))
       }
     }
 
@@ -700,6 +768,7 @@ object Planner {
       case s: SubquerySource => refs(s.select)
       case p: PivotSource => inSource(p.source)
       case u: UnpivotSource => inSource(u.source)
+      case _: ValuesSource => false
     }
     def refs(s: Statement): Boolean = s match {
       case sel: SqlSelect => sel.from.exists(inSource)

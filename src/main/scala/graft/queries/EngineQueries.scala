@@ -562,5 +562,86 @@ object EngineQueries {
              |)
              |SELECT CAST(i AS BIGINT) AS i, CAST(fact AS BIGINT) AS fact
              |FROM f ORDER BY i""".stripMargin)),
+
+    // engine: SEMI JOIN through the dialect (DuckDB spelling; Spark
+    // left_semi) — customers that placed at least one high-value order;
+    // only left columns survive, the filter rides the join condition
+    "ql_semi_join" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT toint(c.c_custkey) AS ck, c.c_name FROM customer c
+          |SEMI JOIN orders o
+          |  ON c.c_custkey == o.o_custkey AND o.o_totalprice > 200000
+          |ORDER BY ck LIMIT 50""".stripMargin),
+      Some("""SELECT CAST(c.c_custkey AS BIGINT) AS ck, c.c_name FROM customer c
+             |SEMI JOIN orders o
+             |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000
+             |ORDER BY ck LIMIT 50""".stripMargin)),
+
+    // engine: ANTI JOIN through the dialect — customers with no orders
+    // at all (the classic anti-join shape), counted
+    "ql_anti_join" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT count(*) AS n FROM customer c
+          |ANTI JOIN orders o ON c.c_custkey == o.o_custkey""".stripMargin),
+      Some("""SELECT count(*) AS n FROM customer c
+             |ANTI JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)),
+
+    // engine: inline VALUES table in FROM position, joined against a
+    // real table — the portable form with a mandatory t(cols) alias
+    // list (Spark would default to col1…, DuckDB to col0…)
+    "ql_values_table" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT r.r_name, t.label, toint(t.pri) AS pri
+          |FROM region r
+          |JOIN (VALUES (0, "africa-x", 5), (1, "america-x", 4), (2, "asia-x", 3))
+          |  AS t(rk, label, pri) ON r.r_regionkey == t.rk
+          |ORDER BY pri""".stripMargin),
+      Some("""SELECT r.r_name, t.label, CAST(t.pri AS BIGINT) AS pri
+             |FROM region r
+             |JOIN (VALUES (0, 'africa-x', 5), (1, 'america-x', 4), (2, 'asia-x', 3))
+             |  AS t(rk, label, pri) ON r.r_regionkey = t.rk
+             |ORDER BY pri""".stripMargin)),
+
+    // engine: DISTINCT ON (DuckDB/Postgres dialect) — each customer's
+    // most expensive order; the ORDER BY decides the kept row (price
+    // desc, orderkey as the total tiebreak)
+    "ql_distinct_on" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT DISTINCT ON (o_custkey)
+          |  toint(o_custkey) AS ck, toint(o_orderkey) AS ok, o_totalprice
+          |FROM orders
+          |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      Some("""SELECT DISTINCT ON (o_custkey)
+             |  CAST(o_custkey AS BIGINT) AS ck, CAST(o_orderkey AS BIGINT) AS ok,
+             |  o_totalprice
+             |FROM orders
+             |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // engine: DuckDB star modifiers — * EXCLUDE drops columns from the
+    // expansion, * REPLACE substitutes in place keeping name+position
+    "ql_star_modifiers" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT * EXCLUDE (n_regionkey) REPLACE (string.uppercase(n_name) AS n_name)
+          |FROM nation ORDER BY n_nationkey""".stripMargin),
+      Some("""SELECT * EXCLUDE (n_regionkey) REPLACE (upper(n_name) AS n_name)
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // engine: GROUP BY ALL (keys = every non-aggregate select expr)
+    // plus ordinal ORDER BY — both the DuckDB spellings
+    "ql_group_by_all" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, max(l_quantity) AS top_qty
+          |FROM lineitem GROUP BY ALL ORDER BY 1, 2""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, max(l_quantity) AS top_qty
+             |FROM lineitem GROUP BY ALL ORDER BY 1, 2""".stripMargin)),
+
+    // engine: ORDER BY ALL (every select column, left to right) with an
+    // ordinal GROUP BY
+    "ql_order_by_all" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT n_regionkey, count(*) AS n FROM nation
+          |GROUP BY 1 ORDER BY ALL""".stripMargin),
+      Some("""SELECT n_regionkey, count(*) AS n FROM nation
+             |GROUP BY 1 ORDER BY ALL""".stripMargin)),
   )
 }

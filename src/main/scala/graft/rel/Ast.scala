@@ -10,8 +10,13 @@ import graft.expr.Node
 sealed trait Statement
 
 /** `expr [IF guard] [AS alias]` — guard is the reference's column-level
-  * IF (drops the COLUMN when false, exec/projection.go:158-175). */
-final case class SelectColumn(expr: Node, alias: Option[String], guard: Option[Node]) {
+  * IF (drops the COLUMN when false, exec/projection.go:158-175).
+  * starExclude / starReplace carry DuckDB's `* EXCLUDE (a, …)` /
+  * `* REPLACE (e AS a, …)` star modifiers (only meaningful when expr
+  * is `*`): EXCLUDE drops named columns from the expansion, REPLACE
+  * substitutes an expression keeping the column's name and position. */
+final case class SelectColumn(expr: Node, alias: Option[String], guard: Option[Node],
+    starExclude: Seq[String] = Nil, starReplace: Seq[(Node, String)] = Nil) {
   def outputName: String = alias.getOrElse(graft.rel.Ast.defaultName(expr))
 }
 
@@ -22,9 +27,16 @@ object JoinType {
   case object Right extends JoinType
   case object Outer extends JoinType
   case object Cross extends JoinType
+  /** `SEMI JOIN` / `ANTI JOIN` (DuckDB dialect, beyond ref): keep /
+    * drop left rows with a right match; only left columns survive.
+    * The relational spelling of the WHERE [NOT] IN/EXISTS rewrites
+    * the planner already performs. */
+  case object Semi extends JoinType
+  case object Anti extends JoinType
   def spark(j: JoinType): String = j match {
     case Inner => "inner"; case Left => "left"; case Right => "right"
     case Outer => "outer"; case Cross => "cross"
+    case Semi => "left_semi"; case Anti => "left_anti"
   }
 }
 
@@ -59,6 +71,14 @@ final case class UnpivotSource(source: FromSource, valCol: String, keyCol: Strin
     joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
   def aliasName: String = alias.getOrElse(source.aliasName)
 }
+/** `(VALUES (r1c1, …), …) AS t(c1, …)` — an inline literal table in
+  * FROM position (beyond the reference dialect, whose only VALUES is
+  * the INSERT form). The column alias list is mandatory: neither
+  * engine-default naming (Spark col1…, DuckDB col0…) is portable. */
+final case class ValuesSource(rows: Seq[Seq[Node]], alias: String, cols: Seq[String],
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = alias
+}
 
 final case class SqlSelect(
     columns: Seq[SelectColumn],
@@ -82,7 +102,16 @@ final case class SqlSelect(
     // QUALIFY predicate over the PROJECTED row (post-window filter,
     // Snowflake/DuckDB-style; beyond the reference) — may reference
     // select aliases and plain columns
-    qualify: Option[Node] = None) extends Statement
+    qualify: Option[Node] = None,
+    // SELECT DISTINCT ON (exprs): keep ONE row per distinct key tuple,
+    // the first under the statement's ORDER BY (DuckDB/Postgres
+    // dialect; beyond the reference). Mutually exclusive with plain
+    // DISTINCT; requires ORDER BY so the kept row is deterministic.
+    distinctOn: Seq[Node] = Nil,
+    // GROUP BY ALL (DuckDB dialect): group by every select expression
+    // that contains no aggregate — resolved at plan time, where
+    // aggregate-ness is known (groupBy stays empty in the AST)
+    groupByAll: Boolean = false) extends Statement
 
 /** One common table expression: `name[(col, …)] AS (stmt)`. The
   * optional column alias list renames the CTE's output positionally

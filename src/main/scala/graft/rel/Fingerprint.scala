@@ -55,6 +55,13 @@ object Fingerprint {
     case sel: SqlSelect =>
       val cols = sel.columns.map { c =>
         norm(c.expr) +
+          (if (c.starExclude.nonEmpty)
+            " EXCLUDE (" + c.starExclude.map(_.toLowerCase).mkString(", ") + ")"
+          else "") +
+          (if (c.starReplace.nonEmpty)
+            " REPLACE (" + c.starReplace.map { case (e, n) =>
+              norm(e) + " AS " + n.toLowerCase }.mkString(", ") + ")"
+          else "") +
           c.guard.map(g => " IF " + norm(g)).getOrElse("") +
           c.alias.map(a => " AS " + a.toLowerCase).getOrElse("")
       }.mkString(", ")
@@ -63,9 +70,23 @@ object Fingerprint {
           name.toLowerCase + s"/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
         case SubquerySource(sub, _, jt, on) =>
           "(" + normStmt(sub) + s")/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
+        case ValuesSource(rows, _, cols, jt, on) =>
+          // literal rows erase like other literals; arity + column names
+          // remain (two VALUES tables of different shape must not alias)
+          s"(values ${rows.length}x" + cols.map(_.toLowerCase)
+            .mkString("(", ", ", ")") + s")/$jt" +
+            on.map(o => " ON " + norm(o)).getOrElse("")
+        // PIVOT/UNPIVOT sources: printed SQL is already canonical —
+        // lowercase it rather than leaving a MatchError hole
+        case other => SqlWriter.toSql(SqlSelect(
+          Seq(SelectColumn(graft.expr.IdentityNode(Seq("*")), None, None)),
+          Seq(other))).toLowerCase
       }.mkString(" ")
       Seq(
-        "SELECT" + (if (sel.distinct) " DISTINCT" else ""),
+        "SELECT" + (if (sel.distinct) " DISTINCT" else "") +
+          (if (sel.distinctOn.nonEmpty)
+            " DISTINCT ON (" + sel.distinctOn.map(norm).mkString(", ") + ")"
+          else ""),
         cols,
         // INTO is a side-effect target: two statements writing different
         // tables must NOT share a cached plan
@@ -76,6 +97,7 @@ object Fingerprint {
           "GROUP BY " + (if (sel.groupByRollup) "ROLLUP "
             else if (sel.groupByCube) "CUBE " else "") +
             sel.groupBy.map(norm).mkString(", ")
+        else if (sel.groupByAll) "GROUP BY ALL"
         else "",
         sel.having.map("HAVING " + norm(_)).getOrElse(""),
         sel.qualify.map("QUALIFY " + norm(_)).getOrElse(""),

@@ -28,7 +28,8 @@ final class SqlParser(tokens: Vector[Token]) {
     "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "SORT", "LIMIT", "OFFSET", "AS", "IF",
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
-    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL")
+    "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL",
+    "SEMI", "ANTI")
 
   def parseStatement(): Statement = {
     val st =
@@ -129,17 +130,49 @@ final class SqlParser(tokens: Vector[Token]) {
 
   private def parseSelect(): SqlSelect = {
     expect("SELECT")
-    val distinct = eat("DISTINCT")
+    var distinct = eat("DISTINCT")
+    // DISTINCT ON (exprs): keep one row per key tuple (DuckDB/Postgres
+    // dialect) — NOT additionally distinct over the projection
+    val distinctOn =
+      if (distinct && kw("ON")) {
+        next(); expect("(")
+        val keys = parseExprList()
+        expect(")")
+        distinct = false
+        keys
+      } else Nil
     val cols = parseSelectColumns()
+    // ordinal references (SQL-standard `GROUP BY 1` / `ORDER BY 2`):
+    // a bare integer literal in either list names the select column at
+    // that 1-based position
+    def ordinal(n: Node): Option[SelectColumn] = n match {
+      case NumberNode(d, true) =>
+        val i = d.toInt
+        if (i < 1 || i > cols.length)
+          throw ParseException(s"ordinal $i out of range (select has ${cols.length} columns)")
+        if (cols(i - 1).expr == IdentityNode(Seq("*")))
+          throw ParseException(s"ordinal $i refers to *")
+        Some(cols(i - 1))
+      case _ => None
+    }
+    def derefGroup(n: Node): Node = ordinal(n).map(_.expr).getOrElse(n)
+    def derefOrder(n: Node): Node = ordinal(n).map(c =>
+      c.alias.map(a => IdentityNode(Seq(a)): Node).getOrElse(c.expr)).getOrElse(n)
     val into = if (eat("INTO")) Some(ident()) else None
     val from = if (kw("FROM")) parseFrom() else Nil
     val where = if (eat("WHERE")) Some(parseWhereExpr()) else None
     var groupByRollup = false
     var groupByCube = false
+    var groupByAll = false
     var groupingSets: Seq[Seq[graft.expr.Node]] = Nil
     val groupBy = if (kw("GROUP")) {
       next(); expect("BY")
-      if (kw("ROLLUP") || kw("CUBE")) {
+      if (kw("ALL")) {
+        // DuckDB GROUP BY ALL: keys = every non-aggregate select
+        // expression, resolved at plan time (aggregate-ness is a
+        // registry question, not a grammar one)
+        next(); groupByAll = true; Nil
+      } else if (kw("ROLLUP") || kw("CUBE")) {
         if (kw("CUBE")) groupByCube = true else groupByRollup = true
         next()
         expect("(")
@@ -163,7 +196,7 @@ final class SqlParser(tokens: Vector[Token]) {
         val seen = collection.mutable.LinkedHashMap[String, graft.expr.Node]()
         for (set <- groupingSets; k <- set if !seen.contains(k.text)) seen(k.text) = k
         seen.values.toSeq
-      } else parseExprList()
+      } else parseExprList().map(derefGroup)
     } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
     // QUALIFY: filter on the projected row (post-window predicate —
@@ -171,12 +204,25 @@ final class SqlParser(tokens: Vector[Token]) {
     val qualify = if (eat("QUALIFY")) Some(ep.parseExpr()) else None
     // no SORT BY: the reference rejects it as an unknown keyword
     // (rel/parse_sql_test.go:402 "Must fail parse")
-    val orderBy = if (kw("ORDER")) { next(); expect("BY"); parseOrderList() } else Nil
+    val orderBy = if (kw("ORDER")) {
+      next(); expect("BY")
+      if (kw("ALL")) {
+        // DuckDB ORDER BY ALL [ASC|DESC]: every select column, left to
+        // right — desugared here (prints in the expanded form)
+        next()
+        val asc = if (kw("DESC")) { next(); false } else { eat("ASC"); true }
+        if (cols.exists(_.expr == IdentityNode(Seq("*"))))
+          throw ParseException("ORDER BY ALL cannot expand a * select")
+        cols.map(c => (c.alias.map(a => IdentityNode(Seq(a)): Node)
+          .getOrElse(c.expr), asc))
+      } else parseOrderList().map { case (n, asc) => (derefOrder(n), asc) }
+    } else Nil
     val (limit, offset) = parseLimitOffset()
     consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
     SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, groupByCube,
-      groupingSets, having, orderBy, limit, offset, into, qualify)
+      groupingSets, having, orderBy, limit, offset, into, qualify, distinctOn,
+      groupByAll)
   }
 
   /** Optional `WITH key = value, …` statement config
@@ -203,6 +249,38 @@ final class SqlParser(tokens: Vector[Token]) {
     var done = false
     while (!done) {
       var expr = ep.parseExpr()
+      // DuckDB star modifiers, only directly after `*`:
+      // `* EXCLUDE (a, …)` and `* REPLACE (e AS a, …)`, either order
+      var starExcl: Seq[String] = Nil
+      var starRepl: Seq[(Node, String)] = Nil
+      if (expr == IdentityNode(Seq("*"))) {
+        var modding = true
+        while (modding) {
+          if (starExcl.isEmpty && kw("EXCLUDE")) {
+            next(); expect("(")
+            val ns = collection.mutable.ArrayBuffer(ident())
+            while (eat(",")) ns += ident()
+            expect(")")
+            starExcl = ns.toSeq
+          } else if (starRepl.isEmpty && kw("REPLACE")) {
+            next(); expect("(")
+            val rs = collection.mutable.ArrayBuffer[(Node, String)]()
+            var more = true
+            while (more) {
+              val e = ep.parseExpr()
+              expect("AS")
+              rs += ((e, ident()))
+              more = eat(",")
+            }
+            expect(")")
+            starRepl = rs.toSeq
+          } else modding = false
+        }
+      }
+      if (starExcl.nonEmpty || starRepl.nonEmpty) {
+        out += SelectColumn(expr, None, None, starExcl, starRepl)
+        done = !eat(",")
+      } else {
       // window suffix `OVER (PARTITION BY ... ORDER BY ...)` — beyond
       // the reference dialect (qlbridge's row-at-a-time VM cannot see a
       // partition); planned onto Spark's Window operator
@@ -223,6 +301,7 @@ final class SqlParser(tokens: Vector[Token]) {
         alias = Some(ident()) // implicit alias
       out += SelectColumn(expr, alias, guard)
       done = !eat(",")
+      }
     }
     out.toSeq
   }
@@ -297,11 +376,20 @@ final class SqlParser(tokens: Vector[Token]) {
         var natural = false
         if (kw("NATURAL")) { next(); natural = true }
         if (kw("INNER")) { next(); jt = Some(JoinType.Inner) }
-        else if (kw("LEFT")) { next(); eat("OUTER"); jt = Some(JoinType.Left) }
+        else if (kw("LEFT")) {
+          next(); eat("OUTER")
+          // LEFT SEMI / LEFT ANTI: Spark's spelling of DuckDB's bare
+          // SEMI / ANTI — both accepted, one printed form (SEMI JOIN)
+          if (kw("SEMI")) { next(); jt = Some(JoinType.Semi) }
+          else if (kw("ANTI")) { next(); jt = Some(JoinType.Anti) }
+          else jt = Some(JoinType.Left)
+        }
         else if (kw("RIGHT")) { next(); eat("OUTER"); jt = Some(JoinType.Right) }
         else if (kw("FULL")) { next(); eat("OUTER"); jt = Some(JoinType.Outer) }
         else if (kw("OUTER")) { next(); jt = Some(JoinType.Outer) }
         else if (kw("CROSS")) { next(); jt = Some(JoinType.Cross) }
+        else if (kw("SEMI")) { next(); jt = Some(JoinType.Semi) }
+        else if (kw("ANTI")) { next(); jt = Some(JoinType.Anti) }
         if (kw("JOIN")) {
           next()
           val t = jt.getOrElse(JoinType.Inner)
@@ -336,6 +424,7 @@ final class SqlParser(tokens: Vector[Token]) {
               case ss: SubquerySource => ss.copy(joinType = t, joinOn = onExpr)
               case ps: PivotSource => ps.copy(joinType = t, joinOn = onExpr)
               case us: UnpivotSource => us.copy(joinType = t, joinOn = onExpr)
+              case vs: ValuesSource => vs.copy(joinType = t, joinOn = onExpr)
             })
           }
         } else if (jt.isDefined || natural) throw ParseException("expected JOIN")
@@ -348,6 +437,7 @@ final class SqlParser(tokens: Vector[Token]) {
   private def parseOneSource(jt: JoinType, on: Option[Node]): FromSource = {
     val base: FromSource = if (cur.is("(")) {
       next()
+      if (kw("VALUES")) return maybePivot(parseValuesSource(jt, on), jt, on)
       val sub = parseSelect()
       expect(")")
       if (kw("PIVOT") || kw("UNPIVOT")) SubquerySource(sub, "__pvt_src", jt, on)
@@ -367,6 +457,33 @@ final class SqlParser(tokens: Vector[Token]) {
       TableSource(name, alias, jt, on)
     }
     maybePivot(base, jt, on)
+  }
+
+  /** `(VALUES (e, …)[, …]) AS t(c1, …)` in FROM position — the `(` and
+    * lookahead `VALUES` already consumed/seen. The `t(cols)` alias list
+    * is mandatory: Spark names inline-table columns col1…, DuckDB
+    * col0… — an unaliased VALUES table cannot be written portably. */
+  private def parseValuesSource(jt: JoinType, on: Option[Node]): FromSource = {
+    expect("VALUES")
+    val rows = collection.mutable.ArrayBuffer[Seq[Node]]()
+    var more = true
+    while (more) {
+      expect("(")
+      rows += parseExprList()
+      expect(")")
+      more = eat(",")
+    }
+    expect(")")
+    eat("AS")
+    val alias = ident()
+    expect("(")
+    val cols = collection.mutable.ArrayBuffer(ident())
+    while (eat(",")) cols += ident()
+    expect(")")
+    if (rows.exists(_.length != cols.length))
+      throw ParseException(s"VALUES rows must all have ${cols.length} " +
+        s"expressions to match alias list ($alias)")
+    ValuesSource(rows.toSeq, alias, cols.toSeq, jt, on)
   }
 
   /** `<source> PIVOT (agg FOR col IN (v1 [AS a1], …)) [AS alias]` —

@@ -12,6 +12,11 @@ object SqlWriter {
 
   private def col(c: SelectColumn): String =
     c.expr.text +
+      (if (c.starExclude.nonEmpty)
+        " EXCLUDE (" + c.starExclude.mkString(", ") + ")" else "") +
+      (if (c.starReplace.nonEmpty)
+        " REPLACE (" + c.starReplace.map { case (e, n) =>
+          s"${e.text} AS $n" }.mkString(", ") + ")" else "") +
       c.alias.map(a => " AS " + graft.expr.StringUtil.identityMaybeQuote('`', a)).getOrElse("") +
       c.guard.map(g => " IF " + g.text).getOrElse("")
 
@@ -21,6 +26,8 @@ object SqlWriter {
     case JoinType.Right => "RIGHT JOIN"
     case JoinType.Outer => "FULL OUTER JOIN"
     case JoinType.Cross => "CROSS JOIN"
+    case JoinType.Semi => "SEMI JOIN"
+    case JoinType.Anti => "ANTI JOIN"
   }
 
   private def from(fs: Seq[FromSource]): String =
@@ -30,13 +37,19 @@ object SqlWriter {
           graft.expr.StringUtil.identityMaybeQuote('`', name) +
             alias.map(" AS " + _).getOrElse("")
         case SubquerySource(sub, alias, _, _) => s"(${toSql(sub)}) AS $alias"
+        case ValuesSource(rows, alias, cols, _, _) =>
+          "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
+            .mkString(", ") + s") AS $alias" + cols.mkString("(", ", ", ")")
         case PivotSource(src, agg, forCol, values, alias, _, _) =>
           val inner = src match {
             case TableSource(name, a, _, _) =>
               graft.expr.StringUtil.identityMaybeQuote('`', name) +
                 a.map(" AS " + _).getOrElse("")
             case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
-            case p: PivotSource => throw new IllegalStateException(
+            case ValuesSource(rows, a, cs, _, _) =>
+              "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
+                .mkString(", ") + s") AS $a" + cs.mkString("(", ", ", ")")
+            case p => throw new IllegalStateException(
               s"nested PIVOT cannot print: $p")
           }
           val vals = values.map { case (v, a) =>
@@ -49,6 +62,9 @@ object SqlWriter {
               graft.expr.StringUtil.identityMaybeQuote('`', name) +
                 a.map(" AS " + _).getOrElse("")
             case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
+            case ValuesSource(rows, a, cs, _, _) =>
+              "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
+                .mkString(", ") + s") AS $a" + cs.mkString("(", ", ", ")")
             case p => throw new IllegalStateException(s"nested pivot cannot print: $p")
           }
           val cs = cols.map { case (c, a) =>
@@ -74,7 +90,10 @@ object SqlWriter {
   def toSql(st: Statement): String = st match {
     case s: SqlSelect =>
       Seq(
-        "SELECT" + (if (s.distinct) " DISTINCT" else ""),
+        "SELECT" + (if (s.distinct) " DISTINCT" else "") +
+          (if (s.distinctOn.nonEmpty)
+            " DISTINCT ON (" + s.distinctOn.map(_.text).mkString(", ") + ")"
+          else ""),
         s.columns.map(col).mkString(", "),
         s.into.map("INTO " + _).getOrElse(""),
         if (s.from.nonEmpty) "FROM " + from(s.from) else "",
@@ -87,7 +106,7 @@ object SqlWriter {
             "GROUP BY GROUPING SETS (" + s.groupingSets.map(
               _.map(_.text).mkString("(", ", ", ")")).mkString(", ") + ")"
           else "GROUP BY " + keys
-        } else "",
+        } else if (s.groupByAll) "GROUP BY ALL" else "",
         s.having.map("HAVING " + _.text).getOrElse(""),
         s.qualify.map("QUALIFY " + _.text).getOrElse(""),
         if (s.orderBy.nonEmpty) "ORDER BY " + orderBy(s.orderBy) else "",

@@ -837,4 +837,74 @@ class EngineSpec extends AnyFunSuite {
     testSelect("SELECT name FROM pets WHERE age > 4", Seq(Seq("fido")))
     session.sql("DROP SOURCE pets")
   }
+
+  test("SEMI / ANTI JOIN through the dialect") {
+    // semi: users with at least one order; only left columns in scope
+    testSelect(
+      "SELECT u.email FROM users u SEMI JOIN orders o ON u.user_id == o.user_id",
+      Seq(Seq("aaron@email.com")))
+    // anti: users with no order
+    testSelect(
+      """SELECT u.email FROM users u ANTI JOIN orders o ON u.user_id == o.user_id
+        |ORDER BY u.email""".stripMargin,
+      Seq(Seq("bob@email.com"), Seq("not_an_email_2")))
+    // LEFT SEMI spelling = SEMI; a right column must NOT be in scope
+    testSelect(
+      "SELECT u.email FROM users u LEFT SEMI JOIN orders o ON u.user_id == o.user_id",
+      Seq(Seq("aaron@email.com")))
+    testSelectErr(
+      "SELECT o.price FROM users u SEMI JOIN orders o ON u.user_id == o.user_id")
+  }
+
+  test("VALUES table in FROM position") {
+    testSelect(
+      """SELECT t.b FROM (VALUES (1, "one"), (2, "two")) AS t(a, b)
+        |WHERE t.a == 2""".stripMargin,
+      Seq(Seq("two")))
+    // joined against a real table
+    testSelect(
+      """SELECT o.order_id, t.label
+        |FROM orders o JOIN (VALUES (1, "first")) AS t(oid, label)
+        |  ON o.order_id == t.oid""".stripMargin,
+      Seq(Seq(1L, "first")))
+  }
+
+  test("star modifiers: * EXCLUDE and * REPLACE") {
+    testSelect(
+      """SELECT * EXCLUDE (order_date, item_count, user_id, item_id)
+        |  REPLACE (price * 2 AS price)
+        |FROM orders WHERE order_id == 1""".stripMargin,
+      Seq(Seq(1L, 45.0)))
+    // unknown name in a modifier refuses loudly
+    testSelectErr("SELECT * EXCLUDE (no_such_col) FROM orders")
+    testSelectErr("SELECT * REPLACE (1 AS no_such_col) FROM orders")
+  }
+
+  test("GROUP BY ALL, ORDER BY ALL and ordinal references") {
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY ALL
+        |ORDER BY 2 DESC, 1""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 1L)))
+    testSelect(
+      "SELECT item_id, order_id FROM orders ORDER BY ALL DESC",
+      Seq(Seq(2L, 2L), Seq(1L, 3L), Seq(1L, 1L)))
+    testSelect(
+      "SELECT user_id, sum(price) AS spend FROM orders GROUP BY 1 ORDER BY 1",
+      Seq(Seq("9Ip1aKbeZe2njCDM", 60.0), Seq("abcabcabc", 22.50)))
+    // ordinal out of range / pointing at * refuse at parse time
+    testSelectErr("SELECT order_id FROM orders ORDER BY 3")
+    testSelectErr("SELECT * FROM orders GROUP BY 1")
+  }
+
+  test("DISTINCT ON keeps the first row per key under ORDER BY") {
+    testSelect(
+      """SELECT DISTINCT ON (user_id) order_id, price FROM orders
+        |ORDER BY user_id, price DESC, order_id""".stripMargin,
+      Seq(Seq(2L, 37.50), Seq(3L, 22.50)))
+    // deterministic-winner guard: ORDER BY is mandatory
+    testSelectErr("SELECT DISTINCT ON (user_id) order_id FROM orders")
+    // cannot combine with plain DISTINCT semantics or GROUP BY
+    testSelectErr(
+      "SELECT DISTINCT ON (user_id) count(*) FROM orders GROUP BY user_id ORDER BY user_id")
+  }
 }

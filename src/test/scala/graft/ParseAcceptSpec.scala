@@ -196,6 +196,21 @@ class ParseAcceptSpec extends AnyFunSuite {
     parses("WITH x(a, b) AS (SELECT 1, 2) SELECT a FROM x") // CTE column list
     parses("WITH recursive AS (SELECT 1 AS a) SELECT a FROM recursive") // soft keyword
     fails("WITH RECURSIVE r() AS (SELECT 1) SELECT 1")  // empty column list
+    parses("SELECT c.a FROM c SEMI JOIN o ON c.a == o.a")
+    parses("SELECT c.a FROM c LEFT ANTI JOIN o ON c.a == o.a")
+    fails("SELECT c.a FROM c SEMI JOIN o")              // SEMI needs ON
+    parses("SELECT t.a FROM (VALUES (1, \"x\"), (2, \"y\")) AS t(a, b)")
+    fails("SELECT t.a FROM (VALUES (1, 2)) AS t")       // VALUES needs t(cols)
+    fails("SELECT a FROM (VALUES (1, 2), (3)) AS t(a, b)") // ragged arity
+    parses("SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v")
+    parses("SELECT * EXCLUDE (a, b) FROM t")
+    parses("SELECT * REPLACE (x + 1 AS x) EXCLUDE (y) FROM t") // either order
+    fails("SELECT * EXCLUDE () FROM t")                 // empty modifier list
+    parses("SELECT a, b FROM t GROUP BY ALL")
+    parses("SELECT a, b FROM t ORDER BY ALL DESC")
+    parses("SELECT a, count(*) AS n FROM t GROUP BY 1 ORDER BY 2")
+    fails("SELECT a FROM t ORDER BY 2")                 // ordinal out of range
+    fails("SELECT a FROM t GROUP BY 0")                 // ordinals are 1-based
     fails("SELECT a FROM t GROUP BY ROLLUP a")          // ROLLUP needs parens
   }
 

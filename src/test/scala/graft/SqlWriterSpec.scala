@@ -102,4 +102,22 @@ class SqlWriterSpec extends AnyFunSuite {
       assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
     }
   }
+
+  test("round-trip covers SEMI/ANTI joins, VALUES tables and DISTINCT ON") {
+    for (s <- Seq(
+      """SELECT c.a FROM c SEMI JOIN o ON c.a == o.a""",
+      """SELECT c.a FROM c ANTI JOIN o ON c.a == o.a AND o.p > 5""",
+      """SELECT r.x, t.label FROM r JOIN (VALUES (0, "a"), (1, "b")) AS t(rk, label) ON r.k == t.rk""",
+      """SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC""",
+      """SELECT * EXCLUDE (a, b) REPLACE (x + 1 AS x) FROM t""",
+      """SELECT a, b, count(*) AS n FROM t GROUP BY ALL""")) {
+      val ast1 = SqlParser.parse(s)
+      val ast2 = SqlParser.parse(SqlWriter.toSql(ast1))
+      assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
+    }
+    // LEFT SEMI / LEFT ANTI normalize to the bare printed form
+    val semi = SqlParser.parse("SELECT c.a FROM c LEFT SEMI JOIN o ON c.a == o.a")
+    assert(SqlWriter.toSql(semi).contains("SEMI JOIN"))
+    assert(SqlParser.parse(SqlWriter.toSql(semi)) == semi)
+  }
 }
