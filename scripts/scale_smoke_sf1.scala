@@ -325,4 +325,44 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   q.stop()
   println(f"[SF1] streaming_lsh_dedup_10x: $secs%.2f s for ${all.length} docs, $matches matches")
 }
+
+// MERGE INTO at 10x: CDC-style delta (1% updates incl. deletes, 1%
+// inserts) through the DIALECT — one left join + one anti join, delta
+// side broadcast-eligible; the ambiguity check is one bounded agg.
+{
+  val docs = spark.read.parquet(s"$dst/documents.parquet").select("doc_id", "text", "source")
+  val gs = new graft.engine.GraftSession(spark)
+  gs.registerTable("corpus", docs)
+  val delta = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("del")).otherwise(lit("upd")).as("op"))
+    .unionByName(docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select((col("doc_id") + lit(200000000L)).as("doc_id"), col("text"), lit("ins").as("op")))
+  gs.registerTable("delta", delta)
+  val before = docs.count()
+  val t0 = System.nanoTime()
+  gs.sql("""MERGE INTO corpus t USING delta d ON t.doc_id == d.doc_id
+    WHEN MATCHED AND d.op == "del" THEN DELETE
+    WHEN MATCHED THEN UPDATE SET text = d.text
+    WHEN NOT MATCHED THEN INSERT (doc_id, text) VALUES (d.doc_id, d.text)""")
+  val n = gs.sql("SELECT count(*) AS n FROM corpus").collect()(0).getLong(0)
+  println(f"[SF1] merge_cdc_10x: ${(System.nanoTime() - t0) / 1e9}%.2f s rows $before -> $n")
+}
+
+// WITH RECURSIVE at 10x: binary-tree depth labels over 500k ids — 19
+// semi-naive iterations, each joining the table against a checkpointed
+// frontier (the frontier halves as the tree deepens; per-round work
+// tracks the frontier, not the accumulated result).
+{
+  val gs = new graft.engine.GraftSession(spark)
+  gs.registerTable("ids", spark.range(500000).toDF("id"))
+  val t0 = System.nanoTime()
+  val out = gs.sql("""WITH RECURSIVE walk(id, depth) AS (
+      SELECT id, 0 FROM ids WHERE id == 0
+      UNION ALL
+      SELECT c.id, w.depth + 1 FROM ids c JOIN walk w ON toint(c.id / 2) == w.id AND c.id != 0
+    ) SELECT max(depth) AS maxd, count(*) AS n FROM walk""").collect()(0)
+  println(f"[SF1] recursive_tree_10x: ${(System.nanoTime() - t0) / 1e9}%.2f s maxDepth=${out.get(0)} rows=${out.get(1)}")
+}
+
 println("[SF1] done")

@@ -272,6 +272,7 @@ final class GraftSession(val spark: SparkSession) {
     case ins: SqlInsert => runInsert(ins); emptyOk()
     case up: SqlUpdate => runUpdate(up); emptyOk()
     case up: SqlUpsert => runUpsert(up); emptyOk()
+    case mg: SqlMerge => runMerge(mg); emptyOk()
     case del: SqlDelete => runDelete(del); emptyOk()
     case SqlSet(name, v) => setVar(name, literal(v)); emptyOk()
     case SqlUse(_) => emptyOk()
@@ -474,6 +475,119 @@ final class GraftSession(val spark: SparkSession) {
         col(keyCol) === col("__k"), "left_anti")
       registerTable(up.table, kept.unionByName(newRows, allowMissingColumns = true).cache())
     }
+  }
+
+  /** MERGE INTO (beyond ref — the set-based CDC upsert): ONE left join
+    * decides the fate of every target row (first matching WHEN wins),
+    * ONE anti join derives the inserts — no driver loop anywhere; the
+    * source is a table, subquery, or inline VALUES and stays
+    * broadcast-eligible (at 100 TB the target is the big side, the
+    * delta the small one). A target row matching multiple source rows
+    * raises, per standard MERGE ambiguity semantics — checked with one
+    * bounded count aggregate over matched pairs. Source columns are
+    * prefix-renamed before the join so the (usually identical) column
+    * names of the two sides never collide; expressions resolve
+    * alias-qualified or bare (target first, then source). */
+  private def runMerge(m: SqlMerge): Unit = {
+    val target = table(m.target)
+    val tA = m.targetAlias.getOrElse(m.target)
+    val src0 = planner.planFromSource(m.source)
+    val sA = m.source.aliasName
+    val srcR = src0.select(
+      src0.columns.map(c => col(c).as(s"__s_$c")) :+ lit(1).as("__sid"): _*)
+    val tCols = target.columns.toSeq
+    def srcCol(c: String): Option[String] =
+      src0.columns.find(_.equalsIgnoreCase(c)).map("__s_" + _)
+    def tgtCol(c: String): Option[String] =
+      target.columns.find(_.equalsIgnoreCase(c))
+    def rewrite(n: Node): Node = n match {
+      case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(sA) =>
+        IdentityNode(Seq(srcCol(c).getOrElse(
+          throw BuildException(s"MERGE: unknown source column '$c'"))))
+      case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(tA) =>
+        IdentityNode(Seq(tgtCol(c).getOrElse(
+          throw BuildException(s"MERGE: unknown target column '$c'"))))
+      case IdentityNode(Seq(c)) if tgtCol(c).isDefined => n
+      case IdentityNode(Seq(c)) if srcCol(c).isDefined =>
+        IdentityNode(Seq(srcCol(c).get))
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, rewrite(l), rewrite(r), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(rewrite), neg)
+      case UnaryNode(op, c) => UnaryNode(op, rewrite(c))
+      case TriNode(op, a, b, c, neg) =>
+        TriNode(op, rewrite(a), rewrite(b), rewrite(c), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(rewrite))
+      case CaseNode(bs, e) =>
+        CaseNode(bs.map { case (w, t) => (rewrite(w), rewrite(t)) }, e.map(rewrite))
+      case other => other
+    }
+    val tgt = target.withColumn("__tid", monotonically_increasing_id())
+    val joinedCtx = BuildCtx(
+      Some(StructType(tgt.schema.fields ++ srcR.schema.fields)),
+      sessionVars.toMap, includer)
+    def cb(n: Node): Column = ColumnBuilder.build(rewrite(n), joinedCtx)
+    val cond = cb(m.on).cast(BooleanType)
+    val joined = tgt.join(srcR, cond, "left")
+    if (joined.filter(col("__sid").isNotNull).groupBy("__tid").count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw BuildException(
+        "MERGE: a target row matches multiple source rows (ambiguous)")
+    val matchedWhens = m.whens.filter(_.matched)
+    val isMatched = col("__sid").isNotNull
+    // 1-based index of the FIRST matching WHEN MATCHED clause, 0 = keep
+    val actionIdx = matchedWhens.zipWithIndex.reverse
+      .foldLeft(lit(0): Column) { case (els, (w, i)) =>
+        val c = w.cond.map(n => cb(n).cast(BooleanType)).getOrElse(lit(true))
+        when(isMatched && coalesce(c, lit(false)), lit(i + 1)).otherwise(els)
+      }
+    var kept = joined.withColumn("__act", actionIdx)
+    val deleteIdx = matchedWhens.zipWithIndex.collect {
+      case (MergeWhen(_, _, MergeDelete), i) => i + 1 }
+    if (deleteIdx.nonEmpty)
+      kept = kept.filter(!col("__act").isin(deleteIdx.map(Integer.valueOf): _*))
+    val outCols = tCols.map { c =>
+      val f = target.schema.fields.find(_.name == c).get
+      var e: Column = col(c)
+      for ((w, i) <- matchedWhens.zipWithIndex) w.action match {
+        case MergeUpdate(set) =>
+          set.find(_._1.equalsIgnoreCase(c)).foreach { case (_, vn) =>
+            e = when(col("__act") === (i + 1), cb(vn).cast(f.dataType)).otherwise(e)
+          }
+        case _ =>
+      }
+      e.as(c)
+    }
+    val updated = kept.select(outCols: _*)
+    val notMatchedWhens = m.whens.filter(!_.matched)
+    val inserts =
+      if (notMatchedWhens.isEmpty) None
+      else {
+        val srcOnly = srcR.join(tgt, cond, "left_anti")
+        val srcCtx = BuildCtx(Some(srcOnly.schema), sessionVars.toMap, includer)
+        def sb(n: Node): Column = ColumnBuilder.build(rewrite(n), srcCtx)
+        val insIdx = notMatchedWhens.zipWithIndex.reverse
+          .foldLeft(lit(0): Column) { case (els, (w, i)) =>
+            val c = w.cond.map(n => sb(n).cast(BooleanType)).getOrElse(lit(true))
+            when(coalesce(c, lit(false)), lit(i + 1)).otherwise(els)
+          }
+        val withI = srcOnly.withColumn("__ins", insIdx).filter(col("__ins") > 0)
+        val frames = notMatchedWhens.zipWithIndex.collect {
+          case (MergeWhen(_, _, MergeInsert(cols0, vals)), i) =>
+            val cols = if (cols0.nonEmpty) cols0 else tCols
+            if (cols.length != vals.length)
+              throw BuildException(s"MERGE INSERT provides ${vals.length} " +
+                s"values for ${cols.length} columns")
+            val proj = tCols.map { tc =>
+              val f = target.schema.fields.find(_.name == tc).get
+              cols.indexWhere(_.equalsIgnoreCase(tc)) match {
+                case -1 => lit(null).cast(f.dataType).as(tc)
+                case j => sb(vals(j)).cast(f.dataType).as(tc)
+              }
+            }
+            withI.filter(col("__ins") === (i + 1)).select(proj: _*)
+        }
+        frames.reduceOption(_.union(_))
+      }
+    registerTable(m.target, inserts.map(updated.union).getOrElse(updated).cache())
   }
 
   private def runDelete(del: SqlDelete): Unit = {

@@ -61,9 +61,18 @@ final class Planner(catalog: String => DataFrame,
     }
 
     // ---- sources + joins (exec/join.go ≙ df.join) ---------------------
-    var df = source(sel.from.head)
+    // WITH broadcast = "alias[, …]": pin Spark's broadcast hint on the
+    // named sources — the statement-level spelling of the hand-placed
+    // broadcast() the DataFrame queries use for dimension tables
+    val bcastNames = withCfgStr(sel, "broadcast").toSeq
+      .flatMap(_.split(",")).map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    def planSource(s: FromSource): DataFrame = {
+      val d = source(s)
+      if (bcastNames.contains(s.aliasName.toLowerCase)) broadcast(d) else d
+    }
+    var df = planSource(sel.from.head)
     for (src <- sel.from.tail) {
-      val right = source(src)
+      val right = planSource(src)
       val joined = (src.joinType, src.joinOn) match {
         case (JoinType.Cross, None) => df.crossJoin(right)
         case (jt, Some(FuncNode("__natural", _))) =>
@@ -371,6 +380,10 @@ final class Planner(catalog: String => DataFrame,
     oneRow
   }
 
+  /** Plan a FROM source standalone — MERGE USING re-uses the full
+    * source grammar (table, subquery, inline VALUES). */
+  def planFromSource(fs: FromSource): DataFrame = source(fs)
+
   private def source(src: FromSource): DataFrame = {
     val df = src match {
       case TableSource(name, alias, _, _) =>
@@ -509,8 +522,33 @@ final class Planner(catalog: String => DataFrame,
     var out = df
     sel.offset.foreach(o => out = out.offset(o))
     sel.limit.foreach(l => out = out.limit(l))
+    // WITH-tail output-partitioning knobs (the Spark reinterpretation
+    // of the reference's statement properties, rel/sql.go:100 With):
+    // repartition = n, repartition_by = "col[, …]" (hash-partition on
+    // keys, e.g. to co-locate a downstream write), coalesce = n.
+    // Unrecognized keys are ignored, matching the reference's
+    // anything-goes property bag.
+    val byCols = withCfgStr(sel, "repartition_by").toSeq
+      .flatMap(_.split(",")).map(s => col(s.trim)).toList
+    (withCfgInt(sel, "repartition"), byCols) match {
+      case (Some(n), Nil) => out = out.repartition(n)
+      case (Some(n), cs)  => out = out.repartition(n, cs: _*)
+      case (None, Nil)    =>
+      case (None, cs)     => out = out.repartition(cs: _*)
+    }
+    withCfgInt(sel, "coalesce").foreach(n => out = out.coalesce(n))
     out
   }
+
+  private def withCfg(sel: SqlSelect, key: String): Option[Node] =
+    sel.withConfig.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+  private def withCfgStr(sel: SqlSelect, key: String): Option[String] =
+    withCfg(sel, key).map { case StringNode(s) => s; case n => n.text }
+  private def withCfgInt(sel: SqlSelect, key: String): Option[Int] =
+    withCfg(sel, key).map {
+      case NumberNode(d, _) => d.toInt
+      case n => throw BuildException(s"WITH $key expects a number, got '${n.text}'")
+    }
 
   /** Split top-level AND conjuncts into IN-subquery terms and the rest. */
   private val scalarSubOps = Set(">", ">=", "<", "<=", "=", "==", "!=", "<>")

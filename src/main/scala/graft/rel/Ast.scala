@@ -111,7 +111,15 @@ final case class SqlSelect(
     // GROUP BY ALL (DuckDB dialect): group by every select expression
     // that contains no aggregate — resolved at plan time, where
     // aggregate-ness is known (groupBy stays empty in the AST)
-    groupByAll: Boolean = false) extends Statement
+    groupByAll: Boolean = false,
+    // the reference's `WITH key = value, …` statement-config tail
+    // (rel/sql.go:100 With JsonHelper — arbitrary properties). Here the
+    // recognized keys drive Spark execution: broadcast = "alias[,…]"
+    // pins a broadcast hint on those join sources, repartition = n /
+    // repartition_by = "col[,…]" / coalesce = n shape the output
+    // partitioning. Unrecognized keys are carried and ignored, like the
+    // reference. Values are literal nodes (string/number/bool).
+    withConfig: Seq[(String, Node)] = Nil) extends Statement
 
 /** One common table expression: `name[(col, …)] AS (stmt)`. The
   * optional column alias list renames the CTE's output positionally
@@ -142,6 +150,19 @@ final case class SqlUpdate(table: String, set: Seq[(String, Node)], where: Optio
 final case class SqlUpsert(table: String, columns: Seq[String],
     values: Seq[Seq[Node]], set: Seq[(String, Node)]) extends Statement
 final case class SqlDelete(table: String, where: Option[Node], limit: Option[Int]) extends Statement
+
+/** `MERGE INTO target [AS t] USING src [AS s] ON cond WHEN …` (beyond
+  * ref — the set-based CDC upsert). Actions: WHEN MATCHED [AND c] THEN
+  * UPDATE SET / DELETE; WHEN NOT MATCHED [AND c] THEN INSERT. First
+  * matching WHEN wins per row; a target row with multiple source
+  * matches raises (standard MERGE ambiguity semantics). */
+sealed trait MergeAction
+final case class MergeUpdate(set: Seq[(String, Node)]) extends MergeAction
+case object MergeDelete extends MergeAction
+final case class MergeInsert(columns: Seq[String], values: Seq[Node]) extends MergeAction
+final case class MergeWhen(matched: Boolean, cond: Option[Node], action: MergeAction)
+final case class SqlMerge(target: String, targetAlias: Option[String],
+    source: FromSource, on: Node, whens: Seq[MergeWhen]) extends Statement
 
 final case class SqlSet(name: String, value: Node) extends Statement
 final case class SqlUse(db: String) extends Statement

@@ -107,7 +107,13 @@ object Fingerprint {
         else "",
         // LIMIT/OFFSET values are literals: erased like other literals
         sel.limit.map(_ => "LIMIT ?").getOrElse(""),
-        sel.offset.map(_ => "OFFSET ?").getOrElse(""))
+        sel.offset.map(_ => "OFFSET ?").getOrElse(""),
+        // WITH-tail keys shape execution (broadcast/repartition), so
+        // they are plan-relevant; values erase like other literals
+        if (sel.withConfig.nonEmpty)
+          "WITH " + sel.withConfig.map { case (k, _) =>
+            k.toLowerCase + " = ?" }.mkString(", ")
+        else "")
         .filter(_.nonEmpty).mkString(" ")
     case SqlSetOp(op, all, l, r, _, _) =>
       normStmt(l) + s" $op${if (all) " ALL" else ""} " + normStmt(r)

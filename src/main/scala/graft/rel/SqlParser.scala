@@ -39,6 +39,7 @@ final class SqlParser(tokens: Vector[Token]) {
       else if (kw("INSERT")) parseInsert()
       else if (kw("UPSERT")) parseUpsert()
       else if (kw("UPDATE")) parseUpdate()
+      else if (kw("MERGE")) parseMerge()
       else if (kw("DELETE")) parseDelete()
       else if (kw("SET")) parseSet()
       else if (kw("USE")) { next(); SqlUse(ident()) }
@@ -218,30 +219,46 @@ final class SqlParser(tokens: Vector[Token]) {
       } else parseOrderList().map { case (n, asc) => (derefOrder(n), asc) }
     } else Nil
     val (limit, offset) = parseLimitOffset()
-    consumeWith()
+    val withCfg = consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
     SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, groupByCube,
       groupingSets, having, orderBy, limit, offset, into, qualify, distinctOn,
-      groupByAll)
+      groupByAll, withCfg)
   }
 
   /** Optional `WITH key = value, …` statement config
-    * (rel/parse_sql.go:706-814 WITH forms) — accepted, values discarded
-    * (no distributed-execution knobs apply to this engine). */
-  private def consumeWith(): Unit = if (eat("WITH")) {
-    if (cur.is("{")) { skipJson(); return } // WITH {json} form (TestWithJson)
-    consumeWithPairs()
-  }
+    * (rel/parse_sql.go:706-814 WITH forms). The reference stores these
+    * as arbitrary properties (rel/sql.go:100 With); here the pairs are
+    * kept on the statement and the recognized keys drive Spark
+    * execution (broadcast / repartition / repartition_by / coalesce —
+    * see the Planner). The `WITH {json}` form is accepted and
+    * discarded, as before. */
+  private def consumeWith(): Seq[(String, Node)] = if (eat("WITH")) {
+    if (cur.is("{")) { skipJson(); Nil } // WITH {json} form (TestWithJson)
+    else parseWithPairs()
+  } else Nil
 
   /** The `key = value, …` tail of a WITH clause. */
-  private def consumeWithPairs(): Unit = {
+  private def parseWithPairs(): Seq[(String, Node)] = {
+    val out = collection.mutable.ArrayBuffer[(String, Node)]()
     var more = true
     while (more) {
-      ident()
+      val k = ident()
       expect("=")
-      next() // one literal token: string/number/bool
+      val v: Node = cur.kind match {
+        case TString => StringNode(next().text)
+        case TNumber =>
+          val t = next().text
+          NumberNode(t.toDouble,
+            isInt = !t.contains(".") && !t.toLowerCase.contains("e"))
+        case TIdent if cur.text.equalsIgnoreCase("true") => next(); BoolNode(true)
+        case TIdent if cur.text.equalsIgnoreCase("false") => next(); BoolNode(false)
+        case _ => StringNode(next().text) // bare-word value
+      }
+      out += ((k, v))
       more = eat(",")
     }
+    out.toSeq
   }
 
   private def parseSelectColumns(): Seq[SelectColumn] = {
@@ -631,6 +648,61 @@ final class SqlParser(tokens: Vector[Token]) {
     SqlUpdate(table, pairs, where)
   }
 
+  /** `MERGE INTO target [AS t] USING <table|(subquery)|(VALUES …)> [AS s]
+    * ON cond WHEN [NOT] MATCHED [AND c] THEN UPDATE SET …|DELETE|
+    * INSERT [(cols)] VALUES (…)` — set-based CDC upsert (beyond ref). */
+  private def parseMerge(): Statement = {
+    expect("MERGE"); expect("INTO")
+    val target = ident()
+    val tAlias =
+      if (eat("AS")) Some(ident())
+      else if (cur.kind == TIdent && !cur.isKeyword("USING")) Some(ident())
+      else None
+    expect("USING")
+    val source = parseOneSource(JoinType.Inner, None)
+    expect("ON")
+    val on = ep.parseExpr()
+    val whens = collection.mutable.ArrayBuffer[MergeWhen]()
+    while (kw("WHEN")) {
+      next()
+      val matched =
+        if (kw("NOT")) { next(); expect("MATCHED"); false }
+        else { expect("MATCHED"); true }
+      val cond = if (eat("AND")) Some(ep.parseExpr()) else None
+      expect("THEN")
+      val action: MergeAction =
+        if (kw("UPDATE")) {
+          if (!matched) throw ParseException("WHEN NOT MATCHED cannot UPDATE")
+          next(); expect("SET"); MergeUpdate(parseSetPairs())
+        } else if (kw("DELETE")) {
+          if (!matched) throw ParseException("WHEN NOT MATCHED cannot DELETE")
+          next(); MergeDelete
+        } else if (kw("INSERT")) {
+          if (matched) throw ParseException("WHEN MATCHED cannot INSERT")
+          next()
+          val cols =
+            if (eat("(")) {
+              val cs = collection.mutable.ArrayBuffer(ident())
+              while (eat(",")) cs += ident()
+              expect(")")
+              cs.toSeq
+            } else Nil
+          expect("VALUES"); expect("(")
+          val vals = parseExprList()
+          expect(")")
+          if (cols.nonEmpty && cols.length != vals.length)
+            throw ParseException(s"MERGE INSERT names ${cols.length} columns " +
+              s"but provides ${vals.length} values")
+          MergeInsert(cols, vals)
+        } else throw ParseException(
+          s"expected UPDATE/DELETE/INSERT after THEN, got '${cur.text}'")
+      whens += MergeWhen(matched, cond, action)
+    }
+    if (whens.isEmpty)
+      throw ParseException("MERGE requires at least one WHEN clause")
+    SqlMerge(target, tAlias, source, on, whens.toSeq)
+  }
+
   private def parseDelete(): Statement = {
     expect("DELETE"); expect("FROM")
     val table = ident()
@@ -765,7 +837,7 @@ final class SqlParser(tokens: Vector[Token]) {
     val withJson =
       if (eat("WITH")) {
         if (cur.is("{")) Some(captureJson())
-        else { consumeWithPairs(); None }
+        else { parseWithPairs(); None }
       } else None
     val select = if (kw("AS")) { next(); Some(parseSelect()) }
                  else if (kw("SELECT")) Some(parseSelect()) else None

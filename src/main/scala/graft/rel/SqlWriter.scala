@@ -111,7 +111,11 @@ object SqlWriter {
         s.qualify.map("QUALIFY " + _.text).getOrElse(""),
         if (s.orderBy.nonEmpty) "ORDER BY " + orderBy(s.orderBy) else "",
         s.limit.map("LIMIT " + _).getOrElse(""),
-        s.offset.map("OFFSET " + _).getOrElse(""))
+        s.offset.map("OFFSET " + _).getOrElse(""),
+        if (s.withConfig.nonEmpty)
+          "WITH " + s.withConfig.map { case (k, v) => s"$k = ${v.text}" }
+            .mkString(", ")
+        else "")
         .filter(_.nonEmpty).mkString(" ")
     case SqlWith(ctes, body, recursive) =>
       "WITH " + (if (recursive) "RECURSIVE " else "") +
@@ -123,6 +127,22 @@ object SqlWriter {
       toSql(l) + s" $op${if (all) " ALL" else ""} " + toSql(r) +
         (if (ob.nonEmpty) " ORDER BY " + orderBy(ob) else "") +
         lim.map(" LIMIT " + _).getOrElse("")
+    case SqlMerge(t, ta, src, on, whens) =>
+      s"MERGE INTO $t" + ta.map(" AS " + _).getOrElse("") +
+        " USING " + from(Seq(src)) + " ON " + on.text + " " +
+        whens.map { w =>
+          "WHEN " + (if (w.matched) "MATCHED" else "NOT MATCHED") +
+            w.cond.map(" AND " + _.text).getOrElse("") + " THEN " +
+            (w.action match {
+              case MergeUpdate(set) => "UPDATE SET " +
+                set.map { case (k, v) => s"$k = ${v.text}" }.mkString(", ")
+              case MergeDelete => "DELETE"
+              case MergeInsert(cols, vals) =>
+                "INSERT " +
+                  (if (cols.nonEmpty) cols.mkString("(", ", ", ")") + " " else "") +
+                  "VALUES (" + vals.map(_.text).mkString(", ") + ")"
+            })
+        }.mkString(" ")
     case FilterStatement(f, fromT, lim, alias) =>
       "FILTER " + f.text +
         fromT.map(" FROM " + _).getOrElse("") +

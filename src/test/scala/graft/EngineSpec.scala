@@ -896,6 +896,39 @@ class EngineSpec extends AnyFunSuite {
     testSelectErr("SELECT * FROM orders GROUP BY 1")
   }
 
+  test("MERGE INTO: update, delete, insert in one set-based statement") {
+    val s = new GraftSession(spark)
+    import org.apache.spark.sql.Row
+    val inv = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "widget", 10L), Row(2L, "gadget", 5L), Row(3L, "doodad", 0L)),
+      StructType(Seq(StructField("sku", LongType), StructField("name", StringType),
+        StructField("qty", LongType))))
+    s.registerTable("inventory", inv)
+    // delta: restock sku 1, discontinue sku 3, add sku 4
+    s.sql("""MERGE INTO inventory AS t
+      |USING (VALUES (1, 7, "restock"), (3, 0, "drop"), (4, 20, "new"))
+      |  AS d(sku, amount, kind)
+      |ON t.sku == d.sku
+      |WHEN MATCHED AND d.kind == "drop" THEN DELETE
+      |WHEN MATCHED THEN UPDATE SET qty = t.qty + d.amount
+      |WHEN NOT MATCHED THEN INSERT (sku, qty) VALUES (d.sku, d.amount)""".stripMargin)
+    val out = s.sql("SELECT sku, name, qty FROM inventory ORDER BY sku")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "widget", 17L), (2L, "gadget", 5L), (4L, null, 20L)), out)
+    // conditional matched clauses: first match wins
+    s.sql("""MERGE INTO inventory t USING (VALUES (1, 100)) AS d(sku, amount)
+      |ON t.sku == d.sku
+      |WHEN MATCHED AND t.qty > 1000 THEN UPDATE SET qty = 0
+      |WHEN MATCHED THEN UPDATE SET qty = d.amount""".stripMargin)
+    assert(s.sql("SELECT qty FROM inventory WHERE sku == 1").collect().head.getLong(0) == 100L)
+    // ambiguity: two source rows matching one target row raises
+    assertThrows[Exception](s.sql(
+      """MERGE INTO inventory t USING (VALUES (1, 1), (1, 2)) AS d(sku, amount)
+        |ON t.sku == d.sku WHEN MATCHED THEN UPDATE SET qty = d.amount""".stripMargin))
+    s.sql("DROP TABLE inventory")
+  }
+
   test("DISTINCT ON keeps the first row per key under ORDER BY") {
     testSelect(
       """SELECT DISTINCT ON (user_id) order_id, price FROM orders

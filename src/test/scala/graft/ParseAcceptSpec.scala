@@ -211,6 +211,11 @@ class ParseAcceptSpec extends AnyFunSuite {
     parses("SELECT a, count(*) AS n FROM t GROUP BY 1 ORDER BY 2")
     fails("SELECT a FROM t ORDER BY 2")                 // ordinal out of range
     fails("SELECT a FROM t GROUP BY 0")                 // ordinals are 1-based
+    parses("MERGE INTO t USING d ON t.k == d.k WHEN MATCHED THEN UPDATE SET v = d.v WHEN NOT MATCHED THEN INSERT (k, v) VALUES (d.k, d.v)")
+    parses("MERGE INTO t USING (SELECT k FROM s) AS d ON t.k == d.k WHEN MATCHED THEN DELETE")
+    fails("MERGE INTO t USING d ON t.k == d.k")         // no WHEN clause
+    fails("MERGE INTO t USING d ON t.k == d.k WHEN NOT MATCHED THEN DELETE") // NOT MATCHED can only INSERT
+    fails("MERGE INTO t USING d ON t.k == d.k WHEN MATCHED THEN INSERT (k) VALUES (1)") // MATCHED cannot INSERT
     fails("SELECT a FROM t GROUP BY ROLLUP a")          // ROLLUP needs parens
   }
 

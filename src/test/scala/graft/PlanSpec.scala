@@ -676,4 +676,36 @@ class PlanSpec extends AnyFunSuite {
       s"prune window not partitioned by cell: $specs\n" + p)
     graft.operators.Dedup.releaseAll()
   }
+
+  test("WITH-tail knobs drive execution: broadcast hint and repartition") {
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("lineitem", spark.read.parquet(s"$dir/lineitem.parquet"))
+    gs.registerTable("nation", spark.read.parquet(s"$dir/nation.parquet"))
+    // broadcast = "n" pins the hint on the nation side regardless of
+    // size estimation — the logical plan carries ResolvedHint
+    val df = gs.sql(
+      """SELECT l.l_orderkey, n.n_name FROM lineitem l
+        |JOIN nation n ON l.l_suppkey % 25 == n.n_nationkey
+        |WITH broadcast = "n", repartition = 7""".stripMargin)
+    val logical = df.queryExecution.optimizedPlan.toString
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("ResolvedHint") || logical.contains("broadcast"),
+      "broadcast hint missing:\n" + analyzed)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.rdd.getNumPartitions == 7, s"repartition=7 not applied: ${df.rdd.getNumPartitions}")
+    // repartition_by hash-partitions on the key; coalesce caps width
+    val df2 = gs.sql(
+      """SELECT l_orderkey, l_quantity FROM lineitem
+        |WITH repartition_by = "l_orderkey", repartition = 5""".stripMargin)
+    assert(df2.rdd.getNumPartitions == 5)
+    assert(df2.queryExecution.executedPlan.toString.contains("hashpartitioning(l_orderkey"),
+      df2.queryExecution.executedPlan.toString)
+    val df3 = gs.sql("SELECT l_orderkey FROM lineitem WITH coalesce = 2")
+    assert(df3.rdd.getNumPartitions <= 2)
+    // unknown keys are carried and ignored (reference property-bag parity)
+    assert(gs.sql("""SELECT count(*) AS n FROM nation WITH distributed = true, node_ct = 10""")
+      .collect().head.getLong(0) == 25L)
+  }
 }

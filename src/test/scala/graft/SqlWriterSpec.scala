@@ -96,7 +96,8 @@ class SqlWriterSpec extends AnyFunSuite {
       """FILTER AND ( x > 5, EXISTS email ) FROM users LIMIT 10 ALIAS screen""",
       """DESCRIBE mytable""",
       """USE mydb""",
-      """DROP TABLE articles""")) {
+      """DROP TABLE articles""",
+      """MERGE INTO t AS a USING (VALUES (1, "x")) AS d(k, v) ON a.k == d.k WHEN MATCHED AND d.v != "x" THEN UPDATE SET v = d.v WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT (k, v) VALUES (d.k, d.v)""")) {
       val ast1 = SqlParser.parse(s)
       val ast2 = SqlParser.parse(SqlWriter.toSql(ast1))
       assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
@@ -110,7 +111,8 @@ class SqlWriterSpec extends AnyFunSuite {
       """SELECT r.x, t.label FROM r JOIN (VALUES (0, "a"), (1, "b")) AS t(rk, label) ON r.k == t.rk""",
       """SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC""",
       """SELECT * EXCLUDE (a, b) REPLACE (x + 1 AS x) FROM t""",
-      """SELECT a, b, count(*) AS n FROM t GROUP BY ALL""")) {
+      """SELECT a, b, count(*) AS n FROM t GROUP BY ALL""",
+      """SELECT a FROM t LIMIT 10 WITH broadcast = "dim", repartition = 8""")) {
       val ast1 = SqlParser.parse(s)
       val ast2 = SqlParser.parse(SqlWriter.toSql(ast1))
       assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
