@@ -15,6 +15,10 @@
 //
 // FULL r11 RUN (this host, 2026-08-14, end-to-end at r11 HEAD): every
 // family within the bands below; r11 additions measured —
+//   merge_cdc_10x          1.11 s (dialect MERGE: 1% upd/del + 1% ins
+//     over 50k docs, ambiguity check included; 50000 -> 50324 rows)
+//   recursive_tree_10x     10.4 s (WITH RECURSIVE, 19 semi-naive
+//     iterations over 500k ids, frontier-checkpointed; 500k rows out)
 //   pl_winnow_index_ship   6.5-9.4 s, 120,676 delta-touching pairs
 //   pl_dedup_simhash_ship  4.6-9.0 s, 119,623 delta-touching pairs
 //   pl_search_hybrid_rrf   9.4-10.4 s (two ranking chains + fusion)
