@@ -71,7 +71,10 @@ final class Planner(catalog: String => DataFrame,
       if (bcastNames.contains(s.aliasName.toLowerCase)) broadcast(d) else d
     }
     var df = planSource(sel.from.head)
-    for (src <- sel.from.tail) {
+    for (src <- sel.from.tail) src match {
+      case ss: SubquerySource if ss.lateral =>
+        df = planLateral(df, sel, ss)
+      case _ =>
       val right = planSource(src)
       val joined = (src.joinType, src.joinOn) match {
         case (JoinType.Cross, None) => df.crossJoin(right)
@@ -384,12 +387,128 @@ final class Planner(catalog: String => DataFrame,
     * source grammar (table, subquery, inline VALUES). */
   def planFromSource(fs: FromSource): DataFrame = source(fs)
 
+  /** `FROM outer, LATERAL (SELECT …) l` — cross apply by REWRITE: the
+    * inner WHERE's outer-referencing equality conjuncts become join
+    * keys (the same correlation analysis as IN/EXISTS). Three shapes:
+    * (a) aggregate subquery (no explicit GROUP BY): grouped aggregate
+    *     on the correlation keys LEFT-joined back — one row per outer
+    *     row, top-level count(...) coalesced to 0 for empty groups
+    *     (the one aggregate whose empty-input value is not NULL);
+    * (b) LIMIT k (ORDER BY mandatory): inner join + ONE rank window
+    *     per outer row — top-k-per-group without a per-row rescan;
+    * (c) plain: inner join on the correlation keys.
+    * An uncorrelated lateral degrades to a cross join (standard).
+    * Never a driver loop, never a nested-loop rescan: the rewrite is
+    * what makes per-row subqueries survive a 100 TB outer table. */
+  private def planLateral(outer: DataFrame, outerSel: SqlSelect,
+      ss: SubquerySource): DataFrame = {
+    val innerSel = ss.select
+    val innerPlanner = new Planner(catalog, vars, includer)
+    val c = analyzeCorrelation(innerSel, innerPlanner, outerSel, outer)
+    if (c.keys.isEmpty)
+      return outer.crossJoin(innerPlanner.plan(innerSel).alias(ss.alias))
+    if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
+        innerSel.qualify.nonEmpty || innerSel.distinct)
+      throw BuildException("LATERAL supports plain, aggregate, and " +
+        "ORDER BY+LIMIT subqueries (no explicit GROUP BY/HAVING/QUALIFY/DISTINCT)")
+    val corrFields = c.keys.map(_._1).distinct
+    val corrCols = corrFields.map(f =>
+      SelectColumn(IdentityNode(Seq(f)), Some(s"__lat_$f"), None))
+    val outerCtx = mkCtx(outer)
+    def joinCond(innerDf: DataFrame): Column = c.keys.map { case (f, outerNode) =>
+      ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__lat_$f")
+    }.reduce(_ && _)
+    def dropKeys(d: DataFrame): DataFrame =
+      d.drop(corrFields.map(f => s"__lat_$f"): _*)
+    // the lateral's visible columns register under its alias (both for
+    // qualified `l.x` resolution — via an actual SubqueryAlias on the
+    // inner frame — and for type-aware coercion via aliasSchemas)
+    def aliased(d: DataFrame): DataFrame = {
+      aliasSchemas.put(ss.alias,
+        StructType(d.schema.fields.filterNot(_.name.startsWith("__lat_"))))
+      d.alias(ss.alias)
+    }
+    val isAggLat = innerSel.columns.exists(sc => containsAgg(sc.expr))
+    if (isAggLat) {
+      if (innerSel.columns.exists(sc => !containsAgg(sc.expr)))
+        throw BuildException("aggregate LATERAL must select only aggregates")
+      if (innerSel.limit.isDefined)
+        throw BuildException("aggregate LATERAL cannot take LIMIT")
+      val aggCore = innerPlanner.plan(innerSel.copy(
+        columns = innerSel.columns ++ corrCols,
+        where = c.innerWhere,
+        groupBy = corrFields.map(f => IdentityNode(Seq(f))),
+        orderBy = Nil, limit = None, offset = None))
+      // per-outer-row aggregate semantics: an EMPTY group still yields
+      // a row (count 0, other aggregates NULL). Completing the agg side
+      // with the outer keys that matched nothing — rather than
+      // coalescing after a left join — keeps every lateral column's
+      // alias qualifier intact (a withColumn would mint a new,
+      // unqualified attribute and `l.x` would stop resolving).
+      val keyProj = c.keys.map { case (f, outerNode) =>
+        ColumnBuilder.build(outerNode, outerCtx).as(s"__lat_$f") }
+      val missing = outer.select(keyProj: _*).distinct()
+        .join(aggCore, corrFields.map(f => s"__lat_$f"), "left_anti")
+      val filled = missing.select(aggCore.columns.toIndexedSeq.map { cn =>
+        if (cn.startsWith("__lat_")) col(cn)
+        else {
+          val dt = aggCore.schema(cn).dataType
+          innerSel.columns.find(_.outputName == cn).map(_.expr) match {
+            case Some(FuncNode(n, _)) if n.equalsIgnoreCase("count") =>
+              lit(0L).cast(dt).as(cn)
+            case _ => lit(null).cast(dt).as(cn)
+          }
+        }
+      }: _*)
+      val aggDf = aliased(aggCore.unionByName(filled))
+      dropKeys(outer.join(aggDf, joinCond(aggDf), "left"))
+    } else innerSel.limit match {
+      case Some(k) =>
+        if (innerSel.orderBy.isEmpty)
+          throw BuildException("LATERAL … LIMIT requires ORDER BY " +
+            "(a nondeterministic top-k can never replay)")
+        // sort keys rank the PROJECTED inner row: a key naming a select
+        // alias (or matching a select expression) orders by that OUTPUT
+        // column; any other key rides along as a hidden inner column
+        // (built in INNER scope, where its table's columns resolve)
+        val hidden = collection.mutable.ArrayBuffer[SelectColumn]()
+        val ordCols: Seq[(String, Boolean)] = innerSel.orderBy.map { case (n, asc) =>
+          innerSel.columns.find(sc =>
+            sc.alias.contains(n.text) || sc.outputName == n.text ||
+              sc.expr.text == n.text) match {
+            case Some(sc) => (sc.outputName, asc)
+            case None =>
+              val name = s"__lat_ord_${hidden.length}"
+              hidden += SelectColumn(n, Some(name), None)
+              (name, asc)
+          }
+        }
+        val innerDf = aliased(innerPlanner.plan(innerSel.copy(
+          columns = innerSel.columns ++ corrCols ++ hidden, where = c.innerWhere,
+          orderBy = Nil, limit = None, offset = None)))
+        val withId = outer.withColumn("__lat_oid", monotonically_increasing_id())
+        val joined = withId.join(innerDf, joinCond(innerDf), "inner")
+        val ords = ordCols.map { case (name, asc) =>
+          if (asc) col(name).asc else col(name).desc }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__lat_oid")).orderBy(ords: _*)
+        dropKeys(joined.withColumn("__lat_rk", row_number().over(w))
+          .filter(col("__lat_rk") <= k)
+          .drop("__lat_oid" +: "__lat_rk" +: hidden.map(_.outputName).toSeq: _*))
+      case None =>
+        val innerDf = aliased(innerPlanner.plan(innerSel.copy(
+          columns = innerSel.columns ++ corrCols, where = c.innerWhere,
+          orderBy = Nil, limit = None, offset = None)))
+        dropKeys(outer.join(innerDf, joinCond(innerDf), "inner"))
+    }
+  }
+
   private def source(src: FromSource): DataFrame = {
     val df = src match {
       case TableSource(name, alias, _, _) =>
         val d = catalog(name)
         alias.map(d.alias).getOrElse(d.alias(name))
-      case SubquerySource(sub, alias, _, _) =>
+      case SubquerySource(sub, alias, _, _, _) =>
         new Planner(catalog, vars, includer).plan(sub).alias(alias)
       case ValuesSource(rows, alias, colNames, _, _) =>
         // inline literal table: each row is a projection over the shared

@@ -643,5 +643,37 @@ object EngineQueries {
           |GROUP BY 1 ORDER BY ALL""".stripMargin),
       Some("""SELECT n_regionkey, count(*) AS n FROM nation
              |GROUP BY 1 ORDER BY ALL""".stripMargin)),
+
+    // engine: correlated-aggregate LATERAL — one row per outer row,
+    // empty groups keep the row with count 0 (the rewrite completes the
+    // aggregate side rather than rescanning per row)
+    "ql_lateral_agg" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT r.r_name, l.n FROM region r,
+          |LATERAL (SELECT count(*) AS n FROM nation
+          |         WHERE n_regionkey == r.r_regionkey AND n_nationkey < 3) l
+          |ORDER BY r.r_name""".stripMargin),
+      Some("""SELECT r.r_name, l.n FROM region r,
+             |LATERAL (SELECT count(*) AS n FROM nation
+             |         WHERE n_regionkey = r.r_regionkey AND n_nationkey < 3) l
+             |ORDER BY r.r_name""".stripMargin)),
+
+    // engine: LIMIT-k LATERAL — top-2 orders per customer, planned as
+    // ONE join + ONE rank window (never a per-outer-row rescan)
+    "ql_lateral_topk" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT toint(c.c_custkey) AS ck, toint(l.ok) AS ok, l.price
+          |FROM customer c,
+          |LATERAL (SELECT o_orderkey AS ok, o_totalprice AS price FROM orders
+          |         WHERE o_custkey == c.c_custkey
+          |         ORDER BY price DESC, ok LIMIT 2) l
+          |ORDER BY ck, price DESC, ok""".stripMargin),
+      Some("""SELECT CAST(c.c_custkey AS BIGINT) AS ck, CAST(l.ok AS BIGINT) AS ok,
+             |  l.price
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey AS ok, o_totalprice AS price FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY price DESC, ok LIMIT 2) l
+             |ORDER BY ck, price DESC, ok""".stripMargin)),
   )
 }

@@ -49,8 +49,14 @@ final case class TableSource(name: String, alias: Option[String],
     joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
   def aliasName: String = alias.getOrElse(name)
 }
+/** `lateral = true` marks `FROM t, LATERAL (SELECT …) l` — the inner
+  * select may reference the preceding sources' columns (cross apply).
+  * Planned by rewrite: correlated-aggregate laterals become a grouped
+  * aggregate joined back (count coalesced to 0 for empty groups),
+  * LIMIT-k laterals a join + per-outer-row rank window. */
 final case class SubquerySource(select: SqlSelect, alias: String,
-    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None,
+    lateral: Boolean = false) extends FromSource {
   def aliasName: String = alias
 }
 /** SQL-standard `<source> PIVOT (agg FOR col IN (v1 [AS a1], …))`

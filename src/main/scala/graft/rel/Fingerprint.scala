@@ -68,8 +68,8 @@ object Fingerprint {
       val from = sel.from.map {
         case TableSource(name, _, jt, on) =>
           name.toLowerCase + s"/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
-        case SubquerySource(sub, _, jt, on) =>
-          "(" + normStmt(sub) + s")/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
+        case SubquerySource(sub, _, jt, on, lat) =>
+          (if (lat) "lateral " else "") + "(" + normStmt(sub) + s")/$jt" + on.map(o => " ON " + norm(o)).getOrElse("")
         case ValuesSource(rows, _, cols, jt, on) =>
           // literal rows erase like other literals; arity + column names
           // remain (two VALUES tables of different shape must not alias)

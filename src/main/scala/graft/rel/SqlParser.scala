@@ -29,7 +29,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
     "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL",
-    "SEMI", "ANTI")
+    "SEMI", "ANTI", "LATERAL")
 
   def parseStatement(): Statement = {
     val st =
@@ -387,8 +387,16 @@ final class SqlParser(tokens: Vector[Token]) {
     out += parseOneSource(JoinType.Inner, None)
     var more = true
     while (more) {
-      if (eat(",")) out += parseOneSource(JoinType.Cross, None) // comma join
-      else {
+      if (eat(",")) {
+        // comma join; `, LATERAL (SELECT …) l` is the cross-apply form
+        if (kw("LATERAL")) out += parseLateralSource()
+        else out += parseOneSource(JoinType.Cross, None)
+      } else if (kw("CROSS") && tokens.lift(ep.pos + 1)
+          .exists(_.text.equalsIgnoreCase("JOIN")) && tokens.lift(ep.pos + 2)
+          .exists(_.text.equalsIgnoreCase("LATERAL"))) {
+        next(); next() // CROSS JOIN LATERAL ≡ comma-LATERAL
+        out += parseLateralSource()
+      } else {
         var jt: Option[JoinType] = None
         var natural = false
         if (kw("NATURAL")) { next(); natural = true }
@@ -474,6 +482,20 @@ final class SqlParser(tokens: Vector[Token]) {
       TableSource(name, alias, jt, on)
     }
     maybePivot(base, jt, on)
+  }
+
+  /** `LATERAL (SELECT …) [AS] alias` — a subquery that may reference
+    * the preceding FROM sources' columns (cross apply; beyond ref and
+    * beyond Spark's DataFrame API). Planned by rewrite in the Planner:
+    * correlated-aggregate form → grouped aggregate joined back;
+    * LIMIT-k form → join + per-outer-row rank window. */
+  private def parseLateralSource(): FromSource = {
+    expect("LATERAL")
+    expect("(")
+    val sub = parseSelect()
+    expect(")")
+    eat("AS")
+    SubquerySource(sub, ident(), JoinType.Cross, None, lateral = true)
   }
 
   /** `(VALUES (e, …)[, …]) AS t(c1, …)` in FROM position — the `(` and

@@ -36,7 +36,8 @@ object SqlWriter {
         case TableSource(name, alias, _, _) =>
           graft.expr.StringUtil.identityMaybeQuote('`', name) +
             alias.map(" AS " + _).getOrElse("")
-        case SubquerySource(sub, alias, _, _) => s"(${toSql(sub)}) AS $alias"
+        case SubquerySource(sub, alias, _, _, lat) =>
+          (if (lat) "LATERAL " else "") + s"(${toSql(sub)}) AS $alias"
         case ValuesSource(rows, alias, cols, _, _) =>
           "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
             .mkString(", ") + s") AS $alias" + cols.mkString("(", ", ", ")")
@@ -45,7 +46,7 @@ object SqlWriter {
             case TableSource(name, a, _, _) =>
               graft.expr.StringUtil.identityMaybeQuote('`', name) +
                 a.map(" AS " + _).getOrElse("")
-            case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
+            case SubquerySource(sub, _, _, _, _) => s"(${toSql(sub)})"
             case ValuesSource(rows, a, cs, _, _) =>
               "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
                 .mkString(", ") + s") AS $a" + cs.mkString("(", ", ", ")")
@@ -61,7 +62,7 @@ object SqlWriter {
             case TableSource(name, a, _, _) =>
               graft.expr.StringUtil.identityMaybeQuote('`', name) +
                 a.map(" AS " + _).getOrElse("")
-            case SubquerySource(sub, _, _, _) => s"(${toSql(sub)})"
+            case SubquerySource(sub, _, _, _, _) => s"(${toSql(sub)})"
             case ValuesSource(rows, a, cs, _, _) =>
               "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
                 .mkString(", ") + s") AS $a" + cs.mkString("(", ", ", ")")

@@ -929,6 +929,33 @@ class EngineSpec extends AnyFunSuite {
     s.sql("DROP TABLE inventory")
   }
 
+  test("LATERAL subqueries: aggregate, top-k, uncorrelated, error shapes") {
+    // aggregate lateral: one row per user, zero-order users keep count 0
+    testSelect(
+      """SELECT u.email, l.n FROM users u,
+        |LATERAL (SELECT count(*) AS n FROM orders WHERE orders.user_id == u.user_id) l
+        |ORDER BY u.email""".stripMargin,
+      Seq(Seq("aaron@email.com", 2L), Seq("bob@email.com", 0L), Seq("not_an_email_2", 0L)))
+    // top-1 lateral: each user's priciest order (users w/o orders drop)
+    testSelect(
+      """SELECT u.email, l.price FROM users u,
+        |LATERAL (SELECT price FROM orders WHERE orders.user_id == u.user_id
+        |         ORDER BY price DESC LIMIT 1) l""".stripMargin,
+      Seq(Seq("aaron@email.com", 37.50)))
+    // uncorrelated lateral degrades to a cross join
+    assert(session.sql(
+      """SELECT u.email, l.one FROM users u,
+        |LATERAL (SELECT 1 AS one) l""".stripMargin).count() == 3)
+    // LIMIT without ORDER BY refuses (nondeterministic top-k)
+    testSelectErr(
+      """SELECT u.email FROM users u,
+        |LATERAL (SELECT price FROM orders WHERE orders.user_id == u.user_id LIMIT 1) l""".stripMargin)
+    // mixing aggregate and plain columns refuses
+    testSelectErr(
+      """SELECT u.email FROM users u,
+        |LATERAL (SELECT price, count(*) AS n FROM orders WHERE orders.user_id == u.user_id) l""".stripMargin)
+  }
+
   test("DISTINCT ON keeps the first row per key under ORDER BY") {
     testSelect(
       """SELECT DISTINCT ON (user_id) order_id, price FROM orders

@@ -211,6 +211,9 @@ class ParseAcceptSpec extends AnyFunSuite {
     parses("SELECT a, count(*) AS n FROM t GROUP BY 1 ORDER BY 2")
     fails("SELECT a FROM t ORDER BY 2")                 // ordinal out of range
     fails("SELECT a FROM t GROUP BY 0")                 // ordinals are 1-based
+    parses("SELECT a FROM t, LATERAL (SELECT b FROM u WHERE u.k == t.k) l")
+    parses("SELECT a FROM t CROSS JOIN LATERAL (SELECT b FROM u WHERE u.k == t.k) AS l")
+    fails("SELECT a FROM t, LATERAL u")                 // LATERAL needs (subquery)
     parses("MERGE INTO t USING d ON t.k == d.k WHEN MATCHED THEN UPDATE SET v = d.v WHEN NOT MATCHED THEN INSERT (k, v) VALUES (d.k, d.v)")
     parses("MERGE INTO t USING (SELECT k FROM s) AS d ON t.k == d.k WHEN MATCHED THEN DELETE")
     fails("MERGE INTO t USING d ON t.k == d.k")         // no WHEN clause

@@ -677,6 +677,36 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.Dedup.releaseAll()
   }
 
+  test("LATERAL rewrites to joins — never a cartesian or per-row rescan") {
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("customer", spark.read.parquet(s"$dir/customer.parquet"))
+    gs.registerTable("orders", spark.read.parquet(s"$dir/orders.parquet"))
+    // top-k lateral: ONE equi-join + ONE rank window per outer row
+    val df = gs.sql(
+      """SELECT c.c_custkey, l.price FROM customer c,
+        |LATERAL (SELECT o_totalprice AS price FROM orders
+        |         WHERE o_custkey == c.c_custkey
+        |         ORDER BY price DESC, o_orderkey LIMIT 2) l""".stripMargin)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "cartesian in lateral plan:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "lateral should be an equi-join:\n" + p)
+    val wins = """windowspecdefinition\(([^)]*)\)""".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(wins.nonEmpty && wins.forall(_.contains("__lat_oid")),
+      s"lateral window not per-outer-row: $wins\n" + p)
+    // aggregate lateral: partial+final hash agg, still an equi-join
+    val df2 = gs.sql(
+      """SELECT c.c_custkey, l.n FROM customer c,
+        |LATERAL (SELECT count(*) AS n FROM orders
+        |         WHERE o_custkey == c.c_custkey) l""".stripMargin)
+    df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(p2.contains("HashAggregate"), p2)
+  }
+
   test("WITH-tail knobs drive execution: broadcast hint and repartition") {
     val gs = new graft.engine.GraftSession(spark)
     gs.registerTable("lineitem", spark.read.parquet(s"$dir/lineitem.parquet"))
