@@ -74,6 +74,8 @@ final class Planner(catalog: String => DataFrame,
     for (src <- sel.from.tail) src match {
       case ss: SubquerySource if ss.lateral =>
         df = planLateral(df, sel, ss)
+      case _ if src.joinType == JoinType.Asof || src.joinType == JoinType.AsofLeft =>
+        df = planAsof(df, src, planSource(src))
       case _ =>
       val right = planSource(src)
       val joined = (src.joinType, src.joinOn) match {
@@ -386,6 +388,94 @@ final class Planner(catalog: String => DataFrame,
   /** Plan a FROM source standalone — MERGE USING re-uses the full
     * source grammar (table, subquery, inline VALUES). */
   def planFromSource(fs: FromSource): DataFrame = source(fs)
+
+  /** `ASOF [LEFT] JOIN` by REWRITE: each left row pairs with the right
+    * row holding the latest right timestamp at-or-before the left one,
+    * per equality keys. No join operator at all — both sides union into
+    * one tagged frame (the right row riding as a struct payload) and
+    * ONE window per equality-key group carries the last-seen payload
+    * forward (right rows sort before left rows at the same instant, so
+    * a simultaneous right row is visible). ONE shuffle total, no range
+    * explosion, no per-row probe — the shape that survives two 100 TB
+    * event streams. ASOF (inner) drops left rows with no prior right
+    * row; ASOF LEFT keeps them with NULLs. The ON clause must be
+    * equality conjuncts plus exactly one `left_ts >= right_ts`
+    * inequality (or the mirrored `right_ts <= left_ts`). */
+  private def planAsof(outer: DataFrame, src: FromSource, right: DataFrame): DataFrame = {
+    val on = src.joinOn.getOrElse(throw BuildException("ASOF JOIN requires ON"))
+    val conjs = on match {
+      case BooleanNode("AND", args, false) => args
+      case other => Seq(other)
+    }
+    val rAliases = Set(src.aliasName)
+    val lAliases = aliasSchemas.keySet.toSet -- rAliases
+    def sideOf(n: Node): Option[Boolean] = n match { // Some(true) = right side
+      case IdentityNode(p) =>
+        val inR = resolvesIn(p, right.schema, rAliases)
+        val inL = resolvesIn(p, outer.schema, lAliases)
+        if (inR && inL)
+          throw BuildException(s"ASOF JOIN: ambiguous column '${n.text}' — qualify it")
+        if (inR) Some(true) else if (inL) Some(false) else None
+      case _ => None
+    }
+    val eqs = collection.mutable.ArrayBuffer[(Node, Node)]() // (left, right)
+    var ineq: Option[(Node, Node)] = None                    // left_ts >= right_ts
+    def setIneq(l: Node, r: Node): Unit = {
+      if (ineq.isDefined)
+        throw BuildException("ASOF JOIN: exactly one timestamp inequality allowed")
+      ineq = Some((l, r))
+    }
+    for (cj <- conjs) cj match {
+      case BinaryNode("==" | "=", a, b, false) =>
+        (sideOf(a), sideOf(b)) match {
+          case (Some(false), Some(true)) => eqs += ((a, b))
+          case (Some(true), Some(false)) => eqs += ((b, a))
+          case _ => throw BuildException(
+            s"ASOF JOIN: equality must pair a left and a right column: ${cj.text}")
+        }
+      case BinaryNode(">=", a, b, false)
+          if sideOf(a).contains(false) && sideOf(b).contains(true) => setIneq(a, b)
+      case BinaryNode("<=", a, b, false)
+          if sideOf(a).contains(true) && sideOf(b).contains(false) => setIneq(b, a)
+      case other => throw BuildException("ASOF JOIN ON supports equality conjuncts " +
+        s"plus one left_ts >= right_ts inequality, got: ${other.text}")
+    }
+    val (lTsN, rTsN) = ineq.getOrElse(throw BuildException(
+      "ASOF JOIN requires a left_ts >= right_ts inequality in ON"))
+    val clash = right.columns.filter(rc => outer.columns.exists(_.equalsIgnoreCase(rc)))
+    if (clash.nonEmpty)
+      throw BuildException("ASOF JOIN: right columns collide with left: " +
+        clash.mkString(", ") + " — project/alias the right side")
+    val lCtx = mkCtx(outer)
+    val rCtx = mkCtx(right)
+    val payloadType = StructType(right.schema.fields)
+    var l2 = outer
+    for (((ln, _), i) <- eqs.zipWithIndex)
+      l2 = l2.withColumn(s"__as_k$i", ColumnBuilder.build(ln, lCtx))
+    l2 = l2.withColumn("__as_ts", ColumnBuilder.build(lTsN, lCtx))
+      .withColumn("__as_side", lit(0))
+      .withColumn("__as_p", lit(null).cast(payloadType))
+    val r2 = right.select(
+      eqs.zipWithIndex.map { case ((_, rn), i) =>
+        ColumnBuilder.build(rn, rCtx).as(s"__as_k$i") }.toSeq ++ Seq(
+        ColumnBuilder.build(rTsN, rCtx).as("__as_ts"),
+        lit(1).as("__as_side"),
+        struct(right.columns.map(col).toIndexedSeq: _*).as("__as_p")): _*)
+    val unioned = l2.unionByName(r2, allowMissingColumns = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(eqs.indices.map(i => col(s"__as_k$i")): _*)
+      .orderBy(col("__as_ts").asc, col("__as_side").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    var out = unioned
+      .withColumn("__as_match", last(col("__as_p"), ignoreNulls = true).over(w))
+      .filter(col("__as_side") === 0)
+    if (src.joinType == JoinType.Asof)
+      out = out.filter(col("__as_match").isNotNull)
+    for (rc <- right.columns)
+      out = out.withColumn(rc, col(s"__as_match.$rc"))
+    out.drop("__as_ts" +: "__as_side" +: "__as_p" +: "__as_match" +:
+      eqs.indices.map(i => s"__as_k$i"): _*)
+  }
 
   /** `FROM outer, LATERAL (SELECT …) l` — cross apply by REWRITE: the
     * inner WHERE's outer-referencing equality conjuncts become join

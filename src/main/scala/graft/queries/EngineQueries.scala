@@ -675,5 +675,46 @@ object EngineQueries {
              |         WHERE o_custkey = c.c_custkey
              |         ORDER BY price DESC, ok LIMIT 2) l
              |ORDER BY ck, price DESC, ok""".stripMargin)),
+
+    // engine: ASOF JOIN through the dialect — each click pairs with the
+    // latest at-or-before signup of the same user; INNER drops clicks
+    // with no prior signup. Planned as a tagged union + ONE window —
+    // no join operator at all (PlanSpec gates the shape).
+    "ql_asof_join" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT toint(l.event_id) AS eid, toint(l.user_id) AS uid2, sval
+          |FROM (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type == "click") AS l
+          |ASOF JOIN (SELECT user_id AS uid, ts AS sts, value AS sval
+          |           FROM events WHERE event_type == "signup") AS r
+          |  ON l.user_id == uid AND l.ts >= sts
+          |ORDER BY eid""".stripMargin),
+      Some("""SELECT CAST(l.event_id AS BIGINT) AS eid,
+             |  CAST(l.user_id AS BIGINT) AS uid2, r.sval
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click') l
+             |ASOF JOIN (SELECT user_id AS uid, ts AS sts, value AS sval
+             |           FROM events WHERE event_type = 'signup') r
+             |  ON l.user_id = r.uid AND l.ts >= r.sts
+             |ORDER BY eid""".stripMargin)),
+
+    // engine: ASOF LEFT JOIN — clicks with no prior signup survive with
+    // a NULL signup value
+    "ql_asof_left_join" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT toint(l.event_id) AS eid, sval
+          |FROM (SELECT event_id, user_id, ts FROM events
+          |      WHERE event_type == "click") AS l
+          |ASOF LEFT JOIN (SELECT user_id AS uid, ts AS sts, value AS sval
+          |                FROM events WHERE event_type == "signup") AS r
+          |  ON l.user_id == uid AND l.ts >= sts
+          |ORDER BY eid""".stripMargin),
+      Some("""SELECT CAST(l.event_id AS BIGINT) AS eid, r.sval
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT user_id AS uid, ts AS sts, value AS sval
+             |                FROM events WHERE event_type = 'signup') r
+             |  ON l.user_id = r.uid AND l.ts >= r.sts
+             |ORDER BY eid""".stripMargin)),
   )
 }

@@ -33,10 +33,18 @@ object JoinType {
     * the planner already performs. */
   case object Semi extends JoinType
   case object Anti extends JoinType
+  /** `ASOF [LEFT] JOIN` (DuckDB dialect, beyond ref): each left row
+    * pairs with the single right row holding the LATEST right
+    * timestamp at-or-before the left one (per equality keys). Planned
+    * by rewrite — a tagged union + one window, no join operator. */
+  case object Asof extends JoinType
+  case object AsofLeft extends JoinType
   def spark(j: JoinType): String = j match {
     case Inner => "inner"; case Left => "left"; case Right => "right"
     case Outer => "outer"; case Cross => "cross"
     case Semi => "left_semi"; case Anti => "left_anti"
+    case Asof | AsofLeft =>
+      throw new IllegalArgumentException("ASOF JOIN plans by rewrite, not a Spark join type")
   }
 }
 

@@ -29,7 +29,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
     "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL",
-    "SEMI", "ANTI", "LATERAL")
+    "SEMI", "ANTI", "LATERAL", "ASOF")
 
   def parseStatement(): Statement = {
     val st =
@@ -415,6 +415,11 @@ final class SqlParser(tokens: Vector[Token]) {
         else if (kw("CROSS")) { next(); jt = Some(JoinType.Cross) }
         else if (kw("SEMI")) { next(); jt = Some(JoinType.Semi) }
         else if (kw("ANTI")) { next(); jt = Some(JoinType.Anti) }
+        else if (kw("ASOF")) {
+          next()
+          if (kw("LEFT")) { next(); eat("OUTER"); jt = Some(JoinType.AsofLeft) }
+          else jt = Some(JoinType.Asof)
+        }
         if (kw("JOIN")) {
           next()
           val t = jt.getOrElse(JoinType.Inner)

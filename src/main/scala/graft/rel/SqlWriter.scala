@@ -28,6 +28,8 @@ object SqlWriter {
     case JoinType.Cross => "CROSS JOIN"
     case JoinType.Semi => "SEMI JOIN"
     case JoinType.Anti => "ANTI JOIN"
+    case JoinType.Asof => "ASOF JOIN"
+    case JoinType.AsofLeft => "ASOF LEFT JOIN"
   }
 
   private def from(fs: Seq[FromSource]): String =

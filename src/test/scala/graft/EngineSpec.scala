@@ -956,6 +956,31 @@ class EngineSpec extends AnyFunSuite {
         |LATERAL (SELECT price, count(*) AS n FROM orders WHERE orders.user_id == u.user_id) l""".stripMargin)
   }
 
+  test("ASOF JOIN through the dialect: inner drops, left keeps, guards refuse") {
+    // each order pairs with the user's latest registration at-or-before
+    // the order date; order 3's user never registered
+    testSelect(
+      """SELECT o.order_id, email FROM orders o
+        |ASOF JOIN (SELECT user_id AS uid, reg_date, email FROM users) AS u
+        |  ON o.user_id == uid AND o.order_date >= reg_date
+        |ORDER BY o.order_id""".stripMargin,
+      Seq(Seq(1L, "aaron@email.com"), Seq(2L, "aaron@email.com")))
+    testSelect(
+      """SELECT o.order_id, email FROM orders o
+        |ASOF LEFT JOIN (SELECT user_id AS uid, reg_date, email FROM users) AS u
+        |  ON o.user_id == uid AND o.order_date >= reg_date
+        |ORDER BY o.order_id""".stripMargin,
+      Seq(Seq(1L, "aaron@email.com"), Seq(2L, "aaron@email.com"), Seq(3L, null)))
+    // right columns colliding with left refuse loudly
+    testSelectErr(
+      """SELECT o.order_id FROM orders o
+        |ASOF JOIN users u ON o.user_id == u.user_id AND o.order_date >= u.reg_date""".stripMargin)
+    // missing timestamp inequality refuses
+    testSelectErr(
+      """SELECT o.order_id FROM orders o
+        |ASOF JOIN (SELECT user_id AS uid, email FROM users) AS u ON o.user_id == uid""".stripMargin)
+  }
+
   test("DISTINCT ON keeps the first row per key under ORDER BY") {
     testSelect(
       """SELECT DISTINCT ON (user_id) order_id, price FROM orders

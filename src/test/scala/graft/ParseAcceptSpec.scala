@@ -211,6 +211,9 @@ class ParseAcceptSpec extends AnyFunSuite {
     parses("SELECT a, count(*) AS n FROM t GROUP BY 1 ORDER BY 2")
     fails("SELECT a FROM t ORDER BY 2")                 // ordinal out of range
     fails("SELECT a FROM t GROUP BY 0")                 // ordinals are 1-based
+    parses("SELECT a FROM t ASOF JOIN u ON t.k == u.k AND t.ts >= u.ts")
+    parses("SELECT a FROM t ASOF LEFT JOIN u ON t.k == u.k AND t.ts >= u.ts")
+    fails("SELECT a FROM t ASOF JOIN u")                 // ASOF needs ON
     parses("SELECT a FROM t, LATERAL (SELECT b FROM u WHERE u.k == t.k) l")
     parses("SELECT a FROM t CROSS JOIN LATERAL (SELECT b FROM u WHERE u.k == t.k) AS l")
     fails("SELECT a FROM t, LATERAL u")                 // LATERAL needs (subquery)

@@ -707,6 +707,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p2.contains("HashAggregate"), p2)
   }
 
+  test("dialect ASOF JOIN plans as union + window — zero join operators") {
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("events", spark.read.parquet(s"$dir/events.parquet"))
+    val df = gs.sql(
+      """SELECT l.event_id, sval
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type == "click") AS l
+        |ASOF JOIN (SELECT user_id AS uid, ts AS sts, value AS sval
+        |           FROM events WHERE event_type == "signup") AS r
+        |  ON l.user_id == uid AND l.ts >= sts""".stripMargin)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "ASOF should have NO join operator:\n" + p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("Window"), p)
+    // one exchange per union branch feeds the window — every row moves
+    // exactly once; no second shuffle after the window
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected at most one shuffle per side, saw $exchanges:\n" + p)
+  }
+
   test("WITH-tail knobs drive execution: broadcast hint and repartition") {
     val gs = new graft.engine.GraftSession(spark)
     gs.registerTable("lineitem", spark.read.parquet(s"$dir/lineitem.parquet"))

@@ -113,7 +113,8 @@ class SqlWriterSpec extends AnyFunSuite {
       """SELECT * EXCLUDE (a, b) REPLACE (x + 1 AS x) FROM t""",
       """SELECT a, b, count(*) AS n FROM t GROUP BY ALL""",
       """SELECT a FROM t LIMIT 10 WITH broadcast = "dim", repartition = 8""",
-      """SELECT t.a, l.n FROM t, LATERAL (SELECT count(*) AS n FROM u WHERE u.k == t.k) AS l""")) {
+      """SELECT t.a, l.n FROM t, LATERAL (SELECT count(*) AS n FROM u WHERE u.k == t.k) AS l""",
+      """SELECT t.a FROM t ASOF LEFT JOIN u ON t.k == u.k AND t.ts >= u.ts""")) {
       val ast1 = SqlParser.parse(s)
       val ast2 = SqlParser.parse(SqlWriter.toSql(ast1))
       assert(ast1 == ast2, s"AST diverged for: $s -> ${SqlWriter.toSql(ast1)}")
