@@ -342,4 +342,56 @@ object EventStream {
     q.stop()
     spark.table(queryName)
   }
+
+  /** Streaming CDC upsert: a change stream (key, payload columns, an
+    * op column with "upsert"/"delete", and a monotonic sequence
+    * column) MERGEs into a registered table once per micro-batch via
+    * foreachBatch — the streaming spelling of the dialect's MERGE
+    * INTO. Within a batch, last-writer-wins per key (one rank window
+    * over the sequence column) BEFORE the merge, so the engine's
+    * multi-match ambiguity check never trips on a busy key. Each
+    * micro-batch is one set-based merge: one left join + one anti
+    * join against the current table state, delta side
+    * broadcast-eligible — per-batch cost tracks the BATCH, and the
+    * 100 TB target is never rewritten row-at-a-time by the driver.
+    *
+    * Update/insert columns = the batch's payload columns that exist in
+    * the target (key excluded from SET). Returns the started query;
+    * the caller owns its lifecycle. */
+  def cdcMergeSink(delta: DataFrame, gs: graft.engine.GraftSession,
+      target: String, keyCol: String, opCol: String, seqCol: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    delta.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(col(seqCol).desc)
+          val lastWins = batch
+            .withColumn("__cdc_rk", row_number().over(w))
+            .filter(col("__cdc_rk") === 1)
+            .drop("__cdc_rk", seqCol)
+          val tmp = s"__cdc_b$batchId"
+          gs.registerTable(tmp, lastWins)
+          val targetCols = gs.sql(s"SELECT * FROM $target LIMIT 0").columns
+          val payload = lastWins.columns.filterNot(c =>
+            c.equalsIgnoreCase(keyCol) || c.equalsIgnoreCase(opCol))
+            .filter(c => targetCols.exists(_.equalsIgnoreCase(c)))
+          val setSql = payload.map(c => s"$c = d.$c").mkString(", ")
+          val insCols = (keyCol +: payload.toSeq).mkString(", ")
+          val insVals = (keyCol +: payload.toSeq).map(c => s"d.$c").mkString(", ")
+          gs.sql(
+            s"""MERGE INTO $target t USING $tmp d ON t.$keyCol == d.$keyCol
+               |WHEN MATCHED AND d.$opCol == "delete" THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET $setSql
+               |WHEN NOT MATCHED AND d.$opCol != "delete" THEN INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+          gs.dropTable(tmp)
+          // truncate the target's lineage each batch (the bpeTrain
+          // lesson: batch n must not replay batches 1..n-1's merges);
+          // a production deployment would MERGE into a storage-backed
+          // table instead — this keeps the in-memory harness honest
+          gs.registerTable(target,
+            gs.sql(s"SELECT * FROM $target").localCheckpoint(true))
+        }
+      }
+      .start()
+  }
 }

@@ -296,4 +296,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L, 7.0)), got)
     assert(got.count(_._1 == 3L) == 2, got)
   }
+
+  test("streaming CDC merges into a registered table per micro-batch") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("cdc_target",
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "qty"))
+    // (k, name, qty, op, seq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long, String, Long)]
+    val q = graft.streaming.EventStream.cdcMergeSink(
+      mem.toDF().toDF("k", "name", "qty", "op", "seq"),
+      gs, "cdc_target", "k", "op", "seq")
+    // batch 1: update k=1, insert k=3; a busy key (two ops on k=3,
+    // last-writer-wins by seq)
+    mem.addData((1L, "a", 11L, "upsert", 1L), (3L, "c", 30L, "upsert", 2L),
+      (3L, "c", 31L, "upsert", 3L))
+    q.processAllAvailable()
+    // batch 2: delete k=2, insert-then-delete k=4 nets to nothing
+    mem.addData((2L, "b", 0L, "delete", 4L), (4L, "d", 40L, "upsert", 5L),
+      (4L, "d", 0L, "delete", 6L))
+    q.processAllAvailable()
+    q.stop()
+    val got = gs.sql("SELECT k, name, qty FROM cdc_target ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a", 11L), (3L, "c", 31L)), got)
+    gs.dropTable("cdc_target")
+  }
 }
