@@ -156,15 +156,37 @@ final class Planner(catalog: String => DataFrame,
       // against the joined frame. The limit(2) cap bounds the check:
       // one extra row is enough to prove the violation.
       for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
-        val subDf = new Planner(catalog, vars, includer).plan(parseSub(sub))
+        val innerSel = parseSub(sub)
         val sc = s"__scalar_$i"
-        val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
-        if (firstTwo.count() > 1)
-          throw BuildException("scalar subquery returned more than one row")
-        df = df.crossJoin(broadcast(firstTwo))
-        val cmp = ColumnBuilder.build(
-          BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
-        df = df.filter(cmp.cast("boolean")).drop(sc)
+        val corr = analyzeCorrelation(innerSel,
+          new Planner(catalog, vars, includer), sel, df)
+        if (corr.keys.nonEmpty) {
+          // CORRELATED scalar: exactly the aggregate-LATERAL shape —
+          // one grouped aggregate on the correlation keys joined back
+          // (one row per outer row; empty groups compare against NULL,
+          // which filters false, per standard SQL), then the
+          // comparison. Never a per-row rescan.
+          if (innerSel.columns.size != 1 ||
+              !containsAgg(innerSel.columns.head.expr))
+            throw BuildException("correlated scalar subquery must select " +
+              "exactly one aggregate expression")
+          val aliased = innerSel.copy(columns =
+            Seq(innerSel.columns.head.copy(alias = Some(sc))))
+          df = planLateral(df, sel,
+            SubquerySource(aliased, s"__sct_$i", lateral = true))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
+          df = df.filter(cmp.cast("boolean")).drop(sc)
+        } else {
+          val subDf = new Planner(catalog, vars, includer).plan(innerSel)
+          val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
+          if (firstTwo.count() > 1)
+            throw BuildException("scalar subquery returned more than one row")
+          df = df.crossJoin(broadcast(firstTwo))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
+          df = df.filter(cmp.cast("boolean")).drop(sc)
+        }
       }
       // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
       // (`inner.col = outer.col`) plan as a left_semi/left_anti join —

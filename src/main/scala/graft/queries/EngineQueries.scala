@@ -676,6 +676,21 @@ object EngineQueries {
              |         ORDER BY price DESC, ok LIMIT 2) l
              |ORDER BY ck, price DESC, ok""".stripMargin)),
 
+    // engine: CORRELATED scalar subquery in WHERE — rows carrying their
+    // order's max quantity (ties kept); planned as one grouped
+    // aggregate joined back (the aggregate-LATERAL shape), never a
+    // per-row rescan
+    "ql_corr_scalar_where" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+          |WHERE l.l_quantity == (SELECT max(l2.l_quantity) FROM lineitem l2
+          |                       WHERE l2.l_orderkey == l.l_orderkey)
+          |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin),
+      Some("""SELECT l.l_orderkey, l.l_linenumber, l.l_quantity FROM lineitem l
+             |WHERE l.l_quantity = (SELECT max(l2.l_quantity) FROM lineitem l2
+             |                      WHERE l2.l_orderkey = l.l_orderkey)
+             |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin)),
+
     // engine: ASOF JOIN through the dialect — each click pairs with the
     // latest at-or-before signup of the same user; INNER drops clicks
     // with no prior signup. Planned as a tagged union + ONE window —

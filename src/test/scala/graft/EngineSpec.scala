@@ -956,6 +956,21 @@ class EngineSpec extends AnyFunSuite {
         |LATERAL (SELECT price, count(*) AS n FROM orders WHERE orders.user_id == u.user_id) l""".stripMargin)
   }
 
+  test("correlated scalar subquery in WHERE plans as a grouped aggregate") {
+    // orders at their user's max price (ties kept)
+    testSelect(
+      """SELECT o.order_id FROM orders o
+        |WHERE o.price == (SELECT max(o2.price) FROM orders o2
+        |                  WHERE o2.user_id == o.user_id)
+        |ORDER BY o.order_id""".stripMargin,
+      Seq(Seq(2L), Seq(3L)))
+    // non-aggregate correlated scalar refuses
+    testSelectErr(
+      """SELECT o.order_id FROM orders o
+        |WHERE o.price > (SELECT o2.price FROM orders o2
+        |                 WHERE o2.user_id == o.user_id)""".stripMargin)
+  }
+
   test("ASOF JOIN through the dialect: inner drops, left keeps, guards refuse") {
     // each order pairs with the user's latest registration at-or-before
     // the order date; order 3's user never registered
