@@ -110,7 +110,7 @@ final class Planner(catalog: String => DataFrame,
     // ---- where (exec/where.go); IN-subqueries → semi/anti joins,
     // scalar comparisons against (SELECT agg …) → broadcast 1-row join
     sel.where.foreach { w =>
-      val (subqs, scalars, existsSubs, rest) = splitSubqueries(w)
+      val (subqs, scalars, existsSubs, quants, rest) = splitSubqueries(w)
       for (((left, sub, negated), i) <- subqs.zipWithIndex) {
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
@@ -187,6 +187,52 @@ final class Planner(catalog: String => DataFrame,
             BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
           df = df.filter(cmp.cast("boolean")).drop(sc)
         }
+      }
+      // Quantified comparisons `x <op> ANY|ALL (SELECT …)` beyond the
+      // membership shapes (those became semi/anti joins above). Each
+      // reduces to ONE bounded aggregate of the subquery column —
+      // min/max/count — broadcast onto every outer row; no per-row
+      // rescans, no row-count-shaped joins:
+      //   x > ANY  ≡ x > min      x > ALL  ≡ empty OR x > max
+      //   x < ANY  ≡ x < max      x < ALL  ≡ empty OR x < min
+      //   x <> ANY ≡ nonempty AND (min <> max OR x <> min)
+      //   x = ALL  ≡ empty OR (min = max AND x = min)
+      // Empty-set semantics are ANSI (ANY → FALSE via NULL extremum,
+      // ALL → TRUE via the count guard). Comparisons rebuild dialect
+      // BinaryNodes so coercions match plain WHERE comparisons.
+      for (((op, quant, left, sub), i) <- quants.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (corr.keys.nonEmpty)
+          throw BuildException(
+            "correlated quantified (ANY/ALL) subquery is not supported")
+        if (innerSel.columns.size != 1)
+          throw BuildException("quantified subquery must select exactly one column")
+        val subDf = innerPlanner.plan(innerSel)
+        val v = col(subDf.columns.head)
+        val mn = s"__qmin_$i"; val mx = s"__qmax_$i"; val cnt = s"__qcnt_$i"
+        val aggd = subDf.agg(min(v).as(mn), max(v).as(mx), count(v).as(cnt))
+        df = df.crossJoin(broadcast(aggd))
+        val qctx = mkCtx(df)
+        def cmp(o: String, rc: String) = ColumnBuilder.build(
+          BinaryNode(o, left, IdentityNode(Seq(rc))), qctx).cast("boolean")
+        val pred = (op, quant) match {
+          case (">", "ANY")  => cmp(">", mn)
+          case (">=", "ANY") => cmp(">=", mn)
+          case ("<", "ANY")  => cmp("<", mx)
+          case ("<=", "ANY") => cmp("<=", mx)
+          case ("!=" | "<>", "ANY") =>
+            col(cnt) > 0 && (col(mn) =!= col(mx) || cmp("!=", mn))
+          case (">", "ALL")  => col(cnt) === 0 || cmp(">", mx)
+          case (">=", "ALL") => col(cnt) === 0 || cmp(">=", mx)
+          case ("<", "ALL")  => col(cnt) === 0 || cmp("<", mn)
+          case ("<=", "ALL") => col(cnt) === 0 || cmp("<=", mn)
+          case ("=" | "==", "ALL") =>
+            col(cnt) === 0 || (col(mn) === col(mx) && cmp("=", mn))
+          case other => throw BuildException(s"unsupported quantified comparison $other")
+        }
+        df = df.filter(coalesce(pred, lit(false))).drop(mn, mx, cnt)
       }
       // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
       // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
@@ -785,7 +831,8 @@ final class Planner(catalog: String => DataFrame,
   private val scalarSubOps = Set(">", ">=", "<", "<=", "=", "==", "!=", "<>")
   private def splitSubqueries(w: Node): (Seq[(Node, SubqueryNode, Boolean)],
       Seq[(String, Node, SubqueryNode, Boolean)],
-      Seq[(SubqueryNode, Boolean)], Option[Node]) = {
+      Seq[(SubqueryNode, Boolean)],
+      Seq[(String, String, Node, SubqueryNode)], Option[Node]) = {
     val conjuncts = w match {
       case BooleanNode("AND", args, false) => args
       case other => Seq(other)
@@ -793,9 +840,21 @@ final class Planner(catalog: String => DataFrame,
     val subqs = collection.mutable.ArrayBuffer[(Node, SubqueryNode, Boolean)]()
     val scalars = collection.mutable.ArrayBuffer[(String, Node, SubqueryNode, Boolean)]()
     val existsSubs = collection.mutable.ArrayBuffer[(SubqueryNode, Boolean)]()
+    val quants = collection.mutable.ArrayBuffer[(String, String, Node, SubqueryNode)]()
     val rest = collection.mutable.ArrayBuffer[Node]()
     conjuncts.foreach {
       case BinaryNode("IN", l, s: SubqueryNode, neg) => subqs += ((l, s, neg))
+      // quantified comparisons (op carries the quantifier, e.g. "> ANY"):
+      // the membership shapes ARE the semi/anti join (`= ANY` ≡ IN,
+      // `<> ALL` ≡ NOT IN); the rest carry to the quantified planner
+      case BinaryNode(opq, l, s: SubqueryNode, false)
+          if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
+        val Array(op, quant) = opq.split(' ')
+        (op, quant) match {
+          case ("=" | "==", "ANY") => subqs += ((l, s, false))
+          case ("!=" | "<>", "ALL") => subqs += ((l, s, true))
+          case _ => quants += ((op, quant, l, s))
+        }
       case BinaryNode(op, l, s: SubqueryNode, neg) if scalarSubOps(op) =>
         scalars += ((op, l, s, neg))
       case UnaryNode("EXISTS", s: SubqueryNode) => existsSubs += ((s, false))
@@ -808,7 +867,7 @@ final class Planner(catalog: String => DataFrame,
       case 1 => Some(rest.head)
       case _ => Some(BooleanNode("AND", rest.toSeq))
     }
-    (subqs.toSeq, scalars.toSeq, existsSubs.toSeq, restNode)
+    (subqs.toSeq, scalars.toSeq, existsSubs.toSeq, quants.toSeq, restNode)
   }
 
   /** Scalar subqueries in expression position (SELECT list, HAVING,
@@ -832,7 +891,7 @@ final class Planner(catalog: String => DataFrame,
       case CaseNode(branches, els) =>
         branches.exists { case (w, t) => hasSub(w) || hasSub(t) } || els.exists(hasSub)
       case ArrayNode(items) => items.exists(hasSub)
-      case WindowNode(f, pb, ob, _) =>
+      case WindowNode(f, pb, ob, _, _) =>
         hasSub(f) || pb.exists(hasSub) || ob.exists(p => hasSub(p._1))
       case _ => false
     }
@@ -874,9 +933,9 @@ final class Planner(catalog: String => DataFrame,
       case CaseNode(branches, els) => CaseNode(
         branches.map { case (w, t) => (subst(w), subst(t)) }, els.map(subst))
       case ArrayNode(items) => ArrayNode(items.map(subst))
-      case WindowNode(f, pb, ob, fr) => WindowNode(
+      case WindowNode(f, pb, ob, fr, ref) => WindowNode(
         subst(f).asInstanceOf[FuncNode], pb.map(subst),
-        ob.map { case (e, asc) => (subst(e), asc) }, fr)
+        ob.map { case (e, asc) => (subst(e), asc) }, fr, ref)
       case other => other
     }
     sel.copy(

@@ -110,6 +110,9 @@ object ColumnBuilder {
     * an unknown name as a scalar would drop the OVER. */
   private def window(w: WindowNode, ctx: BuildCtx): Column = {
     import org.apache.spark.sql.expressions.Window
+    if (w.ref.isDefined)
+      throw BuildException(s"unresolved named window '${w.ref.get}' — " +
+        "OVER <name> requires a WINDOW clause definition in the same SELECT")
     val base = Window.partitionBy(w.partitionBy.map(build(_, ctx)): _*)
     val ordered =
       if (w.orderBy.isEmpty) base
@@ -241,10 +244,14 @@ object ColumnBuilder {
       case "IN"         => inOp(ln, rn, ctx)
       case "INTERSECTS" => arrays_overlap(l, r)
       case "IS"         => l.isNull // IS NULL; negated handled below
+      // IS [NOT] DISTINCT FROM — null-safe: Spark's <=> is the NOT
+      // DISTINCT direction, so the plain form negates it
+      case "ISDISTINCT" => !(l <=> r)
       case other        => throw BuildException(s"unsupported binary op $other")
     }
     if (neg) {
       if (op == "IS") build(ln, ctx).isNotNull
+      else if (op == "ISDISTINCT") build(ln, ctx) <=> build(rn, ctx)
       // NOT IN with an unevaluable side is TRUE in the reference
       // (vm_test.go: `userid NOT IN ("abc")` with missing userid)
       else if (op == "IN") !coalesce(c, lit(false))

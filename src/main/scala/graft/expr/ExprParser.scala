@@ -87,8 +87,18 @@ final class ExprParser(tokens: Vector[Token]) {
     if (cur.kind == TOp && cmpOps.contains(cur.text)) {
       if (negated) fail("NOT before comparison operator")
       val op = advance().text
+      // quantified comparison `x > ANY|SOME|ALL (SELECT …)` — the op
+      // string carries the quantifier ("> ANY"); SOME ≡ ANY (ANSI).
+      // The SQL planner rewrites these onto one bounded aggregate of
+      // the subquery (or a semi/anti join for = ANY / <> ALL).
+      if ((cur.isKeyword("ANY") || cur.isKeyword("SOME") || cur.isKeyword("ALL")) &&
+          p + 2 < tokens.length && tokens(p + 1).is("(") &&
+          tokens(p + 2).isKeyword("SELECT")) {
+        val q = if (advance().text.equalsIgnoreCase("ALL")) "ALL" else "ANY"
+        BinaryNode(s"$op $q", left, captureSubquery())
+      }
       // `x > (SELECT …)` — uncorrelated scalar subquery on the right
-      if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
+      else if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
         BinaryNode(op, left, captureSubquery())
       else BinaryNode(op, left, parseAdditive())
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
@@ -123,9 +133,18 @@ final class ExprParser(tokens: Vector[Token]) {
       advance()
       var neg = false
       if (cur.isKeyword("NOT")) { neg = true; advance() }
-      if (!cur.isKeyword("NULL")) fail("expected NULL after IS")
-      advance()
-      BinaryNode("IS", left, NullNode, neg)
+      if (cur.isKeyword("DISTINCT")) {
+        // `x IS [NOT] DISTINCT FROM y` — null-safe comparison (ANSI);
+        // builds to Spark's <=> (negated for the DISTINCT direction)
+        advance()
+        if (!cur.isKeyword("FROM")) fail("expected FROM after IS [NOT] DISTINCT")
+        advance()
+        BinaryNode("ISDISTINCT", left, parseAdditive(), neg)
+      } else {
+        if (!cur.isKeyword("NULL")) fail("expected NULL after IS")
+        advance()
+        BinaryNode("IS", left, NullNode, neg)
+      }
     } else {
       if (negated) fail("dangling NOT")
       left
@@ -230,7 +249,30 @@ final class ExprParser(tokens: Vector[Token]) {
         }
         if (cur.is("(")) {
           val name = parts.mkString(".")
-          FuncNode(name.toLowerCase, parseParenList(allowStar = true))
+          val fn = FuncNode(name.toLowerCase, parseParenList(allowStar = true))
+          // SQL-standard aggregate filter `agg(args) FILTER (WHERE p)`
+          // — desugared at parse time to agg(CASE WHEN p THEN arg END)
+          // (count(*) counts a literal 1; DISTINCT wraps inside), so no
+          // new node type reaches the planner and the printed text
+          // re-parses. Disambiguated from FilterQL's `FROM t FILTER e`
+          // by the mandatory `(WHERE` that follows.
+          if (cur.isKeyword("FILTER") && p + 2 < tokens.length &&
+              tokens(p + 1).is("(") && tokens(p + 2).isKeyword("WHERE")) {
+            advance(); advance(); advance() // FILTER ( WHERE
+            val pred = parseExpr()
+            expectOp(")")
+            if (!FuncRegistry.isAgg(fn.name))
+              fail(s"FILTER (WHERE …) requires an aggregate function, got ${fn.name}")
+            def guard(a: Node): Node = CaseNode(Seq((pred, a)), None)
+            val newArgs = fn.args match {
+              case Seq() => Seq(guard(NumberNode(1, isInt = true)))
+              case Seq(IdentityNode(Seq("*"))) => Seq(guard(NumberNode(1, isInt = true)))
+              case Seq(FuncNode("distinct", inner), rest @ _*) =>
+                FuncNode("distinct", inner.headOption.map(guard).toSeq ++ inner.drop(1)) +: rest
+              case as => guard(as.head) +: as.tail
+            }
+            FuncNode(fn.name, newArgs)
+          } else fn
         } else IdentityNode(parts.toSeq)
       }
     case TOp if cur.text == "(" =>

@@ -144,6 +144,14 @@ object LocalEval {
     val BinaryNode(op, ln, rn, neg) = b
     val base: Option[Any] = op match {
       case "IS" => Some(eval(ln, ctx).isEmpty)
+      // IS [NOT] DISTINCT FROM: null-safe — two missing values are NOT
+      // distinct; one missing is distinct; both present compare equal
+      case "ISDISTINCT" =>
+        (eval(ln, ctx), eval(rn, ctx)) match {
+          case (None, None) => Some(false)
+          case (Some(_), None) | (None, Some(_)) => Some(true)
+          case _ => compare("==", ln, rn, ctx).map(bo => !bo)
+        }
       case o if cmpOps.contains(o) => compare(o, ln, rn, ctx)
       case "+" | "-" | "*" | "/" | "%" => arith(op, ln, rn, ctx)
       case "LIKE" => likeOp(ln, rn, ctx)

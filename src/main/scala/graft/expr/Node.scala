@@ -64,7 +64,12 @@ final case class ArrayNode(items: Seq[Node]) extends Node {
   * NOT IN, … */
 final case class BinaryNode(op: String, l: Node, r: Node, negated: Boolean = false) extends Node {
   def text: String =
-    s"${NodeText.wrap(l)} ${if (negated) "NOT " else ""}$op ${NodeText.wrap(r)}"
+    // null-safe comparison prints its SQL surface form (re-parses);
+    // `negated` is the NOT of IS NOT DISTINCT FROM
+    if (op == "ISDISTINCT")
+      s"${NodeText.wrap(l)} IS ${if (negated) "NOT " else ""}DISTINCT FROM ${NodeText.wrap(r)}"
+    else
+      s"${NodeText.wrap(l)} ${if (negated) "NOT " else ""}$op ${NodeText.wrap(r)}"
 }
 
 /** N-ary AND / OR (the reference's BooleanNode, expr/node.go). */
@@ -111,7 +116,11 @@ final case class CaseNode(branches: Seq[(Node, Node)], elseNode: Option[Node]) e
   * functions only — ranking/offset functions refuse one loudly. */
 final case class WindowNode(func: FuncNode, partitionBy: Seq[Node],
     orderBy: Seq[(Node, Boolean)],
-    frame: Option[(String, Long, Long)] = None) extends Node {
+    frame: Option[(String, Long, Long)] = None,
+    ref: Option[String] = None) extends Node {
+  // `ref` names a window from the statement's WINDOW clause (`OVER w`);
+  // the SQL parser substitutes the definition before planning, so a
+  // populated ref never reaches the planner.
   private def bound(v: Long, following: String): String = v match {
     case Long.MinValue => "UNBOUNDED PRECEDING"
     case Long.MaxValue => "UNBOUNDED FOLLOWING"
@@ -120,6 +129,7 @@ final case class WindowNode(func: FuncNode, partitionBy: Seq[Node],
     case n => s"$n $following"
   }
   def text: String = {
+    if (ref.isDefined) return s"${func.text} OVER ${ref.get}"
     val clauses = Seq(
       if (partitionBy.nonEmpty)
         Some("PARTITION BY " + partitionBy.map(_.text).mkString(", "))
@@ -174,7 +184,7 @@ object Node {
     case CaseNode(bs, e) =>
       bs.flatMap { case (c, v) => findIncludes(c) ++ findIncludes(v) } ++
         e.toSeq.flatMap(findIncludes)
-    case WindowNode(f, parts, ord, _) =>
+    case WindowNode(f, parts, ord, _, _) =>
       findIncludes(f) ++ parts.flatMap(findIncludes) ++ ord.flatMap(o => findIncludes(o._1))
     case _ => Nil
   }

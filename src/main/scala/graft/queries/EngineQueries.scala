@@ -319,6 +319,82 @@ object EngineQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // engine: quantified comparison `> ANY (SELECT …)` — planned as ONE
+    // bounded min/max/count aggregate of the subquery broadcast onto the
+    // outer scan (never a row-count-shaped join); `x > ANY` ≡ x > min
+    "ql_quant_any" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > ANY (SELECT l_extendedprice FROM lineitem WHERE l_quantity >= 49)
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice > ANY (SELECT l_extendedprice FROM lineitem WHERE l_quantity >= 49)
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    // engine: `>= ALL (SELECT …)` — the max-finding idiom (rows at or
+    // above every F-status order's price); empty subquery keeps all rows
+    // per ANSI, enforced by the count guard in the same one-row aggregate
+    "ql_quant_all" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus == "F")
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine: SQL-standard aggregate FILTER clause — parse-time desugar
+    // to agg(CASE WHEN p THEN arg END), so the planner sees one ordinary
+    // hash aggregate (partial+final, no extra scan per filtered agg)
+    "ql_agg_filter" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+          |  max(l_extendedprice) FILTER (WHERE l_linestatus == "F") AS max_f_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+             |  count(*) AS n_all,
+             |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             |  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc,
+             |  max(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS max_f_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // engine: ANSI WINDOW clause — one named spec shared by three
+    // window functions (substituted at parse time; the planner plans
+    // ONE Window operator for the shared partition/order)
+    "ql_named_window" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey,
+          |  row_number() OVER w AS rk,
+          |  sum(o_totalprice) OVER w AS run_spend,
+          |  lag(o_totalprice) OVER w AS prev_price
+          |FROM orders WHERE o_orderkey < 800
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey,
+             |  row_number() OVER w AS rk,
+             |  sum(o_totalprice) OVER w AS run_spend,
+             |  lag(o_totalprice) OVER w AS prev_price
+             |FROM orders WHERE o_orderkey < 800
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine: IS [NOT] DISTINCT FROM — null-safe comparison over CASE
+    // expressions that go NULL on the else branch (both engines treat
+    // NULL vs NULL as NOT DISTINCT, NULL vs value as DISTINCT)
+    "ql_is_distinct" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_orderkey, l_linenumber FROM lineitem
+          |WHERE (CASE WHEN l_quantity > 25 THEN l_returnflag END)
+          |  IS DISTINCT FROM (CASE WHEN l_discount > 0.05 THEN l_returnflag END)
+          |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |WHERE (CASE WHEN l_quantity > 25 THEN l_returnflag END)
+             |  IS DISTINCT FROM (CASE WHEN l_discount > 0.05 THEN l_returnflag END)
+             |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin)),
+
     // scalar builtin families through the dialect: array/string/cast
     "ql_scalar_funcs" -> Q(
       (s, d) => session(s, d).sql(

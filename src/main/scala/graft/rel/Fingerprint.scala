@@ -27,7 +27,7 @@ object Fingerprint {
       "case " + branches.map { case (c, v) =>
         "when " + norm(c) + " then " + norm(v) }.mkString(" ") +
         els.map(e => " else " + norm(e)).getOrElse("") + " end"
-    case WindowNode(f, parts, ord, frame) =>
+    case WindowNode(f, parts, ord, frame, _) =>
       norm(f) + " over (" + parts.map(norm).mkString(", ") + " ; " +
         ord.map { case (n, asc) => norm(n) + (if (asc) " asc" else " desc") }
           .mkString(", ") +

@@ -29,7 +29,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
     "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL",
-    "SEMI", "ANTI", "LATERAL", "ASOF")
+    "SEMI", "ANTI", "LATERAL", "ASOF", "WINDOW")
 
   def parseStatement(): Statement = {
     val st =
@@ -200,6 +200,36 @@ final class SqlParser(tokens: Vector[Token]) {
       } else parseExprList().map(derefGroup)
     } else Nil
     val having = if (eat("HAVING")) Some(ep.parseExpr()) else None
+    // WINDOW clause (ANSI): named specs `WINDOW w AS (…), v AS (…)` —
+    // every `OVER w` reference in the select list substitutes its
+    // definition here, so the planner only ever sees inline windows
+    val windowDefs: Map[String, (Seq[graft.expr.Node],
+        Seq[(graft.expr.Node, Boolean)], Option[(String, Long, Long)])] =
+      if (eat("WINDOW")) {
+        val defs = collection.mutable.LinkedHashMap[String, (Seq[graft.expr.Node],
+          Seq[(graft.expr.Node, Boolean)], Option[(String, Long, Long)])]()
+        var more = true
+        while (more) {
+          val n = ident()
+          expect("AS"); expect("(")
+          if (defs.contains(n)) throw ParseException(s"duplicate window name '$n'")
+          defs(n) = parseWindowSpec()
+          more = eat(",")
+        }
+        defs.toMap
+      } else Map.empty
+    val colsResolved =
+      if (cols.exists(_.expr match {
+        case w: graft.expr.WindowNode => w.ref.isDefined; case _ => false
+      }) || windowDefs.nonEmpty) cols.map { c =>
+        c.expr match {
+          case w: graft.expr.WindowNode if w.ref.isDefined =>
+            val (p2, o2, f2) = windowDefs.getOrElse(w.ref.get,
+              throw ParseException(s"unknown window '${w.ref.get}' — no WINDOW clause definition"))
+            c.copy(expr = graft.expr.WindowNode(w.func, p2, o2, f2))
+          case _ => c
+        }
+      } else cols
     // QUALIFY: filter on the projected row (post-window predicate —
     // `QUALIFY rk == 1` is the window-dedup idiom; beyond the reference)
     val qualify = if (eat("QUALIFY")) Some(ep.parseExpr()) else None
@@ -221,9 +251,9 @@ final class SqlParser(tokens: Vector[Token]) {
     val (limit, offset) = parseLimitOffset()
     val withCfg = consumeWith()
     if (eat("ALIAS")) ident() // named statement (rel/sql.go Alias) — accepted
-    SqlSelect(cols, from, distinct, where, groupBy, groupByRollup, groupByCube,
-      groupingSets, having, orderBy, limit, offset, into, qualify, distinctOn,
-      groupByAll, withCfg)
+    SqlSelect(colsResolved, from, distinct, where, groupBy, groupByRollup,
+      groupByCube, groupingSets, having, orderBy, limit, offset, into, qualify,
+      distinctOn, groupByAll, withCfg)
   }
 
   /** Optional `WITH key = value, …` statement config
@@ -334,7 +364,22 @@ final class SqlParser(tokens: Vector[Token]) {
         s"OVER requires a function call, got: ${other.text}")
     }
     expect("OVER")
+    // named reference `OVER w` — the definition lives in the
+    // statement's WINDOW clause, substituted after the full parse
+    if (!cur.is("(")) {
+      val name = ident()
+      return graft.expr.WindowNode(f, Nil, Nil, None, Some(name))
+    }
     expect("(")
+    val (parts, orders, frame) = parseWindowSpec()
+    graft.expr.WindowNode(f, parts, orders, frame)
+  }
+
+  /** The body of a window specification, from after the opening paren
+    * through (and including) the closing paren — shared by OVER (…)
+    * and the WINDOW clause. */
+  private def parseWindowSpec(): (Seq[graft.expr.Node],
+      Seq[(graft.expr.Node, Boolean)], Option[(String, Long, Long)]) = {
     val parts = collection.mutable.ArrayBuffer[graft.expr.Node]()
     val orders = collection.mutable.ArrayBuffer[(graft.expr.Node, Boolean)]()
     if (kw("PARTITION")) {
@@ -378,7 +423,7 @@ final class SqlParser(tokens: Vector[Token]) {
         } else Some((unit, bound(), 0L)) // shorthand: <bound> = BETWEEN <bound> AND CURRENT ROW
       } else None
     expect(")")
-    graft.expr.WindowNode(f, parts.toSeq, orders.toSeq, frame)
+    (parts.toSeq, orders.toSeq, frame)
   }
 
   private def parseFrom(): Seq[FromSource] = {

@@ -377,6 +377,119 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("quantified subqueries: ANY/SOME/ALL over every comparison shape") {
+    // fixture prices: {22.5 (o1), 37.5 (o2), 22.5 (o3)}; item_id 1 rows
+    // carry price 22.5 twice, item_id 2 carries 37.5 once
+    testSelect(
+      "SELECT order_id FROM orders WHERE price > ANY (SELECT price FROM orders WHERE item_id == 1) ORDER BY order_id",
+      Seq(Seq(2L))) // > min(22.5)
+    testSelect(
+      "SELECT order_id FROM orders WHERE price >= ALL (SELECT price FROM orders WHERE item_id == 1) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L))) // >= max(22.5)
+    testSelect( // SOME ≡ ANY
+      "SELECT order_id FROM orders WHERE price < SOME (SELECT price FROM orders) ORDER BY order_id",
+      Seq(Seq(1L), Seq(3L))) // < max(37.5)
+    testSelect( // = ANY ≡ IN (semi join, not an aggregate)
+      "SELECT order_id FROM orders WHERE price = ANY (SELECT price FROM orders WHERE item_id == 2) ORDER BY order_id",
+      Seq(Seq(2L)))
+    testSelect( // <> ALL ≡ NOT IN (anti join)
+      "SELECT order_id FROM orders WHERE price != ALL (SELECT price FROM orders WHERE item_id == 2) ORDER BY order_id",
+      Seq(Seq(1L), Seq(3L)))
+    testSelect( // = ALL: multi-valued subquery → nothing equals all of it
+      "SELECT order_id FROM orders WHERE price = ALL (SELECT price FROM orders) ORDER BY order_id",
+      Seq.empty)
+    testSelect( // <> ANY: two distinct values → every row differs from one
+      "SELECT order_id FROM orders WHERE price != ANY (SELECT price FROM orders) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // ANSI empty-set semantics: ALL is vacuously true, ANY is false
+    testSelect(
+      "SELECT order_id FROM orders WHERE price > ALL (SELECT price FROM orders WHERE item_id == 99) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    testSelect(
+      "SELECT order_id FROM orders WHERE price > ANY (SELECT price FROM orders WHERE item_id == 99) ORDER BY order_id",
+      Seq.empty)
+    // correlated quantified is refused loudly (one bounded aggregate is
+    // the contract; a correlated rescan would be a row-count join)
+    val e = intercept[Exception](session.sql(
+      "SELECT order_id FROM orders o WHERE price > ANY (SELECT price FROM orders WHERE user_id = o.user_id)").collect())
+    assert(e.getMessage.contains("correlated quantified"), e.getMessage)
+    // prints and re-parses
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT order_id FROM orders WHERE price > ANY (SELECT price FROM orders)"))
+    assert(printed.contains("> ANY"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
+  test("aggregate FILTER (WHERE …) desugars to a guarded aggregate") {
+    testSelect(
+      """SELECT count(*) AS n, count(*) FILTER (WHERE price > 30) AS n_big,
+        |  sum(item_count) FILTER (WHERE item_id == 1) AS ic,
+        |  count(DISTINCT(user_id)) FILTER (WHERE price < 30) AS u_small
+        |FROM orders""".stripMargin,
+      Seq(Seq(3L, 1L, 164L, 2L)))
+    // grouped: the filter applies per group; empty filter bucket is NULL
+    // for sum/max and 0 for count
+    testSelect(
+      """SELECT user_id, count(*) FILTER (WHERE price > 30) AS n_big,
+        |  max(price) FILTER (WHERE price > 100) AS mx
+        |FROM orders GROUP BY user_id ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L, null), Seq("abcabcabc", 0L, null)))
+    // FILTER demands an aggregate
+    val e = intercept[Exception](graft.rel.SqlParser.parse(
+      "SELECT upper(email) FILTER (WHERE true) FROM users"))
+    assert(e.getMessage.contains("requires an aggregate"), e.getMessage)
+    // prints in desugared CASE form and re-parses
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT count(*) FILTER (WHERE price > 30) AS n FROM orders"))
+    assert(printed.toUpperCase.contains("CASE WHEN"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
+  test("named WINDOW clause: one definition shared by references") {
+    testSelect(
+      """SELECT user_id, order_id, row_number() OVER w AS rk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY user_id ORDER BY price DESC, order_id)
+        |QUALIFY rk == 1 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L, 1L), Seq("abcabcabc", 3L, 1L)))
+    // two names, both resolved
+    testSelect(
+      """SELECT order_id, row_number() OVER w AS rk, sum(price) OVER v AS run
+        |FROM orders
+        |WINDOW w AS (ORDER BY price DESC, order_id), v AS (PARTITION BY user_id ORDER BY order_id)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, 2L, 22.50), Seq(2L, 1L, 60.00), Seq(3L, 3L, 22.50)))
+    val unknown = intercept[Exception](graft.rel.SqlParser.parse(
+      "SELECT row_number() OVER w AS rk FROM orders"))
+    assert(unknown.getMessage.contains("unknown window"), unknown.getMessage)
+    val dup = intercept[Exception](graft.rel.SqlParser.parse(
+      "SELECT row_number() OVER w AS rk FROM orders WINDOW w AS (ORDER BY order_id), w AS (ORDER BY price)"))
+    assert(dup.getMessage.contains("duplicate window"), dup.getMessage)
+    // prints in substituted (inline OVER) form and re-parses
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT row_number() OVER w AS rk FROM orders WINDOW w AS (PARTITION BY user_id ORDER BY order_id)"))
+    assert(printed.contains("OVER (PARTITION BY user_id ORDER BY order_id"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
+  test("IS [NOT] DISTINCT FROM: null-safe comparison") {
+    // interests: fishing / swimming / NULL — NULL IS DISTINCT FROM a
+    // value (unlike <>, which would drop the NULL row)
+    testSelect(
+      "SELECT user_id FROM users WHERE interests IS DISTINCT FROM \"fishing\" ORDER BY user_id",
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    testSelect(
+      "SELECT user_id FROM users WHERE interests IS NOT DISTINCT FROM NULL ORDER BY user_id",
+      Seq(Seq("hT2impsabc345c")))
+    testSelect( // both sides non-null: plain equality semantics
+      "SELECT user_id FROM users WHERE interests IS NOT DISTINCT FROM \"fishing\"",
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT user_id FROM users WHERE interests IS NOT DISTINCT FROM \"fishing\""))
+    assert(printed.contains("IS NOT DISTINCT FROM"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("reference README flagship demo (user UDF + funcs in select/where)") {
     // README.md:127-213 / examples/qlcsv: register a custom function via
     // the expr.FuncAdd surface, then use it in WHERE with builtins in
