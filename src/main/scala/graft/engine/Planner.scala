@@ -378,10 +378,28 @@ final class Planner(catalog: String => DataFrame,
         // GROUP BY with no aggregate columns (key-only select) is a
         // distinct over the keys
         else if (aggAll.isEmpty) df.select(keyCols: _*).distinct()
-        else if (sel.groupByRollup)
-          df.rollup(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
-        else if (sel.groupByCube)
-          df.cube(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+        else if (sel.groupByRollup || sel.groupByCube) {
+          // GROUPING() in the select list must reference the exact key
+          // expression — an aliased key makes the analyzer reject it
+          // (GROUPING_COLUMN_MISMATCH, same class as the groupingSets
+          // alias trap below) — so when present, group on UNALIASED
+          // keys and rename positionally afterward
+          val hasGroupingFn = (cols.map(_.expr) ++ sel.having ++
+            sel.orderBy.map(_._1)).exists(containsFnNamed(_, "grouping"))
+          if (hasGroupingFn) {
+            val unaliased = keyNodes.map(k => ColumnBuilder.build(k, postWhereCtx))
+            val keyNames = keyNodes.map(k =>
+              cols.find(c => sameExpr(k, c.expr, cols)).map(_.outputName)
+                .getOrElse(Ast.defaultName(k)))
+            val g = if (sel.groupByRollup) df.rollup(unaliased: _*)
+                    else df.cube(unaliased: _*)
+            val grouped = g.agg(aggAll.head, aggAll.tail: _*)
+            grouped.toDF(keyNames ++ grouped.columns.drop(keyNodes.size): _*)
+          } else if (sel.groupByRollup)
+            df.rollup(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+          else
+            df.cube(keyCols: _*).agg(aggAll.head, aggAll.tail: _*)
+        }
         else if (sel.groupingSets.nonEmpty) {
           // GROUPING SETS: Spark's native grouping-set aggregation (one
           // Expand + one aggregate — NOT a union of per-set scans).
@@ -1028,6 +1046,22 @@ final class Planner(catalog: String => DataFrame,
       case sel: SqlSelect => sel
       case other => throw BuildException("subquery must be a SELECT")
     }
+
+  /** Whether the expression tree calls the named function anywhere. */
+  private def containsFnNamed(n: Node, fname: String): Boolean = n match {
+    case FuncNode(name, args) =>
+      name == fname || args.exists(containsFnNamed(_, fname))
+    case BinaryNode(_, l, r, _) => containsFnNamed(l, fname) || containsFnNamed(r, fname)
+    case BooleanNode(_, args, _) => args.exists(containsFnNamed(_, fname))
+    case UnaryNode(_, c) => containsFnNamed(c, fname)
+    case TriNode(_, a, b, c, _) =>
+      containsFnNamed(a, fname) || containsFnNamed(b, fname) || containsFnNamed(c, fname)
+    case CaseNode(branches, els) =>
+      branches.exists { case (w, t) =>
+        containsFnNamed(w, fname) || containsFnNamed(t, fname) } ||
+        els.exists(containsFnNamed(_, fname))
+    case _ => false
+  }
 
   private def containsAgg(n: Node): Boolean = n match {
     case FuncNode(name, args) => FuncRegistry.isAgg(name) || args.exists(containsAgg)

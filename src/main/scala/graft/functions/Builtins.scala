@@ -70,6 +70,19 @@ object Builtins {
     }
     addRaw("oneof") { (ctx, args) => coalesce(args.map(n => nullIfEmpty(build(n, ctx))): _*) }
 
+    // ---- ANSI null-handling + grouping (beyond ref: the reference only
+    // has oneof; these are the standard SQL spellings) ------------------
+    add("coalesce")(a => coalesce(a: _*))
+    add("nullif")(a => when(a(0) === a(1), lit(null)).otherwise(a(0)))
+    add("greatest")(a => greatest(a: _*))
+    add("least")(a => least(a: _*))
+    // GROUPING(key) for ROLLUP/CUBE/GROUPING SETS output disambiguation
+    // (1 = the key is rolled up in this row, 0 = a data value); marked
+    // isAgg so it plans into the aggregate projection; long for the
+    // DuckDB int64 parity
+    add("grouping", isAgg = true, returnType = Some(LongType))(a =>
+      grouping(a.head).cast(LongType))
+
     // ---- map constructors (expr/builtins/list_map.go) ----------------
     add("map")(a => map(a(0).cast(StringType), a(1)))
     add("maptime")(a =>

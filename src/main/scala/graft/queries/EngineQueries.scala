@@ -74,6 +74,34 @@ object EngineQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // engine: GROUPING() disambiguates rollup-generated NULLs from data
+    // NULLs in ROLLUP output (the standard companion to ql_rollup)
+    "ql_grouping_fn" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag, l_linestatus, g_rf, g_ls""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag, l_linestatus, g_rf, g_ls""".stripMargin)),
+
+    // engine: ANSI null-handling scalars (coalesce/nullif/greatest/least
+    // — standard spellings beyond the reference's oneof)
+    "ql_null_funcs" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT p_partkey,
+          |  coalesce(nullif(p_brand, "Brand#13"), "OTHER") AS brand_or_other,
+          |  greatest(p_size, 25) AS g_sz, least(p_size, 25) AS l_sz
+          |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin),
+      Some("""SELECT p_partkey,
+             |  coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
+             |  greatest(p_size, 25) AS g_sz, least(p_size, 25) AS l_sz
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
     // engine: uncorrelated scalar subquery in WHERE (beyond ref) —
     // max(), not avg(): aggregate must be float-sum-order insensitive
     // for the cross-engine hash

@@ -472,6 +472,18 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("grouping() under ROLLUP and the ANSI null scalars") {
+    testSelect(
+      "SELECT user_id, grouping(user_id) AS g, count(*) AS n FROM orders GROUP BY ROLLUP(user_id) ORDER BY user_id, g",
+      Seq(Seq(null, 1L, 3L), Seq("9Ip1aKbeZe2njCDM", 0L, 2L), Seq("abcabcabc", 0L, 1L)))
+    testSelect( // coalesce + nullif compose; NULL input stays NULL
+      "SELECT coalesce(nullif(interests, \"fishing\"), \"none\") AS i FROM users ORDER BY user_id",
+      Seq(Seq("none"), Seq("swimming"), Seq("none")))
+    testSelect(
+      "SELECT greatest(referral_count, 50) AS g, least(referral_count, 50) AS l FROM users ORDER BY user_id",
+      Seq(Seq(82L, 50L), Seq(50L, 12L), Seq(50L, 12L)))
+  }
+
   test("IS [NOT] DISTINCT FROM: null-safe comparison") {
     // interests: fishing / swimming / NULL — NULL IS DISTINCT FROM a
     // value (unlike <>, which would drop the NULL row)
