@@ -312,4 +312,51 @@ object Profiling {
         round(size(array_intersect(array_intersect(col("__m"), col("sig_a")), col("sig_b")))
           / least(lit(k), size(col("__m"))), 4).as("jaccard_est"))
   }
+
+  /** Per-token KL-divergence contributions of each source's unigram
+    * distribution against the whole corpus — the tokens that most
+    * OVERREPRESENT a source relative to the mixture, i.e. the concrete
+    * drivers behind a distribution shift that PSI-style monitors
+    * ([[distributionDrift]]) only report in aggregate. For token w in
+    * source s: contrib = p_s(w) · ln(p_s(w) / p(w)) with
+    * p_s = c_s/t_s and p = c/t. All four operands are exact integer
+    * counts, so each output row is a correctly-rounded ln of exact
+    * rationals times an exact rational — bit-stable across engines, no
+    * cross-row float accumulation anywhere (the whole-distribution KL
+    * is the reader's sum over the emitted rows, never a hashed
+    * output). Emits the topK tokens per source by contribution (desc,
+    * token asc tiebreak); `+ 0.0` folds a −0.0 from rounding a tiny
+    * negative contribution (underrepresented token inside the top-k
+    * tail) per the repo's signed-zero rule.
+    *
+    * Scale: one tokenize + one (source, token) partial-agg shuffle;
+    * source totals and corpus totals derive from the SAME counts frame
+    * (|sources| and |tokens| rows); the corpus-total is a 1-row
+    * broadcast; top-k is one rank window per source — never a global
+    * sort, never a driver round-trip. */
+  def tokenDivergence(df: DataFrame, sourceCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val bySrc = toks.groupBy("source", "t").agg(count(lit(1)).as("c_s"))
+    val srcTot = bySrc.groupBy("source").agg(sum("c_s").as("t_s"))
+    val corpus = bySrc.groupBy("t").agg(sum("c_s").as("c"))
+    val corpTot = bySrc.agg(sum("c_s").as("tt"))
+    // ln((c_s·tt)/(c·t_s)) with the products taken in doubles: exact
+    // longs would overflow at corpus scale (c_s·tt ~ 1e24 at 100 TB),
+    // and IEEE mul/div/ln round identically on any engine
+    val kl = bySrc.join(srcTot, "source").join(corpus, "t")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("kl", (col("c_s").cast(DoubleType) / col("t_s").cast(DoubleType)) *
+        log((col("c_s").cast(DoubleType) * col("tt").cast(DoubleType)) /
+            (col("c").cast(DoubleType) * col("t_s").cast(DoubleType))))
+    val w = Window.partitionBy("source").orderBy(col("kl").desc, col("t"))
+    kl.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= topK)
+      .select(col("source"), col("rk"), col("t").as("token"),
+        col("c_s").as("n_tok"), (round(col("kl"), 6) + lit(0.0)).as("kl_contrib"))
+  }
 }

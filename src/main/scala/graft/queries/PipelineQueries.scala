@@ -3060,6 +3060,37 @@ FROM bst ORDER BY doc_id""")),
              |  END AS psi_term
              |FROM j, t ORDER BY bucket""".stripMargin)),
 
+    // Per-token KL contributions of each source vs the corpus mixture:
+    // the tokens DRIVING a distribution shift (what pl_dist_drift
+    // reports only in aggregate); integer-exact operands, one
+    // (source, token) shuffle, per-source top-k window
+    "pl_token_divergence" -> Q(
+      (s, d) => graft.operators.Profiling.tokenDivergence(
+          Tables(s, d, "documents"), "source", "text", topK = 15)
+        .orderBy("source", "rk"),
+      Some("""WITH tdtk AS (
+             |  SELECT source, unnest(string_split(trim(text), ' ')) AS t FROM documents
+             |), tdsrc AS (
+             |  SELECT source, t, count(*) AS c_s FROM tdtk WHERE t != '' GROUP BY source, t
+             |), tdstot AS (
+             |  SELECT source, sum(c_s)::BIGINT AS t_s FROM tdsrc GROUP BY source
+             |), tdcorp AS (
+             |  SELECT t, sum(c_s)::BIGINT AS c FROM tdsrc GROUP BY t
+             |), tdtot AS (
+             |  SELECT sum(c_s)::BIGINT AS tt FROM tdsrc
+             |), tdkl AS (
+             |  SELECT b.source, b.t, b.c_s,
+             |    (CAST(b.c_s AS DOUBLE) / CAST(s.t_s AS DOUBLE)) *
+             |      ln((CAST(b.c_s AS DOUBLE) * CAST(x.tt AS DOUBLE)) /
+             |         (CAST(c.c AS DOUBLE) * CAST(s.t_s AS DOUBLE))) AS kl
+             |  FROM tdsrc b JOIN tdstot s USING (source) JOIN tdcorp c USING (t), tdtot x
+             |)
+             |SELECT source, rk, t AS token, c_s AS n_tok,
+             |  round(kl, 6) + 0.0 AS kl_contrib
+             |FROM (SELECT *, row_number() OVER (
+             |        PARTITION BY source ORDER BY kl DESC, t) AS rk FROM tdkl)
+             |WHERE rk <= 15 ORDER BY source, rk""".stripMargin)),
+
     // Heaps'-law vocabulary growth per source: new distinct tokens per
     // rank decile + cumulative vocab — the "does this source contain
     // new content or templates" corpus screen

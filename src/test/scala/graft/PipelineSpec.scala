@@ -1924,6 +1924,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(disj.map(_.getDouble(4)).sum - 1.0) < 1e-9)
   }
 
+  test("token divergence: mixture-matching source scores 0, skew surfaces the driver token") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two sources with IDENTICAL token distributions → every KL
+    // contribution is exactly 0 (p_s = p, ln 1 = 0)
+    val bal = Seq(("a", "x x y"), ("b", "x x y")).toDF("source", "text")
+    val zero = Profiling.tokenDivergence(bal, "source", "text", topK = 5).collect()
+    assert(zero.length == 4)
+    assert(zero.forall(_.getDouble(4) == 0.0), zero.mkString(","))
+    // source b overuses "zzz" → its top-1 driver is zzz with a positive
+    // contribution; shared token "x" contributes ≤ 0 for b
+    val skew = Seq(("a", "x x x x"), ("b", "zzz zzz x x")).toDF("source", "text")
+    val rows = Profiling.tokenDivergence(skew, "source", "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(4)))
+    val bTop = rows.filter(_._1 == "b").minBy(_._2)
+    assert(bTop._3 == "zzz" && bTop._4 > 0, bTop.toString)
+    val bx = rows.find(r => r._1 == "b" && r._3 == "x").get
+    assert(bx._4 <= 0, bx.toString)
+    // ranks are dense from 1 per source ("a" has one distinct token)
+    assert(rows.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(1L))
+    assert(rows.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("dim ablation: full-length truncation is the identity (recall 1.0)") {
     val r = Similarity.dimAblation(emb, "vec_id", "embedding",
         nProbes = 5, k = 5, dims = Seq(64, 8))
