@@ -249,6 +249,18 @@ final class ExprParser(tokens: Vector[Token]) {
         }
         if (cur.is("(")) {
           val name = parts.mkString(".")
+          // ANSI EXTRACT(part FROM expr) — desugars to
+          // extract_part("PART", expr); the reference's comma form
+          // extract(ts, fmt) parses through the generic path below
+          if (name.equalsIgnoreCase("extract") && p + 2 < tokens.length &&
+              tokens(p + 1).kind == TIdent && tokens(p + 2).isKeyword("FROM")) {
+            advance() // (
+            val part = advance().text
+            advance() // FROM
+            val e = parseExpr()
+            expectOp(")")
+            return FuncNode("extract_part", Seq(StringNode(part.toUpperCase), e))
+          }
           val fn = FuncNode(name.toLowerCase, parseParenList(allowStar = true))
           // SQL-standard aggregate filter `agg(args) FILTER (WHERE p)`
           // — desugared at parse time to agg(CASE WHEN p THEN arg END)

@@ -167,6 +167,46 @@ object Builtins {
       }
       castTo(build(args.head, ctx), target)
     }
+    addRaw("try_cast") { (ctx, args) =>
+      val target = args(1) match {
+        case StringNode(s) => s
+        case IdentityNode(p) => p.mkString(".")
+        case n => n.text
+      }
+      tryCastTo(build(args.head, ctx), target)
+    }
+    // ANSI EXTRACT(part FROM ts), desugared by the parser to
+    // extract_part("PART", ts); long outputs for DuckDB int64 parity.
+    // DOW follows DuckDB (Sunday = 0; Spark's dayofweek is Sunday = 1)
+    addRaw("extract_part", returnType = Some(LongType)) { (ctx, args) =>
+      val part = args.head match {
+        case StringNode(s) => s.toUpperCase
+        case n => n.text.toUpperCase
+      }
+      val ts = flexibleTs(build(args(1), ctx))
+      val c = part match {
+        case "YEAR" => year(ts)
+        case "MONTH" => month(ts)
+        case "DAY" => dayofmonth(ts)
+        case "HOUR" => hour(ts)
+        case "MINUTE" => minute(ts)
+        case "SECOND" => second(ts)
+        case "QUARTER" => quarter(ts)
+        case "WEEK" => weekofyear(ts)
+        case "DOW" => dayofweek(ts) - lit(1)
+        case "DOY" => dayofyear(ts)
+        case other => throw BuildException(s"unsupported EXTRACT part '$other'")
+      }
+      c.cast(LongType)
+    }
+    // date_trunc(unit, ts) — unit names shared with DuckDB
+    addRaw("date_trunc") { (ctx, args) =>
+      val unit = args.head match {
+        case StringNode(s) => s
+        case n => n.text
+      }
+      date_trunc(unit, flexibleTs(build(args(1), ctx)))
+    }
     add("char_length", returnType = Some(LongType))(a => length(a.head.cast(StringType)).cast(LongType))
 
     // ---- string (expr/builtins/string.go) ----------------------------
@@ -423,6 +463,18 @@ object Builtins {
     case "bool" | "boolean" => c.cast(BooleanType)
     case "time" | "timestamp" | "datetime" => flexibleTs(c)
     case "date" => c.cast(DateType)
+    case other => throw BuildException(s"unsupported cast target '$other'")
+  }
+
+  /** TRY_CAST: NULL instead of an error on malformed input (ANSI-mode
+    * safe ingestion — the shape a 100 TB raw-text load needs). */
+  private def tryCastTo(c: Column, target: String): Column = target.toLowerCase match {
+    case "int" | "integer" | "bigint" => c.try_cast(LongType)
+    case "float" | "double" | "number" => c.try_cast(DoubleType)
+    case "char" | "varchar" | "string" | "text" => c.try_cast(StringType)
+    case "bool" | "boolean" => c.try_cast(BooleanType)
+    case "time" | "timestamp" | "datetime" => c.try_cast(TimestampType)
+    case "date" => c.try_cast(DateType)
     case other => throw BuildException(s"unsupported cast target '$other'")
   }
 

@@ -74,6 +74,24 @@ object EngineQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // engine: ANSI time/casting surface — EXTRACT(part FROM ts) (desugar
+    // to extract_part), date_trunc with DuckDB-shared unit names, and
+    // TRY_CAST (NULL, not error, on malformed input — props is JSON)
+    "ql_extract_trunc" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT event_id,
+          |  EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS mo,
+          |  EXTRACT(DOW FROM ts) AS dw, EXTRACT(WEEK FROM ts) AS wk,
+          |  date_trunc("month", ts) AS mstart,
+          |  try_cast(props AS bigint) AS props_num
+          |FROM events ORDER BY event_id LIMIT 300""".stripMargin),
+      Some("""SELECT event_id,
+             |  EXTRACT(YEAR FROM ts) AS y, EXTRACT(MONTH FROM ts) AS mo,
+             |  EXTRACT(DOW FROM ts) AS dw, EXTRACT(WEEK FROM ts) AS wk,
+             |  date_trunc('month', ts) AS mstart,
+             |  try_cast(props AS BIGINT) AS props_num
+             |FROM events ORDER BY event_id LIMIT 300""".stripMargin)),
+
     // engine: GROUPING() disambiguates rollup-generated NULLs from data
     // NULLs in ROLLUP output (the standard companion to ql_rollup)
     "ql_grouping_fn" -> Q(

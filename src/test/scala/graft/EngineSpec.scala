@@ -472,6 +472,27 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("EXTRACT(part FROM ts), date_trunc, TRY_CAST") {
+    // reg_date 2012-10-17 is a Wednesday → DOW 3 (DuckDB Sunday = 0)
+    testSelect(
+      """SELECT EXTRACT(YEAR FROM reg_date) AS y, EXTRACT(DOW FROM reg_date) AS dw,
+        |  EXTRACT(QUARTER FROM reg_date) AS q
+        |FROM users WHERE user_id == "9Ip1aKbeZe2njCDM"""".stripMargin,
+      Seq(Seq(2012L, 3L, 4L)))
+    // the reference's comma form extract(ts, fmt) still parses (strftime)
+    testSelect(
+      "SELECT extract(reg_date, \"%Y\") AS y FROM users WHERE user_id == \"9Ip1aKbeZe2njCDM\"",
+      Seq(Seq("2012")))
+    testSelect( // try_cast: NULL on malformed, value on clean
+      "SELECT try_cast(email AS bigint) AS bad, try_cast(referral_count AS bigint) AS ok FROM users ORDER BY user_id",
+      Seq(Seq(null, 82L), Seq(null, 12L), Seq(null, 12L)))
+    testSelect(
+      "SELECT cast(date_trunc(\"year\", reg_date) AS date) AS ys FROM users ORDER BY user_id",
+      Seq(Seq(java.sql.Date.valueOf("2012-01-01")),
+          Seq(java.sql.Date.valueOf("2009-01-01")),
+          Seq(java.sql.Date.valueOf("2009-01-01"))))
+  }
+
   test("grouping() under ROLLUP and the ANSI null scalars") {
     testSelect(
       "SELECT user_id, grouping(user_id) AS g, count(*) AS n FROM orders GROUP BY ROLLUP(user_id) ORDER BY user_id, g",
