@@ -303,15 +303,44 @@ final class Planner(catalog: String => DataFrame,
 
     if (!isAgg) {
       var out = df
+      val hasWindow = cols.exists(_.expr.isInstanceOf[WindowNode])
       // ORDER BY before projection so sort keys may reference
       // non-projected columns; Spark preserves sort through select.
-      if (sel.orderBy.nonEmpty && !sel.distinct)
+      // NOT when the projection evaluates window functions: the Window
+      // operator's partition exchange destroys any earlier order (the
+      // output would be unsorted and a LIMIT would keep wrong rows), so
+      // that case sorts ABOVE the projection instead.
+      if (sel.orderBy.nonEmpty && !sel.distinct && !hasWindow)
         out = out.orderBy(sel.orderBy.map { case (n, asc) =>
           val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
           if (asc) c.asc else c.desc
         }: _*)
       if (!sel.distinct) {
-        out = out.select(projCols(cols, mkCtx(out)): _*)
+        if (!hasWindow || sel.orderBy.isEmpty) {
+          out = out.select(projCols(cols, mkCtx(out)): _*)
+        } else {
+          // windows + ORDER BY: project (evaluating the windows), then
+          // sort; unprojected sort keys ride as hidden columns and drop
+          // after the sort (the DISTINCT path's hidden-key treatment)
+          val ctxPre = mkCtx(out)
+          def selectedName(n: Node): Option[String] =
+            cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)
+          val hasStar = cols.exists(_.expr == IdentityNode(Seq("*")))
+          val resolved = sel.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
+          val missing = resolved.filter { case (n, _) => selectedName(n).isEmpty && !hasStar }
+          val hidden = missing.zipWithIndex.map { case ((n, _), i) =>
+            ColumnBuilder.build(n, ctxPre).as(s"__wsort_$i") }
+          val hiddenName = missing.zipWithIndex.map { case ((n, _), i) =>
+            n.text -> s"__wsort_$i" }.toMap
+          out = out.select(projCols(cols, ctxPre) ++ hidden: _*)
+          out = out.orderBy(resolved.map { case (n, asc) =>
+            val c = hiddenName.get(n.text).map(col)
+              .orElse(selectedName(n).map(col))
+              .getOrElse(ColumnBuilder.build(n, mkCtx(out)))
+            if (asc) c.asc else c.desc
+          }: _*)
+          if (hidden.nonEmpty) out = out.select(cols.map(c => col(c.outputName)): _*)
+        }
       } else {
         // DISTINCT + ORDER BY whose keys are NOT in the select list:
         // carry each missing key as a hidden column, dedupe on the

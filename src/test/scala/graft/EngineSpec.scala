@@ -445,6 +445,21 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("ORDER BY sorts ABOVE window evaluation (regression: pre-window sort destroyed)") {
+    // the Window operator's partition exchange used to destroy the
+    // pre-projection sort: output arrived partition-ordered, and a
+    // LIMIT kept wrong rows. The sort must plan above the Window.
+    val df = session.sql(
+      """SELECT order_id, row_number() OVER (PARTITION BY user_id ORDER BY price) AS rk
+        |FROM orders ORDER BY price DESC, order_id LIMIT 2""".stripMargin)
+    assert(rows(df) == Seq(Seq(2L, 2L), Seq(1L, 1L)))
+    // unprojected sort key (price) rides hidden and drops after sorting;
+    // the sort+limit collapses to a top-k heap ABOVE the Window
+    assert(df.columns.toSeq == Seq("order_id", "rk"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("named WINDOW clause: one definition shared by references") {
     testSelect(
       """SELECT user_id, order_id, row_number() OVER w AS rk

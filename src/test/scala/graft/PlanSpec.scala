@@ -759,4 +759,41 @@ class PlanSpec extends AnyFunSuite {
     assert(gs.sql("""SELECT count(*) AS n FROM nation WITH distributed = true, node_ct = 10""")
       .collect().head.getLong(0) == 25L)
   }
+
+  test("quantified ANY is one broadcast one-row aggregate, no row-join") {
+    val df = SparkEntry.queries("ql_quant_any")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the subquery collapses to a 1-row min/max/count aggregate that
+    // BROADCASTS; the outer side never shuffles for it
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "row-shaped join for a 1-row aggregate:\n" + p)
+    // the membership shape (= ANY ≡ IN) must stay a real semi join
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("orders2", spark.read.parquet(s"$dir/orders.parquet"))
+    val semi = gs.sql(
+      """SELECT o_orderkey FROM orders2
+        |WHERE o_totalprice = ANY (SELECT o_totalprice FROM orders2 WHERE o_orderkey < 10)""".stripMargin)
+    assert(semi.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      semi.queryExecution.executedPlan.toString)
+  }
+
+  test("aggregate FILTER plans as one partial+final agg, no extra scan") {
+    val df = SparkEntry.queries("ql_agg_filter")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // count detail headers "(n) <op>" — the tree section repeats them
+    def ops(name: String) =
+      p.split("\n").count(_.matches(s"\\(\\d+\\) $name.*"))
+    // one scan feeds all four aggregates (filtered + unfiltered)
+    assert(ops("Scan parquet") == 1, p)
+    assert(ops("HashAggregate") == 2, p) // partial + final
+  }
+
+  test("named WINDOW references collapse to one Window operator") {
+    val df = SparkEntry.queries("ql_named_window")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // three OVER w references, ONE shared spec → exactly one Window
+    // operator and one exchange for its partition
+    assert(p.split("\n").count(_.contains("- Window [")) == 1, p)
+  }
 }
