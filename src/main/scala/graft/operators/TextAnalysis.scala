@@ -759,6 +759,44 @@ object TextAnalysis {
     scoreClassifier(df, idCol, textCol, w, b)
   }
 
+  /** Operating-point curve for a score-gated screen: for each
+    * threshold, the documents and token mass RETAINED at
+    * `score >= threshold` — the quality-vs-quantity tradeoff read
+    * before choosing where to set a classifier gate (the cumulative
+    * complement of [[calibrationCurve]]'s per-bin view). Counts and
+    * token sums are exact integers; the two fractions are one
+    * correctly-rounded divide of exact integers each (6 dp, −0.0
+    * folded), so nothing hashed carries a cross-row float sum.
+    *
+    * Scale: ONE aggregate over the scored frame — two conditional
+    * aggregates per threshold in a single partial+final pass (never a
+    * re-scan per threshold, never a |thresholds|× row explosion), then
+    * a |thresholds|-row literal unpivot of the 1-row result. */
+  def thresholdSweep(scored: DataFrame, scoreCol: String, tokensCol: String,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(count(when(col(scoreCol) >= t, 1)).as(s"__n_$i"),
+          sum(when(col(scoreCol) >= t, col(tokensCol))).as(s"__tk_$i"))
+    } ++ Seq(count(lit(1)).as("__n_all"),
+             sum(col(tokensCol).cast(LongType)).as("__tk_all"))
+    val one = scored.agg(aggs.head, aggs.tail: _*)
+    val rows = thresholds.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold"),
+        col(s"__n_$i").as("docs_kept"),
+        coalesce(col(s"__tk_$i").cast(LongType), lit(0L)).as("tokens_kept"))
+    }
+    one.select(explode(array(rows: _*)).as("r"),
+        col("__n_all").as("docs_total"), col("__tk_all").as("tokens_total"))
+      .select(col("r.threshold").as("threshold"),
+        col("r.docs_kept").as("docs_kept"), col("r.tokens_kept").as("tokens_kept"),
+        col("docs_total"), col("tokens_total"),
+        (round(col("r.docs_kept").cast(DoubleType) /
+          col("docs_total").cast(DoubleType), 6) + lit(0.0)).as("frac_docs"),
+        (round(col("r.tokens_kept").cast(DoubleType) /
+          col("tokens_total").cast(DoubleType), 6) + lit(0.0)).as("frac_tokens"))
+  }
+
   /** One-stop per-document stats frame. */
   def documentStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

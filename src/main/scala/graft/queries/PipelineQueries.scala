@@ -2554,6 +2554,45 @@ FROM bst ORDER BY doc_id""")),
              |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS score
              |FROM ms ORDER BY doc_id""".stripMargin)),
 
+    // operating-point sweep over the trained classifier score: docs and
+    // token mass retained at each gate threshold — ONE conditional
+    // aggregate pass, |thresholds|-row unpivot (the curve read before
+    // setting the pl_curate_pipeline3 gate)
+    "pl_threshold_sweep" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val scored = TextAnalysis.trainAndScoreClassifier(docs, "doc_id", "text",
+          (col("lang") === "en").cast(DoubleType), buckets = 64, iters = 3, lr = 5.0)
+        val withTok = scored.join(
+          docs.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok")),
+          "doc_id")
+        TextAnalysis.thresholdSweep(withTok, "score", "n_tok",
+          thresholds = (1 to 9).map(_ / 10.0)).orderBy("threshold")
+      },
+      Some(clfTrajectoryCtes + """, ms AS (
+             |  SELECT bk.doc_id,
+             |    (SELECT w FROM g3 WHERE b = 64) + sum(g3.w) / count(*) AS m
+             |  FROM bkt bk JOIN g3 USING (b) GROUP BY bk.doc_id
+             |), sc AS (
+             |  SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 4) AS p FROM ms
+             |), tkc AS (
+             |  SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tok
+             |  FROM documents
+             |), th AS (
+             |  SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold
+             |)
+             |SELECT th.threshold,
+             |  CAST(count(CASE WHEN s.p >= th.threshold THEN 1 END) AS BIGINT) AS docs_kept,
+             |  CAST(coalesce(sum(CASE WHEN s.p >= th.threshold THEN t.n_tok END), 0) AS BIGINT) AS tokens_kept,
+             |  CAST(count(*) AS BIGINT) AS docs_total,
+             |  CAST(sum(t.n_tok) AS BIGINT) AS tokens_total,
+             |  round(CAST(count(CASE WHEN s.p >= th.threshold THEN 1 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE), 6) + 0.0 AS frac_docs,
+             |  round(CAST(coalesce(sum(CASE WHEN s.p >= th.threshold THEN t.n_tok END), 0) AS DOUBLE)
+             |    / CAST(sum(t.n_tok) AS DOUBLE), 6) + 0.0 AS frac_tokens
+             |FROM sc s JOIN tkc t USING (doc_id), th
+             |GROUP BY th.threshold ORDER BY threshold""".stripMargin)),
+
     // ship-the-classifier: train once, round-trip the (slot, weight)
     // model table through parquet, score from the LOADED model — same
     // oracle as pl_quality_classifier, so a drift anywhere in the

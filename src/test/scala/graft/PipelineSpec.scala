@@ -1947,6 +1947,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == "b").map(_._2).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("threshold sweep: monotone retention, exact edges, one-pass plan") {
+    val spark2 = spark
+    import spark2.implicits._
+    val scored = Seq((1L, 0.2, 10L), (2L, 0.5, 20L), (3L, 0.9, 40L))
+      .toDF("doc_id", "score", "n_tok")
+    val sweep = TextAnalysis.thresholdSweep(scored, "score", "n_tok",
+        Seq(0.1, 0.5, 0.95)).orderBy("threshold").collect()
+    assert(sweep.map(_.getLong(1)).toSeq == Seq(3L, 2L, 0L)) // docs_kept
+    assert(sweep.map(_.getLong(2)).toSeq == Seq(70L, 60L, 0L)) // tokens_kept
+    assert(sweep.forall(r => r.getLong(3) == 3L && r.getLong(4) == 70L))
+    assert(sweep.map(_.getDouble(6)).toSeq == Seq(1.0, 60.0 / 70 * 1e6 / 1e6, 0.0)
+      .map(v => math.rint(v * 1e6) / 1e6))
+    // retention is non-increasing in the threshold by construction
+    assert(sweep.map(_.getLong(1)).toSeq == sweep.map(_.getLong(1)).sorted.reverse.toSeq)
+    // plan: ONE scan of the scored frame, partial+final agg, no
+    // per-threshold re-scan and no |thresholds|x pre-agg explosion
+    val p = TextAnalysis.thresholdSweep(scored, "score", "n_tok",
+      (1 to 9).map(_ / 10.0)).queryExecution.executedPlan.toString
+    assert(p.split("\n").count(_.contains("LocalTableScan")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dim ablation: full-length truncation is the identity (recall 1.0)") {
     val r = Similarity.dimAblation(emb, "vec_id", "embedding",
         nProbes = 5, k = 5, dims = Seq(64, 8))
