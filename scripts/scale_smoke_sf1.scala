@@ -28,6 +28,11 @@
 //   bpe_train rounds=64    12.2 s; tail 0.180 s/round vs head 0.261 (flat)
 //   pl_emb_ann_recall      separates all 5 methods on the r11 noise
 //     corpus (lsh 0.296 / ivfpq 0.464 / pq 0.58 / ivf 0.63 / km 0.65)
+//   pl_token_divergence    1.6-2.3 s warm (9.2 fresh) for 500k docs —
+//     one (source, token) shuffle, near-linear vs sf0.1
+//   pl_threshold_sweep     7.9-8.1 s warm (12.6 fresh) — dominated by
+//     the 3-round GD retrain (same class as pl_quality_classifier,
+//     ~2.3x for 10x data); the sweep itself is one aggregate pass
 //
 // RESULTS (this host, 2026-08-14 r10 run at HEAD — post cellAssign
 // kernel + Generate barrier + banded split-leakage + word-bigram
@@ -205,7 +210,12 @@ Seq("pl_curate_pipeline2", "pl_curate_report", "pl_dedup_clusters",
   // two bounded top-k chains + a tiny fusion join; dedup-aware split
   // is the LSH pair mine + CC + a scan-stage md5 of the cluster id
   "pl_winnow_index_ship", "pl_dedup_simhash_ship",
-  "pl_search_hybrid_rrf", "pl_split_dedup_aware")
+  "pl_search_hybrid_rrf", "pl_split_dedup_aware",
+  // late-r11 additions: token divergence is one (source, token)
+  // partial-agg shuffle + a per-source rank window over the
+  // |sources|x|tokens| frame; the threshold sweep retrains the
+  // classifier then runs ONE conditional-aggregate pass
+  "pl_token_divergence", "pl_threshold_sweep")
   .foreach(time(_))
 
 // BPE merge-round scaling (VERDICT r10 #6): per-round cost must be

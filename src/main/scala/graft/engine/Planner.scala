@@ -52,7 +52,7 @@ final class Planner(catalog: String => DataFrame,
     val sel = if (!sel1.groupByAll) sel1 else sel1.copy(
       groupBy = sel1.columns.collect {
         case c if c.expr != IdentityNode(Seq("*")) &&
-          !c.expr.isInstanceOf[WindowNode] && !containsAgg(c.expr) => c.expr
+          !containsWindow(c.expr) && !containsAgg(c.expr) => c.expr
       },
       groupByAll = false)
     if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
@@ -303,13 +303,40 @@ final class Planner(catalog: String => DataFrame,
 
     if (!isAgg) {
       var out = df
-      val hasWindow = cols.exists(_.expr.isInstanceOf[WindowNode])
+      // QUALIFY with INLINE windows (`QUALIFY row_number() OVER … == 1`,
+      // the DuckDB dedup idiom): aliases expand to their select
+      // expressions (QUALIFY scopes over select aliases AND source
+      // columns), each window hoists to a hidden column computed on the
+      // PRE-projection frame — the same frame the select list's own
+      // windows see, per ANSI "filter after window computation" — and
+      // the plain-column filter applies after projection, where Catalyst
+      // pushes it below any sort. Window-free QUALIFY keeps its
+      // post-projection path in applyQualify.
+      val qualifyResolved = sel.qualify.map(resolveAliasDeep(_, cols))
+      val qWins = qualifyResolved.toSeq.flatMap(collectWindows)
+      val qSubst: Map[String, String] =
+        if (qWins.isEmpty) Map.empty
+        else {
+          if (sel.distinct)
+            throw BuildException(
+              "QUALIFY with inline window functions cannot combine with SELECT DISTINCT")
+          qWins.map(_.text).distinct.zipWithIndex.map { case (t, i) =>
+            val nm = s"__qw_$i"
+            out = out.withColumn(nm,
+              ColumnBuilder.build(qWins.find(_.text == t).get, mkCtx(out)))
+            t -> nm
+          }.toMap
+        }
+      val qCarry = qSubst.values.toSeq.map(col)
+      val hasWindow = cols.exists(c => containsWindow(c.expr))
       // ORDER BY before projection so sort keys may reference
       // non-projected columns; Spark preserves sort through select.
       // NOT when the projection evaluates window functions: the Window
       // operator's partition exchange destroys any earlier order (the
       // output would be unsorted and a LIMIT would keep wrong rows), so
-      // that case sorts ABOVE the projection instead.
+      // that case sorts ABOVE the projection instead. (The QUALIFY
+      // hoist above runs before this sort, so its exchange cannot
+      // destroy it either.)
       if (sel.orderBy.nonEmpty && !sel.distinct && !hasWindow)
         out = out.orderBy(sel.orderBy.map { case (n, asc) =>
           val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
@@ -317,7 +344,7 @@ final class Planner(catalog: String => DataFrame,
         }: _*)
       if (!sel.distinct) {
         if (!hasWindow || sel.orderBy.isEmpty) {
-          out = out.select(projCols(cols, mkCtx(out)): _*)
+          out = out.select(projCols(cols, mkCtx(out)) ++ qCarry: _*)
         } else {
           // windows + ORDER BY: project (evaluating the windows), then
           // sort; unprojected sort keys ride as hidden columns and drop
@@ -332,14 +359,15 @@ final class Planner(catalog: String => DataFrame,
             ColumnBuilder.build(n, ctxPre).as(s"__wsort_$i") }
           val hiddenName = missing.zipWithIndex.map { case ((n, _), i) =>
             n.text -> s"__wsort_$i" }.toMap
-          out = out.select(projCols(cols, ctxPre) ++ hidden: _*)
+          out = out.select(projCols(cols, ctxPre) ++ hidden ++ qCarry: _*)
           out = out.orderBy(resolved.map { case (n, asc) =>
             val c = hiddenName.get(n.text).map(col)
               .orElse(selectedName(n).map(col))
               .getOrElse(ColumnBuilder.build(n, mkCtx(out)))
             if (asc) c.asc else c.desc
           }: _*)
-          if (hidden.nonEmpty) out = out.select(cols.map(c => col(c.outputName)): _*)
+          if (hidden.nonEmpty)
+            out = out.select(cols.map(c => col(c.outputName)) ++ qCarry: _*)
         }
       } else {
         // DISTINCT + ORDER BY whose keys are NOT in the select list:
@@ -375,7 +403,15 @@ final class Planner(catalog: String => DataFrame,
           out = out.select(cols.map(c => col(c.outputName)): _*)
         }
       }
-      applyLimit(applyQualify(out, sel), sel)
+      if (qSubst.nonEmpty) {
+        // the hoisted-window QUALIFY: now a plain-column predicate —
+        // filter (Catalyst pushes it below the sort), drop the hiddens
+        out = out.filter(ColumnBuilder.build(
+            substitute(qualifyResolved.get, qSubst), mkCtx(out))
+          .cast(org.apache.spark.sql.types.BooleanType))
+          .drop(qSubst.values.toSeq: _*)
+        applyLimit(out, sel)
+      } else applyLimit(applyQualify(out, sel), sel)
     } else {
       // ---- group by / aggregation (exec/groupby.go) -------------------
       val keyNodes = sel.groupBy
@@ -486,11 +522,41 @@ final class Planner(catalog: String => DataFrame,
     * is the dedup idiom). Runs before LIMIT, after ORDER BY; Catalyst
     * pushes the filter below the sort, preserving order. */
   private def applyQualify(df: DataFrame, sel: SqlSelect): DataFrame =
-    sel.qualify.foldLeft(df)((d, q) =>
+    sel.qualify.foldLeft(df) { (d, q) =>
       // full ctx (vars + includer): QUALIFY referencing @var or INCLUDE
       // works exactly as it does in WHERE/HAVING
-      d.filter(ColumnBuilder.build(q, BuildCtx(Some(d.schema), vars, includer))
-        .cast(org.apache.spark.sql.types.BooleanType)))
+      val wins = collectWindows(q)
+      if (wins.isEmpty)
+        d.filter(ColumnBuilder.build(q, BuildCtx(Some(d.schema), vars, includer))
+          .cast(org.apache.spark.sql.types.BooleanType))
+      else {
+        // inline windows (`QUALIFY row_number() OVER (…) == 1`, the
+        // DuckDB dedup idiom): Spark refuses window expressions inside
+        // a Filter, so each hoists to a hidden column, the predicate
+        // substitutes it by text, and the hidden columns drop after.
+        // The hoisted Window's exchange destroys any ORDER BY already
+        // applied, so the statement's sort re-establishes afterward.
+        var d2 = d
+        val subst = wins.map(_.text).distinct.zipWithIndex.map { case (t, i) =>
+          val w = wins.find(_.text == t).get
+          val nm = s"__qw_$i"
+          d2 = d2.withColumn(nm,
+            ColumnBuilder.build(w, BuildCtx(Some(d2.schema), vars, includer)))
+          t -> nm
+        }.toMap
+        val pred = substitute(q, subst)
+        d2 = d2.filter(ColumnBuilder.build(pred, BuildCtx(Some(d2.schema), vars, includer))
+            .cast(org.apache.spark.sql.types.BooleanType))
+          .drop(subst.values.toSeq: _*)
+        if (sel.orderBy.nonEmpty)
+          d2 = d2.orderBy(sel.orderBy.map { case (n, asc) =>
+            val c = ColumnBuilder.build(resolveAlias(n, sel.columns),
+              BuildCtx(Some(d2.schema), vars, includer))
+            if (asc) c.asc else c.desc
+          }: _*)
+        d2
+      }
+    }
 
   // ---- helpers --------------------------------------------------------
 
@@ -1076,6 +1142,25 @@ final class Planner(catalog: String => DataFrame,
       case other => throw BuildException("subquery must be a SELECT")
     }
 
+  /** All window expressions in the tree (outermost only — windows do
+    * not nest inside windows' functions in this dialect). */
+  private def collectWindows(n: Node): Seq[WindowNode] = n match {
+    case w: WindowNode => Seq(w)
+    case BinaryNode(_, l, r, _) => collectWindows(l) ++ collectWindows(r)
+    case BooleanNode(_, args, _) => args.flatMap(collectWindows)
+    case UnaryNode(_, c) => collectWindows(c)
+    case TriNode(_, a, b, c, _) =>
+      collectWindows(a) ++ collectWindows(b) ++ collectWindows(c)
+    case FuncNode(_, args) => args.flatMap(collectWindows)
+    case CaseNode(branches, els) =>
+      branches.flatMap { case (w, t) => collectWindows(w) ++ collectWindows(t) } ++
+        els.toSeq.flatMap(collectWindows)
+    case ArrayNode(items) => items.flatMap(collectWindows)
+    case _ => Nil
+  }
+
+  private def containsWindow(n: Node): Boolean = collectWindows(n).nonEmpty
+
   /** Whether the expression tree calls the named function anywhere. */
   private def containsFnNamed(n: Node, fname: String): Boolean = n match {
     case FuncNode(name, args) =>
@@ -1129,6 +1214,30 @@ final class Planner(catalog: String => DataFrame,
     case IdentityNode(parts) =>
       cols.find(_.alias.contains(parts.mkString("."))).map(_.expr).getOrElse(n)
     case _ => n
+  }
+
+  /** Alias expansion through the whole tree (QUALIFY scoping: select
+    * aliases AND source columns are both legal, so the predicate
+    * rewrites to pure source terms before filtering pre-projection). */
+  private def resolveAliasDeep(n: Node, cols: Seq[SelectColumn]): Node = n match {
+    case id: IdentityNode => resolveAlias(id, cols)
+    case BinaryNode(op, l, r, neg) =>
+      BinaryNode(op, resolveAliasDeep(l, cols), resolveAliasDeep(r, cols), neg)
+    case BooleanNode(op, args, neg) =>
+      BooleanNode(op, args.map(resolveAliasDeep(_, cols)), neg)
+    case UnaryNode(op, c) => UnaryNode(op, resolveAliasDeep(c, cols))
+    case TriNode(op, a, b, c, neg) => TriNode(op, resolveAliasDeep(a, cols),
+      resolveAliasDeep(b, cols), resolveAliasDeep(c, cols), neg)
+    case FuncNode(name, args) => FuncNode(name, args.map(resolveAliasDeep(_, cols)))
+    case CaseNode(branches, els) => CaseNode(
+      branches.map { case (w, t) => (resolveAliasDeep(w, cols), resolveAliasDeep(t, cols)) },
+      els.map(resolveAliasDeep(_, cols)))
+    case ArrayNode(items) => ArrayNode(items.map(resolveAliasDeep(_, cols)))
+    case WindowNode(f, pb, ob, fr, ref) => WindowNode(
+      resolveAliasDeep(f, cols).asInstanceOf[FuncNode],
+      pb.map(resolveAliasDeep(_, cols)),
+      ob.map { case (e, asc) => (resolveAliasDeep(e, cols), asc) }, fr, ref)
+    case other => other
   }
 
   /** Replace subtrees whose text appears in the substitution map with a

@@ -11,6 +11,13 @@ import Lexer._
   * function names (`string.uppercase`).
   */
 final class ExprParser(tokens: Vector[Token]) {
+  /** SQL-layer hook: when set (by the SQL parser), a function call
+    * followed by OVER parses its window suffix IN PLACE, so window
+    * expressions bind anywhere an expression does (nested arithmetic,
+    * QUALIFY, ORDER BY) instead of only at select-column top level.
+    * The pure-expression dialect (FilterQL) leaves it unset — OVER is
+    * not part of that grammar. */
+  var overSuffixHook: Option[Node => Node] = None
   private var p = 0
   private def cur: Token = tokens(p)
   private def advance(): Token = { val t = tokens(p); p += 1; t }
@@ -283,8 +290,13 @@ final class ExprParser(tokens: Vector[Token]) {
                 FuncNode("distinct", inner.headOption.map(guard).toSeq ++ inner.drop(1)) +: rest
               case as => guard(as.head) +: as.tail
             }
-            FuncNode(fn.name, newArgs)
-          } else fn
+            val filtered = FuncNode(fn.name, newArgs)
+            if (cur.isKeyword("OVER") && overSuffixHook.isDefined)
+              overSuffixHook.get(filtered)
+            else filtered
+          } else if (cur.isKeyword("OVER") && overSuffixHook.isDefined)
+            overSuffixHook.get(fn)
+          else fn
         } else IdentityNode(parts.toSeq)
       }
     case TOp if cur.text == "(" =>

@@ -74,6 +74,19 @@ object EngineQueries {
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // engine: QUALIFY with an INLINE window (the DuckDB dedup idiom —
+    // no select-list alias needed): per-customer priciest order, the
+    // ranking computed over UNPROJECTED source columns, filtered after
+    // window evaluation per ANSI
+    "ql_qualify_inline" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey, o_orderkey FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) == 1
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine: ANSI time/casting surface — EXTRACT(part FROM ts) (desugar
     // to extract_part), date_trunc with DuckDB-shared unit names, and
     // TRY_CAST (NULL, not error, on malformed input — props is JSON)

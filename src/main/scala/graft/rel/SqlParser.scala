@@ -13,6 +13,10 @@ import graft.expr.Lexer._
 final class SqlParser(tokens: Vector[Token]) {
 
   private val ep = new ExprParser(tokens)
+  // window suffixes bind inside ANY expression the SQL dialect parses
+  // (nested arithmetic, QUALIFY, ORDER BY) — the hook routes the OVER
+  // grammar back here, where the window-spec parser lives
+  ep.overSuffixHook = Some(parseWindowSuffix)
   private def cur: Token = ep.current
   private def next(): Token = ep.next()
   private def kw(s: String): Boolean = cur.isKeyword(s)
@@ -218,21 +222,39 @@ final class SqlParser(tokens: Vector[Token]) {
         }
         defs.toMap
       } else Map.empty
-    val colsResolved =
-      if (cols.exists(_.expr match {
-        case w: graft.expr.WindowNode => w.ref.isDefined; case _ => false
-      }) || windowDefs.nonEmpty) cols.map { c =>
-        c.expr match {
-          case w: graft.expr.WindowNode if w.ref.isDefined =>
-            val (p2, o2, f2) = windowDefs.getOrElse(w.ref.get,
-              throw ParseException(s"unknown window '${w.ref.get}' — no WINDOW clause definition"))
-            c.copy(expr = graft.expr.WindowNode(w.func, p2, o2, f2))
-          case _ => c
-        }
-      } else cols
+    // recursive: `OVER w` can sit anywhere in an expression (the OVER
+    // hook binds windows in nested positions), so every clause rewrites
+    // its whole tree against the WINDOW-clause definitions
+    def rewriteRefs(n: graft.expr.Node): graft.expr.Node = {
+      import graft.expr._
+      n match {
+        case w: WindowNode if w.ref.isDefined =>
+          val (p2, o2, f2) = windowDefs.getOrElse(w.ref.get,
+            throw ParseException(s"unknown window '${w.ref.get}' — no WINDOW clause definition"))
+          WindowNode(rewriteRefs(w.func).asInstanceOf[FuncNode], p2, o2, f2)
+        case w: WindowNode => WindowNode(
+          rewriteRefs(w.func).asInstanceOf[FuncNode],
+          w.partitionBy.map(rewriteRefs),
+          w.orderBy.map { case (e, asc) => (rewriteRefs(e), asc) }, w.frame)
+        case BinaryNode(op, l, r, neg) => BinaryNode(op, rewriteRefs(l), rewriteRefs(r), neg)
+        case BooleanNode(op, args, neg) => BooleanNode(op, args.map(rewriteRefs), neg)
+        case UnaryNode(op, c) => UnaryNode(op, rewriteRefs(c))
+        case TriNode(op, a, b, c, neg) =>
+          TriNode(op, rewriteRefs(a), rewriteRefs(b), rewriteRefs(c), neg)
+        case FuncNode(name, args) => FuncNode(name, args.map(rewriteRefs))
+        case CaseNode(branches, els) => CaseNode(
+          branches.map { case (w, t) => (rewriteRefs(w), rewriteRefs(t)) },
+          els.map(rewriteRefs))
+        case ArrayNode(items) => ArrayNode(items.map(rewriteRefs))
+        case other => other
+      }
+    }
+    val colsResolved = cols.map(c => c.copy(expr = rewriteRefs(c.expr),
+      guard = c.guard.map(rewriteRefs)))
     // QUALIFY: filter on the projected row (post-window predicate —
-    // `QUALIFY rk == 1` is the window-dedup idiom; beyond the reference)
-    val qualify = if (eat("QUALIFY")) Some(ep.parseExpr()) else None
+    // `QUALIFY rk == 1` is the window-dedup idiom; beyond the reference).
+    // Inline windows are legal here (hoisted by the planner)
+    val qualify = if (eat("QUALIFY")) Some(rewriteRefs(ep.parseExpr())) else None
     // no SORT BY: the reference rejects it as an unknown keyword
     // (rel/parse_sql_test.go:402 "Must fail parse")
     val orderBy = if (kw("ORDER")) {
@@ -246,7 +268,7 @@ final class SqlParser(tokens: Vector[Token]) {
           throw ParseException("ORDER BY ALL cannot expand a * select")
         cols.map(c => (c.alias.map(a => IdentityNode(Seq(a)): Node)
           .getOrElse(c.expr), asc))
-      } else parseOrderList().map { case (n, asc) => (derefOrder(n), asc) }
+      } else parseOrderList().map { case (n, asc) => (rewriteRefs(derefOrder(n)), asc) }
     } else Nil
     val (limit, offset) = parseLimitOffset()
     val withCfg = consumeWith()

@@ -508,6 +508,35 @@ class EngineSpec extends AnyFunSuite {
           Seq(java.sql.Date.valueOf("2009-01-01"))))
   }
 
+  test("inline windows in QUALIFY, nested window arithmetic, OVER-in-ORDER-BY") {
+    // no select alias needed; the ranking may use unprojected columns
+    testSelect(
+      """SELECT user_id, order_id FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY price DESC, order_id) == 1
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 3L)))
+    // ANSI: QUALIFY filters AFTER window computation — the select
+    // window's values are from the UNFILTERED frame
+    testSelect(
+      """SELECT order_id, row_number() OVER (ORDER BY order_id) AS rn FROM orders
+        |QUALIFY row_number() OVER (ORDER BY order_id DESC) == 1 ORDER BY order_id""".stripMargin,
+      Seq(Seq(3L, 3L)))
+    // windows compose in expressions now (hook binds OVER inside parseExpr)
+    testSelect(
+      "SELECT order_id, row_number() OVER (ORDER BY order_id) * 10 AS rk10 FROM orders ORDER BY order_id",
+      Seq(Seq(1L, 10L), Seq(2L, 20L), Seq(3L, 30L)))
+    // named WINDOW refs resolve inside QUALIFY too
+    testSelect(
+      """SELECT user_id, order_id FROM orders
+        |WINDOW w AS (PARTITION BY user_id ORDER BY price DESC, order_id)
+        |QUALIFY row_number() OVER w == 1 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 3L)))
+    // DISTINCT + inline-window QUALIFY refuses loudly
+    val e = intercept[Exception](session.sql(
+      "SELECT DISTINCT user_id FROM orders QUALIFY row_number() OVER (ORDER BY user_id) == 1").collect())
+    assert(e.getMessage.contains("cannot combine with SELECT DISTINCT"), e.getMessage)
+  }
+
   test("grouping() under ROLLUP and the ANSI null scalars") {
     testSelect(
       "SELECT user_id, grouping(user_id) AS g, count(*) AS n FROM orders GROUP BY ROLLUP(user_id) ORDER BY user_id, g",
