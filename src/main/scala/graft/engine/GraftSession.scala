@@ -712,6 +712,10 @@ final class GraftSession(val spark: SparkSession) {
         case (Some("csv"), Some(p)) => registerCsv(c.name, p)
         case (Some("json"), Some(p)) => registerJson(c.name, p)
         case (Some("parquet"), Some(p)) => registerParquet(c.name, p)
+        // columnar formats Spark ships natively (beyond the reference's
+        // csv/json datasources) — lazy like the others, so pushdown and
+        // pruning reach the scan
+        case (Some("orc"), Some(p)) => registerLazy(c.name, () => spark.read.orc(p))
         case _ => // registered empty; becomes usable when a writer fills it
           registerTable(c.name, emptyDf())
       }

@@ -26,6 +26,12 @@ class FormatsSpec extends AnyFunSuite {
     // ORC scans support pushdown too: the filter must reach the scan
     val plan = filtered.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"), plan)
+    // and the dialect DDL surface registers it like csv/json/parquet
+    val gs = new graft.engine.GraftSession(spark)
+    gs.sql(s"""CREATE SOURCE orcdocs WITH {"type":"orc","path":"$out"}""")
+    val n = gs.sql("SELECT count(*) AS n FROM orcdocs WHERE doc_id < 10")
+      .collect()(0).getLong(0)
+    assert(n == docs.filter(col("doc_id") < 10).count())
   }
 
   test("sample introspection: 20-row typing, drift past the sample, TTL refresh") {

@@ -152,7 +152,16 @@ class ParseAcceptSpec extends AnyFunSuite {
       |   PRIMARY KEY (ID),
       |   CONSTRAINT emails_fk FOREIGN KEY (Email) REFERENCES Emails (Email) COMMENT "hello constraint"
       | ) ENGINE=InnoDB AUTO_INCREMENT=4080 DEFAULT CHARSET=utf8
-      |WITH stuff = "hello";""".stripMargin)
+      |WITH stuff = "hello";""".stripMargin,
+    // r11 surface
+    """SELECT a FROM t WHERE x > ANY (SELECT y FROM u)""",
+    """SELECT a FROM t WHERE x <= ALL (SELECT y FROM u) AND x != SOME (SELECT z FROM v)""",
+    """SELECT count(*) FILTER (WHERE x > 1) AS n, sum(y) FILTER (WHERE z == "a") AS s FROM t GROUP BY g""",
+    """SELECT a, row_number() OVER w AS rk FROM t WINDOW w AS (PARTITION BY b ORDER BY c DESC)""",
+    """SELECT a FROM t WINDOW w AS (ORDER BY c) QUALIFY row_number() OVER w == 1""",
+    """SELECT a FROM t QUALIFY rank() OVER (PARTITION BY b ORDER BY c) <= 3""",
+    """SELECT a FROM t WHERE x IS DISTINCT FROM y AND z IS NOT DISTINCT FROM NULL""",
+    """SELECT EXTRACT(YEAR FROM ts) AS y, extract(ts, "%Y") AS ys, try_cast(a AS bigint) AS n FROM t""")
 
   private val bad = Seq(
     """SELECT "hello" LIMIT "5x"""", // limit must be an integer
@@ -175,7 +184,12 @@ class ParseAcceptSpec extends AnyFunSuite {
     // a qualified JOIN with no ON must be refused, not silently cross-joined
     // (rel/parse_sql.go:1264-1291); CROSS JOIN / comma-FROM stay legal
     """SELECT a FROM t1 LEFT JOIN t2 WHERE t1.x = 1""",
-    """SELECT a FROM t1 INNER JOIN t2 LIMIT 5""")
+    """SELECT a FROM t1 INNER JOIN t2 LIMIT 5""",
+    // r11 surface: malformed forms raise, never mis-parse
+    """SELECT upper(a) FILTER (WHERE true) FROM t""", // FILTER needs an aggregate
+    """SELECT a FROM t WHERE x IS DISTINCT y""", // missing FROM
+    """SELECT a, row_number() OVER w AS rk FROM t""", // unknown window name
+    """SELECT a FROM t WINDOW w AS (ORDER BY c), w AS (ORDER BY d)""") // duplicate
 
   test("modern-dialect syntax: accepted shapes parse, malformed ones raise") {
     parses("SELECT a, row_number() OVER (PARTITION BY b ORDER BY c DESC) AS rk FROM t")

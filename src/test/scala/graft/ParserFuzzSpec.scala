@@ -19,7 +19,11 @@ class ParserFuzzSpec extends AnyFunSuite {
     "\"str\"", "'s2'", "42", "0x1F", "6.02e23", ".", ",", ";", "(", ")", "[",
     "]", "{", "}", "=", "==", "!=", "<", ">", "<=", ">=", "+", "-", "*", "/",
     "%", "@@var", "@v", "!", "\\", "\"unterminated", "`unterminated",
-    "now-3d", "count(*)", "--c\n", "/*b*/", "#h\n", "0x", "1e", "e1")
+    "now-3d", "count(*)", "--c\n", "/*b*/", "#h\n", "0x", "1e", "e1",
+    // r11 surface: quantified subqueries, FILTER clause, named windows,
+    // null-safe comparison, ANSI extract
+    "ANY", "ALL", "SOME", "OVER", "WINDOW", "QUALIFY", "PARTITION",
+    "DISTINCT", "IS", "EXTRACT", "w")
 
   private def accept(thunk: => Any, input: String): Unit =
     try { thunk; () } catch {
