@@ -216,6 +216,17 @@ final class ExprParser(tokens: Vector[Token]) {
         advance()
         if (cur.kind != TIdent) fail("expected identifier after INCLUDE")
         IncludeNode(advance().text)
+      } else if (t.isKeyword("INTERVAL") && p + 1 < tokens.length &&
+          tokens(p + 1).kind == TNumber) {
+        // `INTERVAL n UNIT` literal (ANSI): desugars to the
+        // interval_lit builtin; `ts + INTERVAL 3 DAY` then builds to
+        // Spark's native timestamp+interval arithmetic. Bare
+        // `interval` stays an identifier (the guard requires a number).
+        advance()
+        val n = advance().text
+        if (cur.kind != TIdent) fail("expected a unit after INTERVAL <n>")
+        val unit = advance().text
+        FuncNode("interval_lit", Seq(StringNode(n), StringNode(unit)))
       } else if (t.isKeyword("CASE")) {
         advance()
         // simple form carries an operand before the first WHEN;

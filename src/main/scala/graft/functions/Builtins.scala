@@ -199,6 +199,16 @@ object Builtins {
       }
       c.cast(LongType)
     }
+    // INTERVAL n UNIT literal (parser desugar) — a real Spark interval
+    // Column, so +/- against timestamps resolve natively
+    addRaw("interval_lit") { (_, args) =>
+      val n = args.head match { case StringNode(s) => s; case x => x.text }
+      val unit = args(1) match { case StringNode(s) => s; case x => x.text }
+      require(n.matches("-?\\d+") &&
+        unit.matches("(?i)(second|minute|hour|day|week|month|year)s?"),
+        s"unsupported interval '$n $unit'")
+      expr(s"INTERVAL $n $unit")
+    }
     // date_trunc(unit, ts) — unit names shared with DuckDB
     addRaw("date_trunc") { (ctx, args) =>
       val unit = args.head match {

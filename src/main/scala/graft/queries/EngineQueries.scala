@@ -105,6 +105,19 @@ object EngineQueries {
              |  try_cast(props AS BIGINT) AS props_num
              |FROM events ORDER BY event_id LIMIT 300""".stripMargin)),
 
+    // engine: ANSI INTERVAL literals — native timestamp arithmetic on
+    // both engines (parser desugars to a real Spark interval Column)
+    "ql_interval" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT event_id, ts + INTERVAL 1 DAY AS next_day,
+          |  ts - INTERVAL 2 HOUR AS before2h
+          |FROM events WHERE ts + INTERVAL 30 MINUTE > ts
+          |ORDER BY event_id LIMIT 200""".stripMargin),
+      Some("""SELECT event_id, ts + INTERVAL 1 DAY AS next_day,
+             |  ts - INTERVAL 2 HOUR AS before2h
+             |FROM events WHERE ts + INTERVAL 30 MINUTE > ts
+             |ORDER BY event_id LIMIT 200""".stripMargin)),
+
     // engine: GROUPING() disambiguates rollup-generated NULLs from data
     // NULLs in ROLLUP output (the standard companion to ql_rollup)
     "ql_grouping_fn" -> Q(

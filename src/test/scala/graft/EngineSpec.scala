@@ -537,6 +537,23 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot combine with SELECT DISTINCT"), e.getMessage)
   }
 
+  test("INTERVAL literals: timestamp arithmetic, comparisons, refusals") {
+    testSelect(
+      """SELECT cast(reg_date + INTERVAL 1 DAY AS date) AS d FROM users
+        |WHERE user_id == "9Ip1aKbeZe2njCDM"""".stripMargin,
+      Seq(Seq(java.sql.Date.valueOf("2012-10-18"))))
+    testSelect( // negative and plural units
+      """SELECT cast(reg_date - INTERVAL 12 HOURS AS date) AS d FROM users
+        |WHERE user_id == "9Ip1aKbeZe2njCDM"""".stripMargin,
+      Seq(Seq(java.sql.Date.valueOf("2012-10-17"))))
+    // a bare `interval` identifier still parses as a column name
+    val st = graft.rel.SqlParser.parse("SELECT interval FROM t")
+    assert(graft.rel.SqlWriter.toSql(st).contains("interval"))
+    val e = intercept[Exception](session.sql(
+      "SELECT reg_date + INTERVAL 3 PARSECS AS x FROM users").collect())
+    assert(e.getMessage.contains("unsupported interval"), e.getMessage)
+  }
+
   test("grouping() under ROLLUP and the ANSI null scalars") {
     testSelect(
       "SELECT user_id, grouping(user_id) AS g, count(*) AS n FROM orders GROUP BY ROLLUP(user_id) ORDER BY user_id, g",
