@@ -240,6 +240,7 @@ object ColumnBuilder {
       case "%" => l.cast(LongType) % r.cast(LongType)
       case o if cmpOps.contains(o) => compare(o, ln, rn, ctx)
       case "LIKE"       => likeGlob(ln, rn, ctx)
+      case "ILIKE"      => likeGlob(ln, rn, ctx, ci = true)
       case "CONTAINS"   => containsOp(ln, rn, ctx)
       case "IN"         => inOp(ln, rn, ctx)
       case "INTERSECTS" => arrays_overlap(l, r)
@@ -321,20 +322,24 @@ object ColumnBuilder {
     * (vm.go:1113-1126). On an array LHS, true if any element matches;
     * on an array RHS, true if any pattern matches (vm.go:1055-1060).
     * An unevaluable side yields false, like the reference's nil path. */
-  private def likeGlob(ln: Node, rn: Node, ctx: BuildCtx): Column = {
+  private def likeGlob(ln: Node, rn: Node, ctx: BuildCtx,
+      ci: Boolean = false): Column = {
     val l = build(ln, ctx)
+    // ci = ILIKE (case-insensitive — the (?i) regex flag, matching
+    // DuckDB/Postgres ILIKE over the same translated pattern)
+    val flag = if (ci) "(?i)" else ""
     typeOf(rn, ctx) match {
       case Some(ArrayType(_, _)) =>
         return coalesce(
-          exists(build(rn, ctx), p => regexp_like(l.cast(StringType), dynGlobPattern(p))),
+          exists(build(rn, ctx), p => regexp_like(l.cast(StringType), dynGlobPattern(p, flag))),
           lit(false))
       case Some(MapType(_, _, _)) =>
         throw BuildException("LIKE pattern must be a string or array of patterns")
       case _ =>
     }
     val pat: Column = rn match {
-      case StringNode(s) => lit(globToRegex(s))
-      case _ => dynGlobPattern(build(rn, ctx)) // non-literal pattern: translate per-row
+      case StringNode(s) => lit(flag + globToRegex(s))
+      case _ => dynGlobPattern(build(rn, ctx), flag) // non-literal pattern: translate per-row
     }
     val c = typeOf(ln, ctx) match {
       case Some(ArrayType(_, _)) => exists(l, e => regexp_like(e.cast(StringType), pat))
@@ -344,8 +349,8 @@ object ColumnBuilder {
   }
 
   /** Column-valued glob → anchored regex (for non-literal patterns). */
-  private def dynGlobPattern(r: Column): Column =
-    concat(lit("^"), regexp_replace(regexp_replace(regexp_replace(
+  private def dynGlobPattern(r: Column, flag: String = ""): Column =
+    concat(lit(flag + "^"), regexp_replace(regexp_replace(regexp_replace(
       r, "([.\\\\+^$\\[\\]{}()|])", "\\\\$1"), "[%*]", ".*"), "\\?", "."), lit("$"))
 
   def globToRegex(glob: String): String = {

@@ -89,7 +89,7 @@ final class ExprParser(tokens: Vector[Token]) {
     // otherwise it begins the NEXT argument of a comma-less n-ary list
     // (`AND ( INCLUDE x  NOT EXISTS email )`, expr/include_test.go)
     if (cur.isKeyword("NOT") &&
-        Seq("IN", "LIKE", "CONTAINS", "INTERSECTS", "BETWEEN")
+        Seq("IN", "LIKE", "ILIKE", "CONTAINS", "INTERSECTS", "BETWEEN")
           .exists(tokens(p + 1).isKeyword)) { negated = true; advance() }
     if (cur.kind == TOp && cmpOps.contains(cur.text)) {
       if (negated) fail("NOT before comparison operator")
@@ -109,6 +109,7 @@ final class ExprParser(tokens: Vector[Token]) {
         BinaryNode(op, left, captureSubquery())
       else BinaryNode(op, left, parseAdditive())
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
+    else if (cur.isKeyword("ILIKE")) { advance(); BinaryNode("ILIKE", left, parseAdditive(), negated) }
     else if (cur.isKeyword("CONTAINS")) { advance(); BinaryNode("CONTAINS", left, parseAdditive(), negated) }
     else if (cur.isKeyword("INTERSECTS")) {
       advance()

@@ -155,6 +155,7 @@ object LocalEval {
       case o if cmpOps.contains(o) => compare(o, ln, rn, ctx)
       case "+" | "-" | "*" | "/" | "%" => arith(op, ln, rn, ctx)
       case "LIKE" => likeOp(ln, rn, ctx)
+      case "ILIKE" => likeOp(ln, rn, ctx, ci = true)
       case "CONTAINS" => containsOp(ln, rn, ctx)
       case "IN" => Some(inOp(ln, rn, ctx).getOrElse(false))
       case "INTERSECTS" =>
@@ -269,10 +270,10 @@ object LocalEval {
     case _ => false
   }
 
-  private def likeOp(ln: Node, rn: Node, ctx: Ctx): Option[Any] = {
+  private def likeOp(ln: Node, rn: Node, ctx: Ctx, ci: Boolean = false): Option[Any] = {
     val l = eval(ln, ctx); val r = eval(rn, ctx)
     def m(v: Any, pat: Any): Boolean =
-      asStr(v).matches(ColumnBuilder.globToRegex(asStr(pat)))
+      asStr(v).matches((if (ci) "(?i)" else "") + ColumnBuilder.globToRegex(asStr(pat)))
     Some((l, r) match {
       case (Some(a: Seq[_]), Some(p)) if !p.isInstanceOf[Seq[_]] => a.exists(m(_, p))
       case (Some(a), Some(ps: Seq[_])) => ps.exists(m(a, _))

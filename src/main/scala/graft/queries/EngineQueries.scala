@@ -105,6 +105,17 @@ object EngineQueries {
              |  try_cast(props AS BIGINT) AS props_num
              |FROM events ORDER BY event_id LIMIT 300""".stripMargin)),
 
+    // engine: ILIKE (case-insensitive LIKE, DuckDB/Postgres dialect) —
+    // pattern case differs from the data's on purpose
+    "ql_ilike" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT p_partkey, p_name FROM part
+          |WHERE p_name ILIKE "%WIDGET%" AND p_name NOT ILIKE "%COLD%"
+          |ORDER BY p_partkey LIMIT 100""".stripMargin),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name ILIKE '%WIDGET%' AND p_name NOT ILIKE '%COLD%'
+             |ORDER BY p_partkey LIMIT 100""".stripMargin)),
+
     // engine: ANSI INTERVAL literals — native timestamp arithmetic on
     // both engines (parser desugars to a real Spark interval Column)
     "ql_interval" -> Q(

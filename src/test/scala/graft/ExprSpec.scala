@@ -101,6 +101,10 @@ class ExprSpec extends AnyFunSuite {
     check("user_id LIKE \"xyz*\"", false)
     check("user_id NOT LIKE \"xyz*\"", true)
     check("urls LIKE \"12*\"", true)     // array: any element matches
+    // ILIKE: case-insensitive over the same glob translation
+    check("user_id ILIKE \"AB*\"", true)
+    check("user_id LIKE \"AB*\"", false)
+    check("user_id NOT ILIKE \"XYZ*\"", true)
   }
 
   test("contains / in / intersects / exists") {
