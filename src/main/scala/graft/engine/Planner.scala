@@ -832,6 +832,14 @@ final class Planner(catalog: String => DataFrame,
         for ((v, Some(a)) <- values)
           out = out.withColumnRenamed(litOf(v).toString, a)
         alias.map(out.alias).getOrElse(out)
+      case SampleSource(inner, permill, key, _, _) =>
+        // deterministic md5-keyed TABLESAMPLE: the keep decision is a
+        // pure scan-stage filter (same bucket scheme as the pipeline's
+        // rateSample), no shuffle, reproducible across runs and engines
+        val base = source(inner)
+        val ctx = BuildCtx(Some(base.schema), vars, includer)
+        base.filter(graft.operators.Curation.md5Permill(
+          ColumnBuilder.build(key, ctx)) < lit(permill))
       case UnpivotSource(inner, valCol, keyCol, cols, alias, _, _) =>
         // melt via Dataset.unpivot; NULL cells filtered to match the
         // SQL-standard EXCLUDE NULLS default (and DuckDB)
@@ -1267,6 +1275,7 @@ object Planner {
       case t: TableSource => t.name.toLowerCase == n
       case s: SubquerySource => refs(s.select)
       case p: PivotSource => inSource(p.source)
+      case s: SampleSource => inSource(s.source)
       case u: UnpivotSource => inSource(u.source)
       case _: ValuesSource => false
     }

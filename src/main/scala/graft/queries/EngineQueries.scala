@@ -105,6 +105,18 @@ object EngineQueries {
              |  try_cast(props AS BIGINT) AS props_num
              |FROM events ORDER BY event_id LIMIT 300""".stripMargin)),
 
+    // engine: deterministic TABLESAMPLE (extension): md5-of-key permill
+    // bucket < n·10 — content-addressed, so the oracle replays the
+    // exact row set (engine-random BERNOULLI never could); pure
+    // scan-stage filter, no shuffle
+    "ql_tablesample" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT doc_id, source FROM documents TABLESAMPLE (25 PERCENT) ON (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < 250
+             |ORDER BY doc_id""".stripMargin)),
+
     // engine: ILIKE (case-insensitive LIKE, DuckDB/Postgres dialect) —
     // pattern case differs from the data's on purpose
     "ql_ilike" -> Q(

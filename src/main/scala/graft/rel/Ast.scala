@@ -85,6 +85,18 @@ final case class UnpivotSource(source: FromSource, valCol: String, keyCol: Strin
     joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
   def aliasName: String = alias.getOrElse(source.aliasName)
 }
+/** Deterministic `<source> TABLESAMPLE (n PERCENT) ON (keyExpr)`
+  * (extension): keeps rows whose md5-of-key permill bucket falls below
+  * n·10 — content-addressed sampling, reproducible across runs AND
+  * engines (standard BERNOULLI/SYSTEM sampling is engine-random, so it
+  * could never survive an oracle replay; the mandatory ON names the
+  * identity the sample is addressed by, same scheme as the pipeline's
+  * rateSample/splitAssign operators). */
+final case class SampleSource(source: FromSource, permill: Int, key: Node,
+    joinType: JoinType = JoinType.Inner, joinOn: Option[Node] = None) extends FromSource {
+  def aliasName: String = source.aliasName
+}
+
 /** `(VALUES (r1c1, …), …) AS t(c1, …)` — an inline literal table in
   * FROM position (beyond the reference dialect, whose only VALUES is
   * the INSERT form). The column alias list is mandatory: neither

@@ -33,7 +33,7 @@ final class SqlParser(tokens: Vector[Token]) {
     "INTO", "JOIN", "INNER", "LEFT", "RIGHT", "OUTER", "FULL", "CROSS", "ON",
     "ASC", "DESC", "AND", "OR", "NOT", "BY", "WITH", "ALIAS", "FILTER", "VALUES", "SET",
     "UNION", "INTERSECT", "EXCEPT", "ALL", "OVER", "PARTITION", "QUALIFY", "PIVOT", "UNPIVOT", "USING", "NATURAL",
-    "SEMI", "ANTI", "LATERAL", "ASOF", "WINDOW")
+    "SEMI", "ANTI", "LATERAL", "ASOF", "WINDOW", "TABLESAMPLE")
 
   def parseStatement(): Statement = {
     val st =
@@ -522,6 +522,7 @@ final class SqlParser(tokens: Vector[Token]) {
               case ps: PivotSource => ps.copy(joinType = t, joinOn = onExpr)
               case us: UnpivotSource => us.copy(joinType = t, joinOn = onExpr)
               case vs: ValuesSource => vs.copy(joinType = t, joinOn = onExpr)
+              case sm: SampleSource => sm.copy(joinType = t, joinOn = onExpr)
             })
           }
         } else if (jt.isDefined || natural) throw ParseException("expected JOIN")
@@ -534,7 +535,7 @@ final class SqlParser(tokens: Vector[Token]) {
   private def parseOneSource(jt: JoinType, on: Option[Node]): FromSource = {
     val base: FromSource = if (cur.is("(")) {
       next()
-      if (kw("VALUES")) return maybePivot(parseValuesSource(jt, on), jt, on)
+      if (kw("VALUES")) return maybeSample(maybePivot(parseValuesSource(jt, on), jt, on), jt, on)
       val sub = parseSelect()
       expect(")")
       if (kw("PIVOT") || kw("UNPIVOT")) SubquerySource(sub, "__pvt_src", jt, on)
@@ -553,7 +554,7 @@ final class SqlParser(tokens: Vector[Token]) {
         else None
       TableSource(name, alias, jt, on)
     }
-    maybePivot(base, jt, on)
+    maybeSample(maybePivot(base, jt, on), jt, on)
   }
 
   /** `LATERAL (SELECT …) [AS] alias` — a subquery that may reference
@@ -621,6 +622,27 @@ final class SqlParser(tokens: Vector[Token]) {
       else if (cur.kind == TIdent && !clauseKeywords.contains(cur.text.toUpperCase)) Some(ident())
       else None
     PivotSource(src, agg, forCol, values.toSeq, alias, jt, on)
+  }
+
+  /** `<source> TABLESAMPLE (n PERCENT) ON (keyExpr)` — deterministic
+    * md5-keyed sampling (see [[SampleSource]]); n may be fractional
+    * (2.5 PERCENT → 25‰). The ON key is mandatory: it is what makes
+    * the sample reproducible instead of engine-random. */
+  private def maybeSample(src: FromSource, jt: JoinType, on: Option[Node]): FromSource = {
+    if (!kw("TABLESAMPLE")) return src
+    next(); expect("(")
+    val n = cur.kind match {
+      case graft.expr.Lexer.TNumber => next().text.toDouble
+      case _ => throw ParseException(s"expected a number in TABLESAMPLE, got '${cur.text}'")
+    }
+    expect("PERCENT"); expect(")")
+    expect("ON"); expect("(")
+    val key = ep.parseExpr()
+    expect(")")
+    val permill = math.round(n * 10).toInt
+    if (permill < 0 || permill > 1000)
+      throw ParseException(s"TABLESAMPLE percent must be in [0, 100], got $n")
+    SampleSource(src, permill, key, jt, on)
   }
 
   /** `<source> UNPIVOT (val FOR key IN (c1 [AS l1], …)) [AS alias]`. */

@@ -74,6 +74,17 @@ object SqlWriter {
             c + a.map(" AS " + _).getOrElse("") }.mkString(", ")
           s"$inner UNPIVOT ($valCol FOR $keyCol IN ($cs))" +
             alias.map(" AS " + _).getOrElse("")
+        case SampleSource(src, permill, key, _, _) =>
+          val inner = src match {
+            case TableSource(name, a, _, _) =>
+              graft.expr.StringUtil.identityMaybeQuote('`', name) +
+                a.map(" AS " + _).getOrElse("")
+            case SubquerySource(sub, _, _, _, _) => s"(${toSql(sub)})"
+            case p => throw new IllegalStateException(s"nested sample cannot print: $p")
+          }
+          val pct = if (permill % 10 == 0) (permill / 10).toString
+                    else (permill / 10.0).toString
+          s"$inner TABLESAMPLE ($pct PERCENT) ON (${key.text})"
       }
       val on = f.joinOn.map {
         case graft.expr.FuncNode("__natural", _) => ""

@@ -535,6 +535,31 @@ class EngineSpec extends AnyFunSuite {
     val e = intercept[Exception](session.sql(
       "SELECT DISTINCT user_id FROM orders QUALIFY row_number() OVER (ORDER BY user_id) == 1").collect())
     assert(e.getMessage.contains("cannot combine with SELECT DISTINCT"), e.getMessage)
+    // the AGGREGATE path hoists too (top-1 group by count), ORDER BY
+    // re-established above the hoisted window
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |QUALIFY row_number() OVER (ORDER BY n DESC, user_id) == 1 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L)))
+  }
+
+  test("TABLESAMPLE: deterministic md5-keyed sampling, stable across runs") {
+    val a = rows(session.sql(
+      "SELECT order_id FROM orders TABLESAMPLE (50 PERCENT) ON (order_id) ORDER BY order_id"))
+    val b = rows(session.sql(
+      "SELECT order_id FROM orders TABLESAMPLE (50 PERCENT) ON (order_id) ORDER BY order_id"))
+    assert(a == b, "sample must be reproducible") // content-addressed, not random
+    assert(a.nonEmpty && a.length < 3, a.toString) // a strict, non-empty subset here
+    // 100 percent keeps everything, 0 keeps nothing
+    assert(rows(session.sql(
+      "SELECT order_id FROM orders TABLESAMPLE (100 PERCENT) ON (order_id)")).length == 3)
+    assert(rows(session.sql(
+      "SELECT order_id FROM orders TABLESAMPLE (0 PERCENT) ON (order_id)")).isEmpty)
+    // prints and re-parses
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT order_id FROM orders TABLESAMPLE (2.5 PERCENT) ON (order_id)"))
+    assert(printed.contains("TABLESAMPLE (2.5 PERCENT) ON (order_id)"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
   test("INTERVAL literals: timestamp arithmetic, comparisons, refusals") {

@@ -161,7 +161,9 @@ class ParseAcceptSpec extends AnyFunSuite {
     """SELECT a FROM t WINDOW w AS (ORDER BY c) QUALIFY row_number() OVER w == 1""",
     """SELECT a FROM t QUALIFY rank() OVER (PARTITION BY b ORDER BY c) <= 3""",
     """SELECT a FROM t WHERE x IS DISTINCT FROM y AND z IS NOT DISTINCT FROM NULL""",
-    """SELECT EXTRACT(YEAR FROM ts) AS y, extract(ts, "%Y") AS ys, try_cast(a AS bigint) AS n FROM t""")
+    """SELECT EXTRACT(YEAR FROM ts) AS y, extract(ts, "%Y") AS ys, try_cast(a AS bigint) AS n FROM t""",
+    """SELECT a FROM t TABLESAMPLE (2.5 PERCENT) ON (id)""",
+    """SELECT a FROM t TABLESAMPLE (25 PERCENT) ON (id) JOIN u ON t.id = u.id""")
 
   private val bad = Seq(
     """SELECT "hello" LIMIT "5x"""", // limit must be an integer
@@ -189,7 +191,9 @@ class ParseAcceptSpec extends AnyFunSuite {
     """SELECT upper(a) FILTER (WHERE true) FROM t""", // FILTER needs an aggregate
     """SELECT a FROM t WHERE x IS DISTINCT y""", // missing FROM
     """SELECT a, row_number() OVER w AS rk FROM t""", // unknown window name
-    """SELECT a FROM t WINDOW w AS (ORDER BY c), w AS (ORDER BY d)""") // duplicate
+    """SELECT a FROM t WINDOW w AS (ORDER BY c), w AS (ORDER BY d)""", // duplicate
+    """SELECT a FROM t TABLESAMPLE (25 PERCENT)""", // ON key is mandatory
+    """SELECT a FROM t TABLESAMPLE (200 PERCENT) ON (id)""") // out of range
 
   test("modern-dialect syntax: accepted shapes parse, malformed ones raise") {
     parses("SELECT a, row_number() OVER (PARTITION BY b ORDER BY c DESC) AS rk FROM t")
