@@ -209,30 +209,61 @@ final class Planner(catalog: String => DataFrame,
             "correlated quantified (ANY/ALL) subquery is not supported")
         if (innerSel.columns.size != 1)
           throw BuildException("quantified subquery must select exactly one column")
-        val subDf = innerPlanner.plan(innerSel)
-        val v = col(subDf.columns.head)
-        val mn = s"__qmin_$i"; val mx = s"__qmax_$i"; val cnt = s"__qcnt_$i"
-        val aggd = subDf.agg(min(v).as(mn), max(v).as(mx), count(v).as(cnt))
+        // positional rename: an expression-derived output name may
+        // contain dots/quotes that col() would misparse
+        val subDf = innerPlanner.plan(innerSel).toDF(s"__qv_$i")
+        val v = col(s"__qv_$i")
+        val mn = s"__qmin_$i"; val mx = s"__qmax_$i"
+        val cnt = s"__qcnt_$i"; val acnt = s"__qacnt_$i"
+        // cnt counts NON-NULL values (min/max skip NULLs the same way);
+        // acnt counts rows — their difference carries the ANSI NULL
+        // semantics: for ALL, a NULL in the subquery makes every
+        // no-false row UNKNOWN (dropped), never TRUE
+        val aggd = subDf.agg(min(v).as(mn), max(v).as(mx),
+          count(v).as(cnt), count(lit(1)).as(acnt))
         df = df.crossJoin(broadcast(aggd))
         val qctx = mkCtx(df)
         def cmp(o: String, rc: String) = ColumnBuilder.build(
           BinaryNode(o, left, IdentityNode(Seq(rc))), qctx).cast("boolean")
+        val noNulls = col(acnt) === col(cnt)
         val pred = (op, quant) match {
+          // ANY: TRUE iff some comparison is TRUE — NULL values can only
+          // turn FALSE into UNKNOWN, and both drop, so the non-null
+          // extremum decides
           case (">", "ANY")  => cmp(">", mn)
           case (">=", "ANY") => cmp(">=", mn)
           case ("<", "ANY")  => cmp("<", mx)
           case ("<=", "ANY") => cmp("<=", mx)
           case ("!=" | "<>", "ANY") =>
             col(cnt) > 0 && (col(mn) =!= col(mx) || cmp("!=", mn))
-          case (">", "ALL")  => col(cnt) === 0 || cmp(">", mx)
-          case (">=", "ALL") => col(cnt) === 0 || cmp(">=", mx)
-          case ("<", "ALL")  => col(cnt) === 0 || cmp("<", mn)
-          case ("<=", "ALL") => col(cnt) === 0 || cmp("<=", mn)
+          // ALL: TRUE iff the set is EMPTY, or no comparison is FALSE
+          // and none is UNKNOWN (no NULL values, non-null x — the cmp
+          // itself is NULL for a NULL x and coalesces to a drop)
+          case (">", "ALL")  => col(acnt) === 0 || (noNulls && cmp(">", mx))
+          case (">=", "ALL") => col(acnt) === 0 || (noNulls && cmp(">=", mx))
+          case ("<", "ALL")  => col(acnt) === 0 || (noNulls && cmp("<", mn))
+          case ("<=", "ALL") => col(acnt) === 0 || (noNulls && cmp("<=", mn))
           case ("=" | "==", "ALL") =>
-            col(cnt) === 0 || (col(mn) === col(mx) && cmp("=", mn))
+            col(acnt) === 0 || (noNulls && col(mn) === col(mx) && cmp("=", mn))
+          case ("!=" | "<>", "ALL") =>
+            // handled below by an anti join; the aggregate supplies the
+            // NULL guards only
+            lit(true)
           case other => throw BuildException(s"unsupported quantified comparison $other")
         }
-        df = df.filter(coalesce(pred, lit(false))).drop(mn, mx, cnt)
+        if ((op == "!=" || op == "<>") && quant == "ALL") {
+          // x <> ALL S ≡ NOT IN with ANSI NULLs: empty S keeps every
+          // row (even a NULL x); otherwise a NULL in S or a NULL x is
+          // UNKNOWN (drop), and membership drops via ONE anti join on
+          // the non-null values
+          val xc = ColumnBuilder.build(left, qctx)
+          df = df.filter(col(acnt) === 0 || (noNulls && xc.isNotNull))
+            .drop(mn, mx, cnt, acnt)
+          val renamed = subDf.select(v.as(s"__qall_$i"))
+          df = df.join(renamed,
+            ColumnBuilder.build(left, mkCtx(df)) === col(s"__qall_$i"), "left_anti")
+        } else
+          df = df.filter(coalesce(pred, lit(false))).drop(mn, mx, cnt, acnt)
       }
       // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
       // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
@@ -304,31 +335,32 @@ final class Planner(catalog: String => DataFrame,
     if (!isAgg) {
       var out = df
       // QUALIFY with INLINE windows (`QUALIFY row_number() OVER … == 1`,
-      // the DuckDB dedup idiom): aliases expand to their select
-      // expressions (QUALIFY scopes over select aliases AND source
-      // columns), each window hoists to a hidden column computed on the
-      // PRE-projection frame — the same frame the select list's own
-      // windows see, per ANSI "filter after window computation" — and
-      // the plain-column filter applies after projection, where Catalyst
-      // pushes it below any sort. Window-free QUALIFY keeps its
-      // post-projection path in applyQualify.
-      val qualifyResolved = sel.qualify.map(resolveAliasDeep(_, cols))
-      val qWins = qualifyResolved.toSeq.flatMap(collectWindows)
-      val qSubst: Map[String, String] =
-        if (qWins.isEmpty) Map.empty
-        else {
-          if (sel.distinct)
-            throw BuildException(
-              "QUALIFY with inline window functions cannot combine with SELECT DISTINCT")
-          qWins.map(_.text).distinct.zipWithIndex.map { case (t, i) =>
-            val nm = s"__qw_$i"
-            out = out.withColumn(nm,
-              ColumnBuilder.build(qWins.find(_.text == t).get, mkCtx(out)))
-            t -> nm
-          }.toMap
-        }
-      val qCarry = qSubst.values.toSeq.map(col)
-      val hasWindow = cols.exists(c => containsWindow(c.expr))
+      // the DuckDB dedup idiom): the WHOLE predicate — aliases expanded
+      // to their select expressions, so both select aliases and source
+      // columns are in scope — computes as ONE hidden boolean column on
+      // the PRE-projection frame (the same frame the select list's own
+      // windows see, per ANSI "filter after window computation"), rides
+      // through the projection, and filters after it, where Catalyst
+      // pushes the now-plain predicate below any sort. The gate is the
+      // RAW predicate: a QUALIFY that only references a select-window
+      // ALIAS keeps the plain post-projection path (no second window
+      // computation, and DISTINCT stays legal for it).
+      val qCol: Option[String] = sel.qualify.filter(containsWindow).map { raw =>
+        if (sel.distinct)
+          throw BuildException(
+            "QUALIFY with inline window functions cannot combine with SELECT DISTINCT")
+        val q = resolveAliasDeep(raw, cols)
+        out = out.withColumn("__qualify",
+          ColumnBuilder.build(q, mkCtx(out))
+            .cast(org.apache.spark.sql.types.BooleanType))
+        "__qualify"
+      }
+      val qCarry = qCol.toSeq.map(col)
+      // windows anywhere that must survive a sort: in the select list,
+      // or inline in ORDER BY (alias-resolved — an alias of a select
+      // window also counts, and both force the sort ABOVE the windows)
+      val hasWindow = cols.exists(c => containsWindow(c.expr)) ||
+        sel.orderBy.exists(p => containsWindow(resolveAlias(p._1, cols)))
       // ORDER BY before projection so sort keys may reference
       // non-projected columns; Spark preserves sort through select.
       // NOT when the projection evaluates window functions: the Window
@@ -403,15 +435,13 @@ final class Planner(catalog: String => DataFrame,
           out = out.select(cols.map(c => col(c.outputName)): _*)
         }
       }
-      if (qSubst.nonEmpty) {
-        // the hoisted-window QUALIFY: now a plain-column predicate —
-        // filter (Catalyst pushes it below the sort), drop the hiddens
-        out = out.filter(ColumnBuilder.build(
-            substitute(qualifyResolved.get, qSubst), mkCtx(out))
-          .cast(org.apache.spark.sql.types.BooleanType))
-          .drop(qSubst.values.toSeq: _*)
-        applyLimit(out, sel)
-      } else applyLimit(applyQualify(out, sel), sel)
+      qCol match {
+        case Some(nm) =>
+          // the hoisted QUALIFY: a plain boolean column now — filter
+          // (Catalyst pushes it below the sort), drop the hidden
+          applyLimit(out.filter(coalesce(col(nm), lit(false))).drop(nm), sel)
+        case None => applyLimit(applyQualify(out, sel), sel)
+      }
     } else {
       // ---- group by / aggregation (exec/groupby.go) -------------------
       val keyNodes = sel.groupBy
@@ -550,8 +580,17 @@ final class Planner(catalog: String => DataFrame,
           .drop(subst.values.toSeq: _*)
         if (sel.orderBy.nonEmpty)
           d2 = d2.orderBy(sel.orderBy.map { case (n, asc) =>
-            val c = ColumnBuilder.build(resolveAlias(n, sel.columns),
-              BuildCtx(Some(d2.schema), vars, includer))
+            // a key naming a projected output column (e.g. an aggregate
+            // alias) sorts on that column — alias-expansion here would
+            // rebuild the AGGREGATE expression inside Sort on an
+            // already-aggregated frame, which the analyzer rejects
+            val c = n match {
+              case IdentityNode(parts)
+                  if d2.columns.exists(_.equalsIgnoreCase(parts.mkString("."))) =>
+                col(parts.mkString("."))
+              case _ => ColumnBuilder.build(resolveAlias(n, sel.columns),
+                BuildCtx(Some(d2.schema), vars, includer))
+            }
             if (asc) c.asc else c.desc
           }: _*)
         d2
@@ -966,14 +1005,16 @@ final class Planner(catalog: String => DataFrame,
     conjuncts.foreach {
       case BinaryNode("IN", l, s: SubqueryNode, neg) => subqs += ((l, s, neg))
       // quantified comparisons (op carries the quantifier, e.g. "> ANY"):
-      // the membership shapes ARE the semi/anti join (`= ANY` ≡ IN,
-      // `<> ALL` ≡ NOT IN); the rest carry to the quantified planner
+      // `= ANY` ≡ IN IS the semi join (a NULL never equality-matches,
+      // which is exactly ANSI's UNKNOWN-drops behavior); everything
+      // else — including `<> ALL`, whose ANSI NULL semantics need the
+      // aggregate's null guards around its anti join — carries to the
+      // quantified planner
       case BinaryNode(opq, l, s: SubqueryNode, false)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
         val Array(op, quant) = opq.split(' ')
         (op, quant) match {
           case ("=" | "==", "ANY") => subqs += ((l, s, false))
-          case ("!=" | "<>", "ALL") => subqs += ((l, s, true))
           case _ => quants += ((op, quant, l, s))
         }
       case BinaryNode(op, l, s: SubqueryNode, neg) if scalarSubOps(op) =>

@@ -245,14 +245,18 @@ object ColumnBuilder {
       case "IN"         => inOp(ln, rn, ctx)
       case "INTERSECTS" => arrays_overlap(l, r)
       case "IS"         => l.isNull // IS NULL; negated handled below
-      // IS [NOT] DISTINCT FROM — null-safe: Spark's <=> is the NOT
-      // DISTINCT direction, so the plain form negates it
-      case "ISDISTINCT" => !(l <=> r)
+      // IS [NOT] DISTINCT FROM — null-safe equality through the SAME
+      // coercion matrix as `=` (string↔number, datemath), not a raw
+      // <=>: two missing values are NOT distinct, one missing is, and
+      // both-present compares exactly like the plain equality
+      case "ISDISTINCT" =>
+        when(l.isNull && r.isNull, lit(false))
+          .when(l.isNull || r.isNull, lit(true))
+          .otherwise(!compare("==", ln, rn, ctx))
       case other        => throw BuildException(s"unsupported binary op $other")
     }
     if (neg) {
       if (op == "IS") build(ln, ctx).isNotNull
-      else if (op == "ISDISTINCT") build(ln, ctx) <=> build(rn, ctx)
       // NOT IN with an unevaluable side is TRUE in the reference
       // (vm_test.go: `userid NOT IN ("abc")` with missing userid)
       else if (op == "IN") !coalesce(c, lit(false))

@@ -79,7 +79,10 @@ object SqlWriter {
             case TableSource(name, a, _, _) =>
               graft.expr.StringUtil.identityMaybeQuote('`', name) +
                 a.map(" AS " + _).getOrElse("")
-            case SubquerySource(sub, _, _, _, _) => s"(${toSql(sub)})"
+            case SubquerySource(sub, alias, _, _, _) => s"(${toSql(sub)}) AS $alias"
+            case ValuesSource(rows, a, cs, _, _) =>
+              "(VALUES " + rows.map(_.map(_.text).mkString("(", ", ", ")"))
+                .mkString(", ") + s") AS $a" + cs.mkString("(", ", ", ")")
             case p => throw new IllegalStateException(s"nested sample cannot print: $p")
           }
           val pct = if (permill % 10 == 0) (permill / 10).toString

@@ -420,6 +420,66 @@ class EngineSpec extends AnyFunSuite {
     assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
   }
 
+  test("quantified ANY/ALL: ANSI NULL semantics (review findings r11)") {
+    // subquery {10.0, NULL, NULL}: ALL is UNKNOWN for every row (a NULL
+    // comparison can never be proven), ANY decides on the non-null value
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price > ALL (SELECT CASE WHEN interests == "fishing" THEN 10.0 END FROM users)
+        |ORDER BY order_id""".stripMargin,
+      Seq.empty)
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price > ANY (SELECT CASE WHEN interests == "fishing" THEN 10.0 END FROM users)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    // <> ALL with a NULL in the set: UNKNOWN for every row (ANSI NOT IN)
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price != ALL (SELECT CASE WHEN interests == "fishing" THEN 99.0 END FROM users)
+        |ORDER BY order_id""".stripMargin,
+      Seq.empty)
+    // all-NULL set behaves like the mixed case for ALL (still UNKNOWN)
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE price >= ALL (SELECT CASE WHEN user_id == "none" THEN 1.0 END FROM users)""".stripMargin,
+      Seq.empty)
+  }
+
+  test("QUALIFY/ORDER BY window edges (review findings r11)") {
+    // agg path: QUALIFY inline window + ORDER BY the AGGREGATE ALIAS —
+    // the re-sort must use the projected column, not re-expand count(*)
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |QUALIFY row_number() OVER (ORDER BY n DESC, user_id) <= 2 ORDER BY n DESC, user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 1L)))
+    // inline window in ORDER BY with a window-free select list
+    testSelect(
+      "SELECT order_id FROM orders ORDER BY row_number() OVER (ORDER BY price DESC, order_id) LIMIT 2",
+      Seq(Seq(2L), Seq(1L)))
+    // mixed QUALIFY: window conjunct AND an UNPROJECTED source column
+    testSelect(
+      """SELECT order_id FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY price DESC, order_id) == 1 AND price > 30
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L)))
+    // DISTINCT + QUALIFY on a select-window ALIAS stays on the plain
+    // post-projection path (no inline window in the raw predicate)
+    testSelect(
+      """SELECT DISTINCT user_id, row_number() OVER (PARTITION BY user_id ORDER BY price DESC, order_id) AS rk
+        |FROM orders QUALIFY rk == 1 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L), Seq("abcabcabc", 1L)))
+    // IS DISTINCT FROM goes through the dialect coercion matrix like `=`
+    testSelect(
+      "SELECT order_id FROM orders WHERE price IS NOT DISTINCT FROM \"22.5\" ORDER BY order_id",
+      Seq(Seq(1L), Seq(3L)))
+    // TABLESAMPLE over a VALUES source prints and re-parses
+    val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
+      "SELECT a FROM (VALUES (1), (2)) AS t(a) TABLESAMPLE (100 PERCENT) ON (a)"))
+    assert(printed.contains("TABLESAMPLE (100 PERCENT) ON (a)"), printed)
+    assert(graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(printed)) == printed)
+  }
+
   test("aggregate FILTER (WHERE …) desugars to a guarded aggregate") {
     testSelect(
       """SELECT count(*) AS n, count(*) FILTER (WHERE price > 30) AS n_big,
