@@ -1223,6 +1223,10 @@ final class Planner(catalog: String => DataFrame,
       branches.exists { case (w, t) =>
         containsFnNamed(w, fname) || containsFnNamed(t, fname) } ||
         els.exists(containsFnNamed(_, fname))
+    case ArrayNode(items) => items.exists(containsFnNamed(_, fname))
+    case WindowNode(f, pb, ob, _, _) =>
+      containsFnNamed(f, fname) || pb.exists(containsFnNamed(_, fname)) ||
+        ob.exists(p => containsFnNamed(p._1, fname))
     case _ => false
   }
 
