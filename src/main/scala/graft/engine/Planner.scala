@@ -1087,6 +1087,13 @@ final class Planner(catalog: String => DataFrame,
     }
     def subst(n: Node): Node = n match {
       case s: SubqueryNode => literalOf(s)
+      // a quantified comparison outside WHERE would otherwise reach the
+      // scalar substitution and die with a misleading "more than one
+      // row" — name the actual restriction instead
+      case BinaryNode(opq, _, _: SubqueryNode, _)
+          if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
+        throw BuildException(
+          "quantified (ANY/ALL) subqueries are supported in WHERE only")
       case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l), subst(r), neg)
       case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst), neg)
       case UnaryNode(op, c) => UnaryNode(op, subst(c))

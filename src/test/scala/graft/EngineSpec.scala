@@ -444,6 +444,11 @@ class EngineSpec extends AnyFunSuite {
       """SELECT order_id FROM orders
         |WHERE price >= ALL (SELECT CASE WHEN user_id == "none" THEN 1.0 END FROM users)""".stripMargin,
       Seq.empty)
+    // outside WHERE the restriction is named, not a misleading
+    // "returned more than one row"
+    val e = intercept[Exception](session.sql(
+      "SELECT price > ANY (SELECT price FROM orders) AS q FROM orders").collect())
+    assert(e.getMessage.contains("supported in WHERE only"), e.getMessage)
   }
 
   test("QUALIFY/ORDER BY window edges (review findings r11)") {
