@@ -406,6 +406,9 @@ final class Planner(catalog: String => DataFrame,
         // carry each missing key as a hidden column, dedupe on the
         // selected columns only, sort, then drop the hidden keys
         // (r3 verdict #6 — the old rebuild-after-distinct failed analysis)
+        if (hasWindow && !cols.exists(c => containsWindow(c.expr)))
+          throw BuildException(
+            "window expressions in ORDER BY cannot combine with SELECT DISTINCT")
         val ctxPre = mkCtx(out)
         def selectedName(n: Node): Option[String] =
           cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)

@@ -478,6 +478,11 @@ class EngineSpec extends AnyFunSuite {
     testSelect(
       "SELECT order_id FROM orders WHERE price IS NOT DISTINCT FROM \"22.5\" ORDER BY order_id",
       Seq(Seq(1L), Seq(3L)))
+    // inline ORDER BY windows + DISTINCT refuses loudly (a raw
+    // Sort(Window) under dropDuplicates is an analyzer crash otherwise)
+    val dw = intercept[Exception](session.sql(
+      "SELECT DISTINCT user_id FROM orders ORDER BY row_number() OVER (ORDER BY price)").collect())
+    assert(dw.getMessage.contains("cannot combine with SELECT DISTINCT"), dw.getMessage)
     // TABLESAMPLE over a VALUES source prints and re-parses
     val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
       "SELECT a FROM (VALUES (1), (2)) AS t(a) TABLESAMPLE (100 PERCENT) ON (a)"))
