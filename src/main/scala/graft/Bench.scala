@@ -63,6 +63,20 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    // machine-noise self-diagnosis (the r11 lesson: a busy host
+    // inflated every fresh time ~3-4× uniformly and the artifact had
+    // no way to show it). loadavg is sampled at start/end and per
+    // query; a run whose START load exceeds the threshold is flagged
+    // in the json (flag, not refuse: an unattended driver run must
+    // still leave evidence) — read `load_flag` before trusting any
+    // round-over-round comparison.
+    def loadAvg(): Double =
+      ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val maxStartLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_START_LOAD", "8.0").toDouble
+    val startLoad = loadAvg()
+    val loadFlag = startLoad > maxStartLoad
+    if (loadFlag) System.err.println(
+      f"[bench] WARNING: start loadavg $startLoad%.1f exceeds $maxStartLoad%.1f — timings will carry machine noise (load_flag=true)")
     // post-query storage sample via the public executor-memory status
     // (local mode: one block manager; used = max - remaining)
     def storageUsedMb(): Long = {
@@ -73,6 +87,7 @@ object Bench {
 
     final case class QRes(
         fresh: Double, ok: Boolean, gcMs: Long, storageMb: Long,
+        load: Double,
         var warmMin: Option[Double] = None, var warmRepsSec: List[Double] = Nil,
         var warmGcMs: List[Long] = Nil)
     // (elapsed, succeeded, gcDeltaMs): a failure must never masquerade
@@ -100,13 +115,14 @@ object Bench {
         // fresh gc_ms alone cannot explain a spike in rep 2)
         val warmPart = r.warmMin.map(w =>
           s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${r.warmRepsSec.map(fmt).mkString("[", ",", "]")},"warm_gc_ms":${r.warmGcMs.mkString("[", ",", "]")}""").getOrElse("")
-        s""""$n":{"fresh_sec":${fmt(r.fresh)},"gc_ms":${r.gcMs},"storage_mb":${r.storageMb}$warmPart}"""
+        s""""$n":{"fresh_sec":${fmt(r.fresh)},"gc_ms":${r.gcMs},"storage_mb":${r.storageMb},"load":${fmt(r.load)}$warmPart}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
       val total = results.values.collect { case r if r.ok => r.fresh }.sum
       val json =
         s"""{
            |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,
            |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,
+           |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
            |"total_fresh_sec":${fmt(total)},
            |"failed":$failed,
            |"queries":$qs
@@ -127,7 +143,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val (tF, ok, gcMs) = timeOnce(fn)
       val stMb = storageUsedMb()
-      results(name) = QRes(tF, ok, gcMs, stMb)
+      results(name) = QRes(tF, ok, gcMs, stMb, loadAvg())
       println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"} gc=${gcMs}ms storage=${stMb}MB")
       writeFile() // fresh timing durable BEFORE the warm loop: a kill
       // during a heavy query's ~40 s of warm reps must not lose it

@@ -222,10 +222,30 @@ final class GraftSession(val spark: SparkSession) {
     var result = applyCteCols(planner.planStatement(baseStmt), cte)
     if (!all) result = result.distinct()
     result = result.localCheckpoint(true)
+    // Lifecycle of the checkpoint blocks (the r11 instability: every
+    // frontier's MEMORY_AND_DISK blocks lived until GC decided, and
+    // `except(result)` re-scanned an O(iters) union chain each round —
+    // warm reps swung 4→23 s):
+    //  - `chain` holds the checkpointed frames whose union IS `result`;
+    //  - every `compactEvery` rounds `result` re-checkpoints to ONE
+    //    flat relation and the superseded chain blocks are unpersisted
+    //    eagerly (except the live frontier, still the next round's
+    //    input);
+    //  - a frontier that compaction has orphaned is freed the moment a
+    //    new frontier supersedes it.
+    // UNION (distinct) compacts tightly — `except(result)` cost is
+    // proportional to chain length; UNION ALL has no except, so it
+    // compacts rarely (plan-depth bound only) and avoids the O(n²/k)
+    // re-copy of the accumulated result.
+    val compactEvery = if (all) 64 else 8
+    val chain = collection.mutable.ArrayBuffer[DataFrame](result)
     var frontier = result
+    var frontierInChain = true
     val key = cte.name.toLowerCase
     var iter = 0
-    var done = frontier.isEmpty
+    // emptiness reads as a count over the just-materialized checkpoint
+    // blocks — no separate scan-shaped isEmpty job
+    var done = frontier.count() == 0
     while (!done) {
       iter += 1
       if (iter > maxIter)
@@ -240,18 +260,106 @@ final class GraftSession(val spark: SparkSession) {
       next = next.toDF(result.columns.toIndexedSeq: _*)
       if (!all) next = next.distinct().except(result)
       next = next.localCheckpoint(true)
-      if (next.isEmpty) done = true
+      if (next.count() == 0) { freeLocalCheckpoint(next); done = true }
       else {
+        if (!frontierInChain) freeLocalCheckpoint(frontier)
         result = result.union(next)
+        chain += next
         frontier = next
+        frontierInChain = true
+        if (iter % compactEvery == 0) {
+          result = result.localCheckpoint(true)
+          chain.foreach(d => if (!(d eq frontier)) freeLocalCheckpoint(d))
+          chain.clear()
+          chain += result
+          frontierInChain = false
+        }
       }
     }
+    if (!frontierInChain) freeLocalCheckpoint(frontier)
     result
   }
+
+  /** Unpersist the cache blocks behind a `localCheckpoint(true)`-ed
+    * frame. localCheckpoint is CACHE-backed (MEMORY_AND_DISK), so the
+    * blocks survive until RDD GC unless freed explicitly — this is the
+    * explicit path. Only safe once nothing will read the frame again:
+    * a localCheckpoint truncates lineage, so freed blocks CANNOT be
+    * recomputed. */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    try df match {
+      case c: org.apache.spark.sql.classic.Dataset[_] =>
+        c.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(false))
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   // ---- statement dispatch (exec/executor.go WalkPlan ≙) ---------------
 
   def sql(text: String): DataFrame = run(SqlParser.parse(text))
+
+  /** Positional-placeholder query — the reference's `database/sql`
+    * driver surface (exec/sqldriver.go:352-390 queryArgsConvert ≙):
+    * each `?` in `text` substitutes the rendering of the next arg, then
+    * the expanded statement runs through the normal dialect path.
+    *
+    * Renderings (sqldriver.go:369-387): NULL for null; quoted-escaped
+    * for String/bytes; decimal for the int family; `1`/`0` for
+    * booleans; 12-digit e-notation for floats (FormatFloat(v,'e',12,64)
+    * ≙); `'yyyy-MM-dd HH:mm:ss.fffffffff'` (MysqlTimeFormat ≙) for
+    * timestamps. More args than placeholders raises the reference's
+    * exact message; placeholders BEYOND the arg list stay in the text
+    * (and fail at parse), as in the reference.
+    *
+    * Guards: the reference refuses any parameterized query already
+    * containing a quote character (its "tiny bit of string
+    * sanitization", sqldriver.go:356-358) by silently returning an
+    * empty query; here the same refusal is LOUD (README divergence
+    * rule: silent empties never surface in a distributed run). String
+    * escaping doubles into backslash-escapes for `\` and the quote
+    * only — this dialect's lexer keeps other `\x` pairs literal, so
+    * control characters embed raw and round-trip exactly. */
+  def sql(text: String, args: Seq[Any]): DataFrame = {
+    if (args.isEmpty) return sql(text)
+    if (text.exists(c => c == '\'' || c == '"'))
+      throw BuildException("parameterized query must not contain quote " +
+        "characters (reference sqldriver.go queryArgsConvert sanitization)")
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.nnnnnnnnn")
+    def esc(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def render(a: Any): String = a match {
+      case null | None => "NULL"
+      case s: String => esc(s)
+      case b: Array[Byte] => esc(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      case v: Long => v.toString
+      case v: Int => v.toString
+      case v: Short => v.toString
+      case v: Byte => v.toString
+      case v: Boolean => if (v) "1" else "0"
+      case v: Double => String.format(java.util.Locale.ROOT, "%.12e", Double.box(v))
+      case v: Float => String.format(java.util.Locale.ROOT, "%.12e", Double.box(v.toDouble))
+      case v: java.sql.Timestamp => "'" + v.toLocalDateTime.format(tsFmt) + "'"
+      case v: java.time.Instant =>
+        "'" + java.time.LocalDateTime.ofInstant(v, java.time.ZoneOffset.UTC).format(tsFmt) + "'"
+      case v: java.time.LocalDateTime => "'" + v.format(tsFmt) + "'"
+      case other => throw BuildException(
+        s"${other} (${other.getClass.getSimpleName}) can't be used as a query arg")
+    }
+    val sb = new StringBuilder
+    var rest = text
+    for (a <- args) {
+      val i = rest.indexOf('?')
+      if (i == -1)
+        throw BuildException("number of parameters doesn't match number of placeholders")
+      sb ++= rest.substring(0, i)
+      sb ++= render(a)
+      rest = rest.substring(i + 1)
+    }
+    sb ++= rest
+    sql(sb.toString)
+  }
 
   private def run(st: Statement): DataFrame = st match {
     case sel: SqlSelect =>
@@ -354,23 +462,35 @@ final class GraftSession(val spark: SparkSession) {
   }
 
   /** Inline INCLUDE references ahead of evaluation (expr/include.go
-    * InlineIncludes ≙) so LocalEval needs no resolver. */
-  private def resolveIncludes(n: Node): Node = n match {
-    case IncludeNode(name, neg) =>
-      val inner = includer(name).map(resolveIncludes)
-        .getOrElse(throw BuildException(s"INCLUDE '$name' not resolvable"))
-      if (neg) UnaryNode("NOT", inner) else inner
-    case BinaryNode(op, l, r, neg) => BinaryNode(op, resolveIncludes(l), resolveIncludes(r), neg)
-    case BooleanNode(op, args, neg) => BooleanNode(op, args.map(resolveIncludes), neg)
-    case UnaryNode(op, c) => UnaryNode(op, resolveIncludes(c))
-    case TriNode(op, a, b, c, neg) =>
-      TriNode(op, resolveIncludes(a), resolveIncludes(b), resolveIncludes(c), neg)
-    case FuncNode(name, args) => FuncNode(name, args.map(resolveIncludes))
-    case ArrayNode(items) => ArrayNode(items.map(resolveIncludes))
-    case CaseNode(bs, e) =>
-      CaseNode(bs.map { case (c, v) => (resolveIncludes(c), resolveIncludes(v)) },
-        e.map(resolveIncludes))
-    case other => other
+    * InlineIncludes ≙) so LocalEval needs no resolver. Depth-capped at
+    * [[ColumnBuilder.maxIncludeDepth]] (expr/include.go:14-15
+    * `maxIncludeDepth`/`ErrMaxDepth` ≙): two mutually-recursive named
+    * filters raise a loud BuildException NAMING the cycle path instead
+    * of a StackOverflowError. */
+  private def resolveIncludes(n: Node): Node = resolveIncludes(n, Nil)
+
+  private def resolveIncludes(n: Node, path: List[String]): Node = {
+    def rec(m: Node): Node = resolveIncludes(m, path)
+    n match {
+      case IncludeNode(name, neg) =>
+        if (path.length >= ColumnBuilder.maxIncludeDepth)
+          throw BuildException("Recursive Evaluation Error: INCLUDE depth " +
+            s"exceeds ${ColumnBuilder.maxIncludeDepth} — cycle path: " +
+            (path.reverse :+ name).mkString(" -> "))
+        val inner = includer(name)
+          .map(resolveIncludes(_, name :: path))
+          .getOrElse(throw BuildException(s"INCLUDE '$name' not resolvable"))
+        if (neg) UnaryNode("NOT", inner) else inner
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, rec(l), rec(r), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(rec), neg)
+      case UnaryNode(op, c) => UnaryNode(op, rec(c))
+      case TriNode(op, a, b, c, neg) => TriNode(op, rec(a), rec(b), rec(c), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(rec))
+      case ArrayNode(items) => ArrayNode(items.map(rec))
+      case CaseNode(bs, e) =>
+        CaseNode(bs.map { case (c, v) => (rec(c), rec(v)) }, e.map(rec))
+      case other => other
+    }
   }
 
   /** Single-row FilterQL match against a literal context (vm.Matches) —
@@ -500,26 +620,37 @@ final class GraftSession(val spark: SparkSession) {
       src0.columns.find(_.equalsIgnoreCase(c)).map("__s_" + _)
     def tgtCol(c: String): Option[String] =
       target.columns.find(_.equalsIgnoreCase(c))
-    def rewrite(n: Node): Node = n match {
-      case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(sA) =>
-        IdentityNode(Seq(srcCol(c).getOrElse(
-          throw BuildException(s"MERGE: unknown source column '$c'"))))
-      case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(tA) =>
-        IdentityNode(Seq(tgtCol(c).getOrElse(
-          throw BuildException(s"MERGE: unknown target column '$c'"))))
-      case IdentityNode(Seq(c)) if tgtCol(c).isDefined => n
-      case IdentityNode(Seq(c)) if srcCol(c).isDefined =>
-        IdentityNode(Seq(srcCol(c).get))
-      case BinaryNode(op, l, r, neg) => BinaryNode(op, rewrite(l), rewrite(r), neg)
-      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(rewrite), neg)
-      case UnaryNode(op, c) => UnaryNode(op, rewrite(c))
-      case TriNode(op, a, b, c, neg) =>
-        TriNode(op, rewrite(a), rewrite(b), rewrite(c), neg)
-      case FuncNode(name, args) => FuncNode(name, args.map(rewrite))
-      case CaseNode(bs, e) =>
-        CaseNode(bs.map { case (w, t) => (rewrite(w), rewrite(t)) }, e.map(rewrite))
-      case other => other
+    /** `srcFirst`: in WHEN NOT MATCHED context the frame is the
+      * source-only anti join — target columns do not exist there, so a
+      * BARE name shared by both tables (the common CDC case:
+      * `INSERT VALUES (sku, amount)`) must resolve to the SOURCE
+      * column; everywhere else bare names resolve target-first. */
+    def rewriteWith(srcFirst: Boolean)(n: Node): Node = {
+      def rewrite(n: Node): Node = n match {
+        case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(sA) =>
+          IdentityNode(Seq(srcCol(c).getOrElse(
+            throw BuildException(s"MERGE: unknown source column '$c'"))))
+        case IdentityNode(Seq(q, c)) if q.equalsIgnoreCase(tA) =>
+          IdentityNode(Seq(tgtCol(c).getOrElse(
+            throw BuildException(s"MERGE: unknown target column '$c'"))))
+        case IdentityNode(Seq(c)) if srcFirst && srcCol(c).isDefined =>
+          IdentityNode(Seq(srcCol(c).get))
+        case IdentityNode(Seq(c)) if tgtCol(c).isDefined => n
+        case IdentityNode(Seq(c)) if srcCol(c).isDefined =>
+          IdentityNode(Seq(srcCol(c).get))
+        case BinaryNode(op, l, r, neg) => BinaryNode(op, rewrite(l), rewrite(r), neg)
+        case BooleanNode(op, args, neg) => BooleanNode(op, args.map(rewrite), neg)
+        case UnaryNode(op, c) => UnaryNode(op, rewrite(c))
+        case TriNode(op, a, b, c, neg) =>
+          TriNode(op, rewrite(a), rewrite(b), rewrite(c), neg)
+        case FuncNode(name, args) => FuncNode(name, args.map(rewrite))
+        case CaseNode(bs, e) =>
+          CaseNode(bs.map { case (w, t) => (rewrite(w), rewrite(t)) }, e.map(rewrite))
+        case other => other
+      }
+      rewrite(n)
     }
+    def rewrite(n: Node): Node = rewriteWith(srcFirst = false)(n)
     val tgt = target.withColumn("__tid", monotonically_increasing_id())
     val joinedCtx = BuildCtx(
       Some(StructType(tgt.schema.fields ++ srcR.schema.fields)),
@@ -563,7 +694,8 @@ final class GraftSession(val spark: SparkSession) {
       else {
         val srcOnly = srcR.join(tgt, cond, "left_anti")
         val srcCtx = BuildCtx(Some(srcOnly.schema), sessionVars.toMap, includer)
-        def sb(n: Node): Column = ColumnBuilder.build(rewrite(n), srcCtx)
+        def sb(n: Node): Column =
+          ColumnBuilder.build(rewriteWith(srcFirst = true)(n), srcCtx)
         val insIdx = notMatchedWhens.zipWithIndex.reverse
           .foldLeft(lit(0): Column) { case (els, (w, i)) =>
             val c = w.cond.map(n => sb(n).cast(BooleanType)).getOrElse(lit(true))

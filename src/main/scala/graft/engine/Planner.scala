@@ -125,18 +125,28 @@ final class Planner(catalog: String => DataFrame,
           // correlated IN: semi/anti join on the value column AND the
           // correlation equalities; the subquery's own projection
           // supplies the value expression, evaluated in the INNER scope
-          if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
-            throw BuildException(
-              "correlated IN-subquery with GROUP BY/HAVING is not supported")
           if (innerSel.columns.size != 1)
             throw BuildException("IN-subquery must select exactly one column")
+          val corrFields = c.keys.map(_._1).distinct
           val valueCol =
             SelectColumn(innerSel.columns.head.expr, Some(s"__inq${i}_key"), None)
-          val corrCols = c.keys.map(_._1).distinct.map(f =>
+          val corrCols = corrFields.map(f =>
             SelectColumn(IdentityNode(Seq(f)), Some(s"__inq${i}_$f"), None))
+          // a GROUPED correlated IN appends the correlation keys to the
+          // grouping: per-outer-row the inner groups are exactly the
+          // (user keys × correlation key) groups restricted to that
+          // row, so HAVING evaluates over the same per-group rows the
+          // nested-loop semantics would see — still ONE distributed
+          // aggregate + ONE semi/anti join, never a per-row rescan
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
+          val newGroupBy =
+            if (grouped)
+              (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
+            else innerSel.groupBy
           val innerDf = innerPlanner.plan(innerSel.copy(
             columns = valueCol +: corrCols, distinct = false,
-            where = c.innerWhere, orderBy = Nil, limit = None,
+            where = c.innerWhere, groupBy = newGroupBy,
+            orderBy = Nil, limit = None,
             offset = None, qualify = None))
           val outerCtx = mkCtx(df)
           val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
@@ -153,8 +163,12 @@ final class Planner(catalog: String => DataFrame,
       // it raises instead, matching standard SQL); the single value
       // broadcast-joins onto every row and the comparison evaluates
       // with full dialect coercions by rebuilding the BinaryNode
-      // against the joined frame. The limit(2) cap bounds the check:
-      // one extra row is enough to prove the violation.
+      // against the joined frame. The single-row check is IN-PLAN
+      // (limit(2) → count + raise_error inside one broadcast
+      // aggregate), so building a statement with N scalar subqueries
+      // launches ZERO driver jobs — the violation raises when the
+      // query actually runs, and limit(2) bounds the probe: one extra
+      // row is enough to prove it.
       for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
         val innerSel = parseSub(sub)
         val sc = s"__scalar_$i"
@@ -180,9 +194,14 @@ final class Planner(catalog: String => DataFrame,
         } else {
           val subDf = new Planner(catalog, vars, includer).plan(innerSel)
           val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
-          if (firstTwo.count() > 1)
-            throw BuildException("scalar subquery returned more than one row")
-          df = df.crossJoin(broadcast(firstTwo))
+          val dt = firstTwo.schema.head.dataType
+          val one = firstTwo
+            .agg(count(lit(1)).as("__sc_n"),
+              first(col(sc), ignoreNulls = false).as("__sc_v"))
+            .select(when(col("__sc_n") > 1,
+                raise_error(lit("scalar subquery returned more than one row")).cast(dt))
+              .otherwise(col("__sc_v")).as(sc))
+          df = df.crossJoin(broadcast(one))
           val cmp = ColumnBuilder.build(
             BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
           df = df.filter(cmp.cast("boolean")).drop(sc)
@@ -204,24 +223,61 @@ final class Planner(catalog: String => DataFrame,
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
         val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
-        if (corr.keys.nonEmpty)
-          throw BuildException(
-            "correlated quantified (ANY/ALL) subquery is not supported")
         if (innerSel.columns.size != 1)
           throw BuildException("quantified subquery must select exactly one column")
-        // positional rename: an expression-derived output name may
-        // contain dots/quotes that col() would misparse
-        val subDf = innerPlanner.plan(innerSel).toDF(s"__qv_$i")
-        val v = col(s"__qv_$i")
+        val vName = s"__qv_$i"
         val mn = s"__qmin_$i"; val mx = s"__qmax_$i"
         val cnt = s"__qcnt_$i"; val acnt = s"__qacnt_$i"
         // cnt counts NON-NULL values (min/max skip NULLs the same way);
         // acnt counts rows — their difference carries the ANSI NULL
         // semantics: for ALL, a NULL in the subquery makes every
         // no-false row UNKNOWN (dropped), never TRUE
-        val aggd = subDf.agg(min(v).as(mn), max(v).as(mx),
-          count(v).as(cnt), count(lit(1)).as(acnt))
-        df = df.crossJoin(broadcast(aggd))
+        val corrFields = corr.keys.map(_._1).distinct
+        val qkCols = corrFields.map(f => s"__qk${i}_$f")
+        // valsDf: the raw subquery values (plus correlation keys when
+        // correlated) — the <> ALL anti join rides on this same frame
+        val valsDf =
+          if (corr.keys.isEmpty)
+            // positional rename: an expression-derived output name may
+            // contain dots/quotes that col() would misparse
+            innerPlanner.plan(innerSel).toDF(vName)
+          else {
+            // CORRELATED: same aggregate-LATERAL shape as correlated
+            // scalar/IN — per-correlation-key bounded aggregate LEFT-
+            // joined on the equality conjuncts; never a per-row rescan
+            if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+              throw BuildException("correlated quantified (ANY/ALL) " +
+                "subquery with GROUP BY/HAVING is not supported")
+            val valueCol =
+              SelectColumn(innerSel.columns.head.expr, Some(vName), None)
+            val kCols = corrFields.map(f =>
+              SelectColumn(IdentityNode(Seq(f)), Some(s"__qk${i}_$f"), None))
+            innerPlanner.plan(innerSel.copy(
+              columns = valueCol +: kCols, distinct = false,
+              where = corr.innerWhere, orderBy = Nil, limit = None,
+              offset = None, qualify = None))
+          }
+        val v = col(vName)
+        if (corr.keys.isEmpty) {
+          val aggd = valsDf.agg(min(v).as(mn), max(v).as(mx),
+            count(v).as(cnt), count(lit(1)).as(acnt))
+          df = df.crossJoin(broadcast(aggd))
+        } else {
+          val aggd = valsDf.groupBy(qkCols.map(col): _*)
+            .agg(min(v).as(mn), max(v).as(mx),
+              count(v).as(cnt), count(lit(1)).as(acnt))
+          val outerCtx = mkCtx(df)
+          val cond = corr.keys.map { case (f, outerNode) =>
+            ColumnBuilder.build(outerNode, outerCtx) === aggd(s"__qk${i}_$f")
+          }.reduce(_ && _)
+          // a LEFT join: an outer row whose group is EMPTY gets NULL
+          // aggregates — the count coalesces restore the ANSI empty-set
+          // verdicts (ANY → FALSE via the NULL extremum, ALL → TRUE via
+          // acnt = 0)
+          df = df.join(aggd, cond, "left")
+            .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+            .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+        }
         val qctx = mkCtx(df)
         def cmp(o: String, rc: String) = ColumnBuilder.build(
           BinaryNode(o, left, IdentityNode(Seq(rc))), qctx).cast("boolean")
@@ -235,7 +291,13 @@ final class Planner(catalog: String => DataFrame,
           case ("<", "ANY")  => cmp("<", mx)
           case ("<=", "ANY") => cmp("<=", mx)
           case ("!=" | "<>", "ANY") =>
-            col(cnt) > 0 && (col(mn) =!= col(mx) || cmp("!=", mn))
+            // both comparisons depend on x, so a NULL x yields NULL and
+            // drops (ANSI: NULL <> ANY nonempty is UNKNOWN — the old
+            // `mn =!= mx` shortcut was TRUE regardless of x); for a
+            // non-NULL x the pair is equivalent: two distinct values
+            // make one of them differ from x, one value makes both
+            // clauses the same test
+            col(cnt) > 0 && (cmp("!=", mn) || cmp("!=", mx))
           // ALL: TRUE iff the set is EMPTY, or no comparison is FALSE
           // and none is UNKNOWN (no NULL values, non-null x — the cmp
           // itself is NULL for a NULL x and coalesces to a drop)
@@ -258,12 +320,18 @@ final class Planner(catalog: String => DataFrame,
           // the non-null values
           val xc = ColumnBuilder.build(left, qctx)
           df = df.filter(col(acnt) === 0 || (noNulls && xc.isNotNull))
-            .drop(mn, mx, cnt, acnt)
-          val renamed = subDf.select(v.as(s"__qall_$i"))
-          df = df.join(renamed,
-            ColumnBuilder.build(left, mkCtx(df)) === col(s"__qall_$i"), "left_anti")
+            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
+          val renamed = valsDf.select(
+            v.as(s"__qall_$i") +: qkCols.map(col): _*)
+          val againCtx = mkCtx(df)
+          val antiCond = (ColumnBuilder.build(left, againCtx) === col(s"__qall_$i")) +:
+            corr.keys.map { case (f, outerNode) =>
+              ColumnBuilder.build(outerNode, againCtx) === renamed(s"__qk${i}_$f")
+            }
+          df = df.join(renamed, antiCond.reduce(_ && _), "left_anti")
         } else
-          df = df.filter(coalesce(pred, lit(false))).drop(mn, mx, cnt, acnt)
+          df = df.filter(coalesce(pred, lit(false)))
+            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
       }
       // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
       // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
@@ -278,8 +346,16 @@ final class Planner(catalog: String => DataFrame,
         val innerPlanner = new Planner(catalog, vars, includer)
         val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
         if (c.keys.isEmpty) {
-          val nonEmpty = innerPlanner.plan(innerSel).limit(1).count() > 0
-          if (nonEmpty == negated) df = df.filter(lit(false))
+          // whole-corpus existence fact — ONE bounded limit(1) count,
+          // evaluated lazily in-plan (broadcast 1-row aggregate +
+          // filter) so statement BUILD launches no job; Catalyst folds
+          // the filter to a LocalRelation-or-pass once it runs
+          val en = s"__ex_n$i"
+          val probe = innerPlanner.plan(innerSel).limit(1)
+            .agg(count(lit(1)).as(en))
+          df = df.crossJoin(broadcast(probe))
+            .filter(if (negated) col(en) === 0 else col(en) > 0)
+            .drop(en)
         } else {
           if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
             throw BuildException(
@@ -760,12 +836,17 @@ final class Planner(catalog: String => DataFrame,
       // unqualified attribute and `l.x` would stop resolving).
       val keyProj = c.keys.map { case (f, outerNode) =>
         ColumnBuilder.build(outerNode, outerCtx).as(s"__lat_$f") }
+      // a NULL-keyed inner group can never match any outer row under
+      // `=` correlation — drop it BEFORE the null-safe join below, or
+      // it would wrongly attach to NULL-keyed OUTER rows
+      val aggNn = aggCore.filter(
+        corrFields.map(f => col(s"__lat_$f").isNotNull).reduce(_ && _))
       val missing = outer.select(keyProj: _*).distinct()
-        .join(aggCore, corrFields.map(f => s"__lat_$f"), "left_anti")
-      val filled = missing.select(aggCore.columns.toIndexedSeq.map { cn =>
+        .join(aggNn, corrFields.map(f => s"__lat_$f"), "left_anti")
+      val filled = missing.select(aggNn.columns.toIndexedSeq.map { cn =>
         if (cn.startsWith("__lat_")) col(cn)
         else {
-          val dt = aggCore.schema(cn).dataType
+          val dt = aggNn.schema(cn).dataType
           innerSel.columns.find(_.outputName == cn).map(_.expr) match {
             case Some(FuncNode(n, _)) if n.equalsIgnoreCase("count") =>
               lit(0L).cast(dt).as(cn)
@@ -773,8 +854,14 @@ final class Planner(catalog: String => DataFrame,
           }
         }
       }: _*)
-      val aggDf = aliased(aggCore.unionByName(filled))
-      dropKeys(outer.join(aggDf, joinCond(aggDf), "left"))
+      val aggDf = aliased(aggNn.unionByName(filled))
+      // null-SAFE equality: a NULL-keyed OUTER row must attach to its
+      // completion row (count 0 / NULL aggs) — with plain `===` it
+      // never joined and count(*) came back NULL instead of 0
+      val nsCond = c.keys.map { case (f, outerNode) =>
+        ColumnBuilder.build(outerNode, outerCtx) <=> aggDf(s"__lat_$f")
+      }.reduce(_ && _)
+      dropKeys(outer.join(aggDf, nsCond, "left"))
     } else innerSel.limit match {
       case Some(k) =>
         if (innerSel.orderBy.isEmpty)
@@ -1075,13 +1162,29 @@ final class Planner(catalog: String => DataFrame,
         throw BuildException("scalar subquery returned more than one row")
       if (rows.isEmpty || rows(0).isNullAt(0)) NullNode
       else rows(0).get(0) match {
-        case v: Long => NumberNode(v.toDouble, isInt = true)
+        // exactness: NumberNode carries a Double, which is exact for
+        // |int| ≤ 2^53 — wider longs and non-Double-round-trip decimals
+        // re-enter the AST as a cast('…' AS type) so no precision is
+        // lost on the way back into the plan
+        case v: Long =>
+          if (v.toDouble.toLong == v) NumberNode(v.toDouble, isInt = true)
+          else FuncNode("cast", Seq(StringNode(v.toString), StringNode("bigint")))
         case v: Int => NumberNode(v.toDouble, isInt = true)
         case v: Short => NumberNode(v.toDouble, isInt = true)
         case v: Byte => NumberNode(v.toDouble, isInt = true)
         case v: Double => NumberNode(v, isInt = false)
         case v: Float => NumberNode(v.toDouble, isInt = false)
-        case v: java.math.BigDecimal => NumberNode(v.doubleValue, isInt = false)
+        case v0: java.math.BigDecimal =>
+          // negative scales (1E+3) normalize to scale 0 so the target
+          // type is always a legal decimal(p ≥ s, s ≥ 0)
+          val v = if (v0.scale < 0) v0.setScale(0) else v0
+          val p = math.max(v.precision, v.scale)
+          FuncNode("cast", Seq(StringNode(v.toPlainString),
+            StringNode(s"decimal($p,${v.scale})")))
+        case v: java.sql.Date =>
+          FuncNode("cast", Seq(StringNode(v.toString), StringNode("date")))
+        case v: java.sql.Timestamp =>
+          FuncNode("cast", Seq(StringNode(v.toString), StringNode("timestamp")))
         case v: String => StringNode(v)
         case v: Boolean => BoolNode(v)
         case other => throw BuildException(

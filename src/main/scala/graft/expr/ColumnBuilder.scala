@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 final case class BuildCtx(
     schema: Option[StructType] = None,
     vars: Map[String, Any] = Map.empty,
-    includer: String => Option[Node] = _ => None) {
+    includer: String => Option[Node] = _ => None,
+    includePath: List[String] = Nil) {
 
   def fieldType(path: Seq[String]): Option[DataType] = schema.flatMap { st =>
     st.fields.find(_.name.equalsIgnoreCase(path.mkString("."))) match {
@@ -93,13 +94,25 @@ object ColumnBuilder {
     case s: SubqueryNode =>
       throw BuildException("subquery expressions are only supported as `x IN (SELECT …)` in WHERE")
     case IncludeNode(name, neg) =>
+      // depth-capped like the driver-side inliner (reference
+      // expr/include.go:14-15 maxIncludeDepth/ErrMaxDepth ≙): a cyclic
+      // named-filter graph raises naming the cycle path, never a
+      // StackOverflowError
+      if (ctx.includePath.length >= maxIncludeDepth)
+        throw BuildException("Recursive Evaluation Error: INCLUDE depth " +
+          s"exceeds $maxIncludeDepth — cycle path: " +
+          (ctx.includePath.reverse :+ name).mkString(" -> "))
       ctx.includer(name) match {
         case Some(n) =>
-          val c = build(n, ctx).cast(BooleanType)
+          val c = build(n, ctx.copy(includePath = name :: ctx.includePath))
+            .cast(BooleanType)
           if (neg) !c else c
         case None => throw BuildException(s"INCLUDE '$name' not resolvable")
       }
   }
+
+  /** Max INCLUDE inlining depth (expr/include.go:14 `maxIncludeDepth` ≙). */
+  val maxIncludeDepth = 100
 
   // ---- identities ----------------------------------------------------
 

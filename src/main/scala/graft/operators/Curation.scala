@@ -411,15 +411,19 @@ object Curation {
     * per-shard rank window (parallelism = `shards`) — no global sort,
     * same cost shape as [[shuffleShards]]. */
   def curriculumShards(df: DataFrame, idCol: String, difficulty: Column,
-      shards: Int, stages: Int = 10): DataFrame = {
+      shards: Int, stages: Int = 10, exact: Boolean = true): DataFrame = {
     require(shards > 0, "need at least one shard")
     require(stages > 1 && stages <= 1000, "stages in (1, 1000]")
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), difficulty.cast(DoubleType).as("__d"))
-    val pcts = (1 until stages)
-      .map(i => s"CAST($i AS DOUBLE)/$stages").mkString(", ")
+    // threshold quantiles ride the shared exact↔approx switch
+    // (Profiling.quantileAgg): the GLOBAL aggregate here buffers every
+    // difficulty value under `exact` — at 100 TB flip exact=false for a
+    // constant-memory sketch (band edges tolerate sketch error; the
+    // round(…,4) tie discipline is unchanged)
+    val ps = (1 until stages).map(i => i.toDouble / stages)
     val th = base
-      .agg(expr(s"percentile(__d, array($pcts))").as("__th"))
+      .agg(Profiling.quantileAgg(col("__d"), ps, exact).as("__th"))
       .select(transform(col("__th"), t => round(t, 4)).as("__th"))
     val h = md5(col(idCol).cast(StringType).cast(BinaryType))
     val shard = (conv(substring(h, 1, 8), 16, 10).cast(LongType) % shards).cast(IntegerType)

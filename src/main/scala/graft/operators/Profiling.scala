@@ -19,6 +19,38 @@ import org.apache.spark.sql.types._
   */
 object Profiling {
 
+  /** THE exact↔approx quantile switch, shared by every quantile
+    * surface (madOutliers, Curation.curriculumShards, the q32 query
+    * family). `exact = true` is Spark's `percentile` — bit-exact and
+    * DuckDB-`quantile_cont`-matching, but its aggregation buffer holds
+    * EVERY value of the group, so it only belongs where groups are
+    * bounded (a handful of flags/sources). At 100 TB-scale group sizes
+    * flip `exact = false`: `percentile_approx` keeps a constant-size
+    * mergeable sketch per group (error ≤ 1/accuracy of rank), the same
+    * trade the CCNet-bucket path already makes. */
+  def quantileAgg(value: Column, ps: Seq[Double], exact: Boolean,
+      accuracy: Int = 10000): Column = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "percentiles in [0,1]")
+    val pcol = if (ps.length == 1) lit(ps.head) else array(ps.map(lit): _*)
+    if (exact) percentile(value, pcol)
+    else percentile_approx(value, pcol, lit(accuracy))
+  }
+
+  /** Per-group percentiles of one column — the q32 shape with the
+    * [[quantileAgg]] switch advertised: exact for oracle replays on
+    * bounded group counts, approx (constant per-group memory) for the
+    * 100 TB path. Output columns `p_<pct>` rounded to 4 dp. */
+  def groupPercentiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[Double], exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    val qs = quantileAgg(value, ps, exact, accuracy)
+    df.groupBy(groupCol)
+      .agg(qs.as("__qs"))
+      .select(col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
+        val c = if (ps.length == 1) col("__qs") else col("__qs").getItem(i)
+        round(c, 4).as(s"p${(p * 100).round}")
+      }: _*)
+  }
+
   /** Per-source corpus profile in ONE pass over the data: document
     * count, token mass, HLL-approximate distinct content fingerprints
     * (near-dup mass indicator), and approximate token-count quantiles
@@ -181,12 +213,14 @@ object Profiling {
     * sources, bounded) + joins of the |groups|-row stat tables that
     * AQE broadcasts; the flag itself is scan-stage. */
   def madOutliers(df: DataFrame, idCol: String, groupCol: String,
-      value: Column, k: Double = 1.5): DataFrame = {
+      value: Column, k: Double = 1.5, exact: Boolean = true): DataFrame = {
     val vals = df.select(col(idCol), col(groupCol), value.cast(DoubleType).as("v"))
-    val med = vals.groupBy(groupCol).agg(expr("percentile(v, 0.5)").as("med"))
+    val med = vals.groupBy(groupCol)
+      .agg(quantileAgg(col("v"), Seq(0.5), exact).as("med"))
     val dev = vals.join(med, Seq(groupCol))
       .withColumn("dev", abs(col("v") - col("med")))
-    val mad = dev.groupBy(groupCol).agg(expr("percentile(dev, 0.5)").as("mad"))
+    val mad = dev.groupBy(groupCol)
+      .agg(quantileAgg(col("dev"), Seq(0.5), exact).as("mad"))
     dev.join(mad, Seq(groupCol))
       .filter(col("dev") > lit(k) * col("mad"))
       .select(col(idCol), col(groupCol), col("v"),

@@ -453,12 +453,15 @@ object CoreQueries {
              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
-    // Exact percentiles (median / p90) per group.
+    // Percentiles (median / p90) per group, through the shared
+    // exact↔approx switch (Profiling.groupPercentiles): exact here —
+    // 3 bounded groups, and the oracle replays quantile_cont — with
+    // `exact = false` advertised as the 100 TB path (constant-size
+    // per-group sketch instead of a buffer of every group value).
     "q32_percentile" -> Q(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-             r4(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+      (s, d) => graft.operators.Profiling.groupPercentiles(
+          t(s, d, "lineitem"), "l_returnflag", col("l_extendedprice"),
+          Seq(0.5, 0.9), exact = true)
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
              |  round(quantile_cont(l_extendedprice, 0.5),4) AS p50,

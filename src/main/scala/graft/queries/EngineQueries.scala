@@ -438,6 +438,52 @@ object EngineQueries {
              |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_orderstatus = 'F')
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): CORRELATED quantified `> ANY` — per-customer
+    // bounded min/max/count aggregate LEFT-joined on the correlation
+    // equality (the aggregate-LATERAL lowering), never a per-row rescan
+    "ql_quant_any_corr" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders o
+          |WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey LIMIT 100""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // engine (r12): correlated `>= ALL` — each customer's max-price
+    // orders; the empty-group/NULL guards ride the same one aggregate
+    "ql_quant_all_corr" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+             |WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): correlated IN whose subquery GROUPs and HAVINGs —
+    // correlation keys append to the grouping, HAVING evaluates per
+    // (status × customer) group, then ONE semi join
+    "ql_corr_in_having" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_totalprice FROM orders o
+          |WHERE o_totalprice IN (SELECT max(o_totalprice) FROM orders
+          |  WHERE o_custkey = o.o_custkey GROUP BY o_orderstatus HAVING count(*) >= 2)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders o
+             |WHERE o_totalprice IN (SELECT max(o_totalprice) FROM orders
+             |  WHERE o_custkey = o.o_custkey GROUP BY o_orderstatus HAVING count(*) >= 2)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): positional-placeholder query through the
+    // database/sql-driver surface (exec/sqldriver.go queryArgsConvert
+    // ≙) — the oracle replays the EXPANDED text
+    "ql_placeholder_args" -> Q(
+      (s, d) => session(s, d).sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > ? AND o_orderstatus = ? ORDER BY o_orderkey LIMIT 50",
+        Seq(300000L, "F")),
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000 AND o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 50")),
+
     // engine: SQL-standard aggregate FILTER clause — parse-time desugar
     // to agg(CASE WHEN p THEN arg END), so the planner sees one ordinary
     // hash aggregate (partial+final, no extra scan per filtered agg)

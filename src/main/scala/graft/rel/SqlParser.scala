@@ -266,7 +266,11 @@ final class SqlParser(tokens: Vector[Token]) {
         val asc = if (kw("DESC")) { next(); false } else { eat("ASC"); true }
         if (cols.exists(_.expr == IdentityNode(Seq("*"))))
           throw ParseException("ORDER BY ALL cannot expand a * select")
-        cols.map(c => (c.alias.map(a => IdentityNode(Seq(a)): Node)
+        // expand from colsRESOLVED: an unaliased select column using a
+        // named window (`sum(x) OVER w`) has already had its ref
+        // inlined there — expanding from the raw cols would leak an
+        // unresolved WindowNode ref past the WINDOW clause rewrite
+        colsResolved.map(c => (c.alias.map(a => IdentityNode(Seq(a)): Node)
           .getOrElse(c.expr), asc))
       } else parseOrderList().map { case (n, asc) => (rewriteRefs(derefOrder(n)), asc) }
     } else Nil

@@ -408,11 +408,25 @@ class EngineSpec extends AnyFunSuite {
     testSelect(
       "SELECT order_id FROM orders WHERE price > ANY (SELECT price FROM orders WHERE item_id == 99) ORDER BY order_id",
       Seq.empty)
-    // correlated quantified is refused loudly (one bounded aggregate is
-    // the contract; a correlated rescan would be a row-count join)
-    val e = intercept[Exception](session.sql(
-      "SELECT order_id FROM orders o WHERE price > ANY (SELECT price FROM orders WHERE user_id = o.user_id)").collect())
-    assert(e.getMessage.contains("correlated quantified"), e.getMessage)
+    // CORRELATED quantified (r12): lowers through the same per-key
+    // bounded min/max/count aggregate, LEFT-joined on the correlation
+    // equality — still never a row-count-shaped rescan
+    testSelect( // per-user min price: only order 2 beats its user's min
+      "SELECT order_id FROM orders o WHERE price > ANY (SELECT price FROM orders WHERE user_id = o.user_id) ORDER BY order_id",
+      Seq(Seq(2L)))
+    testSelect( // per-user max: orders at their user's max price
+      "SELECT order_id FROM orders o WHERE price >= ALL (SELECT price FROM orders WHERE user_id = o.user_id) ORDER BY order_id",
+      Seq(Seq(2L), Seq(3L)))
+    testSelect( // correlated <> ALL: per-user anti join (no order differs
+      // from every price of its own user — each contributes its own)
+      "SELECT order_id FROM orders o WHERE price <> ALL (SELECT price FROM orders WHERE user_id = o.user_id) ORDER BY order_id",
+      Seq.empty)
+    testSelect( // correlated ANY against a per-user EMPTY set → FALSE
+      "SELECT order_id FROM orders o WHERE price > ANY (SELECT price FROM orders WHERE user_id = o.user_id AND item_id == 99) ORDER BY order_id",
+      Seq.empty)
+    testSelect( // correlated ALL against a per-user EMPTY set → TRUE
+      "SELECT order_id FROM orders o WHERE price > ALL (SELECT price FROM orders WHERE user_id = o.user_id AND item_id == 99) ORDER BY order_id",
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
     // prints and re-parses
     val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
       "SELECT order_id FROM orders WHERE price > ANY (SELECT price FROM orders)"))
@@ -449,6 +463,92 @@ class EngineSpec extends AnyFunSuite {
     val e = intercept[Exception](session.sql(
       "SELECT price > ANY (SELECT price FROM orders) AS q FROM orders").collect())
     assert(e.getMessage.contains("supported in WHERE only"), e.getMessage)
+  }
+
+  test("subquery edges (review findings r12)") {
+    // <> ANY with a NULL LEFT operand: UNKNOWN, row drops — the r11
+    // shortcut (`mn <> mx` decides without looking at x) kept it
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE (CASE WHEN order_id == 1 THEN NULL ELSE price END) != ANY (SELECT price FROM orders)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L), Seq(3L)))
+    // correlated IN with GROUP BY + HAVING: correlation keys append to
+    // the grouping, HAVING evaluates per (user key × correlation) group
+    testSelect( // every per-(item,user) group max: all three orders match their own
+      """SELECT order_id FROM orders o
+        |WHERE price IN (SELECT max(price) FROM orders WHERE user_id = o.user_id GROUP BY item_id HAVING count(*) >= 1)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(2L), Seq(3L)))
+    testSelect( // no (item,user) group has 2+ rows → empty set, IN is false
+      """SELECT order_id FROM orders o
+        |WHERE price IN (SELECT max(price) FROM orders WHERE user_id = o.user_id GROUP BY item_id HAVING count(*) >= 2)
+        |ORDER BY order_id""".stripMargin,
+      Seq.empty)
+    // LATERAL aggregate over a NULL-keyed outer row: count comes back
+    // 0 (empty group), not NULL — the join-back is null-safe
+    testSelect(
+      """SELECT u.user_id, l.n FROM users u,
+        |LATERAL (SELECT count(*) AS n FROM users WHERE interests = u.interests) l
+        |ORDER BY u.user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 1L), Seq("hT2impsOPUREcVPc", 1L),
+        Seq("hT2impsabc345c", 0L)))
+  }
+
+  test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {
+    val s = session
+    def ids(df: DataFrame): Seq[Long] = df.collect().map(_.getLong(0)).toSeq
+    // positional ? substitution: string + number
+    assert(ids(s.sql(
+      "SELECT order_id FROM orders WHERE user_id = ? AND price > ? ORDER BY order_id",
+      Seq("9Ip1aKbeZe2njCDM", 25L))) == Seq(2L))
+    // float renders in e-notation and still compares correctly
+    assert(ids(s.sql(
+      "SELECT order_id FROM orders WHERE price = ? ORDER BY order_id",
+      Seq(22.5d))) == Seq(1L, 3L))
+    // bool renders 1/0; NULL renders NULL (comparison → UNKNOWN → empty)
+    assert(ids(s.sql(
+      "SELECT order_id FROM orders WHERE price = ? ORDER BY order_id",
+      Seq(null))).isEmpty)
+    // injection-shaped strings stay VALUES: the quote is escaped inside
+    // one literal, never a second statement / always-true predicate
+    assert(ids(s.sql(
+      "SELECT order_id FROM orders WHERE user_id = ? ORDER BY order_id",
+      Seq("x' OR '1'='1"))).isEmpty)
+    // more args than placeholders → the reference's exact message
+    val e1 = intercept[Exception](s.sql(
+      "SELECT order_id FROM orders WHERE price > ?", Seq(1L, 2L)))
+    assert(e1.getMessage.contains(
+      "number of parameters doesn't match number of placeholders"), e1.getMessage)
+    // pre-existing quotes in a parameterized text are refused (the
+    // reference's sanitization guard, loud here)
+    val e2 = intercept[Exception](s.sql(
+      "SELECT order_id FROM orders WHERE user_id = 'abc' AND price > ?", Seq(1L)))
+    assert(e2.getMessage.contains("quote"), e2.getMessage)
+    // timestamp rendering round-trips through the dialect's time parser
+    assert(ids(s.sql(
+      "SELECT order_id FROM orders WHERE order_date = ? ORDER BY order_id",
+      Seq(java.sql.Timestamp.valueOf("2012-12-24 17:29:39.738")))) == Seq(1L))
+  }
+
+  test("MERGE NOT MATCHED resolves bare shared names source-first (r12)") {
+    val s = new GraftSession(spark)
+    import org.apache.spark.sql.Row
+    val inv = spark.createDataFrame(
+      java.util.List.of(Row(1L, 10L)),
+      StructType(Seq(StructField("sku", LongType), StructField("amount", LongType))))
+    s.registerTable("inv2", inv)
+    // bare `sku`/`amount` in the INSERT VALUES are names BOTH tables
+    // carry — the NOT MATCHED frame is source-only, so they must
+    // resolve to the source columns without qualification
+    s.sql("""MERGE INTO inv2 t USING (VALUES (1, 5), (2, 7)) AS d(sku, amount)
+      |ON t.sku == d.sku
+      |WHEN MATCHED THEN UPDATE SET amount = t.amount + d.amount
+      |WHEN NOT MATCHED AND amount > 0 THEN INSERT (sku, amount) VALUES (sku, amount)""".stripMargin)
+    val out = s.sql("SELECT sku, amount FROM inv2 ORDER BY sku")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 15L), (2L, 7L)), out)
+    s.sql("DROP TABLE inv2")
   }
 
   test("QUALIFY/ORDER BY window edges (review findings r11)") {

@@ -186,6 +186,34 @@ class FilterMatrixSpec extends AnyFunSuite {
       s2.matches("FILTER AND (x < 9000, INCLUDE shouldfail)", Map("x" -> 6L)))
   }
 
+  test("INCLUDE depth guard: cyclic filters raise the parity error (r12)") {
+    // two mutually-recursive named filters (expr/include.go:14-15
+    // maxIncludeDepth/ErrMaxDepth ≙) — a loud BuildException naming the
+    // cycle path, never a StackOverflowError
+    val s2 = new graft.engine.GraftSession(SparkTestSession.get)
+    s2.addFilter("ping", "FILTER AND (x > 0, INCLUDE pong)")
+    s2.addFilter("pong", "FILTER AND (x < 9000, INCLUDE ping)")
+    val e = intercept[Exception](
+      s2.matches("FILTER INCLUDE ping", Map("x" -> 6L)))
+    assert(e.getMessage.contains("Recursive Evaluation Error"), e.getMessage)
+    assert(e.getMessage.contains("ping -> pong"), e.getMessage)
+    // a DEEP but acyclic chain inside the cap still resolves
+    s2.addFilter("base", "FILTER x > 5")
+    for (i <- 1 to 50)
+      s2.addFilter(s"lvl$i", s"FILTER INCLUDE ${if (i == 1) "base" else s"lvl${i - 1}"}")
+    assert(s2.matches("FILTER INCLUDE lvl50", Map("x" -> 6L)))
+    // the SPARK column-builder path is guarded the same way
+    val df = SparkTestSession.get.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(6L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    s2.registerTable("cycrow", df)
+    val e2 = intercept[Exception](
+      s2.sql("FILTER INCLUDE ping FROM cycrow").collect())
+    assert(e2.getMessage.contains("Recursive Evaluation Error"), e2.getMessage)
+  }
+
   test("city IN list on the engine path (column-builder parity)") {
     // the same IN-list semantics must hold through the Spark path:
     // register a one-row table and filter it

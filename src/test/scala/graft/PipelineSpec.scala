@@ -1824,6 +1824,37 @@ class PipelineSpec extends AnyFunSuite {
     val out = Profiling.madOutliers(df, "id", "grp", col("x"), k = 1.5)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(out == Set(5L, 12L), s"flagged $out")
+    // the approx path (100 TB knob) agrees on this data
+    val outA = Profiling.madOutliers(df, "id", "grp", col("x"), k = 1.5, exact = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(outA == Set(5L, 12L), s"approx flagged $outA")
+  }
+
+  test("quantile switch: approx path has no per-group value buffering (r12)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 100).map(i => (i.toLong, "g" + (i % 3), i.toDouble))
+      .toDF("id", "grp", "x")
+    // exact = false plans percentile_approx (a constant-size mergeable
+    // sketch per group); the EXACT percentile aggregate — whose buffer
+    // holds every value of the group — must be absent from the plan
+    val approx = Profiling.groupPercentiles(df, "grp", col("x"),
+      Seq(0.5, 0.9), exact = false)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"), plan)
+    assert(!plan.replace("percentile_approx", "PA")
+      .replace("approx_percentile", "PA").contains("percentile"), plan)
+    // values stay sane (exact == approx at this tiny accuracy demand)
+    val ex = Profiling.groupPercentiles(df, "grp", col("x"), Seq(0.5, 0.9))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(2)))
+    val ap = approx.orderBy("grp").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(ex.map(_._1).toSeq == ap.map(_._1).toSeq)
+    ex.zip(ap).foreach { case ((_, e), (_, a)) =>
+      assert(math.abs(e - a) <= 2.0, s"exact $e vs approx $a") }
+    // curriculumShards rides the same switch and stays total on approx
+    val shards = graft.operators.Curation.curriculumShards(
+      df, "id", col("x"), shards = 4, stages = 5, exact = false)
+    assert(shards.count() == 100)
   }
 
   test("vocab growth: templated source flattens, natural source keeps minting") {

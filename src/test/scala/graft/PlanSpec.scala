@@ -796,4 +796,35 @@ class PlanSpec extends AnyFunSuite {
     // operator and one exchange for its partition
     assert(p.split("\n").count(_.contains("- Window [")) == 1, p)
   }
+
+  test("scalar-subquery / EXISTS statement BUILD launches zero jobs (r12)") {
+    // the single-row guard is IN-PLAN (count + raise_error inside the
+    // broadcast aggregate), so building a WHERE with N scalar
+    // subqueries and uncorrelated EXISTS probes runs no driver job
+    // until the query itself runs
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("orders3", spark.read.parquet(s"$dir/orders.parquet"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = gs.sql(
+        """SELECT o_orderkey FROM orders3
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders3)
+          |  AND o_totalprice < (SELECT max(o_totalprice) FROM orders3)
+          |  AND EXISTS (SELECT 1 FROM orders3 WHERE o_orderkey < 5)""".stripMargin)
+      Thread.sleep(300) // let any stray job-start events surface
+      assert(jobs == 0, s"statement build launched $jobs jobs")
+      assert(df.count() > 0) // …and the guarded plan still runs
+      // the violation raises AT RUN TIME with the preserved message
+      val multi = gs.sql(
+        "SELECT o_orderkey FROM orders3 WHERE o_totalprice > (SELECT o_totalprice FROM orders3)")
+      val e = intercept[Exception](multi.collect())
+      assert(e.getMessage.contains("scalar subquery returned more than one row"),
+        e.getMessage)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
