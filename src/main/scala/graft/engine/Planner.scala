@@ -138,7 +138,16 @@ final class Planner(catalog: String => DataFrame,
           // row, so HAVING evaluates over the same per-group rows the
           // nested-loop semantics would see — still ONE distributed
           // aggregate + ONE semi/anti join, never a per-row rescan
-          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
+          // an aggregate-valued subquery (`x IN (SELECT max(p) …)`)
+          // groups by the correlation keys even without explicit
+          // GROUP BY — one per-slice aggregate row, like the
+          // correlated-scalar path. Known ANSI edge (README
+          // divergences): a count-valued subquery over an EMPTY slice
+          // is 0 in ANSI and can match x = 0; this lowering produces
+          // no row for empty slices (NULL-valued aggregates like
+          // max/min/sum agree either way — NULL never matches IN).
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
+            containsAgg(innerSel.columns.head.expr)
           val newGroupBy =
             if (grouped)
               (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
@@ -357,22 +366,76 @@ final class Planner(catalog: String => DataFrame,
             .filter(if (negated) col(en) === 0 else col(en) > 0)
             .drop(en)
         } else {
-          if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
-            throw BuildException(
-              "correlated EXISTS with GROUP BY/HAVING is not supported")
-          val innerDf = innerPlanner.plan(innerSel.copy(
-            columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
-            distinct = false, where = c.innerWhere,
-            orderBy = Nil, limit = None, offset = None, qualify = None))
+          val corrFields = c.keys.map(_._1).distinct
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
           // prefix-rename the inner key columns so the join condition
           // can never capture an identically-named outer column
-          val innerKeys = innerDf.select(c.keys.map(_._1).distinct.map(f =>
-            col(f).as(s"__ex${i}_$f")): _*)
+          val innerKeys =
+            if (!grouped) {
+              val innerDf = innerPlanner.plan(innerSel.copy(
+                columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+                distinct = false, where = c.innerWhere,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
+              innerDf.select(corrFields.map(f =>
+                col(f).as(s"__ex${i}_$f")): _*)
+            } else
+              // GROUPED correlated EXISTS (r12): true iff SOME group of
+              // the outer row's slice satisfies HAVING — the correlation
+              // keys append to the grouping (same lowering as grouped
+              // correlated IN) and the group keys ARE the join keys;
+              // still one distributed aggregate + one semi/anti join
+              innerPlanner.plan(innerSel.copy(
+                columns = corrFields.map(f =>
+                  SelectColumn(IdentityNode(Seq(f)), Some(s"__ex${i}_$f"), None)),
+                distinct = false, where = c.innerWhere,
+                groupBy = (innerSel.groupBy ++
+                  corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
           val outerCtx = mkCtx(df)
           val cond = c.keys.map { case (f, outerNode) =>
             ColumnBuilder.build(outerNode, outerCtx) === innerKeys(s"__ex${i}_$f")
           }.reduce(_ && _)
-          df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
+          if (grouped && innerSel.groupBy.isEmpty) {
+            // HAVING without GROUP BY: ANSI gives even an EMPTY outer
+            // slice one aggregate row (count→0, sum/min/max→NULL) and
+            // tests HAVING against it — a CONSTANT verdict, evaluated
+            // lazily as a 1-row broadcast (`HAVING count(*) = 0` must
+            // make EXISTS true exactly for sliceless outer rows — the
+            // classic COUNT bug of naive decorrelation). The final
+            // predicate is (some slice group passes HAVING) OR (slice
+            // empty AND the empty verdict) — two left joins + the
+            // broadcast, no semi-join OR contortions.
+            val vN = s"__exh_v$i"
+            val verdict = broadcast(innerPlanner.plan(innerSel.copy(
+              columns = Seq(SelectColumn(innerSel.having.get, Some(vN), None)),
+              distinct = false, where = Some(BoolNode(false)),
+              groupBy = Nil, having = None,
+              orderBy = Nil, limit = None, offset = None, qualify = None)))
+            val aN = s"__exh_a$i"
+            val aKeys = innerKeys.withColumn(aN, lit(1))
+            val kN = s"__exh_k$i"
+            val kKeys = innerPlanner.plan(innerSel.copy(
+                columns = corrFields.map(f =>
+                  SelectColumn(IdentityNode(Seq(f)), Some(s"__exk${i}_$f"), None)),
+                distinct = true, where = c.innerWhere,
+                groupBy = Nil, having = None,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
+              .withColumn(kN, lit(1))
+            val kCond = c.keys.map { case (f, outerNode) =>
+              ColumnBuilder.build(outerNode, outerCtx) === kKeys(s"__exk${i}_$f")
+            }.reduce(_ && _)
+            df = df.join(aKeys, cond, "left").join(kKeys, kCond, "left")
+              .crossJoin(verdict)
+            val pass = coalesce(
+              col(aN).isNotNull ||
+                (col(kN).isNull && coalesce(col(vN).cast("boolean"), lit(false))),
+              lit(false))
+            df = df.filter(if (negated) !pass else pass)
+              .drop(aN +: kN +: vN +:
+                (corrFields.map(f => s"__ex${i}_$f") ++
+                  corrFields.map(f => s"__exk${i}_$f")): _*)
+          } else
+            df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
         }
       }
       rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))

@@ -475,6 +475,30 @@ object EngineQueries {
              |  WHERE o_custkey = o.o_custkey GROUP BY o_orderstatus HAVING count(*) >= 2)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): correlated EXISTS whose subquery aggregates with
+    // HAVING and no GROUP BY — the ANSI empty-slice verdict (the
+    // decorrelation COUNT bug) is a broadcast constant; customers
+    // WITHOUT any order above the bar come back through NOT EXISTS
+    "ql_corr_exists_having" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey HAVING count(*) >= 12)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey HAVING count(*) >= 12)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // engine (r12): the COUNT-bug edge itself as an oracle row —
+    // HAVING count(*) == 0 keeps exactly the ORDERLESS customers
+    "ql_corr_exists_count0" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey HAVING count(*) == 0)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey HAVING count(*) = 0)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // engine (r12): positional-placeholder query through the
     // database/sql-driver surface (exec/sqldriver.go queryArgsConvert
     // ≙) — the oracle replays the EXPANDED text

@@ -493,6 +493,40 @@ class EngineSpec extends AnyFunSuite {
         |ORDER BY u.user_id""".stripMargin,
       Seq(Seq("9Ip1aKbeZe2njCDM", 1L), Seq("hT2impsOPUREcVPc", 1L),
         Seq("hT2impsabc345c", 0L)))
+    // aggregate-valued correlated IN without explicit GROUP BY: one
+    // per-slice aggregate (each order's price vs its user's max)
+    testSelect(
+      """SELECT order_id FROM orders o
+        |WHERE price IN (SELECT max(price) FROM orders WHERE user_id = o.user_id)
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L), Seq(3L)))
+    // correlated EXISTS with HAVING (no GROUP BY): users with 2+ orders
+    testSelect(
+      """SELECT user_id FROM users u
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE user_id = u.user_id HAVING count(*) >= 2)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // …and its NOT EXISTS complement (users with fewer than 2 orders)
+    testSelect(
+      """SELECT user_id FROM users u
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE user_id = u.user_id HAVING count(*) >= 2)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    // the ANSI COUNT-bug edge: HAVING count(*) == 0 must make EXISTS
+    // true exactly for the ORDERLESS users (empty slice → count 0)
+    testSelect(
+      """SELECT user_id FROM users u
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE user_id = u.user_id HAVING count(*) == 0)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("hT2impsOPUREcVPc"), Seq("hT2impsabc345c")))
+    // correlated EXISTS with explicit GROUP BY + HAVING: a user with
+    // some (user,item) group of 1+ orders above 30
+    testSelect(
+      """SELECT user_id FROM users u
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE user_id = u.user_id
+        |  GROUP BY item_id HAVING max(price) > 30)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
   }
 
   test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative cross-check of the subquery LOWERINGS against a
+  * driver-side BRUTE-FORCE ANSI reference: random small tables with
+  * NULLs and duplicate keys, random comparison operators and
+  * quantifiers — the engine's rewrite (per-key bounded aggregates +
+  * joins) must agree row-for-row with a nested-loop three-valued-logic
+  * evaluation written independently here. This is the adversarial gate
+  * for exactly the NULL / empty-slice / duplicate-key edges
+  * hand-written cases miss (the r11 `<> ANY` NULL-left bug class).
+  */
+class SubqueryPropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.get
+
+  private def check(prop: Prop, name: String, n: Int = 15): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private type Tbl = List[(Long, Option[Int], Option[Int])] // (id, k, v)
+
+  private val rowsGen: Gen[Tbl] =
+    Gen.choose(0, 10).flatMap { n =>
+      Gen.listOfN(n, for {
+        k <- Gen.frequency(5 -> Gen.some(Gen.choose(0, 2)), 1 -> Gen.const(None))
+        v <- Gen.frequency(5 -> Gen.some(Gen.choose(-2, 2)), 1 -> Gen.const(None))
+      } yield (k, v))
+    }.map(_.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) })
+
+  private def session(outer: Tbl, inner: Tbl): graft.engine.GraftSession = {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("k", IntegerType), StructField("v", IntegerType)))
+    def df(rows: Tbl) = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, k, v) =>
+        Row(i, k.map(Integer.valueOf).orNull, v.map(Integer.valueOf).orNull)
+      }: _*), schema)
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("pt", df(outer))
+    gs.registerTable("pu", df(inner))
+    gs
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  // ---- the independent reference: nested-loop + ANSI 3VL -------------
+
+  private def cmp2(op: String, a: Int, b: Int): Boolean = op match {
+    case ">" => a > b;  case ">=" => a >= b
+    case "<" => a < b;  case "<=" => a <= b
+    case "=" => a == b; case "!=" => a != b
+  }
+  /** x <op> v in three-valued logic (None = UNKNOWN). */
+  private def cmp3(op: String, x: Option[Int], v: Option[Int]): Option[Boolean] =
+    for { a <- x; b <- v } yield cmp2(op, a, b)
+  /** ANY/ALL fold per ANSI: ANY = OR over the set (empty → FALSE),
+    * ALL = AND over the set (empty → TRUE), UNKNOWN absorbs per 3VL. */
+  private def quant3(op: String, q: String, x: Option[Int],
+      set: Seq[Option[Int]]): Option[Boolean] = {
+    val vs = set.map(cmp3(op, x, _))
+    if (q == "ANY") {
+      if (vs.contains(Some(true))) Some(true)
+      else if (vs.contains(None)) None
+      else Some(false)
+    } else {
+      if (vs.contains(Some(false))) Some(false)
+      else if (vs.contains(None)) None
+      else Some(true)
+    }
+  }
+  /** The correlated slice: inner rows whose k equals the outer k
+    * (NULL keys never match — the correlation conjunct is 3VL too). */
+  private def slice(inner: Tbl, ok: Option[Int]): Tbl =
+    ok.map(o => inner.filter(_._2.contains(o))).getOrElse(Nil)
+
+  test("correlated AND uncorrelated quantified ANY/ALL vs brute-force ANSI") {
+    val ops = Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
+    val quants = Gen.oneOf("ANY", "ALL")
+    val corr = Gen.oneOf(true, false)
+    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr) { (o, u, op, q, isCorr) =>
+      val gs = session(o, u)
+      val engOp = if (op == "!=") "!=" else op
+      val sql =
+        if (isCorr)
+          s"SELECT id FROM pt WHERE v $engOp $q (SELECT v FROM pu WHERE pu.k = pt.k)"
+        else s"SELECT id FROM pt WHERE v $engOp $q (SELECT v FROM pu)"
+      val engine = ids(gs.sql(sql))
+      val expected = o.collect { case (id, k, x)
+        if quant3(op, q, x,
+          (if (isCorr) slice(u, k) else u).map(_._3)).contains(true) => id }
+      val same = engine == expected
+      if (!same) println(s"MISMATCH $sql\n outer=$o\n inner=$u\n engine=$engine expected=$expected")
+      same
+    }
+    check(prop, "quantified ANY/ALL", n = 40)
+  }
+
+  test("correlated IN / aggregate-IN / grouped-EXISTS vs brute-force ANSI") {
+    val prop = Prop.forAll(rowsGen, rowsGen, Gen.choose(0, 3)) { (o, u, bar) =>
+      val gs = session(o, u)
+      // plain correlated IN (3VL membership over the slice)
+      val inSql = "SELECT id FROM pt WHERE v IN (SELECT v FROM pu WHERE pu.k = pt.k)"
+      val inExp = o.collect { case (id, k, x)
+        if quant3("=", "ANY", x, slice(u, k).map(_._3)).contains(true) => id }
+      // aggregate-valued IN without GROUP BY: one max per slice —
+      // ANSI's single aggregate row; max over empty/all-NULL is NULL
+      val aggSql = "SELECT id FROM pt WHERE v IN (SELECT max(v) FROM pu WHERE pu.k = pt.k)"
+      val aggExp = o.collect { case (id, k, x)
+        if {
+          val vs = slice(u, k).flatMap(_._3)
+          val mx = if (vs.isEmpty) None else Some(vs.max)
+          quant3("=", "ANY", x, Seq(mx)).contains(true)
+        } => id }
+      // EXISTS … HAVING count(*) >= bar without GROUP BY: ANSI gives
+      // the EMPTY slice an aggregate row too (count 0 — the COUNT bug)
+      val exSql = s"SELECT id FROM pt WHERE EXISTS (SELECT 1 FROM pu WHERE pu.k = pt.k HAVING count(*) >= $bar)"
+      val exExp = o.collect { case (id, k, _) if slice(u, k).size >= bar => id }
+      val nexSql = s"SELECT id FROM pt WHERE NOT EXISTS (SELECT 1 FROM pu WHERE pu.k = pt.k HAVING count(*) >= $bar)"
+      val nexExp = o.collect { case (id, k, _) if !(slice(u, k).size >= bar) => id }
+      Seq((inSql, inExp), (aggSql, aggExp), (exSql, exExp), (nexSql, nexExp))
+        .forall { case (sql, expected) =>
+          val engine = ids(gs.sql(sql))
+          val same = engine == expected
+          if (!same) println(s"MISMATCH $sql\n outer=$o\n inner=$u\n engine=$engine expected=$expected")
+          same
+        }
+    }
+    check(prop, "IN / EXISTS shapes", n = 15)
+  }
+}
