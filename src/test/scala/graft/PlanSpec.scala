@@ -797,6 +797,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.split("\n").count(_.contains("- Window [")) == 1, p)
   }
 
+  test("correlated quantified plans one per-key aggregate + one join (r12)") {
+    // the contract of the lowering: ONE grouped min/max/count aggregate
+    // of the subquery joined back on the correlation key — never a
+    // cartesian, never a row-count-shaped rescan
+    for (q <- Seq("ql_quant_any_corr", "ql_quant_all_corr")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q: no aggregate\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian\n$p")
+      val joins = p.split("\n").count(l =>
+        l.contains("HashJoin") || l.contains("SortMergeJoin"))
+      assert(joins == 1, s"$q: expected 1 join, saw $joins\n$p")
+    }
+    // grouped correlated IN: the same — one aggregate, one semi join
+    val p = plan("ql_corr_in_having")
+    assert(p.contains("HashAggregate") && !p.contains("CartesianProduct"), p)
+  }
+
   test("scalar-subquery / EXISTS statement BUILD launches zero jobs (r12)") {
     // the single-row guard is IN-PLAN (count + raise_error inside the
     // broadcast aggregate), so building a WHERE with N scalar
