@@ -1254,8 +1254,45 @@ final class Planner(catalog: String => DataFrame,
           s"unsupported scalar subquery type: ${other.getClass.getSimpleName}")
       }
     }
-    def subst(n: Node): Node = n match {
-      case s: SubqueryNode => literalOf(s)
+    // outer-scope probe for CORRELATION detection: the FROM sources
+    // cross-joined schema-only (lazy plan, no job); per-source failures
+    // (e.g. a lateral that cannot plan uncorrelated) just drop out
+    lazy val outerProbe: Option[DataFrame] = {
+      val frames = sel.from.flatMap(s => scala.util.Try(source(s)).toOption)
+      frames.reduceOption(_.crossJoin(_))
+    }
+    val laterals = collection.mutable.ArrayBuffer[SubquerySource]()
+    def resolveSub(s: SubqueryNode, allowLateral: Boolean): Node = {
+      val innerSel = parseSub(s)
+      val corr = if (!allowLateral) None else outerProbe.flatMap { odf =>
+        scala.util.Try(analyzeCorrelation(innerSel,
+          new Planner(catalog, vars, includer), sel, odf)).toOption
+      }.filter(_.keys.nonEmpty)
+      corr match {
+        case None => literalOf(s)
+        case Some(_) =>
+          // CORRELATED scalar in the SELECT list (r12): the
+          // aggregate-LATERAL rewrite — one grouped aggregate LEFT-
+          // joined back per correlation key, empty groups completed
+          // (count → 0, other aggregates NULL) — gives the ANSI
+          // per-outer-row value; the select expression then just
+          // references the lateral's column. Never a per-row rescan.
+          if (innerSel.columns.size != 1)
+            throw BuildException("scalar subquery must return one column")
+          if (!containsAgg(innerSel.columns.head.expr))
+            throw BuildException("correlated scalar subquery must select " +
+              "exactly one aggregate expression")
+          val i = laterals.length
+          val alias = s"__ssq_$i"; val vName = s"__ssqv_$i"
+          laterals += SubquerySource(
+            innerSel.copy(columns =
+              Seq(innerSel.columns.head.copy(alias = Some(vName)))),
+            alias, lateral = true)
+          IdentityNode(Seq(alias, vName))
+      }
+    }
+    def subst(n: Node, lat: Boolean): Node = n match {
+      case s: SubqueryNode => resolveSub(s, lat)
       // a quantified comparison outside WHERE would otherwise reach the
       // scalar substitution and die with a misleading "more than one
       // row" — name the actual restriction instead
@@ -1263,25 +1300,32 @@ final class Planner(catalog: String => DataFrame,
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
         throw BuildException(
           "quantified (ANY/ALL) subqueries are supported in WHERE only")
-      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l), subst(r), neg)
-      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst), neg)
-      case UnaryNode(op, c) => UnaryNode(op, subst(c))
-      case TriNode(op, a, b, c, neg) => TriNode(op, subst(a), subst(b), subst(c), neg)
-      case FuncNode(name, args) => FuncNode(name, args.map(subst))
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l, lat), subst(r, lat), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst(_, lat)), neg)
+      case UnaryNode(op, c) => UnaryNode(op, subst(c, lat))
+      case TriNode(op, a, b, c, neg) =>
+        TriNode(op, subst(a, lat), subst(b, lat), subst(c, lat), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(subst(_, lat)))
       case CaseNode(branches, els) => CaseNode(
-        branches.map { case (w, t) => (subst(w), subst(t)) }, els.map(subst))
-      case ArrayNode(items) => ArrayNode(items.map(subst))
+        branches.map { case (w, t) => (subst(w, lat), subst(t, lat)) },
+        els.map(subst(_, lat)))
+      case ArrayNode(items) => ArrayNode(items.map(subst(_, lat)))
       case WindowNode(f, pb, ob, fr, ref) => WindowNode(
-        subst(f).asInstanceOf[FuncNode], pb.map(subst),
-        ob.map { case (e, asc) => (subst(e), asc) }, fr, ref)
+        subst(f, lat).asInstanceOf[FuncNode], pb.map(subst(_, lat)),
+        ob.map { case (e, asc) => (subst(e, lat), asc) }, fr, ref)
       case other => other
     }
+    // the lateral rewrite serves SELECT columns; HAVING/ORDER BY/QUALIFY
+    // and column guards evaluate on frames where the lateral column is
+    // not guaranteed to survive, so they keep the literal path (a
+    // correlated scalar there raises its resolution error as before)
     sel.copy(
       columns = sel.columns.map(c =>
-        c.copy(expr = subst(c.expr), guard = c.guard.map(subst))),
-      having = sel.having.map(subst),
-      orderBy = sel.orderBy.map { case (e, asc) => (subst(e), asc) },
-      qualify = sel.qualify.map(subst))
+        c.copy(expr = subst(c.expr, lat = true), guard = c.guard.map(subst(_, lat = false)))),
+      having = sel.having.map(subst(_, lat = false)),
+      orderBy = sel.orderBy.map { case (e, asc) => (subst(e, lat = false), asc) },
+      qualify = sel.qualify.map(subst(_, lat = false)),
+      from = sel.from ++ laterals.toSeq)
   }
 
   /** Correlation analysis of a subquery's WHERE against the outer

@@ -475,6 +475,20 @@ object EngineQueries {
              |  WHERE o_custkey = o.o_custkey GROUP BY o_orderstatus HAVING count(*) >= 2)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): CORRELATED scalar subqueries in the SELECT list —
+    // each rewrites to an aggregate LATERAL (per-key grouped aggregate
+    // left-joined back, empty groups completed: count → 0, max → NULL)
+    "ql_corr_scalar_select" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_price
+          |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+             |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_price
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // engine (r12): correlated EXISTS whose subquery aggregates with
     // HAVING and no GROUP BY — the ANSI empty-slice verdict (the
     // decorrelation COUNT bug) is a broadcast constant; customers

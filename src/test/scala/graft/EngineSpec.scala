@@ -527,6 +527,22 @@ class EngineSpec extends AnyFunSuite {
         |  GROUP BY item_id HAVING max(price) > 30)
         |ORDER BY user_id""".stripMargin,
       Seq(Seq("9Ip1aKbeZe2njCDM")))
+    // CORRELATED scalar subquery in the SELECT list: the aggregate-
+    // LATERAL rewrite — ANSI per-outer-row values, count 0 (not NULL)
+    // for users with no orders, and usable inside arithmetic
+    testSelect(
+      """SELECT user_id,
+        |  (SELECT count(*) FROM orders WHERE user_id = u.user_id) AS n,
+        |  (SELECT max(price) FROM orders WHERE user_id = u.user_id) + 0.5 AS topp
+        |FROM users u ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L, 38.0),
+        Seq("hT2impsOPUREcVPc", 0L, null),
+        Seq("hT2impsabc345c", 0L, null)))
+    // …and an UNCORRELATED one alongside stays on the literal path
+    testSelect(
+      """SELECT order_id, (SELECT max(price) FROM orders) AS mx FROM orders
+        |WHERE order_id == 1""".stripMargin,
+      Seq(Seq(1L, 37.5)))
   }
 
   test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {
