@@ -119,8 +119,27 @@ final class Planner(catalog: String => DataFrame,
           val subDf = innerPlanner.plan(innerSel)
           val subCol = subDf.columns.head
           val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
-          df = df.join(renamed, ColumnBuilder.build(left, ctx) === col("__subq_key"),
-            if (negated) "left_anti" else "left_semi")
+          if (negated) {
+            // ANSI NOT IN (≡ x <> ALL S): empty S keeps every row;
+            // otherwise a NULL in S or a NULL x makes the predicate
+            // UNKNOWN and the row DROPS — a bare anti join is
+            // NULL-insensitive and wrongly kept those rows (r12 fix).
+            // One bounded count aggregate broadcast supplies the guard.
+            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
+            val aggd = renamed.agg(count(col("__subq_key")).as(cnt),
+              count(lit(1)).as(acnt))
+            df = df.crossJoin(broadcast(aggd))
+            val gctx = mkCtx(df)
+            val xc = ColumnBuilder.build(left, gctx)
+            df = df.filter(col(acnt) === 0 ||
+                (col(cnt) === col(acnt) && xc.isNotNull))
+              .drop(cnt, acnt)
+            df = df.join(renamed,
+              ColumnBuilder.build(left, mkCtx(df)) === col("__subq_key"),
+              "left_anti")
+          } else
+            df = df.join(renamed,
+              ColumnBuilder.build(left, ctx) === col("__subq_key"), "left_semi")
         } else {
           // correlated IN: semi/anti join on the value column AND the
           // correlation equalities; the subquery's own projection
@@ -158,12 +177,40 @@ final class Planner(catalog: String => DataFrame,
             orderBy = Nil, limit = None,
             offset = None, qualify = None))
           val outerCtx = mkCtx(df)
-          val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
-            c.keys.map { case (f, outerNode) =>
-              ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__inq${i}_$f")
-            }
-          df = df.join(innerDf, cond.reduce(_ && _),
-            if (negated) "left_anti" else "left_semi")
+          if (negated) {
+            // correlated ANSI NOT IN: the same per-slice NULL guards as
+            // the uncorrelated path, but the value/row counts aggregate
+            // PER CORRELATION KEY and left-join back (empty slice →
+            // NULL counts → coalesce to 0 → keep, per `<> ALL ∅`)
+            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
+            val aggd = innerDf.groupBy(corrFields.map(f =>
+                col(s"__inq${i}_$f")): _*)
+              .agg(count(col(s"__inq${i}_key")).as(cnt),
+                count(lit(1)).as(acnt))
+            val gcond = c.keys.map { case (f, outerNode) =>
+              ColumnBuilder.build(outerNode, outerCtx) === aggd(s"__inq${i}_$f")
+            }.reduce(_ && _)
+            df = df.join(aggd, gcond, "left")
+              .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+              .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+            val gctx = mkCtx(df)
+            val xc = ColumnBuilder.build(left, gctx)
+            df = df.filter(col(acnt) === 0 ||
+                (col(cnt) === col(acnt) && xc.isNotNull))
+              .drop(cnt +: acnt +: corrFields.map(f => s"__inq${i}_$f"): _*)
+            val actx = mkCtx(df)
+            val antiCond = (ColumnBuilder.build(left, actx) === innerDf(s"__inq${i}_key")) +:
+              c.keys.map { case (f, outerNode) =>
+                ColumnBuilder.build(outerNode, actx) === innerDf(s"__inq${i}_$f")
+              }
+            df = df.join(innerDf, antiCond.reduce(_ && _), "left_anti")
+          } else {
+            val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
+              c.keys.map { case (f, outerNode) =>
+                ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__inq${i}_$f")
+              }
+            df = df.join(innerDf, cond.reduce(_ && _), "left_semi")
+          }
         }
       }
       // uncorrelated scalar subqueries: the subquery must yield at most

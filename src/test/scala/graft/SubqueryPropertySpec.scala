@@ -108,6 +108,13 @@ class SubqueryPropertySpec extends AnyFunSuite {
       val inSql = "SELECT id FROM pt WHERE v IN (SELECT v FROM pu WHERE pu.k = pt.k)"
       val inExp = o.collect { case (id, k, x)
         if quant3("=", "ANY", x, slice(u, k).map(_._3)).contains(true) => id }
+      // ANSI NOT IN ≡ <> ALL: UNKNOWN (NULL in slice / NULL x) drops
+      val ninSql = "SELECT id FROM pt WHERE v NOT IN (SELECT v FROM pu WHERE pu.k = pt.k)"
+      val ninExp = o.collect { case (id, k, x)
+        if quant3("!=", "ALL", x, slice(u, k).map(_._3)).contains(true) => id }
+      val ninuSql = "SELECT id FROM pt WHERE v NOT IN (SELECT v FROM pu)"
+      val ninuExp = o.collect { case (id, _, x)
+        if quant3("!=", "ALL", x, u.map(_._3)).contains(true) => id }
       // aggregate-valued IN without GROUP BY: one max per slice —
       // ANSI's single aggregate row; max over empty/all-NULL is NULL
       val aggSql = "SELECT id FROM pt WHERE v IN (SELECT max(v) FROM pu WHERE pu.k = pt.k)"
@@ -123,7 +130,8 @@ class SubqueryPropertySpec extends AnyFunSuite {
       val exExp = o.collect { case (id, k, _) if slice(u, k).size >= bar => id }
       val nexSql = s"SELECT id FROM pt WHERE NOT EXISTS (SELECT 1 FROM pu WHERE pu.k = pt.k HAVING count(*) >= $bar)"
       val nexExp = o.collect { case (id, k, _) if !(slice(u, k).size >= bar) => id }
-      Seq((inSql, inExp), (aggSql, aggExp), (exSql, exExp), (nexSql, nexExp))
+      Seq((inSql, inExp), (ninSql, ninExp), (ninuSql, ninuExp),
+        (aggSql, aggExp), (exSql, exExp), (nexSql, nexExp))
         .forall { case (sql, expected) =>
           val engine = ids(gs.sql(sql))
           val same = engine == expected
