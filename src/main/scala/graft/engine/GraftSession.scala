@@ -572,6 +572,24 @@ final class GraftSession(val spark: SparkSession) {
 
   private def runUpdate(up: SqlUpdate): Unit = {
     val target = table(up.table)
+    if (up.where.exists(containsSubquery)) {
+      // subquery WHERE: membership flag from the planner-evaluated
+      // victim set (whereVictims), SETs apply where the flag holds
+      val (victims, idDf) = whereVictims(up.table, target, up.where.get)
+      val marked = idDf.join(
+        victims.withColumn("__hit", lit(1)), Seq("__rid"), "left")
+      val cond = col("__hit").isNotNull
+      val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
+      var out = marked
+      for ((name, vNode) <- up.set) {
+        val v = ColumnBuilder.build(vNode, ctx)
+        val orig = target.schema.fields.find(_.name.equalsIgnoreCase(name))
+        val typed = orig.map(f => v.cast(f.dataType)).getOrElse(v)
+        out = out.withColumn(name, when(cond, typed).otherwise(col(name)))
+      }
+      registerTable(up.table, out.drop("__rid", "__hit").cache())
+      return
+    }
     val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
     val cond = up.where.map(w => ColumnBuilder.build(w, ctx).cast(BooleanType)).getOrElse(lit(true))
     var out = target
@@ -722,8 +740,53 @@ final class GraftSession(val spark: SparkSession) {
     registerTable(m.target, inserts.map(updated.union).getOrElse(updated).cache())
   }
 
+  /** Does a predicate contain a subquery anywhere? DML WHEREs with one
+    * route through the planner's full WHERE machinery (below). */
+  private def containsSubquery(n: Node): Boolean = n match {
+    case _: SubqueryNode => true
+    case BinaryNode(_, l, r, _) => containsSubquery(l) || containsSubquery(r)
+    case BooleanNode(_, args, _) => args.exists(containsSubquery)
+    case UnaryNode(_, c) => containsSubquery(c)
+    case TriNode(_, a, b, c, _) =>
+      containsSubquery(a) || containsSubquery(b) || containsSubquery(c)
+    case FuncNode(_, args) => args.exists(containsSubquery)
+    case CaseNode(bs, e) =>
+      bs.exists { case (w, t) => containsSubquery(w) || containsSubquery(t) } ||
+        e.exists(containsSubquery)
+    case ArrayNode(items) => items.exists(containsSubquery)
+    case _ => false
+  }
+
+  /** The `__rid` rows of `target` matching a DML WHERE that uses
+    * subqueries (IN/EXISTS/quantified/scalar — beyond ref, the
+    * `DELETE … WHERE k IN (SELECT …)` CDC shape): plan
+    * `SELECT __rid FROM <t> WHERE <where>` through the SELECT planner
+    * over a row-id'd view — every subquery feature the SELECT path has
+    * works in DML for free. The id'd frame is cache-pinned so the two
+    * reads (victim scan + join-back) see identical ids. Returns
+    * (victims, idDf). */
+  private def whereVictims(tableName: String, target: DataFrame,
+      where: Node): (DataFrame, DataFrame) = {
+    val idDf = target.withColumn("__rid", monotonically_increasing_id()).cache()
+    val lookup: String => DataFrame = n =>
+      if (n.equalsIgnoreCase(tableName)) idDf else table(n)
+    val victims = new Planner(lookup, sessionVars.toMap, includer).plan(SqlSelect(
+      columns = Seq(SelectColumn(IdentityNode(Seq("__rid")), None, None)),
+      from = Seq(TableSource(tableName, None)),
+      where = Some(where)))
+      .distinct() // a WHERE row matches at most once, whatever joins planned it
+    (victims, idDf)
+  }
+
   private def runDelete(del: SqlDelete): Unit = {
     val target = table(del.table)
+    if (del.where.exists(containsSubquery)) {
+      val (victims0, idDf) = whereVictims(del.table, target, del.where.get)
+      val victims = del.limit.map(victims0.limit).getOrElse(victims0)
+      registerTable(del.table,
+        idDf.join(victims, Seq("__rid"), "left_anti").drop("__rid").cache())
+      return
+    }
     val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
     val cond = del.where.map(w => ColumnBuilder.build(w, ctx).cast(BooleanType)).getOrElse(lit(true))
     del.limit match {

@@ -1108,6 +1108,28 @@ class EngineSpec extends AnyFunSuite {
     session.sql("BEGIN"); session.sql("COMMIT"); session.sql("ROLLBACK")
   }
 
+  test("DML WHERE accepts subqueries (r12, beyond ref)") {
+    val s = session
+    s.sql("CREATE TABLE scr2 AS SELECT order_id, user_id, price FROM orders")
+    // DELETE … WHERE k IN (SELECT …): the CDC tombstone shape
+    s.sql("""DELETE FROM scr2 WHERE user_id IN
+      |(SELECT user_id FROM users WHERE interests == "fishing")""".stripMargin)
+    assert(rows(s.sql("SELECT order_id FROM scr2 ORDER BY order_id")) ==
+      Seq(Seq(3L))) // fishing = 9Ip… whose orders 1,2 are gone
+    // UPDATE … WHERE NOT EXISTS (correlated — the surviving order's
+    // user 'abcabcabc' is NOT a registered user)
+    s.sql("""UPDATE scr2 SET price = 0 WHERE NOT EXISTS
+      |(SELECT 1 FROM users WHERE user_id = scr2.user_id)""".stripMargin)
+    assert(rows(s.sql("SELECT price FROM scr2")) == Seq(Seq(0.0)))
+    // UPDATE with a scalar subquery in WHERE
+    s.sql("UPDATE scr2 SET price = 9 WHERE price <= (SELECT min(price) FROM scr2)")
+    assert(rows(s.sql("SELECT price FROM scr2")) == Seq(Seq(9.0)))
+    // DELETE with quantified subquery
+    s.sql("DELETE FROM scr2 WHERE price >= ALL (SELECT price FROM scr2)")
+    assert(rows(s.sql("SELECT count(*) AS c FROM scr2")) == Seq(Seq(0L)))
+    s.sql("DROP TABLE scr2")
+  }
+
   test("insert-select, upsert-set, explain") {
     session.sql("CREATE TABLE t2 AS SELECT user_id, referral_count FROM users WHERE referral_count > 50")
     session.sql("INSERT INTO t2 (user_id, referral_count) SELECT user_id, item_count FROM orders WHERE order_id = 1")
