@@ -105,388 +105,10 @@ final class Planner(catalog: String => DataFrame,
       }
       df = joined
     }
-    val ctx = mkCtx(df)
-
     // ---- where (exec/where.go); IN-subqueries → semi/anti joins,
     // scalar comparisons against (SELECT agg …) → broadcast 1-row join
-    sel.where.foreach { w =>
-      val (subqs, scalars, existsSubs, quants, rest) = splitSubqueries(w)
-      for (((left, sub, negated), i) <- subqs.zipWithIndex) {
-        val innerSel = parseSub(sub)
-        val innerPlanner = new Planner(catalog, vars, includer)
-        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
-        if (c.keys.isEmpty) {
-          val subDf = innerPlanner.plan(innerSel)
-          val subCol = subDf.columns.head
-          val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
-          if (negated) {
-            // ANSI NOT IN (≡ x <> ALL S): empty S keeps every row;
-            // otherwise a NULL in S or a NULL x makes the predicate
-            // UNKNOWN and the row DROPS — a bare anti join is
-            // NULL-insensitive and wrongly kept those rows (r12 fix).
-            // One bounded count aggregate broadcast supplies the guard.
-            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
-            val aggd = renamed.agg(count(col("__subq_key")).as(cnt),
-              count(lit(1)).as(acnt))
-            df = df.crossJoin(broadcast(aggd))
-            val gctx = mkCtx(df)
-            val xc = ColumnBuilder.build(left, gctx)
-            df = df.filter(col(acnt) === 0 ||
-                (col(cnt) === col(acnt) && xc.isNotNull))
-              .drop(cnt, acnt)
-            df = df.join(renamed,
-              ColumnBuilder.build(left, mkCtx(df)) === col("__subq_key"),
-              "left_anti")
-          } else
-            df = df.join(renamed,
-              ColumnBuilder.build(left, ctx) === col("__subq_key"), "left_semi")
-        } else {
-          // correlated IN: semi/anti join on the value column AND the
-          // correlation equalities; the subquery's own projection
-          // supplies the value expression, evaluated in the INNER scope
-          if (innerSel.columns.size != 1)
-            throw BuildException("IN-subquery must select exactly one column")
-          val corrFields = c.keys.map(_._1).distinct
-          val valueCol =
-            SelectColumn(innerSel.columns.head.expr, Some(s"__inq${i}_key"), None)
-          val corrCols = corrFields.map(f =>
-            SelectColumn(IdentityNode(Seq(f)), Some(s"__inq${i}_$f"), None))
-          // a GROUPED correlated IN appends the correlation keys to the
-          // grouping: per-outer-row the inner groups are exactly the
-          // (user keys × correlation key) groups restricted to that
-          // row, so HAVING evaluates over the same per-group rows the
-          // nested-loop semantics would see — still ONE distributed
-          // aggregate + ONE semi/anti join, never a per-row rescan
-          // an aggregate-valued subquery (`x IN (SELECT max(p) …)`)
-          // groups by the correlation keys even without explicit
-          // GROUP BY — one per-slice aggregate row, like the
-          // correlated-scalar path. Known ANSI edge (README
-          // divergences): a count-valued subquery over an EMPTY slice
-          // is 0 in ANSI and can match x = 0; this lowering produces
-          // no row for empty slices (NULL-valued aggregates like
-          // max/min/sum agree either way — NULL never matches IN).
-          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
-            containsAgg(innerSel.columns.head.expr)
-          val newGroupBy =
-            if (grouped)
-              (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
-            else innerSel.groupBy
-          val innerDf = innerPlanner.plan(innerSel.copy(
-            columns = valueCol +: corrCols, distinct = false,
-            where = c.innerWhere, groupBy = newGroupBy,
-            orderBy = Nil, limit = None,
-            offset = None, qualify = None))
-          val outerCtx = mkCtx(df)
-          if (negated) {
-            // correlated ANSI NOT IN: the same per-slice NULL guards as
-            // the uncorrelated path, but the value/row counts aggregate
-            // PER CORRELATION KEY and left-join back (empty slice →
-            // NULL counts → coalesce to 0 → keep, per `<> ALL ∅`)
-            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
-            val aggd = innerDf.groupBy(corrFields.map(f =>
-                col(s"__inq${i}_$f")): _*)
-              .agg(count(col(s"__inq${i}_key")).as(cnt),
-                count(lit(1)).as(acnt))
-            val gcond = c.keys.map { case (f, outerNode) =>
-              ColumnBuilder.build(outerNode, outerCtx) === aggd(s"__inq${i}_$f")
-            }.reduce(_ && _)
-            df = df.join(aggd, gcond, "left")
-              .withColumn(cnt, coalesce(col(cnt), lit(0L)))
-              .withColumn(acnt, coalesce(col(acnt), lit(0L)))
-            val gctx = mkCtx(df)
-            val xc = ColumnBuilder.build(left, gctx)
-            df = df.filter(col(acnt) === 0 ||
-                (col(cnt) === col(acnt) && xc.isNotNull))
-              .drop(cnt +: acnt +: corrFields.map(f => s"__inq${i}_$f"): _*)
-            val actx = mkCtx(df)
-            val antiCond = (ColumnBuilder.build(left, actx) === innerDf(s"__inq${i}_key")) +:
-              c.keys.map { case (f, outerNode) =>
-                ColumnBuilder.build(outerNode, actx) === innerDf(s"__inq${i}_$f")
-              }
-            df = df.join(innerDf, antiCond.reduce(_ && _), "left_anti")
-          } else {
-            val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
-              c.keys.map { case (f, outerNode) =>
-                ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__inq${i}_$f")
-              }
-            df = df.join(innerDf, cond.reduce(_ && _), "left_semi")
-          }
-        }
-      }
-      // uncorrelated scalar subqueries: the subquery must yield at most
-      // one row (an aggregate does — and a multi-row frame comparing
-      // against an arbitrary row would be silently nondeterministic, so
-      // it raises instead, matching standard SQL); the single value
-      // broadcast-joins onto every row and the comparison evaluates
-      // with full dialect coercions by rebuilding the BinaryNode
-      // against the joined frame. The single-row check is IN-PLAN
-      // (limit(2) → count + raise_error inside one broadcast
-      // aggregate), so building a statement with N scalar subqueries
-      // launches ZERO driver jobs — the violation raises when the
-      // query actually runs, and limit(2) bounds the probe: one extra
-      // row is enough to prove it.
-      for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
-        val innerSel = parseSub(sub)
-        val sc = s"__scalar_$i"
-        val corr = analyzeCorrelation(innerSel,
-          new Planner(catalog, vars, includer), sel, df)
-        if (corr.keys.nonEmpty) {
-          // CORRELATED scalar: exactly the aggregate-LATERAL shape —
-          // one grouped aggregate on the correlation keys joined back
-          // (one row per outer row; empty groups compare against NULL,
-          // which filters false, per standard SQL), then the
-          // comparison. Never a per-row rescan.
-          if (innerSel.columns.size != 1 ||
-              !containsAgg(innerSel.columns.head.expr))
-            throw BuildException("correlated scalar subquery must select " +
-              "exactly one aggregate expression")
-          val aliased = innerSel.copy(columns =
-            Seq(innerSel.columns.head.copy(alias = Some(sc))))
-          df = planLateral(df, sel,
-            SubquerySource(aliased, s"__sct_$i", lateral = true))
-          val cmp = ColumnBuilder.build(
-            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
-          df = df.filter(cmp.cast("boolean")).drop(sc)
-        } else {
-          val subDf = new Planner(catalog, vars, includer).plan(innerSel)
-          val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
-          val dt = firstTwo.schema.head.dataType
-          val one = firstTwo
-            .agg(count(lit(1)).as("__sc_n"),
-              first(col(sc), ignoreNulls = false).as("__sc_v"))
-            .select(when(col("__sc_n") > 1,
-                raise_error(lit("scalar subquery returned more than one row")).cast(dt))
-              .otherwise(col("__sc_v")).as(sc))
-          df = df.crossJoin(broadcast(one))
-          val cmp = ColumnBuilder.build(
-            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
-          df = df.filter(cmp.cast("boolean")).drop(sc)
-        }
-      }
-      // Quantified comparisons `x <op> ANY|ALL (SELECT …)` beyond the
-      // membership shapes (those became semi/anti joins above). Each
-      // reduces to ONE bounded aggregate of the subquery column —
-      // min/max/count — broadcast onto every outer row; no per-row
-      // rescans, no row-count-shaped joins:
-      //   x > ANY  ≡ x > min      x > ALL  ≡ empty OR x > max
-      //   x < ANY  ≡ x < max      x < ALL  ≡ empty OR x < min
-      //   x <> ANY ≡ nonempty AND (min <> max OR x <> min)
-      //   x = ALL  ≡ empty OR (min = max AND x = min)
-      // Empty-set semantics are ANSI (ANY → FALSE via NULL extremum,
-      // ALL → TRUE via the count guard). Comparisons rebuild dialect
-      // BinaryNodes so coercions match plain WHERE comparisons.
-      for (((op, quant, left, sub), i) <- quants.zipWithIndex) {
-        val innerSel = parseSub(sub)
-        val innerPlanner = new Planner(catalog, vars, includer)
-        val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
-        if (innerSel.columns.size != 1)
-          throw BuildException("quantified subquery must select exactly one column")
-        val vName = s"__qv_$i"
-        val mn = s"__qmin_$i"; val mx = s"__qmax_$i"
-        val cnt = s"__qcnt_$i"; val acnt = s"__qacnt_$i"
-        // cnt counts NON-NULL values (min/max skip NULLs the same way);
-        // acnt counts rows — their difference carries the ANSI NULL
-        // semantics: for ALL, a NULL in the subquery makes every
-        // no-false row UNKNOWN (dropped), never TRUE
-        val corrFields = corr.keys.map(_._1).distinct
-        val qkCols = corrFields.map(f => s"__qk${i}_$f")
-        // valsDf: the raw subquery values (plus correlation keys when
-        // correlated) — the <> ALL anti join rides on this same frame
-        val valsDf =
-          if (corr.keys.isEmpty)
-            // positional rename: an expression-derived output name may
-            // contain dots/quotes that col() would misparse
-            innerPlanner.plan(innerSel).toDF(vName)
-          else {
-            // CORRELATED: same aggregate-LATERAL shape as correlated
-            // scalar/IN — per-correlation-key bounded aggregate LEFT-
-            // joined on the equality conjuncts; never a per-row rescan
-            if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
-              throw BuildException("correlated quantified (ANY/ALL) " +
-                "subquery with GROUP BY/HAVING is not supported")
-            val valueCol =
-              SelectColumn(innerSel.columns.head.expr, Some(vName), None)
-            val kCols = corrFields.map(f =>
-              SelectColumn(IdentityNode(Seq(f)), Some(s"__qk${i}_$f"), None))
-            innerPlanner.plan(innerSel.copy(
-              columns = valueCol +: kCols, distinct = false,
-              where = corr.innerWhere, orderBy = Nil, limit = None,
-              offset = None, qualify = None))
-          }
-        val v = col(vName)
-        if (corr.keys.isEmpty) {
-          val aggd = valsDf.agg(min(v).as(mn), max(v).as(mx),
-            count(v).as(cnt), count(lit(1)).as(acnt))
-          df = df.crossJoin(broadcast(aggd))
-        } else {
-          val aggd = valsDf.groupBy(qkCols.map(col): _*)
-            .agg(min(v).as(mn), max(v).as(mx),
-              count(v).as(cnt), count(lit(1)).as(acnt))
-          val outerCtx = mkCtx(df)
-          val cond = corr.keys.map { case (f, outerNode) =>
-            ColumnBuilder.build(outerNode, outerCtx) === aggd(s"__qk${i}_$f")
-          }.reduce(_ && _)
-          // a LEFT join: an outer row whose group is EMPTY gets NULL
-          // aggregates — the count coalesces restore the ANSI empty-set
-          // verdicts (ANY → FALSE via the NULL extremum, ALL → TRUE via
-          // acnt = 0)
-          df = df.join(aggd, cond, "left")
-            .withColumn(cnt, coalesce(col(cnt), lit(0L)))
-            .withColumn(acnt, coalesce(col(acnt), lit(0L)))
-        }
-        val qctx = mkCtx(df)
-        def cmp(o: String, rc: String) = ColumnBuilder.build(
-          BinaryNode(o, left, IdentityNode(Seq(rc))), qctx).cast("boolean")
-        val noNulls = col(acnt) === col(cnt)
-        val pred = (op, quant) match {
-          // ANY: TRUE iff some comparison is TRUE — NULL values can only
-          // turn FALSE into UNKNOWN, and both drop, so the non-null
-          // extremum decides
-          case (">", "ANY")  => cmp(">", mn)
-          case (">=", "ANY") => cmp(">=", mn)
-          case ("<", "ANY")  => cmp("<", mx)
-          case ("<=", "ANY") => cmp("<=", mx)
-          case ("!=" | "<>", "ANY") =>
-            // both comparisons depend on x, so a NULL x yields NULL and
-            // drops (ANSI: NULL <> ANY nonempty is UNKNOWN — the old
-            // `mn =!= mx` shortcut was TRUE regardless of x); for a
-            // non-NULL x the pair is equivalent: two distinct values
-            // make one of them differ from x, one value makes both
-            // clauses the same test
-            col(cnt) > 0 && (cmp("!=", mn) || cmp("!=", mx))
-          // ALL: TRUE iff the set is EMPTY, or no comparison is FALSE
-          // and none is UNKNOWN (no NULL values, non-null x — the cmp
-          // itself is NULL for a NULL x and coalesces to a drop)
-          case (">", "ALL")  => col(acnt) === 0 || (noNulls && cmp(">", mx))
-          case (">=", "ALL") => col(acnt) === 0 || (noNulls && cmp(">=", mx))
-          case ("<", "ALL")  => col(acnt) === 0 || (noNulls && cmp("<", mn))
-          case ("<=", "ALL") => col(acnt) === 0 || (noNulls && cmp("<=", mn))
-          case ("=" | "==", "ALL") =>
-            col(acnt) === 0 || (noNulls && col(mn) === col(mx) && cmp("=", mn))
-          case ("!=" | "<>", "ALL") =>
-            // handled below by an anti join; the aggregate supplies the
-            // NULL guards only
-            lit(true)
-          case other => throw BuildException(s"unsupported quantified comparison $other")
-        }
-        if ((op == "!=" || op == "<>") && quant == "ALL") {
-          // x <> ALL S ≡ NOT IN with ANSI NULLs: empty S keeps every
-          // row (even a NULL x); otherwise a NULL in S or a NULL x is
-          // UNKNOWN (drop), and membership drops via ONE anti join on
-          // the non-null values
-          val xc = ColumnBuilder.build(left, qctx)
-          df = df.filter(col(acnt) === 0 || (noNulls && xc.isNotNull))
-            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
-          val renamed = valsDf.select(
-            v.as(s"__qall_$i") +: qkCols.map(col): _*)
-          val againCtx = mkCtx(df)
-          val antiCond = (ColumnBuilder.build(left, againCtx) === col(s"__qall_$i")) +:
-            corr.keys.map { case (f, outerNode) =>
-              ColumnBuilder.build(outerNode, againCtx) === renamed(s"__qk${i}_$f")
-            }
-          df = df.join(renamed, antiCond.reduce(_ && _), "left_anti")
-        } else
-          df = df.filter(coalesce(pred, lit(false)))
-            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
-      }
-      // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
-      // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
-      // Catalyst's own strategy for EXISTS, broadcastable when the
-      // inner side is small; a subquery with no correlation is a
-      // whole-corpus existence fact, answered by ONE bounded
-      // limit(1)-count probe. SQL scoping decides correlation: an
-      // unqualified name that resolves in the inner scope belongs to
-      // it, so only names the inner frame CANNOT resolve reach out.
-      for (((sub, negated), i) <- existsSubs.zipWithIndex) {
-        val innerSel = parseSub(sub)
-        val innerPlanner = new Planner(catalog, vars, includer)
-        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
-        if (c.keys.isEmpty) {
-          // whole-corpus existence fact — ONE bounded limit(1) count,
-          // evaluated lazily in-plan (broadcast 1-row aggregate +
-          // filter) so statement BUILD launches no job; Catalyst folds
-          // the filter to a LocalRelation-or-pass once it runs
-          val en = s"__ex_n$i"
-          val probe = innerPlanner.plan(innerSel).limit(1)
-            .agg(count(lit(1)).as(en))
-          df = df.crossJoin(broadcast(probe))
-            .filter(if (negated) col(en) === 0 else col(en) > 0)
-            .drop(en)
-        } else {
-          val corrFields = c.keys.map(_._1).distinct
-          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
-          // prefix-rename the inner key columns so the join condition
-          // can never capture an identically-named outer column
-          val innerKeys =
-            if (!grouped) {
-              val innerDf = innerPlanner.plan(innerSel.copy(
-                columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
-                distinct = false, where = c.innerWhere,
-                orderBy = Nil, limit = None, offset = None, qualify = None))
-              innerDf.select(corrFields.map(f =>
-                col(f).as(s"__ex${i}_$f")): _*)
-            } else
-              // GROUPED correlated EXISTS (r12): true iff SOME group of
-              // the outer row's slice satisfies HAVING — the correlation
-              // keys append to the grouping (same lowering as grouped
-              // correlated IN) and the group keys ARE the join keys;
-              // still one distributed aggregate + one semi/anti join
-              innerPlanner.plan(innerSel.copy(
-                columns = corrFields.map(f =>
-                  SelectColumn(IdentityNode(Seq(f)), Some(s"__ex${i}_$f"), None)),
-                distinct = false, where = c.innerWhere,
-                groupBy = (innerSel.groupBy ++
-                  corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
-                orderBy = Nil, limit = None, offset = None, qualify = None))
-          val outerCtx = mkCtx(df)
-          val cond = c.keys.map { case (f, outerNode) =>
-            ColumnBuilder.build(outerNode, outerCtx) === innerKeys(s"__ex${i}_$f")
-          }.reduce(_ && _)
-          if (grouped && innerSel.groupBy.isEmpty) {
-            // HAVING without GROUP BY: ANSI gives even an EMPTY outer
-            // slice one aggregate row (count→0, sum/min/max→NULL) and
-            // tests HAVING against it — a CONSTANT verdict, evaluated
-            // lazily as a 1-row broadcast (`HAVING count(*) = 0` must
-            // make EXISTS true exactly for sliceless outer rows — the
-            // classic COUNT bug of naive decorrelation). The final
-            // predicate is (some slice group passes HAVING) OR (slice
-            // empty AND the empty verdict) — two left joins + the
-            // broadcast, no semi-join OR contortions.
-            val vN = s"__exh_v$i"
-            val verdict = broadcast(innerPlanner.plan(innerSel.copy(
-              columns = Seq(SelectColumn(innerSel.having.get, Some(vN), None)),
-              distinct = false, where = Some(BoolNode(false)),
-              groupBy = Nil, having = None,
-              orderBy = Nil, limit = None, offset = None, qualify = None)))
-            val aN = s"__exh_a$i"
-            val aKeys = innerKeys.withColumn(aN, lit(1))
-            val kN = s"__exh_k$i"
-            val kKeys = innerPlanner.plan(innerSel.copy(
-                columns = corrFields.map(f =>
-                  SelectColumn(IdentityNode(Seq(f)), Some(s"__exk${i}_$f"), None)),
-                distinct = true, where = c.innerWhere,
-                groupBy = Nil, having = None,
-                orderBy = Nil, limit = None, offset = None, qualify = None))
-              .withColumn(kN, lit(1))
-            val kCond = c.keys.map { case (f, outerNode) =>
-              ColumnBuilder.build(outerNode, outerCtx) === kKeys(s"__exk${i}_$f")
-            }.reduce(_ && _)
-            df = df.join(aKeys, cond, "left").join(kKeys, kCond, "left")
-              .crossJoin(verdict)
-            val pass = coalesce(
-              col(aN).isNotNull ||
-                (col(kN).isNull && coalesce(col(vN).cast("boolean"), lit(false))),
-              lit(false))
-            df = df.filter(if (negated) !pass else pass)
-              .drop(aN +: kN +: vN +:
-                (corrFields.map(f => s"__ex${i}_$f") ++
-                  corrFields.map(f => s"__exk${i}_$f")): _*)
-          } else
-            df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
-        }
-      }
-      rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
-    }
+    // — the machinery lives in applyPredicate (shared with HAVING/DML)
+    sel.where.foreach { w => df = applyPredicate(df, w, sel) }
 
     // ---- DISTINCT ON (DuckDB/Postgres dialect, beyond ref): one
     // window per key tuple over the PRE-projection frame — the kept
@@ -715,7 +337,14 @@ final class Planner(catalog: String => DataFrame,
 
       val outCtx = mkCtx(out)
       sel.having.foreach { h =>
-        out = out.filter(ColumnBuilder.build(substitute(h, subst), outCtx).cast("boolean"))
+        val hs = substitute(h, subst)
+        // HAVING with subqueries (`HAVING k IN (SELECT …)`, scalar /
+        // quantified / EXISTS comparisons on aggregates — r12): the
+        // aggregate refs are already substituted to output columns, so
+        // the shared WHERE machinery applies verbatim to the agg frame
+        out =
+          if (containsSubqueryNode(hs)) applyPredicate(out, hs, sel)
+          else out.filter(ColumnBuilder.build(hs, outCtx).cast("boolean"))
       }
       if (sel.orderBy.nonEmpty)
         out = out.orderBy(sel.orderBy.map { case (n, asc) =>
@@ -915,7 +544,7 @@ final class Planner(catalog: String => DataFrame,
       SelectColumn(IdentityNode(Seq(f)), Some(s"__lat_$f"), None))
     val outerCtx = mkCtx(outer)
     def joinCond(innerDf: DataFrame): Column = c.keys.map { case (f, outerNode) =>
-      ColumnBuilder.build(outerNode, outerCtx) === innerDf(s"__lat_$f")
+      outerCol(outerNode, outer, outerCtx) === innerDf(s"__lat_$f")
     }.reduce(_ && _)
     def dropKeys(d: DataFrame): DataFrame =
       d.drop(corrFields.map(f => s"__lat_$f"): _*)
@@ -945,7 +574,7 @@ final class Planner(catalog: String => DataFrame,
       // alias qualifier intact (a withColumn would mint a new,
       // unqualified attribute and `l.x` would stop resolving).
       val keyProj = c.keys.map { case (f, outerNode) =>
-        ColumnBuilder.build(outerNode, outerCtx).as(s"__lat_$f") }
+        outerCol(outerNode, outer, outerCtx).as(s"__lat_$f") }
       // a NULL-keyed inner group can never match any outer row under
       // `=` correlation — drop it BEFORE the null-safe join below, or
       // it would wrongly attach to NULL-keyed OUTER rows
@@ -969,7 +598,7 @@ final class Planner(catalog: String => DataFrame,
       // completion row (count 0 / NULL aggs) — with plain `===` it
       // never joined and count(*) came back NULL instead of 0
       val nsCond = c.keys.map { case (f, outerNode) =>
-        ColumnBuilder.build(outerNode, outerCtx) <=> aggDf(s"__lat_$f")
+        outerCol(outerNode, outer, outerCtx) <=> aggDf(s"__lat_$f")
       }.reduce(_ && _)
       dropKeys(outer.join(aggDf, nsCond, "left"))
     } else innerSel.limit match {
@@ -1362,17 +991,463 @@ final class Planner(catalog: String => DataFrame,
         ob.map { case (e, asc) => (subst(e, lat), asc) }, fr, ref)
       case other => other
     }
-    // the lateral rewrite serves SELECT columns; HAVING/ORDER BY/QUALIFY
-    // and column guards evaluate on frames where the lateral column is
-    // not guaranteed to survive, so they keep the literal path (a
+    // HAVING: conjuncts in a shape the shared WHERE machinery lowers
+    // (IN / quantified / EXISTS / top-level scalar comparison) pass
+    // through UNSUBSTITUTED — the aggregate path routes them to
+    // applyPredicate over the agg frame (r12); only NESTED scalar
+    // subqueries (inside OR, arithmetic, CASE) substitute as literals
+    def isMachineShape(n: Node): Boolean = n match {
+      case BinaryNode("IN", _, _: SubqueryNode, _) => true
+      case BinaryNode(opq, _, _: SubqueryNode, _)
+          if opq.endsWith(" ANY") || opq.endsWith(" ALL") => true
+      case BinaryNode(op, _, _: SubqueryNode, _) if scalarSubOps(op) => true
+      case UnaryNode("EXISTS", _: SubqueryNode) => true
+      case UnaryNode("NOT" | "!", UnaryNode("EXISTS", _: SubqueryNode)) => true
+      case _ => false
+    }
+    def substHaving(h: Node): Node = h match {
+      case BooleanNode("AND", args, false) =>
+        BooleanNode("AND", args.map(a =>
+          if (isMachineShape(a)) a else subst(a, lat = false)))
+      case n if isMachineShape(n) => n
+      case n => subst(n, lat = false)
+    }
+    // the lateral rewrite serves SELECT columns; ORDER BY/QUALIFY and
+    // column guards evaluate on frames where the lateral column is not
+    // guaranteed to survive, so they keep the literal path (a
     // correlated scalar there raises its resolution error as before)
     sel.copy(
       columns = sel.columns.map(c =>
         c.copy(expr = subst(c.expr, lat = true), guard = c.guard.map(subst(_, lat = false)))),
-      having = sel.having.map(subst(_, lat = false)),
+      having = sel.having.map(substHaving),
       orderBy = sel.orderBy.map { case (e, asc) => (subst(e, lat = false), asc) },
       qualify = sel.qualify.map(subst(_, lat = false)),
       from = sel.from ++ laterals.toSeq)
+  }
+
+  /** Build an OUTER correlation reference against `frame`. A plain
+    * (possibly qualified) column ref resolves through the frame itself
+    * first (eager — `frame.col` fails NOW if unresolvable, letting us
+    * fall back); when aggregation has stripped the source alias
+    * qualifier (HAVING-position correlation: `o.user_id` over a frame
+    * whose output is the bare grouped `user_id`), the bare last
+    * segment resolves instead; computed expressions take the full
+    * dialect builder as before. */
+  private def outerCol(n: Node, frame: DataFrame, ctx: BuildCtx): Column = n match {
+    case IdentityNode(parts) =>
+      scala.util.Try(frame.col(parts.mkString("."))).getOrElse {
+        if (parts.length > 1)
+          scala.util.Try(frame.col(parts.last))
+            .getOrElse(ColumnBuilder.build(n, ctx))
+        else ColumnBuilder.build(n, ctx)
+      }
+    case _ => ColumnBuilder.build(n, ctx)
+  }
+
+  /** Does a node contain a SubqueryNode anywhere? */
+  private def containsSubqueryNode(n: Node): Boolean = n match {
+    case _: SubqueryNode => true
+    case BinaryNode(_, l, r, _) => containsSubqueryNode(l) || containsSubqueryNode(r)
+    case BooleanNode(_, args, _) => args.exists(containsSubqueryNode)
+    case UnaryNode(_, c) => containsSubqueryNode(c)
+    case TriNode(_, a, b, c, _) =>
+      containsSubqueryNode(a) || containsSubqueryNode(b) || containsSubqueryNode(c)
+    case FuncNode(_, args) => args.exists(containsSubqueryNode)
+    case CaseNode(bs, e) =>
+      bs.exists { case (w, t) => containsSubqueryNode(w) || containsSubqueryNode(t) } ||
+        e.exists(containsSubqueryNode)
+    case ArrayNode(items) => items.exists(containsSubqueryNode)
+    case WindowNode(f, pb, ob, _, _) =>
+      containsSubqueryNode(f) || pb.exists(containsSubqueryNode) ||
+        ob.exists(p => containsSubqueryNode(p._1))
+    case _ => false
+  }
+
+  /** Apply ONE boolean predicate that may contain subqueries
+    * (IN / NOT IN / EXISTS / quantified ANY-ALL / scalar comparisons)
+    * to a frame: the WHERE machinery, extracted so HAVING (post-agg,
+    * with aggregate refs already substituted to output columns) and
+    * DML WHEREs reuse the exact same lowerings. `sel` supplies the
+    * outer scope for correlation analysis. */
+  private def applyPredicate(df0: DataFrame, w: Node, sel: SqlSelect): DataFrame = {
+    var df = df0
+      val (subqs, scalars, existsSubs, quants, rest) = splitSubqueries(w)
+      for (((left, sub, negated), i) <- subqs.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (c.keys.isEmpty) {
+          val subDf = innerPlanner.plan(innerSel)
+          val subCol = subDf.columns.head
+          val renamed = subDf.withColumnRenamed(subCol, "__subq_key")
+          if (negated) {
+            // ANSI NOT IN (≡ x <> ALL S): empty S keeps every row;
+            // otherwise a NULL in S or a NULL x makes the predicate
+            // UNKNOWN and the row DROPS — a bare anti join is
+            // NULL-insensitive and wrongly kept those rows (r12 fix).
+            // One bounded count aggregate broadcast supplies the guard.
+            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
+            val aggd = renamed.agg(count(col("__subq_key")).as(cnt),
+              count(lit(1)).as(acnt))
+            df = df.crossJoin(broadcast(aggd))
+            val gctx = mkCtx(df)
+            val xc = ColumnBuilder.build(left, gctx)
+            df = df.filter(col(acnt) === 0 ||
+                (col(cnt) === col(acnt) && xc.isNotNull))
+              .drop(cnt, acnt)
+            df = df.join(renamed,
+              ColumnBuilder.build(left, mkCtx(df)) === col("__subq_key"),
+              "left_anti")
+          } else
+            df = df.join(renamed,
+              ColumnBuilder.build(left, mkCtx(df)) === col("__subq_key"), "left_semi")
+        } else {
+          // correlated IN: semi/anti join on the value column AND the
+          // correlation equalities; the subquery's own projection
+          // supplies the value expression, evaluated in the INNER scope
+          if (innerSel.columns.size != 1)
+            throw BuildException("IN-subquery must select exactly one column")
+          val corrFields = c.keys.map(_._1).distinct
+          val valueCol =
+            SelectColumn(innerSel.columns.head.expr, Some(s"__inq${i}_key"), None)
+          val corrCols = corrFields.map(f =>
+            SelectColumn(IdentityNode(Seq(f)), Some(s"__inq${i}_$f"), None))
+          // a GROUPED correlated IN appends the correlation keys to the
+          // grouping: per-outer-row the inner groups are exactly the
+          // (user keys × correlation key) groups restricted to that
+          // row, so HAVING evaluates over the same per-group rows the
+          // nested-loop semantics would see — still ONE distributed
+          // aggregate + ONE semi/anti join, never a per-row rescan
+          // an aggregate-valued subquery (`x IN (SELECT max(p) …)`)
+          // groups by the correlation keys even without explicit
+          // GROUP BY — one per-slice aggregate row, like the
+          // correlated-scalar path. Known ANSI edge (README
+          // divergences): a count-valued subquery over an EMPTY slice
+          // is 0 in ANSI and can match x = 0; this lowering produces
+          // no row for empty slices (NULL-valued aggregates like
+          // max/min/sum agree either way — NULL never matches IN).
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
+            containsAgg(innerSel.columns.head.expr)
+          val newGroupBy =
+            if (grouped)
+              (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
+            else innerSel.groupBy
+          val innerDf = innerPlanner.plan(innerSel.copy(
+            columns = valueCol +: corrCols, distinct = false,
+            where = c.innerWhere, groupBy = newGroupBy,
+            orderBy = Nil, limit = None,
+            offset = None, qualify = None))
+          val outerCtx = mkCtx(df)
+          if (negated) {
+            // correlated ANSI NOT IN: the same per-slice NULL guards as
+            // the uncorrelated path, but the value/row counts aggregate
+            // PER CORRELATION KEY and left-join back (empty slice →
+            // NULL counts → coalesce to 0 → keep, per `<> ALL ∅`)
+            val cnt = s"__nin_cnt$i"; val acnt = s"__nin_acnt$i"
+            val aggd = innerDf.groupBy(corrFields.map(f =>
+                col(s"__inq${i}_$f")): _*)
+              .agg(count(col(s"__inq${i}_key")).as(cnt),
+                count(lit(1)).as(acnt))
+            val gcond = c.keys.map { case (f, outerNode) =>
+              outerCol(outerNode, df, outerCtx) === aggd(s"__inq${i}_$f")
+            }.reduce(_ && _)
+            df = df.join(aggd, gcond, "left")
+              .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+              .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+            val gctx = mkCtx(df)
+            val xc = ColumnBuilder.build(left, gctx)
+            df = df.filter(col(acnt) === 0 ||
+                (col(cnt) === col(acnt) && xc.isNotNull))
+              .drop(cnt +: acnt +: corrFields.map(f => s"__inq${i}_$f"): _*)
+            val actx = mkCtx(df)
+            val antiCond = (ColumnBuilder.build(left, actx) === innerDf(s"__inq${i}_key")) +:
+              c.keys.map { case (f, outerNode) =>
+                outerCol(outerNode, df, actx) === innerDf(s"__inq${i}_$f")
+              }
+            df = df.join(innerDf, antiCond.reduce(_ && _), "left_anti")
+          } else {
+            val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
+              c.keys.map { case (f, outerNode) =>
+                outerCol(outerNode, df, outerCtx) === innerDf(s"__inq${i}_$f")
+              }
+            df = df.join(innerDf, cond.reduce(_ && _), "left_semi")
+          }
+        }
+      }
+      // uncorrelated scalar subqueries: the subquery must yield at most
+      // one row (an aggregate does — and a multi-row frame comparing
+      // against an arbitrary row would be silently nondeterministic, so
+      // it raises instead, matching standard SQL); the single value
+      // broadcast-joins onto every row and the comparison evaluates
+      // with full dialect coercions by rebuilding the BinaryNode
+      // against the joined frame. The single-row check is IN-PLAN
+      // (limit(2) → count + raise_error inside one broadcast
+      // aggregate), so building a statement with N scalar subqueries
+      // launches ZERO driver jobs — the violation raises when the
+      // query actually runs, and limit(2) bounds the probe: one extra
+      // row is enough to prove it.
+      for (((op, left, sub, negated), i) <- scalars.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val sc = s"__scalar_$i"
+        val corr = analyzeCorrelation(innerSel,
+          new Planner(catalog, vars, includer), sel, df)
+        if (corr.keys.nonEmpty) {
+          // CORRELATED scalar: exactly the aggregate-LATERAL shape —
+          // one grouped aggregate on the correlation keys joined back
+          // (one row per outer row; empty groups compare against NULL,
+          // which filters false, per standard SQL), then the
+          // comparison. Never a per-row rescan.
+          if (innerSel.columns.size != 1 ||
+              !containsAgg(innerSel.columns.head.expr))
+            throw BuildException("correlated scalar subquery must select " +
+              "exactly one aggregate expression")
+          val aliased = innerSel.copy(columns =
+            Seq(innerSel.columns.head.copy(alias = Some(sc))))
+          df = planLateral(df, sel,
+            SubquerySource(aliased, s"__sct_$i", lateral = true))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
+          df = df.filter(cmp.cast("boolean")).drop(sc)
+        } else {
+          val subDf = new Planner(catalog, vars, includer).plan(innerSel)
+          val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
+          val dt = firstTwo.schema.head.dataType
+          val one = firstTwo
+            .agg(count(lit(1)).as("__sc_n"),
+              first(col(sc), ignoreNulls = false).as("__sc_v"))
+            .select(when(col("__sc_n") > 1,
+                raise_error(lit("scalar subquery returned more than one row")).cast(dt))
+              .otherwise(col("__sc_v")).as(sc))
+          df = df.crossJoin(broadcast(one))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(op, left, IdentityNode(Seq(sc)), negated), mkCtx(df))
+          df = df.filter(cmp.cast("boolean")).drop(sc)
+        }
+      }
+      // Quantified comparisons `x <op> ANY|ALL (SELECT …)` beyond the
+      // membership shapes (those became semi/anti joins above). Each
+      // reduces to ONE bounded aggregate of the subquery column —
+      // min/max/count — broadcast onto every outer row; no per-row
+      // rescans, no row-count-shaped joins:
+      //   x > ANY  ≡ x > min      x > ALL  ≡ empty OR x > max
+      //   x < ANY  ≡ x < max      x < ALL  ≡ empty OR x < min
+      //   x <> ANY ≡ nonempty AND (min <> max OR x <> min)
+      //   x = ALL  ≡ empty OR (min = max AND x = min)
+      // Empty-set semantics are ANSI (ANY → FALSE via NULL extremum,
+      // ALL → TRUE via the count guard). Comparisons rebuild dialect
+      // BinaryNodes so coercions match plain WHERE comparisons.
+      for (((op, quant, left, sub), i) <- quants.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (innerSel.columns.size != 1)
+          throw BuildException("quantified subquery must select exactly one column")
+        val vName = s"__qv_$i"
+        val mn = s"__qmin_$i"; val mx = s"__qmax_$i"
+        val cnt = s"__qcnt_$i"; val acnt = s"__qacnt_$i"
+        // cnt counts NON-NULL values (min/max skip NULLs the same way);
+        // acnt counts rows — their difference carries the ANSI NULL
+        // semantics: for ALL, a NULL in the subquery makes every
+        // no-false row UNKNOWN (dropped), never TRUE
+        val corrFields = corr.keys.map(_._1).distinct
+        val qkCols = corrFields.map(f => s"__qk${i}_$f")
+        // valsDf: the raw subquery values (plus correlation keys when
+        // correlated) — the <> ALL anti join rides on this same frame
+        val valsDf =
+          if (corr.keys.isEmpty)
+            // positional rename: an expression-derived output name may
+            // contain dots/quotes that col() would misparse
+            innerPlanner.plan(innerSel).toDF(vName)
+          else {
+            // CORRELATED: same aggregate-LATERAL shape as correlated
+            // scalar/IN — per-correlation-key bounded aggregate LEFT-
+            // joined on the equality conjuncts; never a per-row rescan
+            if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+              throw BuildException("correlated quantified (ANY/ALL) " +
+                "subquery with GROUP BY/HAVING is not supported")
+            val valueCol =
+              SelectColumn(innerSel.columns.head.expr, Some(vName), None)
+            val kCols = corrFields.map(f =>
+              SelectColumn(IdentityNode(Seq(f)), Some(s"__qk${i}_$f"), None))
+            innerPlanner.plan(innerSel.copy(
+              columns = valueCol +: kCols, distinct = false,
+              where = corr.innerWhere, orderBy = Nil, limit = None,
+              offset = None, qualify = None))
+          }
+        val v = col(vName)
+        if (corr.keys.isEmpty) {
+          val aggd = valsDf.agg(min(v).as(mn), max(v).as(mx),
+            count(v).as(cnt), count(lit(1)).as(acnt))
+          df = df.crossJoin(broadcast(aggd))
+        } else {
+          val aggd = valsDf.groupBy(qkCols.map(col): _*)
+            .agg(min(v).as(mn), max(v).as(mx),
+              count(v).as(cnt), count(lit(1)).as(acnt))
+          val outerCtx = mkCtx(df)
+          val cond = corr.keys.map { case (f, outerNode) =>
+            outerCol(outerNode, df, outerCtx) === aggd(s"__qk${i}_$f")
+          }.reduce(_ && _)
+          // a LEFT join: an outer row whose group is EMPTY gets NULL
+          // aggregates — the count coalesces restore the ANSI empty-set
+          // verdicts (ANY → FALSE via the NULL extremum, ALL → TRUE via
+          // acnt = 0)
+          df = df.join(aggd, cond, "left")
+            .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+            .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+        }
+        val qctx = mkCtx(df)
+        def cmp(o: String, rc: String) = ColumnBuilder.build(
+          BinaryNode(o, left, IdentityNode(Seq(rc))), qctx).cast("boolean")
+        val noNulls = col(acnt) === col(cnt)
+        val pred = (op, quant) match {
+          // ANY: TRUE iff some comparison is TRUE — NULL values can only
+          // turn FALSE into UNKNOWN, and both drop, so the non-null
+          // extremum decides
+          case (">", "ANY")  => cmp(">", mn)
+          case (">=", "ANY") => cmp(">=", mn)
+          case ("<", "ANY")  => cmp("<", mx)
+          case ("<=", "ANY") => cmp("<=", mx)
+          case ("!=" | "<>", "ANY") =>
+            // both comparisons depend on x, so a NULL x yields NULL and
+            // drops (ANSI: NULL <> ANY nonempty is UNKNOWN — the old
+            // `mn =!= mx` shortcut was TRUE regardless of x); for a
+            // non-NULL x the pair is equivalent: two distinct values
+            // make one of them differ from x, one value makes both
+            // clauses the same test
+            col(cnt) > 0 && (cmp("!=", mn) || cmp("!=", mx))
+          // ALL: TRUE iff the set is EMPTY, or no comparison is FALSE
+          // and none is UNKNOWN (no NULL values, non-null x — the cmp
+          // itself is NULL for a NULL x and coalesces to a drop)
+          case (">", "ALL")  => col(acnt) === 0 || (noNulls && cmp(">", mx))
+          case (">=", "ALL") => col(acnt) === 0 || (noNulls && cmp(">=", mx))
+          case ("<", "ALL")  => col(acnt) === 0 || (noNulls && cmp("<", mn))
+          case ("<=", "ALL") => col(acnt) === 0 || (noNulls && cmp("<=", mn))
+          case ("=" | "==", "ALL") =>
+            col(acnt) === 0 || (noNulls && col(mn) === col(mx) && cmp("=", mn))
+          case ("!=" | "<>", "ALL") =>
+            // handled below by an anti join; the aggregate supplies the
+            // NULL guards only
+            lit(true)
+          case other => throw BuildException(s"unsupported quantified comparison $other")
+        }
+        if ((op == "!=" || op == "<>") && quant == "ALL") {
+          // x <> ALL S ≡ NOT IN with ANSI NULLs: empty S keeps every
+          // row (even a NULL x); otherwise a NULL in S or a NULL x is
+          // UNKNOWN (drop), and membership drops via ONE anti join on
+          // the non-null values
+          val xc = ColumnBuilder.build(left, qctx)
+          df = df.filter(col(acnt) === 0 || (noNulls && xc.isNotNull))
+            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
+          val renamed = valsDf.select(
+            v.as(s"__qall_$i") +: qkCols.map(col): _*)
+          val againCtx = mkCtx(df)
+          val antiCond = (ColumnBuilder.build(left, againCtx) === col(s"__qall_$i")) +:
+            corr.keys.map { case (f, outerNode) =>
+              outerCol(outerNode, df, againCtx) === renamed(s"__qk${i}_$f")
+            }
+          df = df.join(renamed, antiCond.reduce(_ && _), "left_anti")
+        } else
+          df = df.filter(coalesce(pred, lit(false)))
+            .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
+      }
+      // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
+      // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
+      // Catalyst's own strategy for EXISTS, broadcastable when the
+      // inner side is small; a subquery with no correlation is a
+      // whole-corpus existence fact, answered by ONE bounded
+      // limit(1)-count probe. SQL scoping decides correlation: an
+      // unqualified name that resolves in the inner scope belongs to
+      // it, so only names the inner frame CANNOT resolve reach out.
+      for (((sub, negated), i) <- existsSubs.zipWithIndex) {
+        val innerSel = parseSub(sub)
+        val innerPlanner = new Planner(catalog, vars, includer)
+        val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        if (c.keys.isEmpty) {
+          // whole-corpus existence fact — ONE bounded limit(1) count,
+          // evaluated lazily in-plan (broadcast 1-row aggregate +
+          // filter) so statement BUILD launches no job; Catalyst folds
+          // the filter to a LocalRelation-or-pass once it runs
+          val en = s"__ex_n$i"
+          val probe = innerPlanner.plan(innerSel).limit(1)
+            .agg(count(lit(1)).as(en))
+          df = df.crossJoin(broadcast(probe))
+            .filter(if (negated) col(en) === 0 else col(en) > 0)
+            .drop(en)
+        } else {
+          val corrFields = c.keys.map(_._1).distinct
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
+          // prefix-rename the inner key columns so the join condition
+          // can never capture an identically-named outer column
+          val innerKeys =
+            if (!grouped) {
+              val innerDf = innerPlanner.plan(innerSel.copy(
+                columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+                distinct = false, where = c.innerWhere,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
+              innerDf.select(corrFields.map(f =>
+                col(f).as(s"__ex${i}_$f")): _*)
+            } else
+              // GROUPED correlated EXISTS (r12): true iff SOME group of
+              // the outer row's slice satisfies HAVING — the correlation
+              // keys append to the grouping (same lowering as grouped
+              // correlated IN) and the group keys ARE the join keys;
+              // still one distributed aggregate + one semi/anti join
+              innerPlanner.plan(innerSel.copy(
+                columns = corrFields.map(f =>
+                  SelectColumn(IdentityNode(Seq(f)), Some(s"__ex${i}_$f"), None)),
+                distinct = false, where = c.innerWhere,
+                groupBy = (innerSel.groupBy ++
+                  corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
+          val outerCtx = mkCtx(df)
+          val cond = c.keys.map { case (f, outerNode) =>
+            outerCol(outerNode, df, outerCtx) === innerKeys(s"__ex${i}_$f")
+          }.reduce(_ && _)
+          if (grouped && innerSel.groupBy.isEmpty) {
+            // HAVING without GROUP BY: ANSI gives even an EMPTY outer
+            // slice one aggregate row (count→0, sum/min/max→NULL) and
+            // tests HAVING against it — a CONSTANT verdict, evaluated
+            // lazily as a 1-row broadcast (`HAVING count(*) = 0` must
+            // make EXISTS true exactly for sliceless outer rows — the
+            // classic COUNT bug of naive decorrelation). The final
+            // predicate is (some slice group passes HAVING) OR (slice
+            // empty AND the empty verdict) — two left joins + the
+            // broadcast, no semi-join OR contortions.
+            val vN = s"__exh_v$i"
+            val verdict = broadcast(innerPlanner.plan(innerSel.copy(
+              columns = Seq(SelectColumn(innerSel.having.get, Some(vN), None)),
+              distinct = false, where = Some(BoolNode(false)),
+              groupBy = Nil, having = None,
+              orderBy = Nil, limit = None, offset = None, qualify = None)))
+            val aN = s"__exh_a$i"
+            val aKeys = innerKeys.withColumn(aN, lit(1))
+            val kN = s"__exh_k$i"
+            val kKeys = innerPlanner.plan(innerSel.copy(
+                columns = corrFields.map(f =>
+                  SelectColumn(IdentityNode(Seq(f)), Some(s"__exk${i}_$f"), None)),
+                distinct = true, where = c.innerWhere,
+                groupBy = Nil, having = None,
+                orderBy = Nil, limit = None, offset = None, qualify = None))
+              .withColumn(kN, lit(1))
+            val kCond = c.keys.map { case (f, outerNode) =>
+              outerCol(outerNode, df, outerCtx) === kKeys(s"__exk${i}_$f")
+            }.reduce(_ && _)
+            df = df.join(aKeys, cond, "left").join(kKeys, kCond, "left")
+              .crossJoin(verdict)
+            val pass = coalesce(
+              col(aN).isNotNull ||
+                (col(kN).isNull && coalesce(col(vN).cast("boolean"), lit(false))),
+              lit(false))
+            df = df.filter(if (negated) !pass else pass)
+              .drop(aN +: kN +: vN +:
+                (corrFields.map(f => s"__ex${i}_$f") ++
+                  corrFields.map(f => s"__exk${i}_$f")): _*)
+          } else
+            df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
+        }
+      }
+      rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
+    df
   }
 
   /** Correlation analysis of a subquery's WHERE against the outer

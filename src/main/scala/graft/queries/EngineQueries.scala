@@ -475,6 +475,30 @@ object EngineQueries {
              |  WHERE o_custkey = o.o_custkey GROUP BY o_orderstatus HAVING count(*) >= 2)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): HAVING with an IN-subquery — the aggregate refs
+    // substitute to output columns, then the shared WHERE machinery
+    // applies to the agg frame (one semi join post-aggregation)
+    "ql_having_in" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+          |HAVING o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AND count(*) >= 10
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+             |HAVING o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) AND count(*) >= 10
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // engine (r12): HAVING with a CORRELATED scalar comparison — the
+    // per-key aggregate LATERAL joins onto the agg frame (an empty
+    // correlation slice yields NULL → UNKNOWN → group drops, ANSI)
+    "ql_having_corr_scalar" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+          |HAVING count(*) >= (SELECT 0.002 * max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+             |HAVING count(*) >= (SELECT 0.002 * max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine (r12): CORRELATED scalar subqueries in the SELECT list —
     // each rewrites to an aggregate LATERAL (per-key grouped aggregate
     // left-joined back, empty groups completed: count → 0, max → NULL)

@@ -543,6 +543,24 @@ class EngineSpec extends AnyFunSuite {
       """SELECT order_id, (SELECT max(price) FROM orders) AS mx FROM orders
         |WHERE order_id == 1""".stripMargin,
       Seq(Seq(1L, 37.5)))
+    // HAVING with an IN-subquery: shared WHERE machinery on the agg frame
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |HAVING user_id IN (SELECT user_id FROM users WHERE interests == "fishing")
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L)))
+    // HAVING with NOT EXISTS (correlated against a group key)
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders o GROUP BY user_id
+        |HAVING NOT EXISTS (SELECT 1 FROM users WHERE users.user_id = o.user_id)
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("abcabcabc", 1L)))
+    // HAVING with a correlated scalar comparison on an aggregate
+    testSelect(
+      """SELECT user_id, sum(price) AS tot FROM orders o GROUP BY user_id
+        |HAVING sum(price) > (SELECT max(referral_count) FROM users WHERE user_id = o.user_id)
+        |ORDER BY user_id""".stripMargin,
+      Seq.empty)
   }
 
   test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {
