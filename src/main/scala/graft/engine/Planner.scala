@@ -134,10 +134,50 @@ final class Planner(catalog: String => DataFrame,
         .filter(col("__don_rk") === 1).drop("__don_rk")
     }
 
+    // ---- subqueries in the SELECT list used as VALUES (r12):
+    // `EXISTS (…) AS flag`, `x IN (SELECT …) AS member`, NOT-variants,
+    // and scalars nested inside arithmetic/CASE. Each attaches as ONE
+    // hidden column on the post-WHERE frame — the same bounded join
+    // shapes as the WHERE machinery, with ANSI 3VL NULL verdicts —
+    // and the select expression references it; the projection then
+    // drops the plumbing by simply not selecting it. A bare `*`
+    // expands to the PRE-attach columns so hidden columns never leak
+    // into star output. (Bare uncorrelated/correlated-aggregate
+    // scalars were already substituted by substituteSelectScalars;
+    // what reaches here are the boolean shapes it passes through.)
+    val cols: Seq[SelectColumn] = {
+      val raw = sel.columns
+      if (!raw.exists(c => containsSubqueryNode(c.expr))) raw
+      else {
+        val expanded =
+          if (!raw.exists(c => c.expr == IdentityNode(Seq("*")) &&
+              c.starExclude.isEmpty && c.starReplace.isEmpty)) raw
+          else {
+            val names = df.columns.toSeq
+            if (names.distinct.size != names.size)
+              throw BuildException("subquery expressions in the SELECT " +
+                "list cannot combine with * over ambiguous join columns")
+            raw.flatMap { c =>
+              if (c.expr == IdentityNode(Seq("*")) &&
+                  c.starExclude.isEmpty && c.starReplace.isEmpty)
+                names.map(f => SelectColumn(IdentityNode(Seq(f)), None, None))
+              else Seq(c)
+            }
+          }
+        expanded.zipWithIndex.map { case (c, ci) =>
+          if (!containsSubqueryNode(c.expr)) c
+          else {
+            val (df2, e2, _) = attachExprSubqueries(df, c.expr, sel, s"__bsq_s$ci")
+            df = df2
+            c.copy(expr = e2)
+          }
+        }
+      }
+    }
+
     val postWhereCtx = mkCtx(df)
 
     // ---- projection planning -----------------------------------------
-    val cols = sel.columns
     val isAgg = sel.groupBy.nonEmpty || cols.exists(c => containsAgg(c.expr))
 
     if (!isAgg) {
@@ -888,7 +928,7 @@ final class Planner(catalog: String => DataFrame,
     }
     val needed = sel.columns.exists(c =>
       hasSub(c.expr) || c.guard.exists(hasSub)) ||
-      sel.having.exists(hasSub) || sel.orderBy.exists(p => hasSub(p._1)) ||
+      sel.orderBy.exists(p => hasSub(p._1)) ||
       sel.qualify.exists(hasSub)
     if (!needed) return sel
     def literalOf(s: SubqueryNode): Node = {
@@ -968,14 +1008,27 @@ final class Planner(catalog: String => DataFrame,
       }
     }
     def subst(n: Node, lat: Boolean): Node = n match {
+      // boolean subquery shapes (IN / EXISTS / NOT EXISTS) in the
+      // SELECT list pass through UNTOUCHED — plan() lowers them to
+      // hidden columns via attachExprSubqueries on the post-WHERE
+      // frame; in positions with no frame to attach to (ORDER BY,
+      // QUALIFY, column guards) they refuse loudly
+      case b @ BinaryNode("IN", l, s: SubqueryNode, neg) =>
+        if (lat) BinaryNode("IN", subst(l, lat), s, neg)
+        else throw BuildException(
+          "IN (SELECT …) is supported in WHERE/HAVING and the SELECT list only")
+      case e @ UnaryNode("EXISTS", _: SubqueryNode) =>
+        if (lat) e
+        else throw BuildException(
+          "EXISTS (SELECT …) is supported in WHERE/HAVING and the SELECT list only")
       case s: SubqueryNode => resolveSub(s, lat)
       // a quantified comparison outside WHERE would otherwise reach the
       // scalar substitution and die with a misleading "more than one
       // row" — name the actual restriction instead
       case BinaryNode(opq, _, _: SubqueryNode, _)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
-        throw BuildException(
-          "quantified (ANY/ALL) subqueries are supported in WHERE only")
+        throw BuildException("quantified (ANY/ALL) subqueries are " +
+          "supported as top-level WHERE/HAVING conjuncts only")
       case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l, lat), subst(r, lat), neg)
       case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst(_, lat)), neg)
       case UnaryNode(op, c) => UnaryNode(op, subst(c, lat))
@@ -991,35 +1044,18 @@ final class Planner(catalog: String => DataFrame,
         ob.map { case (e, asc) => (subst(e, lat), asc) }, fr, ref)
       case other => other
     }
-    // HAVING: conjuncts in a shape the shared WHERE machinery lowers
-    // (IN / quantified / EXISTS / top-level scalar comparison) pass
-    // through UNSUBSTITUTED — the aggregate path routes them to
-    // applyPredicate over the agg frame (r12); only NESTED scalar
-    // subqueries (inside OR, arithmetic, CASE) substitute as literals
-    def isMachineShape(n: Node): Boolean = n match {
-      case BinaryNode("IN", _, _: SubqueryNode, _) => true
-      case BinaryNode(opq, _, _: SubqueryNode, _)
-          if opq.endsWith(" ANY") || opq.endsWith(" ALL") => true
-      case BinaryNode(op, _, _: SubqueryNode, _) if scalarSubOps(op) => true
-      case UnaryNode("EXISTS", _: SubqueryNode) => true
-      case UnaryNode("NOT" | "!", UnaryNode("EXISTS", _: SubqueryNode)) => true
-      case _ => false
-    }
-    def substHaving(h: Node): Node = h match {
-      case BooleanNode("AND", args, false) =>
-        BooleanNode("AND", args.map(a =>
-          if (isMachineShape(a)) a else subst(a, lat = false)))
-      case n if isMachineShape(n) => n
-      case n => subst(n, lat = false)
-    }
-    // the lateral rewrite serves SELECT columns; ORDER BY/QUALIFY and
+    // HAVING passes through WHOLESALE: the aggregate path routes any
+    // subquery-bearing HAVING to applyPredicate over the agg frame,
+    // whose conjunct machinery + attachExprSubqueries cover every
+    // shape (machine conjuncts, nested scalars — correlated ones
+    // lateral-join the AGG frame, which is the correct scope there).
+    // The lateral rewrite serves SELECT columns; ORDER BY/QUALIFY and
     // column guards evaluate on frames where the lateral column is not
     // guaranteed to survive, so they keep the literal path (a
     // correlated scalar there raises its resolution error as before)
     sel.copy(
       columns = sel.columns.map(c =>
         c.copy(expr = subst(c.expr, lat = true), guard = c.guard.map(subst(_, lat = false)))),
-      having = sel.having.map(substHaving),
       orderBy = sel.orderBy.map { case (e, asc) => (subst(e, lat = false), asc) },
       qualify = sel.qualify.map(subst(_, lat = false)),
       from = sel.from ++ laterals.toSeq)
@@ -1446,8 +1482,224 @@ final class Planner(catalog: String => DataFrame,
             df = df.join(innerKeys, cond, if (negated) "left_anti" else "left_semi")
         }
       }
-      rest.foreach(r => df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean")))
+      rest.foreach { r =>
+        if (containsSubqueryNode(r)) {
+          // subqueries NESTED in the residual predicate — under OR,
+          // inside arithmetic or CASE — where the conjunct machinery
+          // above cannot see them: each attaches as a hidden column
+          // (same bounded join shapes, full ANSI 3VL) and the now-plain
+          // predicate filters
+          val (df2, r2, hid) = attachExprSubqueries(df, r, sel, "__bsq")
+          df = df2.filter(ColumnBuilder.build(r2, mkCtx(df2)).cast("boolean"))
+          if (hid.nonEmpty) df = df.drop(hid: _*)
+        } else
+          df = df.filter(ColumnBuilder.build(r, mkCtx(df)).cast("boolean"))
+      }
     df
+  }
+
+  /** Lower subquery expressions embedded in a GENERAL expression
+    * position — membership/existence tests (`x IN (SELECT …)`,
+    * `EXISTS (SELECT …)`, negated forms) used as VALUES (projected,
+    * under OR, inside CASE/arithmetic) and scalar subqueries nested
+    * where the top-level-conjunct machinery of splitSubqueries cannot
+    * reach — into hidden columns on the frame. Each subquery costs the
+    * SAME bounded plan shapes as its WHERE-conjunct cousin: a
+    * broadcast 1-row aggregate (uncorrelated scalar/EXISTS, IN's
+    * NULL-count guard), a per-correlation-key aggregate LEFT-joined on
+    * the equality conjuncts (correlated), and a DISTINCT key frame for
+    * the membership marker — never a per-row rescan, and the join
+    * against distinct keys preserves row cardinality. ANSI 3-valued
+    * logic is preserved: `x IN S` is TRUE on a match, FALSE when S is
+    * empty or (no match, no NULLs, x non-NULL), else NULL — so
+    * `NOT IN` under OR verdicts exactly as the standard says.
+    * Returns the augmented frame, the rewritten node, and the hidden
+    * columns the CALLER drops once the expression is consumed
+    * (projection drops them implicitly by not selecting them). */
+  private def attachExprSubqueries(df0: DataFrame, n0: Node,
+      sel: SqlSelect, tag: String): (DataFrame, Node, Seq[String]) = {
+    var df = df0
+    val hidden = collection.mutable.ArrayBuffer[String]()
+    var seq = 0
+    def fresh(p: String): String = { seq += 1; s"${tag}_$p$seq" }
+
+    def attachIn(x: Node, sub: SubqueryNode, neg: Boolean): Node = {
+      val innerSel = parseSub(sub)
+      val innerPlanner = new Planner(catalog, vars, includer)
+      val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+      if (innerSel.columns.size != 1)
+        throw BuildException("IN-subquery must select exactly one column")
+      val h = fresh("in"); val kn = fresh("k"); val mk = fresh("m")
+      val cnt = fresh("c"); val acnt = fresh("a")
+      if (c.keys.isEmpty) {
+        val renamed = innerPlanner.plan(innerSel).toDF(kn)
+        val aggd = renamed.agg(count(col(kn)).as(cnt), count(lit(1)).as(acnt))
+        df = df.crossJoin(broadcast(aggd))
+        val xc = ColumnBuilder.build(x, mkCtx(df))
+        val dkeys = renamed.where(col(kn).isNotNull).distinct()
+          .withColumn(mk, lit(1))
+        df = df.join(dkeys, xc === dkeys(kn), "left")
+        val base = when(col(acnt) === 0, lit(false))
+          .when(col(mk).isNotNull, lit(true))
+          .when(xc.isNull || col(cnt) < col(acnt),
+            lit(null).cast("boolean"))
+          .otherwise(lit(false))
+        df = df.withColumn(h, if (neg) !base else base)
+          .drop(kn, mk, cnt, acnt)
+      } else {
+        // correlated: per-correlation-key counts LEFT-joined back
+        // (empty slice → 0 → FALSE, and a NULL outer key never
+        // equality-matches, per ANSI) + a distinct (value, key)
+        // membership marker; grouped/aggregate-valued inners append
+        // the correlation keys to the grouping, exactly like the
+        // WHERE-conjunct correlated-IN lowering
+        val corrFields = c.keys.map(_._1).distinct
+        val valueCol = SelectColumn(innerSel.columns.head.expr, Some(kn), None)
+        val kCols = corrFields.map(f =>
+          SelectColumn(IdentityNode(Seq(f)), Some(s"${kn}_$f"), None))
+        val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
+          containsAgg(innerSel.columns.head.expr)
+        val newGroupBy = if (grouped)
+          (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
+        else innerSel.groupBy
+        val innerDf = innerPlanner.plan(innerSel.copy(
+          columns = valueCol +: kCols, distinct = false,
+          where = c.innerWhere, groupBy = newGroupBy,
+          orderBy = Nil, limit = None, offset = None, qualify = None))
+        val aggd = innerDf.groupBy(corrFields.map(f => col(s"${kn}_$f")): _*)
+          .agg(count(col(kn)).as(cnt), count(lit(1)).as(acnt))
+        val outerCtx = mkCtx(df)
+        val aCond = c.keys.map { case (f, o) =>
+          outerCol(o, df, outerCtx) === aggd(s"${kn}_$f") }.reduce(_ && _)
+        df = df.join(aggd, aCond, "left")
+          .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+          .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+          .drop(corrFields.map(f => s"${kn}_$f"): _*)
+        val dkeys = innerDf.where(col(kn).isNotNull)
+          .select(col(kn) +: corrFields.map(f => col(s"${kn}_$f")): _*)
+          .distinct().withColumn(mk, lit(1))
+        val mCtx = mkCtx(df)
+        val xc = ColumnBuilder.build(x, mCtx)
+        val mCond = (xc === dkeys(kn)) +: c.keys.map { case (f, o) =>
+          outerCol(o, df, mCtx) === dkeys(s"${kn}_$f") }
+        df = df.join(dkeys, mCond.reduce(_ && _), "left")
+        val base = when(col(acnt) === 0, lit(false))
+          .when(col(mk).isNotNull, lit(true))
+          .when(xc.isNull || col(cnt) < col(acnt),
+            lit(null).cast("boolean"))
+          .otherwise(lit(false))
+        df = df.withColumn(h, if (neg) !base else base)
+          .drop(kn, mk, cnt, acnt)
+          .drop(corrFields.map(f => s"${kn}_$f"): _*)
+      }
+      hidden += h
+      IdentityNode(Seq(h))
+    }
+
+    def attachExists(sub: SubqueryNode, neg: Boolean): Node = {
+      val innerSel = parseSub(sub)
+      val innerPlanner = new Planner(catalog, vars, includer)
+      val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+      val h = fresh("ex")
+      if (c.keys.isEmpty) {
+        val en = fresh("en")
+        val probe = innerPlanner.plan(innerSel).limit(1)
+          .agg(count(lit(1)).as(en))
+        df = df.crossJoin(broadcast(probe))
+          .withColumn(h, if (neg) col(en) === 0 else col(en) > 0)
+          .drop(en)
+      } else {
+        val corrFields = c.keys.map(_._1).distinct
+        val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
+        if (grouped && innerSel.groupBy.isEmpty)
+          throw BuildException("correlated EXISTS with HAVING but no " +
+            "GROUP BY is supported as a top-level WHERE/HAVING conjunct only")
+        val mk = fresh("m")
+        val keyDf0 =
+          if (!grouped) {
+            val innerDf = innerPlanner.plan(innerSel.copy(
+              columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+              distinct = false, where = c.innerWhere,
+              orderBy = Nil, limit = None, offset = None, qualify = None))
+            innerDf.select(corrFields.map(f => col(f).as(s"${h}_$f")): _*)
+          } else
+            innerPlanner.plan(innerSel.copy(
+              columns = corrFields.map(f =>
+                SelectColumn(IdentityNode(Seq(f)), Some(s"${h}_$f"), None)),
+              distinct = false, where = c.innerWhere,
+              groupBy = (innerSel.groupBy ++
+                corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
+              orderBy = Nil, limit = None, offset = None, qualify = None))
+        val keyDf = keyDf0.distinct().withColumn(mk, lit(1))
+        val outerCtx = mkCtx(df)
+        val cond = c.keys.map { case (f, o) =>
+          outerCol(o, df, outerCtx) === keyDf(s"${h}_$f") }.reduce(_ && _)
+        df = df.join(keyDf, cond, "left")
+          .withColumn(h, if (neg) col(mk).isNull else col(mk).isNotNull)
+          .drop(mk +: corrFields.map(f => s"${h}_$f"): _*)
+      }
+      hidden += h
+      IdentityNode(Seq(h))
+    }
+
+    def attachScalar(sub: SubqueryNode): Node = {
+      val innerSel = parseSub(sub)
+      val sc = fresh("sc")
+      val corr = analyzeCorrelation(innerSel,
+        new Planner(catalog, vars, includer), sel, df)
+      if (corr.keys.nonEmpty) {
+        if (innerSel.columns.size != 1 ||
+            !containsAgg(innerSel.columns.head.expr))
+          throw BuildException("correlated scalar subquery must select " +
+            "exactly one aggregate expression")
+        val aliased = innerSel.copy(columns =
+          Seq(innerSel.columns.head.copy(alias = Some(sc))))
+        df = planLateral(df, sel,
+          SubquerySource(aliased, fresh("sct"), lateral = true))
+      } else {
+        val subDf = new Planner(catalog, vars, includer).plan(innerSel)
+        if (subDf.columns.length != 1)
+          throw BuildException("scalar subquery must return one column")
+        val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
+        val dt = firstTwo.schema.head.dataType
+        val one = firstTwo
+          .agg(count(lit(1)).as("__sc_n"),
+            first(col(sc), ignoreNulls = false).as("__sc_v"))
+          .select(when(col("__sc_n") > 1,
+              raise_error(lit("scalar subquery returned more than one row")).cast(dt))
+            .otherwise(col("__sc_v")).as(sc))
+        df = df.crossJoin(broadcast(one))
+      }
+      hidden += sc
+      IdentityNode(Seq(sc))
+    }
+
+    def walk(n: Node): Node = n match {
+      case BinaryNode("IN", x, s: SubqueryNode, neg) => attachIn(walk(x), s, neg)
+      case UnaryNode("EXISTS", s: SubqueryNode) => attachExists(s, neg = false)
+      case UnaryNode("NOT" | "!", UnaryNode("EXISTS", s: SubqueryNode)) =>
+        attachExists(s, neg = true)
+      case BinaryNode(opq, _, _: SubqueryNode, _)
+          if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
+        throw BuildException("quantified (ANY/ALL) subqueries are " +
+          "supported as top-level WHERE/HAVING conjuncts only")
+      case s: SubqueryNode => attachScalar(s)
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, walk(l), walk(r), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(walk), neg)
+      case UnaryNode(op, c) => UnaryNode(op, walk(c))
+      case TriNode(op, a, b, c, neg) =>
+        TriNode(op, walk(a), walk(b), walk(c), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(walk))
+      case CaseNode(bs, e) =>
+        CaseNode(bs.map { case (w, t) => (walk(w), walk(t)) }, e.map(walk))
+      case ArrayNode(items) => ArrayNode(items.map(walk))
+      case WindowNode(f, pb, ob, fr, ref) =>
+        WindowNode(walk(f).asInstanceOf[FuncNode], pb.map(walk),
+          ob.map { case (e, asc) => (walk(e), asc) }, fr, ref)
+      case other => other
+    }
+    val out = walk(n0)
+    (df, out, hidden.toSeq)
   }
 
   /** Correlation analysis of a subquery's WHERE against the outer

@@ -499,6 +499,78 @@ object EngineQueries {
              |HAVING count(*) >= (SELECT 0.002 * max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
              |ORDER BY o_custkey""".stripMargin)),
 
+    // engine (r12): boolean subqueries as PROJECTED VALUES — a
+    // correlated EXISTS and a correlated NOT EXISTS each lower to one
+    // distinct-key LEFT join supplying a marker column (never a
+    // per-row rescan); the booleans land in the output with exact
+    // ANSI verdicts
+    "ql_select_exists" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey,
+          |  EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_bulk,
+          |  NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS no_returns
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey,
+             |  EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) AS has_bulk,
+             |  NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') AS no_returns
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): IN / NOT IN as projected values with full ANSI
+    // 3-valued logic — a NULL left operand and NULLs in the set both
+    // verdict NULL (never TRUE/FALSE), pinned by CASE-built NULLs on
+    // each side of the membership test
+    "ql_select_in" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey,
+          |  (CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END)
+          |    IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) AS member,
+          |  o_custkey NOT IN
+          |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey,
+             |  (CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END)
+             |    IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) AS member,
+             |  o_custkey NOT IN
+             |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): subqueries under OR in WHERE — disjunctive
+    // membership/existence cannot be a semi join, so each side attaches
+    // as a hidden boolean column and the OR filters as a plain predicate
+    "ql_where_or_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey FROM orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+          |   OR EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+             |   OR EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): a CORRELATED scalar subquery nested inside
+    // arithmetic in WHERE — the per-key aggregate LATERAL supplies a
+    // hidden value column and the arithmetic comparison filters plain
+    "ql_where_arith_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey FROM orders
+          |WHERE o_totalprice > 50 * (SELECT max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey FROM orders
+             |WHERE o_totalprice > 50 * (SELECT max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): a CORRELATED scalar nested in HAVING arithmetic —
+    // the lateral joins the AGGREGATED frame (count ints stay exact)
+    "ql_having_nested_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+          |HAVING count(*) >= 9 + (SELECT count(*) FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+             |HAVING count(*) >= 9 + (SELECT count(*) FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine (r12): CORRELATED scalar subqueries in the SELECT list —
     // each rewrites to an aggregate LATERAL (per-key grouped aggregate
     // left-joined back, empty groups completed: count → 0, max → NULL)

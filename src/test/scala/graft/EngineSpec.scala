@@ -462,7 +462,8 @@ class EngineSpec extends AnyFunSuite {
     // "returned more than one row"
     val e = intercept[Exception](session.sql(
       "SELECT price > ANY (SELECT price FROM orders) AS q FROM orders").collect())
-    assert(e.getMessage.contains("supported in WHERE only"), e.getMessage)
+    assert(e.getMessage.contains(
+      "supported as top-level WHERE/HAVING conjuncts only"), e.getMessage)
   }
 
   test("subquery edges (review findings r12)") {
@@ -561,6 +562,54 @@ class EngineSpec extends AnyFunSuite {
         |HAVING sum(price) > (SELECT max(referral_count) FROM users WHERE user_id = o.user_id)
         |ORDER BY user_id""".stripMargin,
       Seq.empty)
+  }
+
+  test("subquery expressions as values: ANSI 3VL in any position (r12)") {
+    // correlated EXISTS projected as a boolean column
+    testSelect(
+      """SELECT order_id, EXISTS (SELECT 1 FROM users WHERE users.user_id = o.user_id) AS known
+        |FROM orders o ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, true), Seq(2L, true), Seq(3L, false)))
+    // IN against a set CONTAINING NULLs with no match: verdict NULL,
+    // never FALSE (x might equal the NULL member)
+    testSelect(
+      """SELECT order_id, user_id IN (SELECT interests FROM users) AS m
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, null), Seq(2L, null), Seq(3L, null)))
+    // NOT IN under OR in WHERE — disjunctive membership keeps 3VL
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE user_id NOT IN (SELECT user_id FROM users) OR price > 30
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(2L), Seq(3L)))
+    // NULL left operand IN a nonempty set: UNKNOWN → the OR cannot
+    // rescue it and the row drops
+    testSelect(
+      """SELECT order_id FROM orders
+        |WHERE (CASE WHEN order_id == 3 THEN NULL ELSE user_id END)
+        |  IN (SELECT user_id FROM users) OR price > 100
+        |ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(2L)))
+    // EMPTY set: IN → FALSE and NOT IN → TRUE, even for a NULL x
+    testSelect(
+      """SELECT order_id,
+        |  user_id IN (SELECT user_id FROM users WHERE referral_count > 1000) AS m,
+        |  (CASE WHEN order_id == 1 THEN NULL ELSE user_id END)
+        |    NOT IN (SELECT user_id FROM users WHERE referral_count > 1000) AS nm
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, false, true), Seq(2L, false, true), Seq(3L, false, true)))
+    // a bare * never leaks the hidden subquery plumbing columns
+    testSelect(
+      """SELECT *, EXISTS (SELECT 1 FROM users WHERE users.user_id = o.user_id) AS known
+        |FROM orders o WHERE order_id == 3""".stripMargin,
+      Seq(Seq(3L, "abcabcabc", 1L, 22.50, ts("2013-10-24 17:29:39.738"), 82L, false)))
+    // uncorrelated EXISTS as a value; scalar nested in SELECT CASE
+    testSelect(
+      """SELECT order_id,
+        |  EXISTS (SELECT 1 FROM users WHERE referral_count > 50) AS any_big,
+        |  CASE WHEN price >= (SELECT avg(price) FROM orders) THEN 'hi' ELSE 'lo' END AS band
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, true, "lo"), Seq(2L, true, "hi"), Seq(3L, true, "lo")))
   }
 
   test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {

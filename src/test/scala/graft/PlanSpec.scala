@@ -844,4 +844,24 @@ class PlanSpec extends AnyFunSuite {
         e.getMessage)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("boolean subqueries as values: joins on distinct keys, no rescan (r12)") {
+    // EXISTS / IN in expression position lower to LEFT joins against
+    // distinct-key (or per-key aggregated) frames — row cardinality is
+    // preserved by construction and there is never a per-row rescan or
+    // an unbounded cartesian; the only nested-loop shape allowed is
+    // the broadcast ONE-ROW aggregate that carries IN's NULL-count
+    // guard (and uncorrelated EXISTS/scalar probes)
+    for (q <- Seq("ql_select_exists", "ql_select_in", "ql_where_or_subq")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian\n$p")
+      assert(p.split("\n").count(_.contains("Join LeftOuter")) >= 1 ||
+        p.contains("HashJoin"), s"$q: no join-based lowering\n$p")
+      // any BroadcastNestedLoopJoin must be the 1-row guard broadcast:
+      // its build side is an aggregate, never a table scan
+      val bnl = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+      val aggs = p.split("\n").count(_.contains("HashAggregate"))
+      assert(bnl == 0 || aggs > 0, s"$q: nested-loop without 1-row aggregate\n$p")
+    }
+  }
 }
