@@ -572,20 +572,46 @@ final class GraftSession(val spark: SparkSession) {
 
   private def runUpdate(up: SqlUpdate): Unit = {
     val target = table(up.table)
-    if (up.where.exists(containsSubquery)) {
+    if (up.where.exists(containsSubquery) ||
+        up.set.exists(p => containsSubquery(p._2))) {
       // subquery WHERE: membership flag from the planner-evaluated
-      // victim set (whereVictims), SETs apply where the flag holds
-      val (victims, idDf) = whereVictims(up.table, target, up.where.get)
+      // victim set (whereVictims), SETs apply where the flag holds.
+      // SET-position subqueries (r12): each value plans as
+      // `SELECT __rid, <expr>` over the rid-stamped target — the
+      // planner's expression-position machinery (scalar substitution,
+      // aggregate LATERAL, boolean attach) covers correlated and
+      // uncorrelated forms with one value per row, and the rid join
+      // carries it back without disturbing cardinality
+      val (victims, idDf) = up.where match {
+        case Some(w) => whereVictims(up.table, target, w)
+        case None =>
+          val d = target.withColumn("__rid", monotonically_increasing_id()).cache()
+          (d.select("__rid"), d)
+      }
       val marked = idDf.join(
         victims.withColumn("__hit", lit(1)), Seq("__rid"), "left")
       val cond = col("__hit").isNotNull
       val ctx = BuildCtx(Some(target.schema), sessionVars.toMap, includer)
       var out = marked
       for ((name, vNode) <- up.set) {
-        val v = ColumnBuilder.build(vNode, ctx)
         val orig = target.schema.fields.find(_.name.equalsIgnoreCase(name))
-        val typed = orig.map(f => v.cast(f.dataType)).getOrElse(v)
-        out = out.withColumn(name, when(cond, typed).otherwise(col(name)))
+        if (containsSubquery(vNode)) {
+          val lookup: String => DataFrame = n =>
+            if (n.equalsIgnoreCase(up.table)) idDf else table(n)
+          val valDf = new Planner(lookup, sessionVars.toMap, includer).plan(SqlSelect(
+            columns = Seq(SelectColumn(IdentityNode(Seq("__rid")), None, None),
+              SelectColumn(vNode, Some("__setv"), None)),
+            from = Seq(TableSource(up.table, None))))
+          out = out.join(valDf, Seq("__rid"), "left")
+          val typed = orig.map(f => col("__setv").cast(f.dataType))
+            .getOrElse(col("__setv"))
+          out = out.withColumn(name, when(cond, typed).otherwise(col(name)))
+            .drop("__setv")
+        } else {
+          val v = ColumnBuilder.build(vNode, ctx)
+          val typed = orig.map(f => v.cast(f.dataType)).getOrElse(v)
+          out = out.withColumn(name, when(cond, typed).otherwise(col(name)))
+        }
       }
       registerTable(up.table, out.drop("__rid", "__hit").cache())
       return

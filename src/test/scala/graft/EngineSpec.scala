@@ -1197,6 +1197,28 @@ class EngineSpec extends AnyFunSuite {
     s.sql("DROP TABLE scr2")
   }
 
+  test("UPDATE SET accepts subqueries (r12, beyond ref)") {
+    val s = session
+    s.sql("CREATE TABLE scr3 AS SELECT order_id, user_id, price FROM orders")
+    // uncorrelated scalar in SET, filtered by a plain WHERE
+    s.sql("UPDATE scr3 SET price = (SELECT max(price) FROM scr3) WHERE order_id == 1")
+    assert(rows(s.sql("SELECT order_id, price FROM scr3 ORDER BY order_id")) ==
+      Seq(Seq(1L, 37.5), Seq(2L, 37.5), Seq(3L, 22.5)))
+    // CORRELATED aggregate in SET with no WHERE: every row gets its
+    // user's referral_count (the missing user 'abcabcabc' → NULL max
+    // casts to NULL price)
+    s.sql("""UPDATE scr3 SET price =
+      |(SELECT max(referral_count) FROM users WHERE users.user_id = scr3.user_id)""".stripMargin)
+    assert(rows(s.sql("SELECT order_id, price FROM scr3 ORDER BY order_id")) ==
+      Seq(Seq(1L, 82.0), Seq(2L, 82.0), Seq(3L, null)))
+    // SET subquery + WHERE subquery combine; arithmetic around the sub
+    s.sql("""UPDATE scr3 SET price = 1 + (SELECT min(price) FROM scr3 WHERE price > 0)
+      |WHERE user_id IN (SELECT user_id FROM users WHERE interests == "fishing")""".stripMargin)
+    assert(rows(s.sql("SELECT order_id, price FROM scr3 ORDER BY order_id")) ==
+      Seq(Seq(1L, 83.0), Seq(2L, 83.0), Seq(3L, null)))
+    s.sql("DROP TABLE scr3")
+  }
+
   test("insert-select, upsert-set, explain") {
     session.sql("CREATE TABLE t2 AS SELECT user_id, referral_count FROM users WHERE referral_count > 50")
     session.sql("INSERT INTO t2 (user_id, referral_count) SELECT user_id, item_count FROM orders WHERE order_id = 1")

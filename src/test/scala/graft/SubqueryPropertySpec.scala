@@ -141,4 +141,58 @@ class SubqueryPropertySpec extends AnyFunSuite {
     }
     check(prop, "IN / EXISTS shapes", n = 15)
   }
+
+  test("boolean-position subqueries (projected / under OR) vs brute-force ANSI") {
+    // the r12 expression-position lowering must agree with nested-loop
+    // 3VL exactly — including the PROJECTED verdict (TRUE/FALSE/NULL
+    // land in the output, not just in a filter) and OR-disjuncts where
+    // UNKNOWN must not be rescued into TRUE
+    def bools(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Boolean]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    def or3(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      if (a.contains(true) || b.contains(true)) Some(true)
+      else if (a.isEmpty || b.isEmpty) None
+      else Some(false)
+    val prop = Prop.forAll(rowsGen, rowsGen, Gen.choose(-1, 2)) { (o, u, bar) =>
+      val gs = session(o, u)
+      // projected correlated IN: the 3VL verdict is the output value
+      val pin = bools(gs.sql(
+        "SELECT id, v IN (SELECT v FROM pu WHERE pu.k = pt.k) AS m FROM pt"))
+      val pinExp = o.map { case (id, k, x) =>
+        id -> quant3("=", "ANY", x, slice(u, k).map(_._3)) }.toMap
+      // projected uncorrelated NOT IN
+      val pnin = bools(gs.sql(
+        "SELECT id, v NOT IN (SELECT v FROM pu) AS m FROM pt"))
+      val pninExp = o.map { case (id, _, x) =>
+        id -> quant3("!=", "ALL", x, u.map(_._3)) }.toMap
+      // projected correlated EXISTS (two-valued by definition)
+      val pex = bools(gs.sql(
+        "SELECT id, EXISTS (SELECT 1 FROM pu WHERE pu.k = pt.k) AS m FROM pt"))
+      val pexExp = o.map { case (id, k, _) =>
+        id -> Some(slice(u, k).nonEmpty) }.toMap
+      // IN under OR in WHERE: UNKNOWN OR FALSE stays UNKNOWN → drop
+      val orIds = ids(gs.sql(
+        s"SELECT id FROM pt WHERE v IN (SELECT v FROM pu WHERE pu.k = pt.k) OR v > $bar"))
+      val orExp = o.collect { case (id, k, x)
+        if or3(quant3("=", "ANY", x, slice(u, k).map(_._3)),
+               cmp3(">", x, Some(bar))).contains(true) => id }
+      // NOT IN under OR (uncorrelated)
+      val norIds = ids(gs.sql(
+        s"SELECT id FROM pt WHERE v NOT IN (SELECT v FROM pu) OR v > $bar"))
+      val norExp = o.collect { case (id, _, x)
+        if or3(quant3("!=", "ALL", x, u.map(_._3)),
+               cmp3(">", x, Some(bar))).contains(true) => id }
+      val checks = Seq[(String, Any, Any)](
+        ("projected IN", pin, pinExp), ("projected NOT IN", pnin, pninExp),
+        ("projected EXISTS", pex, pexExp),
+        ("IN under OR", orIds, orExp), ("NOT IN under OR", norIds, norExp))
+      checks.forall { case (name, got, want) =>
+        val same = got == want
+        if (!same) println(s"MISMATCH $name\n outer=$o\n inner=$u\n engine=$got expected=$want")
+        same
+      }
+    }
+    check(prop, "boolean-position subqueries", n = 15)
+  }
 }
