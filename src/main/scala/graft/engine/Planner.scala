@@ -1021,14 +1021,16 @@ final class Planner(catalog: String => DataFrame,
         if (lat) e
         else throw BuildException(
           "EXISTS (SELECT …) is supported in WHERE/HAVING and the SELECT list only")
-      case s: SubqueryNode => resolveSub(s, lat)
-      // a quantified comparison outside WHERE would otherwise reach the
-      // scalar substitution and die with a misleading "more than one
-      // row" — name the actual restriction instead
-      case BinaryNode(opq, _, _: SubqueryNode, _)
+      // quantified comparisons in the SELECT list pass through like
+      // the other boolean shapes (attachExprSubqueries builds the
+      // 3VL-exact verdict column); elsewhere the restriction is named
+      // instead of a misleading "more than one row"
+      case b @ BinaryNode(opq, l, s: SubqueryNode, neg)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
-        throw BuildException("quantified (ANY/ALL) subqueries are " +
-          "supported as top-level WHERE/HAVING conjuncts only")
+        if (lat) BinaryNode(opq, subst(l, lat), s, neg)
+        else throw BuildException("quantified (ANY/ALL) subqueries are " +
+          "supported in WHERE/HAVING and the SELECT list only")
+      case s: SubqueryNode => resolveSub(s, lat)
       case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l, lat), subst(r, lat), neg)
       case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst(_, lat)), neg)
       case UnaryNode(op, c) => UnaryNode(op, subst(c, lat))
@@ -1642,6 +1644,90 @@ final class Planner(catalog: String => DataFrame,
       IdentityNode(Seq(h))
     }
 
+    /** Quantified comparison as a VALUE — unlike the WHERE-conjunct
+      * guard predicates (which may collapse UNKNOWN→FALSE because both
+      * drop under a filter), the projected verdict must be exactly
+      * ANSI 3VL. Same bounded min/max/count/rowcount aggregate; the
+      * verdict CASE reads: decided-by-extremum first, then the NULL
+      * sources (NULL x, NULLs in the set), then the clean default.
+      * `= ANY` and `<> ALL` ARE the membership tests and route to the
+      * IN lowering, which already carries 3VL. */
+    def attachQuant(op: String, quant: String, x: Node,
+        sub: SubqueryNode): Node = {
+      val innerSel = parseSub(sub)
+      val innerPlanner = new Planner(catalog, vars, includer)
+      val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+      if (innerSel.columns.size != 1)
+        throw BuildException("quantified subquery must select exactly one column")
+      val h = fresh("q"); val vn = fresh("v")
+      val mn = fresh("mn"); val mx = fresh("mx")
+      val cnt = fresh("c"); val acnt = fresh("a")
+      if (c.keys.isEmpty) {
+        val vals = innerPlanner.plan(innerSel).toDF(vn)
+        val aggd = vals.agg(min(col(vn)).as(mn), max(col(vn)).as(mx),
+          count(col(vn)).as(cnt), count(lit(1)).as(acnt))
+        df = df.crossJoin(broadcast(aggd))
+      } else {
+        if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+          throw BuildException("correlated quantified (ANY/ALL) " +
+            "subquery with GROUP BY/HAVING is not supported")
+        val valueCol = SelectColumn(innerSel.columns.head.expr, Some(vn), None)
+        val kCols = c.keys.map(_._1).distinct.map(f =>
+          SelectColumn(IdentityNode(Seq(f)), Some(s"${vn}_$f"), None))
+        val vals = innerPlanner.plan(innerSel.copy(
+          columns = valueCol +: kCols, distinct = false,
+          where = c.innerWhere, orderBy = Nil, limit = None,
+          offset = None, qualify = None))
+        val corrFields = c.keys.map(_._1).distinct
+        val aggd = vals.groupBy(corrFields.map(f => col(s"${vn}_$f")): _*)
+          .agg(min(col(vn)).as(mn), max(col(vn)).as(mx),
+            count(col(vn)).as(cnt), count(lit(1)).as(acnt))
+        val outerCtx = mkCtx(df)
+        val cond = c.keys.map { case (f, o) =>
+          outerCol(o, df, outerCtx) === aggd(s"${vn}_$f") }.reduce(_ && _)
+        df = df.join(aggd, cond, "left")
+          .withColumn(cnt, coalesce(col(cnt), lit(0L)))
+          .withColumn(acnt, coalesce(col(acnt), lit(0L)))
+          .drop(corrFields.map(f => s"${vn}_$f"): _*)
+      }
+      val qctx = mkCtx(df)
+      val xc = ColumnBuilder.build(x, qctx)
+      def cmpc(o: String, rc: String) = ColumnBuilder.build(
+        BinaryNode(o, x, IdentityNode(Seq(rc))), qctx).cast("boolean")
+      val nullB = lit(null).cast("boolean")
+      val verdict = (op, quant) match {
+        case (">" | ">=" | "<" | "<=", "ANY") =>
+          val ext = if (op.startsWith(">")) mn else mx
+          when(col(acnt) === 0, lit(false))
+            .when(cmpc(op, ext) === true, lit(true))
+            .when(xc.isNull || col(cnt) < col(acnt), nullB)
+            .otherwise(lit(false))
+        case (">" | ">=" | "<" | "<=", "ALL") =>
+          val ext = if (op.startsWith(">")) mx else mn
+          when(col(acnt) === 0, lit(true))
+            .when(cmpc(op, ext) === false, lit(false))
+            .when(xc.isNull || col(cnt) < col(acnt), nullB)
+            .otherwise(lit(true))
+        case ("=" | "==", "ALL") =>
+          when(col(acnt) === 0, lit(true))
+            .when(xc.isNull || col(cnt) === 0, nullB)
+            .when(col(mn) =!= col(mx) || (cmpc("=", mn) === false), lit(false))
+            .when(col(cnt) < col(acnt), nullB)
+            .otherwise(lit(true))
+        case ("!=" | "<>", "ANY") =>
+          when(col(acnt) === 0, lit(false))
+            .when(xc.isNull || col(cnt) === 0, nullB)
+            .when(col(mn) =!= col(mx) || (cmpc("!=", mn) === true), lit(true))
+            .when(col(cnt) < col(acnt), nullB)
+            .otherwise(lit(false))
+        case other =>
+          throw BuildException(s"unsupported quantified comparison $other")
+      }
+      df = df.withColumn(h, verdict).drop(mn, mx, cnt, acnt)
+      hidden += h
+      IdentityNode(Seq(h))
+    }
+
     def attachScalar(sub: SubqueryNode): Node = {
       val innerSel = parseSub(sub)
       val sc = fresh("sc")
@@ -1679,10 +1765,15 @@ final class Planner(catalog: String => DataFrame,
       case UnaryNode("EXISTS", s: SubqueryNode) => attachExists(s, neg = false)
       case UnaryNode("NOT" | "!", UnaryNode("EXISTS", s: SubqueryNode)) =>
         attachExists(s, neg = true)
-      case BinaryNode(opq, _, _: SubqueryNode, _)
+      case BinaryNode(opq, x, s: SubqueryNode, false)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
-        throw BuildException("quantified (ANY/ALL) subqueries are " +
-          "supported as top-level WHERE/HAVING conjuncts only")
+        val Array(op, quant) = opq.split(' ')
+        (op, quant) match {
+          // the membership shapes ARE the IN lowering (3VL-exact there)
+          case ("=" | "==", "ANY") => attachIn(walk(x), s, neg = false)
+          case ("!=" | "<>", "ALL") => attachIn(walk(x), s, neg = true)
+          case _ => attachQuant(op, quant, walk(x), s)
+        }
       case s: SubqueryNode => attachScalar(s)
       case BinaryNode(op, l, r, neg) => BinaryNode(op, walk(l), walk(r), neg)
       case BooleanNode(op, args, neg) => BooleanNode(op, args.map(walk), neg)

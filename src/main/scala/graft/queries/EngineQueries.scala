@@ -534,6 +534,21 @@ object EngineQueries {
              |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): quantified ANY/ALL as PROJECTED 3VL values — the
+    // correlated ALL reads one per-key extremum aggregate; the
+    // uncorrelated ANY carries NULLs in the set, so the undecided rows
+    // verdict NULL (never FALSE), exactly as DuckDB's native form
+    "ql_select_quant" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey,
+          |  o_totalprice > ALL (SELECT c_acctbal * 40 FROM customer WHERE c_custkey = o_custkey) AS beats_all,
+          |  o_totalprice < ANY (SELECT CASE WHEN c_acctbal > 5000 THEN c_acctbal * 100 END FROM customer) AS under_some
+          |FROM orders ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey,
+             |  o_totalprice > ALL (SELECT c_acctbal * 40 FROM customer WHERE c_custkey = o_custkey) AS beats_all,
+             |  o_totalprice < ANY (SELECT CASE WHEN c_acctbal > 5000 THEN c_acctbal * 100 END FROM customer) AS under_some
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // engine (r12): subqueries under OR in WHERE — disjunctive
     // membership/existence cannot be a semi join, so each side attaches
     // as a hidden boolean column and the OR filters as a plain predicate

@@ -458,12 +458,29 @@ class EngineSpec extends AnyFunSuite {
       """SELECT order_id FROM orders
         |WHERE price >= ALL (SELECT CASE WHEN user_id == "none" THEN 1.0 END FROM users)""".stripMargin,
       Seq.empty)
-    // outside WHERE the restriction is named, not a misleading
-    // "returned more than one row"
+    // quantified comparisons PROJECT as 3VL values too (r12): prices
+    // are 22.5, 37.5, 22.5 — only the max fails `> ANY`
+    testSelect(
+      """SELECT order_id, price > ANY (SELECT price FROM orders) AS q
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, false), Seq(2L, true), Seq(3L, false)))
+    // `>= ALL` projected: only the max passes
+    testSelect(
+      """SELECT order_id, price >= ALL (SELECT price FROM orders) AS q
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, false), Seq(2L, true), Seq(3L, false)))
+    // a NULL in the set turns a no-decision verdict UNKNOWN: x > ALL
+    // {nulls} is NULL unless the extremum already decides FALSE
+    testSelect(
+      """SELECT order_id, price > ALL (SELECT referral_count FROM users WHERE interests IS NULL) AS q,
+        |  price <= ALL (SELECT CASE WHEN referral_count > 50 THEN referral_count END FROM users) AS r
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, true, null), Seq(2L, true, null), Seq(3L, true, null)))
+    // in ORDER BY (no frame to attach to) the restriction is named
     val e = intercept[Exception](session.sql(
-      "SELECT price > ANY (SELECT price FROM orders) AS q FROM orders").collect())
+      "SELECT order_id FROM orders ORDER BY price > ANY (SELECT price FROM orders)").collect())
     assert(e.getMessage.contains(
-      "supported as top-level WHERE/HAVING conjuncts only"), e.getMessage)
+      "supported in WHERE/HAVING and the SELECT list only"), e.getMessage)
   }
 
   test("subquery edges (review findings r12)") {

@@ -195,4 +195,30 @@ class SubqueryPropertySpec extends AnyFunSuite {
     }
     check(prop, "boolean-position subqueries", n = 15)
   }
+
+  test("projected quantified ANY/ALL verdicts vs brute-force ANSI 3VL") {
+    // the quantified VALUE lowering must give the exact 3VL verdict —
+    // the WHERE-conjunct guards may collapse UNKNOWN→FALSE (both drop
+    // under a filter), but a projected verdict may not
+    def bools(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Boolean]] =
+      df.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    val ops = Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
+    val quants = Gen.oneOf("ANY", "ALL")
+    val corr = Gen.oneOf(true, false)
+    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr) { (o, u, op, q, isCorr) =>
+      val gs = session(o, u)
+      val sql =
+        if (isCorr)
+          s"SELECT id, v $op $q (SELECT v FROM pu WHERE pu.k = pt.k) AS m FROM pt"
+        else s"SELECT id, v $op $q (SELECT v FROM pu) AS m FROM pt"
+      val got = bools(gs.sql(sql))
+      val want = o.map { case (id, k, x) =>
+        id -> quant3(op, q, x, (if (isCorr) slice(u, k) else u).map(_._3)) }.toMap
+      val same = got == want
+      if (!same) println(s"MISMATCH $sql\n outer=$o\n inner=$u\n engine=$got expected=$want")
+      same
+    }
+    check(prop, "projected quantified", n = 40)
+  }
 }
