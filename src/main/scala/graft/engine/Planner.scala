@@ -253,10 +253,15 @@ final class Planner(catalog: String => DataFrame,
         // DISTINCT + ORDER BY whose keys are NOT in the select list:
         // carry each missing key as a hidden column, dedupe on the
         // selected columns only, sort, then drop the hidden keys
-        // (r3 verdict #6 — the old rebuild-after-distinct failed analysis)
-        if (hasWindow && !cols.exists(c => containsWindow(c.expr)))
-          throw BuildException(
-            "window expressions in ORDER BY cannot combine with SELECT DISTINCT")
+        // (r3 verdict #6 — the old rebuild-after-distinct failed
+        // analysis). WINDOW keys ride the same carry: the window
+        // evaluates over the PRE-distinct rows — DuckDB's observable
+        // semantics (its ORDER BY windows may reference non-selected
+        // columns, impossible post-distinct) — and dropDuplicates
+        // keeps an arbitrary survivor per group, so a replayable
+        // ordering needs the window constant per distinct tuple (e.g.
+        // an extremum PARTITIONed BY the selected keys), exactly as in
+        // DuckDB (r12; the refusal this replaces was dead4f9).
         val ctxPre = mkCtx(out)
         def selectedName(n: Node): Option[String] =
           cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)

@@ -92,7 +92,13 @@ object ColumnBuilder {
     case t: TriNode => throw BuildException(s"unsupported ternary op ${t.op}")
     case FuncNode(name, args) => FuncRegistry.build(name, args, ctx)
     case s: SubqueryNode =>
-      throw BuildException("subquery expressions are only supported as `x IN (SELECT …)` in WHERE")
+      // every supported position lowers subqueries BEFORE column
+      // building (split conjuncts, literal substitution, or the
+      // hidden-column attach) — reaching here means an unsupported
+      // position like a GROUP BY key
+      throw BuildException(
+        "subquery expressions are supported in WHERE/HAVING, the SELECT " +
+          "list, and UPDATE SET — not in this position")
     case IncludeNode(name, neg) =>
       // depth-capped like the driver-side inliner (reference
       // expr/include.go:14-15 maxIncludeDepth/ErrMaxDepth ≙): a cyclic

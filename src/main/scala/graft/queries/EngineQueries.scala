@@ -534,6 +534,17 @@ object EngineQueries {
              |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): SELECT DISTINCT ordered by an inline WINDOW — the
+    // window evaluates over the pre-distinct rows as a hidden carry
+    // (DuckDB's semantics; replayable because the extremum is constant
+    // per selected key)
+    "ql_distinct_window_order" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT DISTINCT l_returnflag FROM lineitem
+          |ORDER BY max(l_quantity) OVER (PARTITION BY l_returnflag) DESC, l_returnflag""".stripMargin),
+      Some("""SELECT DISTINCT l_returnflag FROM lineitem
+             |ORDER BY max(l_quantity) OVER (PARTITION BY l_returnflag) DESC, l_returnflag""".stripMargin)),
+
     // engine (r12): quantified ANY/ALL as PROJECTED 3VL values — the
     // correlated ALL reads one per-key extremum aggregate; the
     // uncorrelated ANY carries NULLs in the set, so the undecided rows

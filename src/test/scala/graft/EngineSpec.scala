@@ -712,11 +712,17 @@ class EngineSpec extends AnyFunSuite {
     testSelect(
       "SELECT order_id FROM orders WHERE price IS NOT DISTINCT FROM \"22.5\" ORDER BY order_id",
       Seq(Seq(1L), Seq(3L)))
-    // inline ORDER BY windows + DISTINCT refuses loudly (a raw
-    // Sort(Window) under dropDuplicates is an analyzer crash otherwise)
-    val dw = intercept[Exception](session.sql(
-      "SELECT DISTINCT user_id FROM orders ORDER BY row_number() OVER (ORDER BY price)").collect())
-    assert(dw.getMessage.contains("cannot combine with SELECT DISTINCT"), dw.getMessage)
+    // inline ORDER BY windows + DISTINCT (r12, DuckDB semantics): the
+    // window evaluates over the PRE-distinct rows as a hidden carry —
+    // a per-selected-key extremum gives a deterministic replay
+    testSelect(
+      """SELECT DISTINCT user_id FROM orders
+        |ORDER BY max(price) OVER (PARTITION BY user_id) DESC""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("abcabcabc")))
+    testSelect(
+      """SELECT DISTINCT user_id FROM orders
+        |ORDER BY sum(price) OVER (PARTITION BY user_id) ASC, user_id""".stripMargin,
+      Seq(Seq("abcabcabc"), Seq("9Ip1aKbeZe2njCDM")))
     // TABLESAMPLE over a VALUES source prints and re-parses
     val printed = graft.rel.SqlWriter.toSql(graft.rel.SqlParser.parse(
       "SELECT a FROM (VALUES (1), (2)) AS t(a) TABLESAMPLE (100 PERCENT) ON (a)"))

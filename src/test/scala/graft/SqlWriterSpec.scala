@@ -69,7 +69,12 @@ class SqlWriterSpec extends AnyFunSuite {
       // string values with backslashes and embedded quotes
       """SELECT a FROM t WHERE x = "ab\\" OR y = "c""d"""",
       // string literals and quoted identities inside IN (SELECT ...)
-      """SELECT a FROM t WHERE x IN (SELECT y FROM u WHERE n = "bob" AND `weird col` > 1)""")) {
+      """SELECT a FROM t WHERE x IN (SELECT y FROM u WHERE n = "bob" AND `weird col` > 1)""",
+      // value-position subqueries (r12): projected EXISTS / IN /
+      // quantified, OR-disjunct membership, arithmetic around scalars
+      """SELECT a, EXISTS (SELECT 1 FROM u WHERE u.k = t.k) AS e, x IN (SELECT y FROM u) AS m FROM t""",
+      """SELECT a FROM t WHERE x IN (SELECT y FROM u) OR EXISTS (SELECT 1 FROM u WHERE u.k = t.k)""",
+      """SELECT a, x > ANY (SELECT y FROM u) AS q FROM t WHERE p > 2 * (SELECT avg(y) FROM u)""")) {
       val ast1 = SqlParser.parse(s)
       val printed = SqlWriter.toSql(ast1)
       val ast2 = SqlParser.parse(printed)
