@@ -1285,6 +1285,26 @@ final class Planner(catalog: String => DataFrame,
         val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
         if (innerSel.columns.size != 1)
           throw BuildException("quantified subquery must select exactly one column")
+        // CORRELATED bare-aggregate subquery (no GROUP BY/HAVING): ANSI
+        // gives EVERY outer row exactly one aggregate row — even an
+        // empty slice (count→0, max/min/sum→NULL) — so ANY/ALL over the
+        // singleton set IS the scalar comparison. Route through the
+        // aggregate LATERAL, whose empty-group completion encodes
+        // exactly that; the generic grouped lowering below would wrongly
+        // verdict empty slices via the empty-SET rules (ALL→TRUE)
+        // instead of comparing against the completed row (r12).
+        if (corr.keys.nonEmpty && innerSel.groupBy.isEmpty &&
+            innerSel.having.isEmpty &&
+            containsAgg(innerSel.columns.head.expr)) {
+          val sc = s"__q1_$i"
+          val aliased = innerSel.copy(columns =
+            Seq(innerSel.columns.head.copy(alias = Some(sc))))
+          df = planLateral(df, sel,
+            SubquerySource(aliased, s"__q1t_$i", lateral = true))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(op, left, IdentityNode(Seq(sc))), mkCtx(df))
+          df = df.filter(coalesce(cmp.cast("boolean"), lit(false))).drop(sc)
+        } else {
         val vName = s"__qv_$i"
         val mn = s"__qmin_$i"; val mx = s"__qmax_$i"
         val cnt = s"__qcnt_$i"; val acnt = s"__qacnt_$i"
@@ -1304,17 +1324,27 @@ final class Planner(catalog: String => DataFrame,
           else {
             // CORRELATED: same aggregate-LATERAL shape as correlated
             // scalar/IN — per-correlation-key bounded aggregate LEFT-
-            // joined on the equality conjuncts; never a per-row rescan
-            if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
-              throw BuildException("correlated quantified (ANY/ALL) " +
-                "subquery with GROUP BY/HAVING is not supported")
+            // joined on the equality conjuncts; never a per-row rescan.
+            // GROUP BY / HAVING / aggregate-valued inners (r12) append
+            // the correlation keys to the grouping, exactly like
+            // grouped correlated IN: the quantifier then ranges over
+            // the per-(group × slice) aggregate rows ANSI prescribes
+            // (same documented count-over-empty-slice edge as IN)
             val valueCol =
               SelectColumn(innerSel.columns.head.expr, Some(vName), None)
             val kCols = corrFields.map(f =>
               SelectColumn(IdentityNode(Seq(f)), Some(s"__qk${i}_$f"), None))
+            val grouped = innerSel.groupBy.nonEmpty ||
+              innerSel.having.nonEmpty ||
+              containsAgg(innerSel.columns.head.expr)
+            val newGroupBy = if (grouped)
+              (innerSel.groupBy ++
+                corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct
+            else innerSel.groupBy
             innerPlanner.plan(innerSel.copy(
               columns = valueCol +: kCols, distinct = false,
-              where = corr.innerWhere, orderBy = Nil, limit = None,
+              where = corr.innerWhere, groupBy = newGroupBy,
+              orderBy = Nil, limit = None,
               offset = None, qualify = None))
           }
         val v = col(vName)
@@ -1392,6 +1422,7 @@ final class Planner(catalog: String => DataFrame,
         } else
           df = df.filter(coalesce(pred, lit(false)))
             .drop(mn +: mx +: cnt +: acnt +: qkCols: _*)
+        }
       }
       // EXISTS / NOT EXISTS subqueries. Correlated equality conjuncts
       // (`inner.col = outer.col`) plan as a left_semi/left_anti join —
@@ -1553,6 +1584,25 @@ final class Planner(catalog: String => DataFrame,
           .otherwise(lit(false))
         df = df.withColumn(h, if (neg) !base else base)
           .drop(kn, mk, cnt, acnt)
+      } else if (innerSel.groupBy.isEmpty && innerSel.having.isEmpty &&
+          containsAgg(innerSel.columns.head.expr)) {
+        // correlated BARE-AGGREGATE: ANSI's set is a SINGLETON even
+        // for an empty slice (max→NULL, count→0) — membership over a
+        // singleton IS the scalar comparison (x = w / x <> w, 3VL),
+        // via the LATERAL's empty-group completion. The generic path
+        // below would wrongly verdict empty slices FALSE/TRUE via the
+        // empty-SET rules instead of comparing against the completed
+        // row (count-valued inners included: x IN (SELECT count(*) …)
+        // matches x = 0 on an empty slice, the classic COUNT edge)
+        val sc = fresh("in1")
+        val aliased = innerSel.copy(columns =
+          Seq(innerSel.columns.head.copy(alias = Some(sc))))
+        df = planLateral(df, sel,
+          SubquerySource(aliased, fresh("in1t"), lateral = true))
+        val verdict = ColumnBuilder.build(
+          BinaryNode(if (neg) "!=" else "=", x, IdentityNode(Seq(sc))),
+          mkCtx(df)).cast("boolean")
+        df = df.withColumn(h, verdict).drop(sc)
       } else {
         // correlated: per-correlation-key counts LEFT-joined back
         // (empty slice → 0 → FALSE, and a NULL outer key never
@@ -1667,21 +1717,44 @@ final class Planner(catalog: String => DataFrame,
       val h = fresh("q"); val vn = fresh("v")
       val mn = fresh("mn"); val mx = fresh("mx")
       val cnt = fresh("c"); val acnt = fresh("a")
+      // correlated bare-aggregate: a singleton set per outer row (ANSI
+      // completes empty slices to count→0/NULL) — the verdict IS the
+      // scalar comparison, via the LATERAL's empty-group completion
+      if (c.keys.nonEmpty && innerSel.groupBy.isEmpty &&
+          innerSel.having.isEmpty &&
+          containsAgg(innerSel.columns.head.expr)) {
+        val sc = fresh("q1")
+        val aliased = innerSel.copy(columns =
+          Seq(innerSel.columns.head.copy(alias = Some(sc))))
+        df = planLateral(df, sel,
+          SubquerySource(aliased, fresh("q1t"), lateral = true))
+        val verdict = ColumnBuilder.build(
+          BinaryNode(op, x, IdentityNode(Seq(sc))), mkCtx(df)).cast("boolean")
+        df = df.withColumn(h, verdict).drop(sc)
+        hidden += h
+        return IdentityNode(Seq(h))
+      }
       if (c.keys.isEmpty) {
         val vals = innerPlanner.plan(innerSel).toDF(vn)
         val aggd = vals.agg(min(col(vn)).as(mn), max(col(vn)).as(mx),
           count(col(vn)).as(cnt), count(lit(1)).as(acnt))
         df = df.crossJoin(broadcast(aggd))
       } else {
-        if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
-          throw BuildException("correlated quantified (ANY/ALL) " +
-            "subquery with GROUP BY/HAVING is not supported")
         val valueCol = SelectColumn(innerSel.columns.head.expr, Some(vn), None)
         val kCols = c.keys.map(_._1).distinct.map(f =>
           SelectColumn(IdentityNode(Seq(f)), Some(s"${vn}_$f"), None))
+        // grouped/aggregate-valued inners append the correlation keys
+        // to the grouping (grouped-correlated-IN lowering, r12)
+        val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
+          containsAgg(innerSel.columns.head.expr)
+        val newGroupBy = if (grouped)
+          (innerSel.groupBy ++
+            c.keys.map(_._1).distinct.map(f => IdentityNode(Seq(f)): Node)).distinct
+        else innerSel.groupBy
         val vals = innerPlanner.plan(innerSel.copy(
           columns = valueCol +: kCols, distinct = false,
-          where = c.innerWhere, orderBy = Nil, limit = None,
+          where = c.innerWhere, groupBy = newGroupBy,
+          orderBy = Nil, limit = None,
           offset = None, qualify = None))
         val corrFields = c.keys.map(_._1).distinct
         val aggd = vals.groupBy(corrFields.map(f => col(s"${vn}_$f")): _*)

@@ -534,6 +534,34 @@ object EngineQueries {
              |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): correlated quantified over a GROUPED subquery —
+    // correlation keys append to the grouping, the quantifier ranges
+    // over the per-(group × slice) aggregate rows; slices whose groups
+    // all fail HAVING give the ANSI empty-set verdict (ALL → TRUE)
+    "ql_quant_corr_grouped" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey FROM orders o
+          |WHERE o_totalprice / 100 > ALL (SELECT max(l_quantity) FROM lineitem
+          |  WHERE l_orderkey = o.o_orderkey GROUP BY l_linenumber % 2 HAVING count(*) >= 2)
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey FROM orders o
+             |WHERE o_totalprice / 100 > ALL (SELECT max(l_quantity) FROM lineitem
+             |  WHERE l_orderkey = o.o_orderkey GROUP BY l_linenumber % 2 HAVING count(*) >= 2)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r12): correlated quantified over a BARE AGGREGATE — ANSI
+    // gives every outer row a SINGLETON set (empty slice → [NULL]), so
+    // the lowering is the scalar comparison through the aggregate
+    // LATERAL: customers with no orders verdict UNKNOWN and drop
+    "ql_quant_corr_agg" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE c_acctbal > ALL (SELECT max(o_totalprice) / 100 FROM orders WHERE o_custkey = c.c_custkey)
+          |ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE c_acctbal > ALL (SELECT max(o_totalprice) / 100 FROM orders WHERE o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // engine (r12): SELECT DISTINCT ordered by an inline WINDOW — the
     // window evaluates over the pre-distinct rows as a hidden carry
     // (DuckDB's semantics; replayable because the extremum is constant

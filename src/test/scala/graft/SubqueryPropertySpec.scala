@@ -80,25 +80,47 @@ class SubqueryPropertySpec extends AnyFunSuite {
     ok.map(o => inner.filter(_._2.contains(o))).getOrElse(Nil)
 
   test("correlated AND uncorrelated quantified ANY/ALL vs brute-force ANSI") {
+    // shape "plain": the raw values; "agg": a bare max(v) — ANSI gives
+    // EVERY (outer row ×) evaluation exactly ONE aggregate row, even an
+    // empty slice (max→NULL), so the set is a singleton; "grouped":
+    // max(v) GROUP BY id % 2 — per-group rows, empty slice → EMPTY set
+    def maxOpt(rows: Tbl): Option[Int] = {
+      val vs = rows.flatMap(_._3)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+    def theSet(shape: String, rows: Tbl, isCorr: Boolean): Seq[Option[Int]] =
+      shape match {
+        case "plain" => rows.map(_._3)
+        case "agg" => Seq(maxOpt(rows)) // singleton, even when rows empty
+        case "grouped" =>
+          if (rows.isEmpty && isCorr) Nil
+          else if (rows.isEmpty) Nil
+          else rows.groupBy(_._1 % 2).values.map(maxOpt).toSeq
+      }
     val ops = Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
     val quants = Gen.oneOf("ANY", "ALL")
     val corr = Gen.oneOf(true, false)
-    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr) { (o, u, op, q, isCorr) =>
+    val shapes = Gen.oneOf("plain", "agg", "grouped")
+    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr, shapes) {
+      (o, u, op, q, isCorr, shape) =>
       val gs = session(o, u)
-      val engOp = if (op == "!=") "!=" else op
-      val sql =
-        if (isCorr)
-          s"SELECT id FROM pt WHERE v $engOp $q (SELECT v FROM pu WHERE pu.k = pt.k)"
-        else s"SELECT id FROM pt WHERE v $engOp $q (SELECT v FROM pu)"
+      val sel = shape match {
+        case "plain" => "SELECT v FROM pu"
+        case "agg" => "SELECT max(v) FROM pu"
+        case "grouped" => "SELECT max(v) FROM pu"
+      }
+      val whereC = if (isCorr) " WHERE pu.k = pt.k" else ""
+      val groupC = if (shape == "grouped") " GROUP BY id % 2" else ""
+      val sql = s"SELECT id FROM pt WHERE v $op $q ($sel$whereC$groupC)"
       val engine = ids(gs.sql(sql))
       val expected = o.collect { case (id, k, x)
         if quant3(op, q, x,
-          (if (isCorr) slice(u, k) else u).map(_._3)).contains(true) => id }
+          theSet(shape, if (isCorr) slice(u, k) else u, isCorr)).contains(true) => id }
       val same = engine == expected
       if (!same) println(s"MISMATCH $sql\n outer=$o\n inner=$u\n engine=$engine expected=$expected")
       same
     }
-    check(prop, "quantified ANY/ALL", n = 40)
+    check(prop, "quantified ANY/ALL", n = 80)
   }
 
   test("correlated IN / aggregate-IN / grouped-EXISTS vs brute-force ANSI") {
@@ -203,22 +225,34 @@ class SubqueryPropertySpec extends AnyFunSuite {
     def bools(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Boolean]] =
       df.collect().map(r => r.getLong(0) ->
         (if (r.isNullAt(1)) None else Some(r.getBoolean(1)))).toMap
+    def maxOpt(rows: Tbl): Option[Int] = {
+      val vs = rows.flatMap(_._3)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+    def theSet(shape: String, rows: Tbl): Seq[Option[Int]] = shape match {
+      case "plain" => rows.map(_._3)
+      case "agg" => Seq(maxOpt(rows))
+      case "grouped" =>
+        if (rows.isEmpty) Nil else rows.groupBy(_._1 % 2).values.map(maxOpt).toSeq
+    }
     val ops = Gen.oneOf(">", ">=", "<", "<=", "=", "!=")
     val quants = Gen.oneOf("ANY", "ALL")
     val corr = Gen.oneOf(true, false)
-    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr) { (o, u, op, q, isCorr) =>
+    val shapes = Gen.oneOf("plain", "agg", "grouped")
+    val prop = Prop.forAll(rowsGen, rowsGen, ops, quants, corr, shapes) {
+      (o, u, op, q, isCorr, shape) =>
       val gs = session(o, u)
-      val sql =
-        if (isCorr)
-          s"SELECT id, v $op $q (SELECT v FROM pu WHERE pu.k = pt.k) AS m FROM pt"
-        else s"SELECT id, v $op $q (SELECT v FROM pu) AS m FROM pt"
+      val selPart = if (shape == "plain") "SELECT v FROM pu" else "SELECT max(v) FROM pu"
+      val whereC = if (isCorr) " WHERE pu.k = pt.k" else ""
+      val groupC = if (shape == "grouped") " GROUP BY id % 2" else ""
+      val sql = s"SELECT id, v $op $q ($selPart$whereC$groupC) AS m FROM pt"
       val got = bools(gs.sql(sql))
       val want = o.map { case (id, k, x) =>
-        id -> quant3(op, q, x, (if (isCorr) slice(u, k) else u).map(_._3)) }.toMap
+        id -> quant3(op, q, x, theSet(shape, if (isCorr) slice(u, k) else u)) }.toMap
       val same = got == want
       if (!same) println(s"MISMATCH $sql\n outer=$o\n inner=$u\n engine=$got expected=$want")
       same
     }
-    check(prop, "projected quantified", n = 40)
+    check(prop, "projected quantified", n = 80)
   }
 }
