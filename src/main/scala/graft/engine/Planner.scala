@@ -193,16 +193,27 @@ final class Planner(catalog: String => DataFrame,
       // RAW predicate: a QUALIFY that only references a select-window
       // ALIAS keeps the plain post-projection path (no second window
       // computation, and DISTINCT stays legal for it).
-      val qCol: Option[String] = sel.qualify.filter(containsWindow).map { raw =>
-        if (sel.distinct)
-          throw BuildException(
-            "QUALIFY with inline window functions cannot combine with SELECT DISTINCT")
+      val qColRaw: Option[String] = sel.qualify.filter(containsWindow).map { raw =>
         val q = resolveAliasDeep(raw, cols)
         out = out.withColumn("__qualify",
           ColumnBuilder.build(q, mkCtx(out))
             .cast(org.apache.spark.sql.types.BooleanType))
         "__qualify"
       }
+      // DISTINCT + inline-window QUALIFY (r12, DuckDB semantics): the
+      // window evaluates over the pre-distinct rows and QUALIFY
+      // filters BEFORE the dedup — so the hidden column is consumed
+      // right here instead of riding through the projection
+      var qualifyApplied = false
+      val qCol: Option[String] =
+        if (!sel.distinct) qColRaw
+        else {
+          qColRaw.foreach { nm =>
+            out = out.filter(coalesce(col(nm), lit(false))).drop(nm)
+            qualifyApplied = true
+          }
+          None
+        }
       val qCarry = qCol.toSeq.map(col)
       // windows anywhere that must survive a sort: in the select list,
       // or inline in ORDER BY (alias-resolved — an alias of a select
@@ -296,7 +307,8 @@ final class Planner(catalog: String => DataFrame,
           // the hoisted QUALIFY: a plain boolean column now — filter
           // (Catalyst pushes it below the sort), drop the hidden
           applyLimit(out.filter(coalesce(col(nm), lit(false))).drop(nm), sel)
-        case None => applyLimit(applyQualify(out, sel), sel)
+        case None =>
+          applyLimit(if (qualifyApplied) out else applyQualify(out, sel), sel)
       }
     } else {
       // ---- group by / aggregation (exec/groupby.go) -------------------

@@ -534,6 +534,18 @@ object EngineQueries {
              |    (SELECT CASE WHEN c_acctbal > 9000 THEN NULL ELSE c_custkey END FROM customer) AS uncovered
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // engine (r12): SELECT DISTINCT + inline-window QUALIFY — the
+    // window evaluates over the pre-distinct rows, QUALIFY filters,
+    // then the dedup (DuckDB's native QUALIFY order)
+    "ql_qualify_distinct" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT DISTINCT o_custkey FROM orders
+          |QUALIFY max(o_totalprice) OVER (PARTITION BY o_custkey) > 300000
+          |ORDER BY o_custkey""".stripMargin),
+      Some("""SELECT DISTINCT o_custkey FROM orders
+             |QUALIFY max(o_totalprice) OVER (PARTITION BY o_custkey) > 300000
+             |ORDER BY o_custkey""".stripMargin)),
+
     // engine (r12): correlated quantified over a GROUPED subquery —
     // correlation keys append to the grouping, the quantifier ranges
     // over the per-(group × slice) aggregate rows; slices whose groups

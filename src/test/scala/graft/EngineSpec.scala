@@ -841,10 +841,18 @@ class EngineSpec extends AnyFunSuite {
         |WINDOW w AS (PARTITION BY user_id ORDER BY price DESC, order_id)
         |QUALIFY row_number() OVER w == 1 ORDER BY user_id""".stripMargin,
       Seq(Seq("9Ip1aKbeZe2njCDM", 2L), Seq("abcabcabc", 3L)))
-    // DISTINCT + inline-window QUALIFY refuses loudly
-    val e = intercept[Exception](session.sql(
-      "SELECT DISTINCT user_id FROM orders QUALIFY row_number() OVER (ORDER BY user_id) == 1").collect())
-    assert(e.getMessage.contains("cannot combine with SELECT DISTINCT"), e.getMessage)
+    // DISTINCT + inline-window QUALIFY (r12, DuckDB semantics): the
+    // window evaluates pre-distinct, QUALIFY filters, THEN the dedup
+    testSelect(
+      """SELECT DISTINCT user_id FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY price) == 1
+        |ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM"), Seq("abcabcabc")))
+    // …and a filter that drops a whole partition pre-dedup
+    testSelect(
+      """SELECT DISTINCT user_id FROM orders
+        |QUALIFY sum(price) OVER (PARTITION BY user_id) > 30 ORDER BY user_id""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM")))
     // the AGGREGATE path hoists too (top-1 group by count), ORDER BY
     // re-established above the hoisted window
     testSelect(
