@@ -1,0 +1,276 @@
+#!/usr/bin/env python3
+"""Seeded randomized DIFFERENTIAL fuzz of the subquery/predicate grammar
+against DuckDB.
+
+Generates N random queries over the parity-safe idiom space (integer
+columns and extrema only — no cross-row float sums, no LIMIT), runs
+them through the engine via graft.SqlRun, then replays them in DuckDB
+through scripts/verify_local.py's bit-exact comparator.
+
+The grammar concentrates on exactly the machinery the curated oracle
+rows gate one shape at a time: correlated/uncorrelated IN / NOT IN /
+EXISTS / NOT EXISTS / quantified ANY-ALL / scalar subqueries — as
+top-level WHERE conjuncts, under OR, inside arithmetic, projected as
+3VL values, and in HAVING — with NULL injection on both operands.
+
+Quantified atoms hand DuckDB an ANSI-equivalent CASE/EXISTS
+FORMULATION instead of its native ANY/ALL: DuckDB 1.0.0's decorrelated
+quantified comparisons are wrong on two edges this fuzzer found on its
+first run (NULL = ANY over a slice containing NULL keeps the row — it
+NULL-matches; an empty slice with an extra inner conjunct verdicts
+NULL instead of FALSE for projected > ANY), confirmed against both the
+EXISTS rewrite in DuckDB itself and this engine's brute-force 3VL
+property gate. Differential hygiene also improves: the engine's direct
+lowering is checked against a structurally DIFFERENT formulation.
+
+Usage:
+  python3 scripts/fuzz_differential.py [sfDir] [N] [seed] [report]
+Defaults: /root/testdata/sf0.001, 300, 12, no report file.
+Exit 0 iff every generated query matches DuckDB.
+"""
+import random
+import subprocess
+import sys
+import os
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+SEED = int(sys.argv[3]) if len(sys.argv) > 3 else 12
+REPORT = sys.argv[4] if len(sys.argv) > 4 else None
+OUT = "/tmp/fuzz_differential_out"
+TSV = "/tmp/fuzz_differential_queries.tsv"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+rng = random.Random(SEED)
+
+# outer table -> (alias, key columns, [(inner table, correlation pred, inner int cols)])
+SCOPES = {
+    "orders": ("o", ["o_orderkey", "o_custkey"],
+               [("customer", "c_custkey = o.o_custkey", ["c_custkey", "c_nationkey"]),
+                ("lineitem", "l_orderkey = o.o_orderkey", ["l_quantity", "l_linenumber"])]),
+    "customer": ("c", ["c_custkey", "c_nationkey"],
+                 [("orders", "o_custkey = c.c_custkey", ["o_orderkey", "o_custkey"])]),
+    "lineitem": ("l", ["l_orderkey", "l_linenumber", "l_quantity"],
+                 [("orders", "o_orderkey = l.l_orderkey", ["o_orderkey", "o_custkey"])]),
+}
+OPS = ["=", "!=", "<", "<=", ">", ">="]
+
+
+def int_expr(col):
+    """An integer expression over col, sometimes NULL-injected."""
+    r = rng.random()
+    if r < 0.5:
+        return col
+    if r < 0.75:
+        return f"{col} % {rng.randint(2, 9)}"
+    return (f"(CASE WHEN {col} % {rng.randint(2, 7)} = 0 "
+            f"THEN NULL ELSE {col} END)")
+
+
+def inner_parts(inner, corr_pred, cols, correlated):
+    """The pieces of a subquery body, composable into the native form
+    and into the CASE/EXISTS oracle rewrite for quantified atoms."""
+    c = rng.choice(cols)
+    r = rng.random()
+    if r < 0.5:
+        item, is_agg = int_expr(c), False
+    elif r < 0.7:
+        item, is_agg = f"max({int_expr(c)})", True
+    elif r < 0.9:
+        item, is_agg = f"min({int_expr(c)})", True
+    else:
+        item, is_agg = "count(*)", True
+    conds = []
+    if correlated:
+        conds.append(corr_pred)
+    if rng.random() < 0.5:
+        conds.append(f"{int_expr(rng.choice(cols))} "
+                     f"{rng.choice(OPS)} {rng.randint(0, 40)}")
+    group = having = ""
+    if is_agg and item != "count(*)" and rng.random() < 0.35:
+        group = f"{rng.choice(cols)} % 2"
+        if rng.random() < 0.5:
+            having = f"count(*) >= {rng.randint(1, 3)}"
+    return dict(inner=inner, item=item, is_agg=is_agg, conds=conds,
+                group=group, having=having)
+
+
+def native_sub(p):
+    where = f" WHERE {' AND '.join(p['conds'])}" if p["conds"] else ""
+    g = f" GROUP BY {p['group']}" if p["group"] else ""
+    h = f" HAVING {p['having']}" if p["having"] else ""
+    return f"(SELECT {p['item']} FROM {p['inner']}{where}{g}{h})"
+
+
+def quant_pair(x, op, quant, p):
+    """(engine_text, oracle_text) for `x op ANY|ALL (sub)`: the engine
+    gets the native quantified form, the oracle an ANSI-exact
+    CASE/EXISTS rendering (see module docstring)."""
+    eng = f"{x} {op} {quant if quant != 'SOME' else rng.choice(['ANY', 'SOME'])} {native_sub(p)}"
+    where = f" WHERE {' AND '.join(p['conds'])}" if p["conds"] else ""
+
+    def ex(tv):
+        test = f"({x} {op} {p['item']}) IS {tv}"
+        if p["group"]:
+            h = f"{p['having']} AND {test}" if p["having"] else test
+            return (f"EXISTS (SELECT 1 FROM {p['inner']}{where} "
+                    f"GROUP BY {p['group']} HAVING {h})")
+        if p["is_agg"]:
+            return f"EXISTS (SELECT 1 FROM {p['inner']}{where} HAVING {test})"
+        conds = p["conds"] + [test]
+        return f"EXISTS (SELECT 1 FROM {p['inner']} WHERE {' AND '.join(conds)})"
+
+    if quant in ("ANY", "SOME"):
+        ora = (f"(CASE WHEN {ex('TRUE')} THEN TRUE "
+               f"WHEN {ex('NULL')} THEN NULL ELSE FALSE END)")
+    else:
+        ora = (f"(CASE WHEN {ex('FALSE')} THEN FALSE "
+               f"WHEN {ex('NULL')} THEN NULL ELSE TRUE END)")
+    return eng, ora
+
+
+def bool_atom(table, alias, keys):
+    """One boolean atom as an (engine_text, oracle_text) pair."""
+    inner, corr_pred, icols = rng.choice(SCOPES[table][2])
+    correlated = rng.random() < 0.6
+    x = int_expr(rng.choice(keys))
+    r = rng.random()
+    if r < 0.18:
+        s = f"{x} {rng.choice(OPS)} {rng.randint(0, 2000)}"
+        return s, s
+    if r < 0.42:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        p = inner_parts(inner, corr_pred, icols, correlated)
+        s = f"{x} {neg}IN " + native_sub(p)
+        return s, s
+    if r < 0.62:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        conds = [corr_pred] if correlated else []
+        if rng.random() < 0.5 or not conds:
+            conds.append(f"{rng.choice(icols)} {rng.choice(OPS)} {rng.randint(0, 40)}")
+        s = f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {' AND '.join(conds)})"
+        return s, s
+    if r < 0.85:
+        quant = rng.choice(["ANY", "ALL", "SOME"])
+        p = inner_parts(inner, corr_pred, icols, correlated)
+        return quant_pair(x, rng.choice(OPS), quant, p)
+    # scalar comparison, sometimes nested in arithmetic
+    p = inner_parts(inner, corr_pred, icols, correlated)
+    if not p["is_agg"]:
+        p["item"] = f"max({p['item']})"
+        p["is_agg"] = True
+    p["group"] = p["having"] = ""  # scalar: exactly one row
+    sub = native_sub(p)
+    if rng.random() < 0.4:
+        sub = f"{rng.randint(1, 5)} + {sub}"
+    s = f"{x} {rng.choice(OPS)} {sub}"
+    return s, s
+
+
+def combine(pairs, template):
+    return (template.format(*[p[0] for p in pairs]),
+            template.format(*[p[1] for p in pairs]))
+
+
+def predicate(table, alias, keys):
+    a = bool_atom(table, alias, keys)
+    r = rng.random()
+    if r < 0.45:
+        return a
+    b = bool_atom(table, alias, keys)
+    if r < 0.65:
+        return combine([a, b], "{0} AND {1}")
+    if r < 0.85:
+        return combine([a, b], "{0} OR {1}")
+    c = bool_atom(table, alias, keys)
+    return combine([a, b, c], "{0} AND ({1} OR {2})")
+
+
+def gen_query(i):
+    """Returns (engine_sql, oracle_sql)."""
+    table = rng.choice(list(SCOPES))
+    alias, keys, _ = SCOPES[table]
+    shape = rng.random()
+    if shape < 0.5:
+        # filter shape
+        proj = ", ".join(keys)
+        p = predicate(table, alias, keys)
+        return combine([p], f"SELECT {proj} FROM {table} {alias} WHERE {{0}}")
+    if shape < 0.75:
+        # projected 3VL values
+        cols = [bool_atom(table, alias, keys) for _ in range(rng.randint(1, 2))]
+        w = (f" WHERE {keys[0]} % {rng.randint(2, 5)} = 0"
+             if rng.random() < 0.4 else "")
+        tmpl = (f"SELECT {keys[0]}, "
+                + ", ".join(f"{{{j}}} AS b{j}" for j in range(len(cols)))
+                + f" FROM {table} {alias}{w}")
+        return combine(cols, tmpl)
+    # grouped shape with HAVING over the group key — the GROUP key must
+    # BE the correlation key (post-agg, only group keys exist to
+    # correlate on; anything else is invalid SQL in both engines)
+    inner, corr_pred, icols = rng.choice(SCOPES[table][2])
+    key = corr_pred.split(" = ")[1].replace(f"{alias}.", "")
+    # correlate on the BARE group key name (alias is stripped post-agg)
+    bare_corr = corr_pred.replace(f"{alias}.", "")
+    head = (f"SELECT {key}, count(*) AS n FROM {table} {alias} "
+            f"GROUP BY {key} HAVING ")
+    r = rng.random()
+    if r < 0.35:
+        p = inner_parts(inner, bare_corr, icols, rng.random() < 0.5)
+        s = f"{key} IN " + native_sub(p)
+        return head + s, head + s
+    if r < 0.6:
+        p = inner_parts(inner, bare_corr, icols, rng.random() < 0.5)
+        q = quant_pair(key, rng.choice(OPS), rng.choice(["ANY", "ALL"]), p)
+        c = f"count(*) >= {rng.randint(1, 3)} AND "
+        return head + c + q[0], head + c + q[1]
+    if r < 0.8:
+        item = rng.choice(["count(*)", f"max({rng.choice(icols)})"])
+        conds = [bare_corr] if rng.random() < 0.7 else []
+        if rng.random() < 0.5 or not conds:
+            conds.append(f"{rng.choice(icols)} {rng.choice(OPS)} {rng.randint(0, 40)}")
+        s = (f"count(*) >= {rng.randint(0, 2)} + "
+             f"(SELECT {item} FROM {inner} WHERE {' AND '.join(conds)})")
+        return head + s, head + s
+    s = (f"EXISTS (SELECT 1 FROM {inner} WHERE {bare_corr}) "
+         f"AND count(*) >= {rng.randint(1, 2)}")
+    return head + s, head + s
+
+
+def main():
+    queries = [(f"fz{i:04d}",) + gen_query(i) for i in range(N)]
+    with open(TSV, "w") as f:
+        for name, esql, osql in queries:
+            f.write(f"{name}\t{esql}\t{osql}\n")
+    subprocess.run(["rm", "-rf", OUT], check=True)
+    cp = f"{REPO}/target/scala-2.13/classes:/opt/spark/jars/*"
+    run = subprocess.run(
+        ["java", "-cp", cp, "graft.SqlRun", SF, TSV, OUT],
+        capture_output=True, text=True)
+    engine_fail = [l for l in run.stderr.splitlines() if "[sqlrun]" in l]
+    cmp = subprocess.run(
+        [sys.executable, f"{REPO}/scripts/verify_local.py", OUT, SF],
+        capture_output=True, text=True)
+    lines = cmp.stdout.splitlines()
+    fails = [l for l in lines if l.startswith("FAIL")]
+    summary = (f"fuzz_differential: seed={SEED} n={N} sf={SF} -> "
+               f"{N - len(fails)} match, {len(fails)} mismatch, "
+               f"{len(engine_fail)} engine errors")
+    print(summary)
+    byname = {n: (e, o) for n, e, o in queries}
+    for l in engine_fail[:10]:
+        print("  " + l)
+    for l in fails[:10]:
+        name = l.split()[1].rstrip(":")
+        e, o = byname.get(name, ("?", "?"))
+        print(f"  {l}\n    engine: {e}\n    oracle: {o}")
+    if REPORT:
+        with open(REPORT, "w") as f:
+            f.write(summary + "\n")
+            for l in engine_fail + fails:
+                f.write(l + "\n")
+    sys.exit(1 if (fails or engine_fail) else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for comparison
     for c in df.columns:
+        if df[c].isna().all():
+            # a FULLY-NULL column carries no value information but its
+            # physical dtype differs by engine (pandas object-None vs
+            # DuckDB float64-NaN vs datetime NaT) — and the object
+            # branch below would coerce all-None to datetime64. One
+            # canonical all-None object column on both sides.
+            df[c] = pd.Series([None] * len(df), dtype=object)
+            continue
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):

@@ -956,7 +956,15 @@ final class Planner(catalog: String => DataFrame,
       val rows = subDf.limit(2).collect()
       if (rows.length > 1)
         throw BuildException("scalar subquery returned more than one row")
-      if (rows.isEmpty || rows(0).isNullAt(0)) NullNode
+      if (rows.isEmpty || rows(0).isNullAt(0))
+        // a NULL scalar result must stay ANSI-NULL through comparisons.
+        // A bare NullNode would trigger the dialect's parity idiom
+        // `x == NULL ≙ IS NULL` (reference vm.go), silently turning
+        // `x = (SELECT max(…) over ∅)` into an IS NULL test — found
+        // live by scripts/fuzz_differential.py (r12). A typed cast
+        // keeps the literal NULL out of that pattern.
+        FuncNode("cast", Seq(NullNode,
+          StringNode(subDf.schema.head.dataType.sql.toLowerCase)))
       else rows(0).get(0) match {
         // exactness: NumberNode carries a Double, which is exact for
         // |int| ≤ 2^53 — wider longs and non-Double-round-trip decimals
@@ -1156,6 +1164,27 @@ final class Planner(catalog: String => DataFrame,
           } else
             df = df.join(renamed,
               ColumnBuilder.build(left, mkCtx(df)) === col("__subq_key"), "left_semi")
+        } else if (innerSel.groupBy.isEmpty && innerSel.having.isEmpty &&
+            containsAgg(innerSel.columns.head.expr)) {
+          // correlated BARE-AGGREGATE IN: ANSI's set is a SINGLETON
+          // even for an EMPTY slice (count → [0], max → [NULL]) —
+          // membership over a singleton IS the scalar comparison, via
+          // the aggregate LATERAL whose empty-group completion encodes
+          // exactly that. The grouped lowering below produced NO row
+          // for empty slices, so `x IN (SELECT count(*) …)` missed the
+          // x = 0 match — the classic COUNT edge, caught live by
+          // scripts/fuzz_differential.py (r12).
+          if (innerSel.columns.size != 1)
+            throw BuildException("IN-subquery must select exactly one column")
+          val sc = s"__inq1_$i"
+          val aliased = innerSel.copy(columns =
+            Seq(innerSel.columns.head.copy(alias = Some(sc))))
+          df = planLateral(df, sel,
+            SubquerySource(aliased, s"__inq1t_$i", lateral = true))
+          val cmp = ColumnBuilder.build(
+            BinaryNode(if (negated) "!=" else "=", left, IdentityNode(Seq(sc))),
+            mkCtx(df))
+          df = df.filter(coalesce(cmp.cast("boolean"), lit(false))).drop(sc)
         } else {
           // correlated IN: semi/anti join on the value column AND the
           // correlation equalities; the subquery's own projection
@@ -1173,16 +1202,7 @@ final class Planner(catalog: String => DataFrame,
           // row, so HAVING evaluates over the same per-group rows the
           // nested-loop semantics would see — still ONE distributed
           // aggregate + ONE semi/anti join, never a per-row rescan
-          // an aggregate-valued subquery (`x IN (SELECT max(p) …)`)
-          // groups by the correlation keys even without explicit
-          // GROUP BY — one per-slice aggregate row, like the
-          // correlated-scalar path. Known ANSI edge (README
-          // divergences): a count-valued subquery over an EMPTY slice
-          // is 0 in ANSI and can match x = 0; this lowering produces
-          // no row for empty slices (NULL-valued aggregates like
-          // max/min/sum agree either way — NULL never matches IN).
-          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
-            containsAgg(innerSel.columns.head.expr)
+          val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
           val newGroupBy =
             if (grouped)
               (innerSel.groupBy ++ corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct

@@ -484,6 +484,19 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("subquery edges (review findings r12)") {
+    // a NULL scalar-subquery result stays ANSI-NULL through the
+    // comparison (3VL), it must NOT collapse into the dialect's
+    // literal-NULL idiom `x == NULL ≙ IS NULL` (fuzz find): the empty
+    // max() gives every row NULL, never TRUE/FALSE
+    testSelect(
+      """SELECT order_id, price = (SELECT max(price) FROM orders WHERE price > 1000) AS m
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, null), Seq(2L, null), Seq(3L, null)))
+    // …while the literal spelling keeps reference parity: == NULL is
+    // the IS NULL test
+    testSelect(
+      "SELECT order_id FROM orders WHERE price == NULL ORDER BY order_id",
+      Seq.empty)
     // <> ANY with a NULL LEFT operand: UNKNOWN, row drops — the r11
     // shortcut (`mn <> mx` decides without looking at x) kept it
     testSelect(
