@@ -129,6 +129,19 @@ def quant_pair(x, op, quant, p):
     return eng, ora
 
 
+def in_pair(x, neg, p):
+    """(engine_text, oracle_text) for `x [NOT] IN (sub)`. DuckDB's
+    native correlated IN shares ANY's broken decorrelation (projected
+    empty-slice verdicts NULL instead of FALSE when the value
+    expression can be NULL — found live by this fuzzer), so the oracle
+    side gets the same ANSI-exact CASE/EXISTS rendering: IN ≡ = ANY,
+    NOT IN ≡ 3VL NOT of it."""
+    eng = f"{x} {'NOT ' if neg else ''}IN " + native_sub(p)
+    _, any_ora = quant_pair(x, "=", "ANY", p)
+    ora = f"(NOT {any_ora})" if neg else any_ora
+    return eng, ora
+
+
 def bool_atom(table, alias, keys):
     """One boolean atom as an (engine_text, oracle_text) pair."""
     inner, corr_pred, icols = rng.choice(SCOPES[table][2])
@@ -139,10 +152,9 @@ def bool_atom(table, alias, keys):
         s = f"{x} {rng.choice(OPS)} {rng.randint(0, 2000)}"
         return s, s
     if r < 0.42:
-        neg = "NOT " if rng.random() < 0.4 else ""
+        neg = rng.random() < 0.4
         p = inner_parts(inner, corr_pred, icols, correlated)
-        s = f"{x} {neg}IN " + native_sub(p)
-        return s, s
+        return in_pair(x, neg, p)
     if r < 0.62:
         neg = "NOT " if rng.random() < 0.4 else ""
         conds = [corr_pred] if correlated else []
@@ -186,17 +198,28 @@ def predicate(table, alias, keys):
     return combine([a, b, c], "{0} AND ({1} OR {2})")
 
 
+def filter_query(table):
+    alias, keys, _ = SCOPES[table]
+    proj = ", ".join(keys)
+    p = predicate(table, alias, keys)
+    return combine([p], f"SELECT {proj} FROM {table} {alias} WHERE {{0}}")
+
+
+# tie-stable window items (equal rows get equal values, so the
+# order-insensitive multiset compare is deterministic); sum(int) is
+# excluded — DuckDB widens it to HUGEINT while Spark keeps int64
+WINDOW_ITEMS = ["count(*)", "max({v})", "min({v})", "rank()", "dense_rank()"]
+
+
 def gen_query(i):
     """Returns (engine_sql, oracle_sql)."""
     table = rng.choice(list(SCOPES))
     alias, keys, _ = SCOPES[table]
     shape = rng.random()
-    if shape < 0.5:
+    if shape < 0.34:
         # filter shape
-        proj = ", ".join(keys)
-        p = predicate(table, alias, keys)
-        return combine([p], f"SELECT {proj} FROM {table} {alias} WHERE {{0}}")
-    if shape < 0.75:
+        return filter_query(table)
+    if shape < 0.5:
         # projected 3VL values
         cols = [bool_atom(table, alias, keys) for _ in range(rng.randint(1, 2))]
         w = (f" WHERE {keys[0]} % {rng.randint(2, 5)} = 0"
@@ -205,6 +228,49 @@ def gen_query(i):
                 + ", ".join(f"{{{j}}} AS b{j}" for j in range(len(cols)))
                 + f" FROM {table} {alias}{w}")
         return combine(cols, tmpl)
+    if shape < 0.58:
+        # set operations over two filter shapes of the same table
+        setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+        a, b = filter_query(table), filter_query(table)
+        return f"{a[0]} {setop} {b[0]}", f"{a[1]} {setop} {b[1]}"
+    if shape < 0.68:
+        # CTE: prefilter the outer table, then fuzz predicates over it
+        # (the CTE's columns are the outer keys; correlations reference
+        # the CTE alias, exercising scope resolution through WITH)
+        p = predicate(table, alias, keys)
+        cte = (f"WITH w{i % 7} AS (SELECT * FROM {table} "
+               f"WHERE {keys[-1]} % {rng.randint(2, 4)} != 1) ")
+        proj = ", ".join(keys)
+        tmpl = cte + f"SELECT {proj} FROM w{i % 7} {alias} WHERE {{0}}"
+        return combine([p], tmpl)
+    if shape < 0.78:
+        # JOIN (inner or left) + predicate over the merged scope; a
+        # LEFT join makes the right side's keys genuinely nullable. The
+        # joined side is ALIAS-QUALIFIED (j2) so atom expressions over
+        # its columns cannot be captured by a same-table subquery's
+        # inner scope in the CASE/EXISTS oracle renderings
+        inner, corr_pred, icols = rng.choice(SCOPES[table][2])
+        jt = rng.choice(["JOIN", "LEFT JOIN"])
+        jkeys = keys + [f"j2.{icols[0]}"]
+        p = predicate(table, alias, jkeys)
+        proj = ", ".join(keys) + f", j2.{icols[0]} AS jv"
+        tmpl = (f"SELECT {proj} FROM {table} {alias} {jt} {inner} j2 "
+                f"ON j2.{corr_pred} WHERE {{0}}")
+        return combine([p], tmpl)
+    if shape < 0.86:
+        # window functions projected (tie-stable items only), sometimes
+        # next to a boolean subquery column
+        part = rng.choice(keys)
+        other = rng.choice([k for k in keys if k != part] or keys)
+        item = rng.choice(WINDOW_ITEMS).format(v=other)
+        ordc = f" ORDER BY {other}" if "rank" in item else ""
+        wexpr = f"{item} OVER (PARTITION BY {part}{ordc}) AS wv"
+        if rng.random() < 0.5:
+            b = bool_atom(table, alias, keys)
+            tmpl = f"SELECT {part}, {wexpr}, {{0}} AS b0 FROM {table} {alias}"
+            return combine([b], tmpl)
+        s = f"SELECT {part}, {wexpr} FROM {table} {alias}"
+        return s, s
     # grouped shape with HAVING over the group key — the GROUP key must
     # BE the correlation key (post-agg, only group keys exist to
     # correlate on; anything else is invalid SQL in both engines)
