@@ -198,10 +198,21 @@ def predicate(table, alias, keys):
     return combine([a, b, c], "{0} AND ({1} OR {2})")
 
 
-def filter_query(table):
+def filter_query(table, plain=False):
     alias, keys, _ = SCOPES[table]
-    proj = ", ".join(keys)
     p = predicate(table, alias, keys)
+    if not plain and rng.random() < 0.2:
+        # DISTINCT path with a coarse projection so the dedup matters.
+        # Dual text: the dialect promotes int arithmetic to BIGINT while
+        # DuckDB keeps the column's width (and l_quantity is DECIMAL in
+        # the fixture) — the oracle side casts to BIGINT explicitly,
+        # the same idiom every curated oracle row uses
+        m = rng.randint(2, 6)
+        etext = f"SELECT DISTINCT {keys[0]} % {m} AS g FROM {table} {alias} WHERE {{0}}"
+        otext = (f"SELECT DISTINCT CAST({keys[0]} % {m} AS BIGINT) AS g "
+                 f"FROM {table} {alias} WHERE {{0}}")
+        return (etext.format(p[0]), otext.format(p[1]))
+    proj = ", ".join(keys)
     return combine([p], f"SELECT {proj} FROM {table} {alias} WHERE {{0}}")
 
 
@@ -230,8 +241,9 @@ def gen_query(i):
         return combine(cols, tmpl)
     if shape < 0.58:
         # set operations over two filter shapes of the same table
+        # (plain projections only — the sides must be union-compatible)
         setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
-        a, b = filter_query(table), filter_query(table)
+        a, b = filter_query(table, plain=True), filter_query(table, plain=True)
         return f"{a[0]} {setop} {b[0]}", f"{a[1]} {setop} {b[1]}"
     if shape < 0.68:
         # CTE: prefilter the outer table, then fuzz predicates over it
