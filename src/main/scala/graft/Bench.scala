@@ -32,6 +32,13 @@ import org.apache.spark.sql.SparkSession
   * (codegen + JIT + cache pressure), so for heavy queries (fresh >
   * 2 s) warm_min over same-JVM reps with `Dedup.releaseAll()` between
   * is the round-over-round comparable number.
+  *
+  * warm_mode (r13, after the r12 VERDICT's comparability note): the
+  * json self-describes warm semantics as "reexec-releaseAll" — every
+  * warm rep is an honest RE-EXECUTION (retained caches released
+  * between reps). r11-and-earlier warm numbers partially measured
+  * cache reads; cross-round warm comparisons are only meaningful
+  * against files carrying the same warm_mode.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -122,6 +129,7 @@ object Bench {
         s"""{
            |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,
            |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,
+           |"warm_mode":"reexec-releaseAll",
            |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
            |"total_fresh_sec":${fmt(total)},
            |"failed":$failed,
@@ -159,7 +167,9 @@ object Bench {
         // judge-side dedicated-JVM rerun), burn ONE extra rep so the
         // record itself shows whether the spike repeats (plan problem)
         // or was a one-off environment artifact
-        if (reps.size >= 2 && reps.map(_._1).max > 3 * reps.map(_._1).min) {
+        // (2×, was 3× through r12 — pl_curate_pipeline3's 5.3/9.7
+        // spread went unadjudicated under the old trigger)
+        if (reps.size >= 2 && reps.map(_._1).max > 2 * reps.map(_._1).min) {
           val extra = timeOnce(fn)
           graft.operators.Dedup.releaseAll()
           if (extra._2) reps = reps :+ ((extra._1, extra._3))

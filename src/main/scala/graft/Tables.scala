@@ -55,9 +55,20 @@ object Tables {
             timestamp_micros(expr("ts div 1000")))
     }
 
+  // memoized per (session, dir, table): `spark.read.parquet` runs a
+  // schema-inference job on EVERY call (one footer-read job each, r13
+  // probe), and a statement references its sources several times during
+  // planning (correlation probes, outer-scope probes) — so an
+  // unmemoized catalog pays O(references) driver jobs per statement
+  // BUILD. The fixtures are static files; the cached value is a lazy
+  // logical plan (no data pinned). Keyed by session identity so a
+  // DataFrame never crosses sessions.
+  private val memo = collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
-    else spark.read.parquet(s"$dir/$name.parquet")
+    memo.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+      else spark.read.parquet(s"$dir/$name.parquet"))
 
   /** round(col, 4) — canonical double normalization shared with the
     * DuckDB oracle so float summation order differences can't flip a

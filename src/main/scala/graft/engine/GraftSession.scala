@@ -299,6 +299,30 @@ final class GraftSession(val spark: SparkSession) {
 
   def sql(text: String): DataFrame = run(SqlParser.parse(text))
 
+  /** Formatted physical plan of a QUERY statement — the plan-audit
+    * workflow as a user surface (r13). Statement BUILD launches no
+    * Spark jobs even when the select list, ORDER BY, QUALIFY or column
+    * guards contain scalar subqueries: every uncorrelated scalar
+    * lowers to a lazy in-plan broadcast aggregate with a `raise_error`
+    * single-row guard, so the plan is inspectable before any data is
+    * touched (gated by PlanSpec's zero-job listener case). Query
+    * statements only — DML/DDL refuse loudly rather than execute as a
+    * side effect; `SELECT … INTO` explains the query without
+    * materializing the target. (A recursive CTE is the one exception:
+    * its fixpoint must run to know the result schema.) */
+  def explain(text: String): String = SqlParser.parse(text) match {
+    case sel: SqlSelect => fmtPlan(planner.plan(sel))
+    case sop: SqlSetOp => fmtPlan(planner.planStatement(sop))
+    case w: SqlWith => fmtPlan(runWith(w))
+    case f: FilterStatement => fmtPlan(filterDf(f))
+    case other => throw BuildException(
+      s"explain supports query statements only, not ${other.getClass.getSimpleName}")
+  }
+
+  private def fmtPlan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Positional-placeholder query — the reference's `database/sql`
     * driver surface (exec/sqldriver.go:352-390 queryArgsConvert ≙):
     * each `?` in `text` substitutes the rendering of the next arg, then
@@ -465,17 +489,22 @@ final class GraftSession(val spark: SparkSession) {
     * InlineIncludes ≙) so LocalEval needs no resolver. Depth-capped at
     * [[ColumnBuilder.maxIncludeDepth]] (expr/include.go:14-15
     * `maxIncludeDepth`/`ErrMaxDepth` ≙): two mutually-recursive named
-    * filters raise a loud BuildException NAMING the cycle path instead
-    * of a StackOverflowError. */
+    * filters raise a loud BuildException NAMING the include path instead
+    * of a StackOverflowError; a 100-deep acyclic chain still resolves
+    * (the reference bound is `depth > maxIncludeDepth`). */
   private def resolveIncludes(n: Node): Node = resolveIncludes(n, Nil)
 
   private def resolveIncludes(n: Node, path: List[String]): Node = {
     def rec(m: Node): Node = resolveIncludes(m, path)
     n match {
       case IncludeNode(name, neg) =>
-        if (path.length >= ColumnBuilder.maxIncludeDepth)
+        // `>` not `>=`: the reference accepts a 100-deep acyclic chain
+        // (expr/include.go:38 `depth > maxIncludeDepth` ≙), and a deep
+        // chain is a depth violation, not necessarily a cycle (r12
+        // ADVICE — the old message asserted "cycle path" either way)
+        if (path.length > ColumnBuilder.maxIncludeDepth)
           throw BuildException("Recursive Evaluation Error: INCLUDE depth " +
-            s"exceeds ${ColumnBuilder.maxIncludeDepth} — cycle path: " +
+            s"exceeds ${ColumnBuilder.maxIncludeDepth} — include path: " +
             (path.reverse :+ name).mkString(" -> "))
         val inner = includer(name)
           .map(resolveIncludes(_, name :: path))

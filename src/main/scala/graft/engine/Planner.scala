@@ -147,13 +147,24 @@ final class Planner(catalog: String => DataFrame,
     // what reaches here are the boolean shapes it passes through.)
     val cols: Seq[SelectColumn] = {
       val raw = sel.columns
-      if (!raw.exists(c => containsSubqueryNode(c.expr))) raw
+      // hidden plumbing that must never reach a bare `*`: correlated
+      // SELECT-scalar lateral values already ON the frame (`__ssqv_N`,
+      // via substituteSelectScalars — the r12 ADVICE star leak), plus
+      // columns the attaches BELOW and the ORDER BY/QUALIFY/guard
+      // attaches AFTER this block will add — so any pending attach
+      // forces the star to expand NOW, against the pre-attach schema
+      val latHidden = df.columns.filter(isSubqueryPlumbing).toSet
+      val willAttach = raw.exists(c => containsSubqueryNode(c.expr) ||
+          c.guard.exists(containsSubqueryNode)) ||
+        sel.orderBy.exists(p => containsSubqueryNode(p._1)) ||
+        sel.qualify.exists(containsSubqueryNode)
+      if (!willAttach && latHidden.isEmpty) raw
       else {
         val expanded =
           if (!raw.exists(c => c.expr == IdentityNode(Seq("*")) &&
               c.starExclude.isEmpty && c.starReplace.isEmpty)) raw
           else {
-            val names = df.columns.toSeq
+            val names = df.columns.toSeq.filterNot(latHidden)
             if (names.distinct.size != names.size)
               throw BuildException("subquery expressions in the SELECT " +
                 "list cannot combine with * over ambiguous join columns")
@@ -165,12 +176,22 @@ final class Planner(catalog: String => DataFrame,
             }
           }
         expanded.zipWithIndex.map { case (c, ci) =>
-          if (!containsSubqueryNode(c.expr)) c
-          else {
-            val (df2, e2, _) = attachExprSubqueries(df, c.expr, sel, s"__bsq_s$ci")
+          var c2 = c
+          if (containsSubqueryNode(c2.expr)) {
+            val (df2, e2, _) = attachExprSubqueries(df, c2.expr, sel, s"__bsq_s$ci")
             df = df2
-            c.copy(expr = e2)
+            c2 = c2.copy(expr = e2)
           }
+          // column guards `col IF expr` with subqueries (r13): the
+          // verdict attaches as a hidden boolean on the pre-projection
+          // frame; projCols' `when(guard, value)` then reads a plain
+          // column and the projection drops the plumbing
+          if (c2.guard.exists(containsSubqueryNode)) {
+            val (df2, g2, _) = attachExprSubqueries(df, c2.guard.get, sel, s"__gsq_s$ci")
+            df = df2
+            c2 = c2.copy(guard = Some(g2))
+          }
+          c2
         }
       }
     }
@@ -182,6 +203,24 @@ final class Planner(catalog: String => DataFrame,
 
     if (!isAgg) {
       var out = df
+      // subqueries inline in ORDER BY (r13, closing the last dialect
+      // cliff): each verdict/value attaches as a hidden column on the
+      // PRE-projection frame — the same bounded join shapes as every
+      // other position — and the sort key references it like any
+      // unprojected source column; the window/DISTINCT hidden-carry
+      // machinery below then treats it uniformly, and the projection
+      // drops it by not selecting it
+      val selN: SqlSelect =
+        if (!sel.orderBy.exists(p => containsSubqueryNode(resolveAlias(p._1, cols)))) sel
+        else sel.copy(orderBy = sel.orderBy.map { case (n, asc) =>
+          val r = resolveAlias(n, cols)
+          if (!containsSubqueryNode(r)) (n, asc)
+          else {
+            val (d2, n2, _) = attachExprSubqueries(out, r, sel, "__obsq")
+            out = d2
+            (n2, asc)
+          }
+        })
       // QUALIFY with INLINE windows (`QUALIFY row_number() OVER … == 1`,
       // the DuckDB dedup idiom): the WHOLE predicate — aliases expanded
       // to their select expressions, so both select aliases and source
@@ -192,14 +231,24 @@ final class Planner(catalog: String => DataFrame,
       // pushes the now-plain predicate below any sort. The gate is the
       // RAW predicate: a QUALIFY that only references a select-window
       // ALIAS keeps the plain post-projection path (no second window
-      // computation, and DISTINCT stays legal for it).
-      val qColRaw: Option[String] = sel.qualify.filter(containsWindow).map { raw =>
-        val q = resolveAliasDeep(raw, cols)
-        out = out.withColumn("__qualify",
-          ColumnBuilder.build(q, mkCtx(out))
-            .cast(org.apache.spark.sql.types.BooleanType))
-        "__qualify"
-      }
+      // computation, and DISTINCT stays legal for it). SUBQUERIES in
+      // QUALIFY (r13) ride the same hoist: the verdict attaches as a
+      // hidden column on this same pre-projection frame first, so the
+      // hoisted predicate is plain by the time it builds.
+      val qColRaw: Option[String] = sel.qualify
+        .filter(q => containsWindow(q) || containsSubqueryNode(q))
+        .map { raw =>
+          var q = resolveAliasDeep(raw, cols)
+          if (containsSubqueryNode(q)) {
+            val (d2, q2, _) = attachExprSubqueries(out, q, sel, "__qsq")
+            out = d2
+            q = q2
+          }
+          out = out.withColumn("__qualify",
+            ColumnBuilder.build(q, mkCtx(out))
+              .cast(org.apache.spark.sql.types.BooleanType))
+          "__qualify"
+        }
       // DISTINCT + inline-window QUALIFY (r12, DuckDB semantics): the
       // window evaluates over the pre-distinct rows and QUALIFY
       // filters BEFORE the dedup — so the hidden column is consumed
@@ -219,7 +268,7 @@ final class Planner(catalog: String => DataFrame,
       // or inline in ORDER BY (alias-resolved — an alias of a select
       // window also counts, and both force the sort ABOVE the windows)
       val hasWindow = cols.exists(c => containsWindow(c.expr)) ||
-        sel.orderBy.exists(p => containsWindow(resolveAlias(p._1, cols)))
+        selN.orderBy.exists(p => containsWindow(resolveAlias(p._1, cols)))
       // ORDER BY before projection so sort keys may reference
       // non-projected columns; Spark preserves sort through select.
       // NOT when the projection evaluates window functions: the Window
@@ -228,13 +277,13 @@ final class Planner(catalog: String => DataFrame,
       // that case sorts ABOVE the projection instead. (The QUALIFY
       // hoist above runs before this sort, so its exchange cannot
       // destroy it either.)
-      if (sel.orderBy.nonEmpty && !sel.distinct && !hasWindow)
-        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
+      if (selN.orderBy.nonEmpty && !sel.distinct && !hasWindow)
+        out = out.orderBy(selN.orderBy.map { case (n, asc) =>
           val c = ColumnBuilder.build(resolveAlias(n, cols), mkCtx(out))
           if (asc) c.asc else c.desc
         }: _*)
       if (!sel.distinct) {
-        if (!hasWindow || sel.orderBy.isEmpty) {
+        if (!hasWindow || selN.orderBy.isEmpty) {
           out = out.select(projCols(cols, mkCtx(out)) ++ qCarry: _*)
         } else {
           // windows + ORDER BY: project (evaluating the windows), then
@@ -244,8 +293,12 @@ final class Planner(catalog: String => DataFrame,
           def selectedName(n: Node): Option[String] =
             cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)
           val hasStar = cols.exists(_.expr == IdentityNode(Seq("*")))
-          val resolved = sel.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
-          val missing = resolved.filter { case (n, _) => selectedName(n).isEmpty && !hasStar }
+          val resolved = selN.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
+          // a star keeps every SOURCE column through the projection, but
+          // never the subquery plumbing — keys referencing it still
+          // need the hidden carry
+          val missing = resolved.filter { case (n, _) =>
+            selectedName(n).isEmpty && (!hasStar || referencesPlumbing(n)) }
           val hidden = missing.zipWithIndex.map { case ((n, _), i) =>
             ColumnBuilder.build(n, ctxPre).as(s"__wsort_$i") }
           val hiddenName = missing.zipWithIndex.map { case ((n, _), i) =>
@@ -277,11 +330,12 @@ final class Planner(catalog: String => DataFrame,
         def selectedName(n: Node): Option[String] =
           cols.find(c => c.expr.text == n.text || c.alias.contains(n.text)).map(_.outputName)
         val hasStar = cols.exists(_.expr == IdentityNode(Seq("*")))
-        val resolved = sel.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
-        val missing = resolved.filter { case (n, _) => selectedName(n).isEmpty && !hasStar }
+        val resolved = selN.orderBy.map { case (n, asc) => (resolveAlias(n, cols), asc) }
+        val missing = resolved.filter { case (n, _) =>
+          selectedName(n).isEmpty && (!hasStar || referencesPlumbing(n)) }
         if (missing.isEmpty) {
           out = out.select(projCols(cols, ctxPre): _*).distinct()
-          if (sel.orderBy.nonEmpty)
+          if (selN.orderBy.nonEmpty)
             out = out.orderBy(resolved.map { case (n, asc) =>
               val c = ColumnBuilder.build(n, mkCtx(out))
               if (asc) c.asc else c.desc
@@ -322,6 +376,14 @@ final class Planner(catalog: String => DataFrame,
       val aggCols: Seq[Column] = cols.flatMap { c =>
         if (containsAgg(c.expr)) Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
         else if (matchesKey(c.expr)) None // already a key
+        // a CONSTANT column (literal / typed-cast literal — what a
+        // substituted scalar subquery becomes) projects as the literal
+        // itself: Spark's analyzer allows foldable non-attributes in an
+        // aggregate, and `last(5)` over an EMPTY global aggregate would
+        // wrongly yield NULL where ANSI says the constant (r13; DuckDB
+        // agrees: `SELECT count(*), 5 FROM t WHERE false` is `0, 5`)
+        else if (isConstExpr(c.expr))
+          Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
         // group passthrough: the reference keeps the LAST value seen per
         // group (exec/groupby.go:338-348) — `last`, not `first`. Either
         // is row-order-dependent; parity is about matching the quirk.
@@ -403,11 +465,27 @@ final class Planner(catalog: String => DataFrame,
           if (containsSubqueryNode(hs)) applyPredicate(out, hs, sel)
           else out.filter(ColumnBuilder.build(hs, outCtx).cast("boolean"))
       }
-      if (sel.orderBy.nonEmpty)
-        out = out.orderBy(sel.orderBy.map { case (n, asc) =>
-          val c = ColumnBuilder.build(substitute(n, subst), mkCtx(out))
+      if (sel.orderBy.nonEmpty) {
+        // ORDER BY subqueries on the aggregate path (r13): aggregate
+        // refs substitute to output columns first, then each subquery
+        // attaches as a hidden column on the POST-aggregate frame (the
+        // frame the sort actually runs on — correlation resolves
+        // against the grouped outputs, exactly like HAVING); the final
+        // projection below drops the plumbing after the sort
+        val obA = sel.orderBy.map { case (n, asc) =>
+          val s0 = substitute(n, subst)
+          if (!containsSubqueryNode(s0)) (s0, asc)
+          else {
+            val (d2, n2, _) = attachExprSubqueries(out, s0, sel, "__obsq")
+            out = d2
+            (n2, asc)
+          }
+        }
+        out = out.orderBy(obA.map { case (n, asc) =>
+          val c = ColumnBuilder.build(n, mkCtx(out))
           if (asc) c.asc else c.desc
         }: _*)
+      }
       // final projection in select order, dropping hidden agg columns
       val finalNames = cols.map { c =>
         if (!containsAgg(c.expr) && matchesKey(c.expr))
@@ -427,13 +505,26 @@ final class Planner(catalog: String => DataFrame,
     * is the dedup idiom). Runs before LIMIT, after ORDER BY; Catalyst
     * pushes the filter below the sort, preserving order. */
   private def applyQualify(df: DataFrame, sel: SqlSelect): DataFrame =
-    sel.qualify.foldLeft(df) { (d, q) =>
+    sel.qualify.foldLeft(df) { (d0, q0) =>
+      // subqueries in QUALIFY on this (post-projection / post-agg)
+      // frame (r13): attach as hidden columns — same bounded shapes as
+      // WHERE/HAVING — filter on the now-plain predicate, drop the
+      // plumbing
+      var d = d0
+      val (q, qHid) =
+        if (!containsSubqueryNode(q0)) (q0, Seq.empty[String])
+        else {
+          val (d2, q2, h) = attachExprSubqueries(d0, q0, sel, "__qsq")
+          d = d2
+          (q2, h)
+        }
       // full ctx (vars + includer): QUALIFY referencing @var or INCLUDE
       // works exactly as it does in WHERE/HAVING
       val wins = collectWindows(q)
       if (wins.isEmpty)
         d.filter(ColumnBuilder.build(q, BuildCtx(Some(d.schema), vars, includer))
           .cast(org.apache.spark.sql.types.BooleanType))
+          .drop(qHid: _*)
       else {
         // inline windows (`QUALIFY row_number() OVER (…) == 1`, the
         // DuckDB dedup idiom): Spark refuses window expressions inside
@@ -452,7 +543,7 @@ final class Planner(catalog: String => DataFrame,
         val pred = substitute(q, subst)
         d2 = d2.filter(ColumnBuilder.build(pred, BuildCtx(Some(d2.schema), vars, includer))
             .cast(org.apache.spark.sql.types.BooleanType))
-          .drop(subst.values.toSeq: _*)
+          .drop(subst.values.toSeq ++ qHid: _*)
         if (sel.orderBy.nonEmpty)
           d2 = d2.orderBy(sel.orderBy.map { case (n, asc) =>
             // a key naming a projected output column (e.g. an aggregate
@@ -815,8 +906,11 @@ final class Planner(catalog: String => DataFrame,
             throw BuildException("* EXCLUDE/REPLACE requires a FROM"))
           // mkCtx appends alias-QUALIFIED synthetic fields (a.b) after
           // the real columns so qualified idents resolve; the star
-          // expands over the real (unqualified) columns only
-          val fieldNames = schema.fieldNames.toSeq.filterNot(_.contains("."))
+          // expands over the real (unqualified) columns only — minus
+          // subquery plumbing (`__ssq*` lateral values and the
+          // hidden-attach columns), which must never leak into output
+          val fieldNames = schema.fieldNames.toSeq
+            .filterNot(_.contains(".")).filterNot(isSubqueryPlumbing)
           val known = fieldNames.map(_.toLowerCase).toSet
           val excl = c.starExclude.map(_.toLowerCase).toSet
           val repl = c.starReplace.map { case (n, name) => name.toLowerCase -> n }.toMap
@@ -840,6 +934,50 @@ final class Planner(catalog: String => DataFrame,
           Seq(guarded.as(c.outputName))
       }
     }
+
+  /** Hidden columns minted by the subquery lowerings — lateral scalar
+    * values (`__ssq…`) and the hidden-attach verdict/value columns —
+    * which star expansion and `* EXCLUDE/REPLACE` must skip. */
+  private def isSubqueryPlumbing(name: String): Boolean =
+    name.startsWith("__ssq") || name.startsWith("__bsq") ||
+      name.startsWith("__gsq") || name.startsWith("__obsq") ||
+      name.startsWith("__qsq")
+
+  /** Literal-only expression (the shapes substituteSelectScalars'
+    * literal path emits, plus bare literals): safe to project verbatim
+    * inside an aggregate — foldable, no attribute references. Kept
+    * deliberately NARROW (no general function folding: a
+    * nondeterministic builtin must not silently hoist). */
+  private def isConstExpr(n: Node): Boolean = n match {
+    case _: NumberNode | _: StringNode | _: BoolNode => true
+    case NullNode => true
+    case FuncNode("cast", args) => args.forall(isConstExpr)
+    case BinaryNode(_, l, r, _) => isConstExpr(l) && isConstExpr(r)
+    case UnaryNode("NOT" | "!" | "-", c) => isConstExpr(c)
+    case _ => false
+  }
+
+  /** Does an (already-rewritten) expression reference a hidden
+    * subquery-plumbing column? Such ORDER BY keys must hidden-carry
+    * through the projection even under `SELECT *` — the star keeps
+    * every source column but never the plumbing. */
+  private def referencesPlumbing(n: Node): Boolean = n match {
+    case IdentityNode(parts) => parts.exists(isSubqueryPlumbing)
+    case BinaryNode(_, l, r, _) => referencesPlumbing(l) || referencesPlumbing(r)
+    case BooleanNode(_, args, _) => args.exists(referencesPlumbing)
+    case UnaryNode(_, c) => referencesPlumbing(c)
+    case TriNode(_, a, b, c, _) =>
+      referencesPlumbing(a) || referencesPlumbing(b) || referencesPlumbing(c)
+    case FuncNode(_, args) => args.exists(referencesPlumbing)
+    case CaseNode(bs, e) =>
+      bs.exists { case (w, t) => referencesPlumbing(w) || referencesPlumbing(t) } ||
+        e.exists(referencesPlumbing)
+    case ArrayNode(items) => items.exists(referencesPlumbing)
+    case WindowNode(f, pb, ob, _, _) =>
+      referencesPlumbing(f) || pb.exists(referencesPlumbing) ||
+        ob.exists(p => referencesPlumbing(p._1))
+    case _ => false
+  }
 
   private def applyLimit(df: DataFrame, sel: SqlSelect): DataFrame = {
     var out = df
@@ -918,16 +1056,30 @@ final class Planner(catalog: String => DataFrame,
     (subqs.toSeq, scalars.toSeq, existsSubs.toSeq, quants.toSeq, restNode)
   }
 
-  /** Scalar subqueries in expression position (SELECT list, HAVING,
-    * ORDER BY, column guards): each `(SELECT …)` plans independently,
-    * is required to yield at most one row and one column, and its
-    * single VALUE substitutes into the AST as a literal — downstream
-    * projection/aggregation/windows then treat it like any constant
-    * (one bounded driver probe per subquery, the same cost class as
-    * the WHERE-clause scalar check). WHERE keeps its own richer path
-    * (broadcast join + full coercions) — splitSubqueries extracts
-    * those before this rewrite ever sees them, so only non-WHERE
-    * positions substitute here. */
+  /** Scalar subqueries in the SELECT list. Two lowerings:
+    *
+    *   - CORRELATED: the aggregate-LATERAL rewrite — one grouped
+    *     aggregate LEFT-joined back per correlation key (empty groups
+    *     completed) — appended to FROM; the select expression then
+    *     references the lateral's value column. Never a per-row rescan.
+    *   - UNCORRELATED: passes THROUGH untouched (r13) — plan()'s
+    *     hidden-column attach lowers it to the lazy in-plan broadcast
+    *     (limit(2) → count + raise_error single-row guard), so building
+    *     or EXPLAINing the statement launches ZERO driver jobs. The one
+    *     exception is an AGGREGATE statement (GROUP BY / any aggregate
+    *     select column): there the value must survive an EMPTY input
+    *     (ANSI: `SELECT count(*), (SELECT 5) FROM t WHERE false` is
+    *     `0, 5`, but a crossJoin against zero rows aggregates to NULL),
+    *     so it substitutes as a typed literal at build time — one
+    *     bounded driver probe, the job the query needs anyway.
+    *
+    * ORDER BY / QUALIFY / column guards pass through ENTIRELY: plan()
+    * attaches their subqueries as hidden columns on the pre-projection
+    * (or post-aggregate) frame — the same bounded join shapes — then
+    * orders/filters/guards on the hidden column and drops it (r13;
+    * these positions previously refused). WHERE keeps its own richer
+    * path — splitSubqueries extracts those before this rewrite ever
+    * sees them. */
   private def substituteSelectScalars(sel: SqlSelect): SqlSelect = {
     def hasSub(n: Node): Boolean = n match {
       case _: SubqueryNode => true
@@ -943,11 +1095,14 @@ final class Planner(catalog: String => DataFrame,
         hasSub(f) || pb.exists(hasSub) || ob.exists(p => hasSub(p._1))
       case _ => false
     }
-    val needed = sel.columns.exists(c =>
-      hasSub(c.expr) || c.guard.exists(hasSub)) ||
-      sel.orderBy.exists(p => hasSub(p._1)) ||
-      sel.qualify.exists(hasSub)
+    val needed = sel.columns.exists(c => hasSub(c.expr))
     if (!needed) return sel
+    // aggregate statements pin SELECT-position uncorrelated scalars to
+    // the build-time literal path (see scaladoc: empty-input ANSI
+    // semantics); plain selects defer to the lazy in-plan attach
+    val stmtIsAgg = sel.groupBy.nonEmpty || sel.groupByAll ||
+      sel.groupByRollup || sel.groupByCube || sel.groupingSets.nonEmpty ||
+      sel.columns.exists(c => containsAgg(c.expr))
     def literalOf(s: SubqueryNode): Node = {
       val sub = parseSub(s)
       val subDf = new Planner(catalog, vars, includer).plan(sub)
@@ -1003,14 +1158,16 @@ final class Planner(catalog: String => DataFrame,
       frames.reduceOption(_.crossJoin(_))
     }
     val laterals = collection.mutable.ArrayBuffer[SubquerySource]()
-    def resolveSub(s: SubqueryNode, allowLateral: Boolean): Node = {
+    def resolveSub(s: SubqueryNode): Node = {
       val innerSel = parseSub(s)
-      val corr = if (!allowLateral) None else outerProbe.flatMap { odf =>
+      val corr = outerProbe.flatMap { odf =>
         scala.util.Try(analyzeCorrelation(innerSel,
           new Planner(catalog, vars, includer), sel, odf)).toOption
       }.filter(_.keys.nonEmpty)
       corr match {
-        case None => literalOf(s)
+        // uncorrelated: lazy attach in plan() unless the statement
+        // aggregates (the literal must survive an empty input there)
+        case None => if (stmtIsAgg) literalOf(s) else s
         case Some(_) =>
           // CORRELATED scalar in the SELECT list (r12): the
           // aggregate-LATERAL rewrite — one grouped aggregate LEFT-
@@ -1032,43 +1189,31 @@ final class Planner(catalog: String => DataFrame,
           IdentityNode(Seq(alias, vName))
       }
     }
-    def subst(n: Node, lat: Boolean): Node = n match {
-      // boolean subquery shapes (IN / EXISTS / NOT EXISTS) in the
-      // SELECT list pass through UNTOUCHED — plan() lowers them to
-      // hidden columns via attachExprSubqueries on the post-WHERE
-      // frame; in positions with no frame to attach to (ORDER BY,
-      // QUALIFY, column guards) they refuse loudly
-      case b @ BinaryNode("IN", l, s: SubqueryNode, neg) =>
-        if (lat) BinaryNode("IN", subst(l, lat), s, neg)
-        else throw BuildException(
-          "IN (SELECT …) is supported in WHERE/HAVING and the SELECT list only")
-      case e @ UnaryNode("EXISTS", _: SubqueryNode) =>
-        if (lat) e
-        else throw BuildException(
-          "EXISTS (SELECT …) is supported in WHERE/HAVING and the SELECT list only")
-      // quantified comparisons in the SELECT list pass through like
-      // the other boolean shapes (attachExprSubqueries builds the
-      // 3VL-exact verdict column); elsewhere the restriction is named
-      // instead of a misleading "more than one row"
-      case b @ BinaryNode(opq, l, s: SubqueryNode, neg)
+    def subst(n: Node): Node = n match {
+      // boolean subquery shapes (IN / EXISTS / NOT EXISTS / quantified)
+      // in the SELECT list pass through UNTOUCHED — plan() lowers them
+      // to hidden columns via attachExprSubqueries on the post-WHERE
+      // frame (3VL-exact verdict columns)
+      case BinaryNode("IN", l, s: SubqueryNode, neg) =>
+        BinaryNode("IN", subst(l), s, neg)
+      case e @ UnaryNode("EXISTS", _: SubqueryNode) => e
+      case BinaryNode(opq, l, s: SubqueryNode, neg)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
-        if (lat) BinaryNode(opq, subst(l, lat), s, neg)
-        else throw BuildException("quantified (ANY/ALL) subqueries are " +
-          "supported in WHERE/HAVING and the SELECT list only")
-      case s: SubqueryNode => resolveSub(s, lat)
-      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l, lat), subst(r, lat), neg)
-      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst(_, lat)), neg)
-      case UnaryNode(op, c) => UnaryNode(op, subst(c, lat))
+        BinaryNode(opq, subst(l), s, neg)
+      case s: SubqueryNode => resolveSub(s)
+      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l), subst(r), neg)
+      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst), neg)
+      case UnaryNode(op, c) => UnaryNode(op, subst(c))
       case TriNode(op, a, b, c, neg) =>
-        TriNode(op, subst(a, lat), subst(b, lat), subst(c, lat), neg)
-      case FuncNode(name, args) => FuncNode(name, args.map(subst(_, lat)))
+        TriNode(op, subst(a), subst(b), subst(c), neg)
+      case FuncNode(name, args) => FuncNode(name, args.map(subst))
       case CaseNode(branches, els) => CaseNode(
-        branches.map { case (w, t) => (subst(w, lat), subst(t, lat)) },
-        els.map(subst(_, lat)))
-      case ArrayNode(items) => ArrayNode(items.map(subst(_, lat)))
+        branches.map { case (w, t) => (subst(w), subst(t)) },
+        els.map(subst))
+      case ArrayNode(items) => ArrayNode(items.map(subst))
       case WindowNode(f, pb, ob, fr, ref) => WindowNode(
-        subst(f, lat).asInstanceOf[FuncNode], pb.map(subst(_, lat)),
-        ob.map { case (e, asc) => (subst(e, lat), asc) }, fr, ref)
+        subst(f).asInstanceOf[FuncNode], pb.map(subst),
+        ob.map { case (e, asc) => (subst(e), asc) }, fr, ref)
       case other => other
     }
     // HAVING passes through WHOLESALE: the aggregate path routes any
@@ -1076,15 +1221,11 @@ final class Planner(catalog: String => DataFrame,
     // whose conjunct machinery + attachExprSubqueries cover every
     // shape (machine conjuncts, nested scalars — correlated ones
     // lateral-join the AGG frame, which is the correct scope there).
-    // The lateral rewrite serves SELECT columns; ORDER BY/QUALIFY and
-    // column guards evaluate on frames where the lateral column is not
-    // guaranteed to survive, so they keep the literal path (a
-    // correlated scalar there raises its resolution error as before)
+    // ORDER BY / QUALIFY / column guards also pass through wholesale —
+    // plan() attaches their subqueries as hidden columns on the frame
+    // each position actually evaluates against (r13).
     sel.copy(
-      columns = sel.columns.map(c =>
-        c.copy(expr = subst(c.expr, lat = true), guard = c.guard.map(subst(_, lat = false)))),
-      orderBy = sel.orderBy.map { case (e, asc) => (subst(e, lat = false), asc) },
-      qualify = sel.qualify.map(subst(_, lat = false)),
+      columns = sel.columns.map(c => c.copy(expr = subst(c.expr))),
       from = sel.from ++ laterals.toSeq)
   }
 

@@ -102,11 +102,14 @@ object ColumnBuilder {
     case IncludeNode(name, neg) =>
       // depth-capped like the driver-side inliner (reference
       // expr/include.go:14-15 maxIncludeDepth/ErrMaxDepth ≙): a cyclic
-      // named-filter graph raises naming the cycle path, never a
-      // StackOverflowError
-      if (ctx.includePath.length >= maxIncludeDepth)
+      // named-filter graph raises naming the include path, never a
+      // StackOverflowError. The bound is `>` (expr/include.go:38
+      // `depth > maxIncludeDepth` ≙) so a legal 100-deep ACYCLIC chain
+      // still resolves; the message states a depth limit — a deep
+      // chain is not necessarily a cycle (r12 ADVICE).
+      if (ctx.includePath.length > maxIncludeDepth)
         throw BuildException("Recursive Evaluation Error: INCLUDE depth " +
-          s"exceeds $maxIncludeDepth — cycle path: " +
+          s"exceeds $maxIncludeDepth — include path: " +
           (ctx.includePath.reverse :+ name).mkString(" -> "))
       ctx.includer(name) match {
         case Some(n) =>

@@ -104,9 +104,11 @@ final class ExprParser(tokens: Vector[Token]) {
         val q = if (advance().text.equalsIgnoreCase("ALL")) "ALL" else "ANY"
         BinaryNode(s"$op $q", left, captureSubquery())
       }
-      // `x > (SELECT …)` — uncorrelated scalar subquery on the right
-      else if (cur.is("(") && tokens(p + 1).isKeyword("SELECT"))
-        BinaryNode(op, left, captureSubquery())
+      // `x > (SELECT …)` and `x > (SELECT …) / 2` both parse through
+      // parseAdditive — `(SELECT …)` is a PRIMARY (parsePrimary:
+      // captureSubquery), so arithmetic may continue after it. (The
+      // old dedicated capture here returned the subquery as the whole
+      // right side and left `/ 2` as trailing input — r13 fix.)
       else BinaryNode(op, left, parseAdditive())
     } else if (cur.isKeyword("LIKE")) { advance(); BinaryNode("LIKE", left, parseAdditive(), negated) }
     else if (cur.isKeyword("ILIKE")) { advance(); BinaryNode("ILIKE", left, parseAdditive(), negated) }

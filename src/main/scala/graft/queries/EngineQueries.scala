@@ -651,6 +651,53 @@ object EngineQueries {
              |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS top_price
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // engine (r13): subqueries inline in ORDER BY — the last dialect
+    // cliff closed. A correlated scalar (aggregate-LATERAL) and the
+    // plain column tiebreak order the rows; LIMIT makes the ordering
+    // hash-visible (the driver compare is order-insensitive, so the
+    // kept-set must depend on the subquery). Exact row ORDER is pinned
+    // by EngineSpec.
+    "ql_order_by_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey, c_name FROM customer
+          |ORDER BY (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) DESC, c_custkey
+          |LIMIT 20""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |ORDER BY (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // engine (r13): subqueries inline in QUALIFY, mixed with an inline
+    // window — both hoist to the pre-projection frame (the subquery
+    // verdict as a hidden column, the window inside the hoisted
+    // predicate), filter, then drop. Threshold is max/2: exact IEEE on
+    // both engines (never a cross-row float sum).
+    "ql_qualify_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+          |  AND o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+          |ORDER BY o_orderkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+             |  AND o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // engine (r13): subqueries inside column guards (`col IF expr`,
+    // the reference's per-column conditional projection) — a scalar
+    // comparison and a correlated EXISTS verdict, each attached as a
+    // hidden column the guard's CASE reads; oracle spells the guard as
+    // ANSI CASE WHEN
+    "ql_guard_subq" -> Q(
+      (s, d) => session(s, d).sql(
+        """SELECT c_custkey,
+          |  c_acctbal IF c_acctbal > (SELECT max(c_acctbal) FROM customer) * 0.5 AS rich_bal,
+          |  c_name IF EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS active_name
+          |FROM customer ORDER BY c_custkey""".stripMargin),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal > (SELECT max(c_acctbal) FROM customer) * 0.5 THEN c_acctbal END AS rich_bal,
+             |  CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) THEN c_name END AS active_name
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // engine (r12): correlated EXISTS whose subquery aggregates with
     // HAVING and no GROUP BY — the ANSI empty-slice verdict (the
     // decorrelation COUNT bug) is a broadcast constant; customers

@@ -476,11 +476,13 @@ class EngineSpec extends AnyFunSuite {
         |  price <= ALL (SELECT CASE WHEN referral_count > 50 THEN referral_count END FROM users) AS r
         |FROM orders ORDER BY order_id""".stripMargin,
       Seq(Seq(1L, true, null), Seq(2L, true, null), Seq(3L, true, null)))
-    // in ORDER BY (no frame to attach to) the restriction is named
-    val e = intercept[Exception](session.sql(
-      "SELECT order_id FROM orders ORDER BY price > ANY (SELECT price FROM orders)").collect())
-    assert(e.getMessage.contains(
-      "supported in WHERE/HAVING and the SELECT list only"), e.getMessage)
+    // in ORDER BY the quantified verdict attaches as a hidden column
+    // on the pre-projection frame and sorts (r13 — this replaced the
+    // r12 refusal): FALSE rows first under ASC, tiebreak by order_id
+    testSelect(
+      """SELECT order_id FROM orders
+        |ORDER BY price > ANY (SELECT price FROM orders), order_id""".stripMargin,
+      Seq(Seq(1L), Seq(3L), Seq(2L)))
   }
 
   test("subquery edges (review findings r12)") {
@@ -640,6 +642,73 @@ class EngineSpec extends AnyFunSuite {
         |  CASE WHEN price >= (SELECT avg(price) FROM orders) THEN 'hi' ELSE 'lo' END AS band
         |FROM orders ORDER BY order_id""".stripMargin,
       Seq(Seq(1L, true, "lo"), Seq(2L, true, "hi"), Seq(3L, true, "lo")))
+  }
+
+  test("subqueries in ORDER BY / QUALIFY / column guards (r13)") {
+    // correlated scalar in ORDER BY decides the order — exact rows
+    // (the oracle hash is order-insensitive, so ordering bugs are
+    // pinned HERE; see oracle-parity-idioms)
+    testSelect(
+      """SELECT order_id FROM orders
+        |ORDER BY (SELECT count(*) FROM users WHERE users.user_id = orders.user_id) DESC, order_id DESC""".stripMargin,
+      Seq(Seq(2L), Seq(1L), Seq(3L)))
+    // uncorrelated scalar in ORDER BY (lazy in-plan broadcast)
+    testSelect(
+      """SELECT order_id FROM orders
+        |ORDER BY (SELECT max(price) FROM orders) - price, order_id""".stripMargin,
+      Seq(Seq(2L), Seq(1L), Seq(3L)))
+    // ORDER BY subquery + select-list window: the hidden verdict
+    // column rides the __wsort carry (sort ABOVE the window)
+    testSelect(
+      """SELECT order_id, row_number() OVER (ORDER BY order_id) AS rk FROM orders
+        |ORDER BY (SELECT count(*) FROM users WHERE users.user_id = orders.user_id), order_id""".stripMargin,
+      Seq(Seq(3L, 3), Seq(1L, 1), Seq(2L, 2)))
+    // DISTINCT + ORDER BY subquery: hidden-carry through the dedup
+    testSelect(
+      """SELECT DISTINCT price FROM orders
+        |ORDER BY (SELECT max(order_id) FROM orders o2 WHERE o2.price = orders.price) DESC""".stripMargin,
+      Seq(Seq(22.50), Seq(37.50)))
+    // QUALIFY with a scalar subquery, no window (hoists to the
+    // pre-projection frame as a hidden verdict column)
+    testSelect(
+      """SELECT order_id FROM orders
+        |QUALIFY price < (SELECT avg(price) FROM orders) ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L), Seq(3L)))
+    // QUALIFY EXISTS on the AGGREGATE frame (post-agg attach)
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |QUALIFY EXISTS (SELECT 1 FROM users WHERE users.user_id = orders.user_id)""".stripMargin,
+      Seq(Seq("9Ip1aKbeZe2njCDM", 2L)))
+    // column guard with a scalar subquery (`col IF expr`)
+    testSelect(
+      """SELECT order_id, price IF price > (SELECT avg(price) FROM orders) AS rich
+        |FROM orders ORDER BY order_id""".stripMargin,
+      Seq(Seq(1L, null), Seq(2L, 37.50), Seq(3L, null)))
+    // ORDER BY subquery on the aggregate path (post-agg attach)
+    testSelect(
+      """SELECT user_id, count(*) AS n FROM orders GROUP BY user_id
+        |ORDER BY (SELECT count(*) FROM users WHERE users.user_id = orders.user_id), user_id""".stripMargin,
+      Seq(Seq("abcabcabc", 1L), Seq("9Ip1aKbeZe2njCDM", 2L)))
+  }
+
+  test("SELECT * with a correlated SELECT scalar never leaks the lateral (r12 ADVICE)") {
+    // the substituted lateral's __ssqv_N hidden value column must not
+    // ride a bare-star expansion into the output (nor join DISTINCT's
+    // dedup keys)
+    testSelect(
+      """SELECT *, (SELECT max(price) FROM orders o2 WHERE o2.user_id = orders.user_id) AS m
+        |FROM orders WHERE order_id == 1""".stripMargin,
+      Seq(Seq(1L, "9Ip1aKbeZe2njCDM", 1L, 22.50, ts("2012-12-24 17:29:39.738"), 82L, 37.50)))
+    testSelect(
+      """SELECT DISTINCT *, (SELECT max(price) FROM orders o2 WHERE o2.user_id = orders.user_id) AS m
+        |FROM orders WHERE order_id == 1""".stripMargin,
+      Seq(Seq(1L, "9Ip1aKbeZe2njCDM", 1L, 22.50, ts("2012-12-24 17:29:39.738"), 82L, 37.50)))
+    // star MODIFIERS expand from the same plumbing-free schema
+    testSelect(
+      """SELECT * EXCLUDE (order_date, item_count, item_id),
+        |  (SELECT max(price) FROM orders o2 WHERE o2.user_id = orders.user_id) AS m
+        |FROM orders WHERE order_id == 1""".stripMargin,
+      Seq(Seq(1L, "9Ip1aKbeZe2njCDM", 22.50, 37.50)))
   }
 
   test("placeholder args: queryArgsConvert parity (r12, sqldriver.go:352-390)") {

@@ -197,11 +197,19 @@ class FilterMatrixSpec extends AnyFunSuite {
       s2.matches("FILTER INCLUDE ping", Map("x" -> 6L)))
     assert(e.getMessage.contains("Recursive Evaluation Error"), e.getMessage)
     assert(e.getMessage.contains("ping -> pong"), e.getMessage)
-    // a DEEP but acyclic chain inside the cap still resolves
+    // a DEEP but acyclic chain inside the cap still resolves — at the
+    // FULL reference bound (expr/include.go:38 `depth > maxIncludeDepth`,
+    // r12 ADVICE: the old `>=` refused a legal 100-deep chain)
     s2.addFilter("base", "FILTER x > 5")
-    for (i <- 1 to 50)
+    for (i <- 1 to 101)
       s2.addFilter(s"lvl$i", s"FILTER INCLUDE ${if (i == 1) "base" else s"lvl${i - 1}"}")
-    assert(s2.matches("FILTER INCLUDE lvl50", Map("x" -> 6L)))
+    assert(s2.matches("FILTER INCLUDE lvl100", Map("x" -> 6L)))
+    // one level past the cap refuses as a DEPTH violation (the message
+    // names the include path, not a "cycle" — this chain is acyclic)
+    val e3 = intercept[Exception](
+      s2.matches("FILTER INCLUDE lvl101", Map("x" -> 6L)))
+    assert(e3.getMessage.contains("Recursive Evaluation Error"), e3.getMessage)
+    assert(e3.getMessage.contains("include path"), e3.getMessage)
     // the SPARK column-builder path is guarded the same way
     val df = SparkTestSession.get.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(6L)),

@@ -845,6 +845,48 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("SELECT/ORDER BY scalar subqueries + session.explain launch zero jobs (r13)") {
+    // r12 left SELECT-position uncorrelated scalars EAGER (a
+    // limit(2).collect() per subquery at statement build); r13 routes
+    // them through the same lazy in-plan broadcast single-row guard as
+    // WHERE — so building AND explaining a statement with scalar
+    // subqueries in the select list and ORDER BY runs no driver job,
+    // making `session.explain` a pure plan-audit surface
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("orders13", spark.read.parquet(s"$dir/orders.parquet"))
+    gs.registerTable("customer13", spark.read.parquet(s"$dir/customer.parquet"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val text =
+        """SELECT c_custkey,
+          |  (SELECT max(o_totalprice) FROM orders13) AS mx,
+          |  (SELECT min(o_totalprice) FROM orders13) AS mn
+          |FROM customer13
+          |ORDER BY (SELECT avg(o_totalprice) FROM orders13) + c_custkey
+          |LIMIT 5""".stripMargin
+      val df = gs.sql(text)
+      val planStr = gs.explain(text)
+      Thread.sleep(300) // let any stray job-start events surface
+      assert(jobs == 0, s"build + explain launched $jobs jobs")
+      assert(planStr.contains("TakeOrderedAndProject"), planStr.take(400))
+      assert(df.count() == 5) // …and the plan still runs
+      // the single-row violation raises AT RUN TIME in SELECT position
+      val multi = gs.sql(
+        "SELECT (SELECT o_totalprice FROM orders13) AS v FROM customer13")
+      val e = intercept[Exception](multi.collect())
+      assert(e.getMessage.contains("scalar subquery returned more than one row"),
+        e.getMessage)
+      // explain refuses DML rather than executing it as a side effect
+      val e2 = intercept[Exception](gs.explain("DELETE FROM orders13 WHERE 1 = 1"))
+      assert(e2.getMessage.contains("query statements only"), e2.getMessage)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("boolean subqueries as values: joins on distinct keys, no rescan (r12)") {
     // EXISTS / IN in expression position lower to LEFT joins against
     // distinct-key (or per-key aggregated) frames — row cardinality is
