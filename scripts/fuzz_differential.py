@@ -13,6 +13,16 @@ EXISTS / NOT EXISTS / quantified ANY-ALL / scalar subqueries — as
 top-level WHERE conjuncts, under OR, inside arithmetic, projected as
 3VL values, and in HAVING — with NULL injection on both operands.
 
+Grammar v3 (r13) adds the round's new positions and the aggregate/
+window outers the r12 VERDICT asked for: window FRAMES
+(ROWS/RANGE BETWEEN, tie-stable items over unique order keys),
+ROLLUP/CUBE outers, DISTINCT ON, subqueries inline in ORDER BY
+(+LIMIT so ordering is hash-visible; count(*) values only — a NULL
+sort key would expose the engines' different NULLS defaults, which is
+an ORDER BY dialect difference, not a subquery bug), QUALIFY with
+subquery atoms next to an inline window, and column guards
+(`x IF pred` vs the oracle's `CASE WHEN pred THEN x END`).
+
 Quantified atoms hand DuckDB an ANSI-equivalent CASE/EXISTS
 FORMULATION instead of its native ANY/ALL: DuckDB 1.0.0's decorrelated
 quantified comparisons are wrong on two edges this fuzzer found on its
@@ -221,24 +231,146 @@ def filter_query(table, plain=False):
 # excluded — DuckDB widens it to HUGEINT while Spark keeps int64
 WINDOW_ITEMS = ["count(*)", "max({v})", "min({v})", "rank()", "dense_rank()"]
 
+# tables with a UNIQUE single key: window frames and ORDER BY+LIMIT
+# shapes need a total order for determinism (lineitem has none —
+# (l_orderkey, l_linenumber) is NOT unique in the fixtures)
+UNIQUE_KEY = {"orders": "o_orderkey", "customer": "c_custkey"}
+# BIGINT key columns per table (modulo arithmetic stays BIGINT in both
+# engines; INTEGER columns would need CAST dual-text everywhere)
+BIGINT_KEYS = {"orders": ["o_orderkey", "o_custkey"],
+               "customer": ["c_custkey"],
+               "lineitem": ["l_orderkey"]}
+
+
+def frame_query(table):
+    """Window FRAMES (v3): ROWS frames order by the unique key (every
+    row its own frame — deterministic), RANGE frames may order by a
+    coarse expression (peers share values — tie-stable)."""
+    uk = UNIQUE_KEY[table]
+    alias, keys, _ = SCOPES[table]
+    v = rng.choice(BIGINT_KEYS[table])
+    item = rng.choice(["count(*)", f"max({v})", f"min({v})"])
+    part = f"{rng.choice(BIGINT_KEYS[table])} % {rng.randint(2, 5)}"
+    if rng.random() < 0.6:
+        lo = rng.randint(1, 4)
+        fr = rng.choice([
+            f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW",
+            f"ROWS BETWEEN {lo} PRECEDING AND {rng.randint(1, 3)} FOLLOWING",
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+        ordc = uk
+    else:
+        fr = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        ordc = f"{rng.choice(BIGINT_KEYS[table])} % {rng.randint(2, 7)}"
+    s = (f"SELECT {uk}, {item} OVER (PARTITION BY {part} "
+         f"ORDER BY {ordc} {fr}) AS fv FROM {table} {alias}")
+    return s, s
+
+
+def rollup_query(table):
+    """ROLLUP/CUBE outers (v3): super-aggregate rows with NULL keys,
+    count/max aggregates (BIGINT-safe)."""
+    alias, keys, _ = SCOPES[table]
+    ks = BIGINT_KEYS[table]
+    k1 = f"{rng.choice(ks)} % {rng.randint(2, 4)}"
+    k2 = f"{rng.choice(ks)} % {rng.randint(5, 8)}"
+    op = rng.choice(["ROLLUP", "CUBE"])
+    aggs = "count(*) AS n, max(" + rng.choice(ks) + ") AS mx"
+    if rng.random() < 0.5:
+        s = (f"SELECT {k1} AS g1, {k2} AS g2, {aggs} FROM {table} {alias} "
+             f"GROUP BY {op}({k1}, {k2})")
+    else:
+        s = (f"SELECT {k1} AS g1, {aggs} FROM {table} {alias} "
+             f"GROUP BY {op}({k1})")
+    if rng.random() < 0.4:
+        s += f" HAVING count(*) >= {rng.randint(1, 3)}"
+    return s, s
+
+
+def distinct_on_query(table):
+    """DISTINCT ON (v3): the kept row is the first under a TOTAL order
+    (group expr, unique key) — deterministic winners in both engines."""
+    uk = UNIQUE_KEY[table]
+    alias, keys, _ = SCOPES[table]
+    g = f"{rng.choice(BIGINT_KEYS[table])} % {rng.randint(2, 6)}"
+    d = rng.choice(["", " DESC"])
+    s = (f"SELECT DISTINCT ON ({g}) {g} AS g, {uk} FROM {table} {alias} "
+         f"ORDER BY {g}, {uk}{d}")
+    return s, s
+
+
+def order_by_subq_query(table):
+    """Subquery inline in ORDER BY + LIMIT (v3, the r13 position):
+    count(*) correlated values only (never NULL — empty slices sort as
+    0, so the engines' different NULLS defaults stay out of scope);
+    unique-key tiebreak makes the LIMIT kept-set deterministic."""
+    uk = UNIQUE_KEY[table]
+    alias, keys, _ = SCOPES[table]
+    inner, corr_pred, icols = rng.choice(SCOPES[table][2])
+    conds = [corr_pred]
+    if rng.random() < 0.5:
+        conds.append(f"{rng.choice(icols)} {rng.choice(OPS)} {rng.randint(0, 40)}")
+    d = rng.choice(["", " DESC"])
+    sub = f"(SELECT count(*) FROM {inner} WHERE {' AND '.join(conds)})"
+    if rng.random() < 0.3:
+        sub = f"{sub} % {rng.randint(2, 5)}"
+    s = (f"SELECT {uk} FROM {table} {alias} "
+         f"ORDER BY {sub}{d}, {uk} LIMIT {rng.randint(10, 50)}")
+    return s, s
+
+
+def qualify_subq_query(table):
+    """QUALIFY with subquery atoms next to an inline window (v3, the
+    r13 position): row_number over a total order keeps determinism; the
+    subquery atom rides the dual-text machinery (quantified atoms get
+    the CASE/EXISTS oracle rendering inside QUALIFY too)."""
+    uk = UNIQUE_KEY[table]
+    alias, keys, _ = SCOPES[table]
+    part = f"{rng.choice(BIGINT_KEYS[table])} % {rng.randint(2, 5)}"
+    rk = rng.randint(1, 4)
+    w = f"row_number() OVER (PARTITION BY {part} ORDER BY {uk}) <= {rk}"
+    a = bool_atom(table, alias, keys)
+    tmpl = (f"SELECT {uk} FROM {table} {alias} "
+            f"QUALIFY {w} AND {{0}}")
+    return combine([a], tmpl)
+
 
 def gen_query(i):
     """Returns (engine_sql, oracle_sql)."""
     table = rng.choice(list(SCOPES))
     alias, keys, _ = SCOPES[table]
     shape = rng.random()
-    if shape < 0.34:
+    if shape < 0.24:
         # filter shape
         return filter_query(table)
-    if shape < 0.5:
-        # projected 3VL values
+    if shape < 0.38:
+        # projected 3VL values; sometimes as a column GUARD instead
+        # (engine `x IF pred` ≡ oracle `CASE WHEN pred THEN x END`) —
+        # guarded value is a BARE column so output widths agree
         cols = [bool_atom(table, alias, keys) for _ in range(rng.randint(1, 2))]
         w = (f" WHERE {keys[0]} % {rng.randint(2, 5)} = 0"
              if rng.random() < 0.4 else "")
-        tmpl = (f"SELECT {keys[0]}, "
-                + ", ".join(f"{{{j}}} AS b{j}" for j in range(len(cols)))
-                + f" FROM {table} {alias}{w}")
-        return combine(cols, tmpl)
+        items = []
+        for j in range(len(cols)):
+            if rng.random() < 0.3:
+                v = rng.choice(keys)
+                items.append((f"{v} IF {{{j}}} AS b{j}",
+                              f"CASE WHEN {{{j}}} THEN {v} END AS b{j}"))
+            else:
+                items.append((f"{{{j}}} AS b{j}",) * 2)
+        etmpl = (f"SELECT {keys[0]}, " + ", ".join(it[0] for it in items)
+                 + f" FROM {table} {alias}{w}")
+        otmpl = (f"SELECT {keys[0]}, " + ", ".join(it[1] for it in items)
+                 + f" FROM {table} {alias}{w}")
+        return (etmpl.format(*[p[0] for p in cols]),
+                otmpl.format(*[p[1] for p in cols]))
+    if shape < 0.46:
+        # v3 outers over unique-key tables
+        t2 = rng.choice(list(UNIQUE_KEY))
+        return rng.choice([frame_query, distinct_on_query,
+                           order_by_subq_query, qualify_subq_query])(t2)
+    if shape < 0.51:
+        # v3 rollup/cube outers (any table)
+        return rollup_query(table)
     if shape < 0.58:
         # set operations over two filter shapes of the same table
         # (plain projections only — the sides must be union-compatible)

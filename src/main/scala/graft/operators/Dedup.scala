@@ -93,6 +93,20 @@ object Dedup {
     while (!retained.isEmpty) retained.pollFirst().unpersist(blocking = false)
   }
 
+  /** Free a superseded localCheckpoint frame's storage: the blocks
+    * belong to the checkpointed RDD inside the plan's LogicalRDD —
+    * `Dataset.unpersist` (cache-manager keyed) cannot see them. Freed
+    * frames are UNRECOVERABLE (lineage was truncated) — call only once
+    * nothing reads the frame again. */
+  private def freeCheckpointBlocks(df: DataFrame): Unit =
+    try df match {
+      case c: org.apache.spark.sql.classic.Dataset[_] =>
+        c.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }.foreach(_.unpersist(false))
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Persist the large per-document `stage`, build the result from it,
     * eagerly materialize that result into its own cache, then release
     * the stage — the projection-collapse barrier lives exactly as long
@@ -755,12 +769,30 @@ object Dedup {
       var prevSum = labelSum(labels)
       var i = 0
       var converged = false
+      var labelsCkpt = false
       while (!converged && i < maxIter) {
-        val next = ccRound(edges, labels, loopParts)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val computed = ccRound(edges, labels, loopParts)
+        // Lineage truncation every 8 rounds (the recursive-CTE
+        // checkpoint cadence): each round's plan NESTS the previous
+        // round's, so on a chain-shaped component (diameter ≈ rounds)
+        // the analyzed tree grows until the driver OOMs just
+        // STRINGIFYING it around round ~15 — found live by
+        // scripts/fuzz_pipeline_r13.scala's random-chain graphs.
+        // localCheckpoint cuts the plan back to a flat scan of the
+        // materialized label rows (a tiny frame: one row per node of
+        // the PAIR graph, not the corpus).
+        val isCkpt = (i + 1) % 8 == 0
+        val next =
+          if (isCkpt) computed.localCheckpoint(true)
+          else computed.persist(StorageLevel.MEMORY_AND_DISK)
         val nextSum = labelSum(next)
-        labels.unpersist(blocking = false)
+        // free the superseded round: checkpoint blocks are owned by the
+        // LogicalRDD's rdd (Dataset.unpersist cannot see them), plain
+        // persists by the cache manager
+        if (labelsCkpt) freeCheckpointBlocks(labels)
+        else labels.unpersist(blocking = false)
         labels = next
+        labelsCkpt = isCkpt
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         i += 1
