@@ -53,6 +53,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 rng = random.Random(SEED)
 
+# Big fixtures: the CASE/EXISTS oracle rendering of an UNCORRELATED
+# quantified/IN atom whose inner item is a PLAIN COLUMN leaves DuckDB a
+# non-decorrelatable `EXISTS(... WHERE (x op col) IS TRUE)` — a nested
+# loop over |outer| x |inner| (hours at sf0.1; found live when the r13
+# sf0.1 leg wedged). The ENGINE side is fine either way — this is an
+# oracle-cost restriction only: at big SFs those atoms force an
+# AGGREGATE item, whose rendering DuckDB hoists (uncorrelated agg
+# computed once) or decorrelates (equality conjunct present).
+BIG_SF = any(t in SF for t in ("sf0.1", "sf1", "sf10"))
+
 # outer table -> (alias, key columns, [(inner table, correlation pred, inner int cols)])
 SCOPES = {
     "orders": ("o", ["o_orderkey", "o_custkey"],
@@ -82,6 +92,8 @@ def inner_parts(inner, corr_pred, cols, correlated):
     and into the CASE/EXISTS oracle rewrite for quantified atoms."""
     c = rng.choice(cols)
     r = rng.random()
+    if BIG_SF and not correlated:
+        r = max(r, 0.5)  # force an aggregate item (see BIG_SF note)
     if r < 0.5:
         item, is_agg = int_expr(c), False
     elif r < 0.7:

@@ -148,7 +148,13 @@ object Bench {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional subset (comma-separated names): the sf10 heaviest-N run
+    // and ad-hoc A/Bs reuse the same harness + json contract
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val (tF, ok, gcMs) = timeOnce(fn)
       val stMb = storageUsedMb()
       results(name) = QRes(tF, ok, gcMs, stMb, loadAvg())
