@@ -46,11 +46,28 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmThresholdSec = sys.env.getOrElse("SPARK_GRAFT_WARM_THRESHOLD", "2.0").toDouble
     val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "2").toInt
+    // warm reps exist to separate JIT/cache noise from plan cost; on a
+    // multi-hundred-second query that distinction is already obvious
+    // from the fresh number, and 2 extra re-executions of a 400 s
+    // query burn the whole scale-run budget. Queries whose FRESH time
+    // exceeds the cap skip the warm loop (fields simply absent, same
+    // as under-threshold rows); the json self-describes via
+    // warm_cap_sec. Default: no cap (sf0.1 driver runs unchanged).
+    val warmCapSec = sys.env.getOrElse("SPARK_GRAFT_WARM_CAP", "1e18").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Experiment knob for the sf1 bimodal-warm-rep investigation:
+      // when a GC lands mid-query the (blocking) ContextCleaner drains
+      // thousands of accumulated shuffle/broadcast refs serially and
+      // stalls executor threads — identical re-executions then measure
+      // 6 s or 56 s depending on GC timing. "false" trades cleanup
+      // (shuffle files live until exit; fine for a bounded bench run)
+      // for measurement stability. Default keeps Spark's default.
+      .config("spark.cleaner.referenceTracking",
+        sys.env.getOrElse("SPARK_GRAFT_REFTRACK", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay session/codegen/file-listing startup outside the timings
@@ -128,7 +145,7 @@ object Bench {
       val json =
         s"""{
            |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,
-           |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,
+           |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,"warm_cap_sec":${fmt(warmCapSec)},
            |"warm_mode":"reexec-releaseAll",
            |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
            |"total_fresh_sec":${fmt(total)},
@@ -162,7 +179,7 @@ object Bench {
       writeFile() // fresh timing durable BEFORE the warm loop: a kill
       // during a heavy query's ~40 s of warm reps must not lose it
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
-      if (ok && tF > warmThresholdSec) {
+      if (ok && tF > warmThresholdSec && tF <= warmCapSec) {
         var reps = (1 to warmReps).map { _ =>
           val t = timeOnce(fn)
           graft.operators.Dedup.releaseAll()

@@ -88,6 +88,14 @@ object Dedup {
   /** Number of result frames currently retained (spec hook). */
   private[graft] def retainedCount: Int = retained.synchronized(retained.size)
 
+  /** The QueryExecution that materialized the most recent
+    * [[viaPersisted]] result, BEFORE plan flattening hid it behind a
+    * LogicalRDD scan — the executed-plan surface PlanSpec's shape gates
+    * (window-per-shard, broadcast-only joins) audit, since the returned
+    * frame's own plan is deliberately flat. */
+  @volatile private[graft] var lastInnerExecution:
+      Option[org.apache.spark.sql.execution.QueryExecution] = None
+
   /** Unpersist every result frame retained by earlier dedup calls. */
   def releaseAll(): Unit = retained.synchronized {
     while (!retained.isEmpty) retained.pollFirst().unpersist(blocking = false)
@@ -133,8 +141,23 @@ object Dedup {
     // input-validation require after a totals action) must not leave
     // the stage pinned for the session's lifetime
     try {
-      val result = body(s).persist(StorageLevel.MEMORY_AND_DISK)
+      // The result is cached behind a FLATTENED plan (r13): persisting
+      // it under its natural plan keys the cache entry by a tree that
+      // NESTS the stage's plan, so the `finally` unpersist below makes
+      // the CacheManager re-cache the dependent entry — CLEARING the
+      // buffers the eager count just built. The final consumer then
+      // recomputes the whole chain with no stage cache at all; whether
+      // it read the cache first is a race, measured live as the same
+      // sf1 query costing 10 s or 75 s (4-8x CPU) across identical
+      // same-JVM reps (scripts/ab_variance_r13.scala). Flattening keys
+      // the entry by a single LogicalRDD the unpersist cannot reach,
+      // while keeping RDD lineage — eviction stays synchronous and an
+      // evicted frame still recomputes on re-read.
+      val inner = body(s)
+      val result = org.apache.spark.sql.GraftSqlShims.flattenPlan(inner)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       result.count() // eager: runs while the stage cache is live
+      lastInnerExecution = Some(inner.queryExecution)
       retain(result)
       result
     } finally s.unpersist(blocking = false)
@@ -754,10 +777,22 @@ object Dedup {
       catch { case _: NumberFormatException => 200L }
     val loopParts = math.min(nEdges / 2000000 + 1, sessionParts).toInt
     locally {
+      // Every round is an EAGER localCheckpoint, not a persist (r13).
+      // A persisted round's cache entry nests the previous round's
+      // plan, so the mid-loop unpersist of the superseded round makes
+      // the CacheManager re-cache (= clear) the live round's buffers;
+      // later rounds then recompute the ENTIRE nested lineage — pair
+      // mining included — once per remaining round. Measured live as
+      // identical same-JVM executions of the sf1 priority-dedup query
+      // costing 10 s or 75 s with 4-8x the CPU (bench_out/
+      // ab_variance_r13 probe). Checkpointed rounds are flat LogicalRDD
+      // scans: nothing nests, so freeing round i-1 cannot touch round
+      // i, and the depth-growth OOM the round-8 cadence used to guard
+      // is structurally gone (every round is depth-1).
       var labels = edges.select(col("src").as("id"))
         .repartition(loopParts, col("id")).distinct()
         .withColumn("label", col("id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // labels only ever decrease, so the label SUM strictly decreases
       // while anything changes — comparing sums is a single aggregate per
       // round instead of a join-based diff (decimal: id sums can exceed
@@ -769,30 +804,15 @@ object Dedup {
       var prevSum = labelSum(labels)
       var i = 0
       var converged = false
-      var labelsCkpt = false
       while (!converged && i < maxIter) {
-        val computed = ccRound(edges, labels, loopParts)
-        // Lineage truncation every 8 rounds (the recursive-CTE
-        // checkpoint cadence): each round's plan NESTS the previous
-        // round's, so on a chain-shaped component (diameter ≈ rounds)
-        // the analyzed tree grows until the driver OOMs just
-        // STRINGIFYING it around round ~15 — found live by
-        // scripts/fuzz_pipeline_r13.scala's random-chain graphs.
-        // localCheckpoint cuts the plan back to a flat scan of the
-        // materialized label rows (a tiny frame: one row per node of
-        // the PAIR graph, not the corpus).
-        val isCkpt = (i + 1) % 8 == 0
-        val next =
-          if (isCkpt) computed.localCheckpoint(true)
-          else computed.persist(StorageLevel.MEMORY_AND_DISK)
+        val next = ccRound(edges, labels, loopParts).localCheckpoint(true)
         val nextSum = labelSum(next)
         // free the superseded round: checkpoint blocks are owned by the
-        // LogicalRDD's rdd (Dataset.unpersist cannot see them), plain
-        // persists by the cache manager
-        if (labelsCkpt) freeCheckpointBlocks(labels)
-        else labels.unpersist(blocking = false)
+        // LogicalRDD's rdd (Dataset.unpersist, cache-manager keyed,
+        // cannot see them); `next` is already eagerly materialized and
+        // flat, so the free cannot invalidate anything downstream
+        freeCheckpointBlocks(labels)
         labels = next
-        labelsCkpt = isCkpt
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         i += 1

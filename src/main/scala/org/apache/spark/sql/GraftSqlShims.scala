@@ -1,0 +1,38 @@
+/*
+ * Lives in `org.apache.spark.sql` (the standard extension-point pattern
+ * for Spark libraries) to reach two `private[sql]` helpers. Single
+ * purpose: PLAN FLATTENING for cacheable pipeline results.
+ *
+ * Why: caching a multi-stage result with `persist` keys the cache entry
+ * by the result's FULL logical plan, which nests every upstream stage's
+ * plan. Unpersisting any of those upstream stages later makes the
+ * CacheManager re-cache (= clear the buffers of) the dependent entry,
+ * throwing away an already-materialized result and forcing the next
+ * consumer to recompute the whole chain — measured live at sf1 as
+ * identical same-JVM executions costing 10 s or 75 s depending on who
+ * won the race (operators/Dedup.scala `viaPersisted` for the story).
+ *
+ * `flatten` rebuilds the result as a scan over its own execution RDD:
+ * the LOGICAL plan becomes one flat LogicalRDD (so no upstream
+ * unpersist can ever invalidate it) while the RDD lineage stays intact
+ * (so an evicted cache entry still recomputes — unlike
+ * `localCheckpoint`, which truncates lineage and makes eviction fatal).
+ * This is exactly `Dataset.localCheckpoint` minus the truncation, built
+ * from the same `LogicalRDD.fromDataset` helper Spark uses there
+ * (preserving output partitioning/ordering, so downstream joins on the
+ * flattened frame don't re-shuffle).
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.execution.LogicalRDD
+
+object GraftSqlShims {
+  /** The result's plan, flattened to a single LogicalRDD scan. Lazy —
+    * nothing executes until an action runs on the returned frame. */
+  def flattenPlan(df: DataFrame): DataFrame = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    val flat = LogicalRDD.fromDataset(
+      c.queryExecution.toRdd, c, c.isStreaming)
+    classic.Dataset.ofRows(c.sparkSession, flat)
+  }
+}

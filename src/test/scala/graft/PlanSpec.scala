@@ -125,8 +125,11 @@ class PlanSpec extends AnyFunSuite {
     // the naive global running sum is Window.orderBy with NO partition
     // key — Spark plans it as a single-partition Exchange and one task
     // sorts the entire corpus. The two-phase prefix sum must window by
-    // the range shard instead.
-    val p = plan("pl_seq_pack")
+    // the range shard instead. The returned frame's own plan is a flat
+    // LogicalRDD since r13 (viaPersisted plan flattening), so the gate
+    // reads the INNER execution that materialized it.
+    plan("pl_seq_pack")
+    val p = graft.operators.Dedup.lastInnerExecution.get.executedPlan.toString
     assert(p.contains("Window"), p)
     assert(!p.contains("SinglePartition"),
       "global single-partition window in the packing plan:\n" + p)
@@ -664,8 +667,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("prototype pruning broadcasts centroids/sizes and cuts per cell") {
     val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
-    df.collect() // final adaptive plan
-    val p = df.queryExecution.executedPlan.toString
+    df.collect()
+    // the result frame is cached behind a flattened plan (r13) — the
+    // shape gates below audit the inner execution that built it
+    val p = graft.operators.Dedup.lastInnerExecution.get.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "cartesian in prune plan:\n" + p)
     // centroid table and cell-size table join as broadcasts — the
     // corpus side never shuffles for either join
