@@ -25,8 +25,17 @@ val out = sys.env.getOrElse("GEN_OUT", "/tmp/graft_sf1")
 val copies = sys.env.getOrElse("GEN_COPIES", "10").toInt
 
 def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-def write(t: String, df: DataFrame): Unit = {
-  df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+// Scaled tables are REPARTITIONED before write (r13): the broadcast
+// crossJoin used for scaling otherwise lands every copy in the single
+// input partition and the table ships as ONE parquet file — every
+// downstream scan-stage kernel (shingling, minhash, embedding math)
+// then runs at parallelism 1, which is neither how a 100 TB table is
+// laid out nor a fair scan to benchmark. Dimensions stay single-file
+// (they are single-file at sf0.1 too).
+val parts = sys.env.getOrElse("GEN_PARTS", "32").toInt
+def write(t: String, df: DataFrame, split: Boolean = true): Unit = {
+  (if (split) df.repartition(parts) else df)
+    .write.mode("overwrite").parquet(s"$out/$t.parquet")
   println(s"GEN $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
 }
 
@@ -38,8 +47,8 @@ def scaled(t: String)(f: (DataFrame, org.apache.spark.sql.Column) => DataFrame):
 }
 
 // dimensions: fixed
-write("region", read("region"))
-write("nation", read("nation"))
+write("region", read("region"), split = false)
+write("nation", read("nation"), split = false)
 
 write("customer", scaled("customer") { (d, c) =>
   d.withColumn("c_custkey", col("c_custkey") + c * 1000000L) })
