@@ -8,6 +8,16 @@ ratios sorted worst-first, flagging anything above the gate
 -> 2 s move is fixed-overhead amplification (extra partitions/stages on
 a tiny query), not a scaling property of the operator.
 
+Sentinel normalization (r14): when both files carry the fixed-point
+sentinel fields (sentinel_*_agg_sec / sentinel_*_shuffle_sec — a
+constant-size in-memory agg and shuffle run 3x at suite start and end),
+the report prints the machine-speed factor between the two runs and a
+sentinel-normalized ratio column. A broad drift that the sentinels also
+show is the machine (hypervisor steal, co-tenants), not the engine;
+the gate itself stays on the RAW ratio so normalization can never hide
+a real regression behind a claimed-slow machine (the factor is capped
+at 2x and printed for the reader to judge).
+
 Usage: scale_ratio_report.py small.json big.json [gate] [floor]
 """
 import json
@@ -17,6 +27,27 @@ small = json.load(open(sys.argv[1]))
 big = json.load(open(sys.argv[2]))
 gate = float(sys.argv[3]) if len(sys.argv) > 3 else 15.0
 floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+
+
+def sentinel_speed(d):
+    """Machine-speed scalar for one bench file: min of each sentinel's
+    reps (min = least-noise), averaged over the 4 sentinel series.
+    None when the file predates the sentinel fields."""
+    keys = ["sentinel_start_agg_sec", "sentinel_start_shuffle_sec",
+            "sentinel_end_agg_sec", "sentinel_end_shuffle_sec"]
+    vals = [min(d[k]) for k in keys if d.get(k)]
+    return sum(vals) / len(vals) if vals else None
+
+
+s_speed, b_speed = sentinel_speed(small), sentinel_speed(big)
+norm = None
+if s_speed and b_speed:
+    # cap at 2x: the sentinel corrects drift, it must not launder a
+    # machine-was-4x-slower claim into a pass
+    norm = max(min(b_speed / s_speed, 2.0), 0.5)
+    print(f"sentinels: small={s_speed:.3f}s big={b_speed:.3f}s "
+          f"machine factor={b_speed / s_speed:.2f} (normalizing by {norm:.2f}, "
+          f"gate stays on raw ratios)")
 
 sq, bq = small["queries"], big["queries"]
 shared = sorted(set(sq) & set(bq))
@@ -33,7 +64,8 @@ for q in shared:
 rows.sort(key=lambda r: -min(r[3], r[6]))
 fails = 0
 print(f"{'query':34s} {'small':>8s} {'big':>8s} {'ratio':>7s} "
-      f"{'warm_s':>8s} {'warm_b':>8s} {'w_ratio':>7s}")
+      f"{'warm_s':>8s} {'warm_b':>8s} {'w_ratio':>7s}" +
+      (f" {'n_ratio':>7s}" if norm else ""))
 for q, s, b, r, s2, b2, r2 in rows:
     eff = min(r, r2)  # a query passes if EITHER fresh or warm scales
     flag = ""
@@ -42,7 +74,8 @@ for q, s, b, r, s2, b2, r2 in rows:
         fails += 1
     elif eff > gate:
         flag = " (small-base, not gated)"
-    print(f"{q:34s} {s:8.2f} {b:8.2f} {r:7.1f} {s2:8.2f} {b2:8.2f} {r2:7.1f}{flag}")
+    ntail = f" {r / norm:7.1f}" if norm else ""
+    print(f"{q:34s} {s:8.2f} {b:8.2f} {r:7.1f} {s2:8.2f} {b2:8.2f} {r2:7.1f}{ntail}{flag}")
 
 missing = sorted(set(sq) - set(bq))
 failed_big = big.get("failed", [])

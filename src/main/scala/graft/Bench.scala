@@ -39,6 +39,31 @@ import org.apache.spark.sql.SparkSession
   * between reps). r11-and-earlier warm numbers partially measured
   * cache reads; cross-round warm comparisons are only meaningful
   * against files carrying the same warm_mode.
+  *
+  * Environment self-adjudication (r14, after the BENCH_r13 substring
+  * anomaly): this host is a VM, and the r13 root-cause investigation
+  * (graft.ProbeSubstringMode + bench_out/SUBSTRING_MODE_r14.md)
+  * attributed the 49/289/234 s warm reps of a 4 s query to a
+  * hypervisor CPU-steal burst — guest threads parked, zero GC, not
+  * reproducible under suite-replay or deliberate in-guest contention,
+  * and /proc/stat's cumulative steal covers the whole anomaly. So
+  * every measurement now records what the MACHINE did during it:
+  *   - per query and per warm rep: process-CPU seconds (cpu_sec — a
+  *     slow rep with cpu≈fresh-cpu WAITED; one with cpu≈N×fresh-cpu
+  *     recomputed), loadavg, and /proc/stat deltas for steal and
+  *     iowait seconds (core-seconds the hypervisor withheld / the
+  *     guest spent blocked on IO).
+  *   - a warm rep whose steal share exceeds 20% of wall×cores is
+  *     TAINTED: it is recorded (warm_tainted) but excluded from
+  *     warm_min, and one replacement rep is burned (at most 2 per
+  *     query) — a hypervisor burst can no longer poison the round's
+  *     canonical warm numbers.
+  *   - fixed-point sentinels: a pure in-memory agg and a shuffle sort
+  *     over spark.range (no files, constant size) run 3x at suite
+  *     start and 3x at suite end ("sentinel_*" fields). Cross-round
+  *     fresh-time comparisons normalize against the sentinel medians
+  *     (scripts/scale_ratio_report.py) — a +14% broad drift with
+  *     matching sentinel drift is machine speed, not a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -96,6 +121,19 @@ object Bench {
     // round-over-round comparison.
     def loadAvg(): Double =
       ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val osBean = ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // /proc/stat aggregate line: (steal, iowait) jiffies (USER_HZ=100).
+    // Steal is CORE-seconds the hypervisor withheld from the whole
+    // guest — the r13 anomaly's mechanism; -1 when unreadable.
+    def procStatJiffies(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val p = src.getLines().next().trim.split("\\s+")
+        (p(8).toLong, p(5).toLong)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+    val nCores = Runtime.getRuntime.availableProcessors()
     val maxStartLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_START_LOAD", "8.0").toDouble
     val startLoad = loadAvg()
     val loadFlag = startLoad > maxStartLoad
@@ -109,44 +147,91 @@ object Bench {
     }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
 
+    // one measurement: wall + everything needed to adjudicate it later
+    // (cpu: this process's CPU-seconds — a slow rep with cpu ~= the
+    // fresh run's WAITED, one with cpu ~= N x fresh recomputed; steal/
+    // iowait: machine-level core-seconds from /proc/stat deltas)
+    final case class Meas(wall: Double, ok: Boolean, gcMs: Long,
+        cpuSec: Double, stealSec: Double, iowaitSec: Double, load: Double)
     final case class QRes(
-        fresh: Double, ok: Boolean, gcMs: Long, storageMb: Long,
-        load: Double,
-        var warmMin: Option[Double] = None, var warmRepsSec: List[Double] = Nil,
-        var warmGcMs: List[Long] = Nil)
-    // (elapsed, succeeded, gcDeltaMs): a failure must never masquerade
-    // as a slow measurement — no warm reps are burned re-running it
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean, Long) = {
-      val gc0 = gcMillis()
+        m: Meas, storageMb: Long,
+        var warmMin: Option[Double] = None, var warmReps: List[Meas] = Nil,
+        var warmTainted: List[Meas] = Nil)
+    // a failure must never masquerade as a slow measurement — no warm
+    // reps are burned re-running it
+    def timeOnce(body: => Unit): Meas = {
+      val gc0 = gcMillis(); val c0 = osBean.getProcessCpuTime
+      val (st0, io0) = procStatJiffies()
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { body; true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query failed: ${e.getMessage}")
           false
       }
-      ((System.nanoTime() - t0) / 1e9, ok, gcMillis() - gc0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (st1, io1) = procStatJiffies()
+      Meas(wall, ok, gcMillis() - gc0,
+        (osBean.getProcessCpuTime - c0) / 1e9,
+        if (st0 >= 0 && st1 >= 0) (st1 - st0) / 100.0 else -1.0,
+        if (io0 >= 0 && io1 >= 0) (io1 - io0) / 100.0 else -1.0,
+        loadAvg())
     }
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas =
+      timeOnce { fn(spark, sfDir).count(); () }
+    // a warm rep the hypervisor starved is recorded but must not poison
+    // warm_min or trigger the disagreement logic as if it were plan cost
+    def tainted(m: Meas): Boolean =
+      m.stealSec > 0.20 * m.wall * nCores
+
+    // Fixed-point sentinels (r14): constant-size in-memory work, no
+    // files — a machine-speed reference recorded at suite start and
+    // end. Cross-round fresh deltas normalize against the sentinel
+    // medians; a broad drift WITH sentinel drift is the machine, one
+    // WITHOUT it is the engine.
+    def sentinelAgg(): Double = timeOnce {
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("(id * 2654435761) % 97 as k", "id")
+        .groupBy("k").sum("id").count(); ()
+    }.wall
+    def sentinelShuffle(): Double = timeOnce {
+      spark.range(0L, 5000000L, 1L, 32)
+        .selectExpr("(id * 1103515245 + 12345) % 1000000 as k")
+        .groupBy("k").count().filter("count > 1").count(); ()
+    }.wall
+    def sentinels(): (List[Double], List[Double]) =
+      ((1 to 3).map(_ => sentinelAgg()).toList,
+       (1 to 3).map(_ => sentinelShuffle()).toList)
 
     val results = scala.collection.mutable.LinkedHashMap[String, QRes]()
     val startedAtMs = System.currentTimeMillis()
+    var sentinelStart: (List[Double], List[Double]) = (Nil, Nil)
+    var sentinelEnd: (List[Double], List[Double]) = (Nil, Nil)
+    def arr(xs: List[Double]): String = xs.map(fmt).mkString("[", ",", "]")
+    def measPart(m: Meas): String =
+      s""""gc_ms":${m.gcMs},"cpu_sec":${fmt(m.cpuSec)},"steal_sec":${fmt(m.stealSec)},"iowait_sec":${fmt(m.iowaitSec)},"load":${fmt(m.load)}"""
     def writeFile(): Unit = {
       val out = new java.io.File(outPath)
       Option(out.getParentFile).foreach(_.mkdirs())
-      val failed = results.collect { case (n, r) if !r.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
-      val qs = results.collect { case (n, r) if r.ok =>
-        // warm reps carry their own gc deltas: a warm outlier must be
-        // pressure-vs-plan-readable without a dedicated-JVM rerun (the
-        // fresh gc_ms alone cannot explain a spike in rep 2)
+      val failed = results.collect { case (n, r) if !r.m.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
+      val qs = results.collect { case (n, r) if r.m.ok =>
+        // warm reps carry their own gc/cpu/steal/load: a warm outlier
+        // must be waiting-vs-recomputing-vs-starved readable without a
+        // dedicated-JVM rerun (the r13 lesson: 289 s with no load
+        // sample and no cpu took a full round to adjudicate)
         val warmPart = r.warmMin.map(w =>
-          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${r.warmRepsSec.map(fmt).mkString("[", ",", "]")},"warm_gc_ms":${r.warmGcMs.mkString("[", ",", "]")}""").getOrElse("")
-        s""""$n":{"fresh_sec":${fmt(r.fresh)},"gc_ms":${r.gcMs},"storage_mb":${r.storageMb},"load":${fmt(r.load)}$warmPart}"""
+          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${arr(r.warmReps.map(_.wall))},"warm_gc_ms":${r.warmReps.map(_.gcMs).mkString("[", ",", "]")},"warm_cpu_sec":${arr(r.warmReps.map(_.cpuSec))},"warm_steal_sec":${arr(r.warmReps.map(_.stealSec))},"warm_load":${arr(r.warmReps.map(_.load))}""" +
+          (if (r.warmTainted.isEmpty) ""
+           else s""","warm_tainted_sec":${arr(r.warmTainted.map(_.wall))},"warm_tainted_steal_sec":${arr(r.warmTainted.map(_.stealSec))}""")).getOrElse("")
+        s""""$n":{"fresh_sec":${fmt(r.m.wall)},${measPart(r.m)},"storage_mb":${r.storageMb}$warmPart}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      val total = results.values.collect { case r if r.ok => r.fresh }.sum
+      val total = results.values.collect { case r if r.m.ok => r.m.wall }.sum
       val json =
         s"""{
-           |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,
+           |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,"host_cores":$nCores,
            |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,"warm_cap_sec":${fmt(warmCapSec)},
-           |"warm_mode":"reexec-releaseAll",
+           |"warm_mode":"reexec-releaseAll","steal_taint_share":0.20,
+           |"sentinel_start_agg_sec":${arr(sentinelStart._1)},"sentinel_start_shuffle_sec":${arr(sentinelStart._2)},
+           |"sentinel_end_agg_sec":${arr(sentinelEnd._1)},"sentinel_end_shuffle_sec":${arr(sentinelEnd._2)},
            |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
            |"total_fresh_sec":${fmt(total)},
            |"failed":$failed,
@@ -165,6 +250,7 @@ object Bench {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
     }
 
+    sentinelStart = sentinels()
     // optional subset (comma-separated names): the sf10 heaviest-N run
     // and ad-hoc A/Bs reuse the same harness + json contract
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -172,46 +258,59 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      val (tF, ok, gcMs) = timeOnce(fn)
+      val mF = timeQuery(fn)
       val stMb = storageUsedMb()
-      results(name) = QRes(tF, ok, gcMs, stMb, loadAvg())
-      println(s"BENCHQ $name ${if (ok) fmt(tF) else s"failed ${fmt(tF)}"} gc=${gcMs}ms storage=${stMb}MB")
+      results(name) = QRes(mF, stMb)
+      println(s"BENCHQ $name ${if (mF.ok) fmt(mF.wall) else s"failed ${fmt(mF.wall)}"} gc=${mF.gcMs}ms cpu=${fmt(mF.cpuSec)}s steal=${fmt(mF.stealSec)}s storage=${stMb}MB")
       writeFile() // fresh timing durable BEFORE the warm loop: a kill
       // during a heavy query's ~40 s of warm reps must not lose it
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
-      if (ok && tF > warmThresholdSec && tF <= warmCapSec) {
-        var reps = (1 to warmReps).map { _ =>
-          val t = timeOnce(fn)
+      if (mF.ok && mF.wall > warmThresholdSec && mF.wall <= warmCapSec) {
+        val clean = collection.mutable.ListBuffer[Meas]()
+        val bad = collection.mutable.ListBuffer[Meas]()
+        var replacements = 0 // at most 2 extra reps vs hypervisor bursts
+        def rep(): Unit = {
+          val m = timeOnce { fn(spark, sfDir).count(); () }
           graft.operators.Dedup.releaseAll()
-          t
-        }.collect { case (t, true, g) => (t, g) }
-        // self-adjudicating outliers: when warm reps disagree by >3x
+          if (!m.ok) ()
+          else if (tainted(m)) {
+            bad += m
+            System.err.println(f"[bench] $name warm rep TAINTED: wall=${m.wall}%.1f s steal=${m.stealSec}%.1f core-s — hypervisor burst, excluded from warm_min")
+            if (replacements < 2) { replacements += 1; rep() }
+          } else clean += m
+        }
+        (1 to warmReps).foreach(_ => rep())
+        // self-adjudicating outliers: when warm reps disagree by >2x
         // (r9's 19.2 s and r10's 36.9 s phantoms both needed a
         // judge-side dedicated-JVM rerun), burn ONE extra rep so the
         // record itself shows whether the spike repeats (plan problem)
         // or was a one-off environment artifact
         // (2×, was 3× through r12 — pl_curate_pipeline3's 5.3/9.7
         // spread went unadjudicated under the old trigger)
-        if (reps.size >= 2 && reps.map(_._1).max > 2 * reps.map(_._1).min) {
-          val extra = timeOnce(fn)
+        if (clean.size >= 2 && clean.map(_.wall).max > 2 * clean.map(_.wall).min) {
+          val extra = timeOnce { fn(spark, sfDir).count(); () }
           graft.operators.Dedup.releaseAll()
-          if (extra._2) reps = reps :+ ((extra._1, extra._3))
+          if (extra.ok && !tainted(extra)) clean += extra
+          else if (extra.ok) bad += extra
         }
-        if (reps.nonEmpty) {
-          results(name).warmMin = Some(reps.map(_._1).min)
-          results(name).warmRepsSec = reps.map(_._1).toList
-          results(name).warmGcMs = reps.map(_._2).toList
-          println(s"BENCHQ $name warm_min ${fmt(reps.map(_._1).min)}")
+        if (clean.nonEmpty || bad.nonEmpty) {
+          val r = results(name)
+          if (clean.nonEmpty) r.warmMin = Some(clean.map(_.wall).min)
+          r.warmReps = clean.toList
+          r.warmTainted = bad.toList
+          r.warmMin.foreach(w => println(s"BENCHQ $name warm_min ${fmt(w)}"))
         }
         writeFile()
       }
       Console.out.flush()
     }
+    sentinelEnd = sentinels()
+    writeFile()
     def jsonMap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val freshOk = results.collect { case (n, r) if r.ok => n -> r.fresh }
+    val freshOk = results.collect { case (n, r) if r.m.ok => n -> r.m.wall }
     val warmOk = results.collect { case (n, r) if r.warmMin.isDefined => n -> r.warmMin.get }
-    val failedArr = results.collect { case (n, r) if !r.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
+    val failedArr = results.collect { case (n, r) if !r.m.ok => "\"" + n + "\"" }.mkString("[", ",", "]")
     val total = freshOk.values.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jsonMap(freshOk)},"warm":${jsonMap(warmOk)},"failed":$failedArr,"out":"$outPath","sf":"$sfDir"}""")
     spark.stop()
