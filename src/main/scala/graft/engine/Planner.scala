@@ -45,14 +45,38 @@ final class Planner(catalog: String => DataFrame,
   }
 
   def plan(sel0: SqlSelect): DataFrame = {
-    val sel1 = substituteSelectScalars(sel0)
+    val (sel1, pendingAggScalars) = substituteSelectScalars(sel0)
+    // is a pending post-agg scalar marker (`__pasq_N`) anywhere in n?
+    def containsPendingScalar(n: Node): Boolean =
+      pendingAggScalars.nonEmpty && {
+        val names = pendingAggScalars.map(_._1).toSet
+        def go(m: Node): Boolean = m match {
+          case IdentityNode(Seq(p)) => names.contains(p)
+          case BinaryNode(_, l, r, _) => go(l) || go(r)
+          case BooleanNode(_, args, _) => args.exists(go)
+          case UnaryNode(_, c) => go(c)
+          case TriNode(_, a, b, c, _) => go(a) || go(b) || go(c)
+          case FuncNode(_, args) => args.exists(go)
+          case CaseNode(bs, e) =>
+            bs.exists { case (w, t) => go(w) || go(t) } || e.exists(go)
+          case ArrayNode(items) => items.exists(go)
+          case WindowNode(f, pb, ob, _, _) =>
+            go(f) || pb.exists(go) || ob.exists(p => go(p._1))
+          case _ => false
+        }
+        go(n)
+      }
     // GROUP BY ALL (DuckDB dialect): keys = every select expression
     // with no aggregate in it — window expressions and `*` excluded
-    // (Spark's analyzer rejects either as a grouping key loudly)
+    // (Spark's analyzer rejects either as a grouping key loudly), and
+    // post-agg scalar markers too (a scalar subquery is one constant
+    // for all rows: grouping by it never changes the groups, and the
+    // marker column does not exist below the aggregate)
     val sel = if (!sel1.groupByAll) sel1 else sel1.copy(
       groupBy = sel1.columns.collect {
         case c if c.expr != IdentityNode(Seq("*")) &&
-          !containsWindow(c.expr) && !containsAgg(c.expr) => c.expr
+          !containsWindow(c.expr) && !containsAgg(c.expr) &&
+          !containsPendingScalar(c.expr) => c.expr
       },
       groupByAll = false)
     if (sel.from.isEmpty) { // literal select: SELECT 1, SELECT now()
@@ -199,7 +223,12 @@ final class Planner(catalog: String => DataFrame,
     val postWhereCtx = mkCtx(df)
 
     // ---- projection planning -----------------------------------------
-    val isAgg = sel.groupBy.nonEmpty || cols.exists(c => containsAgg(c.expr))
+    // pending post-agg scalar markers force the aggregate path even in
+    // the degenerate `SELECT (SELECT 5) FROM t GROUP BY ALL` shape
+    // (keys emptied by the marker exclusion above): GROUP BY () is a
+    // global aggregate, one row
+    val isAgg = sel.groupBy.nonEmpty || cols.exists(c => containsAgg(c.expr)) ||
+      cols.exists(c => containsPendingScalar(c.expr))
 
     if (!isAgg) {
       var out = df
@@ -374,7 +403,12 @@ final class Planner(catalog: String => DataFrame,
         ColumnBuilder.build(k, postWhereCtx).as(name)
       }
       val aggCols: Seq[Column] = cols.flatMap { c =>
-        if (containsAgg(c.expr)) Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
+        // post-agg scalar markers: the whole expression computes on the
+        // AGGREGATED frame (its aggregates ride along as __agg_N via
+        // extraAggNodes below) — nothing to build here, where the
+        // marker column does not exist yet
+        if (containsPendingScalar(c.expr)) None
+        else if (containsAgg(c.expr)) Some(ColumnBuilder.build(c.expr, postWhereCtx).as(c.outputName))
         else if (matchesKey(c.expr)) None // already a key
         // a CONSTANT column (literal / typed-cast literal — what a
         // substituted scalar subquery becomes) projects as the literal
@@ -389,17 +423,25 @@ final class Planner(catalog: String => DataFrame,
         // is row-order-dependent; parity is about matching the quirk.
         else Some(last(ColumnBuilder.build(c.expr, postWhereCtx)).as(c.outputName))
       }
-      // HAVING / ORDER BY aggregates not in the select list
-      val extraAggNodes = (sel.having.toSeq ++ sel.orderBy.map(_._1))
+      // HAVING / ORDER BY aggregates not in the select list, plus the
+      // aggregates inside marker-bearing select columns (excluded from
+      // aggCols above — their expressions compute post-agg)
+      val extraAggNodes = (sel.having.toSeq ++ sel.orderBy.map(_._1) ++
+          cols.filter(c => containsPendingScalar(c.expr)).map(_.expr))
         .flatMap(collectAggs)
-        .filterNot(a => cols.exists(c => c.expr.text == a.text))
+        .filterNot(a => cols.exists(c =>
+          !containsPendingScalar(c.expr) && c.expr.text == a.text))
         .distinct
       val extraCols = extraAggNodes.zipWithIndex.map { case (n, i) =>
         ColumnBuilder.build(n, postWhereCtx).as(s"__agg_$i")
       }
       val aggAll = aggCols ++ extraCols
       var out =
-        if (keyCols.isEmpty) df.agg(aggAll.head, aggAll.tail: _*)
+        if (keyCols.isEmpty && aggAll.isEmpty)
+          // only post-agg scalar markers selected: GROUP BY () — one
+          // global group row regardless of input row count
+          df.agg(count(lit(1)).as("__pasq_gcnt")).drop("__pasq_gcnt")
+        else if (keyCols.isEmpty) df.agg(aggAll.head, aggAll.tail: _*)
         // GROUP BY with no aggregate columns (key-only select) is a
         // distinct over the keys
         else if (aggAll.isEmpty) df.select(keyCols: _*).distinct()
@@ -453,6 +495,32 @@ final class Planner(catalog: String => DataFrame,
         extraAggNodes.zipWithIndex.map { case (n, i) => n.text -> s"__agg_$i" }.toMap ++
         keyNodes.map(k => k.text -> cols.find(c => sameExpr(k, c.expr, cols))
           .map(_.outputName).getOrElse(Ast.defaultName(k))).toMap
+
+      // SELECT-position uncorrelated scalars on the AGGREGATE path
+      // (r14): each pending scalar attaches HERE, on the post-aggregate
+      // frame, as the same lazy one-row broadcast the pre-projection
+      // path uses (in-plan count + raise_error single-row guard — zero
+      // build-time driver jobs, so explain on agg statements is free
+      // too). The empty global-aggregate input has already completed
+      // to its one row at this point, so ANSI's `SELECT count(*),
+      // (SELECT 5) FROM t WHERE false` → `0, 5` survives without the
+      // build-time literal probe this path used through r13. The
+      // marker-bearing select expressions then compute on this frame,
+      // aggregates substituted to their __agg_N / output columns
+      // (their own full-text subst entries excluded — those name the
+      // very columns being built).
+      if (pendingAggScalars.nonEmpty) {
+        pendingAggScalars.foreach { case (name, innerSel) =>
+          out = out.crossJoin(broadcast(scalarOneRow(innerSel, name)))
+        }
+        val markerCols = cols.filter(c => containsPendingScalar(c.expr))
+        val postSubst = subst -- markerCols.map(_.expr.text)
+        markerCols.foreach { c =>
+          out = out.withColumn(c.outputName,
+            ColumnBuilder.build(substitute(c.expr, postSubst), mkCtx(out)))
+        }
+        out = out.drop(pendingAggScalars.map(_._1): _*)
+      }
 
       val outCtx = mkCtx(out)
       sel.having.foreach { h =>
@@ -1065,13 +1133,18 @@ final class Planner(catalog: String => DataFrame,
     *   - UNCORRELATED: passes THROUGH untouched (r13) — plan()'s
     *     hidden-column attach lowers it to the lazy in-plan broadcast
     *     (limit(2) → count + raise_error single-row guard), so building
-    *     or EXPLAINing the statement launches ZERO driver jobs. The one
-    *     exception is an AGGREGATE statement (GROUP BY / any aggregate
-    *     select column): there the value must survive an EMPTY input
-    *     (ANSI: `SELECT count(*), (SELECT 5) FROM t WHERE false` is
-    *     `0, 5`, but a crossJoin against zero rows aggregates to NULL),
-    *     so it substitutes as a typed literal at build time — one
-    *     bounded driver probe, the job the query needs anyway.
+    *     or EXPLAINing the statement launches ZERO driver jobs. On an
+    *     AGGREGATE statement (GROUP BY / any aggregate select column)
+    *     the value must survive an EMPTY input (ANSI: `SELECT
+    *     count(*), (SELECT 5) FROM t WHERE false` is `0, 5`, but a
+    *     crossJoin BELOW the aggregate yields zero rows and the scalar
+    *     aggregates to NULL) — so the subquery is replaced by a MARKER
+    *     (`__pasq_N`, returned in this method's second component) and
+    *     the agg path attaches the same lazy broadcast scalar to the
+    *     POST-aggregate frame, where the empty input has already
+    *     aggregated to its one global row (r14; previously a
+    *     build-time `limit(2).collect()` literal — every explain of an
+    *     agg statement with a SELECT scalar paid a driver job).
     *
     * ORDER BY / QUALIFY / column guards pass through ENTIRELY: plan()
     * attaches their subqueries as hidden columns on the pre-projection
@@ -1080,7 +1153,7 @@ final class Planner(catalog: String => DataFrame,
     * these positions previously refused). WHERE keeps its own richer
     * path — splitSubqueries extracts those before this rewrite ever
     * sees them. */
-  private def substituteSelectScalars(sel: SqlSelect): SqlSelect = {
+  private def substituteSelectScalars(sel: SqlSelect): (SqlSelect, Seq[(String, SqlSelect)]) = {
     def hasSub(n: Node): Boolean = n match {
       case _: SubqueryNode => true
       case BinaryNode(_, l, r, _) => hasSub(l) || hasSub(r)
@@ -1096,60 +1169,15 @@ final class Planner(catalog: String => DataFrame,
       case _ => false
     }
     val needed = sel.columns.exists(c => hasSub(c.expr))
-    if (!needed) return sel
-    // aggregate statements pin SELECT-position uncorrelated scalars to
-    // the build-time literal path (see scaladoc: empty-input ANSI
-    // semantics); plain selects defer to the lazy in-plan attach
+    if (!needed) return (sel, Nil)
+    // aggregate statements swap SELECT-position uncorrelated scalars
+    // for POST-AGGREGATE markers (see scaladoc: empty-input ANSI
+    // semantics, attached lazily by the agg path); plain selects defer
+    // to the pre-projection lazy in-plan attach
     val stmtIsAgg = sel.groupBy.nonEmpty || sel.groupByAll ||
       sel.groupByRollup || sel.groupByCube || sel.groupingSets.nonEmpty ||
       sel.columns.exists(c => containsAgg(c.expr))
-    def literalOf(s: SubqueryNode): Node = {
-      val sub = parseSub(s)
-      val subDf = new Planner(catalog, vars, includer).plan(sub)
-      if (subDf.columns.length != 1)
-        throw BuildException("scalar subquery must return one column")
-      val rows = subDf.limit(2).collect()
-      if (rows.length > 1)
-        throw BuildException("scalar subquery returned more than one row")
-      if (rows.isEmpty || rows(0).isNullAt(0))
-        // a NULL scalar result must stay ANSI-NULL through comparisons.
-        // A bare NullNode would trigger the dialect's parity idiom
-        // `x == NULL ≙ IS NULL` (reference vm.go), silently turning
-        // `x = (SELECT max(…) over ∅)` into an IS NULL test — found
-        // live by scripts/fuzz_differential.py (r12). A typed cast
-        // keeps the literal NULL out of that pattern.
-        FuncNode("cast", Seq(NullNode,
-          StringNode(subDf.schema.head.dataType.sql.toLowerCase)))
-      else rows(0).get(0) match {
-        // exactness: NumberNode carries a Double, which is exact for
-        // |int| ≤ 2^53 — wider longs and non-Double-round-trip decimals
-        // re-enter the AST as a cast('…' AS type) so no precision is
-        // lost on the way back into the plan
-        case v: Long =>
-          if (v.toDouble.toLong == v) NumberNode(v.toDouble, isInt = true)
-          else FuncNode("cast", Seq(StringNode(v.toString), StringNode("bigint")))
-        case v: Int => NumberNode(v.toDouble, isInt = true)
-        case v: Short => NumberNode(v.toDouble, isInt = true)
-        case v: Byte => NumberNode(v.toDouble, isInt = true)
-        case v: Double => NumberNode(v, isInt = false)
-        case v: Float => NumberNode(v.toDouble, isInt = false)
-        case v0: java.math.BigDecimal =>
-          // negative scales (1E+3) normalize to scale 0 so the target
-          // type is always a legal decimal(p ≥ s, s ≥ 0)
-          val v = if (v0.scale < 0) v0.setScale(0) else v0
-          val p = math.max(v.precision, v.scale)
-          FuncNode("cast", Seq(StringNode(v.toPlainString),
-            StringNode(s"decimal($p,${v.scale})")))
-        case v: java.sql.Date =>
-          FuncNode("cast", Seq(StringNode(v.toString), StringNode("date")))
-        case v: java.sql.Timestamp =>
-          FuncNode("cast", Seq(StringNode(v.toString), StringNode("timestamp")))
-        case v: String => StringNode(v)
-        case v: Boolean => BoolNode(v)
-        case other => throw BuildException(
-          s"unsupported scalar subquery type: ${other.getClass.getSimpleName}")
-      }
-    }
+    val pendingAggScalars = collection.mutable.ArrayBuffer[(String, SqlSelect)]()
     // outer-scope probe for CORRELATION detection: the FROM sources
     // cross-joined schema-only (lazy plan, no job); per-source failures
     // (e.g. a lateral that cannot plan uncorrelated) just drop out
@@ -1165,9 +1193,17 @@ final class Planner(catalog: String => DataFrame,
           new Planner(catalog, vars, includer), sel, odf)).toOption
       }.filter(_.keys.nonEmpty)
       corr match {
-        // uncorrelated: lazy attach in plan() unless the statement
-        // aggregates (the literal must survive an empty input there)
-        case None => if (stmtIsAgg) literalOf(s) else s
+        // uncorrelated: lazy attach in plan() — pre-projection for
+        // plain selects (the node passes through), post-aggregate via
+        // marker for agg statements (the value must survive an empty
+        // input there)
+        case None =>
+          if (!stmtIsAgg) s
+          else {
+            val name = s"__pasq_${pendingAggScalars.length}"
+            pendingAggScalars += name -> innerSel
+            IdentityNode(Seq(name))
+          }
         case Some(_) =>
           // CORRELATED scalar in the SELECT list (r12): the
           // aggregate-LATERAL rewrite — one grouped aggregate LEFT-
@@ -1224,9 +1260,10 @@ final class Planner(catalog: String => DataFrame,
     // ORDER BY / QUALIFY / column guards also pass through wholesale —
     // plan() attaches their subqueries as hidden columns on the frame
     // each position actually evaluates against (r13).
-    sel.copy(
+    (sel.copy(
       columns = sel.columns.map(c => c.copy(expr = subst(c.expr))),
-      from = sel.from ++ laterals.toSeq)
+      from = sel.from ++ laterals.toSeq),
+      pendingAggScalars.toSeq)
   }
 
   /** Build an OUTER correlation reference against `frame`. A plain
@@ -1727,6 +1764,26 @@ final class Planner(catalog: String => DataFrame,
     * Returns the augmented frame, the rewritten node, and the hidden
     * columns the CALLER drops once the expression is consumed
     * (projection drops them implicitly by not selecting them). */
+  /** An UNCORRELATED scalar subquery as a guaranteed-one-row frame with
+    * the single-row guard IN the plan: count + first over limit(2),
+    * raise_error if a second row exists. Nothing executes at build
+    * time; consumers crossJoin(broadcast(…)) it wherever the scalar is
+    * in scope (pre-projection for plain selects, post-aggregate for
+    * agg statements — the r14 lazy path for both positions). */
+  private def scalarOneRow(innerSel: SqlSelect, name: String): DataFrame = {
+    val subDf = new Planner(catalog, vars, includer).plan(innerSel)
+    if (subDf.columns.length != 1)
+      throw BuildException("scalar subquery must return one column")
+    val firstTwo = subDf.select(col(subDf.columns.head).as(name)).limit(2)
+    val dt = firstTwo.schema.head.dataType
+    firstTwo
+      .agg(count(lit(1)).as("__sc_n"),
+        first(col(name), ignoreNulls = false).as("__sc_v"))
+      .select(when(col("__sc_n") > 1,
+          raise_error(lit("scalar subquery returned more than one row")).cast(dt))
+        .otherwise(col("__sc_v")).as(name))
+  }
+
   private def attachExprSubqueries(df0: DataFrame, n0: Node,
       sel: SqlSelect, tag: String): (DataFrame, Node, Seq[String]) = {
     var df = df0
@@ -1994,18 +2051,7 @@ final class Planner(catalog: String => DataFrame,
         df = planLateral(df, sel,
           SubquerySource(aliased, fresh("sct"), lateral = true))
       } else {
-        val subDf = new Planner(catalog, vars, includer).plan(innerSel)
-        if (subDf.columns.length != 1)
-          throw BuildException("scalar subquery must return one column")
-        val firstTwo = subDf.select(col(subDf.columns.head).as(sc)).limit(2)
-        val dt = firstTwo.schema.head.dataType
-        val one = firstTwo
-          .agg(count(lit(1)).as("__sc_n"),
-            first(col(sc), ignoreNulls = false).as("__sc_v"))
-          .select(when(col("__sc_n") > 1,
-              raise_error(lit("scalar subquery returned more than one row")).cast(dt))
-            .otherwise(col("__sc_v")).as(sc))
-        df = df.crossJoin(broadcast(one))
+        df = df.crossJoin(broadcast(scalarOneRow(innerSel, sc)))
       }
       hidden += sc
       IdentityNode(Seq(sc))

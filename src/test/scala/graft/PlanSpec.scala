@@ -892,6 +892,46 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("AGGREGATE-path SELECT scalars are lazy too, and survive empty input (r14)") {
+    // through r13 an aggregate statement pinned SELECT-position
+    // uncorrelated scalars to a build-time limit(2).collect() (the
+    // constant had to survive an empty input); r14 attaches the lazy
+    // broadcast scalar to the POST-aggregate frame instead — the empty
+    // input has already completed to its one global row there, so the
+    // ANSI constant survives AND build/explain run zero driver jobs
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("orders14", spark.read.parquet(s"$dir/orders.parquet"))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val text =
+        """SELECT count(*) AS n,
+          |  count(*) + (SELECT max(o_totalprice) FROM orders14) AS nx,
+          |  (SELECT min(o_totalprice) FROM orders14) AS mn
+          |FROM orders14 WHERE o_totalprice < 0""".stripMargin
+      val df = gs.sql(text)
+      gs.explain(text)
+      val grouped = gs.sql(
+        """SELECT o_custkey, count(*) + (SELECT 5) AS c5
+          |FROM orders14 GROUP BY o_custkey""".stripMargin)
+      Thread.sleep(300)
+      assert(jobs == 0, s"agg-statement build + explain launched $jobs jobs")
+      // ANSI empty-input semantics: count over zero rows is 0, the
+      // scalar still arrives (DuckDB: `0, NULL+…, min` — here the
+      // filter keeps no rows but orders14 itself is non-empty, so the
+      // subquery values are real numbers and nx = 0 + max)
+      val r = df.collect()
+      assert(r.length == 1, r.mkString(","))
+      assert(r(0).getLong(0) == 0L, r(0).toString)
+      assert(!r(0).isNullAt(1) && !r(0).isNullAt(2), r(0).toString)
+      assert(grouped.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("boolean subqueries as values: joins on distinct keys, no rescan (r12)") {
     // EXISTS / IN in expression position lower to LEFT joins against
     // distinct-key (or per-key aggregated) frames — row cardinality is
