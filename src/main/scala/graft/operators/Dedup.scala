@@ -69,6 +69,22 @@ object Dedup {
     * release: batch mains call releaseAll per query. */
   private val retained = new java.util.ArrayDeque[DataFrame]()
 
+  /** Checkpoint-backed result frames ([[nearDupClusters]]' final
+    * labels): their storage belongs to the checkpointed RDD inside the
+    * plan's LogicalRDD, which `Dataset.unpersist` (cache-manager keyed)
+    * cannot see — so these are tracked apart from [[retained]] and
+    * freed by [[releaseAll]] via [[freeCheckpointBlocks]] (ADVICE r13:
+    * routing them through `retained` leaked their MEMORY_AND_DISK
+    * blocks for the JVM lifetime). NOT subject to [[maxRetained]]
+    * eviction: a freed checkpoint frame cannot recompute (lineage was
+    * truncated), so an LRU free would corrupt a frame the caller still
+    * holds — the bound here is the releaseAll cadence, which every
+    * batch main applies per query. */
+  private val retainedCheckpoints = new java.util.ArrayDeque[DataFrame]()
+
+  private def retainCheckpoint(df: DataFrame): Unit =
+    retained.synchronized { retainedCheckpoints.addLast(df) }
+
   private def retain(df: DataFrame): Unit = retained.synchronized {
     retained.addLast(df)
     while (retained.size > maxRetained) {
@@ -92,13 +108,29 @@ object Dedup {
     * [[viaPersisted]] result, BEFORE plan flattening hid it behind a
     * LogicalRDD scan — the executed-plan surface PlanSpec's shape gates
     * (window-per-shard, broadcast-only joins) audit, since the returned
-    * frame's own plan is deliberately flat. */
+    * frame's own plan is deliberately flat.
+    *
+    * Last-writer-wins TEST HOOK, valid only when the query under audit
+    * runs exactly one viaPersisted stage and nothing runs concurrently
+    * (true at both PlanSpec read sites: pl_seq_pack,
+    * pl_emb_prototype_prune — each reads it immediately after its own
+    * single-stage query, before releaseAll). [[releaseAll]] clears it
+    * so a released query's full analyzed/executed plan tree does not
+    * stay pinned on the driver. */
   @volatile private[graft] var lastInnerExecution:
       Option[org.apache.spark.sql.execution.QueryExecution] = None
 
-  /** Unpersist every result frame retained by earlier dedup calls. */
+  /** Unpersist every result frame retained by earlier dedup calls and
+    * free checkpoint-backed frames' blocks. After this, re-reading a
+    * previously returned CHECKPOINT-backed frame (nearDupClusters
+    * labels) fails — cached frames merely recompute. Also drops
+    * [[lastInnerExecution]] so a released query's plan tree is not
+    * pinned on the driver until the next viaPersisted call. */
   def releaseAll(): Unit = retained.synchronized {
     while (!retained.isEmpty) retained.pollFirst().unpersist(blocking = false)
+    while (!retainedCheckpoints.isEmpty)
+      freeCheckpointBlocks(retainedCheckpoints.pollFirst())
+    lastInnerExecution = None
   }
 
   /** Free a superseded localCheckpoint frame's storage: the blocks
@@ -216,13 +248,36 @@ object Dedup {
     * and strictly worse on a skewed bucket, where one task holds the
     * whole O(m^2) expansion. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame =
+      n: Int, threshold: Double,
+      maxPairMass: Long = 2000000000L): DataFrame =
     // materialize the hashed-shingle arrays once: the explode below
     // reads `sh` twice (size + generator) and both join sides scan it
     viaPersisted(df.select(col(idCol).as("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))) { sh =>
       val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      // Candidate-mass budget (r14, VERDICT r13 #4): this exact
+      // formulation does work proportional to Σ C(df_s, 2) over the
+      // shingle posting lists — quadratic in per-shingle duplication.
+      // The sf1→sf10 scale run had to exclude it BY HAND at ~15e9
+      // projected pairs; that adjudication is now engine behavior: one
+      // aggregate over the posting lists (reads the already-persisted
+      // stage) computes the mass, refuses above the budget with a
+      // pointer to the banded path, and warns above half of it. At
+      // 100 TB the refusal is the difference between a clear error at
+      // plan time and a job that runs for days.
+      val mass = inv.groupBy("s").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2).cast(LongType))
+        .head().getLong(0)
+      if (mass > maxPairMass) throw new IllegalArgumentException(
+        s"ngramJaccardPairs: candidate pair mass $mass exceeds budget " +
+          s"$maxPairMass — the exact inverted-index verifier is " +
+          "quadratic in per-shingle duplication; use minHashLshPairs " +
+          "(banded LSH, same verified-pair semantics at threshold) or " +
+          "raise maxPairMass deliberately")
+      if (mass > maxPairMass / 2) System.err.println(
+        s"[graft] ngramJaccardPairs: candidate pair mass $mass is over " +
+          s"half the $maxPairMass budget — consider minHashLshPairs")
       val a = inv.select(col("id").as("id_a"), col("sz").as("sz_a"), col("s"))
       val b = inv.select(col("id").as("id_b"), col("sz").as("sz_b"), col("s"))
       a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -789,6 +844,18 @@ object Dedup {
       // scans: nothing nests, so freeing round i-1 cannot touch round
       // i, and the depth-growth OOM the round-8 cadence used to guard
       // is structurally gone (every round is depth-1).
+      // Durability tradeoff (ADVICE r13): truncating lineage EVERY
+      // round means an executor loss mid-loop is unrecoverable at any
+      // iteration (pre-r13, 7 of 8 rounds kept recomputable persist
+      // lineage). Accepted deliberately: the label frame is tiny
+      // (two longs per near-duplicate doc), rounds are O(log diameter)
+      // few, and on a cluster a lost round restarts the loop from the
+      // still-persisted edge list — versus the correctness race the
+      // nested-persist cadence had, which silently recomputed the full
+      // pair-mining chain per round. Cluster jobs that need mid-loop
+      // fault tolerance should swap localCheckpoint(true) for reliable
+      // checkpoint() against a DFS dir via spark.sparkContext
+      // .setCheckpointDir — same flat-plan property, durable blocks.
       var labels = edges.select(col("src").as("id"))
         .repartition(loopParts, col("id")).distinct()
         .withColumn("label", col("id"))
@@ -818,7 +885,7 @@ object Dedup {
         i += 1
       }
       edges.unpersist(blocking = false)
-      retained.add(labels)
+      retainCheckpoint(labels)
       labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     }
   }

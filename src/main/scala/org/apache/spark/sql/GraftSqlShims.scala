@@ -27,8 +27,16 @@ package org.apache.spark.sql
 import org.apache.spark.sql.execution.LogicalRDD
 
 object GraftSqlShims {
-  /** The result's plan, flattened to a single LogicalRDD scan. Lazy —
-    * nothing executes until an action runs on the returned frame. */
+  /** The result's plan, flattened to a single LogicalRDD scan.
+    *
+    * NOT lazy under AQE (Spark 4 default): `queryExecution.toRdd`
+    * calls `executedPlan.execute()`, and on an AdaptiveSparkPlanExec
+    * with exchanges that materializes every non-final query stage
+    * eagerly — most of the query runs at flatten time, with only the
+    * final stage deferred to the first action. Fine for the intended
+    * caller (viaPersisted counts the frame immediately anyway); a
+    * caller needing a genuinely lazy flatten must disable adaptive
+    * execution for the plan being flattened. */
   def flattenPlan(df: DataFrame): DataFrame = {
     val c = df.asInstanceOf[classic.Dataset[Row]]
     val flat = LogicalRDD.fromDataset(

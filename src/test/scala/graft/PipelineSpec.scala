@@ -27,6 +27,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("celled semantic decontamination equals the exhaustive nested loop") {
+    // the k-means cell scoping prunes with the angular triangle
+    // inequality, which is EXACT: θ(x,b) >= θ(c,b) - radius(cell), so
+    // the celled result must be bit-identical to the naive corpus x
+    // bench sweep for any nCells/kmIters — centroid quality may only
+    // change the prune rate, never the output (VERDICT r13 #5)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val naive = Curation.contaminatedSemantic(corpus, "doc_id", "text",
+        bench, "doc_id", "text", threshold = 0.9, nCells = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    for (cells <- Seq(4, 16)) {
+      val celled = Curation.contaminatedSemantic(corpus, "doc_id", "text",
+          bench, "doc_id", "text", threshold = 0.9, nCells = cells)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(celled == naive,
+        s"nCells=$cells: celled-only=${(celled -- naive).take(5)} " +
+          s"naive-only=${(naive -- celled).take(5)}")
+    }
+    assert(naive.nonEmpty, "fixture should contain semantic contamination")
+  }
+
+  test("exact jaccard pair miner refuses past its candidate-mass budget") {
+    // the Σ C(df,2) posting-list mass the sf1 scale run computed by
+    // hand is now engine behavior: a corpus whose shared-shingle mass
+    // exceeds the budget refuses loudly with a pointer to the banded
+    // path instead of launching a quadratic join (VERDICT r13 #4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        maxPairMass = 1L).count()
+    }
+    assert(e.getMessage.contains("minHashLshPairs"), e.getMessage)
+    Dedup.releaseAll()
+    // and the default budget leaves the fixture path untouched
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count() > 0)
+    Dedup.releaseAll()
+  }
+
   test("simhash finds the near-duplicate pairs with small hamming distance") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -751,6 +789,27 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
     Dedup.releaseAll()
+  }
+
+  test("releaseAll frees the CC labels' checkpoint blocks (ADVICE r13 leak)") {
+    import org.apache.spark.sql.Row
+    // the final labels frame is localCheckpoint-backed: Dataset
+    // .unpersist cannot free its blocks, so releaseAll must route it
+    // through freeCheckpointBlocks — pre-fix, every nearDupClusters
+    // call leaked its labels' MEMORY_AND_DISK blocks for the JVM life
+    Dedup.releaseAll()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = spark.createDataFrame(java.util.List.of(
+      Row(1L, 2L), Row(2L, 3L), Row(7L, 9L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    Dedup.nearDupClusters(pairs).count()
+    val during = sc.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected the checkpointed labels frame to be persisted")
+    Dedup.releaseAll()
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"releaseAll left ${after.size} persistent RDD(s) from nearDupClusters: $after")
   }
 
   test("quota sample: per-group cap, deterministic, content-independent") {
