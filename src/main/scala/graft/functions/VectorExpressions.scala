@@ -96,6 +96,90 @@ object VectorExpressions {
     case _ => "getDouble"
   }
 
+  /** Max cosine of a vector column against an ENTIRE broadcast matrix
+    * (n × dim, row-major flat) in one tight JVM loop per row — the
+    * "score the corpus against every benchmark doc" kernel.
+    *
+    * Why this exists (r14): the pairwise formulation — crossJoin then
+    * [[CosineSimilarity]] per pair — pays the per-row Catalyst
+    * dispatch (join row materialization, two ArrayData unpacks, one
+    * boxed result) once per PAIR: measured 1.37 µs/pair at sf10, i.e.
+    * 30,829 CPU-seconds for 22.5e9 pairs of 16-dim vectors whose raw
+    * flops are ~2 minutes of one core. A k-means cell prune with the
+    * exact angular triangle-inequality bound was built and MEASURED
+    * first and made it WORSE (1139 s vs 909 s: in 16-dim hashed-tf
+    * space the per-cell max radii sit far above the arccos(threshold)
+    * bound, so nothing pruned and the corpus paid three embed passes
+    * plus training) — the bottleneck is per-pair overhead, not
+    * candidate count. Here the inner loop touches primitive arrays
+    * only: the matrix rides a Broadcast (one copy per executor, not
+    * per task closure), row norms precompute lazily once per task, and
+    * each corpus row costs n×dim mult-adds with no allocation.
+    *
+    * Arithmetic matches [[CosineSimilarity]] exactly (same
+    * accumulation order, same `dot / (sqrt(na) * sqrt(nb))`, zero-norm
+    * rows skipped like the pairwise NULL), so `round(max, 4)` equals
+    * the oracle's max-of-rounded-pairs by monotonicity. Returns null
+    * for null/zero-norm inputs or an empty/all-zero matrix.
+    *
+    * CodegenFallback is deliberate: the boxed eval boundary is paid
+    * once per ROW and amortized over n×dim flops. */
+  case class MaxCosineVsMatrix(child: Expression,
+      matrix: org.apache.spark.broadcast.Broadcast[Array[Double]], dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      check(isNumericArray(child.dataType) && dim > 0,
+        "max_cos_matrix", "array<float|double> and dim>0",
+        Seq(child.dataType))
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    @transient private lazy val mat: Array[Double] = matrix.value
+    @transient private lazy val nRows: Int = mat.length / dim
+    @transient private lazy val norms: Array[Double] = {
+      val out = new Array[Double](nRows)
+      var j = 0
+      while (j < nRows) {
+        var s = 0.0; var d = 0; val base = j * dim
+        while (d < dim) { val v = mat(base + d); s += v * v; d += 1 }
+        out(j) = math.sqrt(s); j += 1
+      }
+      out
+    }
+    @transient private lazy val childIsFloat: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val m = math.min(a.numElements(), dim)
+      val av = new Array[Double](dim) // missing tail stays 0.0
+      var na = 0.0
+      var i = 0
+      while (i < m) {
+        val x = if (childIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        av(i) = x; na += x * x; i += 1
+      }
+      val nA = math.sqrt(na)
+      if (nA == 0.0 || nRows == 0) return null
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < nRows) {
+        if (norms(j) > 0.0) {
+          val base = j * dim
+          var dot = 0.0; var d = 0
+          while (d < dim) { dot += av(d) * mat(base + d); d += 1 }
+          val c = dot / (nA * norms(j))
+          if (c > best) best = c
+        }
+        j += 1
+      }
+      if (best == Double.NegativeInfinity) null
+      else java.lang.Double.valueOf(best)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MaxCosineVsMatrix =
+      copy(child = newChild)
+  }
+
   /** Cosine similarity between two numeric arrays (float or double).
     * Participates in whole-stage codegen — these run once PER PAIR in
     * the O(n²)-shaped similarity stages, where the CodegenFallback

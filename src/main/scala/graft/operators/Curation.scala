@@ -747,61 +747,54 @@ object Curation {
     *
     * Scale (r14, VERDICT r13 #5 — the sf10 leg measured the naive
     * corpus × bench nested loop at 909.6 s / 28.8×): the pair stage is
-    * scoped by spherical k-means cells with an EXACT angular
-    * triangle-inequality prune, so the oracle semantics are untouched
-    * while the per-doc bench comparisons drop to the cells the bound
-    * cannot clear. For unit-ish vectors, θ(x,b) ≥ θ(c,b) − θ(x,c) ≥
-    * θ(c,b) − radius(cell), so a (cell, bench-doc) pair is skipped iff
-    * θ(c,b) − radius(cell) > arccos(threshold) + ε — no x in the cell
-    * can reach the threshold. Centroid quality affects only the prune
-    * rate, never the result (the surviving pairs are scored exactly);
-    * `nCells` is the scale knob (cells × bench bound rows; SemDeDup's
-    * web-scale regime runs ~100k cells). `nCells <= 1` keeps the
-    * exhaustive broadcast nested loop (tiny-corpus / spec path). NULL
-    * cosines (zero vectors — compiled kernel returns null) max-ignore
-    * out of radii and can never pass the exact filter, identical to
-    * the exhaustive path. */
+    * ONE compiled kernel per corpus row
+    * ([[graft.functions.VectorExpressions.MaxCosineVsMatrix]]) against
+    * the broadcast bench matrix — primitive-array inner loop, no
+    * per-pair Catalyst dispatch. Two designs were measured first: the
+    * pairwise crossJoin paid ~1.37 µs/PAIR of row-materialization
+    * overhead (30,829 CPU-s at sf10 for ~2 core-minutes of raw
+    * flops), and an exact k-means-cell angular-triangle-inequality
+    * prune made it WORSE (1139 s vs 909 s — in 16-dim hashed-tf space
+    * the cell radii sit far above arccos(threshold), so nothing
+    * pruned; the kernel commit message and MaxCosineVsMatrix's
+    * scaladoc carry the numbers). The bench side collects to the
+    * driver (an eager, benchmark-sized fetch — the same bounded-
+    * collect class as the k-means codebooks) and broadcasts once per
+    * executor; `maxBench` refuses a "benchmark" that is actually a
+    * corpus, pointing at [[Similarity.knnJoin]] for that shape.
+    * Result is bit-identical to the pairwise formulation: same
+    * accumulation order per pair, and round-then-max equals
+    * max-then-round by monotonicity. */
   def contaminatedSemantic(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       threshold: Double, buckets: Int = 64, dim: Int = 16,
-      nCells: Int = 64, kmIters: Int = 2): DataFrame = {
+      maxBench: Int = 1000000): DataFrame = {
     val ce = TextAnalysis.hashedEmbedding(corpus, idCol, textCol, buckets, dim)
-    val be = TextAnalysis.hashedEmbedding(bench, benchIdCol, benchTextCol,
+    val benchRows = TextAnalysis.hashedEmbedding(bench, benchIdCol, benchTextCol,
         buckets, dim)
-      .select(col("embedding").as("__bv"))
-    def score(pairs: DataFrame): DataFrame = pairs
-      .select(col(idCol),
-        round(Similarity.cosine(col("embedding"), col("__bv")), 4).as("cos"))
-      .filter(col("cos") >= threshold)
-      .groupBy(idCol).agg(max("cos").as("max_cos"))
-    if (nCells <= 1) return score(ce.crossJoin(broadcast(be)))
-    val centroids = Similarity.kmeansCentroids(ce, idCol, "embedding",
-      nCells, kmIters)
-    // literal centroid matrix: cell id indexes into it for the
-    // own-centroid angle (the compiled argmax returns the index only)
-    val cmat = typedLit(centroids.map(_.toSeq).toSeq)
-    def theta(c: Column): Column =
-      acos(greatest(lit(-1.0), least(lit(1.0), c)))
-    val assigned = ce
-      .select(col(idCol), col("embedding"),
-        Similarity.cellAssign(col("embedding"), centroids).as("__cell"))
-      .withColumn("__txc",
-        theta(Similarity.cosine(col("embedding"),
-          element_at(cmat, col("__cell") + 1))))
-    // per-cell angular radius: one tiny aggregate (|cells| rows); max
-    // ignores the NULL thetas of zero vectors, which cannot match
-    // anything under the exact filter either
-    val radii = assigned.groupBy("__cell").agg(max(col("__txc")).as("__r"))
-    // bound stage: |cells| × |bench| rows, all driver-free — keep a
-    // (cell, bench) pair only when the bound cannot rule it out
-    val cellsDf = radii.select(col("__cell"), col("__r"),
-      element_at(cmat, col("__cell") + 1).as("__cv"))
-    val eps = 1e-9
-    val survivors = cellsDf.crossJoin(broadcast(be))
-      .filter(theta(Similarity.cosine(col("__cv"), col("__bv"))) - col("__r") <=
-        lit(math.acos(math.max(-1.0, math.min(1.0, threshold))) + eps))
-      .select(col("__cell"), col("__bv"))
-    score(assigned.join(broadcast(survivors), Seq("__cell")))
+      .select(col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+      .limit(maxBench + 1).collect()
+    if (benchRows.length > maxBench) throw new IllegalArgumentException(
+      s"contaminatedSemantic: benchmark side exceeds $maxBench docs — " +
+        "that is a corpus, not a benchmark; use Similarity.knnJoin for " +
+        "corpus-vs-corpus similarity, or raise maxBench deliberately")
+    val flat = new Array[Double](benchRows.length * dim)
+    var j = 0
+    for (r <- benchRows if !r.isNullAt(0)) {
+      val v = r.getSeq[Double](0)
+      var d = 0
+      while (d < math.min(v.length, dim)) { flat(j * dim + d) = v(d); d += 1 }
+      j += 1
+    }
+    val bc = corpus.sparkSession.sparkContext
+      .broadcast(java.util.Arrays.copyOf(flat, j * dim))
+    ce.select(col(idCol),
+        round(org.apache.spark.sql.GraftSqlShims.columnOf(
+          graft.functions.VectorExpressions.MaxCosineVsMatrix(
+            org.apache.spark.sql.GraftSqlShims.expressionOf(col("embedding")),
+            bc, dim)), 4).as("max_cos"))
+      .filter(col("max_cos") >= threshold)
   }
 
   /** Cross-split leakage audit: near-duplicate pairs whose endpoints

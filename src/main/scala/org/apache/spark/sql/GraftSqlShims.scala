@@ -43,4 +43,14 @@ object GraftSqlShims {
       c.queryExecution.toRdd, c, c.isStreaming)
     classic.Dataset.ofRows(c.sparkSession, flat)
   }
+
+  /** Column ⇄ Expression bridges (private[sql] in Spark 4): custom
+    * expressions whose constructor carries non-Column state (e.g. a
+    * Broadcast handle — graft.functions.VectorExpressions
+    * .MaxCosineVsMatrix) cannot route through FunctionRegistry's
+    * Column-only builders, so operators build them directly. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -27,26 +27,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
-  test("celled semantic decontamination equals the exhaustive nested loop") {
-    // the k-means cell scoping prunes with the angular triangle
-    // inequality, which is EXACT: θ(x,b) >= θ(c,b) - radius(cell), so
-    // the celled result must be bit-identical to the naive corpus x
-    // bench sweep for any nCells/kmIters — centroid quality may only
-    // change the prune rate, never the output (VERDICT r13 #5)
+  test("matrix-kernel semantic decontamination equals the pairwise sweep") {
+    // MaxCosineVsMatrix replaces the crossJoin + per-pair cosine with
+    // one primitive-loop kernel per corpus row; the result must be
+    // bit-identical to the pairwise formulation (same accumulation
+    // order per pair; round-then-max == max-then-round by
+    // monotonicity), and the bench-side guard must refuse a
+    // corpus-sized "benchmark" (VERDICT r13 #5)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val bench = docs.filter(col("doc_id") % 10 === 0)
-    val naive = Curation.contaminatedSemantic(corpus, "doc_id", "text",
-        bench, "doc_id", "text", threshold = 0.9, nCells = 1)
+    val kernel = Curation.contaminatedSemantic(corpus, "doc_id", "text",
+        bench, "doc_id", "text", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-    for (cells <- Seq(4, 16)) {
-      val celled = Curation.contaminatedSemantic(corpus, "doc_id", "text",
-          bench, "doc_id", "text", threshold = 0.9, nCells = cells)
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
-      assert(celled == naive,
-        s"nCells=$cells: celled-only=${(celled -- naive).take(5)} " +
-          s"naive-only=${(naive -- celled).take(5)}")
+    val ce = TextAnalysis.hashedEmbedding(corpus, "doc_id", "text", 64, 16)
+    val be = TextAnalysis.hashedEmbedding(bench, "doc_id", "text", 64, 16)
+      .select(col("embedding").as("__bv"))
+    val pairwise = ce.crossJoin(broadcast(be))
+      .select(col("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("__bv")), 4).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .groupBy("doc_id").agg(max("cos").as("max_cos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(kernel == pairwise,
+      s"kernel-only=${(kernel -- pairwise).take(5)} " +
+        s"pairwise-only=${(pairwise -- kernel).take(5)}")
+    assert(kernel.nonEmpty, "fixture should contain semantic contamination")
+    val e = intercept[IllegalArgumentException] {
+      Curation.contaminatedSemantic(corpus, "doc_id", "text",
+        bench, "doc_id", "text", threshold = 0.9, maxBench = 3)
     }
-    assert(naive.nonEmpty, "fixture should contain semantic contamination")
+    assert(e.getMessage.contains("knnJoin"), e.getMessage)
   }
 
   test("exact jaccard pair miner refuses past its candidate-mass budget") {
