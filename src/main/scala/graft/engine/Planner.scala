@@ -1178,6 +1178,56 @@ final class Planner(catalog: String => DataFrame,
       sel.groupByRollup || sel.groupByCube || sel.groupingSets.nonEmpty ||
       sel.columns.exists(c => containsAgg(c.expr))
     val pendingAggScalars = collection.mutable.ArrayBuffer[(String, SqlSelect)]()
+    // FROM-less statements (`SELECT count(*), (SELECT 5)`) never reach
+    // the agg path's marker attach — plan() returns via the literal-
+    // select branch — so their scalars take the eager typed-literal
+    // probe (r13 literalOf). The probe's one driver job is acceptable
+    // there: a FROM-less select is a one-row constant by construction.
+    // A NULL result must come back as a TYPED cast, not a bare
+    // NullNode: the dialect's `x == NULL ≙ IS NULL` parity idiom
+    // (reference vm.go) would otherwise silently rewrite the
+    // comparison (found live by scripts/fuzz_differential.py, r12).
+    def literalOf(s: SubqueryNode): Node = {
+      val sub = parseSub(s)
+      val subDf = new Planner(catalog, vars, includer).plan(sub)
+      if (subDf.columns.length != 1)
+        throw BuildException("scalar subquery must return one column")
+      val rows = subDf.limit(2).collect()
+      if (rows.length > 1)
+        throw BuildException("scalar subquery returned more than one row")
+      if (rows.isEmpty || rows(0).isNullAt(0))
+        FuncNode("cast", Seq(NullNode,
+          StringNode(subDf.schema.head.dataType.sql.toLowerCase)))
+      else rows(0).get(0) match {
+        // exactness: NumberNode carries a Double, which is exact for
+        // |int| ≤ 2^53 — wider longs and non-Double-round-trip decimals
+        // re-enter the AST as a cast('…' AS type) so no precision is
+        // lost on the way back into the plan
+        case v: Long =>
+          if (v.toDouble.toLong == v) NumberNode(v.toDouble, isInt = true)
+          else FuncNode("cast", Seq(StringNode(v.toString), StringNode("bigint")))
+        case v: Int => NumberNode(v.toDouble, isInt = true)
+        case v: Short => NumberNode(v.toDouble, isInt = true)
+        case v: Byte => NumberNode(v.toDouble, isInt = true)
+        case v: Double => NumberNode(v, isInt = false)
+        case v: Float => NumberNode(v.toDouble, isInt = false)
+        case v0: java.math.BigDecimal =>
+          // negative scales (1E+3) normalize to scale 0 so the target
+          // type is always a legal decimal(p ≥ s, s ≥ 0)
+          val v = if (v0.scale < 0) v0.setScale(0) else v0
+          val p = math.max(v.precision, v.scale)
+          FuncNode("cast", Seq(StringNode(v.toPlainString),
+            StringNode(s"decimal($p,${v.scale})")))
+        case v: java.sql.Date =>
+          FuncNode("cast", Seq(StringNode(v.toString), StringNode("date")))
+        case v: java.sql.Timestamp =>
+          FuncNode("cast", Seq(StringNode(v.toString), StringNode("timestamp")))
+        case v: String => StringNode(v)
+        case v: Boolean => BoolNode(v)
+        case other => throw BuildException(
+          s"unsupported scalar subquery type: ${other.getClass.getSimpleName}")
+      }
+    }
     // outer-scope probe for CORRELATION detection: the FROM sources
     // cross-joined schema-only (lazy plan, no job); per-source failures
     // (e.g. a lateral that cannot plan uncorrelated) just drop out
@@ -1196,9 +1246,11 @@ final class Planner(catalog: String => DataFrame,
         // uncorrelated: lazy attach in plan() — pre-projection for
         // plain selects (the node passes through), post-aggregate via
         // marker for agg statements (the value must survive an empty
-        // input there)
+        // input there); FROM-less statements take the eager literal
+        // probe (no frame exists to attach to — see literalOf)
         case None =>
-          if (!stmtIsAgg) s
+          if (sel.from.isEmpty) literalOf(s)
+          else if (!stmtIsAgg) s
           else {
             val name = s"__pasq_${pendingAggScalars.length}"
             pendingAggScalars += name -> innerSel
@@ -1225,31 +1277,45 @@ final class Planner(catalog: String => DataFrame,
           IdentityNode(Seq(alias, vName))
       }
     }
-    def subst(n: Node): Node = n match {
+    def subst(n: Node, underAgg: Boolean = false): Node = n match {
       // boolean subquery shapes (IN / EXISTS / NOT EXISTS / quantified)
       // in the SELECT list pass through UNTOUCHED — plan() lowers them
       // to hidden columns via attachExprSubqueries on the post-WHERE
       // frame (3VL-exact verdict columns)
       case BinaryNode("IN", l, s: SubqueryNode, neg) =>
-        BinaryNode("IN", subst(l), s, neg)
+        BinaryNode("IN", subst(l, underAgg), s, neg)
       case e @ UnaryNode("EXISTS", _: SubqueryNode) => e
       case BinaryNode(opq, l, s: SubqueryNode, neg)
           if opq.endsWith(" ANY") || opq.endsWith(" ALL") =>
-        BinaryNode(opq, subst(l), s, neg)
-      case s: SubqueryNode => resolveSub(s)
-      case BinaryNode(op, l, r, neg) => BinaryNode(op, subst(l), subst(r), neg)
-      case BooleanNode(op, args, neg) => BooleanNode(op, args.map(subst), neg)
-      case UnaryNode(op, c) => UnaryNode(op, subst(c))
+        BinaryNode(opq, subst(l, underAgg), s, neg)
+      // a scalar INSIDE an aggregate's arguments (`sum(x + (SELECT 5))`)
+      // passes through UNTOUCHED: its value is consumed per INPUT row,
+      // so plan()'s pre-projection attach (the same lazy broadcast) puts
+      // it on the PRE-aggregate frame — a post-agg __pasq marker there
+      // would make extraAggNodes build `sum(x + __pasq_N)` against a
+      // frame where the marker does not exist (ADVICE r14 high). Values
+      // consumed inside an aggregate never need the empty-input
+      // post-agg guard: `sum` over an empty input is NULL regardless.
+      case s: SubqueryNode =>
+        // FROM-less statements still take the literal probe even under
+        // an aggregate — there is no pre-aggregate frame to attach to
+        if (underAgg && sel.from.nonEmpty) s else resolveSub(s)
+      case BinaryNode(op, l, r, neg) =>
+        BinaryNode(op, subst(l, underAgg), subst(r, underAgg), neg)
+      case BooleanNode(op, args, neg) =>
+        BooleanNode(op, args.map(subst(_, underAgg)), neg)
+      case UnaryNode(op, c) => UnaryNode(op, subst(c, underAgg))
       case TriNode(op, a, b, c, neg) =>
-        TriNode(op, subst(a), subst(b), subst(c), neg)
-      case FuncNode(name, args) => FuncNode(name, args.map(subst))
+        TriNode(op, subst(a, underAgg), subst(b, underAgg), subst(c, underAgg), neg)
+      case FuncNode(name, args) =>
+        FuncNode(name, args.map(subst(_, underAgg || FuncRegistry.isAgg(name))))
       case CaseNode(branches, els) => CaseNode(
-        branches.map { case (w, t) => (subst(w), subst(t)) },
-        els.map(subst))
-      case ArrayNode(items) => ArrayNode(items.map(subst))
+        branches.map { case (w, t) => (subst(w, underAgg), subst(t, underAgg)) },
+        els.map(subst(_, underAgg)))
+      case ArrayNode(items) => ArrayNode(items.map(subst(_, underAgg)))
       case WindowNode(f, pb, ob, fr, ref) => WindowNode(
-        subst(f).asInstanceOf[FuncNode], pb.map(subst),
-        ob.map { case (e, asc) => (subst(e), asc) }, fr, ref)
+        subst(f, underAgg).asInstanceOf[FuncNode], pb.map(subst(_, underAgg)),
+        ob.map { case (e, asc) => (subst(e, underAgg), asc) }, fr, ref)
       case other => other
     }
     // HAVING passes through WHOLESALE: the aggregate path routes any

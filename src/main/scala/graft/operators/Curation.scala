@@ -764,7 +764,17 @@ object Curation {
     * corpus, pointing at [[Similarity.knnJoin]] for that shape.
     * Result is bit-identical to the pairwise formulation: same
     * accumulation order per pair, and round-then-max equals
-    * max-then-round by monotonicity. */
+    * max-then-round by monotonicity.
+    *
+    * Caller contract (r15, ADVICE r14 low): the output has one row per
+    * corpus ROW above threshold, not per distinct id — callers with
+    * non-unique `idCol` must dedupe first (`corpus.dropDuplicates(id)`)
+    * or aggregate the result; the matrix kernel deliberately avoids
+    * re-adding a groupBy shuffle for the common unique-id case. And the
+    * benchmark-side collect + broadcast happens EAGERLY at call time
+    * (bounded by `maxBench`), not at the returned frame's first
+    * action — callers building plans they may never execute should
+    * defer the call itself. */
   def contaminatedSemantic(corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       threshold: Double, buckets: Int = 64, dim: Int = 16,

@@ -266,8 +266,11 @@ object Dedup {
       // pointer to the banded path, and warns above half of it. At
       // 100 TB the refusal is the difference between a clear error at
       // plan time and a job that runs for days.
+      // coalesce: sum over ZERO posting lists (empty corpus, or every
+      // text shorter than n tokens) is NULL — the probe must read 0,
+      // not NPE on getLong (ADVICE r14)
       val mass = inv.groupBy("s").agg(count(lit(1)).as("n"))
-        .agg(sum(col("n") * (col("n") - 1) / 2).cast(LongType))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).cast(LongType))
         .head().getLong(0)
       if (mass > maxPairMass) throw new IllegalArgumentException(
         s"ngramJaccardPairs: candidate pair mass $mass exceeds budget " +

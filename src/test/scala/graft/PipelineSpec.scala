@@ -73,6 +73,16 @@ class PipelineSpec extends AnyFunSuite {
     // and the default budget leaves the fixture path untouched
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5).count() > 0)
     Dedup.releaseAll()
+    // degenerate inputs: an EMPTY corpus and an all-too-short corpus
+    // have zero posting lists — the mass probe must read 0 (not NPE on
+    // a NULL sum, ADVICE r14) and the miner return an empty pair frame
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text", 3, 0.5).count() == 0)
+    Dedup.releaseAll()
+    val short = Seq((1L, "one two"), (2L, "a")).toDF("doc_id", "text")
+    assert(Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.5).count() == 0)
+    Dedup.releaseAll()
   }
 
   test("simhash finds the near-duplicate pairs with small hamming distance") {

@@ -932,6 +932,48 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("scalars INSIDE aggregate args attach pre-aggregate; FROM-less takes the literal probe (r15)") {
+    // ADVICE r14 high: `sum(x + (SELECT 5))` must NOT marker-substitute
+    // — the value is consumed per INPUT row, so it attaches on the
+    // PRE-aggregate frame (a post-agg __pasq marker made extraAggNodes
+    // build sum(x + __pasq_0) against a frame without the marker —
+    // AnalysisException at build). And FROM-less statements
+    // (`SELECT count(*), (SELECT 5)`) never reach the agg path's marker
+    // attach, so they take the eager typed-literal probe.
+    val gs = new graft.engine.GraftSession(spark)
+    gs.registerTable("orders15", spark.read.parquet(s"$dir/orders.parquet"))
+    // under-aggregate scalar, global aggregate
+    val r1 = gs.sql(
+      """SELECT sum(o_totalprice + (SELECT 5)) AS s5, sum(o_totalprice) AS s0
+        |FROM orders15""".stripMargin).collect()
+    assert(r1.length == 1)
+    val n = gs.sql("SELECT count(*) AS n FROM orders15").collect()(0).getLong(0)
+    assert(math.abs(r1(0).getDouble(0) - (r1(0).getDouble(1) + 5.0 * n)) < 1e-6,
+      r1(0).toString)
+    // under-aggregate scalar with GROUP BY, subquery over another table
+    val r2 = gs.sql(
+      """SELECT o_custkey, sum(o_totalprice + (SELECT min(o_totalprice) FROM orders15)) AS s
+        |FROM orders15 GROUP BY o_custkey""".stripMargin)
+    assert(r2.count() > 0)
+    // under-aggregate scalar consumed inside an aggregate over an EMPTY
+    // input: sum over zero rows is NULL regardless of the scalar (ANSI)
+    val r3 = gs.sql(
+      """SELECT count(*) AS n, sum(o_totalprice + (SELECT 5)) AS s
+        |FROM orders15 WHERE o_totalprice < 0""".stripMargin).collect()
+    assert(r3(0).getLong(0) == 0L && r3(0).isNullAt(1), r3(0).toString)
+    // mixed: one under-agg scalar (pre-agg attach) + one bare scalar
+    // (post-agg marker) in the same statement
+    val r4 = gs.sql(
+      """SELECT sum(o_totalprice + (SELECT 5)) AS a, (SELECT 7) AS b
+        |FROM orders15""".stripMargin).collect()
+    assert(r4(0).getLong(1) == 7L, r4(0).toString)
+    // FROM-less: aggregate + scalar, and bare scalar (ADVICE r14 medium)
+    val r5 = gs.sql("SELECT count(*) AS n, (SELECT 5) AS v").collect()
+    assert(r5(0).getLong(0) == 1L && r5(0).getLong(1) == 5L, r5(0).toString)
+    val r6 = gs.sql("SELECT (SELECT max(o_totalprice) FROM orders15) AS m").collect()
+    assert(!r6(0).isNullAt(0))
+  }
+
   test("boolean subqueries as values: joins on distinct keys, no rescan (r12)") {
     // EXISTS / IN in expression position lower to LEFT joins against
     // distinct-key (or per-key aggregated) frames — row cardinality is
