@@ -197,7 +197,15 @@ final class GraftSession(val spark: SparkSession) {
     * frontiers. Iterations are distributed jobs; the only driver-side
     * values are the per-round emptiness probes. Depth is capped
     * (default 200, `SET @@max_recursion = n` to change) — a cyclic
-    * UNION ALL raises instead of spinning forever. */
+    * UNION ALL raises instead of spinning forever.
+    *
+    * Durability knob (r15, VERDICT r14 #5): `SET @@checkpoint_dir =
+    * '/dfs/path'` makes every `@@checkpoint_every`-th frontier
+    * (default 8, round 0 = the base term included) a RELIABLE
+    * checkpoint against that directory instead of a localCheckpoint,
+    * bounding executor-loss rework on a real cluster — see
+    * [[graft.plans.CheckpointPolicy]] for the tradeoff. Unset (the
+    * default) every round stays local. */
   private def planRecursiveCte(cte: CteDef,
       overlay: collection.mutable.Map[String, DataFrame],
       lookup: String => DataFrame): DataFrame = {
@@ -218,10 +226,16 @@ final class GraftSession(val spark: SparkSession) {
       case Some(v) => v.toString.toDouble.toInt
       case None => 200
     }
+    val ckpt = graft.plans.CheckpointPolicy(
+      sessionVars.get("checkpoint_dir").map(_.toString).filter(_.nonEmpty),
+      sessionVars.get("checkpoint_every") match {
+        case Some(v) => v.toString.toDouble.toInt
+        case None => 8
+      })
     val planner = new Planner(lookup, sessionVars.toMap, includer)
     var result = applyCteCols(planner.planStatement(baseStmt), cte)
     if (!all) result = result.distinct()
-    result = result.localCheckpoint(true)
+    result = ckpt(result, 0)
     // Lifecycle of the checkpoint blocks (the r11 instability: every
     // frontier's MEMORY_AND_DISK blocks lived until GC decided, and
     // `except(result)` re-scanned an O(iters) union chain each round —
@@ -259,7 +273,7 @@ final class GraftSession(val spark: SparkSession) {
           s"produces ${next.columns.length} columns, base ${result.columns.length}")
       next = next.toDF(result.columns.toIndexedSeq: _*)
       if (!all) next = next.distinct().except(result)
-      next = next.localCheckpoint(true)
+      next = ckpt(next, iter)
       if (next.count() == 0) { freeLocalCheckpoint(next); done = true }
       else {
         if (!frontierInChain) freeLocalCheckpoint(frontier)
@@ -268,7 +282,7 @@ final class GraftSession(val spark: SparkSession) {
         frontier = next
         frontierInChain = true
         if (iter % compactEvery == 0) {
-          result = result.localCheckpoint(true)
+          result = ckpt(result, iter)
           chain.foreach(d => if (!(d eq frontier)) freeLocalCheckpoint(d))
           chain.clear()
           chain += result

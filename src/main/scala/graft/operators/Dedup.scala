@@ -98,39 +98,63 @@ object Dedup {
       val dup = retained.iterator().asScala.exists(
         _.queryExecution.analyzed.sameResult(evicted.queryExecution.analyzed))
       if (!dup) evicted.unpersist(blocking = false)
+      // the evicted frame's inner execution dies with it (flattenPlan
+      // mints a fresh RDD per call, so the id is never shared with a
+      // younger duplicate-plan frame)
+      flattenedRddIds(evicted).foreach(innerExecutions.remove(_))
     }
   }
 
   /** Number of result frames currently retained (spec hook). */
   private[graft] def retainedCount: Int = retained.synchronized(retained.size)
 
-  /** The QueryExecution that materialized the most recent
-    * [[viaPersisted]] result, BEFORE plan flattening hid it behind a
-    * LogicalRDD scan — the executed-plan surface PlanSpec's shape gates
-    * (window-per-shard, broadcast-only joins) audit, since the returned
-    * frame's own plan is deliberately flat.
-    *
-    * Last-writer-wins TEST HOOK, valid only when the query under audit
-    * runs exactly one viaPersisted stage and nothing runs concurrently
-    * (true at both PlanSpec read sites: pl_seq_pack,
-    * pl_emb_prototype_prune — each reads it immediately after its own
-    * single-stage query, before releaseAll). [[releaseAll]] clears it
-    * so a released query's full analyzed/executed plan tree does not
-    * stay pinned on the driver. */
-  @volatile private[graft] var lastInnerExecution:
-      Option[org.apache.spark.sql.execution.QueryExecution] = None
+  /** Per-result inner executions (r15, VERDICT r14 #7 — replaces the
+    * last-writer-wins `lastInnerExecution` slot, the operator layer's
+    * last process-global): each [[viaPersisted]] result's
+    * QueryExecution — the plan that materialized it BEFORE flattening
+    * hid it behind a LogicalRDD scan — keyed by that LogicalRDD's RDD
+    * id. PlanSpec's shape gates (window-per-shard, broadcast-only
+    * joins) read THEIR OWN frame's execution via
+    * [[innerExecutionsFor]]; concurrent queries cannot clobber each
+    * other. Entries die with their frame: LRU eviction removes the
+    * evicted frame's entry, [[releaseAll]] clears the map, so a
+    * released query's full analyzed/executed plan tree never stays
+    * pinned on the driver. */
+  private val innerExecutions = new java.util.HashMap[Int,
+    org.apache.spark.sql.execution.QueryExecution]()
+
+  /** RDD ids of the flattened LogicalRDD scans in a frame's analyzed
+    * plan — the keys [[innerExecutions]] is indexed by. */
+  private def flattenedRddIds(df: DataFrame): Seq[Int] = df match {
+    case c: org.apache.spark.sql.classic.Dataset[_] =>
+      c.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+    case _ => Nil
+  }
+
+  /** The inner QueryExecutions behind every [[viaPersisted]] result a
+    * frame's plan reads (plan-traversal order). A frame derived from
+    * one viaPersisted stage yields exactly one entry — the per-call
+    * audit surface for PlanSpec's executed-shape gates. Empty once the
+    * stage was released or LRU-evicted. */
+  private[graft] def innerExecutionsFor(df: DataFrame):
+      Seq[org.apache.spark.sql.execution.QueryExecution] =
+    retained.synchronized {
+      flattenedRddIds(df).flatMap(id => Option(innerExecutions.get(id)))
+    }
 
   /** Unpersist every result frame retained by earlier dedup calls and
     * free checkpoint-backed frames' blocks. After this, re-reading a
     * previously returned CHECKPOINT-backed frame (nearDupClusters
-    * labels) fails — cached frames merely recompute. Also drops
-    * [[lastInnerExecution]] so a released query's plan tree is not
-    * pinned on the driver until the next viaPersisted call. */
+    * labels) fails — cached frames merely recompute. Also drops the
+    * [[innerExecutions]] entries so released queries' plan trees are
+    * not pinned on the driver. */
   def releaseAll(): Unit = retained.synchronized {
     while (!retained.isEmpty) retained.pollFirst().unpersist(blocking = false)
     while (!retainedCheckpoints.isEmpty)
       freeCheckpointBlocks(retainedCheckpoints.pollFirst())
-    lastInnerExecution = None
+    innerExecutions.clear()
   }
 
   /** Free a superseded localCheckpoint frame's storage: the blocks
@@ -189,7 +213,10 @@ object Dedup {
       val result = org.apache.spark.sql.GraftSqlShims.flattenPlan(inner)
         .persist(StorageLevel.MEMORY_AND_DISK)
       result.count() // eager: runs while the stage cache is live
-      lastInnerExecution = Some(inner.queryExecution)
+      retained.synchronized {
+        flattenedRddIds(result).foreach(
+          innerExecutions.put(_, inner.queryExecution))
+      }
       retain(result)
       result
     } finally s.unpersist(blocking = false)
@@ -810,7 +837,10 @@ object Dedup {
       .groupBy("id").agg(min("label").as("label"))
   }
 
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None,
+      reliableEvery: Int = 3): DataFrame = {
+    val ckpt = graft.plans.CheckpointPolicy(checkpointDir, reliableEvery)
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -856,13 +886,14 @@ object Dedup {
       // still-persisted edge list — versus the correctness race the
       // nested-persist cadence had, which silently recomputed the full
       // pair-mining chain per round. Cluster jobs that need mid-loop
-      // fault tolerance should swap localCheckpoint(true) for reliable
-      // checkpoint() against a DFS dir via spark.sparkContext
-      // .setCheckpointDir — same flat-plan property, durable blocks.
-      var labels = edges.select(col("src").as("id"))
+      // fault tolerance pass `checkpointDir` (r15, VERDICT r14 #5):
+      // every `reliableEvery`-th round then checkpoints RELIABLY to
+      // that DFS dir — same flat-plan property, durable blocks, at
+      // most reliableEvery-1 rounds of rework on executor loss (see
+      // [[graft.plans.CheckpointPolicy]]).
+      var labels = ckpt(edges.select(col("src").as("id"))
         .repartition(loopParts, col("id")).distinct()
-        .withColumn("label", col("id"))
-        .localCheckpoint(true)
+        .withColumn("label", col("id")), 0)
       // labels only ever decrease, so the label SUM strictly decreases
       // while anything changes — comparing sums is a single aggregate per
       // round instead of a join-based diff (decimal: id sums can exceed
@@ -875,7 +906,7 @@ object Dedup {
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
-        val next = ccRound(edges, labels, loopParts).localCheckpoint(true)
+        val next = ckpt(ccRound(edges, labels, loopParts), i + 1)
         val nextSum = labelSum(next)
         // free the superseded round: checkpoint blocks are owned by the
         // LogicalRDD's rdd (Dataset.unpersist, cache-manager keyed,
@@ -950,8 +981,10 @@ object Dedup {
     * fraction of the corpus), so the plan must be able to degrade to a
     * shuffled anti join instead of OOMing a forced broadcast. */
   def dropEmbeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val pairs = embeddingCosinePairs(df, idCol, vecCol, blockCol, threshold)
+      blockCol: String, threshold: Double,
+      maxPairMass: Long = 4000000000L): DataFrame = {
+    val pairs = embeddingCosinePairs(df, idCol, vecCol, blockCol, threshold,
+      maxPairMass)
     val remove = pairs.select(col("id_b").as("__rm")).distinct()
     df.join(remove, col(idCol) === col("__rm"), "left_anti")
   }
@@ -997,9 +1030,45 @@ object Dedup {
     * Each vector is L2-normalized once per row (compiled
     * [[VectorExpressions.L2Normalize]]) before the self-join, so the
     * O(pairs) stage computes a plain dot product — 1/3 the flops of a
-    * fused per-pair cosine. */
+    * fused per-pair cosine.
+    *
+    * Candidate-mass budget (r15, VERDICT r14 #2 — the
+    * [[ngramJaccardPairs]] treatment): the self-join does work
+    * proportional to Σ C(block, 2) over the blocking column —
+    * quadratic in block size. One cheap aggregate (block column only,
+    * pruned at the scan) computes the mass first, refuses above
+    * `maxPairMass` with a pointer to the bounded paths, and warns
+    * above half of it. At 100 TB the refusal is a clear plan-time
+    * error instead of a job that runs for days on one hot block.
+    * The default sits 2× the Jaccard sibling's: per-pair work here is
+    * ONE fixed dim-length dot product over pre-normalized vectors
+    * (~35 flops at dim 16), not a variable-length shingle-set
+    * intersection — the sf10 board measured ~2.0B pairs completing
+    * linear-in-work under the gate, so that known-good mass plans
+    * cleanly (with the half-budget warning) while a runaway block
+    * still refuses. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double,
+      maxPairMass: Long = 4000000000L): DataFrame = {
+    if (maxPairMass < Long.MaxValue) {
+      // coalesce: an empty corpus has zero blocks — the probe must
+      // read 0, not NPE on a NULL sum (same fix class as the Jaccard
+      // sibling's probe)
+      val mass = df.groupBy(col(blockCol)).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L)).cast(LongType))
+        .head().getLong(0)
+      if (mass > maxPairMass) throw new IllegalArgumentException(
+        s"embeddingCosinePairs: candidate pair mass $mass exceeds budget " +
+          s"$maxPairMass — the exact within-block verifier is quadratic " +
+          "in block size; block on Similarity.hyperplaneBucket (more " +
+          "planes => smaller buckets), or use semDeDup with nlist sized " +
+          "so corpus/nlist stays in the low thousands, or raise " +
+          "maxPairMass deliberately")
+      if (mass > maxPairMass / 2) System.err.println(
+        s"[graft] embeddingCosinePairs: candidate pair mass $mass is over " +
+          s"half the $maxPairMass budget — consider smaller blocks " +
+          "(hyperplaneBucket with more planes, or semDeDup nlist)")
+    }
     val vn = VectorExpressions.l2_normalize(col(vecCol))
     val l = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), vn.as("v_a"))
     val r = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), vn.as("v_b"))
@@ -1026,15 +1095,36 @@ object Dedup {
     * pair stage bounded (the paper runs ~100k clusters for web scale;
     * size nlist so corpus/nlist stays in the low thousands). Training
     * cost per Lloyd round is one scan + an (nlist x dim)-row driver
-    * aggregate; assignment and pairing shuffle once on the cell id. */
+    * aggregate; assignment and pairing shuffle once on the cell id.
+    * The nlist guidance is also ARITHMETIC here (r15, VERDICT r14 #2):
+    * a count over the persisted projection (already materialized for
+    * training) puts corpus²/(2·nlist) — the uniform-cell pair mass —
+    * against `maxPairMass` and WARNS when nlist is undersized for the
+    * corpus. A warning, not a refusal: real cells are learned, their
+    * sizes data-dependent, and the uniform estimate is the paper's
+    * sizing rule, not a measured mass. */
   def semDeDup(df: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, threshold: Double): DataFrame = {
+      nlist: Int, iters: Int, threshold: Double,
+      maxPairMass: Long = 4000000000L): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val keep = viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
+      val n = proj.count()
+      val uniformMass = n.toDouble * n.toDouble / (2.0 * math.max(nlist, 1))
+      if (uniformMass > maxPairMass) System.err.println(
+        s"[graft] semDeDup: corpus $n over nlist=$nlist implies " +
+          f"~$uniformMass%.3g within-cell pairs (uniform-cell " +
+          s"arithmetic) — over the $maxPairMass budget; raise nlist " +
+          "(SemDeDup runs ~100k cells at web scale: size nlist so " +
+          "corpus/nlist stays in the low thousands)")
       val centroids = Similarity.kmeansCentroids(proj, idCol, "__v", nlist, iters)
       val assigned = proj.select(col(idCol), col("__v"),
         Similarity.cellAssign(col("__v"), centroids).as("cell"))
-      val pairs = embeddingCosinePairs(assigned, idCol, "__v", "cell", threshold)
+      // Long.MaxValue: the exact per-cell probe would re-run the
+      // assignment kernel over the whole corpus just to count — the
+      // arithmetic warning above covers the sizing rule, and learned
+      // cells can only be measured after paying that assignment anyway
+      val pairs = embeddingCosinePairs(assigned, idCol, "__v", "cell", threshold,
+        maxPairMass = Long.MaxValue)
       val remove = pairs.select(col("id_b").as("__rm")).distinct()
       assigned.join(remove, col(idCol) === col("__rm"), "left_anti")
         .select(col(idCol), col("cell"))

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Round-checkpoint policy for iterative loops (connected components,
+  * recursive CTE fixpoints) — VERDICT r14 #5 made the durability
+  * tradeoff a PARAMETER instead of a comment.
+  *
+  * Both loops need every round eagerly checkpointed for plan-flatness
+  * (a persisted round nests the previous round's plan; the mid-loop
+  * unpersist then clears the live round's cache — the r13 4-8×
+  * recompute race). `localCheckpoint(true)` gives that flatness at
+  * executor-local block cost, but truncates lineage: on a real cluster
+  * an executor loss mid-loop is unrecoverable at ANY iteration.
+  *
+  * With `checkpointDir` set, every `reliableEvery`-th round (round 0
+  * included — the base/seed frame) checkpoints RELIABLY to that
+  * directory instead, so at most `reliableEvery - 1` rounds of loop
+  * work ever sit on executor-local blocks; a lost executor costs
+  * re-running from the last durable round, not the whole chain. In
+  * between, rounds keep the cheap local flavor — a 100 TB CC loop
+  * writing every tiny label round to DFS would be pure write
+  * amplification. With `checkpointDir` empty (the default, and the
+  * right choice on local[*] where executor loss means JVM loss) every
+  * round is a localCheckpoint, exactly the pre-r15 behavior.
+  *
+  * Reliable-round files live under `checkpointDir` until the Spark
+  * context's cleaner removes them (`spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true`) or the caller deletes the directory after
+  * the loop's consumers finish — the loop itself only unpersists
+  * superseded CACHE blocks, never checkpoint files, so freeing a
+  * superseded reliable round can never corrupt a live one. */
+final case class CheckpointPolicy(checkpointDir: Option[String] = None,
+    reliableEvery: Int = 3) {
+
+  /** Is `round` a reliable-checkpoint round under this policy? */
+  def isReliable(round: Int): Boolean =
+    checkpointDir.isDefined && round % math.max(reliableEvery, 1) == 0
+
+  /** Eagerly checkpoint one loop round: reliable on policy rounds,
+    * local otherwise. Both flavors return a flat one-deep plan. */
+  def apply(df: DataFrame, round: Int): DataFrame =
+    if (!isReliable(round)) df.localCheckpoint(true)
+    else {
+      val sc = df.sparkSession.sparkContext
+      val dir = checkpointDir.get
+      // setCheckpointDir mints a fresh UUID subdirectory per call —
+      // only (re)set when unset or pointed somewhere else, so one
+      // loop's reliable rounds share one directory
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        sc.setCheckpointDir(dir)
+      df.checkpoint(eager = true)
+    }
+}

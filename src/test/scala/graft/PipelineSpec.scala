@@ -811,6 +811,33 @@ class PipelineSpec extends AnyFunSuite {
     Dedup.releaseAll()
   }
 
+  test("CC loop reliable-checkpoint knob: same labels, durable rounds in the dir") {
+    import org.apache.spark.sql.Row
+    // VERDICT r14 #5: checkpointDir => every reliableEvery-th round is
+    // a RELIABLE checkpoint (durable files), localCheckpoint otherwise;
+    // cluster output is identical either way
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pairs = spark.createDataFrame(java.util.List.of(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(7L, 9L)),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val got = Dedup.nearDupClusters(pairs,
+        checkpointDir = Some(dir), reliableEvery = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L), got)
+    // reliable rounds actually wrote checkpoint files under the dir
+    def countFiles(p: java.io.File): Int =
+      if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    assert(countFiles(new java.io.File(dir)) > 0,
+      s"no reliable checkpoint files under $dir")
+    Dedup.releaseAll()
+    // policy arithmetic: with no dir every round is local
+    val p0 = graft.plans.CheckpointPolicy(None, 1)
+    assert(!p0.isReliable(0) && !p0.isReliable(3))
+    val p3 = graft.plans.CheckpointPolicy(Some(dir), 3)
+    assert(p3.isReliable(0) && !p3.isReliable(1) && !p3.isReliable(2) &&
+      p3.isReliable(3))
+  }
+
   test("releaseAll frees the CC labels' checkpoint blocks (ADVICE r13 leak)") {
     import org.apache.spark.sql.Row
     // the final labels frame is localCheckpoint-backed: Dataset
@@ -914,6 +941,43 @@ class PipelineSpec extends AnyFunSuite {
     val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(pairs.nonEmpty, "fixture should contain embedding near-dups at 0.25")
     assert(kept == all -- pairs)
+  }
+
+  test("cosine pair miner refuses past its candidate-mass budget; semDeDup warns by arithmetic") {
+    // VERDICT r14 #2: the ngramJaccardPairs treatment for the exact
+    // cosine verifier — Σ C(block,2) over the blocking column, refuse
+    // above budget with a pointer to the bounded paths
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.25,
+        maxPairMass = 1L)
+    }
+    assert(e.getMessage.contains("hyperplaneBucket") &&
+      e.getMessage.contains("semDeDup"), e.getMessage)
+    // the apply wrapper routes its budget through
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dropEmbeddingNearDuplicates(emb, "vec_id", "embedding", "label",
+        0.25, maxPairMass = 1L)
+    }
+    assert(e2.getMessage.contains("candidate pair mass"), e2.getMessage)
+    // the default budget leaves the fixture untouched, and an empty
+    // corpus probes mass 0 instead of NPE-ing on a NULL sum
+    assert(Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", "label", 0.25)
+      .count() > 0)
+    assert(Dedup.embeddingCosinePairs(emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", "label", 0.25).count() == 0)
+    // semDeDup: undersized nlist for the corpus WARNS (uniform-cell
+    // arithmetic) but still runs — learned cell sizes are data-
+    // dependent, so the sizing rule must not hard-refuse
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val savedErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf))
+    val n = try
+      Dedup.semDeDup(emb, "vec_id", "embedding", nlist = 2, iters = 1,
+        threshold = 0.25, maxPairMass = 1L).count()
+    finally System.setErr(savedErr)
+    Dedup.releaseAll()
+    assert(n > 0)
+    assert(errBuf.toString.contains("raise nlist"), errBuf.toString.take(300))
   }
 
   test("within-block NN: oversized blocks sub-bucket to sub-quadratic pairs") {

@@ -127,9 +127,12 @@ class PlanSpec extends AnyFunSuite {
     // sorts the entire corpus. The two-phase prefix sum must window by
     // the range shard instead. The returned frame's own plan is a flat
     // LogicalRDD since r13 (viaPersisted plan flattening), so the gate
-    // reads the INNER execution that materialized it.
-    plan("pl_seq_pack")
-    val p = graft.operators.Dedup.lastInnerExecution.get.executedPlan.toString
+    // reads THIS frame's inner execution (r15: per-call map, keyed by
+    // the frame's flattened RDD — no last-writer-wins slot).
+    val df = SparkEntry.queries("pl_seq_pack")(spark, dir)
+    val execs = graft.operators.Dedup.innerExecutionsFor(df)
+    assert(execs.size == 1, s"expected one viaPersisted stage, got ${execs.size}")
+    val p = execs.head.executedPlan.toString
     assert(p.contains("Window"), p)
     assert(!p.contains("SinglePartition"),
       "global single-partition window in the packing plan:\n" + p)
@@ -669,8 +672,11 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("pl_emb_prototype_prune")(spark, dir)
     df.collect()
     // the result frame is cached behind a flattened plan (r13) — the
-    // shape gates below audit the inner execution that built it
-    val p = graft.operators.Dedup.lastInnerExecution.get.executedPlan.toString
+    // shape gates below audit THIS frame's inner execution (r15:
+    // per-call map keyed by the flattened RDD, slot deleted)
+    val execs = graft.operators.Dedup.innerExecutionsFor(df)
+    assert(execs.nonEmpty, "no inner execution registered for the frame")
+    val p = execs.head.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "cartesian in prune plan:\n" + p)
     // centroid table and cell-size table join as broadcasts — the
     // corpus side never shuffles for either join

@@ -105,6 +105,25 @@ class RecursiveCteSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("declares 2"))
   }
 
+  test("@@checkpoint_dir makes recursion rounds durable without changing results") {
+    // VERDICT r14 #5: the reliable-checkpoint knob on the session —
+    // SET @@checkpoint_dir routes every @@checkpoint_every-th frontier
+    // through a reliable checkpoint; the fixpoint is unchanged
+    val gs = session
+    val dir = java.nio.file.Files.createTempDirectory("graft_cte_ckpt").toString
+    gs.sql(s"SET @@checkpoint_dir = '$dir'")
+    gs.sql("SET @@checkpoint_every = 1")
+    val out = gs.sql(
+      """WITH RECURSIVE s(i) AS (
+        |  SELECT 1 UNION ALL SELECT s.i + 1 FROM s WHERE s.i < 5
+        |) SELECT sum(i) AS t FROM s""".stripMargin).collect()
+    assert(out(0).get(0).toString.toDouble == 15.0, out(0).toString)
+    def countFiles(p: java.io.File): Int =
+      if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    assert(countFiles(new java.io.File(dir)) > 0,
+      s"no reliable checkpoint files under $dir")
+  }
+
   test("RECURSIVE is a soft keyword: a CTE named recursive still works") {
     val gs = session
     val out = gs.sql(
