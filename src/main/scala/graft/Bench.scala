@@ -58,6 +58,11 @@ import org.apache.spark.sql.SparkSession
   *     warm_min, and one replacement rep is burned (at most 2 per
   *     query) — a hypervisor burst can no longer poison the round's
   *     canonical warm numbers.
+  *   - FRESH runs heal the same way (r15, VERDICT r14 #3): a tainted
+  *     fresh run burns exactly ONE labeled replacement and the json
+  *     records BOTH (fresh_tainted_* + the replacement as fresh_sec),
+  *     self-described by fresh_taint_policy — see [[healFresh]] for
+  *     the comparability-vs-unfalsifiability tradeoff.
   *   - fixed-point sentinels: a pure in-memory agg and a shuffle sort
   *     over spark.range (no files, constant size) run 3x at suite
   *     start and 3x at suite end ("sentinel_*" fields). Cross-round
@@ -66,6 +71,46 @@ import org.apache.spark.sql.SparkSession
   *     matching sentinel drift is machine speed, not a regression.
   */
 object Bench {
+  /** One measurement: wall + everything needed to adjudicate it later
+    * (cpu: this process's CPU-seconds — a slow rep with cpu ≈ the
+    * fresh run's WAITED, one with cpu ≈ N× fresh-cpu recomputed;
+    * steal/iowait: machine-level core-seconds from /proc/stat
+    * deltas). Object-level so the taint/heal policy is spec-testable
+    * without driving a full bench run. */
+  final case class Meas(wall: Double, ok: Boolean, gcMs: Long,
+      cpuSec: Double, stealSec: Double, iowaitSec: Double, load: Double)
+
+  /** A measurement the hypervisor starved: steal share over
+    * `share` of wall×cores. Recorded but never canonical. */
+  def stealTainted(m: Meas, cores: Int, share: Double = 0.20): Boolean =
+    m.stealSec > share * m.wall * cores
+
+  /** Fresh-row steal healing (r15, VERDICT r14 #3 — the warm-rep
+    * policy mirrored onto fresh runs): a fresh run the hypervisor
+    * starved burns ONE labeled replacement and records BOTH — the
+    * replacement becomes the canonical fresh number, the tainted run
+    * stays in the artifact (`fresh_tainted_*` fields) so the healing
+    * is falsifiable rather than silent. Exactly one replacement: if
+    * the machine is still being starved, the replacement's own
+    * steal_sec says so in-artifact (the ratio tool marks it) instead
+    * of the bench retrying until the number looks good.
+    *
+    * Caveat the fields make visible: the replacement is not JIT/page-
+    * cache-cold — the tainted run already executed the plan — so a
+    * healed fresh number sits between true-fresh and warm. That bias
+    * is bounded and inspectable (both runs recorded); an unhealed
+    * steal burst is neither.
+    *
+    * Returns (canonical fresh, Some(tainted original) when healed). */
+  def healFresh(first: Meas, cores: Int, rerun: () => Meas,
+      share: Double = 0.20): (Meas, Option[Meas]) =
+    if (!first.ok || !stealTainted(first, cores, share)) (first, None)
+    else {
+      val replacement = rerun()
+      if (replacement.ok) (replacement, Some(first))
+      else (first, None) // a failed replacement must not mask a measured run
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,14 +192,9 @@ object Bench {
     }
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
 
-    // one measurement: wall + everything needed to adjudicate it later
-    // (cpu: this process's CPU-seconds — a slow rep with cpu ~= the
-    // fresh run's WAITED, one with cpu ~= N x fresh recomputed; steal/
-    // iowait: machine-level core-seconds from /proc/stat deltas)
-    final case class Meas(wall: Double, ok: Boolean, gcMs: Long,
-        cpuSec: Double, stealSec: Double, iowaitSec: Double, load: Double)
+    // Meas lives at object scope (spec-testable heal/taint policy)
     final case class QRes(
-        m: Meas, storageMb: Long,
+        m: Meas, storageMb: Long, freshTainted: Option[Meas] = None,
         var warmMin: Option[Double] = None, var warmReps: List[Meas] = Nil,
         var warmTainted: List[Meas] = Nil)
     // a failure must never masquerade as a slow measurement — no warm
@@ -180,8 +220,7 @@ object Bench {
       timeOnce { fn(spark, sfDir).count(); () }
     // a warm rep the hypervisor starved is recorded but must not poison
     // warm_min or trigger the disagreement logic as if it were plan cost
-    def tainted(m: Meas): Boolean =
-      m.stealSec > 0.20 * m.wall * nCores
+    def tainted(m: Meas): Boolean = stealTainted(m, nCores)
 
     // Fixed-point sentinels (r14): constant-size in-memory work, no
     // files — a machine-speed reference recorded at suite start and
@@ -222,14 +261,16 @@ object Bench {
           s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${arr(r.warmReps.map(_.wall))},"warm_gc_ms":${r.warmReps.map(_.gcMs).mkString("[", ",", "]")},"warm_cpu_sec":${arr(r.warmReps.map(_.cpuSec))},"warm_steal_sec":${arr(r.warmReps.map(_.stealSec))},"warm_load":${arr(r.warmReps.map(_.load))}""" +
           (if (r.warmTainted.isEmpty) ""
            else s""","warm_tainted_sec":${arr(r.warmTainted.map(_.wall))},"warm_tainted_steal_sec":${arr(r.warmTainted.map(_.stealSec))}""")).getOrElse("")
-        s""""$n":{"fresh_sec":${fmt(r.m.wall)},${measPart(r.m)},"storage_mb":${r.storageMb}$warmPart}"""
+        val freshTaintPart = r.freshTainted.map(b =>
+          s""","fresh_tainted_sec":${fmt(b.wall)},"fresh_tainted_steal_sec":${fmt(b.stealSec)},"fresh_tainted_cpu_sec":${fmt(b.cpuSec)},"fresh_tainted_gc_ms":${b.gcMs}""").getOrElse("")
+        s""""$n":{"fresh_sec":${fmt(r.m.wall)},${measPart(r.m)},"storage_mb":${r.storageMb}$freshTaintPart$warmPart}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
       val total = results.values.collect { case r if r.m.ok => r.m.wall }.sum
       val json =
         s"""{
            |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,"host_cores":$nCores,
            |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,"warm_cap_sec":${fmt(warmCapSec)},
-           |"warm_mode":"reexec-releaseAll","steal_taint_share":0.20,
+           |"warm_mode":"reexec-releaseAll","steal_taint_share":0.20,"fresh_taint_policy":"replace-once-labeled",
            |"sentinel_start_agg_sec":${arr(sentinelStart._1)},"sentinel_start_shuffle_sec":${arr(sentinelStart._2)},
            |"sentinel_end_agg_sec":${arr(sentinelEnd._1)},"sentinel_end_shuffle_sec":${arr(sentinelEnd._2)},
            |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
@@ -258,10 +299,18 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      val mF = timeQuery(fn)
+      val mF0 = timeQuery(fn)
+      // fresh-row steal healing (r15): a starved fresh run burns ONE
+      // labeled replacement; both land in the artifact (see healFresh)
+      val (mF, freshBad) = healFresh(mF0, nCores, () => {
+        System.err.println(f"[bench] $name FRESH run TAINTED: wall=${mF0.wall}%.1f s steal=${mF0.stealSec}%.1f core-s — hypervisor burst, burning one labeled replacement")
+        graft.operators.Dedup.releaseAll()
+        timeQuery(fn)
+      })
       val stMb = storageUsedMb()
-      results(name) = QRes(mF, stMb)
-      println(s"BENCHQ $name ${if (mF.ok) fmt(mF.wall) else s"failed ${fmt(mF.wall)}"} gc=${mF.gcMs}ms cpu=${fmt(mF.cpuSec)}s steal=${fmt(mF.stealSec)}s storage=${stMb}MB")
+      results(name) = QRes(mF, stMb, freshTainted = freshBad)
+      println(s"BENCHQ $name ${if (mF.ok) fmt(mF.wall) else s"failed ${fmt(mF.wall)}"} gc=${mF.gcMs}ms cpu=${fmt(mF.cpuSec)}s steal=${fmt(mF.stealSec)}s storage=${stMb}MB" +
+        freshBad.map(b => s" (healed; tainted fresh was ${fmt(b.wall)}s steal=${fmt(b.stealSec)})").getOrElse(""))
       writeFile() // fresh timing durable BEFORE the warm loop: a kill
       // during a heavy query's ~40 s of warm reps must not lose it
       graft.operators.Dedup.releaseAll() // no retained-cache carry-over between queries
