@@ -40,7 +40,11 @@ object SqlRun {
       }
     var failed = 0
     rows.foreach { case (name, sql, _) =>
-      try gs.sql(sql).coalesce(1).write.mode("overwrite")
+      // sqlScript: a `;`-separated case (DDL + DML + final SELECT, the
+      // r15 DML/MERGE fuzz family) runs statement by statement and the
+      // LAST statement's frame is what lands in the parquet; a plain
+      // single-statement case behaves exactly as before
+      try gs.sqlScript(sql).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed += 1

@@ -1712,7 +1712,7 @@ final class Planner(catalog: String => DataFrame,
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
         val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
-        if (c.keys.isEmpty) {
+        if (c.keys.isEmpty && c.extraPreds.isEmpty) {
           // whole-corpus existence fact — ONE bounded limit(1) count,
           // evaluated lazily in-plan (broadcast 1-row aggregate +
           // filter) so statement BUILD launches no job; Catalyst folds
@@ -1724,15 +1724,26 @@ final class Planner(catalog: String => DataFrame,
             .filter(if (negated) col(en) === 0 else col(en) > 0)
             .drop(en)
         } else {
-          val corrFields = c.keys.map(_._1).distinct
+          // NON-EQUALITY cross-scope conjuncts (r15, found live by the
+          // DML fuzzer: `EXISTS (… WHERE d.id = t.id AND d.amount >
+          // t.v)`): their inner fields ride the prefix-renamed
+          // projection and the comparison folds into the semi/anti
+          // join condition below. Equality keys (when present) keep
+          // the join hash-partitionable; a pure non-equi EXISTS plans
+          // as the nested-loop join it semantically is — loud in the
+          // plan, correct, and broadcastable when the inner is small.
+          val corrFields = (c.keys.map(_._1) ++ c.extraPreds.map(_._2)).distinct
           val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
+          if (grouped && c.extraPreds.nonEmpty)
+            throw BuildException("correlated EXISTS with GROUP BY/HAVING " +
+              "supports only equality correlation conjuncts")
           // prefix-rename the inner key columns so the join condition
           // can never capture an identically-named outer column
           val innerKeys =
             if (!grouped) {
               val innerDf = innerPlanner.plan(innerSel.copy(
                 columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
-                distinct = false, where = c.innerWhere,
+                distinct = false, where = c.innerWhereNoExtra,
                 orderBy = Nil, limit = None, offset = None, qualify = None))
               innerDf.select(corrFields.map(f =>
                 col(f).as(s"__ex${i}_$f")): _*)
@@ -1750,9 +1761,25 @@ final class Planner(catalog: String => DataFrame,
                   corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
                 orderBy = Nil, limit = None, offset = None, qualify = None))
           val outerCtx = mkCtx(df)
-          val cond = c.keys.map { case (f, outerNode) =>
+          def extraCmp(op: String, inner: Column, outer: Column,
+              innerOnLeft: Boolean): Column = {
+            val (a, b) = if (innerOnLeft) (inner, outer) else (outer, inner)
+            op match {
+              case "<" => a < b
+              case "<=" => a <= b
+              case ">" => a > b
+              case ">=" => a >= b
+              case "!=" | "<>" => a =!= b
+              case other => throw BuildException(
+                s"unsupported correlated comparison operator: $other")
+            }
+          }
+          val cond = (c.keys.map { case (f, outerNode) =>
             outerCol(outerNode, df, outerCtx) === innerKeys(s"__ex${i}_$f")
-          }.reduce(_ && _)
+          } ++ c.extraPreds.map { case (op, f, outerNode, innerOnLeft) =>
+            extraCmp(op, innerKeys(s"__ex${i}_$f"),
+              outerCol(outerNode, df, outerCtx), innerOnLeft)
+          }).reduce(_ && _)
           if (grouped && innerSel.groupBy.isEmpty) {
             // HAVING without GROUP BY: ANSI gives even an EMPTY outer
             // slice one aggregate row (count→0, sum/min/max→NULL) and
@@ -2159,9 +2186,20 @@ final class Planner(catalog: String => DataFrame,
   /** Correlation analysis of a subquery's WHERE against the outer
     * frame: `keys` are (innerField, outerNode) pairs from equality
     * conjuncts whose one side ONLY the outer scope can bind;
-    * `innerWhere` is the remaining inner-only predicate. */
+    * `innerWhere` is the remaining predicate INCLUDING any non-equality
+    * cross-scope conjuncts — a consumer that cannot handle those keeps
+    * today's loud unresolved-column failure instead of silently
+    * dropping a predicate. `extraPreds` classifies exactly those
+    * non-equality cross-scope comparisons ((op, innerField, outerNode,
+    * innerOnLeft)) and `innerWhereNoExtra` is innerWhere with them
+    * removed — the pair an extra-aware lowering (WHERE-conjunct
+    * EXISTS, r15: `EXISTS (… WHERE d.id = t.id AND d.amount > t.v)` —
+    * found live by scripts/fuzz_dml.py) consumes by folding the
+    * comparison into its join condition. */
   private final case class Correlation(keys: Seq[(String, Node)],
-      innerWhere: Option[Node])
+      innerWhere: Option[Node],
+      extraPreds: Seq[(String, String, Node, Boolean)] = Nil,
+      innerWhereNoExtra: Option[Node] = None)
 
   private def analyzeCorrelation(innerSel: SqlSelect, innerPlanner: Planner,
       outerSel: SqlSelect, outerDf: DataFrame): Correlation = {
@@ -2180,29 +2218,44 @@ final class Planner(catalog: String => DataFrame,
       case BooleanNode("AND", args, false) => args
       case other => Seq(other)
     }
+    // is this a cross-scope ident-vs-ident comparison? returns
+    // (innerPath, outerNode, innerOnLeft)
+    def crossScope(l: Node, r: Node): Option[(Seq[String], Node, Boolean)] =
+      (identOf(l), identOf(r)) match {
+        case (Some(lp), Some(rp)) =>
+          val lIn = resolvesIn(lp, probeSchema, innerAliases)
+          val rIn = resolvesIn(rp, probeSchema, innerAliases)
+          if (lIn && !rIn && resolvesIn(rp, outerDf.schema, outerAliases))
+            Some((lp, r, true))
+          else if (rIn && !lIn && resolvesIn(lp, outerDf.schema, outerAliases))
+            Some((rp, l, false))
+          else None
+        case _ => None
+      }
     val (corr, innerOnly) = conjs.partition {
-      case BinaryNode("==" | "=", l, r, false) =>
-        (identOf(l), identOf(r)) match {
-          case (Some(lp), Some(rp)) =>
-            val lIn = resolvesIn(lp, probeSchema, innerAliases)
-            val rIn = resolvesIn(rp, probeSchema, innerAliases)
-            (lIn && !rIn && resolvesIn(rp, outerDf.schema, outerAliases)) ||
-              (rIn && !lIn && resolvesIn(lp, outerDf.schema, outerAliases))
-          case _ => false
-        }
+      case BinaryNode("==" | "=", l, r, false) => crossScope(l, r).isDefined
       case _ => false
     }
     val keys = corr.collect { case BinaryNode(_, l, r, _) =>
-      val lp = identOf(l).get; val rp = identOf(r).get
-      if (resolvesIn(lp, probeSchema, innerAliases)) (fieldNameIn(lp, probeSchema), r)
-      else (fieldNameIn(rp, probeSchema), l)
+      val (innerPath, outerNode, _) = crossScope(l, r).get
+      (fieldNameIn(innerPath, probeSchema), outerNode)
     }
-    val innerWhere = innerOnly match {
+    val cmpOps = Set("<", "<=", ">", ">=", "!=", "<>")
+    val (extraConjs, pureInner) = innerOnly.partition {
+      case BinaryNode(op, l, r, false) if cmpOps.contains(op) =>
+        crossScope(l, r).isDefined
+      case _ => false
+    }
+    val extraPreds = extraConjs.collect { case BinaryNode(op, l, r, _) =>
+      val (innerPath, outerNode, innerOnLeft) = crossScope(l, r).get
+      (op, fieldNameIn(innerPath, probeSchema), outerNode, innerOnLeft)
+    }
+    def andOf(ns: Seq[Node]): Option[Node] = ns match {
       case Nil => None
       case Seq(one) => Some(one)
       case many => Some(BooleanNode("AND", many))
     }
-    Correlation(keys, innerWhere)
+    Correlation(keys, andOf(innerOnly), extraPreds, andOf(pureInner))
   }
 
   /** Does a column path resolve against this scope? Full-name match; a

@@ -25,6 +25,10 @@ object Builtins {
     // ---- math (expr/builtins/math.go) --------------------------------
     add("sqrt", returnType = Some(DoubleType))(a => sqrt(a.head.cast(DoubleType)))
     add("pow", returnType = Some(DoubleType))(a => pow(a(0).cast(DoubleType), a(1).cast(DoubleType)))
+    // beyond the reference pair (math.go stops at sqrt/pow): abs is
+    // type-preserving (bigint stays bigint — the DML fuzzer compares it
+    // against DuckDB's integer abs bit-exactly)
+    add("abs")(a => abs(a.head))
 
     // ---- aggregates (exec/groupby.go; count counts non-nil) ----------
     addRaw("count", isAgg = true, returnType = Some(LongType)) { (ctx, args) =>

@@ -1310,6 +1310,35 @@ class EngineSpec extends AnyFunSuite {
     s.sql("DROP TABLE scr2")
   }
 
+  test("correlated EXISTS with a NON-equality cross-scope conjunct (r15, fuzz_dml)") {
+    // found live by scripts/fuzz_dml.py case dml0003: the extra
+    // correlated comparison (`o.price > u.referral_count`-shaped) must
+    // fold into the semi/anti join condition, not land unresolvable in
+    // the inner WHERE. Orders: (1, 9Ip…, 22.5), (2, 9Ip…, 37.5),
+    // (3, abcabcabc, 22.5); users 9Ip…/hT2… have referral_count 82/12.
+    val s = session
+    s.sql("CREATE TABLE scr4 AS SELECT user_id, referral_count FROM users")
+    // equality + non-equality conjunct: users with SOME order priced
+    // above their referral_count (9Ip…: 82 > both prices → no; hT2…:
+    // no orders; only the invalid-email user has none either) — then
+    // flip the comparison so 9Ip… qualifies
+    assert(rows(s.sql(
+      """SELECT user_id FROM scr4 WHERE EXISTS
+        |(SELECT 1 FROM orders WHERE orders.user_id = scr4.user_id
+        |   AND orders.price > scr4.referral_count)""".stripMargin)).isEmpty)
+    s.sql("""DELETE FROM scr4 WHERE EXISTS
+      |(SELECT 1 FROM orders WHERE orders.user_id = scr4.user_id
+      |   AND orders.price < scr4.referral_count)""".stripMargin)
+    assert(rows(s.sql("SELECT count(*) AS c FROM scr4")) == Seq(Seq(2L)))
+    // pure non-equality correlation (no equality key): plans as the
+    // nested-loop it is — correct verdict, loud plan
+    assert(rows(s.sql(
+      """SELECT count(*) AS c FROM scr4 WHERE EXISTS
+        |(SELECT 1 FROM orders WHERE orders.price > scr4.referral_count)""".stripMargin))
+      == Seq(Seq(2L))) // both survivors have referral_count 12 < some price
+    s.sql("DROP TABLE scr4")
+  }
+
   test("UPDATE SET accepts subqueries (r12, beyond ref)") {
     val s = session
     s.sql("CREATE TABLE scr3 AS SELECT order_id, user_id, price FROM orders")
