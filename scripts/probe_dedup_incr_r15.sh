@@ -6,24 +6,32 @@
 # (WARM_CAP=0) so each run is one cold execution + sentinels.
 # Usage: probe_dedup_incr_r15.sh <side:r15|r13> <runIdx>
 set -e
-SIDE=$1; IDX=$2
+SIDE=$1; IDX=$2; HEAP=${3:-96g}
 case $SIDE in
   r15) CLASSES=/root/repo/target/scala-2.13/classes ;;
   r13) CLASSES=/tmp/graft_r13/target/scala-2.13/classes ;;
   *) echo "side r15|r13"; exit 2 ;;
 esac
-OUT=/root/repo/bench_out/probe_incr_${SIDE}_run${IDX}.json
+OUT=/root/repo/bench_out/probe_incr_${SIDE}_run${IDX}_${HEAP}.json
+TIMEF=/root/repo/bench_out/probe_incr_${SIDE}_run${IDX}_${HEAP}.time
 cd /root/repo
-SPARK_GRAFT_SF_DIR=/tmp/graft_sf10 \
-SPARK_GRAFT_CPUS=32 \
-SPARK_GRAFT_QUERIES=pl_dedup_apply_incr \
-SPARK_GRAFT_WARM_CAP=0 \
-SPARK_GRAFT_BENCH_OUT=$OUT \
-java -Xmx96g -cp "$CLASSES:/opt/spark/jars/*" graft.Bench 2>/dev/null | grep -E "BENCHQ|metric"
+export SPARK_GRAFT_SF_DIR=/tmp/graft_sf10
+export SPARK_GRAFT_CPUS=32
+export SPARK_GRAFT_QUERIES=pl_dedup_apply_incr
+export SPARK_GRAFT_WARM_CAP=0
+export SPARK_GRAFT_BENCH_OUT=$OUT
+# bash-builtin time (no GNU time in this container): user+sys cover the
+# whole JVM = query + sentinels + warmup; the r13 side's Bench predates
+# the in-artifact cpu_sec field, so this is its cpu evidence
+TIMEFORMAT="  time: real %R user %U sys %S"
+time java -Xmx$HEAP -cp "$CLASSES:/opt/spark/jars/*" graft.Bench 2>/dev/null | grep -E "BENCHQ|metric"
+
 python3 - "$OUT" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
 q = d["queries"]["pl_dedup_apply_incr"]
-print(f"  -> fresh={q['fresh_sec']}s cpu={q['cpu_sec']} steal={q['steal_sec']} "
-      f"gc_ms={q['gc_ms']} load={q['load']} sentinel_agg_min={min(d['sentinel_start_agg_sec'])}")
+sent = min(d.get('sentinel_start_agg_sec') or [-1])
+print(f"  -> fresh={q['fresh_sec']}s cpu={q.get('cpu_sec','n/a')} "
+      f"steal={q.get('steal_sec','n/a')} gc_ms={q.get('gc_ms','n/a')} "
+      f"load={q.get('load','n/a')} sentinel_agg_min={sent}")
 EOF

@@ -78,7 +78,23 @@ object Bench {
     * deltas). Object-level so the taint/heal policy is spec-testable
     * without driving a full bench run. */
   final case class Meas(wall: Double, ok: Boolean, gcMs: Long,
-      cpuSec: Double, stealSec: Double, iowaitSec: Double, load: Double)
+      cpuSec: Double, stealSec: Double, iowaitSec: Double, load: Double,
+      cpuUserSec: Double = -1.0, cpuSysSec: Double = -1.0)
+
+  /** This process's cumulative (utime, stime) in seconds from
+    * /proc/self/stat — the r15 probe lesson: cpu_sec alone cannot
+    * distinguish engine work from kernel/virtualization overhead. A
+    * measurement whose SYS component dominates USER (measured 2-7×
+    * on this host's bad windows, vs ~0.1× healthy) is the
+    * hypervisor-contention class — adjudicate wall mysteries against
+    * cpu_user_sec, which stayed within 2.1-3.5k core-s across runs
+    * whose cpu_sec swung 11.8k-24.3k (bench_out/SCALE_r15.md §1).
+    * (-1, -1) when /proc is unreadable. */
+  def procSelfCpuSplit(): (Double, Double) = try {
+    val raw = scala.io.Source.fromFile("/proc/self/stat").mkString
+    val rest = raw.substring(raw.lastIndexOf(')') + 2).split("\\s+")
+    (rest(11).toDouble / 100.0, rest(12).toDouble / 100.0)
+  } catch { case _: Throwable => (-1.0, -1.0) }
 
   /** A measurement the hypervisor starved: steal share over
     * `share` of wall×cores. Recorded but never canonical. */
@@ -202,6 +218,7 @@ object Bench {
     def timeOnce(body: => Unit): Meas = {
       val gc0 = gcMillis(); val c0 = osBean.getProcessCpuTime
       val (st0, io0) = procStatJiffies()
+      val (u0, s0) = procSelfCpuSplit()
       val t0 = System.nanoTime()
       val ok = try { body; true } catch {
         case e: Throwable =>
@@ -210,11 +227,14 @@ object Bench {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val (st1, io1) = procStatJiffies()
+      val (u1, s1) = procSelfCpuSplit()
       Meas(wall, ok, gcMillis() - gc0,
         (osBean.getProcessCpuTime - c0) / 1e9,
         if (st0 >= 0 && st1 >= 0) (st1 - st0) / 100.0 else -1.0,
         if (io0 >= 0 && io1 >= 0) (io1 - io0) / 100.0 else -1.0,
-        loadAvg())
+        loadAvg(),
+        if (u0 >= 0 && u1 >= 0) u1 - u0 else -1.0,
+        if (s0 >= 0 && s1 >= 0) s1 - s0 else -1.0)
     }
     def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Meas =
       timeOnce { fn(spark, sfDir).count(); () }
@@ -247,7 +267,7 @@ object Bench {
     var sentinelEnd: (List[Double], List[Double]) = (Nil, Nil)
     def arr(xs: List[Double]): String = xs.map(fmt).mkString("[", ",", "]")
     def measPart(m: Meas): String =
-      s""""gc_ms":${m.gcMs},"cpu_sec":${fmt(m.cpuSec)},"steal_sec":${fmt(m.stealSec)},"iowait_sec":${fmt(m.iowaitSec)},"load":${fmt(m.load)}"""
+      s""""gc_ms":${m.gcMs},"cpu_sec":${fmt(m.cpuSec)},"cpu_user_sec":${fmt(m.cpuUserSec)},"cpu_sys_sec":${fmt(m.cpuSysSec)},"steal_sec":${fmt(m.stealSec)},"iowait_sec":${fmt(m.iowaitSec)},"load":${fmt(m.load)}"""
     def writeFile(): Unit = {
       val out = new java.io.File(outPath)
       Option(out.getParentFile).foreach(_.mkdirs())
@@ -258,7 +278,7 @@ object Bench {
         // dedicated-JVM rerun (the r13 lesson: 289 s with no load
         // sample and no cpu took a full round to adjudicate)
         val warmPart = r.warmMin.map(w =>
-          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${arr(r.warmReps.map(_.wall))},"warm_gc_ms":${r.warmReps.map(_.gcMs).mkString("[", ",", "]")},"warm_cpu_sec":${arr(r.warmReps.map(_.cpuSec))},"warm_steal_sec":${arr(r.warmReps.map(_.stealSec))},"warm_load":${arr(r.warmReps.map(_.load))}""" +
+          s""","warm_min_sec":${fmt(w)},"warm_reps_sec":${arr(r.warmReps.map(_.wall))},"warm_gc_ms":${r.warmReps.map(_.gcMs).mkString("[", ",", "]")},"warm_cpu_sec":${arr(r.warmReps.map(_.cpuSec))},"warm_cpu_user_sec":${arr(r.warmReps.map(_.cpuUserSec))},"warm_cpu_sys_sec":${arr(r.warmReps.map(_.cpuSysSec))},"warm_steal_sec":${arr(r.warmReps.map(_.stealSec))},"warm_load":${arr(r.warmReps.map(_.load))}""" +
           (if (r.warmTainted.isEmpty) ""
            else s""","warm_tainted_sec":${arr(r.warmTainted.map(_.wall))},"warm_tainted_steal_sec":${arr(r.warmTainted.map(_.stealSec))}""")).getOrElse("")
         val freshTaintPart = r.freshTainted.map(b =>

@@ -141,7 +141,10 @@ object Dedup {
   private[graft] def innerExecutionsFor(df: DataFrame):
       Seq[org.apache.spark.sql.execution.QueryExecution] =
     retained.synchronized {
-      flattenedRddIds(df).flatMap(id => Option(innerExecutions.get(id)))
+      // distinct: a stage consumed twice in one plan (e.g. the pair
+      // frame on both sides of a remove-union) is ONE execution
+      flattenedRddIds(df).distinct
+        .flatMap(id => Option(innerExecutions.get(id)))
     }
 
   /** Unpersist every result frame retained by earlier dedup calls and
