@@ -180,10 +180,33 @@ def bool_atom(table, alias, keys):
     if r < 0.62:
         neg = "NOT " if rng.random() < 0.4 else ""
         conds = [corr_pred] if correlated else []
+        oconds = list(conds)
+        # r15 grammar: NON-EQUALITY cross-scope conjuncts
+        # (inner.col <op> outer.col) — the engine folds these into the
+        # semi/anti-join condition (equality-keyed when corr_pred is
+        # present, a deliberate nested loop otherwise). Small-SF only:
+        # DuckDB's side is a nested loop too. The ORACLE side wraps the
+        # conjunct in `(…) IS TRUE`: DuckDB 1.0.0's decorrelation of
+        # equality + non-equality + inner-only correlated EXISTS is
+        # WRONG (found live by this grammar's first run: a
+        # contradictory `c = o.k AND c > o.k AND c < 15` matched 132
+        # rows; drop the inner-only conjunct and it correctly matches
+        # 0). IS TRUE blocks the broken rewrite and is conjunct-
+        # equivalent (UNKNOWN→FALSE either way; operands un-NULLable
+        # here anyway).
+        if not BIG_SF and rng.random() < (0.4 if correlated else 0.15):
+            ne = (f"{rng.choice(icols)} "
+                  f"{rng.choice(['<', '<=', '>', '>=', '!='])} "
+                  f"{alias}.{rng.choice(keys)}")
+            conds.append(ne)
+            oconds.append(f"({ne}) IS TRUE")
         if rng.random() < 0.5 or not conds:
-            conds.append(f"{rng.choice(icols)} {rng.choice(OPS)} {rng.randint(0, 40)}")
+            ic = f"{rng.choice(icols)} {rng.choice(OPS)} {rng.randint(0, 40)}"
+            conds.append(ic)
+            oconds.append(ic)
         s = f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {' AND '.join(conds)})"
-        return s, s
+        o = f"{neg}EXISTS (SELECT 1 FROM {inner} WHERE {' AND '.join(oconds)})"
+        return s, o
     if r < 0.85:
         quant = rng.choice(["ANY", "ALL", "SOME"])
         p = inner_parts(inner, corr_pred, icols, correlated)

@@ -119,7 +119,8 @@ def gen_stmt(i, has_merge_slot):
     t, d, pre = f"t{i}", f"d{i}", f"pre{i}"
     fam = rng.choice((["merge"] if has_merge_slot else []) +
                      ["ins", "upd_in", "upd_corr", "upd_scalar",
-                      "del_in", "del_notin", "del_exists", "del_all"])
+                      "del_in", "del_notin", "del_exists", "del_notexists",
+                      "del_all"])
     if fam == "ins":
         pred_e, pred_o = rng.choice([
             ("amount > 10", "amount > 10"),
@@ -160,6 +161,12 @@ def gen_stmt(i, has_merge_slot):
         s = (f"DELETE FROM {t} WHERE EXISTS (SELECT 1 FROM {d} "
              f"WHERE {d}.id = {t}.id AND {d}.amount > {t}.v)")
         return s, s, False
+    if fam == "del_notexists":
+        # non-equality correlated NOT EXISTS (r15 grammar v2): keeps
+        # only rows some delta row dominates
+        s = (f"DELETE FROM {t} WHERE NOT EXISTS (SELECT 1 FROM {d} "
+             f"WHERE {d}.id = {t}.id AND {d}.amount >= {t}.v)")
+        return s, s, False
     if fam == "del_all":
         # non-NULL plane only (see module doc): engine gets native ALL,
         # oracle gets the NOT EXISTS rendering
@@ -172,6 +179,10 @@ def gen_stmt(i, has_merge_slot):
     has_del = rng.random() < 0.5
     has_ins = rng.random() < 0.75
     ins_cond = has_ins and rng.random() < 0.4
+    # r15 grammar v2: sometimes TWO conditional matched-UPDATE clauses
+    # (first-match-wins; a NULL condition falls through — the engine's
+    # coalesce(cond,false) reading, which the CASE oracle mirrors)
+    two_upd = rng.random() < 0.35
     upd_e, upd_o = rng.choice([
         ("t.v + d.amount", f"v + (SELECT d.amount FROM {d} d WHERE d.id = {t}.id)"),
         ("d.amount", f"(SELECT d.amount FROM {d} d WHERE d.id = {t}.id)"),
@@ -180,7 +191,15 @@ def gen_stmt(i, has_merge_slot):
     eng = [f"MERGE INTO {t} t USING {d} d ON t.id == d.id"]
     if has_del:
         eng.append("WHEN MATCHED AND d.kind == 'del' THEN DELETE")
-    eng.append(f"WHEN MATCHED THEN UPDATE SET v = {upd_e}")
+    if two_upd:
+        thr = rng.randint(10, 40)
+        eng.append(f"WHEN MATCHED AND d.amount > {thr} THEN UPDATE SET v = d.amount")
+        eng.append("WHEN MATCHED THEN UPDATE SET v = t.v + 1")
+        upd_o = (f"CASE WHEN (SELECT d.amount FROM {d} d WHERE d.id = {t}.id) > {thr} "
+                 f"THEN (SELECT d.amount FROM {d} d WHERE d.id = {t}.id) "
+                 f"ELSE v + 1 END")
+    else:
+        eng.append(f"WHEN MATCHED THEN UPDATE SET v = {upd_e}")
     if has_ins:
         cond = " AND d.amount > 0" if ins_cond else ""
         eng.append(f"WHEN NOT MATCHED{cond} THEN INSERT (id, grp, v) "

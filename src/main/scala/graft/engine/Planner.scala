@@ -749,6 +749,7 @@ final class Planner(catalog: String => DataFrame,
     val innerSel = ss.select
     val innerPlanner = new Planner(catalog, vars, includer)
     val c = analyzeCorrelation(innerSel, innerPlanner, outerSel, outer)
+    requireEqualityCorrelation(c, "LATERAL subquery")
     if (c.keys.isEmpty)
       return outer.crossJoin(innerPlanner.plan(innerSel).alias(ss.alias))
     if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty ||
@@ -1332,6 +1333,37 @@ final class Planner(catalog: String => DataFrame,
       pendingAggScalars.toSeq)
   }
 
+  /** One non-equality cross-scope comparison as a join-condition
+    * Column (r15 — see Correlation.extraPreds): the original conjunct
+    * was `inner <op> outer` when `innerOnLeft`, else `outer <op>
+    * inner`. Spark's own coercions apply (int/long widening etc.),
+    * matching what the conjunct would get inline. */
+  private def extraCmpCol(op: String, inner: Column, outer: Column,
+      innerOnLeft: Boolean): Column = {
+    val (a, b) = if (innerOnLeft) (inner, outer) else (outer, inner)
+    op match {
+      case "<" => a < b
+      case "<=" => a <= b
+      case ">" => a > b
+      case ">=" => a >= b
+      case "!=" | "<>" => a =!= b
+      case other => throw BuildException(
+        s"unsupported correlated comparison operator: $other")
+    }
+  }
+
+  /** Loud refusal for lowerings whose per-key aggregation shapes
+    * cannot carry a non-equality cross-scope conjunct (the counts /
+    * extrema are computed per correlation KEY; a conjunct referencing
+    * the outer row's VALUES changes the slice per row). EXISTS handles
+    * these (join-condition fold); everything else points there. */
+  private def requireEqualityCorrelation(c: Correlation, shape: String): Unit =
+    if (c.extraPreds.nonEmpty) throw BuildException(
+      s"correlated $shape supports only equality correlation " +
+        "conjuncts; a non-equality cross-scope comparison " +
+        s"(${c.extraPreds.map(p => s"inner.${p._2} ${p._1} outer-expr").mkString(", ")}) " +
+        "is supported in EXISTS (...) — rewrite through EXISTS")
+
   /** Build an OUTER correlation reference against `frame`. A plain
     * (possibly qualified) column ref resolves through the frame itself
     * first (eager — `frame.col` fails NOW if unresolvable, letting us
@@ -1383,6 +1415,7 @@ final class Planner(catalog: String => DataFrame,
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
         val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        requireEqualityCorrelation(c, "IN subquery")
         if (c.keys.isEmpty) {
           val subDf = innerPlanner.plan(innerSel)
           val subCol = subDf.columns.head
@@ -1510,6 +1543,7 @@ final class Planner(catalog: String => DataFrame,
         val sc = s"__scalar_$i"
         val corr = analyzeCorrelation(innerSel,
           new Planner(catalog, vars, includer), sel, df)
+        requireEqualityCorrelation(corr, "scalar subquery comparison")
         if (corr.keys.nonEmpty) {
           // CORRELATED scalar: exactly the aggregate-LATERAL shape —
           // one grouped aggregate on the correlation keys joined back
@@ -1559,6 +1593,7 @@ final class Planner(catalog: String => DataFrame,
         val innerSel = parseSub(sub)
         val innerPlanner = new Planner(catalog, vars, includer)
         val corr = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+        requireEqualityCorrelation(corr, "quantified (ANY/ALL) subquery")
         if (innerSel.columns.size != 1)
           throw BuildException("quantified subquery must select exactly one column")
         // CORRELATED bare-aggregate subquery (no GROUP BY/HAVING): ANSI
@@ -1761,23 +1796,10 @@ final class Planner(catalog: String => DataFrame,
                   corrFields.map(f => IdentityNode(Seq(f)): Node)).distinct,
                 orderBy = Nil, limit = None, offset = None, qualify = None))
           val outerCtx = mkCtx(df)
-          def extraCmp(op: String, inner: Column, outer: Column,
-              innerOnLeft: Boolean): Column = {
-            val (a, b) = if (innerOnLeft) (inner, outer) else (outer, inner)
-            op match {
-              case "<" => a < b
-              case "<=" => a <= b
-              case ">" => a > b
-              case ">=" => a >= b
-              case "!=" | "<>" => a =!= b
-              case other => throw BuildException(
-                s"unsupported correlated comparison operator: $other")
-            }
-          }
           val cond = (c.keys.map { case (f, outerNode) =>
             outerCol(outerNode, df, outerCtx) === innerKeys(s"__ex${i}_$f")
           } ++ c.extraPreds.map { case (op, f, outerNode, innerOnLeft) =>
-            extraCmp(op, innerKeys(s"__ex${i}_$f"),
+            extraCmpCol(op, innerKeys(s"__ex${i}_$f"),
               outerCol(outerNode, df, outerCtx), innerOnLeft)
           }).reduce(_ && _)
           if (grouped && innerSel.groupBy.isEmpty) {
@@ -1888,6 +1910,7 @@ final class Planner(catalog: String => DataFrame,
       val innerSel = parseSub(sub)
       val innerPlanner = new Planner(catalog, vars, includer)
       val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+      requireEqualityCorrelation(c, "IN subquery")
       if (innerSel.columns.size != 1)
         throw BuildException("IN-subquery must select exactly one column")
       val h = fresh("in"); val kn = fresh("k"); val mk = fresh("m")
@@ -1981,13 +2004,45 @@ final class Planner(catalog: String => DataFrame,
       val innerPlanner = new Planner(catalog, vars, includer)
       val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
       val h = fresh("ex")
-      if (c.keys.isEmpty) {
+      if (c.keys.isEmpty && c.extraPreds.isEmpty) {
         val en = fresh("en")
         val probe = innerPlanner.plan(innerSel).limit(1)
           .agg(count(lit(1)).as(en))
         df = df.crossJoin(broadcast(probe))
           .withColumn(h, if (neg) col(en) === 0 else col(en) > 0)
           .drop(en)
+      } else if (c.extraPreds.nonEmpty) {
+        // NON-EQUALITY cross-scope conjuncts as a VALUE (r15): the
+        // distinct-key left-join marker below would duplicate outer
+        // rows when a non-equi condition matches several inner rows,
+        // so the verdict computes through a ROW-ID round trip: tag the
+        // outer with a unique id, LEFT SEMI join (cardinality-exact)
+        // to find the ids with a match, join the id set back as the
+        // marker. Equality keys (when present) keep both joins
+        // hash-partitionable; the id join-back keys on a unique long.
+        if (innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty)
+          throw BuildException("correlated EXISTS with GROUP BY/HAVING " +
+            "supports only equality correlation conjuncts")
+        val corrFields = (c.keys.map(_._1) ++ c.extraPreds.map(_._2)).distinct
+        val innerDf = innerPlanner.plan(innerSel.copy(
+          columns = Seq(SelectColumn(IdentityNode(Seq("*")), None, None)),
+          distinct = false, where = c.innerWhereNoExtra,
+          orderBy = Nil, limit = None, offset = None, qualify = None))
+          .select(corrFields.map(f => col(f).as(s"${h}_$f")): _*)
+        val rid = fresh("rid"); val mk = fresh("m")
+        df = df.withColumn(rid, monotonically_increasing_id())
+        val outerCtx = mkCtx(df)
+        val cond = (c.keys.map { case (f, o) =>
+          outerCol(o, df, outerCtx) === innerDf(s"${h}_$f")
+        } ++ c.extraPreds.map { case (op, f, o, innerOnLeft) =>
+          extraCmpCol(op, innerDf(s"${h}_$f"),
+            outerCol(o, df, outerCtx), innerOnLeft)
+        }).reduce(_ && _)
+        val hits = df.join(innerDf, cond, "left_semi")
+          .select(col(rid)).withColumn(mk, lit(1))
+        df = df.join(hits, Seq(rid), "left")
+          .withColumn(h, if (neg) col(mk).isNull else col(mk).isNotNull)
+          .drop(mk, rid)
       } else {
         val corrFields = c.keys.map(_._1).distinct
         val grouped = innerSel.groupBy.nonEmpty || innerSel.having.nonEmpty
@@ -2035,6 +2090,7 @@ final class Planner(catalog: String => DataFrame,
       val innerSel = parseSub(sub)
       val innerPlanner = new Planner(catalog, vars, includer)
       val c = analyzeCorrelation(innerSel, innerPlanner, sel, df)
+      requireEqualityCorrelation(c, "quantified (ANY/ALL) subquery")
       if (innerSel.columns.size != 1)
         throw BuildException("quantified subquery must select exactly one column")
       val h = fresh("q"); val vn = fresh("v")
@@ -2134,6 +2190,7 @@ final class Planner(catalog: String => DataFrame,
       val sc = fresh("sc")
       val corr = analyzeCorrelation(innerSel,
         new Planner(catalog, vars, includer), sel, df)
+      requireEqualityCorrelation(corr, "scalar subquery")
       if (corr.keys.nonEmpty) {
         if (innerSel.columns.size != 1 ||
             !containsAgg(innerSel.columns.head.expr))

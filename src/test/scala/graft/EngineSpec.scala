@@ -1339,6 +1339,36 @@ class EngineSpec extends AnyFunSuite {
     s.sql("DROP TABLE scr4")
   }
 
+  test("non-equality correlated EXISTS as a VALUE; other shapes refuse with a rewrite hint (r15)") {
+    val s = session
+    // expression position: the verdict is a row-id semi-join round
+    // trip — cardinality must survive a non-equi condition matching
+    // SEVERAL inner rows per outer row (every order beats 12)
+    val got = rows(s.sql(
+      """SELECT user_id,
+        |  EXISTS (SELECT 1 FROM orders WHERE orders.user_id = users.user_id
+        |            AND orders.price < users.referral_count) AS cheap,
+        |  NOT EXISTS (SELECT 1 FROM orders
+        |            WHERE orders.price > users.referral_count) AS rich
+        |FROM users ORDER BY user_id""".stripMargin))
+    assert(got.length == 3, got.toString) // one row per user — no duplication
+    // 9Ip… (82): has orders below 82 -> cheap true; some price > 82? no -> rich true
+    val byUser = got.map(r => r.head.toString -> (r(1), r(2))).toMap
+    assert(byUser("9Ip1aKbeZe2njCDM") == ((true, true)), byUser.toString)
+    // both hT2… users (12): no own orders -> cheap false; prices > 12 exist -> rich false
+    assert(byUser("hT2impsOPUREcVPc") == ((false, false)), byUser.toString)
+    assert(byUser("hT2impsabc345c") == ((false, false)), byUser.toString)
+    // the per-key aggregation shapes refuse LOUDLY, naming the rewrite
+    val e1 = intercept[Exception](s.sql(
+      """SELECT user_id FROM users WHERE referral_count IN
+        |(SELECT item_count FROM orders WHERE orders.price > users.referral_count)""".stripMargin))
+    assert(e1.getMessage.contains("rewrite through EXISTS"), e1.getMessage)
+    val e2 = intercept[Exception](s.sql(
+      """SELECT user_id FROM users WHERE referral_count > ANY
+        |(SELECT item_count FROM orders WHERE orders.price != users.referral_count)""".stripMargin))
+    assert(e2.getMessage.contains("rewrite through EXISTS"), e2.getMessage)
+  }
+
   test("UPDATE SET accepts subqueries (r12, beyond ref)") {
     val s = session
     s.sql("CREATE TABLE scr3 AS SELECT order_id, user_id, price FROM orders")
