@@ -195,9 +195,16 @@ def bool_atom(table, alias, keys):
         # equivalent (UNKNOWN→FALSE either way; operands un-NULLable
         # here anyway).
         if not BIG_SF and rng.random() < (0.4 if correlated else 0.15):
+            # VERDICT r15 #3: keys may already carry a join alias
+            # (`j2.<col>` when the outer is a JOIN shape) — prefixing
+            # those again rendered the malformed 3-part `l.j2.<col>`
+            # that DuckDB refuses (binder error) and the engine, pre-
+            # r16, silently suffix-bound. Qualify bare keys only.
+            ok = rng.choice(keys)
+            oref = ok if "." in ok else f"{alias}.{ok}"
             ne = (f"{rng.choice(icols)} "
                   f"{rng.choice(['<', '<=', '>', '>=', '!='])} "
-                  f"{alias}.{rng.choice(keys)}")
+                  f"{oref}")
             conds.append(ne)
             oconds.append(f"({ne}) IS TRUE")
         if rng.random() < 0.5 or not conds:

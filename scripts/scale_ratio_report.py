@@ -62,12 +62,54 @@ def fresh(d, q):
     share = d.get("steal_taint_share", 0.20)
     cores = d.get("host_cores", 0)
     steal = e.get("steal_sec", -1.0)
-    is_tainted = cores and steal > share * e["fresh_sec"] * cores
+    # mirror Bench.envTainted (r16): share-of-capacity, steal vs the
+    # process's own cpu, and sys-dominance all mark the row
+    user, syst = e.get("cpu_user_sec", -1.0), e.get("cpu_sys_sec", -1.0)
+    cpu = e.get("cpu_sec", -1.0)
+    is_tainted = (
+        (cores and steal > share * e["fresh_sec"] * cores)
+        or (cpu >= 0 and steal > max(1.0 * cpu, 2.0))
+        or (user >= 0 and syst > max(1.0 * user, 3.0)))
     return e["fresh_sec"], ("T!" if is_tainted else
                             "h" if "fresh_tainted_sec" in e else "")
 
 
+def wall_user_outliers(d, label, k=3.0, min_wall=1.0):
+    """Per-board environmental adjudication on the cpu SPLIT (VERDICT
+    r15 #4): the inflation class this VM exhibits is steal-INVISIBLE
+    kernel sys time, so the 20% steal-share mark misses it. For every
+    fresh row with a recorded cpu_user_sec, compute wall/user; rows
+    whose ratio exceeds k x the board median (and wall >= min_wall, so
+    sub-second rows can't trip on noise) are flagged as
+    environmentally inflated — a judge adjudicates them from the
+    artifact instead of rerunning the board."""
+    ratios = {}
+    for q, e in d["queries"].items():
+        u = e.get("cpu_user_sec", -1.0)
+        if u and u > 0.05:
+            ratios[q] = e["fresh_sec"] / u
+    if len(ratios) < 8:
+        return set()
+    med = sorted(ratios.values())[len(ratios) // 2]
+    out = {q for q, r in ratios.items()
+           if r > k * med and d["queries"][q]["fresh_sec"] >= min_wall}
+    if out:
+        print(f"{label}: {len(out)} fresh row(s) are wall/user OUTLIERS "
+              f"(> {k:.0f}x board median {med:.2f} s-wall per user-core-s) — "
+              f"environmental inflation, adjudicate on cpu_user_sec:")
+        for q in sorted(out):
+            e = d["queries"][q]
+            print(f"  {q:34s} wall={e['fresh_sec']:.2f} "
+                  f"user={e.get('cpu_user_sec', -1):.2f} "
+                  f"sys={e.get('cpu_sys_sec', -1):.2f} "
+                  f"steal={e.get('steal_sec', -1):.2f} "
+                  f"(wall/user={e['fresh_sec'] / e['cpu_user_sec']:.1f})")
+    return out
+
+
 sq, bq = small["queries"], big["queries"]
+env_small = wall_user_outliers(small, f"small ({sys.argv[1]})")
+env_big = wall_user_outliers(big, f"big ({sys.argv[2]})")
 shared = sorted(set(sq) & set(bq))
 healed = sum(1 for d in (small, big) for q in d["queries"]
              if "fresh_tainted_sec" in d["queries"][q])
@@ -82,25 +124,36 @@ for q in shared:
         s2, b2 = sq[q]["warm_min_sec"], bq[q]["warm_min_sec"]
     else:
         s2, b2 = s, b
+    # engine-attributable growth: the user-cpu ratio is immune to the
+    # sys-inflation class; E marks a wall/user outlier row (see above)
+    su, bu = sq[q].get("cpu_user_sec", -1.0), bq[q].get("cpu_user_sec", -1.0)
+    u_ratio = bu / su if (su and bu and su > 0.05 and bu > 0) else None
+    env = ("E" if q in env_small or q in env_big else "")
     rows.append((q, s, b, b / max(s, 1e-9), s2, b2, b2 / max(s2, 1e-9),
-                 (s_mark + b_mark) or ""))
+                 ((s_mark + b_mark) or "") + env, u_ratio))
 
 rows.sort(key=lambda r: -min(r[3], r[6]))
 fails = 0
 print(f"{'query':34s} {'small':>8s} {'big':>8s} {'ratio':>7s} "
-      f"{'warm_s':>8s} {'warm_b':>8s} {'w_ratio':>7s}" +
+      f"{'warm_s':>8s} {'warm_b':>8s} {'w_ratio':>7s} {'u_ratio':>7s}" +
       (f" {'n_ratio':>7s}" if norm else ""))
-for q, s, b, r, s2, b2, r2, mark in rows:
+for q, s, b, r, s2, b2, r2, mark, u_ratio in rows:
     eff = min(r, r2)  # a query passes if EITHER fresh or warm scales
     flag = ""
     if eff > gate and s >= floor:
         flag = " <<< OVER GATE"
         fails += 1
+        # the gate stays on wall (normalization never hides a real
+        # regression) but the artifact itself says when the user-cpu
+        # split contradicts the wall reading — hypervisor class
+        if u_ratio is not None and u_ratio <= gate * 0.5:
+            flag += f" [wall/user disagree: user-cpu ratio {u_ratio:.1f} — hypervisor class]"
     elif eff > gate:
         flag = " (small-base, not gated)"
+    utail = f" {u_ratio:7.1f}" if u_ratio is not None else f" {'-':>7s}"
     ntail = f" {r / norm:7.1f}" if norm else ""
     mtail = f" {mark}" if mark else ""
-    print(f"{q:34s} {s:8.2f} {b:8.2f} {r:7.1f} {s2:8.2f} {b2:8.2f} {r2:7.1f}{ntail}{flag}{mtail}")
+    print(f"{q:34s} {s:8.2f} {b:8.2f} {r:7.1f} {s2:8.2f} {b2:8.2f} {r2:7.1f}{utail}{ntail}{flag}{mtail}")
 
 missing = sorted(set(sq) - set(bq))
 failed_big = big.get("failed", [])

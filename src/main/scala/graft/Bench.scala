@@ -101,6 +101,34 @@ object Bench {
   def stealTainted(m: Meas, cores: Int, share: Double = 0.20): Boolean =
     m.stealSec > share * m.wall * cores
 
+  /** The r15 board's blind spots (VERDICT r15 #4): ~12 rows read 2-5×
+    * their dedicated-JVM cost with steal share only 8-10% — under the
+    * 20% gate, so no healing fired. Two additional per-row
+    * discriminators close the band:
+    *
+    * 1. Steal relative to the process's OWN cpu, not to wall×cores:
+    *    a mostly-single-stage 2 s query uses ~2 core-s while the
+    *    32-core capacity denominator is 79 — 8 stolen core-s is 10%
+    *    of capacity but 4× the work actually done (every inflated r15
+    *    row fits this: ql_asof_join wall 2.47 cpu 2.24 steal 8.22;
+    *    healthy rows measure steal ≈ 0.03× cpu).
+    * 2. Steal-INVISIBLE kernel sys time dominating user time: healthy
+    *    runs measure sys ≈ 0.1× user, the contention windows 1.2-7×
+    *    (SCALE_r15.md §1 live capture: user stable 1.6-3.5k core-s,
+    *    sys swinging 5.7-18.5k; pl_quality_classifier's inflated
+    *    board row read user 16.6 / sys 20.5).
+    *
+    * Absolute floors keep sub-second rows from tripping on noise. */
+  def sysTainted(m: Meas): Boolean =
+    m.cpuUserSec >= 0 && m.cpuSysSec > math.max(1.0 * m.cpuUserSec, 3.0)
+  def stealVsWorkTainted(m: Meas): Boolean =
+    m.stealSec > math.max(1.0 * m.cpuSec, 2.0)
+
+  /** Any environmental class — the one taint predicate fresh healing
+    * and warm-rep exclusion both adjudicate on. */
+  def envTainted(m: Meas, cores: Int, share: Double = 0.20): Boolean =
+    stealTainted(m, cores, share) || sysTainted(m) || stealVsWorkTainted(m)
+
   /** Fresh-row steal healing (r15, VERDICT r14 #3 — the warm-rep
     * policy mirrored onto fresh runs): a fresh run the hypervisor
     * starved burns ONE labeled replacement and records BOTH — the
@@ -120,7 +148,7 @@ object Bench {
     * Returns (canonical fresh, Some(tainted original) when healed). */
   def healFresh(first: Meas, cores: Int, rerun: () => Meas,
       share: Double = 0.20): (Meas, Option[Meas]) =
-    if (!first.ok || !stealTainted(first, cores, share)) (first, None)
+    if (!first.ok || !envTainted(first, cores, share)) (first, None)
     else {
       val replacement = rerun()
       if (replacement.ok) (replacement, Some(first))
@@ -240,7 +268,8 @@ object Bench {
       timeOnce { fn(spark, sfDir).count(); () }
     // a warm rep the hypervisor starved is recorded but must not poison
     // warm_min or trigger the disagreement logic as if it were plan cost
-    def tainted(m: Meas): Boolean = stealTainted(m, nCores)
+    // (r16: BOTH classes — steal share AND steal-invisible sys time)
+    def tainted(m: Meas): Boolean = envTainted(m, nCores)
 
     // Fixed-point sentinels (r14): constant-size in-memory work, no
     // files — a machine-speed reference recorded at suite start and
@@ -282,7 +311,7 @@ object Bench {
           (if (r.warmTainted.isEmpty) ""
            else s""","warm_tainted_sec":${arr(r.warmTainted.map(_.wall))},"warm_tainted_steal_sec":${arr(r.warmTainted.map(_.stealSec))}""")).getOrElse("")
         val freshTaintPart = r.freshTainted.map(b =>
-          s""","fresh_tainted_sec":${fmt(b.wall)},"fresh_tainted_steal_sec":${fmt(b.stealSec)},"fresh_tainted_cpu_sec":${fmt(b.cpuSec)},"fresh_tainted_gc_ms":${b.gcMs}""").getOrElse("")
+          s""","fresh_tainted_sec":${fmt(b.wall)},"fresh_tainted_steal_sec":${fmt(b.stealSec)},"fresh_tainted_cpu_sec":${fmt(b.cpuSec)},"fresh_tainted_cpu_user_sec":${fmt(b.cpuUserSec)},"fresh_tainted_cpu_sys_sec":${fmt(b.cpuSysSec)},"fresh_tainted_gc_ms":${b.gcMs}""").getOrElse("")
         s""""$n":{"fresh_sec":${fmt(r.m.wall)},${measPart(r.m)},"storage_mb":${r.storageMb}$freshTaintPart$warmPart}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
       val total = results.values.collect { case r if r.m.ok => r.m.wall }.sum
@@ -290,7 +319,7 @@ object Bench {
         s"""{
            |"sf":"$sfDir","cpus":"$cpus","heap_max_mb":$heapMaxMb,"host_cores":$nCores,
            |"started_at_ms":$startedAtMs,"warm_threshold_sec":${fmt(warmThresholdSec)},"warm_reps":$warmReps,"warm_cap_sec":${fmt(warmCapSec)},
-           |"warm_mode":"reexec-releaseAll","steal_taint_share":0.20,"fresh_taint_policy":"replace-once-labeled",
+           |"warm_mode":"reexec-releaseAll","steal_taint_share":0.20,"sys_taint_rule":"cpu_sys>max(1.0*cpu_user,3.0)","steal_vs_work_rule":"steal>max(1.0*cpu,2.0)","fresh_taint_policy":"replace-once-labeled",
            |"sentinel_start_agg_sec":${arr(sentinelStart._1)},"sentinel_start_shuffle_sec":${arr(sentinelStart._2)},
            |"sentinel_end_agg_sec":${arr(sentinelEnd._1)},"sentinel_end_shuffle_sec":${arr(sentinelEnd._2)},
            |"start_load":${fmt(startLoad)},"current_load":${fmt(loadAvg())},"max_start_load":${fmt(maxStartLoad)},"load_flag":$loadFlag,
@@ -323,7 +352,7 @@ object Bench {
       // fresh-row steal healing (r15): a starved fresh run burns ONE
       // labeled replacement; both land in the artifact (see healFresh)
       val (mF, freshBad) = healFresh(mF0, nCores, () => {
-        System.err.println(f"[bench] $name FRESH run TAINTED: wall=${mF0.wall}%.1f s steal=${mF0.stealSec}%.1f core-s — hypervisor burst, burning one labeled replacement")
+        System.err.println(f"[bench] $name FRESH run TAINTED: wall=${mF0.wall}%.1f s steal=${mF0.stealSec}%.1f core-s user=${mF0.cpuUserSec}%.1f sys=${mF0.cpuSysSec}%.1f — hypervisor class, burning one labeled replacement")
         graft.operators.Dedup.releaseAll()
         timeQuery(fn)
       })
@@ -344,7 +373,7 @@ object Bench {
           if (!m.ok) ()
           else if (tainted(m)) {
             bad += m
-            System.err.println(f"[bench] $name warm rep TAINTED: wall=${m.wall}%.1f s steal=${m.stealSec}%.1f core-s — hypervisor burst, excluded from warm_min")
+            System.err.println(f"[bench] $name warm rep TAINTED: wall=${m.wall}%.1f s steal=${m.stealSec}%.1f core-s user=${m.cpuUserSec}%.1f sys=${m.cpuSysSec}%.1f — hypervisor class, excluded from warm_min")
             if (replacements < 2) { replacements += 1; rep() }
           } else clean += m
         }

@@ -761,7 +761,7 @@ final class Planner(catalog: String => DataFrame,
       SelectColumn(IdentityNode(Seq(f)), Some(s"__lat_$f"), None))
     val outerCtx = mkCtx(outer)
     def joinCond(innerDf: DataFrame): Column = c.keys.map { case (f, outerNode) =>
-      outerCol(outerNode, outer, outerCtx) === innerDf(s"__lat_$f")
+      outerCol(outerNode, outer, outerCtx, outerSel) === innerDf(s"__lat_$f")
     }.reduce(_ && _)
     def dropKeys(d: DataFrame): DataFrame =
       d.drop(corrFields.map(f => s"__lat_$f"): _*)
@@ -791,7 +791,7 @@ final class Planner(catalog: String => DataFrame,
       // alias qualifier intact (a withColumn would mint a new,
       // unqualified attribute and `l.x` would stop resolving).
       val keyProj = c.keys.map { case (f, outerNode) =>
-        outerCol(outerNode, outer, outerCtx).as(s"__lat_$f") }
+        outerCol(outerNode, outer, outerCtx, outerSel).as(s"__lat_$f") }
       // a NULL-keyed inner group can never match any outer row under
       // `=` correlation — drop it BEFORE the null-safe join below, or
       // it would wrongly attach to NULL-keyed OUTER rows
@@ -815,7 +815,7 @@ final class Planner(catalog: String => DataFrame,
       // completion row (count 0 / NULL aggs) — with plain `===` it
       // never joined and count(*) came back NULL instead of 0
       val nsCond = c.keys.map { case (f, outerNode) =>
-        outerCol(outerNode, outer, outerCtx) <=> aggDf(s"__lat_$f")
+        outerCol(outerNode, outer, outerCtx, outerSel) <=> aggDf(s"__lat_$f")
       }.reduce(_ && _)
       dropKeys(outer.join(aggDf, nsCond, "left"))
     } else innerSel.limit match {
@@ -1371,14 +1371,29 @@ final class Planner(catalog: String => DataFrame,
     * qualifier (HAVING-position correlation: `o.user_id` over a frame
     * whose output is the bare grouped `user_id`), the bare last
     * segment resolves instead; computed expressions take the full
-    * dialect builder as before. */
-  private def outerCol(n: Node, frame: DataFrame, ctx: BuildCtx): Column = n match {
+    * dialect builder as before.
+    *
+    * STRICT on unknown qualifiers (r16): the stripped-qualifier
+    * fallback fires only for a two-part `alias.col` whose head names
+    * one of the outer SELECT's FROM aliases. Anything else — a
+    * three-part `l.j2.x`, a `nosuch.x` — rethrows the frame's own
+    * UNRESOLVED_COLUMN, the same error the projection path raises
+    * (reference error parity: testutil/testsuite.go:65-152). The old
+    * suffix fallback silently bound `l.j2.o_custkey` to whatever bare
+    * `o_custkey` the frame happened to carry. */
+  private def outerCol(n: Node, frame: DataFrame, ctx: BuildCtx,
+      outerSel: SqlSelect): Column = n match {
     case IdentityNode(parts) =>
-      scala.util.Try(frame.col(parts.mkString("."))).getOrElse {
-        if (parts.length > 1)
-          scala.util.Try(frame.col(parts.last))
-            .getOrElse(ColumnBuilder.build(n, ctx))
-        else ColumnBuilder.build(n, ctx)
+      scala.util.Try(frame.col(parts.mkString("."))) match {
+        case scala.util.Success(c) => c
+        case scala.util.Failure(e) =>
+          val aliasKnown = parts.length == 2 &&
+            outerSel.from.exists(_.aliasName.equalsIgnoreCase(parts.head))
+          if (aliasKnown)
+            scala.util.Try(frame.col(parts.last))
+              .getOrElse(ColumnBuilder.build(n, ctx))
+          else if (parts.length > 1) throw e
+          else ColumnBuilder.build(n, ctx)
       }
     case _ => ColumnBuilder.build(n, ctx)
   }
@@ -1501,7 +1516,7 @@ final class Planner(catalog: String => DataFrame,
               .agg(count(col(s"__inq${i}_key")).as(cnt),
                 count(lit(1)).as(acnt))
             val gcond = c.keys.map { case (f, outerNode) =>
-              outerCol(outerNode, df, outerCtx) === aggd(s"__inq${i}_$f")
+              outerCol(outerNode, df, outerCtx, sel) === aggd(s"__inq${i}_$f")
             }.reduce(_ && _)
             df = df.join(aggd, gcond, "left")
               .withColumn(cnt, coalesce(col(cnt), lit(0L)))
@@ -1514,13 +1529,13 @@ final class Planner(catalog: String => DataFrame,
             val actx = mkCtx(df)
             val antiCond = (ColumnBuilder.build(left, actx) === innerDf(s"__inq${i}_key")) +:
               c.keys.map { case (f, outerNode) =>
-                outerCol(outerNode, df, actx) === innerDf(s"__inq${i}_$f")
+                outerCol(outerNode, df, actx, sel) === innerDf(s"__inq${i}_$f")
               }
             df = df.join(innerDf, antiCond.reduce(_ && _), "left_anti")
           } else {
             val cond = (ColumnBuilder.build(left, outerCtx) === innerDf(s"__inq${i}_key")) +:
               c.keys.map { case (f, outerNode) =>
-                outerCol(outerNode, df, outerCtx) === innerDf(s"__inq${i}_$f")
+                outerCol(outerNode, df, outerCtx, sel) === innerDf(s"__inq${i}_$f")
               }
             df = df.join(innerDf, cond.reduce(_ && _), "left_semi")
           }
@@ -1669,7 +1684,7 @@ final class Planner(catalog: String => DataFrame,
               count(v).as(cnt), count(lit(1)).as(acnt))
           val outerCtx = mkCtx(df)
           val cond = corr.keys.map { case (f, outerNode) =>
-            outerCol(outerNode, df, outerCtx) === aggd(s"__qk${i}_$f")
+            outerCol(outerNode, df, outerCtx, sel) === aggd(s"__qk${i}_$f")
           }.reduce(_ && _)
           // a LEFT join: an outer row whose group is EMPTY gets NULL
           // aggregates — the count coalesces restore the ANSI empty-set
@@ -1727,7 +1742,7 @@ final class Planner(catalog: String => DataFrame,
           val againCtx = mkCtx(df)
           val antiCond = (ColumnBuilder.build(left, againCtx) === col(s"__qall_$i")) +:
             corr.keys.map { case (f, outerNode) =>
-              outerCol(outerNode, df, againCtx) === renamed(s"__qk${i}_$f")
+              outerCol(outerNode, df, againCtx, sel) === renamed(s"__qk${i}_$f")
             }
           df = df.join(renamed, antiCond.reduce(_ && _), "left_anti")
         } else
@@ -1797,10 +1812,10 @@ final class Planner(catalog: String => DataFrame,
                 orderBy = Nil, limit = None, offset = None, qualify = None))
           val outerCtx = mkCtx(df)
           val cond = (c.keys.map { case (f, outerNode) =>
-            outerCol(outerNode, df, outerCtx) === innerKeys(s"__ex${i}_$f")
+            outerCol(outerNode, df, outerCtx, sel) === innerKeys(s"__ex${i}_$f")
           } ++ c.extraPreds.map { case (op, f, outerNode, innerOnLeft) =>
             extraCmpCol(op, innerKeys(s"__ex${i}_$f"),
-              outerCol(outerNode, df, outerCtx), innerOnLeft)
+              outerCol(outerNode, df, outerCtx, sel), innerOnLeft)
           }).reduce(_ && _)
           if (grouped && innerSel.groupBy.isEmpty) {
             // HAVING without GROUP BY: ANSI gives even an EMPTY outer
@@ -1829,7 +1844,7 @@ final class Planner(catalog: String => DataFrame,
                 orderBy = Nil, limit = None, offset = None, qualify = None))
               .withColumn(kN, lit(1))
             val kCond = c.keys.map { case (f, outerNode) =>
-              outerCol(outerNode, df, outerCtx) === kKeys(s"__exk${i}_$f")
+              outerCol(outerNode, df, outerCtx, sel) === kKeys(s"__exk${i}_$f")
             }.reduce(_ && _)
             df = df.join(aKeys, cond, "left").join(kKeys, kCond, "left")
               .crossJoin(verdict)
@@ -1973,7 +1988,7 @@ final class Planner(catalog: String => DataFrame,
           .agg(count(col(kn)).as(cnt), count(lit(1)).as(acnt))
         val outerCtx = mkCtx(df)
         val aCond = c.keys.map { case (f, o) =>
-          outerCol(o, df, outerCtx) === aggd(s"${kn}_$f") }.reduce(_ && _)
+          outerCol(o, df, outerCtx, sel) === aggd(s"${kn}_$f") }.reduce(_ && _)
         df = df.join(aggd, aCond, "left")
           .withColumn(cnt, coalesce(col(cnt), lit(0L)))
           .withColumn(acnt, coalesce(col(acnt), lit(0L)))
@@ -1984,7 +1999,7 @@ final class Planner(catalog: String => DataFrame,
         val mCtx = mkCtx(df)
         val xc = ColumnBuilder.build(x, mCtx)
         val mCond = (xc === dkeys(kn)) +: c.keys.map { case (f, o) =>
-          outerCol(o, df, mCtx) === dkeys(s"${kn}_$f") }
+          outerCol(o, df, mCtx, sel) === dkeys(s"${kn}_$f") }
         df = df.join(dkeys, mCond.reduce(_ && _), "left")
         val base = when(col(acnt) === 0, lit(false))
           .when(col(mk).isNotNull, lit(true))
@@ -2030,13 +2045,24 @@ final class Planner(catalog: String => DataFrame,
           orderBy = Nil, limit = None, offset = None, qualify = None))
           .select(corrFields.map(f => col(f).as(s"${h}_$f")): _*)
         val rid = fresh("rid"); val mk = fresh("m")
-        df = df.withColumn(rid, monotonically_increasing_id())
+        // PIN the id-stamped frame before it feeds BOTH sides of the
+        // round trip (the semi-join probe AND the join-back).
+        // monotonically_increasing_id is nondeterministic: without the
+        // pin each branch re-evaluates this subtree, and when it
+        // contains a shuffle (outer is a join/agg — common) reducer
+        // fetch order differs between evaluations, so the same logical
+        // row can carry different ids in the two branches = silently
+        // wrong EXISTS verdicts at cluster scale / under AQE / on
+        // retry. cache() is lazy (keeps the session.explain zero-job
+        // gate) and is the same pattern GraftSession.whereVictims uses
+        // for DML row ids.
+        df = df.withColumn(rid, monotonically_increasing_id()).cache()
         val outerCtx = mkCtx(df)
         val cond = (c.keys.map { case (f, o) =>
-          outerCol(o, df, outerCtx) === innerDf(s"${h}_$f")
+          outerCol(o, df, outerCtx, sel) === innerDf(s"${h}_$f")
         } ++ c.extraPreds.map { case (op, f, o, innerOnLeft) =>
           extraCmpCol(op, innerDf(s"${h}_$f"),
-            outerCol(o, df, outerCtx), innerOnLeft)
+            outerCol(o, df, outerCtx, sel), innerOnLeft)
         }).reduce(_ && _)
         val hits = df.join(innerDf, cond, "left_semi")
           .select(col(rid)).withColumn(mk, lit(1))
@@ -2068,7 +2094,7 @@ final class Planner(catalog: String => DataFrame,
         val keyDf = keyDf0.distinct().withColumn(mk, lit(1))
         val outerCtx = mkCtx(df)
         val cond = c.keys.map { case (f, o) =>
-          outerCol(o, df, outerCtx) === keyDf(s"${h}_$f") }.reduce(_ && _)
+          outerCol(o, df, outerCtx, sel) === keyDf(s"${h}_$f") }.reduce(_ && _)
         df = df.join(keyDf, cond, "left")
           .withColumn(h, if (neg) col(mk).isNull else col(mk).isNotNull)
           .drop(mk +: corrFields.map(f => s"${h}_$f"): _*)
@@ -2141,7 +2167,7 @@ final class Planner(catalog: String => DataFrame,
             count(col(vn)).as(cnt), count(lit(1)).as(acnt))
         val outerCtx = mkCtx(df)
         val cond = c.keys.map { case (f, o) =>
-          outerCol(o, df, outerCtx) === aggd(s"${vn}_$f") }.reduce(_ && _)
+          outerCol(o, df, outerCtx, sel) === aggd(s"${vn}_$f") }.reduce(_ && _)
         df = df.join(aggd, cond, "left")
           .withColumn(cnt, coalesce(col(cnt), lit(0L)))
           .withColumn(acnt, coalesce(col(acnt), lit(0L)))

@@ -477,7 +477,14 @@ object Builtins {
     case "bool" | "boolean" => c.cast(BooleanType)
     case "time" | "timestamp" | "datetime" => flexibleTs(c)
     case "date" => c.cast(DateType)
-    case other => throw BuildException(s"unsupported cast target '$other'")
+    // any legal DDL type beyond the friendly names — decimal(p,s) (the
+    // FROM-less scalar-subquery exactness path re-enters BigDecimals as
+    // cast('…' AS decimal(p,s))), array<…>, map<…>, void (typed NULL of
+    // an empty/NULL scalar over a NULL-typed column)
+    case other => parseDdlType(other) match {
+      case Some(dt) => c.cast(dt)
+      case None => throw BuildException(s"unsupported cast target '$other'")
+    }
   }
 
   /** TRY_CAST: NULL instead of an error on malformed input (ANSI-mode
@@ -489,8 +496,19 @@ object Builtins {
     case "bool" | "boolean" => c.try_cast(BooleanType)
     case "time" | "timestamp" | "datetime" => c.try_cast(TimestampType)
     case "date" => c.try_cast(DateType)
-    case other => throw BuildException(s"unsupported cast target '$other'")
+    case other => parseDdlType(other) match {
+      case Some(dt) => c.try_cast(dt)
+      case None => throw BuildException(s"unsupported cast target '$other'")
+    }
   }
+
+  /** Parse a DDL type name (decimal(10,2), array<int>, void, …) —
+    * None when it isn't one, so the caller keeps its loud error. The
+    * only producer of a `void` target is the NULL-scalar-subquery
+    * literal path, where the input is a NULL literal (NullType→NullType
+    * is the identity cast Catalyst accepts). */
+  private def parseDdlType(s: String): Option[DataType] =
+    scala.util.Try(DataType.fromDDL(s)).toOption
 
   private def regexQuote(c: Column): Column =
     regexp_replace(c.cast(StringType), "([.\\\\+*?^$\\[\\]{}()|])", "\\\\$1")

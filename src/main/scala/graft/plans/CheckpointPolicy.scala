@@ -46,9 +46,23 @@ final case class CheckpointPolicy(checkpointDir: Option[String] = None,
       val dir = checkpointDir.get
       // setCheckpointDir mints a fresh UUID subdirectory per call —
       // only (re)set when unset or pointed somewhere else, so one
-      // loop's reliable rounds share one directory
-      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-        sc.setCheckpointDir(dir)
+      // loop's reliable rounds share one directory. "Pointed here" is
+      // an EXACT parent comparison (strip the UUID leaf, normalize via
+      // Path): a prefix test would let '/ckpt/ab/<uuid>' satisfy
+      // '/ckpt/a' and silently land rounds in the wrong directory.
+      // setCheckpointDir is SparkContext-GLOBAL — two interleaved
+      // loops configured with DIFFERENT dirs will flip it under each
+      // other; run such loops with one shared dir (rounds still
+      // isolate per-RDD under the minted UUID subdirectory).
+      // compare URI paths: setCheckpointDir stores the FS-qualified
+      // form (file:/tmp/x) while callers usually pass the bare path
+      val want = new org.apache.hadoop.fs.Path(dir).toUri
+      val pointedHere = sc.getCheckpointDir.exists { cur =>
+        val parent = new org.apache.hadoop.fs.Path(cur).getParent
+        parent != null && parent.toUri.getPath == want.getPath &&
+          (want.getScheme == null || want.getScheme == parent.toUri.getScheme)
+      }
+      if (!pointedHere) sc.setCheckpointDir(dir)
       df.checkpoint(eager = true)
     }
 }

@@ -20,6 +20,35 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!Bench.stealTainted(meas(10.0, -1.0), 32))
   }
 
+  test("r16 taints close the r15 blind band: steal-vs-own-cpu and sys-dominance") {
+    // the exact inflated r15 board rows (VERDICT r15 #4): steal share
+    // under 20% of wall x cores, but steal ≫ the process's own cpu
+    val asof = Bench.Meas(2.474, true, 0, cpuSec = 2.24, stealSec = 8.22,
+      iowaitSec = 0, load = 1, cpuUserSec = 1.73, cpuSysSec = 0.51)
+    assert(!Bench.stealTainted(asof, 32), "old share gate missed it")
+    assert(Bench.stealVsWorkTainted(asof), "steal 8.22 vs cpu 2.24")
+    assert(Bench.envTainted(asof, 32))
+    // sys-dominated class (pl_quality_classifier's inflated row)
+    val clf = Bench.Meas(6.581, true, 0, cpuSec = 37.12, stealSec = 12.0,
+      iowaitSec = 0, load = 1, cpuUserSec = 16.64, cpuSysSec = 20.48)
+    assert(!Bench.stealTainted(clf, 32) && !Bench.stealVsWorkTainted(clf))
+    assert(Bench.sysTainted(clf), "sys 20.48 > user 16.64")
+    assert(Bench.envTainted(clf, 32))
+    // healthy rows stay clean under all three rules
+    val healthy = Bench.Meas(0.45, true, 0, cpuSec = 0.5, stealSec = 0.06,
+      iowaitSec = 0, load = 1, cpuUserSec = 0.46, cpuSysSec = 0.04)
+    assert(!Bench.envTainted(healthy, 32))
+    // floors: sub-second noise cannot trip (2 core-s steal / 3 sys)
+    val tiny = Bench.Meas(0.2, true, 0, cpuSec = 0.3, stealSec = 0.5,
+      iowaitSec = 0, load = 1, cpuUserSec = 0.1, cpuSysSec = 2.9)
+    assert(!Bench.envTainted(tiny, 32))
+    // a build predating the cpu-split fields (-1 sentinels) never
+    // sys-taints; steal-vs-work still applies off cpu_sec
+    val old = Bench.Meas(5.0, true, 0, cpuSec = 5.0, stealSec = 0.0,
+      iowaitSec = 0, load = 1)
+    assert(!Bench.sysTainted(old) && !Bench.envTainted(old, 32))
+  }
+
   test("clean fresh run: no replacement burned, nothing recorded") {
     var reruns = 0
     val first = meas(5.0, 0.0)

@@ -838,6 +838,35 @@ class PipelineSpec extends AnyFunSuite {
       p3.isReliable(3))
   }
 
+  test("CheckpointPolicy re-points exactly, not by prefix (r16, ADVICE r15 low)") {
+    import org.apache.spark.sql.Row
+    // '/base/ab' must NOT satisfy a policy configured for '/base/a':
+    // the old startsWith test let a sibling dir with a shared prefix
+    // hijack reliable rounds. The comparison is exact-parent (the UUID
+    // leaf setCheckpointDir mints is stripped first).
+    val sc = spark.sparkContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt_pfx")
+    val dirA = base.resolve("a").toString
+    val dirAb = base.resolve("ab").toString
+    val df = spark.createDataFrame(java.util.List.of(Row(1L)),
+      StructType(Seq(StructField("x", LongType))))
+    val prevDir = sc.getCheckpointDir
+    try {
+      graft.plans.CheckpointPolicy(Some(dirAb), 1).apply(df, 0).count()
+      val afterAb = sc.getCheckpointDir.get
+      assert(new org.apache.hadoop.fs.Path(afterAb).getParent.toUri.getPath
+        == new org.apache.hadoop.fs.Path(dirAb).toUri.getPath, afterAb)
+      // a policy for the PREFIX dir must re-point, not reuse '…/ab'
+      graft.plans.CheckpointPolicy(Some(dirA), 1).apply(df, 0).count()
+      val afterA = sc.getCheckpointDir.get
+      assert(new org.apache.hadoop.fs.Path(afterA).getParent.toUri.getPath
+        == new org.apache.hadoop.fs.Path(dirA).toUri.getPath, afterA)
+      // same dir again: keeps the minted UUID subdirectory (no re-set)
+      graft.plans.CheckpointPolicy(Some(dirA), 1).apply(df, 1).count()
+      assert(sc.getCheckpointDir.get == afterA, sc.getCheckpointDir.get)
+    } finally prevDir.foreach(sc.setCheckpointDir)
+  }
+
   test("releaseAll frees the CC labels' checkpoint blocks (ADVICE r13 leak)") {
     import org.apache.spark.sql.Row
     // the final labels frame is localCheckpoint-backed: Dataset
