@@ -33,6 +33,15 @@ EXISTS rewrite in DuckDB itself and this engine's brute-force 3VL
 property gate. Differential hygiene also improves: the engine's direct
 lowering is checked against a structurally DIFFERENT formulation.
 
+Oracle version pin (VERDICT r15 #7): this container's DuckDB is 1.0.0
+and the environment has no egress (pip resolve against the offline
+index fails with name-resolution errors — verified r16), so the
+IS TRUE / CASE-EXISTS workarounds for 1.0.0's decorrelation bugs
+(module notes above) stay. On a container with DuckDB >= 1.1, retry
+the native renderings: drop the `(ne) IS TRUE` wrap below and
+quant_pair's CASE/EXISTS formulation, run two seeds >= 250, and keep
+whichever rendering agrees.
+
 Usage:
   python3 scripts/fuzz_differential.py [sfDir] [N] [seed] [report]
 Defaults: /root/testdata/sf0.001, 300, 12, no report file.

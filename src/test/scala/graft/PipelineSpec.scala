@@ -688,6 +688,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == newIds -- rm, s"apply mismatch: ${kept.diff(newIds -- rm)} / ${(newIds -- rm).diff(kept)}")
   }
 
+  test("incremental LSH pair-mass probe: budgeted, refuses loudly (r16, VERDICT r15 #5)") {
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val increment = docs.filter(col("doc_id") % 2 === 1)
+    // the fixture has cross-split near-dups (asserted by the test
+    // above), so the delta-touching mass is > 0 — budget 1 must refuse
+    // and name the mitigation
+    val e = intercept[IllegalArgumentException](
+      Dedup.minHashLshPairsIncremental(existing, increment,
+        "doc_id", "text", 3, 32, 4, 0.5, maxPairMass = 1L).collect())
+    assert(e.getMessage.contains("candidate pair mass") &&
+      e.getMessage.contains("rowsPerBand"), e.getMessage)
+    Dedup.releaseAll()
+    // the index-ship path shares the probe
+    val idx = Dedup.buildMinHashIndex(existing, "doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.minHashLshPairsWithIndex(idx, increment,
+        "doc_id", "text", 3, 32, 4, 0.5, maxPairMass = 1L).collect())
+    assert(e2.getMessage.contains("candidate pair mass"), e2.getMessage)
+    Dedup.releaseAll()
+    // an empty delta reads mass 0 (coalesce) and returns no rows
+    val empty = increment.filter(col("doc_id") < 0)
+    assert(Dedup.minHashLshPairsIncremental(existing, empty,
+      "doc_id", "text", 3, 32, 4, 0.5).count() == 0L)
+    Dedup.releaseAll()
+  }
+
   test("bloom decontamination: zero false negatives, bounded over-removal, scan-stage plan") {
     import graft.operators.Curation
     // blocklist = every 10th doc
