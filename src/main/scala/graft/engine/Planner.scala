@@ -2056,6 +2056,16 @@ final class Planner(catalog: String => DataFrame,
         // retry. cache() is lazy (keeps the session.explain zero-job
         // gate) and is the same pattern GraftSession.whereVictims uses
         // for DML row ids.
+        //
+        // Lifetime: the pin lives until the application ends (nothing
+        // can safely unpersist it — removing the CacheManager entry
+        // would make a later re-execution of the SAME frame evaluate
+        // both branches uncached, reintroducing the race). One pin per
+        // statement using this shape, MEMORY_AND_DISK (spills, never
+        // OOMs). At cluster scale prefer the WHERE-conjunct form
+        // (EXISTS as a top-level conjunct folds extraPreds into one
+        // semi-join — no row ids, no pin) when the verdict is only
+        // filtered on, not projected.
         df = df.withColumn(rid, monotonically_increasing_id()).cache()
         val outerCtx = mkCtx(df)
         val cond = (c.keys.map { case (f, o) =>
