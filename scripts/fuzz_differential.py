@@ -23,6 +23,17 @@ an ORDER BY dialect difference, not a subquery bug), QUALIFY with
 subquery atoms next to an inline window, and column guards
 (`x IF pred` vs the oracle's `CASE WHEN pred THEN x END`).
 
+Grammar v4 (r16) adds the legs the curated rows gate but randomized
+runs never exercised: SELECT-position scalar subqueries (plain outers,
+FROM-less statements, post-aggregate expressions, and INSIDE aggregate
+arguments — the planner's lazy `__pasq` machinery and its r15
+aggregate-arg passthrough), aggregate FILTER (WHERE) clauses,
+GROUP BY GROUPING SETS with GROUPING() disambiguators, and inline
+derived-table outers (correlated atoms resolving through a subquery
+alias instead of a CTE name). Scalar value items stay on BIGINT
+columns (SCALAR_BIGINT) so projected widths agree bit-exactly; sums
+are excluded everywhere (DuckDB widens BIGINT sums to HUGEINT).
+
 Quantified atoms hand DuckDB an ANSI-equivalent CASE/EXISTS
 FORMULATION instead of its native ANY/ALL: DuckDB 1.0.0's decorrelated
 quantified comparisons are wrong on two edges this fuzzer found on its
@@ -282,6 +293,17 @@ def filter_query(table, plain=False):
 # excluded — DuckDB widens it to HUGEINT while Spark keeps int64
 WINDOW_ITEMS = ["count(*)", "max({v})", "min({v})", "rank()", "dense_rank()"]
 
+# BIGINT-valued inner columns per (outer, inner) edge: scalar-subquery
+# VALUE items project into the outer row, so their width must agree
+# bit-exactly across engines (int32/double inner cols stay usable for
+# inner-side conditions, where only the boolean verdict escapes)
+SCALAR_BIGINT = {
+    ("orders", "customer"): ["c_custkey"],
+    ("orders", "lineitem"): ["l_orderkey", "l_partkey", "l_suppkey"],
+    ("customer", "orders"): ["o_orderkey", "o_custkey"],
+    ("lineitem", "orders"): ["o_orderkey", "o_custkey"],
+}
+
 # tables with a UNIQUE single key: window frames and ORDER BY+LIMIT
 # shapes need a total order for determinism (lineitem has none —
 # (l_orderkey, l_linenumber) is NOT unique in the fixtures)
@@ -385,15 +407,150 @@ def qualify_subq_query(table):
     return combine([a], tmpl)
 
 
+def scalar_sub(table):
+    """A guaranteed-single-row scalar subquery (aggregate item, no
+    GROUP BY) over a BIGINT value column; correlated against the outer
+    alias 60% of the time. Text is engine/oracle-identical."""
+    inner, corr_pred, icols = rng.choice(SCOPES[table][2])
+    vcol = rng.choice(SCALAR_BIGINT[(table, inner)])
+    correlated = rng.random() < 0.6
+    item = rng.choice([f"max({int_expr(vcol)})", f"min({int_expr(vcol)})",
+                       "count(*)"])
+    conds = [corr_pred] if correlated else []
+    if rng.random() < 0.6 or not conds:
+        conds.append(f"{int_expr(rng.choice(icols))} "
+                     f"{rng.choice(OPS)} {rng.randint(0, 40)}")
+    sub = f"(SELECT {item} FROM {inner} WHERE {' AND '.join(conds)})"
+    if rng.random() < 0.3:
+        sub = f"{rng.randint(1, 5)} + {sub}"
+    elif rng.random() < 0.2:
+        sub = f"{sub} % {rng.randint(2, 7)}"
+    return sub, correlated
+
+
+def uncorr_scalar_sub(table):
+    s, corr = scalar_sub(table)
+    while corr:
+        s, corr = scalar_sub(table)
+    return s
+
+
+def select_scalar_query(table):
+    """SELECT-position scalar subqueries (v4): projected values through
+    the planner's lazy `__pasq` path — plain outers, FROM-less
+    statements, post-aggregate expressions, and inside aggregate
+    arguments (the r15 passthrough)."""
+    alias, keys, _ = SCOPES[table]
+    r = rng.random()
+    if r < 0.15:
+        # FROM-less: the whole statement is one probe row
+        subs = [uncorr_scalar_sub(table)
+                for _ in range(rng.randint(1, 2))]
+        items = ", ".join(f"{s} AS s{j}" for j, s in enumerate(subs))
+        q = f"SELECT {items}"
+        return q, q
+    if r < 0.45:
+        # grouped outer, scalar in the POST-AGGREGATE expression
+        # (uncorrelated: hoisted once, added after the hash aggregate)
+        k = rng.choice(BIGINT_KEYS[table])
+        g = f"{k} % {rng.randint(2, 5)}"
+        sub = uncorr_scalar_sub(table)
+        q = (f"SELECT {g} AS g, max({int_expr(k)}) + {sub} AS s, "
+             f"count(*) AS n FROM {table} {alias} GROUP BY {g}")
+        return q, q
+    if r < 0.6:
+        # scalar INSIDE the aggregate argument (pre-agg passthrough)
+        k = rng.choice(BIGINT_KEYS[table])
+        g = f"{k} % {rng.randint(2, 5)}"
+        sub = uncorr_scalar_sub(table)
+        agg = rng.choice(["max", "min"])
+        q = (f"SELECT {g} AS g, {agg}({k} + {sub}) AS s "
+             f"FROM {table} {alias} GROUP BY {g}")
+        return q, q
+    # plain outer, 1-2 projected scalars (correlated exercises the
+    # aggregate-LATERAL lowering with empty-group NULL completion)
+    subs = [scalar_sub(table)[0] for _ in range(rng.randint(1, 2))]
+    items = ", ".join(f"{s} AS s{j}" for j, s in enumerate(subs))
+    w = (f" WHERE {keys[0]} % {rng.randint(2, 5)} = 0"
+         if rng.random() < 0.4 else "")
+    proj = ", ".join(keys)
+    q = f"SELECT {proj}, {items} FROM {table} {alias}{w}"
+    return q, q
+
+
+def agg_filter_query(table):
+    """Aggregate FILTER (WHERE …) clauses (v4): per-aggregate
+    predicates, NULL-injected sometimes, next to unfiltered siblings
+    and under HAVING. Text is engine/oracle-identical."""
+    alias, keys, _ = SCOPES[table]
+    k = rng.choice(BIGINT_KEYS[table])
+    g = f"{k} % {rng.randint(2, 5)}"
+
+    def pred():
+        return (f"{int_expr(rng.choice(keys))} "
+                f"{rng.choice(OPS)} {rng.randint(0, 2000)}")
+
+    items = [f"count(*) AS n_all",
+             f"count(*) FILTER (WHERE {pred()}) AS n_f",
+             f"max({int_expr(k)}) FILTER (WHERE {pred()}) AS mx_f"]
+    if rng.random() < 0.4:
+        items.append(f"min({k}) FILTER (WHERE {pred()}) AS mn_f")
+    q = (f"SELECT {g} AS g, {', '.join(items)} "
+         f"FROM {table} {alias} GROUP BY {g}")
+    if rng.random() < 0.35:
+        q += f" HAVING count(*) >= {rng.randint(1, 3)}"
+    return q, q
+
+
+# low-cardinality grouping-set key columns (bare columns — both engines
+# keep the parquet width, so int32/string keys are safe to project)
+GSET_KEYS = {"orders": ["o_orderstatus", "o_orderpriority", "o_custkey"],
+             "customer": ["c_mktsegment", "c_nationkey"],
+             "lineitem": ["l_returnflag", "l_linestatus", "l_linenumber"]}
+
+
+def grouping_sets_query(table):
+    """GROUP BY GROUPING SETS + GROUPING() (v4): random set lists over
+    two bare key columns, GROUPING() disambiguating the generated
+    NULLs. Text is engine/oracle-identical."""
+    alias, keys, _ = SCOPES[table]
+    k1, k2 = rng.sample(GSET_KEYS[table], 2)
+    # the full (k1, k2) set is always present: both engines require
+    # every projected / GROUPING() column to appear in SOME set
+    opts = [f"({k1})", f"({k2})", "()"]
+    sets = [f"({k1}, {k2})"] + rng.sample(opts, rng.randint(1, 2))
+    rng.shuffle(sets)
+    aggs = f"count(*) AS n, max({rng.choice(BIGINT_KEYS[table])}) AS mx"
+    q = (f"SELECT {k1} AS g1, {k2} AS g2, grouping({k1}) AS gg1, "
+         f"grouping({k2}) AS gg2, {aggs} FROM {table} {alias} "
+         f"GROUP BY GROUPING SETS ({', '.join(sets)})")
+    if rng.random() < 0.3:
+        q += f" HAVING count(*) >= {rng.randint(1, 3)}"
+    return q, q
+
+
+def derived_query(table):
+    """Inline derived-table outers (v4): the CTE leg's scope test, but
+    through a FROM-subquery alias — correlated atoms must resolve the
+    outer reference into the derived relation."""
+    alias, keys, _ = SCOPES[table]
+    p = predicate(table, alias, keys)
+    proj = ", ".join(keys)
+    inner_w = f"{keys[-1]} % {rng.randint(2, 4)} != 1"
+    tmpl = (f"SELECT {proj} FROM (SELECT * FROM {table} "
+            f"WHERE {inner_w}) {alias} WHERE {{0}}")
+    return combine([p], tmpl)
+
+
 def gen_query(i):
     """Returns (engine_sql, oracle_sql)."""
     table = rng.choice(list(SCOPES))
     alias, keys, _ = SCOPES[table]
     shape = rng.random()
-    if shape < 0.24:
+    if shape < 0.20:
         # filter shape
         return filter_query(table)
-    if shape < 0.38:
+    if shape < 0.34:
         # projected 3VL values; sometimes as a column GUARD instead
         # (engine `x IF pred` ≡ oracle `CASE WHEN pred THEN x END`) —
         # guarded value is a BARE column so output widths agree
@@ -414,20 +571,26 @@ def gen_query(i):
                  + f" FROM {table} {alias}{w}")
         return (etmpl.format(*[p[0] for p in cols]),
                 otmpl.format(*[p[1] for p in cols]))
-    if shape < 0.46:
+    if shape < 0.41:
         # v3 outers over unique-key tables
         t2 = rng.choice(list(UNIQUE_KEY))
         return rng.choice([frame_query, distinct_on_query,
                            order_by_subq_query, qualify_subq_query])(t2)
-    if shape < 0.51:
+    if shape < 0.45:
         # v3 rollup/cube outers (any table)
         return rollup_query(table)
-    if shape < 0.58:
+    if shape < 0.49:
+        # v4 grouping-sets outers (any table)
+        return grouping_sets_query(table)
+    if shape < 0.55:
         # set operations over two filter shapes of the same table
         # (plain projections only — the sides must be union-compatible)
         setop = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
         a, b = filter_query(table, plain=True), filter_query(table, plain=True)
         return f"{a[0]} {setop} {b[0]}", f"{a[1]} {setop} {b[1]}"
+    if shape < 0.61:
+        # v4 inline derived-table outers
+        return derived_query(table)
     if shape < 0.68:
         # CTE: prefilter the outer table, then fuzz predicates over it
         # (the CTE's columns are the outer keys; correlations reference
@@ -438,7 +601,7 @@ def gen_query(i):
         proj = ", ".join(keys)
         tmpl = cte + f"SELECT {proj} FROM w{i % 7} {alias} WHERE {{0}}"
         return combine([p], tmpl)
-    if shape < 0.78:
+    if shape < 0.76:
         # JOIN (inner or left) + predicate over the merged scope; a
         # LEFT join makes the right side's keys genuinely nullable. The
         # joined side is ALIAS-QUALIFIED (j2) so atom expressions over
@@ -452,7 +615,7 @@ def gen_query(i):
         tmpl = (f"SELECT {proj} FROM {table} {alias} {jt} {inner} j2 "
                 f"ON j2.{corr_pred} WHERE {{0}}")
         return combine([p], tmpl)
-    if shape < 0.86:
+    if shape < 0.82:
         # window functions projected (tie-stable items only), sometimes
         # next to a boolean subquery column
         part = rng.choice(keys)
@@ -466,6 +629,12 @@ def gen_query(i):
             return combine([b], tmpl)
         s = f"SELECT {part}, {wexpr} FROM {table} {alias}"
         return s, s
+    if shape < 0.91:
+        # v4 SELECT-position scalar subqueries
+        return select_scalar_query(table)
+    if shape < 0.95:
+        # v4 aggregate FILTER clauses
+        return agg_filter_query(table)
     # grouped shape with HAVING over the group key — the GROUP key must
     # BE the correlation key (post-agg, only group keys exist to
     # correlate on; anything else is invalid SQL in both engines)
