@@ -169,10 +169,10 @@ object Bench {
     // warm_cap_sec. Default: no cap (sf0.1 driver runs unchanged).
     val warmCapSec = sys.env.getOrElse("SPARK_GRAFT_WARM_CAP", "1e18").toDouble
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out/bench.json")
-    val spark = SparkSession.builder()
+    val spark = graft.plans.SessionTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       // Experiment knob for the sf1 bimodal-warm-rep investigation:
       // when a GC lands mid-query the (blocking) ContextCleaner drains
       // thousands of accumulated shuffle/broadcast refs serially and

@@ -635,7 +635,14 @@ final class Planner(catalog: String => DataFrame,
 
   private var oneRow: DataFrame = _
   private def catalogFreeRow(): DataFrame = {
-    if (oneRow == null) oneRow = org.apache.spark.sql.SparkSession.active.range(1).toDF("__r")
+    // one partition, not range(1)'s defaultParallelism: a FROM-less
+    // SELECT is a single-row constant, and every downstream frame
+    // (recursive-CTE frontiers especially) inherits this partitioning —
+    // range(1) at local[32] gave every fixpoint round 32 near-empty
+    // tasks per checkpoint/count job (measured: ql_recursive_series
+    // 1230 tasks for a 12-row recursion)
+    if (oneRow == null) oneRow =
+      org.apache.spark.sql.SparkSession.active.range(0, 1, 1, 1).toDF("__r")
     oneRow
   }
 

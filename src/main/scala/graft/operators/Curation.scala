@@ -608,7 +608,11 @@ object Curation {
     val spans = transform(sequence(lit(0), nSpans - 1), i =>
       struct(i.as("pos"),
         array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " ").as("s")))
-    val exploded = df.select(col(idCol), explode(spans).as("sp"))
+    // fan out before the span explode (guide §2.5): the span stream is
+    // consumed twice (frequency side + anti-join probe) and both
+    // consumers re-tokenize from the scan; locally that scan is one task
+    val exploded = FanOut.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), explode(spans).as("sp"))
       .select(col(idCol), col("sp.pos").as("pos"), col("sp.s").as("s"))
     val frequent = exploded.groupBy("s")
       .agg(countDistinct(col(idCol)).as("nd"))

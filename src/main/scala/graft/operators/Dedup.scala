@@ -1217,7 +1217,14 @@ object Dedup {
       textCol: String, k: Int, minOcc: Int): DataFrame = {
     require(k > 0 && minOcc > 1, "need k>0, minOcc>1")
     val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k)
+    // fan out before the per-gram md5 (guide §2.5): the gram stream is
+    // consumed twice (count side + semi-join probe) and the broadcast
+    // semi-join recomputes the probe subtree, so a single-task scan
+    // pays the whole hashing pass twice on one core; the repartition
+    // exchange is shared by both consumers
+    val base = FanOut.byKey(
+      df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k),
+      col(idCol))
     val gramHashes = transform(
       sequence(lit(0), size(col("__t")) - k),
       p => md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k))).cast(BinaryType)))
@@ -1275,7 +1282,11 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && minOcc > 1, "need k>0, minOcc>1")
     val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k)
+    // fan out before the per-gram md5 — same single-task-scan hashing
+    // bottleneck as repeatedGramStarts (guide §2.5)
+    val base = FanOut.byKey(
+      df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k),
+      col(idCol))
     val gramHashes = transform(
       sequence(lit(0), size(col("__t")) - k),
       p => md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k))).cast(BinaryType)))

@@ -316,8 +316,13 @@ object TextAnalysis {
     require(k > 0 && w > 0, "need k>0, w>0")
     import org.apache.spark.sql.expressions.Window
     val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(col(idCol), toks.as("__t"))
-      .filter(size(col("__t")) >= k)
+    // fan out BEFORE the per-gram md5 transform (guide §2.5): locally
+    // the docs scan is one task and the hashing serializes on it; the
+    // doc-id partitioning is also exactly what the per-doc min-window
+    // below needs, so the window's exchange disappears
+    val base = FanOut.byKey(
+      df.select(col(idCol), toks.as("__t")).filter(size(col("__t")) >= k),
+      col(idCol))
     val gramHashes = transform(
       sequence(lit(0), size(col("__t")) - k),
       p => conv(substring(md5(concat_ws(" ", slice(col("__t"), p + 1, lit(k)))
@@ -362,15 +367,27 @@ object TextAnalysis {
   def winnowOverlapPairsFromIndex(fps: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
-    val f = fps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-    val rare = f.groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("__h")
-    val idx = f.join(rare, Seq("__h"), "left_semi")
-    idx.select(col("__id").as("id_a"), col("__h"))
-      .join(idx.select(col("__id").as("id_b"), col("__h")), Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    // persist the distinct index once (guide §5 "caching is worth it
+    // when a frame is reused and recomputation is expensive"): it is
+    // consumed THREE times below (df count + both self-join sides),
+    // and when `fps` is the in-engine fingerprint pipeline each
+    // broadcast build side would otherwise re-run the whole gram
+    // window — measured as 2-4 CONCURRENT re-evaluations thrashing
+    // execution memory at sf0.1 (pl_winnow_containment 78→250 core-s
+    // across reps). The cached frame is (id, hash) integers — index-
+    // sized, never corpus-sized.
+    Dedup.viaPersisted(
+      fps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    ) { f =>
+      val rare = f.groupBy("__h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("__h")
+      val idx = f.join(rare, Seq("__h"), "left_semi")
+      idx.select(col("__id").as("id_a"), col("__h"))
+        .join(idx.select(col("__id").as("id_b"), col("__h")), Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
   }
 
   /** Delta-mine against a stored winnow index: fingerprint ONLY the
@@ -390,22 +407,29 @@ object TextAnalysis {
       idCol: String, textCol: String, k: Int = 8, w: Int = 4,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
-    val dFps = winnowFingerprints(delta, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-    val cFps = indexFps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-    val all = cFps.unionByName(dFps)
-    val rare = all.groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("__h")
-    val dIdx = dFps.join(rare, Seq("__h"), "left_semi")
-    val allIdx = all.join(rare, Seq("__h"), "left_semi")
-    dIdx.select(col("__id").as("id_l"), col("__h"))
-      .join(allIdx.select(col("__id").as("id_r"), col("__h")), Seq("__h"))
-      .filter(col("id_l") =!= col("id_r"))
-      .select(least(col("id_l"), col("id_r")).as("id_a"),
-        greatest(col("id_l"), col("id_r")).as("id_b"), col("__h"))
-      .distinct() // delta-delta pairs surface once from each side
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    // persist the delta fingerprints (consumed via `all` twice and via
+    // dIdx — three gram-window re-evaluations otherwise) and the
+    // combined index (rare + allIdx). Both are (id, hash) index rows.
+    Dedup.viaPersisted(
+      winnowFingerprints(delta, idCol, textCol, k, w)
+        .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+    ) { dFps =>
+      val cFps = indexFps.select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
+      Dedup.viaPersisted(cFps.unionByName(dFps)) { all =>
+        val rare = all.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("__h")
+        val dIdx = dFps.join(rare, Seq("__h"), "left_semi")
+        val allIdx = all.join(rare, Seq("__h"), "left_semi")
+        dIdx.select(col("__id").as("id_l"), col("__h"))
+          .join(allIdx.select(col("__id").as("id_r"), col("__h")), Seq("__h"))
+          .filter(col("id_l") =!= col("id_r"))
+          .select(least(col("id_l"), col("id_r")).as("id_a"),
+            greatest(col("id_l"), col("id_r")).as("id_b"), col("__h"))
+          .distinct() // delta-delta pairs surface once from each side
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+      }
+    }
   }
 
   /** Matched-region bounds per overlapping pair — the report a
@@ -426,21 +450,24 @@ object TextAnalysis {
   def winnowMatchedRegionsFromIndex(fps0: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
-    val fps = fps0
-      .select(col(idCol).as("__id"), col("fp_pos").as("__p"), col("fp_hash").as("__h"))
-    val rare = fps.select("__id", "__h").distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("__h")
-    val idx = fps.join(rare, Seq("__h"), "left_semi")
-    idx.select(col("__id").as("id_a"), col("__h"), col("__p").as("pa"))
-      .join(idx.select(col("__id").as("id_b"), col("__h"), col("__p").as("pb")),
-        Seq("__h"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(countDistinct(col("__h")).as("n_shared"),
-        min("pa").as("a_start"), max("pa").as("a_end"),
-        min("pb").as("b_start"), max("pb").as("b_end"))
-      .filter(col("n_shared") >= minShared)
+    // persist the positioned index once — consumed three times (rare
+    // count + both self-join sides); see winnowOverlapPairsFromIndex
+    Dedup.viaPersisted(fps0.select(col(idCol).as("__id"),
+        col("fp_pos").as("__p"), col("fp_hash").as("__h"))) { fps =>
+      val rare = fps.select("__id", "__h").distinct()
+        .groupBy("__h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("__h")
+      val idx = fps.join(rare, Seq("__h"), "left_semi")
+      idx.select(col("__id").as("id_a"), col("__h"), col("__p").as("pa"))
+        .join(idx.select(col("__id").as("id_b"), col("__h"), col("__p").as("pb")),
+          Seq("__h"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(countDistinct(col("__h")).as("n_shared"),
+          min("pa").as("a_start"), max("pa").as("a_end"),
+          min("pb").as("b_start"), max("pb").as("b_end"))
+        .filter(col("n_shared") >= minShared)
+    }
   }
 
   /** Directed containment detection over winnowed fingerprints: emit
@@ -471,20 +498,25 @@ object TextAnalysis {
       minPermill: Int = 800, maxDf: Int = 1000): DataFrame = {
     require(minPermill > 0 && minPermill <= 1000, "minPermill in (0, 1000]")
     require(maxDf > 1, "need maxDf>1")
-    val fps = fps0
-      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()
-    val nFp = fps.groupBy("__id").agg(count(lit(1)).as("__nfp"))
-    val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select("__h")
-    val idx = fps.join(rare, Seq("__h"), "left_semi")
-    idx.select(col("__id").as("id_sub"), col("__h"))
-      .join(idx.select(col("__id").as("id_super"), col("__h")), Seq("__h"))
-      .filter(col("id_sub") =!= col("id_super"))
-      .groupBy("id_sub", "id_super").agg(count(lit(1)).as("n_shared"))
-      .join(nFp.withColumnRenamed("__id", "id_sub"), Seq("id_sub"))
-      .filter(col("n_shared") * 1000 >= lit(minPermill) * col("__nfp"))
-      .select(col("id_sub"), col("id_super"), col("n_shared"),
-        round(col("n_shared").cast(DoubleType) / col("__nfp"), 4).as("containment"))
+    // persist the distinct index once — consumed FOUR times here (nFp,
+    // rare, both self-join sides); the uncached form re-ran the whole
+    // in-engine fingerprint pipeline per consumer, concurrently
+    // (measured: 78→250 core-s rep drift at sf0.1)
+    Dedup.viaPersisted(fps0
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h")).distinct()) { fps =>
+      val nFp = fps.groupBy("__id").agg(count(lit(1)).as("__nfp"))
+      val rare = fps.groupBy("__h").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("__h")
+      val idx = fps.join(rare, Seq("__h"), "left_semi")
+      idx.select(col("__id").as("id_sub"), col("__h"))
+        .join(idx.select(col("__id").as("id_super"), col("__h")), Seq("__h"))
+        .filter(col("id_sub") =!= col("id_super"))
+        .groupBy("id_sub", "id_super").agg(count(lit(1)).as("n_shared"))
+        .join(nFp.withColumnRenamed("__id", "id_sub"), Seq("id_sub"))
+        .filter(col("n_shared") * 1000 >= lit(minPermill) * col("__nfp"))
+        .select(col("id_sub"), col("id_super"), col("n_shared"),
+          round(col("n_shared").cast(DoubleType) / col("__nfp"), 4).as("containment"))
+    }
   }
 
   /** Gopher-style repetition screens: duplicate-word fraction and the

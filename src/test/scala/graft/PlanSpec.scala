@@ -580,8 +580,15 @@ class PlanSpec extends AnyFunSuite {
     specs.foreach(s => assert(s.contains("doc_id"),
       s"winnow window not partitioned by doc id: $s\n" + fp))
     // the pair report must meet candidates on the fingerprint-hash
-    // equi-join — never a cartesian/broadcast-nested-loop pair stage
-    val ov = plan("pl_winnow_overlap")
+    // equi-join — never a cartesian/broadcast-nested-loop pair stage.
+    // r16: the pair query runs inside viaPersisted (the fingerprint
+    // index is persisted once instead of re-evaluated per consumer), so
+    // the join shape lives in the retained stage's inner execution, not
+    // in the returned frame's flattened plan
+    val ovDf = SparkEntry.queries("pl_winnow_overlap")(spark, dir)
+    val inner = graft.operators.Dedup.innerExecutionsFor(ovDf)
+      .map(_.executedPlan.toString)
+    val ov = (inner :+ ovDf.queryExecution.executedPlan.toString).mkString("\n")
     assert(!ov.contains("CartesianProduct"), "cartesian in overlap plan:\n" + ov)
     assert(!ov.contains("BroadcastNestedLoopJoin"), "BNLJ in overlap plan:\n" + ov)
     assert(ov.contains("SortMergeJoin") || ov.contains("ShuffledHashJoin")
