@@ -235,7 +235,10 @@ final class GraftSession(val spark: SparkSession) {
     val planner = new Planner(lookup, sessionVars.toMap, includer)
     var result = applyCteCols(planner.planStatement(baseStmt), cte)
     if (!all) result = result.distinct()
-    result = ckpt(result, 0)
+    // checkpoint-with-count (r16): the eager checkpoint's forcing
+    // count is the emptiness probe — one job per round, not two
+    val (result0, n0) = ckpt.applyWithCount(result, 0)
+    result = result0
     // Lifecycle of the checkpoint blocks (the r11 instability: every
     // frontier's MEMORY_AND_DISK blocks lived until GC decided, and
     // `except(result)` re-scanned an O(iters) union chain each round —
@@ -257,9 +260,9 @@ final class GraftSession(val spark: SparkSession) {
     var frontierInChain = true
     val key = cte.name.toLowerCase
     var iter = 0
-    // emptiness reads as a count over the just-materialized checkpoint
-    // blocks — no separate scan-shaped isEmpty job
-    var done = frontier.count() == 0
+    // emptiness read off the checkpoint's own forcing count — no
+    // separate scan-shaped isEmpty job
+    var done = n0 == 0
     while (!done) {
       iter += 1
       if (iter > maxIter)
@@ -273,8 +276,9 @@ final class GraftSession(val spark: SparkSession) {
           s"produces ${next.columns.length} columns, base ${result.columns.length}")
       next = next.toDF(result.columns.toIndexedSeq: _*)
       if (!all) next = next.distinct().except(result)
-      next = ckpt(next, iter)
-      if (next.count() == 0) { freeLocalCheckpoint(next); done = true }
+      val (nextCk, nNext) = ckpt.applyWithCount(next, iter)
+      next = nextCk
+      if (nNext == 0) { freeLocalCheckpoint(next); done = true }
       else {
         if (!frontierInChain) freeLocalCheckpoint(frontier)
         result = result.union(next)

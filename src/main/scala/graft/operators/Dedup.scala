@@ -281,8 +281,11 @@ object Dedup {
       n: Int, threshold: Double,
       maxPairMass: Long = 2000000000L): DataFrame =
     // materialize the hashed-shingle arrays once: the explode below
-    // reads `sh` twice (size + generator) and both join sides scan it
-    viaPersisted(df.select(col(idCol).as("id"),
+    // reads `sh` twice (size + generator) and both join sides scan it.
+    // FanOut: the shingle kernel is compute-dense and otherwise runs in
+    // the single-task scan stage locally (measured 1.5 s on one core)
+    viaPersisted(FanOut.byKey(df.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))) { sh =>
       val inv = sh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
@@ -343,7 +346,10 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val k = bands * rowsPerBand
-    viaPersisted(df.select(col(idCol).as("id"),
+    // FanOut: shingle + minhash kernels are the compute-dense part —
+    // parallelize them past the single-file scan (no-op at scale)
+    viaPersisted(FanOut.byKey(df.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
       .select(col("id"), col("sh"),
         VectorExpressions.minhash_sig(col("sh"), k).as("sig"))) { base =>
@@ -415,7 +421,8 @@ object Dedup {
       maxPairMass: Long = 4000000000L): DataFrame = {
     val k = bands * rowsPerBand
     def prep(df: DataFrame, isNew: Boolean) =
-      df.select(col(idCol).as("id"),
+      FanOut.byKey(df.select(col(idCol).as("id"), col(textCol)), col("id"))
+        .select(col("id"),
           VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
         .select(col("id"), col("sh"),
           VectorExpressions.minhash_sig(col("sh"), k).as("sig"),
@@ -518,7 +525,9 @@ object Dedup {
       rowsPerBand: Int, threshold: Double,
       maxPairMass: Long = 4000000000L): DataFrame = {
     val k = bands * rowsPerBand
-    viaPersisted(increment.select(col(idCol).as("id"),
+    viaPersisted(
+      FanOut.byKey(increment.select(col(idCol).as("id"), col(textCol)), col("id"))
+      .select(col("id"),
         VectorExpressions.word_shingle_hashes(col(textCol), shingleN).as("sh"))
       .select(col("id"), col("sh"),
         VectorExpressions.minhash_sig(col("sh"), k).as("sig"))) { delta =>
@@ -651,7 +660,8 @@ object Dedup {
     // fingerprint once per doc (compiled md5-shingle + vote kernels),
     // persisted because the combo keys reference it C(k,m) times — see
     // class doc
-    viaPersisted(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) {
+    viaPersisted(FanOut.byKey(df.select(col(idCol).as("id"), col(textCol)), col("id"))
+        .select(col("id"), simHash(col(textCol)).as("sim"))) {
       base => hammingPairsOf(base, maxHamming, k)
     }
   }
@@ -844,7 +854,8 @@ object Dedup {
     val k = if (blocks <= 0) maxHamming + 1 else blocks
     require(k > maxHamming && k <= 64,
       s"blocks ($k) must exceed maxHamming ($maxHamming) for pigeonhole recall")
-    viaPersisted(delta.select(col(idCol).as("id"), simHash(col(textCol)).as("sim"))) {
+    viaPersisted(FanOut.byKey(delta.select(col(idCol).as("id"), col(textCol)), col("id"))
+        .select(col("id"), simHash(col(textCol)).as("sim"))) {
       deltaFps => hammingPairsDelta(indexFps, deltaFps, maxHamming, k, maxBucket, maxClique)
     }
   }
@@ -1164,6 +1175,10 @@ object Dedup {
       nlist: Int, iters: Int, threshold: Double,
       maxPairMass: Long = 4000000000L): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
+    // no FanOut on this stage: the persisted projection is re-scanned
+    // by every k-means iteration + the assignment pass, and a widened
+    // cache pays per-partition scan overhead on each of those passes
+    // (the classifier-feature lesson — see OPTIMIZATION_r16.md §7)
     val keep = viaPersisted(df.select(col(idCol), v.as("__v"))) { proj =>
       val n = proj.count()
       val uniformMass = n.toDouble * n.toDouble / (2.0 * math.max(nlist, 1))

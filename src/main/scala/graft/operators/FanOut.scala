@@ -32,13 +32,29 @@ import org.apache.spark.sql.{Column, DataFrame}
   * may differ between the verify (8-core) and bench (32-core) runs
   * without observable effect.
   *
-  * Callers must pass a NARROW frame (scan + filter/project only):
-  * `rdd.getNumPartitions` on an exchange-bearing plan would eagerly
-  * materialize its query stages under AQE.
+  * Safe on any frame: exchange-bearing plans (joins, aggregations,
+  * windows, sorts, set ops) are left untouched — both because
+  * `rdd.getNumPartitions` on such a plan would eagerly materialize its
+  * query stages under AQE, and because their partitioning is already a
+  * shuffle's output (cluster-wide). The fan-out only ever fires on
+  * narrow scan-rooted frames.
   */
 object FanOut {
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** True when the optimized plan is narrow (leaf + per-row ops only)
+    * so physical partitioning equals the scan's and `.rdd` builds no
+    * query stages. */
+  private def narrow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: RepartitionOperation | _: SetOperation | _: GlobalLimit |
+           _: Union => ()
+    }.isEmpty
+
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    if (!narrow(df)) return df
     val n = try df.rdd.getNumPartitions catch { case _: Throwable => p }
     // explicit partition count: AQE's coalescing targets an advisory
     // BYTE size (64 MB) and would immediately coalesce a ~2 MB text

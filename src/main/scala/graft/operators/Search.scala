@@ -105,8 +105,14 @@ object Search {
         .over(Window.orderBy(col("score").desc, col(idCol))).cast(LongType))
       .select(col(idCol), col("lex_rank"))
     val emb = TextAnalysis.hashedEmbedding(df, idCol, textCol, buckets, dim)
-    val q = emb.filter(col(idCol) === probeId).select("embedding")
-      .head().getSeq[Double](0)
+    // probe vector from embedding ONLY the probe document (the filter
+    // pushes to the scan): per-doc embeddings are independent, so this
+    // is value-identical to filtering the corpus embedding — without
+    // paying a full corpus embed pass just to read one row (guide §1.2
+    // "don't compute things you throw away")
+    val q = TextAnalysis.hashedEmbedding(
+        df.filter(col(idCol) === probeId), idCol, textCol, buckets, dim)
+      .select("embedding").head().getSeq[Double](0)
     val sem = Similarity.bruteForceTopKBatch(emb, idCol, "embedding",
         Seq((0L, q)), kEach)
       .withColumn("sem_rank", row_number()

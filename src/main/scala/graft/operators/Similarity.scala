@@ -618,6 +618,11 @@ object Similarity {
     * recall baseline, not the scale path. */
   def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       probes: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    // no FanOut here: dimAblation/ann_recall call this repeatedly (per
+    // dim / per method) and each call would pay its own exchange +
+    // 32-task stage overhead — measured NET NEGATIVE at sf0.1
+    // (pl_emb_dim_ablation 1.7 → 3.2 s fresh); the single-task cosine
+    // scan is cheaper than the fan-out it would buy
     val scored = df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
       .crossJoin(broadcast(probeFrame(df, probes)))
       .select(col("probe_id"), col(idCol),

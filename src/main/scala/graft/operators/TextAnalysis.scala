@@ -199,32 +199,46 @@ object TextAnalysis {
   def hashedEmbedding(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 64, dim: Int = 16): DataFrame = {
     require(buckets > 0 && dim > 0, "need buckets > 0 and dim > 0")
-    val toks = df.select(col(idCol),
+    // r16 shape (guide §2.4 "remove shuffles outright"): the old form
+    // shuffled FOUR times past the (id, bucket) count — explode signs
+    // (id,d) agg, per-id norm agg, norm join-back, final collect_list —
+    // all of it per-document work. Since every component sum is an
+    // exact LongType (counts × ±1 signs), the projection, norm and
+    // rounding fold into ONE per-row expression over the per-doc
+    // (bucket, count) list: 1 keyed shuffle + 1 per-id shuffle total
+    // (and the per-id one vanishes into the fan-out partitioning
+    // locally). Values are bit-identical: same integer sums in any
+    // order, same single rounded IEEE divide per component.
+    val base = FanOut.byKey(df.select(col(idCol), col(textCol)), col(idCol))
+    val toks = base.select(col(idCol),
         explode(split(trim(col(textCol)), "\\s+")).as("t"))
       .filter(col("t") =!= "")
     val counts = toks.withColumn("b", hashBucket(col("t"), buckets))
       .groupBy(idCol, "b").agg(count(lit(1)).as("c"))
     // fixed sign matrix, driver-built: sign(b, d) = +1 if the first
-    // md5 hex nibble of "b:d" is < 8 else -1
-    val spark = df.sparkSession
-    import spark.implicits._
+    // md5 hex nibble of "b:d" is < 8 else -1 — folded in as one flat
+    // array literal indexed [b*dim + d] (constant-folded; stable
+    // codegen via a single ArrayData reference)
     val md = java.security.MessageDigest.getInstance("MD5")
     def sign(b: Int, d: Int): Long = {
       val h = md.digest(s"$b:$d".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
     }
-    val signs = (for (b <- 0 until buckets; d <- 0 until dim)
-      yield (b.toLong, d, sign(b, d))).toDF("b", "d", "sign")
-    val comps = counts.join(broadcast(signs), "b")
-      .groupBy(idCol, "d").agg(sum(col("c") * col("sign")).as("sv"))
-    val norms = comps.groupBy(idCol)
-      .agg(sqrt(sum(col("sv") * col("sv")).cast(DoubleType)).as("__nrm"))
-    comps.join(norms, idCol)
-      .groupBy(idCol)
-      .agg(transform(
-        array_sort(collect_list(struct(col("d"),
-          (round(col("sv").cast(DoubleType) / col("__nrm"), 6) + lit(0.0)).as("v")))),
-        s => s.getField("v")).as("embedding"))
+    val signArr = array((for (b <- 0 until buckets; d <- 0 until dim)
+      yield lit(sign(b, d))): _*)
+    val sv = transform(sequence(lit(0), lit(dim - 1)), d =>
+      aggregate(col("__bc"), lit(0L), (acc, x) =>
+        acc + x.getField("c") *
+          element_at(signArr, (x.getField("b") * dim + d + 1).cast(IntegerType))))
+    counts.groupBy(idCol)
+      .agg(collect_list(struct(col("b"), col("c"))).as("__bc"))
+      .withColumn("__sv", sv)
+      .withColumn("__nrm",
+        sqrt(aggregate(col("__sv"), lit(0L), (a, v) => a + v * v).cast(DoubleType)))
+      .select(col(idCol),
+        transform(col("__sv"),
+          v => round(v.cast(DoubleType) / col("__nrm"), 6) + lit(0.0))
+          .as("embedding"))
   }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")

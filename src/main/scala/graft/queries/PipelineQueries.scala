@@ -2077,8 +2077,13 @@ object PipelineQueries {
       (s, d) => {
         val emb = graft.operators.TextAnalysis.hashedEmbedding(
           Tables(s, d, "documents"), "doc_id", "text", buckets = 64, dim = 16)
-        val q = emb.filter(col("doc_id") === 0).select("embedding")
-          .head().getSeq[Double](0)
+        // probe vector from embedding only doc 0 (value-identical:
+        // per-doc embeddings are independent) instead of a full corpus
+        // embed pass for one row
+        val q = graft.operators.TextAnalysis.hashedEmbedding(
+            Tables(s, d, "documents").filter(col("doc_id") === 0),
+            "doc_id", "text", buckets = 64, dim = 16)
+          .select("embedding").head().getSeq[Double](0)
         Similarity.bruteForceTopKBatch(emb, "doc_id", "embedding",
             Seq((0L, q)), k = 10)
           .select(col("doc_id"), col("cos"))

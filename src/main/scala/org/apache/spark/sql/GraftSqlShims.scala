@@ -44,6 +44,29 @@ object GraftSqlShims {
     classic.Dataset.ofRows(c.sparkSession, flat)
   }
 
+  /** Eager checkpoint that also returns the materialized ROW COUNT —
+    * Spark's own `Dataset.checkpoint(eager=true)` counts the RDD to
+    * force materialization and throws the number away; iterative
+    * fixpoint loops (recursive CTEs) then immediately run a SECOND
+    * whole job just to learn whether the frontier was empty. This is
+    * the same construction (`toRdd.map(_.copy())` → mark checkpointed
+    * → count → wrap in a flat LogicalRDD), surfacing the count: one
+    * job per round instead of two. `reliable = true` requires
+    * `sc.setCheckpointDir` (caller's responsibility, as with
+    * Dataset.checkpoint); false marks a localCheckpoint
+    * (MEMORY_AND_DISK cache blocks, lineage truncated at
+    * materialization). */
+  def checkpointWithCount(df: DataFrame, reliable: Boolean): (DataFrame, Long) = {
+    val c = df.asInstanceOf[classic.Dataset[Row]]
+    // copy: toRdd yields reused UnsafeRow buffers; persisting without
+    // a defensive copy aliases every row in a partition to the last
+    val rdd = c.queryExecution.toRdd.map(_.copy())
+    if (reliable) rdd.checkpoint() else rdd.localCheckpoint()
+    val n = rdd.count()
+    val flat = LogicalRDD.fromDataset(rdd, c, c.isStreaming)
+    (classic.Dataset.ofRows(c.sparkSession, flat), n)
+  }
+
   /** Column ⇄ Expression bridges (private[sql] in Spark 4): custom
     * expressions whose constructor carries non-Column state (e.g. a
     * Broadcast handle — graft.functions.VectorExpressions
