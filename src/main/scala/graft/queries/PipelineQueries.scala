@@ -3284,18 +3284,33 @@ FROM bst ORDER BY doc_id""")),
       import AnnParams._
       val seeded = Some(Similarity.ivfSeedIndex(emb, "vec_id", "embedding", IvfNlist))
       val trained = Some(Similarity.pqTrain(emb, "vec_id", "embedding", PqM, PqNcent, PqIters))
-      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "ivf" -> Similarity.ivfTopKBatch(emb, "vec_id", "embedding", probes, 10,
-          nlist = IvfNlist, nprobe = IvfNprobe, seeded = seeded),
-        "ivf_kmeans" -> Similarity.ivfTopKKMeansBatch(emb, "vec_id", "embedding",
-          probes, 10, nlist = IvfNlist, nprobe = IvfNprobe, iters = KmIters),
-        "ivfpq" -> Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", probes, 10,
+      // guide §2.6 (overlap independent jobs): each method's
+      // CONSTRUCTION runs its own training collects (k-means rounds,
+      // codebook fits) as sequential driver round-trips; the five
+      // branches share no mutable state (seeded quantizer and PQ
+      // codebooks are hoisted above), so building them from a small
+      // thread pool lets one branch's jobs backfill another's driver
+      // latency. Results are unchanged — each branch is deterministic
+      // in its inputs, and the final union orders by method name.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val methodFs: Seq[(String, Future[org.apache.spark.sql.DataFrame])] = Seq(
+        "ivf" -> Future(Similarity.ivfTopKBatch(emb, "vec_id", "embedding", probes, 10,
+          nlist = IvfNlist, nprobe = IvfNprobe, seeded = seeded)),
+        "ivf_kmeans" -> Future(Similarity.ivfTopKKMeansBatch(emb, "vec_id", "embedding",
+          probes, 10, nlist = IvfNlist, nprobe = IvfNprobe, iters = KmIters)),
+        "ivfpq" -> Future(Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", probes, 10,
           nlist = IvfNlist, nprobe = IvfNprobe, m = PqM, ncent = PqNcent,
-          trainIters = PqIters, seeded = seeded, trained = trained),
-        "lsh" -> Similarity.lshTopKBatch(emb, "vec_id", "embedding", probes, 10,
-          nPlanes = LshPlanes),
-        "pq" -> Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10,
-          m = PqM, ncent = PqNcent, trainIters = PqIters, trained = trained))
+          trainIters = PqIters, seeded = seeded, trained = trained)),
+        "lsh" -> Future(Similarity.lshTopKBatch(emb, "vec_id", "embedding", probes, 10,
+          nPlanes = LshPlanes)),
+        "pq" -> Future(Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10,
+          m = PqM, ncent = PqNcent, trainIters = PqIters, trained = trained)))
+      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] =
+        try methodFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
+        finally pool.shutdown()
       methods.map { case (name, res) =>
         val hits = res
           .select(col("probe_id"), col("vec_id").cast(LongType).as("vec_id"))

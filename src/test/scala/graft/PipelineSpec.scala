@@ -2314,4 +2314,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(strict == 0, s"maxDf=2 should cut df=5 fingerprints, got $strict pairs")
     assert(loose == 10L, s"all C(5,2) pairs should share boilerplate, got $loose")
   }
+
+  test("r16 hashedEmbedding single-pass form equals the 4-shuffle reference") {
+    // the r16 rewrite folds sign projection + norm + rounding into one
+    // per-row expression over the per-doc (bucket, count) list; every
+    // intermediate sum is LongType, so the result must be BIT-identical
+    // to the old shuffle-per-step formulation reproduced here
+    val buckets = 64; val dim = 16
+    val spark2 = spark
+    import spark2.implicits._
+    val got = TextAnalysis.hashedEmbedding(docs, "doc_id", "text", buckets, dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(b: Int, d: Int): Long = {
+      val h = md.digest(s"$b:$d".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
+    }
+    val signs = (for (b <- 0 until buckets; d <- 0 until dim)
+      yield (b.toLong, d, sign(b, d))).toDF("b", "d", "sign")
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = toks
+      .withColumn("b", conv(substring(md5(col("t").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val comps = counts.join(broadcast(signs), "b")
+      .groupBy("doc_id", "d").agg(sum(col("c") * col("sign")).as("sv"))
+    val norms = comps.groupBy("doc_id")
+      .agg(sqrt(sum(col("sv") * col("sv")).cast("double")).as("__nrm"))
+    val ref = comps.join(norms, "doc_id")
+      .groupBy("doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"),
+          (round(col("sv").cast("double") / col("__nrm"), 6) + lit(0.0)).as("v")))),
+        x => x.getField("v")).as("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == ref.keySet)
+    val diff = got.keys.filter(k => got(k) != ref(k)).take(3)
+    assert(diff.isEmpty, s"embedding mismatch for docs $diff")
+  }
+
+  test("r16 checkpointWithCount: count, contents and free path match") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a frame with a shuffle upstream, multiple partitions
+    val src = (1L to 1000L).toDF("id").repartition(7)
+      .groupBy((col("id") % 13).as("k")).agg(count(lit(1)).as("n"))
+    val expect = src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val policy = graft.plans.CheckpointPolicy()
+    val (ck, n) = policy.applyWithCount(src, round = 1)
+    assert(n == expect.size.toLong, s"forcing count $n != ${expect.size}")
+    assert(ck.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    // plan is flat (a single LogicalRDD scan — nothing nests)
+    val leaves = ck.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size == 1 &&
+      leaves.head.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"expected one LogicalRDD leaf: $leaves")
+  }
+
+  test("r16 FanOut: fires on narrow underused scans, no-ops on wide plans") {
+    val p = spark.sparkContext.defaultParallelism
+    val scan = docs.select(col("doc_id"), col("text")) // 1-partition file scan
+    val fanned = graft.operators.FanOut.byKey(scan, col("doc_id"))
+    assert(fanned.rdd.getNumPartitions == p,
+      s"narrow 1-partition scan should fan out to $p")
+    // identical rows either way
+    assert(fanned.collect().map(_.getLong(0)).sorted.toSeq ==
+      scan.collect().map(_.getLong(0)).sorted.toSeq)
+    // an aggregation-bearing plan must be untouched (same object back)
+    val agg = docs.groupBy("lang").count()
+    assert(graft.operators.FanOut.byKey(agg, col("lang")) eq agg,
+      "FanOut must no-op on non-narrow plans")
+  }
 }
