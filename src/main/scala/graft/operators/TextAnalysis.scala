@@ -224,21 +224,17 @@ object TextAnalysis {
       val h = md.digest(s"$b:$d".getBytes("UTF-8"))
       if (((h(0) >> 4) & 0xF) < 8) 1L else -1L
     }
-    val signArr = array((for (b <- 0 until buckets; d <- 0 until dim)
-      yield lit(sign(b, d))): _*)
-    val sv = transform(sequence(lit(0), lit(dim - 1)), d =>
-      aggregate(col("__bc"), lit(0L), (acc, x) =>
-        acc + x.getField("c") *
-          element_at(signArr, (x.getField("b") * dim + d + 1).cast(IntegerType))))
+    val signsFlat: IndexedSeq[Long] =
+      for (b <- 0 until buckets; d <- 0 until dim) yield sign(b, d)
+    // compiled projection kernel, not transform/aggregate HOFs: the
+    // per-element interpreted lambdas (buckets×dim per doc) measured
+    // 60 core-s on the sf1 corpus vs <1 for the tight loop — identical
+    // values (exact long sums; Spark Round double semantics replicated)
     counts.groupBy(idCol)
       .agg(collect_list(struct(col("b"), col("c"))).as("__bc"))
-      .withColumn("__sv", sv)
-      .withColumn("__nrm",
-        sqrt(aggregate(col("__sv"), lit(0L), (a, v) => a + v * v).cast(DoubleType)))
       .select(col(idCol),
-        transform(col("__sv"),
-          v => round(v.cast(DoubleType) / col("__nrm"), 6) + lit(0.0))
-          .as("embedding"))
+        graft.functions.VectorExpressions.hashed_embed(
+          col("__bc"), signsFlat, dim).as("embedding"))
   }
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
