@@ -20,6 +20,12 @@ import graft.rel._
   */
 final class GraftSession(val spark: SparkSession) {
 
+  // engine performance confs travel with the ENGINE, not the mains
+  // (VERDICT r16 #2): a consumer-built SparkSession gets the same
+  // cached-plan AQE coalescing as Bench/Verify; all entries are
+  // dynamic SQL confs, set once at session wrap
+  graft.plans.SessionTuning.applyTo(spark)
+
   // the compiled kernel suite (graft_simhash64, graft_cosine, graft_dot,
   // graft_minhash, graft_pq_encode, …) is part of the engine's SQL
   // surface: a session user gets the pipeline primitives from plain SQL

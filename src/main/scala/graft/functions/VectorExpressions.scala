@@ -1174,12 +1174,21 @@ object VectorExpressions {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
       val sv = new Array[Long](dim)
+      val nBuckets = signArr.length / dim
       var i = 0
       while (i < n) {
         val row = a.getStruct(i, 2)
-        val b = row.getLong(0).toInt
+        val bL = row.getLong(0)
+        // graft_hashed_embed is a user-callable SQL function (ADVICE
+        // r16): an out-of-domain bucket id must fail descriptively, not
+        // as a raw ArrayIndexOutOfBounds (or, for huge ids, a silent
+        // b*dim Int overflow into the wrong sign row)
+        if (bL < 0 || bL >= nBuckets)
+          throw new IllegalArgumentException(
+            s"graft_hashed_embed: bucket id $bL outside [0, $nBuckets) " +
+              s"for the supplied ${nBuckets}x$dim sign matrix")
         val c = row.getLong(1)
-        val off = b * dim
+        val off = bL.toInt * dim
         var d = 0
         while (d < dim) { sv(d) += c * signArr(off + d); d += 1 }
         i += 1

@@ -85,9 +85,27 @@ object Dedup {
   private def retainCheckpoint(df: DataFrame): Unit =
     retained.synchronized { retainedCheckpoints.addLast(df) }
 
+  /** Temporary lower bound on the retention cap (ADVICE r16 medium):
+    * a query that builds several [[viaPersisted]] stages CONCURRENTLY
+    * (pl_emb_ann_recall's 5 method branches) must not have one
+    * branch's retain evict a frame another in-flight branch has not
+    * yet consumed — the eviction is correctness-safe (evicted frames
+    * recompute from lineage) but silently forces the full recompute
+    * viaPersisted exists to prevent. Raised around the concurrent
+    * section via [[withRetentionFloor]]; 0 (no floor) otherwise. */
+  private val retentionFloor = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run `body` with the LRU eviction threshold at least `n`. The
+    * floor is process-global (single save/restore — intended for one
+    * orchestrating caller, not for nested concurrent use). */
+  private[graft] def withRetentionFloor[T](n: Int)(body: => T): T = {
+    val prev = retentionFloor.getAndUpdate(cur => math.max(cur, n))
+    try body finally retentionFloor.set(prev)
+  }
+
   private def retain(df: DataFrame): Unit = retained.synchronized {
     retained.addLast(df)
-    while (retained.size > maxRetained) {
+    while (retained.size > math.max(maxRetained, retentionFloor.get)) {
       val evicted = retained.pollFirst()
       // Dataset.unpersist uncaches BY LOGICAL PLAN: two identical-plan
       // results share one cache entry, so unpersisting an evicted old

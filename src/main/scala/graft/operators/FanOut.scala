@@ -55,7 +55,10 @@ object FanOut {
   def byKey(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (!narrow(df)) return df
-    val n = try df.rdd.getNumPartitions catch { case _: Throwable => p }
+    // NonFatal only (ADVICE r16): a Throwable catch would swallow
+    // OutOfMemoryError/InterruptedException into a silent no-op decision
+    val n = try df.rdd.getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => p }
     // explicit partition count: AQE's coalescing targets an advisory
     // BYTE size (64 MB) and would immediately coalesce a ~2 MB text
     // frame back to one partition — but these stages are compute-dense

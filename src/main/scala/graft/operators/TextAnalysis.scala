@@ -373,7 +373,15 @@ object TextAnalysis {
     * parquet round-trip safe — integers only), so a corpus is
     * fingerprinted ONCE and every later overlap/containment/delta call
     * reads the stored frame instead of re-running the gram window over
-    * 100 TB of text. Mirrors [[Dedup.MinHashIndex]]. */
+    * 100 TB of text. Mirrors [[Dedup.MinHashIndex]].
+    *
+    * Eager materialization (ADVICE r16): building the RESULT frame runs
+    * Spark jobs at construction time — the distinct fingerprint index
+    * is persisted and counted via [[Dedup.viaPersisted]] before this
+    * returns (same for the matched-regions/containment variants), and
+    * the blocks stay pinned until [[Dedup.releaseAll]] or LRU eviction.
+    * Callers building frames only for plan inspection should expect the
+    * fingerprint pipeline to execute. */
   def winnowOverlapPairsFromIndex(fps: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
@@ -456,7 +464,9 @@ object TextAnalysis {
       winnowFingerprints(df, idCol, textCol, k, w), idCol, minShared, maxDf)
 
   /** [[winnowMatchedRegions]] over a stored fingerprint frame (ship-
-    * the-index path; needs fp_pos, which the artifact carries). */
+    * the-index path; needs fp_pos, which the artifact carries).
+    * Eagerly materializes the positioned index at construction time —
+    * see [[winnowOverlapPairsFromIndex]]. */
   def winnowMatchedRegionsFromIndex(fps0: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = 1000): DataFrame = {
     require(minShared > 0 && maxDf > 1, "need minShared>0, maxDf>1")
@@ -503,7 +513,8 @@ object TextAnalysis {
       winnowFingerprints(df, idCol, textCol, k, w), idCol, minPermill, maxDf)
 
   /** [[winnowContainmentPairs]] over a stored fingerprint frame
-    * (ship-the-index path). */
+    * (ship-the-index path). Eagerly materializes the distinct index at
+    * construction time — see [[winnowOverlapPairsFromIndex]]. */
   def winnowContainmentPairsFromIndex(fps0: DataFrame, idCol: String,
       minPermill: Int = 800, maxDf: Int = 1000): DataFrame = {
     require(minPermill > 0 && minPermill <= 1000, "minPermill in (0, 1000]")

@@ -38,4 +38,18 @@ object SessionTuning {
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     confs.foldLeft(b) { case (acc, (k, v)) => acc.config(k, v) }
+
+  /** Runtime application for sessions the engine did not build
+    * (VERDICT r16 #2): every conf above is a dynamic SQL conf
+    * (`spark.conf.set`-able), so a library consumer wrapping an
+    * EXISTING SparkSession in [[graft.engine.GraftSession]] gets the
+    * same cached-plan AQE coalescing the Bench/Verify mains apply at
+    * builder time — previously the round's biggest suite-wide win
+    * silently vanished for any session the engine didn't build.
+    * Idempotent; an explicit user override AFTER construction still
+    * wins (this runs once, at session wrap). */
+  def applyTo(spark: SparkSession): SparkSession = {
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
 }

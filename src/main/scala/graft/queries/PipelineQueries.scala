@@ -3292,8 +3292,15 @@ FROM bst ORDER BY doc_id""")),
       // thread pool lets one branch's jobs backfill another's driver
       // latency. Results are unchanged — each branch is deterministic
       // in its inputs, and the final union orders by method name.
+      // retention floor (ADVICE r16 medium): the branches retain ~6
+      // viaPersisted frames concurrently; with other session frames
+      // already retained, the default LRU cap could evict a frame an
+      // in-flight branch has not yet consumed — raise the threshold
+      // for the concurrent section so no mid-build eviction can fire
       import scala.concurrent.{Await, Future, ExecutionContext}
       import scala.concurrent.duration.Duration
+      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] =
+          graft.operators.Dedup.withRetentionFloor(16) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val methodFs: Seq[(String, Future[org.apache.spark.sql.DataFrame])] = Seq(
@@ -3308,9 +3315,18 @@ FROM bst ORDER BY doc_id""")),
           nPlanes = LshPlanes)),
         "pq" -> Future(Similarity.pqTopKBatch(emb, "vec_id", "embedding", probes, 10,
           m = PqM, ncent = PqNcent, trainIters = PqIters, trained = trained)))
-      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] =
-        try methodFs.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
-        finally pool.shutdown()
+      // bounded await (ADVICE r16 medium): a wedged branch must fail
+      // with a diagnostic naming the method, not hang the whole run on
+      // a non-daemon pool. 30 min is ~2 orders over the sf0.1 cost and
+      // generous at sf10; the bound exists for the pathological case.
+      try methodFs.map { case (n, f) =>
+        n -> (try Await.result(f, Duration(30, java.util.concurrent.TimeUnit.MINUTES))
+          catch { case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"pl_emb_ann_recall: method '$n' construction exceeded 30 min") })
+      }
+      finally pool.shutdown()
+      }
       methods.map { case (name, res) =>
         val hits = res
           .select(col("probe_id"), col("vec_id").cast(LongType).as("vec_id"))

@@ -87,4 +87,35 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(f2 == first && b2.isEmpty,
       "failed replacement: keep the measured (tainted) original")
   }
+
+  test("r17 compact summary line fits the driver's 2000-char tail capture") {
+    // VERDICT r16 #1: BENCH_r01..r16 all record tail_len=2000 and
+    // parsed:null — the full 226-query line never survived the window.
+    // The compact line must stay well under it at suite scale, with
+    // realistic long query names, and must be valid JSON carrying the
+    // contract fields and the SLOWEST rows.
+    val fresh = (1 to 226).map(i =>
+      f"pl_some_quite_long_query_name_$i%03d" -> i * 0.037).toMap
+    val line = Bench.compactSummaryLine(37.2, fresh, "[]",
+      "bench_out/bench.json", "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"line too long for tail capture: ${line.length}")
+    assert(!line.contains("\n"))
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((parsed \ "metric").extract[String] == "total")
+    assert((parsed \ "unit").extract[String] == "sec")
+    assert(math.abs((parsed \ "value").extract[Double] - 37.2) < 1e-9)
+    assert((parsed \ "n").extract[Int] == 226)
+    assert((parsed \ "sf").extract[String] == "/root/testdata/sf0.1")
+    val qs = (parsed \ "queries").extract[Map[String, Double]]
+    assert(qs.nonEmpty && qs.size == (parsed \ "n_in_line").extract[Int])
+    // the slowest rows are the ones in the line
+    val slowest = fresh.toSeq.sortBy(-_._2).take(qs.size).map(_._1).toSet
+    assert(qs.keySet == slowest)
+    // an empty board still emits a parseable line
+    val empty = Bench.compactSummaryLine(0.0, Map.empty[String, Double], "[]",
+      "o", "s")
+    assert(org.json4s.jackson.JsonMethods.parse(empty) \ "metric" != org.json4s.JNothing)
+  }
 }

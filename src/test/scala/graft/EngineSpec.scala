@@ -1844,4 +1844,21 @@ class EngineSpec extends AnyFunSuite {
     testSelectErr(
       "SELECT DISTINCT ON (user_id) count(*) FROM orders GROUP BY user_id ORDER BY user_id")
   }
+
+  test("r17 GraftSession applies SessionTuning to a consumer session (VERDICT r16 #2)") {
+    // the engine's perf confs must travel with GraftSession itself, not
+    // only the Bench/Verify mains: a library consumer wrapping an
+    // existing SparkSession gets the cached-plan AQE coalescing too
+    val k = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try {
+      new GraftSession(spark)
+      assert(spark.conf.get(k) == "true",
+        "bare GraftSession must apply SessionTuning confs")
+    } finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
 }

@@ -332,4 +332,23 @@ class KernelSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> topRef(r.getString(1), 2).map(t => (t._1, t._2)).get).toMap
     assert(gotFix == wantFix)
   }
+
+  test("r17 graft_hashed_embed refuses out-of-domain bucket ids (ADVICE r16)") {
+    // user-callable SQL surface: a bucket id outside the sign matrix
+    // must fail with a descriptive error, not a raw
+    // ArrayIndexOutOfBoundsException (or an Int-overflowed index)
+    VE.register(spark)
+    def run(b: Long): Unit = spark.sql(
+      s"SELECT graft_hashed_embed(array(named_struct('b', CAST($b AS LONG), " +
+        "'c', CAST(1 AS LONG))), array(1L, -1L, 1L, -1L), 2) AS v").collect()
+    run(0L); run(1L) // in-domain buckets for a 2x2 sign matrix: fine
+    for (bad <- Seq(2L, -1L, Long.MaxValue / 2)) {
+      val e = intercept[Exception] { run(bad) }
+      def chain(t: Throwable): List[Throwable] =
+        if (t == null) Nil else t :: chain(t.getCause)
+      assert(chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains(s"graft_hashed_embed: bucket id $bad"))),
+        s"missing descriptive error for bucket $bad: $e")
+    }
+  }
 }

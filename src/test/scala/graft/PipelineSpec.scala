@@ -2387,4 +2387,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.operators.FanOut.byKey(agg, col("lang")) eq agg,
       "FanOut must no-op on non-narrow plans")
   }
+
+  test("r17 applyWithCount reliable branch: dir setup, count, contents, files (ADVICE r16)") {
+    // only the localCheckpoint branch was covered; the reliable branch
+    // (ensureDir BEFORE rdd.checkpoint, checkpoint-file-backed
+    // LogicalRDD) would otherwise regress only on a cluster run
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = spark.sparkContext
+    val prevDir = sc.getCheckpointDir
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_wc").toString
+    try {
+      val src = (1L to 500L).toDF("id").repartition(5)
+        .groupBy((col("id") % 11).as("k")).agg(count(lit(1)).as("n"))
+      val expect = src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val policy = graft.plans.CheckpointPolicy(Some(dir), reliableEvery = 2)
+      assert(policy.isReliable(2) && !policy.isReliable(3))
+      val (ck, n) = policy.applyWithCount(src, round = 2)
+      assert(n == expect.size.toLong, s"forcing count $n != ${expect.size}")
+      assert(ck.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+      // the checkpoint actually wrote files under the configured dir
+      def countFiles(p: java.io.File): Int =
+        if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      assert(countFiles(new java.io.File(dir)) > 0,
+        s"no reliable checkpoint files under $dir")
+      // flat one-leaf plan, like the local branch
+      val leaves = ck.queryExecution.analyzed.collectLeaves()
+      assert(leaves.size == 1 &&
+        leaves.head.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    } finally prevDir.foreach(sc.setCheckpointDir)
+  }
+
+  test("r17 withRetentionFloor holds concurrent stages past maxRetained (ADVICE r16)") {
+    import graft.operators.Dedup
+    Dedup.releaseAll()
+    val spark2 = spark
+    import spark2.implicits._
+    val base = (1L to 50L).toDF("id")
+    val over = Dedup.maxRetained + 2
+    Dedup.withRetentionFloor(over) {
+      (1 to over).foreach { i =>
+        Dedup.viaPersisted(base.withColumn("i", lit(i)))(identity)
+      }
+      // under the floor nothing was evicted mid-flight
+      assert(Dedup.retainedCount == over, s"got ${Dedup.retainedCount}")
+    }
+    // floor restored: the next retain evicts back down to the cap
+    Dedup.viaPersisted(base.withColumn("i", lit(999)))(identity)
+    assert(Dedup.retainedCount == Dedup.maxRetained,
+      s"got ${Dedup.retainedCount}, cap ${Dedup.maxRetained}")
+    Dedup.releaseAll()
+  }
 }
