@@ -99,6 +99,18 @@ object ProbeQueryProfile {
           org.apache.spark.sql.execution.FormattedMode)
         val w = new java.io.PrintWriter(s"$outDir/$name.txt", "UTF-8")
         try w.println(txt) finally w.close()
+        // the final frame of a viaPersisted-built query is a flat
+        // LogicalRDD scan — its exchanges live in the INNER execution
+        // that materialized the stage (the r16 plan-evidence gap:
+        // VERDICT r16 "what's wrong" #3). Dump those too, so plan
+        // claims about persisted stages are checkable from files.
+        graft.operators.Dedup.innerExecutionsFor(df).zipWithIndex.foreach {
+          case (qe, i) =>
+            val wi = new java.io.PrintWriter(s"$outDir/${name}_inner$i.txt", "UTF-8")
+            try wi.println(qe.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+            finally wi.close()
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[profile] $name explain failed: ${e.getMessage}")
       }

@@ -756,23 +756,33 @@ object Dedup {
     val keyed =
       if (maxBucket <= 0) keyed0.withColumn("sub", lit(0L))
       else {
-        // bucket census: one partial-agg shuffle on the SAME (combo,
-        // key) the mining join shuffles on; the join back reuses that
-        // partitioning, so the budget costs one extra |buckets|-row agg
-        val counts = keyed0.groupBy("combo", "key").agg(count(lit(1)).as("__bn"))
+        // census of the CROWDED buckets only (r17, guide §2.3/§3.1):
+        // the partial-agg shuffle carries |buckets| aggregated rows,
+        // then only the over-budget set — bounded by |rows|/maxBucket
+        // and empty on healthy corpora — joins back, so AQE attaches
+        // it as a broadcast and keyed0 (the full exploded frame) is no
+        // longer re-shuffled on (combo, key) just to learn its sub.
+        // Absent rows mean "not crowded" → sub = 0; assignment
+        // identical to the old all-buckets inner join.
+        val crowded = keyed0.groupBy("combo", "key")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+          .select(col("combo"), col("key"), lit(true).as("__crowd"))
         val extVal = element_at(
           array(extChunks.map(chunk): _*), col("combo").cast("int") + 1)
-        keyed0.join(counts, Seq("combo", "key"))
-          .withColumn("sub", when(col("__bn") <= maxBucket, lit(0L)).otherwise(extVal))
-          .drop("__bn")
+        keyed0.join(crowded, Seq("combo", "key"), "left")
+          .withColumn("sub", when(col("__crowd").isNull, lit(0L)).otherwise(extVal))
+          .drop("__crowd")
       }
     val l = keyed.select(col("combo"), col("key"), col("sub"), col("id").as("id_a"), col("sim").as("sim_a"))
     val r = keyed.select(col("combo"), col("key"), col("sub"), col("id").as("id_b"), col("sim").as("sim_b"))
     l.join(r, Seq("combo", "key", "sub")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
+      // hamming gate BEFORE the distinct (r17, guide §2.3): the filter
+      // is row-local, so it commutes with distinct — fewer rows enter
+      // the dedup exchange
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Delta-mine hamming pairs against a stored fingerprint index — the
@@ -837,12 +847,15 @@ object Dedup {
     val keyed =
       if (maxBucket <= 0) keyed0.withColumn("sub", lit(0L))
       else {
-        val counts = keyed0.groupBy("combo", "key").agg(count(lit(1)).as("__bn"))
+        // crowded-only census + left join (r17) — see hammingPairsOf
+        val crowded = keyed0.groupBy("combo", "key")
+          .agg(count(lit(1)).as("__bn")).filter(col("__bn") > maxBucket)
+          .select(col("combo"), col("key"), lit(true).as("__crowd"))
         val extVal = element_at(
           array(extChunks.map(chunk): _*), col("combo").cast("int") + 1)
-        keyed0.join(counts, Seq("combo", "key"))
-          .withColumn("sub", when(col("__bn") <= maxBucket, lit(0L)).otherwise(extVal))
-          .drop("__bn")
+        keyed0.join(crowded, Seq("combo", "key"), "left")
+          .withColumn("sub", when(col("__crowd").isNull, lit(0L)).otherwise(extVal))
+          .drop("__crowd")
       }
     val l = keyed.filter(col("__new"))
       .select(col("combo"), col("key"), col("sub"), col("id").as("id_l"), col("sim").as("sim_l"))
@@ -852,8 +865,9 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"),
         call_function("bit_count", col("sim_l").bitwiseXOR(col("sim_r"))).as("hamming"))
-      .distinct()
+      // row-local gate commutes with distinct — fewer rows shuffled
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Build the shippable SimHash fingerprint index for a corpus: the
@@ -977,23 +991,36 @@ object Dedup {
       // that DFS dir — same flat-plan property, durable blocks, at
       // most reliableEvery-1 rounds of rework on executor loss (see
       // [[graft.plans.CheckpointPolicy]]).
-      var labels = ckpt(edges.select(col("src").as("id"))
-        .repartition(loopParts, col("id")).distinct()
-        .withColumn("label", col("id")), 0)
       // labels only ever decrease, so the label SUM strictly decreases
-      // while anything changes — comparing sums is a single aggregate per
-      // round instead of a join-based diff (decimal: id sums can exceed
-      // Long at corpus scale)
+      // while anything changes — comparing sums is the convergence
+      // probe. For LONG ids (every engine query path) the sum is FUSED
+      // into the checkpoint's forcing job (r17, VERDICT r16 #4:
+      // applyWithCountSum — one job per round, not checkpoint + a
+      // second aggregate; exact BigInt arithmetic, so corpus-scale id
+      // sums past 2^63 compare exactly like the decimal(38,0) SUM it
+      // replaces). Non-long ids (string keys through the public
+      // operator) keep the two-job decimal form.
+      val labelsLong = edges.schema("src").dataType ==
+        org.apache.spark.sql.types.LongType
       def labelSum(df: DataFrame): java.math.BigDecimal = {
         val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
         if (s == null) java.math.BigDecimal.ZERO else s
       }
-      var prevSum = labelSum(labels)
+      def ckptWithSum(df: DataFrame, round: Int): (DataFrame, java.math.BigDecimal) =
+        if (labelsLong) {
+          val (ck, _, s) = ckpt.applyWithCountSum(df, round, sumOrdinal = 1)
+          (ck, new java.math.BigDecimal(s.bigInteger))
+        } else {
+          val ck = ckpt(df, round)
+          (ck, labelSum(ck))
+        }
+      var (labels, prevSum) = ckptWithSum(edges.select(col("src").as("id"))
+        .repartition(loopParts, col("id")).distinct()
+        .withColumn("label", col("id")), 0)
       var i = 0
       var converged = false
       while (!converged && i < maxIter) {
-        val next = ckpt(ccRound(edges, labels, loopParts), i + 1)
-        val nextSum = labelSum(next)
+        val (next, nextSum) = ckptWithSum(ccRound(edges, labels, loopParts), i + 1)
         // free the superseded round: checkpoint blocks are owned by the
         // LogicalRDD's rdd (Dataset.unpersist, cache-manager keyed,
         // cannot see them); `next` is already eagerly materialized and

@@ -55,6 +55,18 @@ final case class CheckpointPolicy(checkpointDir: Option[String] = None,
     org.apache.spark.sql.GraftSqlShims.checkpointWithCount(df, reliable)
   }
 
+  /** [[applyWithCount]] that additionally folds the exact sum of the
+    * LongType column at `sumOrdinal` into the same forcing job (r17,
+    * VERDICT r16 #4) — the CC loop's convergence probe stops being a
+    * second aggregate job per round. See
+    * [[org.apache.spark.sql.GraftSqlShims.checkpointWithCountSum]]. */
+  def applyWithCountSum(df: DataFrame, round: Int,
+      sumOrdinal: Int): (DataFrame, Long, BigInt) = {
+    val reliable = isReliable(round)
+    if (reliable) ensureDir(df)
+    org.apache.spark.sql.GraftSqlShims.checkpointWithCountSum(df, reliable, sumOrdinal)
+  }
+
   private def ensureDir(df: DataFrame): Unit = {
       val sc = df.sparkSession.sparkContext
       val dir = checkpointDir.get

@@ -2388,6 +2388,49 @@ class PipelineSpec extends AnyFunSuite {
       "FanOut must no-op on non-narrow plans")
   }
 
+  test("r17 checkpointWithCountSum: one job, count + exact overflow-safe sum") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Long.MaxValue twice: the per-partition Long accumulator must
+    // spill into BigInteger, and the driver reduce must stay exact
+    val src = Seq((1L, Long.MaxValue), (2L, Long.MaxValue), (3L, 5L),
+      (4L, -7L)).toDF("id", "label").repartition(3)
+    val expect = src.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (ck, n, s) = try {
+      val r = org.apache.spark.sql.GraftSqlShims.checkpointWithCountSum(
+        src, reliable = false, sumOrdinal = 1)
+      Thread.sleep(300) // let any stray job-start events surface
+      // materialize + count + sum share ONE forcing job (the CC loop's
+      // convergence probe is no longer a second aggregate per round)
+      assert(jobs == 1, s"forcing pass launched $jobs jobs")
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n == 4L)
+    assert(s == BigInt(Long.MaxValue) * 2 + 5 - 7, s)
+    assert(ck.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expect)
+    // flat one-leaf plan, like checkpointWithCount
+    val leaves = ck.queryExecution.analyzed.collectLeaves()
+    assert(leaves.size == 1 &&
+      leaves.head.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    // nulls are skipped like SQL SUM
+    val withNull = Seq((1L, java.lang.Long.valueOf(3L)), (2L, null))
+      .toDF("id", "label")
+    val (_, n2, s2) = org.apache.spark.sql.GraftSqlShims.checkpointWithCountSum(
+      withNull, reliable = false, sumOrdinal = 1)
+    assert(n2 == 2L && s2 == BigInt(3))
+    // non-long columns refuse loudly
+    intercept[IllegalArgumentException] {
+      org.apache.spark.sql.GraftSqlShims.checkpointWithCountSum(
+        Seq(("a", 1.0)).toDF("id", "label"), reliable = false, sumOrdinal = 1)
+    }
+  }
+
   test("r17 applyWithCount reliable branch: dir setup, count, contents, files (ADVICE r16)") {
     // only the localCheckpoint branch was covered; the reliable branch
     // (ensureDir BEFORE rdd.checkpoint, checkpoint-file-backed
