@@ -615,14 +615,19 @@ object Similarity {
   /** Exact batch ground truth: one corpus pass scores every (probe,
     * row) pair against the broadcast probe set; per-probe top-k via the
     * group-limited window. O(n·probes) compiled dot products — the
-    * recall baseline, not the scale path. */
+    * recall baseline, not the scale path.
+    *
+    * No FanOut here — measured NET NEGATIVE twice: (r16) dimAblation /
+    * ann_recall call this repeatedly and each call pays its own
+    * exchange + 32-task stage (pl_emb_dim_ablation 1.7 → 3.2 s fresh);
+    * (r17, VERDICT r16 #7 tried) fanning out even the ONE exact batch
+    * in pl_emb_ann_recall added ~13 core-s of task/JIT overhead to
+    * parallelize ~0.7 core-s of cosine work — wall flat-to-worse
+    * (3-rep A/B: 16-19 vs 3.2-4.2 core-s task time, walls
+    * overlapping). The single-task scan is the fixture's layout, not
+    * a scale property — a real corpus scan is already parallel. */
   def bruteForceTopKBatch(df: DataFrame, idCol: String, vecCol: String,
       probes: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
-    // no FanOut here: dimAblation/ann_recall call this repeatedly (per
-    // dim / per method) and each call would pay its own exchange +
-    // 32-task stage overhead — measured NET NEGATIVE at sf0.1
-    // (pl_emb_dim_ablation 1.7 → 3.2 s fresh); the single-task cosine
-    // scan is cheaper than the fan-out it would buy
     val scored = df.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
       .crossJoin(broadcast(probeFrame(df, probes)))
       .select(col("probe_id"), col(idCol),

@@ -643,19 +643,32 @@ object TextAnalysis {
     val feat = hashedFeatures(df, idCol, textCol, labelCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the bias pseudo-feature rows are exactly one per doc
-      val nDocs = feat.filter(col("b") === buckets).count() // also warms the cache
-      require(nDocs > 0, "no documents with tokens to train on")
-      for (_ <- 1 to iters) {
+      // nDocs rides the first round's gradient collect (r17): the bias
+      // pseudo-feature bucket holds exactly one row per doc, so its
+      // row count IS the doc count — the old upfront cache-warming
+      // count() was a whole extra job per training query (round 1's
+      // margins job warms the cache just as well). The ÷nDocs moves
+      // from the agg projection to the driver: the same IEEE double
+      // division of the same sums, so the weight trajectory is
+      // bit-identical.
+      var nDocs = 0L
+      for (it <- 1 to iters) {
         // ONE aggregation + one ≤(buckets+1)-row collect per GD round:
-        // per-bucket gradient of the mean logistic loss (the bias
+        // per-bucket gradient SUM of the logistic loss (the bias
         // bucket rides along via its always-on pseudo-feature); one
         // row per OBSERVED bucket (unobserved ⇒ zero gradient)
         val margins = sigmoidScores(feat, weights)
-        val grads = feat.join(margins.select("__id", "p"), "__id")
+        val sums = feat.join(margins.select("__id", "p"), "__id")
           .groupBy("b")
-          .agg((sum((col("p") - col("__y")) * col("x")) / nDocs).as("g"))
-          .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+          .agg(sum((col("p") - col("__y")) * col("x")).as("s"),
+            count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0).toInt, (r.getDouble(1), r.getLong(2))))
+        if (it == 1) {
+          nDocs = sums.collectFirst { case (b, (_, c)) if b == buckets => c }
+            .getOrElse(0L)
+          require(nDocs > 0, "no documents with tokens to train on")
+        }
+        val grads = sums.map { case (b, (s, _)) => b -> s / nDocs }.toMap
         weights = Array.tabulate(buckets + 1)(i =>
           round6(weights(i) - lr * grads.getOrElse(i, 0.0)))
       }
@@ -692,8 +705,12 @@ object TextAnalysis {
   def classifierToTable(spark: org.apache.spark.sql.SparkSession,
       weights: Array[Double], bias: Double): DataFrame = {
     import spark.implicits._
+    // one partition (r17, guide §6): the model is buckets+1 rows by
+    // definition — without the coalesce a ship write fans the tiny
+    // table into defaultParallelism near-empty files (measured at
+    // local[32]: 32 tasks, ~1.5 s of pure task overhead per write)
     (weights.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq :+
-      ((weights.length.toLong, bias))).toDF("slot", "weight")
+      ((weights.length.toLong, bias))).toDF("slot", "weight").coalesce(1)
   }
 
   /** Reconstruct (weights, bias) from a persisted

