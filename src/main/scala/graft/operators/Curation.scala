@@ -36,11 +36,19 @@ object Curation {
     * sort. Deterministic across runs AND engines — no RNG state. */
   def quotaSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // rank on (id, group) only, then semi-join the winners back (r17,
+    // guide §8): the old window over the full rows re-shuffled every
+    // payload byte just to take the first k md5-ordered ids per group.
+    // Same kept set; requires unique non-null ids, as the window's
+    // determinism already did. AQE broadcasts the winner set when it
+    // is small; corpus bytes never enter an exchange.
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    val winners = df.select(col(idCol), col(groupCol))
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
-      .drop("__rk")
+      .select(col(idCol).as("__qid"))
+    df.join(winners, col(idCol) === col("__qid"), "left_semi")
   }
 
   /** Benchmark decontamination: corpus documents sharing at least
@@ -507,22 +515,31 @@ object Curation {
       sourceCol: String, minQuality: Double = 0.6667,
       quotaK: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // every stage decision is a function of (id, source, content hash,
+    // quality flag) — so decide on that narrow frame and never shuffle
+    // the text (r17, guide §8; the old form carried textCol through
+    // BOTH the dedup and the quota window exchanges). The dedup winner
+    // per content hash is min(id) among quality passers (≡ the old
+    // rn=1 under orderBy id); stage attribution reads identically.
     val qpass = TextAnalysis.qualityScore(col(textCol)) >= minQuality
-    val base = df.select(col(idCol), col(sourceCol), col(textCol), qpass.as("__q"))
-    val dedupW = Window.partitionBy(md5(col(textCol).cast(BinaryType)))
-      .orderBy(col(idCol))
-    val dd = base.filter(col("__q")).withColumn("__dr", row_number().over(dedupW))
+    val base = df.select(col(idCol), col(sourceCol), qpass.as("__q"),
+      md5(col(textCol).cast(BinaryType)).as("__h"))
+    val winners = base.filter(col("__q"))
+      .groupBy("__h").agg(min(col(idCol)).as("__did"))
+      .select("__did")
     val quotaW = Window.partitionBy(sourceCol)
       .orderBy(md5(col(idCol).cast(StringType).cast(BinaryType)), col(idCol))
-    val qt = dd.filter(col("__dr") === 1).withColumn("__qr", row_number().over(quotaW))
+    val qt = base.join(winners, col(idCol) === col("__did"), "left_semi")
+      .select(col(idCol), col(sourceCol))
+      .withColumn("__qr", row_number().over(quotaW))
+      .select(col(idCol).as("__tid"), col("__qr"))
     base
-      .join(dd.select(col(idCol).as("__did"), col("__dr")),
+      .join(winners.withColumn("__dw", lit(1)),
         col(idCol) === col("__did"), "left")
-      .join(qt.select(col(idCol).as("__tid"), col("__qr")),
-        col(idCol) === col("__tid"), "left")
+      .join(qt, col(idCol) === col("__tid"), "left")
       .select(col(idCol), col(sourceCol),
         when(!col("__q"), lit("quality"))
-          .when(col("__dr") > 1, lit("dedup"))
+          .when(col("__dw").isNull, lit("dedup"))
           .when(col("__qr") > quotaK, lit("quota"))
           .otherwise(lit("kept")).as("stage"))
   }

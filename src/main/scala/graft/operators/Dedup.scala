@@ -903,11 +903,28 @@ object Dedup {
     * expensive derived frame (e.g. a quality screen), which the join
     * form would compute twice. */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Shuffle the 16-byte hash, not the document (r17, guide §8 "make
+    // every shuffle but the last operate on a lightweight proxy"): the
+    // old row_number window over md5(text) re-shuffled EVERY payload
+    // byte just to pick the min id per hash group. The keep decision is
+    // a function of (id, hash) alone, so the duplicate LOSERS (rn > 1 —
+    // the same rank the old window used) are mined on that narrow frame
+    // and removed with a LEFT ANTI join, mirroring dropNearDuplicates:
+    // the removal set is the duplicate mass (usually small — AQE picks
+    // broadcast and the corpus bytes never enter an exchange; a
+    // pathological all-duplicates corpus degrades to a shuffled join,
+    // exactly what the old form always paid). Probe-side column
+    // pruning now reaches the scan: a caller that doesn't project the
+    // text no longer reads it there. Same kept set — requires unique
+    // non-null ids, as the window's determinism already did.
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(md5(col(textCol).cast(BinaryType))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val w = Window.partitionBy("__h").orderBy(col(idCol))
+    val losers = df
+      .select(col(idCol), md5(col(textCol).cast(BinaryType)).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col(idCol).as("__rm"))
+    df.join(losers, col(idCol) === col("__rm"), "left_anti")
   }
 
   /** Canonical cluster id (the minimum reachable doc id) for every

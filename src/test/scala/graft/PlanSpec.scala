@@ -111,14 +111,35 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges (want <=1, only the output sort):\n$p")
   }
 
-  test("exact-dedup apply is one scan + WindowGroupLimit, not a self-join") {
-    val p = plan("pl_dedup_apply_exact")
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(!p.contains("Join"), "self-join form would scan the input twice:\n" + p)
-    // the curation funnel composes the same dedup: its expensive quality
-    // screen must therefore be evaluated in a single scan too
+  test("exact-dedup apply decides on (id, hash) and never shuffles the payload (r17)") {
+    // the r16 shape was one scan + a window whose exchange carried the
+    // FULL rows keyed by md5(text); r17 mines the duplicate LOSERS on a
+    // narrow (id, hash) frame and removes them with a LEFT ANTI join
+    // (guide §8: shuffle a lightweight proxy, not the payload) — the
+    // strategy stays AQE's (no broadcast hint: losers can be 50% of a
+    // crawl corpus), and probe-side column pruning reaches the scan
+    val df = SparkEntry.queries("pl_dedup_apply_exact")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), "removal must be a LeftAnti join:\n" + p)
+    assert(!df.queryExecution.analyzed.toString.toLowerCase.contains("broadcast"),
+      "forced broadcast hint on a data-dependent removal set")
+    // the query projects (doc_id, n_chars): the probe-side scan must
+    // no longer read the text it used to carry into the window
+    val probeScans = p.linesIterator.filter(_.contains("ReadSchema"))
+      .filterNot(_.contains("text")).toList
+    assert(probeScans.nonEmpty,
+      "no text-pruned scan — payload still flows through the dedup:\n" + p)
+    // the loser-mining window runs over the narrow frame only: every
+    // hashpartitioning exchange key set excludes the text column
+    assert(!"""Exchange hashpartitioning\([^)]*text""".r.findFirstIn(p).isDefined,
+      "text column entered a dedup exchange:\n" + p)
+    // the curation funnel composes the same dedup + quota semi joins;
+    // its quality screen must still evaluate in scan position (no
+    // cartesian, no extra full-width exchange of text)
     val c = plan("pl_curate_pipeline")
-    assert(!c.contains("Join"), c)
+    assert(!c.contains("CartesianProduct"), c)
+    assert(!"""Exchange hashpartitioning\([^)]*text""".r.findFirstIn(c).isDefined,
+      "text column entered a funnel exchange:\n" + c)
   }
 
   test("sequence packing windows per shard, never a single global partition") {
